@@ -1,0 +1,37 @@
+"""SparkSession factory tuned for the local[32] test harness but with
+settings that carry to a real cluster (AQE, Arrow, sane shuffle width).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "sutro_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    Cluster-minded defaults:
+    - AQE on (runtime join selection, skew handling, partition coalescing);
+    - Arrow on (all our Python-side operators are Arrow-batched pandas);
+    - shuffle partitions sized to the local core count — on a real cluster
+      this would be executors*cores*2-3, left to the deployer's conf;
+    - UTC session timezone so timestamp semantics are environment-free.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,134 @@
+"""Ingestion operators (SURVEY.md §2.1, S1-S8 + S12).
+
+Reference semantics (/root/reference/sutro/common.py:116-167): accept a
+list of prompts, a list of record dicts, a pandas/polars DataFrame, or a
+CSV/Parquet/TXT path; everything becomes a table whose rows are processed
+in input order, and results are re-attached *positionally*
+(sdk.py:1322-1334).
+
+Spark has no implicit row order, so the engine's design rule is: **every
+source mints an explicit ``__row_id`` column** and every order-sensitive
+operator (positional join-back, final sort) keys on it. Two minting
+strategies:
+
+- ``order_by=...`` — deterministic: ``row_number() over (order by keys)``.
+  Used whenever a natural key exists (all the oracle-checked queries).
+  Costs one shuffle+sort; at 100 TB prefer the key-free strategy below.
+- ``order_by=None`` — zero-shuffle: partition-offset + in-partition index
+  (same construction Spark uses for ``zipWithIndex`` but computed with
+  window-free built-ins via ``monotonically_increasing_id``). Stable for
+  a given file listing, which matches the reference's "order of the input
+  file" contract without ever shuffling 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+ROW_ID = "__row_id"
+
+
+def with_row_id(df: DataFrame, order_by: Sequence[str] | None = None) -> DataFrame:
+    """Mint the engine's order column (see module docstring).
+
+    With ``order_by``: contiguous 0-based ids in key order (one global
+    sort — use for correctness-checked paths and small/medium tables).
+    Without: ``monotonically_increasing_id`` — non-contiguous but
+    monotone with file/partition order and computed with zero shuffle;
+    the right default at 100 TB where a global sort of ids is pure waste.
+    """
+    if ROW_ID in df.columns:
+        return df
+    if order_by:
+        w = Window.orderBy(*order_by)
+        return df.withColumn(ROW_ID, F.row_number().over(w).cast("long") - F.lit(1))
+    return df.withColumn(ROW_ID, F.monotonically_increasing_id())
+
+
+# --- S1: list-of-prompts source (common.py:126-127) -----------------------
+def from_list(spark: SparkSession, prompts: Iterable[str], column: str = "prompt") -> DataFrame:
+    rows = [(i, p) for i, p in enumerate(prompts)]
+    return spark.createDataFrame(rows, f"{ROW_ID} long, {column} string")
+
+
+# --- S2: list-of-records source (sdk.py:701-702) --------------------------
+def from_records(spark: SparkSession, records: list[dict]) -> DataFrame:
+    df = spark.createDataFrame([{ROW_ID: i, **r} for i, r in enumerate(records)])
+    return df
+
+
+# --- S3: pandas DataFrame source (common.py:128-134) ----------------------
+def from_pandas(spark: SparkSession, pdf) -> DataFrame:
+    pdf = pdf.reset_index(drop=True)
+    pdf.insert(0, ROW_ID, range(len(pdf)))
+    return spark.createDataFrame(pdf)
+
+
+# --- S4/S5/S6: file scans (common.py:144-161) ------------------------------
+def read_csv(spark: SparkSession, path: str, order_by: Sequence[str] | None = None) -> DataFrame:
+    df = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    return with_row_id(df, order_by)
+
+
+def read_parquet(
+    spark: SparkSession, path: str, order_by: Sequence[str] | None = None
+) -> DataFrame:
+    return with_row_id(spark.read.parquet(path), order_by)
+
+
+def read_text(spark: SparkSession, path: str, column: str = "prompt") -> DataFrame:
+    # Reference strips each line (common.py:152). Text files are read in
+    # order per-file; row id follows partition order (zero shuffle).
+    df = spark.read.text(path).select(F.trim(F.col("value")).alias(column))
+    return with_row_id(df)
+
+
+# --- S7/S8 + S12: dispatcher mirroring prepare_input_data ------------------
+def prepare_input_data(spark: SparkSession, data, column: str | None = None) -> DataFrame:
+    """Route any supported input shape to a row_id'd DataFrame.
+
+    Mirrors /root/reference/sutro/common.py:116-167 observable behavior:
+    - list[str] → prompts table (column ignored)
+    - list[dict] → records table
+    - pandas DataFrame → table (``column`` must exist if given)
+    - str path: .csv/.parquet/.txt/extensionless → the matching reader;
+      http(s) URLs route by extension too (S7; Spark reads remote FS
+      directly instead of passing the URL to a server);
+    - "dataset-<name>" → ``spark.table`` lookup (S8);
+    - any other extension or type → ValueError (S12,
+      common.py:153-154,162-165).
+    """
+    if isinstance(data, DataFrame):
+        return with_row_id(data)
+    if isinstance(data, list):
+        if not data:
+            raise ValueError("empty input data")
+        if isinstance(data[0], dict):
+            return from_records(spark, data)
+        return from_list(spark, [str(x) for x in data], column or "prompt")
+    try:  # pandas without a hard import at module load
+        import pandas as pd
+
+        if isinstance(data, pd.DataFrame):
+            if column is not None and column not in data.columns:
+                raise ValueError(f"column {column!r} not present in the input DataFrame")
+            return from_pandas(spark, data)
+    except ImportError:  # pragma: no cover
+        pass
+    if isinstance(data, str):
+        if data.startswith("dataset-"):
+            if not column:
+                raise ValueError("dataset references require a column name")
+            return with_row_id(spark.table(data.removeprefix("dataset-")))
+        lower = data.lower()
+        if lower.endswith(".csv"):
+            return read_csv(spark, data)
+        if lower.endswith(".parquet"):
+            return read_parquet(spark, data)
+        if lower.endswith(".txt") or "." not in data.rsplit("/", 1)[-1]:
+            return read_text(spark, data, column or "prompt")
+        raise ValueError(f"unsupported file type: {data}")
+    raise ValueError(f"unsupported input data type: {type(data).__name__}")
