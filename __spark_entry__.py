@@ -214,6 +214,84 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# north-star extensions: dedup / similarity / text analysis / multimodal
+# ---------------------------------------------------------------------------
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sutro_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sutro_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=8, threshold=0.1, max_df=100
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sutro_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=8,
+        num_hashes=16,
+        bands=8,
+        verify_threshold=None,
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sutro_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sutro_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sutro_spark.functions.text import text_profile
+
+    return text_profile(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        "punct_ratio",
+        "stopword_ratio_en",
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sutro_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=3
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sutro_spark.operators.similarity import embedding_dedup_pairs
+
+    return embedding_dedup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sutro_spark.operators.multimodal import attach_fake_media, decode_media
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    return decode_media(media).select("doc_id", "n_bytes", "mean_byte", "aspect")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "select_prompt_column": q_select_prompt_column,
@@ -229,6 +307,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_scan": q_csv_scan,
         "tpch_q1": q_tpch_q1,
         "top_orders": q_top_orders,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "text_profile": q_text_profile,
+        "similarity_topk": q_similarity_topk,
+        "embedding_dedup": q_embedding_dedup,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -244,6 +331,46 @@ _FLAGSHIP_PROMPT = (
 _RANK_PROMPT = (
     "'opt_a: ' || substr(text, 1, 10) || ' opt_b: ' || substr(text, 11, 10) "
     "|| ' opt_c: ' || substr(text, 21, 10)"
+)
+
+# distinct char-8-gram shingles per doc (mirrors dedup.char_shingles k=8)
+_SHINGLES_CTE = """
+    sh AS (
+        SELECT DISTINCT id, shingle FROM (
+            SELECT doc_id AS id,
+                   unnest(list_transform(
+                       range(1, greatest(length(text) - 7, 1) + 1),
+                       g -> substring(text, g, 8))) AS shingle
+            FROM documents)
+        WHERE length(shingle) = 8
+    )
+"""
+
+# 63-bit simhash fingerprint per doc (mirrors dedup.simhash)
+_SIMHASH_CTE = """
+    toks AS (
+        SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents),
+    hashed AS (SELECT id, sha256(tok) AS h FROM toks WHERE tok <> ''),
+    bits AS (
+        SELECT id, b,
+               strpos('0123456789abcdef', substring(h, b // 4 + 1, 1)) - 1 AS digit
+        FROM hashed, (SELECT unnest(range(0, 63)) AS b) bb),
+    votes AS (
+        SELECT id, b,
+               CASE WHEN (digit >> (3 - b % 4)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+        FROM bits),
+    sums AS (SELECT id, b, sum(vote) AS s FROM votes GROUP BY id, b),
+    fp AS (
+        SELECT id,
+               sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        FROM sums GROUP BY id
+    )
+"""
+
+_COSINE = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
 
 
@@ -341,5 +468,129 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_orderdate IS NOT NULL
             ORDER BY o_orderdate DESC, o_orderkey DESC
             LIMIT 25
+        """,
+        "exact_dedup": """
+            SELECT sha256(text) AS content_hash,
+                   min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY sha256(text)
+        """,
+        "ngram_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+            shf AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+            sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
+            inter AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+                FROM shf a JOIN shf b USING (shingle)
+                WHERE a.id < b.id GROUP BY 1, 2)
+            SELECT id_a, id_b, round(i / (sa.n + sb.n - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE round(i / (sa.n + sb.n - i), 6) >= 0.1
+        """,
+        "minhash_lsh": f"""
+            WITH {_SHINGLES_CTE},
+            mins AS (
+                SELECT id, i, min(sha256(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+                FROM sh, (SELECT unnest(range(0, 16)) AS i) seeds
+                GROUP BY id, i),
+            sigs AS (SELECT id, list(h ORDER BY i) AS sig FROM mins GROUP BY id),
+            bands AS (
+                SELECT id, unnest(list_transform(range(0, 8),
+                    b -> sha256('band' || CAST(b AS VARCHAR) || ':'
+                                || sig[2*b + 1] || '|' || sig[2*b + 2]))) AS band_key
+                FROM sigs)
+            SELECT DISTINCT x.id AS id_a, y.id AS id_b
+            FROM bands x JOIN bands y USING (band_key)
+            WHERE x.id < y.id
+        """,
+        "simhash": f"WITH {_SIMHASH_CTE} SELECT id, simhash FROM fp",
+        "simhash_pairs": f"""
+            WITH {_SIMHASH_CTE},
+            chunks AS (
+                SELECT id, simhash, cid, (simhash >> (cid * 16)) & 65535 AS chunk
+                FROM fp, (SELECT unnest(range(0, 4)) AS cid) c),
+            cand AS (
+                SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+                       x.simhash AS sh_a, y.simhash AS sh_b
+                FROM chunks x
+                JOIN chunks y ON x.cid = y.cid AND x.chunk = y.chunk
+                WHERE x.id < y.id)
+            SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS ham
+            FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 8
+        """,
+        "text_profile": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks,
+                       length(text) AS n
+                FROM documents),
+            m AS (
+                SELECT doc_id, n, toks, ltoks,
+                       CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_tokens,
+                       CAST(list_sum(list_transform(toks,
+                           w -> CAST(ceil(length(w) / 4) AS BIGINT))) AS BIGINT)
+                           AS n_bpe_tokens,
+                       CASE WHEN n = 0 THEN 0.0 ELSE
+                           CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                                AS DOUBLE) / n END AS punct,
+                       CASE WHEN n = 0 THEN 0.0 ELSE
+                           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                AS DOUBLE) / n END AS alpha_ratio,
+                       len(list_intersect(ltoks, ['the','a','of','and','to','in','is','it'])) AS h_en,
+                       len(list_intersect(ltoks, ['el','la','de','que','y','en','un','es'])) AS h_es,
+                       len(list_intersect(ltoks, ['der','die','das','und','ist','ein','zu','mit'])) AS h_de,
+                       len(list_intersect(ltoks, ['le','la','de','et','un','est','en','que'])) AS h_fr,
+                       len(list_intersect(ltoks, ['de','shi','le','zai','you','wo','ta','men'])) AS h_zh
+                FROM base)
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   n_bpe_tokens,
+                   round(punct, 6) AS punct_ratio,
+                   round(CASE WHEN n_tokens = 0 THEN 0.0
+                         ELSE CAST(h_en AS DOUBLE) / n_tokens END, 6) AS stopword_ratio_en,
+                   round(0.4 * least(CAST(n AS DOUBLE) / 400, 1.0)
+                         + 0.3 * (1.0 - punct) + 0.3 * alpha_ratio, 6) AS quality,
+                   CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+                        WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+                        WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+                        WHEN h_fr >= h_zh THEN 'fr'
+                        ELSE 'zh' END AS lang_pred,
+                   sha256(array_to_string(list_sort(list_distinct(ltoks)), ' ')) AS fingerprint
+            FROM m
+        """,
+        "similarity_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings),
+            s AS (
+                SELECT query_id, neighbor_id,
+                       {_COSINE.format(a='qv', b='cv')} AS sim
+                FROM q, c WHERE neighbor_id <> query_id),
+            r AS (SELECT *, row_number() OVER
+                      (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+                  FROM s)
+            SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3
+        """,
+        "embedding_dedup": f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_COSINE.format(a='a.e', b='b.e')} AS sim
+            FROM v a, v b
+            WHERE a.vec_id < b.vec_id
+              AND {_COSINE.format(a='a.e', b='b.e')} >= 0.35
+        """,
+        "multimodal_decode": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   list_sum(list_transform(string_split(text, ''), c -> unicode(c)))
+                       / length(text) AS mean_byte,
+                   (length(text) % 1024 + 16) / (length(text) % 768 + 16) AS aspect
+            FROM documents
         """,
     }

@@ -1,0 +1,138 @@
+"""Text-analysis functions for training-data pipelines (north-star
+extensions; not in the reference). All pure Catalyst expressions —
+JVM-side, codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and ASCII so the DuckDB oracle can carry
+# the identical literals.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit"],
+    "fr": ["le", "la", "de", "et", "un", "est", "en", "que"],
+    "zh": ["de", "shi", "le", "zai", "you", "wo", "ta", "men"],
+}
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization of trimmed text → array<string>."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col) -> Column:
+    """Token count; empty/blank text counts 0."""
+    return F.when(F.trim(col) == "", 0).otherwise(F.size(tokens(col))).cast("long")
+
+
+def bpe_ish_token_count(col) -> Column:
+    """A BPE-flavored proxy: count word pieces of <=4 chars by also
+    splitting long words — ceil(len(word)/4) summed over words."""
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+
+
+def char_count(col) -> Column:
+    return F.length(col).cast("long")
+
+
+def punct_ratio(col) -> Column:
+    """Fraction of characters that are not alphanumeric/space, rounded
+    to 6 decimals."""
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.round(
+        F.when(F.length(col) == 0, 0.0).otherwise(
+            F.length(stripped).cast("double") / F.length(col)
+        ),
+        6,
+    )
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    """Fraction of tokens that are (distinct-matched) stopwords."""
+    words = STOPWORDS[lang]
+    hits = F.size(F.array_intersect(tokens(F.lower(col)), F.array(*[F.lit(w) for w in words])))
+    return F.round(
+        F.when(token_count(col) == 0, 0.0).otherwise(hits.cast("double") / token_count(col)), 6
+    )
+
+
+def quality_score(col) -> Column:
+    """Composite quality heuristic in [0, 1]:
+    0.4·length_score + 0.3·(1 - punct_ratio) + 0.3·alpha_ratio, where
+    length_score = least(len/400, 1) and alpha_ratio is the alphabetic
+    character fraction. Rounded to 6 decimals."""
+    n = F.length(col)
+    length_score = F.least(n.cast("double") / 400.0, F.lit(1.0))
+    alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", "")).cast("double")
+    alpha_ratio = F.when(n == 0, 0.0).otherwise(alpha / n)
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    punct = F.when(n == 0, 0.0).otherwise(F.length(stripped).cast("double") / n)
+    return F.round(0.4 * length_score + 0.3 * (1.0 - punct) + 0.3 * alpha_ratio, 6)
+
+
+def lang_id(col, languages: list[str] | None = None) -> Column:
+    """Stopword-overlap language ID: the language whose stopword list
+    has the most *distinct* token matches wins; ties break
+    lexicographically (stable in any engine). Returns the language code.
+    """
+    languages = languages or sorted(STOPWORDS)
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(
+                        tokens(F.lower(col)), F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+                    )
+                ).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(languages)
+        ]
+    )
+    # max by (hits, then *smallest* lang for ties): sort desc by hits,
+    # asc by lang → first element. array_max on struct compares
+    # lexicographically (hits, lang) which would tie-break by LARGEST
+    # lang, so sort explicitly.
+    best = F.array_sort(
+        scored,
+        lambda a, b: F.when(a["hits"] > b["hits"], -1)
+        .when(a["hits"] < b["hits"], 1)
+        .when(a["lang"] < b["lang"], -1)
+        .when(a["lang"] > b["lang"], 1)
+        .otherwise(0),
+    )[0]["lang"]
+    return best
+
+
+def fingerprint(col) -> Column:
+    """Document fingerprint: sha2-256 of the sorted distinct lowercase
+    token multiset-collapsed form (the classic 'fingerprint' clustering
+    key from Google Refine / OpenRefine, public technique)."""
+    canon = F.array_join(F.array_sort(F.array_distinct(tokens(F.lower(col)))), " ")
+    return F.sha2(canon, 256)
+
+
+def text_profile(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """All text metrics as one projection (single scan, no shuffle)."""
+    c = F.col(text_column)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "n_bpe_tokens": bpe_ish_token_count(c),
+            "n_chars_m": char_count(c),
+            "punct_ratio": punct_ratio(c),
+            "stopword_ratio_en": stopword_ratio(c, "en"),
+            "quality": quality_score(c),
+            "lang_pred": lang_id(c),
+            "fingerprint": fingerprint(c),
+        }
+    )

@@ -1,0 +1,312 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (its north star in BASELINE.json calls for
+them); all designed shuffle-light for 100 TB:
+
+- exact: hash-groupBy on a content digest — one shuffle on a uniform
+  64-hex key, no skew.
+- n-gram Jaccard: shingle → inverted-index self-join. The classic
+  quadratic blowup on common shingles is capped by ``max_df`` (drop
+  shingles occurring in more than max_df docs — they carry no
+  discriminative signal and are exactly the skewed join keys).
+- MinHash + LSH: signatures are per-doc aggregations (map-side
+  combinable); banding turns all-pairs into an equi-join on band keys,
+  so candidate generation is linear in the number of colliding pairs.
+- SimHash: 64-bit fingerprint via per-bit weighted majority; near-dup =
+  small Hamming distance.
+
+Every hash is derived from sha2 so the DuckDB oracle can reproduce the
+exact same values (MinHash uses the *lexicographic* min of sha2 hex
+strings — a valid uniform min-hash that both engines compute
+identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col) -> F.Column:
+    """Canonical form for near-exact dedup: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_column: str = "text", id_column: str = "doc_id", *, normalized: bool = False
+) -> DataFrame:
+    """Exact duplicate groups: (content_hash, keep_id = min id, dup_count).
+
+    One shuffle on the digest; at 100 TB enable map-side partial
+    aggregation (default for groupBy) and a high shuffle partition count.
+    """
+    content = normalize_text(F.col(text_column)) if normalized else F.col(text_column)
+    return (
+        df.select(F.col(id_column), F.sha2(content.cast("string"), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_column).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def char_shingles(
+    df: DataFrame, text_column: str, id_column: str, k: int = 8
+) -> DataFrame:
+    """Distinct character k-gram shingles per document:
+    (id, shingle). Uses sequence+transform (no Python), then explode."""
+    n = F.length(F.col(text_column))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.col(text_column).substr(i, F.lit(k)),
+    )
+    return (
+        df.select(F.col(id_column).alias("id"), F.explode(grams).alias("shingle"))
+        .where(F.length("shingle") == k)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    k: int = 8,
+    threshold: float = 0.2,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard similarity.
+
+    Inverted-index plan: distinct (doc, shingle) → drop shingles with
+    document frequency > max_df (skew + noise control; REQUIRED at
+    scale) → self equi-join on shingle → per-pair intersection counts →
+    Jaccard = |∩| / (|A| + |B| - |∩|) with sizes computed AFTER the
+    max_df filter so the metric matches the joined universe.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6
+    decimals (stable across engines).
+    """
+    sh = char_shingles(df, text_column, id_column, k)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_count"))
+            .where(F.col("df_count") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    k: int = 8,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per doc: for seed i, sig_i = min over shingles
+    of sha2(i || ':' || shingle) — the lexicographic min of a uniform
+    hex hash, identical in any engine. Output: (id, sig array<string>).
+
+    Per-doc min is a partial aggregation → map-side combine, single
+    shuffle on id.
+    """
+    sh = char_shingles(df, text_column, id_column, k)
+    hashed = sh.select(
+        "id",
+        *[
+            F.sha2(F.concat(F.lit(f"{i}:"), F.col("shingle")), 256).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    agg = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    k: int = 8,
+    num_hashes: int = 16,
+    bands: int = 8,
+    verify_threshold: float | None = 0.2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (optionally Jaccard-verified).
+
+    Banding: split the signature into ``bands`` bands of r = H/bands
+    rows; band key = sha2(band_id || minhashes). Docs sharing any band
+    key become candidates — an equi-join on the band key instead of an
+    all-pairs comparison (the whole point at 100 TB).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_column, id_column, k=k, num_hashes=num_hashes)
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.sha2(
+                        F.concat(
+                            F.lit(f"band{b}:"),
+                            F.concat_ws(
+                                "|", *[F.element_at("signature", b * r + j + 1) for j in range(r)]
+                            ),
+                        ),
+                        256,
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    cand = (
+        band_rows.alias("x")
+        .join(band_rows.alias("y"), "band_key")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    verified = ngram_jaccard_pairs(
+        df, text_column, id_column, k=k, threshold=verify_threshold, max_df=max_df
+    )
+    return cand.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def simhash(
+    df: DataFrame, text_column: str = "text", id_column: str = "doc_id", *, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash fingerprint from whitespace tokens.
+
+    Per token: sha2 hex → per-bit ±1 votes; fingerprint bit b is the
+    sign of the vote sum. Bit b lives in hex digit b//4 at weight
+    3-(b%4). Everything is built-in expressions — (doc × token × bit)
+    explode then two groupBys, all map-side combinable.
+
+    Output: (id, simhash bigint) with bit 63 kept zero (bits 0..62) so
+    the value stays positive in signed 64-bit engines.
+    """
+    bits = min(bits, 63)
+    toks = df.select(
+        F.col(id_column).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_column)), r"\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    hashed = toks.select("id", F.sha2(F.col("tok"), 256).alias("h"))
+    bitted = hashed.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        "h",
+    ).select(
+        "id",
+        "b",
+        (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(F.col("h"), (F.col("b") / 4).cast("int") + 1, 1),
+            )
+            - 1
+        ).alias("digit"),
+    )
+    # shiftright/shiftleft need F.expr for column-valued shift amounts
+    votes = bitted.select(
+        "id",
+        "b",
+        F.when(F.expr("(digit >> (3 - b % 4)) & 1") == 1, 1).otherwise(-1).alias("vote"),
+    )
+    bit_sums = votes.groupBy("id", "b").agg(F.sum("vote").alias("s"))
+    return (
+        bit_sums.withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy("id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Scale path: block on 16-bit chunks (a pair within Hamming<=3 of a
+    63-bit hash must agree exactly on at least one of 4 chunks —
+    pigeonhole), so candidates come from 4 equi-joins, not all-pairs.
+    """
+    sh = simhash(df, text_column, id_column)
+    chunks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), i * block_bits)
+                        .bitwiseAND((1 << block_bits) - 1)
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk_id", "c.chunk")
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk_id", "chunk"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("ham", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("ham") <= max_hamming)
+        .select("id_a", "id_b", "ham")
+    )

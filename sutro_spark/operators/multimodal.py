@@ -1,0 +1,136 @@
+"""Multimodal column plumbing (north-star extension).
+
+Images/audio/video are opaque ``binary`` columns plus a typed metadata
+struct. The Spark-side plumbing — schemas, Arrow batch shapes,
+``mapInPandas`` signatures, partitioning — is real and tested; the
+actual media decode is STUBBED (the container has no image/audio
+libraries): ``decode_media`` computes deterministic fake features
+(byte length, sha digest, metadata-derived dimensions) and the real
+decoder drops in behind the same signature.
+
+Scale notes: binary payloads dominate row size — keep
+``spark.sql.files.maxPartitionBytes`` low enough that a partition of
+blobs fits executor memory, and always column-prune (never carry the
+blob past the feature-extraction stage).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+
+def attach_fake_media(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Build a multimodal table from a text table for testing: the
+    UTF-8 bytes of the text stand in for the media payload, and the
+    metadata struct is derived deterministically from the length."""
+    n = F.length(F.col(text_column))
+    return df.withColumns(
+        {
+            "media": F.encode(F.col(text_column), "UTF-8"),
+            "media_meta": F.struct(
+                F.lit("image/fake").alias("media_type"),
+                (n % 1024 + 16).cast("int").alias("width"),
+                (n % 768 + 16).cast("int").alias("height"),
+                (n % 30 + 1).cast("int").alias("n_frames"),
+                F.lit(16000).alias("sample_rate"),
+            ),
+        }
+    )
+
+
+def _fake_decode(payload: bytes | None, width: int, height: int) -> dict:
+    """Deterministic stand-in for a real image decode. A real
+    implementation would go: PIL.Image.open(io.BytesIO(payload)) →
+    resize → feature extraction; raise NotImplementedError there if the
+    library is absent."""
+    if payload is None:
+        return {"n_bytes": 0, "mean_byte": 0.0, "aspect": 0.0}
+    n = len(payload)
+    # Exact single IEEE divisions (no rounding) so any engine that does
+    # the same integer-to-double division reproduces the bits.
+    return {
+        "n_bytes": n,
+        "mean_byte": sum(payload) / n if n else 0.0,
+        "aspect": width / height if height else 0.0,
+    }
+
+
+def decode_media(
+    df: DataFrame,
+    media_column: str = "media",
+    meta_column: str = "media_meta",
+    *,
+    resize_to: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Feature-extract media blobs via Arrow-batched ``mapInPandas``.
+
+    Output appends: n_bytes (long), mean_byte (double), aspect (double).
+    The blob column is DROPPED on output — at scale you never carry
+    payload bytes past this stage.
+    """
+    keep = [f for f in df.schema.fields if f.name != media_column]
+    out_schema = T.StructType(
+        keep
+        + [
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("mean_byte", T.DoubleType()),
+            T.StructField("aspect", T.DoubleType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+    meta = meta_column
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_decode(
+                    payload,
+                    int(m["width"]) if m is not None else 0,
+                    int(m["height"]) if m is not None else 0,
+                )
+                for payload, m in zip(pdf[media_column], pdf[meta])
+            ]
+            out = pdf[keep_names].copy()
+            out["n_bytes"] = [f["n_bytes"] for f in feats]
+            out["mean_byte"] = [f["mean_byte"] for f in feats]
+            out["aspect"] = [f["aspect"] for f in feats]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    media_column: str = "media",
+    meta_column: str = "media_meta",
+    *,
+    every_nth: int = 5,
+) -> DataFrame:
+    """Frame sampling for video-like payloads: one output row per
+    sampled frame index (0, n, 2n, ... < n_frames). Frame extraction is
+    stubbed as a byte-slice; the *shape* (explode to frame rows with
+    frame_id, keeping partition locality, no shuffle) is the real
+    plumbing."""
+    idx = F.sequence(
+        F.lit(0), F.col(f"{meta_column}.n_frames") - 1, F.lit(every_nth)
+    )
+    exploded = df.withColumn("frame_id", F.explode(idx))
+    frame = F.substring(
+        F.col(media_column).cast("string"), F.col("frame_id") * 4 + 1, 4
+    )
+    return exploded.withColumn("frame_bytes", F.encode(frame, "UTF-8")).drop(media_column)

@@ -1,0 +1,101 @@
+"""Unit tests for the training-pipeline extension operators
+(dedup / similarity / text analysis / multimodal)."""
+
+from pyspark.sql import functions as F
+
+from sutro_spark.functions.text import fingerprint, lang_id, token_count
+from sutro_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from sutro_spark.operators.multimodal import attach_fake_media, decode_media, sample_frames
+from sutro_spark.operators.similarity import brute_force_topk, ivf_topk
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "other")], "doc_id long, text string"
+    )
+    out = {r["keep_id"]: r["dup_count"] for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_near_dup_pipeline_finds_planted_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    rows = [(1, base), (2, base + " extra"), (3, "completely different words entirely here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, k=5, threshold=0.3, max_df=None).collect()
+    }
+    assert (1, 2) in jac and jac[(1, 2)] > 0.7
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(df, k=5, num_hashes=16, bands=8, verify_threshold=None).collect()
+    }
+    assert (1, 2) in cand
+
+
+def test_simhash_identical_texts_equal(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    fps = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+    assert all(v >= 0 for v in fps.values())  # bit 63 unused
+
+
+def test_brute_force_topk_nearest_is_duplicate_vector(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.001, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = brute_force_topk(df, df.where(F.col("vec_id") == 0), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_ivf_topk_matches_brute_force_on_probed_bucket(spark):
+    rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2)]) for i in range(9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [0.0, 0.0, 1.0])],
+        "centroid_id long, embedding array<double>",
+    )
+    out = ivf_topk(df, df.where(F.col("vec_id") == 0), cents, k=2, nprobe=1).collect()
+    # probing the single nearest bucket finds the co-located vectors 3, 6
+    assert {r["neighbor_id"] for r in out} == {3, 6}
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog in a house")], "id long, text string"
+    )
+    row = df.select(
+        token_count(F.col("text")).alias("n"),
+        lang_id(F.col("text")).alias("lang"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).first()
+    assert row["n"] == 8
+    assert row["lang"] == "en"
+    reordered = spark.createDataFrame([(1, "a house the dog and in the cat The")], "id long, text string")
+    fp2 = reordered.select(fingerprint(F.col("text")).alias("fp")).first()["fp"]
+    assert row["fp"] == fp2  # order-invariant canonical fingerprint
+
+
+def test_multimodal_decode_and_frames(spark):
+    df = spark.createDataFrame([(1, "abcd" * 10)], "doc_id long, text string")
+    media = attach_fake_media(df)
+    feats = decode_media(media).first()
+    assert feats["n_bytes"] == 40
+    assert "media" not in decode_media(media).columns  # blob dropped post-extract
+    frames = sample_frames(media, every_nth=5).collect()
+    n_frames = 40 % 30 + 1  # metadata rule
+    assert len(frames) == len(range(0, n_frames, 5))
+    assert all(r["frame_id"] % 5 == 0 for r in frames)
