@@ -292,6 +292,94 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media).select("doc_id", "n_bytes", "mean_byte", "aspect")
 
 
+# ---------------------------------------------------------------------------
+# relational / window / streaming-shape queries + remaining API surface
+# ---------------------------------------------------------------------------
+def q_infer_per_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U8 — fan-out across models as one unioned plan.
+    from sutro_spark.operators.templates import infer_per_model
+
+    docs = _t(spark, sf_dir, "documents")
+    return infer_per_model(docs, "text", ["stub-echo", "stub-echo"], names=["m1", "m2"]).select(
+        "doc_id", "model_name", "outputs"
+    )
+
+
+def q_batch_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U7 — records → to_json(struct(*)) → transform.
+    from sutro_spark.operators.templates import batch_run_function
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return batch_run_function(o, "stub-echo").select("o_orderkey", "outputs")
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tumbling-window event aggregation (streaming-shape, batch-checkable).
+    from sutro_spark.streaming.progress import windowed_event_stats
+
+    return windowed_event_stats(_t(spark, sf_dir, "events"), window_seconds=300)
+
+
+def q_events_top_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Window functions: highest-value event per user.
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # join: customer (filtered, broadcast) ⋈ orders ⋈ lineitem → top 10.
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multi-way join with broadcast dims: revenue by nation in a region.
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "select_prompt_column": q_select_prompt_column,
@@ -316,6 +404,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "embedding_dedup": q_embedding_dedup,
         "multimodal_decode": q_multimodal_decode,
+        "infer_per_model": q_infer_per_model,
+        "batch_function": q_batch_function,
+        "events_window": q_events_window,
+        "events_top_per_user": q_events_top_per_user,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5ish": q_tpch_q5ish,
     }
 
 
@@ -493,7 +587,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": f"""
             WITH {_SHINGLES_CTE},
             mins AS (
-                SELECT id, i, min(sha256(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+                SELECT id, i,
+                       min(substring(sha256('s' || CAST(i // 8 AS VARCHAR) || ':' || shingle),
+                                     (i % 8) * 8 + 1, 8)) AS h
                 FROM sh, (SELECT unnest(range(0, 16)) AS i) seeds
                 GROUP BY id, i),
             sigs AS (SELECT id, list(h ORDER BY i) AS sig FROM mins GROUP BY id),
@@ -592,5 +688,60 @@ def oracle_sql() -> dict[str, str]:
                        / length(text) AS mean_byte,
                    (length(text) % 1024 + 16) / (length(text) % 768 + 16) AS aspect
             FROM documents
+        """,
+        "infer_per_model": """
+            SELECT doc_id, m.model_name,
+                   'ECHO: ' || upper(substr(m.model_name || ': '
+                       || coalesce(CAST(text AS VARCHAR), ''), 1, 32)) AS outputs
+            FROM documents, (VALUES ('m1'), ('m2')) AS m(model_name)
+        """,
+        "batch_function": """
+            SELECT o_orderkey,
+                   'ECHO: ' || upper(substr(
+                       '{"o_orderkey":' || o_orderkey
+                       || ',"o_orderstatus":"' || o_orderstatus || '"}', 1, 32)) AS outputs
+            FROM orders
+        """,
+        "events_window": """
+            SELECT CAST(floor((epoch_ns(ts) // 1000000000) / 300) AS BIGINT) * 300
+                       AS bucket_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_top_per_user": """
+            SELECT user_id, event_id, event_type, value FROM (
+                SELECT user_id, event_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id ASC) AS rn
+                FROM events) WHERE rn = 1
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q5ish": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+            GROUP BY n_name
         """,
     }

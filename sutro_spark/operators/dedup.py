@@ -52,6 +52,17 @@ def exact_dedup(
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure the input is spread across the cluster before a row-
+    multiplying explode. Small/single-file scans arrive as 1-2
+    partitions; exploding there serializes the whole pipeline on one
+    core. No-op when the scan is already parallel (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def char_shingles(
     df: DataFrame, text_column: str, id_column: str, k: int = 8
 ) -> DataFrame:
@@ -63,7 +74,8 @@ def char_shingles(
         lambda i: F.col(text_column).substr(i, F.lit(k)),
     )
     return (
-        df.select(F.col(id_column).alias("id"), F.explode(grams).alias("shingle"))
+        _spread(df.select(F.col(id_column).alias("id"), F.col(text_column)))
+        .select("id", F.explode(grams).alias("shingle"))
         .where(F.length("shingle") == k)
         .distinct()
     )
@@ -129,18 +141,30 @@ def minhash_signatures(
     k: int = 8,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """MinHash signature per doc: for seed i, sig_i = min over shingles
-    of sha2(i || ':' || shingle) — the lexicographic min of a uniform
-    hex hash, identical in any engine. Output: (id, sig array<string>).
+    """MinHash signature per doc. Hash family: shingle → 2 salted
+    sha256 digests, each split into 8 disjoint 8-hex-char (32-bit)
+    chunks → 16 independent uniform hashes from only 2 digest
+    computations per shingle (8× less hashing than one digest per
+    hash). sig_i = lexicographic min of chunk i over the doc's
+    shingles — identical in any engine. Output: (id, sig array<string>).
 
     Per-doc min is a partial aggregation → map-side combine, single
     shuffle on id.
     """
+    if num_hashes > 16:
+        raise ValueError("num_hashes <= 16 with the 2-digest hash family")
     sh = char_shingles(df, text_column, id_column, k)
-    hashed = sh.select(
+    salted = sh.select(
         "id",
         *[
-            F.sha2(F.concat(F.lit(f"{i}:"), F.col("shingle")), 256).alias(f"h{i}")
+            F.sha2(F.concat(F.lit(f"s{s}:"), F.col("shingle")), 256).alias(f"d{s}")
+            for s in range(2)
+        ],
+    )
+    hashed = salted.select(
+        "id",
+        *[
+            F.substring(F.col(f"d{i // 8}"), (i % 8) * 8 + 1, 8).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )
@@ -222,43 +246,31 @@ def simhash(
     the value stays positive in signed 64-bit engines.
     """
     bits = min(bits, 63)
-    toks = df.select(
-        F.col(id_column).alias("id"),
+    toks = _spread(df.select(F.col(id_column).alias("id"), F.col(text_column))).select(
+        "id",
         F.explode(F.split(F.trim(F.col(text_column)), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
     hashed = toks.select("id", F.sha2(F.col("tok"), 256).alias("h"))
-    bitted = hashed.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-        "h",
-    ).select(
-        "id",
-        "b",
-        (
-            F.instr(
-                F.lit("0123456789abcdef"),
-                F.substring(F.col("h"), (F.col("b") / 4).cast("int") + 1, 1),
-            )
-            - 1
-        ).alias("digit"),
-    )
-    # shiftright/shiftleft need F.expr for column-valued shift amounts
-    votes = bitted.select(
-        "id",
-        "b",
-        F.when(F.expr("(digit >> (3 - b % 4)) & 1") == 1, 1).otherwise(-1).alias("vote"),
-    )
-    bit_sums = votes.groupBy("id", "b").agg(F.sum("vote").alias("s"))
-    return (
-        bit_sums.withColumn(
-            "bitval",
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
-                F.lit(0).cast("long")
-            ),
+
+    # One ±1 vote column per bit (instead of exploding tokens × 63 bits
+    # into 16M rows): 63 codegen'd expressions, one groupBy(id) with
+    # map-side combine — shuffle carries |docs| × 63 longs only.
+    def vote(b: int):
+        digit = (
+            F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), b // 4 + 1, 1)) - 1
         )
-        .groupBy("id")
-        .agg(F.sum("bitval").alias("simhash"))
-    )
+        bit = F.shiftright(digit, 3 - b % 4).bitwiseAND(F.lit(1))
+        return F.when(bit == 1, 1).otherwise(-1)
+
+    voted = hashed.select("id", *[vote(b).alias(f"v{b}") for b in range(bits)])
+    sums = voted.groupBy("id").agg(*[F.sum(f"v{b}").alias(f"s{b}") for b in range(bits)])
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select("id", fingerprint.alias("simhash"))
 
 
 def simhash_pairs(

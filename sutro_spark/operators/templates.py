@@ -178,3 +178,60 @@ def embed(
     return embed_transform(
         df, column, model=model, output_column=output_column, dim=dim, backend=backend
     )
+
+
+def infer_per_model(
+    df: DataFrame,
+    column,
+    models: list[str],
+    *,
+    names: list[str] | None = None,
+    output_column: str = "outputs",
+    backend: str = "stub",
+) -> DataFrame:
+    """U8 — the same dataset fanned out across N models
+    (reference: sdk.py:745-851 submits N sequential detached jobs).
+
+    Spark-first: one plan — a union of per-model transforms, each
+    tagged with ``model_name`` — so all N runs execute concurrently in
+    a single action instead of N sequential submissions. Each model's
+    prompt is prefixed "name: " so per-model outputs are distinguishable
+    (and oracle-checkable) under the deterministic stub.
+    """
+    names = names or models
+    if len(names) != len(models):
+        raise ValueError("names must match models in length")  # sdk.py:788-800
+    parts = []
+    for model, mname in zip(models, names):
+        src = df.withColumn(
+            "__fanout_prompt",
+            F.concat(F.lit(f"{mname}: "), F.coalesce(F.col(column).cast("string"), F.lit(""))),
+        )
+        out = llm_transform(
+            src, "__fanout_prompt", model=model, output_column=output_column, backend=backend
+        ).drop("__fanout_prompt")
+        parts.append(out.withColumn("model_name", F.lit(mname)))
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    return result
+
+
+def batch_run_function(
+    df: DataFrame,
+    function_name: str,
+    *,
+    output_column: str = "outputs",
+    backend: str = "stub",
+) -> DataFrame:
+    """U7 — table rows become JSON records shipped to a named function
+    (reference: sdk.py:617-743 converts via to_dict(orient="records")
+    and submits with model=function_name, truncate_rows=False).
+
+    Spark-first: the record is ``to_json(struct(*))`` — a pure
+    projection — and the function call is the same U1 transform.
+    """
+    src = df.withColumn("__record", F.to_json(F.struct(*df.columns)))
+    return llm_transform(
+        src, "__record", model=function_name, output_column=output_column, backend=backend
+    ).drop("__record")
