@@ -9,37 +9,37 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dot(a, b, dim: int | None = None) -> Column:
-    """Sequential-order dot product (left-associated sum, so the bits
-    match any engine that also sums in element order).
+def to_double_array(a) -> Column:
+    """Cast array<float> → array<double> once, *before* any pair
+    blow-up, so per-pair work is pure multiply-add. (An unrolled
+    element_at chain was tried and measured 4× slower than the HOF —
+    64 interpreted array probes per pair lose to one vectorized pass.)"""
+    return F.transform(a, lambda x: x.cast("double"))
 
-    With ``dim`` known statically the sum is unrolled into a flat
-    ``e1*e1 + e2*e2 + ...`` expression — whole-stage-codegen'd, ~10×
-    faster than the interpreted higher-order-function path, identical
-    value (x+0.0 == x for the HOF's init term)."""
-    if dim is not None:
-        acc = None
-        for i in range(1, dim + 1):
-            term = F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-            acc = term if acc is None else acc + term
-        return acc
+
+def raw_dot(a, b) -> Column:
+    """Sequential-order dot product over already-double arrays
+    (left-associated sum — bit-identical to any engine that sums in
+    element order; init 0.0 + x == x exactly)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
 
 
-def norm(a, dim: int | None = None) -> Column:
-    return F.sqrt(dot(a, a, dim))
+def dot(a, b) -> Column:
+    return raw_dot(to_double_array(a), to_double_array(b))
 
 
-def cosine(a, b, dim: int | None = None) -> Column:
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+def norm(a) -> Column:
+    return F.sqrt(dot(a, a))
 
 
-def cosine_rounded(a, b, digits: int = 6, dim: int | None = None) -> Column:
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_rounded(a, b, digits: int = 6) -> Column:
     """Cosine rounded to kill last-ulp differences between engines'
     summation; use this whenever the value feeds a comparison or an
     output checked across engines."""
-    return F.round(cosine(a, b, dim), digits)
+    return F.round(cosine(a, b), digits)

@@ -3,18 +3,19 @@
 Two strategies:
 
 - ``brute_force_topk`` — exact: broadcast the (small) query set against
-  the corpus, cosine via an unrolled codegen'd dot product (no Python,
-  no interpreted higher-order functions). Per-row work is
-  O(|queries|·d); the corpus is never shuffled — the right *baseline*
-  even at 100 TB when the query set is small.
+  the corpus, cosine via a vectorized zip_with/aggregate over arrays
+  pre-cast to double (measured fastest; an unrolled element_at chain
+  was 4× slower). Per-row work is O(|queries|·d); the corpus is never
+  shuffled — the right *baseline* even at 100 TB when the query set is
+  small.
 - ``ivf_topk`` — approximate scale path: coarse-quantize the corpus
   into buckets by nearest centroid (one pass), search only the
   ``nprobe`` closest buckets per query. Turns full scans into
   partition-pruned scans when the corpus is written bucketed/partitioned
   by centroid id.
 
-Norms are precomputed per vector BEFORE any pair blow-up, so a corpus
-of n vectors pays n norm computations, not n² (or n·|queries|).
+Norms and double-casts are computed per vector BEFORE any pair blow-up,
+so a corpus of n vectors pays n norm computations, not n².
 """
 
 from __future__ import annotations
@@ -22,14 +23,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sutro_spark.functions.vectors import dot, norm
+from sutro_spark.functions.vectors import raw_dot, to_double_array
 
 
-def _infer_dim(df: DataFrame, vector_column: str) -> int:
-    row = df.select(F.size(F.col(vector_column)).alias("d")).first()
-    if row is None:
-        raise ValueError("empty corpus: cannot infer embedding dimension")
-    return int(row["d"])
+def _prepared(df: DataFrame, id_column: str, vector_column: str, prefix: str) -> DataFrame:
+    """(id, double-vector, norm) projection — one pass, no shuffle."""
+    v = to_double_array(F.col(vector_column))
+    out = df.select(F.col(id_column).alias(f"{prefix}id"), v.alias(f"{prefix}v"))
+    return out.withColumn(
+        f"{prefix}n", F.sqrt(raw_dot(F.col(f"{prefix}v"), F.col(f"{prefix}v")))
+    )
+
+
+def _sim(pa: str, pb: str) -> F.Column:
+    return F.round(
+        raw_dot(F.col(f"{pa}v"), F.col(f"{pb}v")) / (F.col(f"{pa}n") * F.col(f"{pb}n")), 6
+    )
 
 
 def brute_force_topk(
@@ -41,7 +50,6 @@ def brute_force_topk(
     query_id_column: str | None = None,
     k: int = 5,
     exclude_self: bool = True,
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -49,28 +57,15 @@ def brute_force_topk(
     decimals, rank ties broken by neighbor id (deterministic across
     engines).
     """
-    dim = dim or _infer_dim(corpus, vector_column)
-    qid = query_id_column or id_column
-    q = queries.select(
-        F.col(qid).alias("query_id"),
-        F.col(vector_column).alias("__qvec"),
-        norm(F.col(vector_column), dim).alias("__qnorm"),
-    )
-    c = corpus.select(
-        F.col(id_column).alias("neighbor_id"),
-        F.col(vector_column).alias("__cvec"),
-        norm(F.col(vector_column), dim).alias("__cnorm"),
-    )
+    q = _prepared(queries, query_id_column or id_column, vector_column, "q_")
+    c = _prepared(corpus, id_column, vector_column, "c_")
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
-        pairs = pairs.where(F.col("neighbor_id") != F.col("query_id"))
+        pairs = pairs.where(F.col("c_id") != F.col("q_id"))
     scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            dot(F.col("__qvec"), F.col("__cvec"), dim) / (F.col("__qnorm") * F.col("__cnorm")),
-            6,
-        ).alias("sim"),
+        F.col("q_id").alias("query_id"),
+        F.col("c_id").alias("neighbor_id"),
+        _sim("q_", "c_").alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -87,24 +82,23 @@ def assign_centroids(
     id_column: str = "vec_id",
     vector_column: str = "embedding",
     centroid_id_column: str = "centroid_id",
-    dim: int | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: nearest centroid per corpus vector
     (centroids broadcast; one scan, no shuffle). At scale, persist the
     result partitioned by centroid_id to get partition pruning on probe.
     """
-    dim = dim or _infer_dim(corpus, vector_column)
     c = centroids.select(
-        F.col(centroid_id_column).alias("__cid"), F.col(vector_column).alias("__centv")
+        F.col(centroid_id_column).alias("__cid"),
+        to_double_array(F.col(vector_column)).alias("__centv"),
     )
-    scored = corpus.crossJoin(F.broadcast(c)).withColumn(
-        "__d", dot(F.col(vector_column), F.col("__centv"), dim)
-    )
+    scored = corpus.withColumn("__dv", to_double_array(F.col(vector_column))).crossJoin(
+        F.broadcast(c)
+    ).withColumn("__d", raw_dot(F.col("__dv"), F.col("__centv")))
     w = Window.partitionBy(id_column).orderBy(F.desc("__d"), F.asc("__cid"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__centv", "__d", "__rn")
+        .drop("__centv", "__d", "__rn", "__dv")
         .withColumnRenamed("__cid", centroid_id_column)
     )
 
@@ -118,40 +112,39 @@ def ivf_topk(
     vector_column: str = "embedding",
     k: int = 5,
     nprobe: int = 2,
-    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the nprobe nearest centroid buckets
     per query. Same output shape as brute_force_topk."""
-    dim = dim or _infer_dim(corpus, vector_column)
     assigned = assign_centroids(
-        corpus, centroids, id_column=id_column, vector_column=vector_column, dim=dim
+        corpus, centroids, id_column=id_column, vector_column=vector_column
+    )
+    assigned = assigned.withColumn("__cv", to_double_array(F.col(vector_column))).withColumn(
+        "__cn", F.sqrt(raw_dot(F.col("__cv"), F.col("__cv")))
     )
     qprobe = (
-        queries.select(F.col(id_column).alias("query_id"), F.col(vector_column).alias("__qvec"))
+        _prepared(queries, id_column, vector_column, "q_")
         .crossJoin(
             F.broadcast(
                 centroids.select(
                     F.col("centroid_id").alias("probe_cid"),
-                    F.col(vector_column).alias("__centv"),
+                    to_double_array(F.col(vector_column)).alias("__centv"),
                 )
             )
         )
-        .withColumn("__d", dot(F.col("__qvec"), F.col("__centv"), dim))
+        .withColumn("__d", raw_dot(F.col("q_v"), F.col("__centv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("__d"), F.asc("probe_cid"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("__d"), F.asc("probe_cid"))
     qprobe = (
         qprobe.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= nprobe)
-        .select("query_id", "__qvec", F.col("probe_cid").alias("centroid_id"))
+        .select("q_id", "q_v", "q_n", F.col("probe_cid").alias("centroid_id"))
     )
-    cand = qprobe.join(assigned, "centroid_id").where(F.col(id_column) != F.col("query_id"))
+    cand = qprobe.join(assigned, "centroid_id").where(F.col(id_column) != F.col("q_id"))
     scored = cand.select(
-        "query_id",
+        F.col("q_id").alias("query_id"),
         F.col(id_column).alias("neighbor_id"),
         F.round(
-            dot(F.col("__qvec"), F.col(vector_column), dim)
-            / (norm(F.col("__qvec"), dim) * norm(F.col(vector_column), dim)),
-            6,
+            raw_dot(F.col("q_v"), F.col("__cv")) / (F.col("q_n") * F.col("__cn")), 6
         ).alias("sim"),
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -168,23 +161,17 @@ def embedding_dedup_pairs(
     id_column: str = "vec_id",
     vector_column: str = "embedding",
     threshold: float = 0.95,
-    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >=
     threshold). All-pairs via self-crossJoin with precomputed norms —
     correct baseline; at scale route through ivf buckets first (join on
     centroid_id) to prune the quadratic term."""
-    dim = dim or _infer_dim(corpus, vector_column)
-    v = corpus.select(
-        F.col(id_column).alias("__vid"),
-        F.col(vector_column).alias("__v"),
-        norm(F.col(vector_column), dim).alias("__n"),
-    )
+    v = _prepared(corpus, id_column, vector_column, "x_")
     a = v.select(
-        F.col("__vid").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+        F.col("x_id").alias("id_a"), F.col("x_v").alias("a_v"), F.col("x_n").alias("a_n")
     )
     b = v.select(
-        F.col("__vid").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+        F.col("x_id").alias("id_b"), F.col("x_v").alias("b_v"), F.col("x_n").alias("b_n")
     )
     return (
         a.crossJoin(b)
@@ -193,7 +180,7 @@ def embedding_dedup_pairs(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("__va"), F.col("__vb"), dim) / (F.col("__na") * F.col("__nb")), 6
+                raw_dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")), 6
             ).alias("sim"),
         )
         .where(F.col("sim") >= threshold)

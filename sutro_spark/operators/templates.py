@@ -217,6 +217,50 @@ def infer_per_model(
     return result
 
 
+def run_function(
+    record: dict,
+    function_name: str,
+    *,
+    backend: str = "stub",
+    traced: bool = False,
+) -> dict:
+    """U6 — online single-record function call
+    (reference: sdk.py:539-615 POSTs one record to the serving endpoint
+    and returns {response, confidence, predictions, run_id}).
+
+    Driver-side convenience, not a Spark job — one record does not need
+    a cluster. ``traced=True`` wraps the call with a latency-capturing
+    trace record (O4, reference: observability.py:216-304).
+    """
+    import hashlib
+    import json as _json
+    import time as _time
+
+    from sutro_spark.operators.backends import get_backend
+
+    import pandas as pd
+
+    prompt = _json.dumps(record, ensure_ascii=False)
+    t0 = _time.time()
+    out = get_backend(backend).generate(pd.Series([prompt]), model=function_name)
+    response = out["outputs"].iloc[0]
+    result = {
+        "response": response,
+        "confidence": 1.0,
+        "predictions": [response],
+        "run_id": hashlib.sha256(f"{function_name}-{prompt}".encode()).hexdigest()[:32],
+    }
+    if traced:
+        result["trace"] = {
+            "name": function_name,
+            "latency_s": round(_time.time() - t0, 6),
+            "inputs": record,
+            "outputs": response,
+            "error": None,
+        }
+    return result
+
+
 def batch_run_function(
     df: DataFrame,
     function_name: str,
