@@ -64,21 +64,25 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def char_shingles(
-    df: DataFrame, text_column: str, id_column: str, k: int = 8
+    df: DataFrame, text_column: str, id_column: str, k: int = 8, *, distinct: bool = True
 ) -> DataFrame:
-    """Distinct character k-gram shingles per document:
-    (id, shingle). Uses sequence+transform (no Python), then explode."""
+    """Character k-gram shingles per document: (id, shingle), distinct
+    by default. Uses sequence+transform (no Python), then explode.
+
+    ``distinct=False`` skips the dedup shuffle for consumers whose
+    aggregation is idempotent over duplicates (MinHash: min of a hash
+    is unchanged by repeats) — one full shuffle saved."""
     n = F.length(F.col(text_column))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
         lambda i: F.col(text_column).substr(i, F.lit(k)),
     )
-    return (
+    out = (
         _spread(df.select(F.col(id_column).alias("id"), F.col(text_column)))
         .select("id", F.explode(grams).alias("shingle"))
         .where(F.length("shingle") == k)
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -102,23 +106,23 @@ def ngram_jaccard_pairs(
     decimals (stable across engines).
     """
     sh = char_shingles(df, text_column, id_column, k)
+    # One groupBy(shingle) produces both the df-cap filter and the
+    # posting list; pairs come from exploding the list twice (cross
+    # product per shingle) — one shuffle instead of a repeated
+    # inverted-index self-join that would re-shuffle the postings twice.
+    grouped = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids"))
     if max_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_count"))
-            .where(F.col("df_count") <= max_df)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        grouped = grouped.where(F.size("ids") <= max_df)
+    postings = grouped.select(F.explode("ids").alias("id"), "ids")
+    sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        postings.select(F.col("id").alias("id_a"), F.explode("ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # per-doc size table is |docs| rows — AQE broadcasts it when small
+    # (no hard hint: at 100 TB doc counts it must stay a shuffle join)
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
     return (
@@ -153,7 +157,7 @@ def minhash_signatures(
     """
     if num_hashes > 16:
         raise ValueError("num_hashes <= 16 with the 2-digest hash family")
-    sh = char_shingles(df, text_column, id_column, k)
+    sh = char_shingles(df, text_column, id_column, k, distinct=False)
     salted = sh.select(
         "id",
         *[
@@ -217,11 +221,15 @@ def minhash_lsh_pairs(
             )
         ).alias("band_key"),
     )
+    # Bucket once and explode pairs from the posting list — the
+    # signature pipeline runs a single time (a self-join would carry it
+    # on both sides) and candidates cost one shuffle on band_key.
     cand = (
-        band_rows.alias("x")
-        .join(band_rows.alias("y"), "band_key")
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        band_rows.groupBy("band_key")
+        .agg(F.collect_list("id").alias("ids"))
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
     if verify_threshold is None:
@@ -306,8 +314,10 @@ def simhash_pairs(
         ).alias("c"),
     ).select("id", "simhash", "c.chunk_id", "c.chunk")
     cand = (
-        chunks.alias("x")
-        .join(chunks.alias("y"), ["chunk_id", "chunk"])
+        chunks.groupBy("chunk_id", "chunk")
+        .agg(F.collect_list(F.struct("id", "simhash")).alias("members"))
+        .select(F.explode("members").alias("x"), "members")
+        .select("x", F.explode("members").alias("y"))
         .where(F.col("x.id") < F.col("y.id"))
         .select(
             F.col("x.id").alias("id_a"),
