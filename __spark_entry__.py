@@ -380,6 +380,73 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_elo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U5 + A1-A3 full pipeline: ballots → pairwise counts → driver-side
+    # Bradley-Terry fit. Iterative numpy — deliberately no SQL oracle
+    # (driver records the rows-only check).
+    from sutro_spark.operators.elo import elo
+
+    return elo(_ranked(spark, sf_dir), "ranking").select(
+        "label", F.round("elo", 3).alias("elo"), "wins", "losses", "matches"
+    )
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact dedup over whitespace/case-normalized text.
+    from sutro_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), normalized=True)
+
+
+def q_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+def q_customer_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sessionization: a >30-minute gap starts a new session (lag +
+    # running sum window functions; the streaming-state analog is
+    # session_window, this is the batch-relational form).
+    ev = _t(spark, sf_dir, "events")
+    sec = F.expr("ts div 1000000000")
+    w = Window.partitionBy("user_id").orderBy(sec.asc(), F.col("event_id").asc())
+    gapped = ev.select(
+        "user_id",
+        "event_id",
+        sec.alias("sec"),
+        F.lag(sec).over(w).alias("prev_sec"),
+    ).withColumn(
+        "new_session",
+        F.when(F.col("prev_sec").isNull() | (F.col("sec") - F.col("prev_sec") > 1800), 1).otherwise(
+            0
+        ),
+    )
+    return gapped.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "select_prompt_column": q_select_prompt_column,
@@ -410,6 +477,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_per_user": q_events_top_per_user,
         "tpch_q3": q_tpch_q3,
         "tpch_q5ish": q_tpch_q5ish,
+        "rank_elo": q_rank_elo,
+        "dedup_normalized": q_dedup_normalized,
+        "part_stats": q_part_stats,
+        "customer_regions": q_customer_regions,
+        "events_sessionize": q_events_sessionize,
     }
 
 
@@ -743,5 +815,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
             GROUP BY n_name
+        """,
+        # rank_elo: no oracle — iterative driver-side numpy fit
+        "dedup_normalized": """
+            SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS content_hash,
+                   min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "part_stats": """
+            SELECT p_brand,
+                   count(*) AS n_parts,
+                   round(avg(p_retailprice), 2) AS avg_price,
+                   min(p_size) AS min_size,
+                   max(p_size) AS max_size
+            FROM part GROUP BY p_brand
+        """,
+        "customer_regions": """
+            SELECT r_name, c_mktsegment,
+                   count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, c_mktsegment
+        """,
+        "events_sessionize": """
+            WITH g AS (
+                SELECT user_id, event_id,
+                       epoch_ns(ts) // 1000000000 AS sec,
+                       lag(epoch_ns(ts) // 1000000000) OVER
+                           (PARTITION BY user_id
+                            ORDER BY epoch_ns(ts) // 1000000000 ASC, event_id ASC)
+                           AS prev_sec
+                FROM events)
+            SELECT user_id,
+                   sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+                            THEN 1 ELSE 0 END) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id
         """,
     }
