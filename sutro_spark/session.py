@@ -31,6 +31,12 @@ def get_spark(app_name: str = "sutro_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SUTRO_SPARK_WAREHOUSE_DIR", os.path.expanduser("~/.sutro_spark/warehouse")
+            ),
+        )
         # The synthetic events table stores TIMESTAMP(NANOS) parquet,
         # which Spark 4 rejects outright; read nanos as long and convert
         # explicitly (exact integer arithmetic, see streaming.progress).

@@ -1,0 +1,84 @@
+"""Scale-layout utilities: bucketed joins without shuffle, partition
+pruning, skew salting, slim-mode transform equivalence."""
+
+from pyspark.sql import functions as F
+
+from sutro_spark.functions.skew import salted_join, two_phase_agg
+from sutro_spark.operators.transform import llm_transform
+from sutro_spark.sources.sinks import (
+    bucketed_join_ready,
+    plan_has_no_shuffle,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(500)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(2000)
+    write_bucketed(
+        orders, "b_orders", ["o_orderkey"], num_buckets=4, sort_cols=["o_orderkey"]
+    )
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        num_buckets=4,
+        sort_cols=["o_orderkey"],
+    )
+    # force the sort-merge path (broadcast would win at this toy size
+    # and hide the bucketing; at real fact-fact scale broadcast is off
+    # the table anyway)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join_ready(spark, "b_orders", "b_lineitem", "o_orderkey")
+        # co-located buckets: the join needs no shuffle exchange
+        assert plan_has_no_shuffle(joined)
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"])
+    pruned = spark.read.parquet(path).where(F.col("lang") == "en")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    assert pruned.count() == docs.where(F.col("lang") == "en").count()
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(3000)
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    # pretend suppkey is skewed; salt it against the small nation table
+    small = n.select(F.col("n_nationkey").alias("l_suppkey"), "n_name")
+    plain = li.join(small, "l_suppkey").groupBy("n_name").count()
+    salted = salted_join(li, small, "l_suppkey", buckets=4).groupBy("n_name").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_two_phase_agg_matches_direct(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(5000)
+    direct = {
+        r["l_returnflag"]: (round(r["total"], 4), r["n_rows"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("total"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    two = {
+        r["l_returnflag"]: (round(r["total"], 4), r["n_rows"])
+        for r in two_phase_agg(li, "l_returnflag", "l_quantity", buckets=4).collect()
+    }
+    assert direct == two
+
+
+def test_llm_transform_slim_equals_carry(spark, documents):
+    docs = documents.limit(50)
+    carry = llm_transform(docs, "text").select("doc_id", "outputs")
+    slim = llm_transform(docs, "text", slim=True).select("doc_id", "outputs")
+    assert {tuple(r) for r in carry.collect()} == {tuple(r) for r in slim.collect()}
