@@ -692,13 +692,15 @@ def oracle_sql() -> dict[str, str]:
         "text_profile": """
             WITH base AS (
                 SELECT doc_id, text,
-                       regexp_split_to_array(trim(text), '\\s+') AS toks,
-                       regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '') AS toks,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS ltoks,
                        length(text) AS n
                 FROM documents),
             m AS (
                 SELECT doc_id, n, toks, ltoks,
-                       CASE WHEN trim(text) = '' THEN 0 ELSE len(toks) END AS n_tokens,
+                       len(toks) AS n_tokens,
                        CAST(list_sum(list_transform(toks,
                            w -> CAST(ceil(length(w) / 4) AS BIGINT))) AS BIGINT)
                            AS n_bpe_tokens,

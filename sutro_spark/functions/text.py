@@ -21,13 +21,18 @@ STOPWORDS: dict[str, list[str]] = {
 
 
 def tokens(col) -> Column:
-    """Whitespace tokenization of trimmed text → array<string>."""
-    return F.split(F.trim(col), r"\s+")
+    """Whitespace tokenization → array<string>, empty tokens removed.
+
+    NOTE: not ``split(trim(x))`` — SQL ``trim`` strips only spaces, so
+    leading tabs/newlines would produce phantom empty tokens (found by
+    a hypothesis property test). Filtering empties handles every
+    whitespace shape."""
+    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
 
 
 def token_count(col) -> Column:
     """Token count; empty/blank text counts 0."""
-    return F.when(F.trim(col) == "", 0).otherwise(F.size(tokens(col))).cast("long")
+    return F.size(tokens(col)).cast("long")
 
 
 def bpe_ish_token_count(col) -> Column:
