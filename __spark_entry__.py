@@ -447,6 +447,85 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-bucketed near-dup: assign each vector to its nearest centroid
+    # (every 50th vector), then compare only within buckets — the
+    # pruned scale path for embedding dedup, fully oracle-mirrored
+    # (assignment uses the rounded cosine so both engines agree).
+    from sutro_spark.functions.vectors import raw_dot, to_double_array
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        to_double_array(F.col("embedding")).alias("e"),
+    ).withColumn("n", F.sqrt(raw_dot(F.col("e"), F.col("e"))))
+    c = v.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce"), F.col("n").alias("cn")
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "e",
+        "n",
+        "cid",
+        F.round(raw_dot(F.col("e"), F.col("ce")) / (F.col("n") * F.col("cn")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).select(
+            "vec_id", "e", "n", "cid"
+        )
+    )
+    a = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na")
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("n").alias("nb")
+    )
+    return (
+        a.join(b, "cid")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(raw_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6).alias(
+                "sim"
+            ),
+        )
+        .where(F.col("sim") >= 0.3)
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q14 shape: lineitem ⋈ part, revenue split by promo flag.
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .withColumn("promo", F.col("p_type").startswith("PROMO").cast("int"))
+        .groupBy("promo")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "select_prompt_column": q_select_prompt_column,
@@ -482,6 +561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_stats": q_part_stats,
         "customer_regions": q_customer_regions,
         "events_sessionize": q_events_sessionize,
+        "ivf_dedup": q_ivf_dedup,
+        "tpch_q6": q_tpch_q6,
+        "promo_revenue": q_promo_revenue,
     }
 
 
@@ -842,6 +924,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, c_mktsegment
+        """,
+        "ivf_dedup": f"""
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS n FROM v),
+            c AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn WHERE vec_id % 50 = 0),
+            scored AS (
+                SELECT vn.vec_id, vn.e, vn.n, c.cid,
+                       round(list_dot_product(vn.e, c.ce) / (vn.n * c.cn), 6) AS sim
+                FROM vn, c),
+            assigned AS (
+                SELECT vec_id, e, n, cid FROM (
+                    SELECT *, row_number() OVER
+                        (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+                    FROM scored) WHERE rn = 1)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS sim
+            FROM assigned a JOIN assigned b USING (cid)
+            WHERE a.vec_id < b.vec_id
+              AND round(list_dot_product(a.e, b.e) / (a.n * b.n), 6) >= 0.3
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "promo_revenue": """
+            SELECT CAST(p_type LIKE 'PROMO%' AS INTEGER) AS promo,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
         """,
         "events_sessionize": """
             WITH g AS (
