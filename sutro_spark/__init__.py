@@ -29,6 +29,7 @@ Python appears only inside Arrow-batched ``mapInPandas`` where a model
 call is genuinely required.
 """
 
+from sutro_spark.sdk import SutroSpark
 from sutro_spark.session import get_spark
 from sutro_spark.sources.ingest import (
     prepare_input_data,
@@ -45,6 +46,7 @@ from sutro_spark.operators.templates import classify, embed, rank, score
 from sutro_spark.operators.elo import elo
 
 __all__ = [
+    "SutroSpark",
     "get_spark",
     "prepare_input_data",
     "read_csv",

@@ -1,0 +1,225 @@
+"""Drop-in style facade mirroring the reference SDK's public surface
+(/root/reference/sutro/__init__.py:1-22, sdk.py:52-62) so a user of the
+reference can switch: same method names, same knobs, DataFrames in
+place of polars frames.
+
+Differences by design (Spark-first, SURVEY.md §0):
+- ``data`` accepts Spark/pandas DataFrames, lists, records, or paths;
+  results come back as Spark DataFrames with the input columns carried
+  through (the reference re-joins positionally; here alignment is
+  structural).
+- jobs execute on the local cluster via the JobRegistry instead of a
+  remote API; job ids, statuses, polling, cancellation, quotas, and the
+  parquet result cache keep the reference's semantics.
+- the model is served by a pluggable backend; the default deterministic
+  stub makes everything reproducible offline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sutro_spark.functions.prompt import normalize_output_schema
+from sutro_spark.operators import templates as _templates
+from sutro_spark.operators.results import (
+    read_result_cache,
+    rename_output,
+    write_result_cache,
+)
+from sutro_spark.operators.transform import llm_transform
+from sutro_spark.operators.unpack import unpack_json_outputs
+from sutro_spark.plans.cost import estimate_cost
+from sutro_spark.plans.jobs import JobRegistry, JobStatus
+from sutro_spark.sources.ingest import prepare_input_data
+
+
+class SutroSpark:
+    """API-parity facade over the engine (reference: sdk.py:52-62).
+
+    >>> so = SutroSpark(spark)
+    >>> results = so.infer(df, column="text", output_schema=Schema)
+    """
+
+    def __init__(self, spark: SparkSession | None = None, backend: str = "stub"):
+        from sutro_spark.session import get_spark
+
+        self.spark = spark or get_spark()
+        self.backend = backend
+        self.registry = JobRegistry(self.spark)
+
+    # --- core inference (reference: sdk.py:465-537) ----------------------
+    def infer(
+        self,
+        data,
+        model: str = "stub-echo",
+        column: str | list[str] | None = None,
+        output_column: str = "inference_result",
+        job_priority: int = 0,
+        output_schema=None,
+        system_prompt: str = "",
+        sampling_params: dict | None = None,
+        name: str | None = None,
+        description: str | None = None,
+        dry_run: bool = False,
+        stay_attached: bool | None = None,
+        random_seed_per_input: bool = False,
+        truncate_rows: bool = True,
+        unpack_json: bool = True,
+    ):
+        """Submit a batch inference over ``data``; attached (default for
+        priority 0, sdk.py:512-514) returns the results DataFrame,
+        detached returns the job id."""
+        df = prepare_input_data(self.spark, data, column if isinstance(column, str) else None)
+        schema_dict = normalize_output_schema(output_schema) if output_schema else None
+        if stay_attached is None:
+            stay_attached = job_priority == 0  # sdk.py:512-514
+        out = llm_transform(
+            df,
+            column or "prompt",
+            model=model,
+            output_column="outputs",
+            system_prompt=system_prompt,
+            output_schema=schema_dict,
+            sampling_params=sampling_params,
+            random_seed_per_input=random_seed_per_input,
+            truncate_chars=8192 * 4 if truncate_rows else None,
+            backend=self.backend,
+        )
+        if dry_run:
+            return self.estimate_cost(df, column or "prompt", model=model)
+        job_id = self.registry.submit(
+            out, name=name, description=description, model=model, priority=job_priority
+        )
+        if not stay_attached:
+            return job_id
+        return self._finalize_results(
+            job_id, output_column, schema_dict, unpack_json=unpack_json
+        )
+
+    def _finalize_results(self, job_id, output_column, schema_dict, *, unpack_json=True):
+        res = self.registry.await_job_completion(job_id)
+        if res is None:
+            raise RuntimeError(
+                f"job {job_id} failed: {self.registry.get_failure_reason(job_id)}"
+            )
+        res = rename_output(res, output_column)
+        if unpack_json and schema_dict is not None:
+            res = unpack_json_outputs(res, output_column, schema_dict)
+        write_result_cache(res, job_id)
+        return res
+
+    # --- templates (reference: templates/*) ------------------------------
+    def classify(self, data, classes, column=None, **kw):
+        df = prepare_input_data(self.spark, data, column if isinstance(column, str) else None)
+        return _templates.classify(df, classes, column or "prompt", backend=self.backend, **kw)
+
+    def embed(self, data, model: str = "stub-embed", column=None, dim: int = 8, **kw):
+        df = prepare_input_data(self.spark, data, column if isinstance(column, str) else None)
+        return _templates.embed(
+            df, column or "prompt", model=model, dim=dim, backend=self.backend, **kw
+        )
+
+    def score(self, data, criteria, column=None, score_range=(1, 10), **kw):
+        df = prepare_input_data(self.spark, data, column if isinstance(column, str) else None)
+        return _templates.score(
+            df, criteria, column or "prompt", score_range=score_range, backend=self.backend, **kw
+        )
+
+    def rank(self, data, option_labels, criteria, run_elo: bool = False, **kw):
+        df = prepare_input_data(self.spark, data, None)
+        return _templates.rank(
+            df, option_labels, criteria, run_elo=run_elo, backend=self.backend, **kw
+        )
+
+    def infer_per_model(self, data, models, names=None, column=None, **kw):
+        df = prepare_input_data(self.spark, data, column if isinstance(column, str) else None)
+        return _templates.infer_per_model(
+            df, column or "prompt", models, names=names, backend=self.backend, **kw
+        )
+
+    def run_function(self, name, input_data, **kw):
+        return _templates.run_function(input_data, name, backend=self.backend, **kw)
+
+    def batch_run_function(self, name, data, **kw):
+        df = prepare_input_data(self.spark, data, None)
+        return _templates.batch_run_function(df, name, backend=self.backend, **kw)
+
+    # --- job lifecycle (reference: sdk.py:853-1367, 1627-1718) ------------
+    def get_job_status(self, job_id: str) -> str:
+        return self.registry.get_job_status(job_id).value
+
+    def list_jobs(self) -> DataFrame:
+        return self.registry.jobs_table()
+
+    def cancel_job(self, job_id: str) -> None:
+        self.registry.cancel_job(job_id)
+
+    def await_job_completion(self, job_id: str, timeout: float = 7200.0, **kw):
+        return self.registry.await_job_completion(job_id, timeout=timeout, **kw)
+
+    def attach(self, job_id: str):
+        """Reference: re-attach to a running job and wait (sdk.py:853-964)."""
+        return self.registry.await_job_completion(job_id)
+
+    def get_job_results(
+        self,
+        job_id: str,
+        output_column: str = "inference_result",
+        disable_cache: bool = False,
+        unpack_json: bool = True,
+    ):
+        """Cache-first results fetch (reference: sdk.py:1131-1340 —
+        reuse iff cached columns ⊇ expected)."""
+        if not disable_cache:
+            cached = read_result_cache(self.spark, job_id, [output_column])
+            if cached is not None:
+                return cached
+        res = self.registry.get_job_results(job_id)
+        if res is None:
+            raise ValueError(f"no results for job {job_id}")
+        res = rename_output(res, output_column)
+        if unpack_json:
+            res = unpack_json_outputs(res, output_column)
+        return res
+
+    def get_quotas(self) -> dict:
+        return {
+            p: {"max_rows": q.max_rows, "max_tokens": q.max_tokens}
+            for p, q in self.registry.quotas.items()
+        }
+
+    def estimate_cost(self, data, column: str, model: str = "stub-echo") -> dict:
+        df = data if isinstance(data, DataFrame) else prepare_input_data(self.spark, data, column)
+        return estimate_cost(df, column, model=model)
+
+    # --- datasets (reference: sdk.py:1369-1596) ---------------------------
+    def create_dataset(self, name: str) -> str:
+        from sutro_spark.cli import create_dataset
+
+        return create_dataset(name)
+
+    def upload_to_dataset(self, name: str, file_or_dir: str) -> list[str]:
+        from sutro_spark.cli import upload_to_dataset
+
+        return upload_to_dataset(name, file_or_dir)
+
+    def list_datasets(self) -> list[str]:
+        from sutro_spark.cli import list_datasets
+
+        return list_datasets()
+
+    def list_dataset_files(self, name: str) -> list[str]:
+        from sutro_spark.cli import list_dataset_files
+
+        return list_dataset_files(name)
+
+    def download_from_dataset(self, name: str, dest_dir: str = ".") -> list[str]:
+        from sutro_spark.cli import download_from_dataset
+
+        return download_from_dataset(name, dest_dir)
+
+    # --- auth (reference: sdk.py:1598-1625) -------------------------------
+    def try_authentication(self) -> bool:
+        from sutro_spark.plans.config import try_authentication
+
+        return try_authentication()

@@ -1,0 +1,85 @@
+"""The SutroSpark facade: reference-API-shaped calls end to end
+(mirrors the behavioral contracts of the reference's current tests,
+tests/test_id_column.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sutro_spark.plans.jobs import JobStatus
+from sutro_spark.sdk import SutroSpark
+
+
+@pytest.fixture(scope="module")
+def so(spark):
+    return SutroSpark(spark)
+
+
+SCHEMA = {
+    "type": "object",
+    "properties": {
+        "summary": {"type": "string"},
+        "quality": {"type": "integer", "minimum": 1, "maximum": 5},
+    },
+}
+
+
+def test_infer_attached_with_unpack(so, documents):
+    res = so.infer(documents.limit(20), column="text", output_schema=SCHEMA, name="facade")
+    assert {"summary", "quality"} <= set(res.columns)
+    assert "outputs" not in res.columns
+    assert res.count() == 20
+    row = res.first()
+    assert 1 <= row["quality"] <= 5
+
+
+def test_infer_detached_then_fetch(so, documents):
+    job_id = so.infer(documents.limit(10), column="text", stay_attached=False)
+    assert isinstance(job_id, str) and job_id.startswith("job-")
+    res = so.await_job_completion(job_id, timeout=120)
+    assert res.count() == 10
+    assert so.get_job_status(job_id) == "SUCCEEDED"
+
+
+def test_infer_plain_text_output_column_rename(so, documents):
+    res = so.infer(documents.limit(5), column="text", output_column="answer")
+    assert "answer" in res.columns
+    row = res.first()
+    assert row["answer"] == "ECHO: " + row["text"][:32].upper()
+
+
+def test_infer_dry_run_returns_estimate(so, documents):
+    est = so.infer(documents.limit(50), column="text", dry_run=True)
+    assert est["rows"] == 50 and est["cost"] > 0
+
+
+def test_results_cache_roundtrip(so, documents, tmp_path, monkeypatch):
+    monkeypatch.setenv("SUTRO_SPARK_CACHE", str(tmp_path))
+    job_id = so.infer(documents.limit(5), column="text", stay_attached=False)
+    so.await_job_completion(job_id, timeout=120)
+    first = so.get_job_results(job_id, output_column="out")
+    again = so.get_job_results(job_id, output_column="out")  # cache hit
+    assert first.count() == again.count() == 5
+
+
+def test_templates_through_facade(so, documents):
+    docs = documents.limit(10)
+    cls = so.classify(docs, ["a", "b"], column="text")
+    assert set(r["classification"] for r in cls.collect()) <= {"a", "b"}
+    sc = so.score(docs, "clarity", column="text", score_range=(1, 5))
+    assert all(1 <= r["score"] <= 5 for r in sc.collect())
+    emb = so.embed(docs, column="text", dim=4)
+    assert len(emb.first()["embedding"]) == 4
+
+
+def test_jobs_table_and_quotas(so):
+    jobs = so.list_jobs()
+    assert jobs.count() > 0  # previous tests submitted jobs
+    assert {"job_id", "status", "datetime_created"} <= set(jobs.columns)
+    q = so.get_quotas()
+    assert 0 in q and q[0]["max_rows"] > 0
+
+
+def test_facade_list_input(so):
+    res = so.infer(["alpha", "beta"], column=None)
+    rows = {r["prompt"]: r["inference_result"] for r in res.collect()}
+    assert rows["alpha"] == "ECHO: ALPHA"
