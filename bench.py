@@ -21,6 +21,7 @@ HEADLINE = [
     "classify",
     "score",
     "embed",
+    "batch_function",
     "exact_dedup",
     "ngram_jaccard",
     "minhash_lsh",
@@ -28,9 +29,14 @@ HEADLINE = [
     "text_profile",
     "similarity_topk",
     "embedding_dedup",
+    "ivf_dedup",
     "multimodal_decode",
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
     "top_orders",
+    "events_window",
+    "events_sessionize",
 ]
 
 

@@ -61,6 +61,7 @@ def llm_transform(
     include_logprobs: bool = False,
     backend: str = "stub",
     slim: bool = False,
+    progress_accumulator=None,
 ) -> DataFrame:
     """U1 — per-row model completion as a streaming Arrow pipeline.
 
@@ -90,6 +91,7 @@ def llm_transform(
             random_seed_per_input=random_seed_per_input,
             include_logprobs=include_logprobs,
             backend=backend,
+            progress_accumulator=progress_accumulator,
         ).drop(_PROMPT)
         return src.drop(_PROMPT).join(transformed, on=ROW_ID, how="inner")
 
@@ -103,6 +105,7 @@ def llm_transform(
         random_seed_per_input=random_seed_per_input,
         include_logprobs=include_logprobs,
         backend=backend,
+        progress_accumulator=progress_accumulator,
     ).drop(_PROMPT)
 
 
@@ -117,6 +120,7 @@ def _apply_backend(
     random_seed_per_input: bool,
     include_logprobs: bool,
     backend: str,
+    progress_accumulator=None,
 ) -> DataFrame:
     out_fields = list(src.schema.fields) + [T.StructField(output_column, T.StringType())]
     if include_logprobs:
@@ -141,6 +145,11 @@ def _apply_backend(
             pdf[output_column] = res["outputs"].to_numpy()
             if include_logprobs:
                 pdf["cumulative_logprobs"] = res["cumulative_logprobs"].to_numpy()
+            if progress_accumulator is not None:
+                # rows-completed stream (C5): accumulator updates flow
+                # to the driver per task; ProgressTracker applies its
+                # monotonic-max rule on read
+                progress_accumulator.add(len(pdf))
             yield pdf
 
     return src.mapInPandas(run, schema=out_schema)

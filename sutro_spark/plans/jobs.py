@@ -85,7 +85,13 @@ class JobRegistry:
         self.quotas = quotas or dict(DEFAULT_QUOTAS)
         self._threads: dict[str, threading.Thread] = {}
         self._results: dict[str, DataFrame] = {}
+        self._progress: dict[str, object] = {}  # job_id → accumulator
         self._lock = threading.Lock()
+
+    def make_progress_accumulator(self):
+        """Rows-completed accumulator to thread into ``llm_transform``
+        (C5 — the progress stream analog; pass to ``submit`` too)."""
+        return self.spark.sparkContext.accumulator(0)
 
     # --- C1: submit -------------------------------------------------------
     def submit(
@@ -98,11 +104,19 @@ class JobRegistry:
         priority: int = 0,
         rows_total: int | None = None,
         materialize: bool = True,
+        durable: bool = False,
+        progress_accumulator=None,
     ) -> str:
         """Validate, register, and launch the plan as an async action in
         its own job group (cancellable). Submission is never retried —
         a failed launch surfaces immediately (reference analog:
-        sdk.py:247-252, max_retries=0 on POST /batch-inference)."""
+        sdk.py:247-252, max_retries=0 on POST /batch-inference).
+
+        ``durable=True`` materializes straight into the parquet result
+        cache instead of Spark block-manager memory — the scale-safe
+        setting (results can exceed cluster memory; the reference
+        similarly lands results in its parquet cache, sdk.py:1233-1235).
+        """
         if name is not None and len(name) > MAX_NAME_LEN:
             raise ValueError(f"name must be <= {MAX_NAME_LEN} characters")
         if description is not None and len(description) > MAX_DESCRIPTION_LEN:
@@ -120,6 +134,8 @@ class JobRegistry:
         )
         with self._lock:
             self.jobs[job_id] = job
+            if progress_accumulator is not None:
+                self._progress[job_id] = progress_accumulator
 
         def run() -> None:
             sc = self.spark.sparkContext
@@ -130,9 +146,17 @@ class JobRegistry:
             )
             job.status = JobStatus.RUNNING
             try:
-                if materialize:
+                if materialize and durable:
+                    from sutro_spark.operators.results import cache_path
+
+                    path = cache_path(job_id)
+                    df.write.mode("overwrite").parquet(path)
+                    out = self.spark.read.parquet(path)
+                    n = out.count()
+                elif materialize:
                     out = df.cache()
                     n = out.count()
+                if materialize:
                     job.rows_completed = n
                     if not job.rows_total:
                         job.rows_total = n
@@ -167,7 +191,15 @@ class JobRegistry:
     # --- C2/C12: status ---------------------------------------------------
     def get_job_status(self, job_id: str) -> JobStatus:
         job = self.jobs.get(job_id)
-        return job.status if job else JobStatus.UNKNOWN
+        if job is None:
+            return JobStatus.UNKNOWN
+        acc = self._progress.get(job_id)
+        if acc is not None and job.status is JobStatus.RUNNING:
+            # live rows-completed with the monotonic-max rule (A5:
+            # never move progress backwards on late/dup updates)
+            if acc.value > job.rows_completed:
+                job.rows_completed = acc.value
+        return job.status
 
     def get_failure_reason(self, job_id: str) -> str | None:
         job = self.jobs.get(job_id)

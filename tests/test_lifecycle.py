@@ -30,6 +30,23 @@ def test_job_submit_await_results(spark, documents):
     assert job.datetime_completed is not None
 
 
+def test_job_durable_materialization_and_progress(spark, documents, tmp_path, monkeypatch):
+    monkeypatch.setenv("SUTRO_SPARK_CACHE", str(tmp_path))
+    reg = JobRegistry(spark)
+    acc = reg.make_progress_accumulator()
+    out = llm_transform(documents, "text", progress_accumulator=acc)
+    job_id = reg.submit(out, name="durable", durable=True, progress_accumulator=acc)
+    res = reg.await_job_completion(job_id, timeout=120)
+    n = documents.count()
+    assert res.count() == n
+    assert acc.value >= n  # every batch reported progress
+    # durable: results live in the parquet cache, not executor memory
+    from sutro_spark.operators.results import cache_path
+    import os
+
+    assert os.path.isdir(cache_path(job_id))
+
+
 def test_job_validation_and_failure(spark, documents):
     reg = JobRegistry(spark)
     with pytest.raises(ValueError, match="45"):
