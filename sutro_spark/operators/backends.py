@@ -135,6 +135,66 @@ class StubBackend:
         return vecs
 
 
+class RetryableError(Exception):
+    """Transient failure (the reference's 524-timeout class, sdk.py:109)."""
+
+
+@dataclass
+class RetryPolicy:
+    """Reference retry semantics (/root/reference/sutro/sdk.py:103-177,
+    407-425):
+
+    - idempotent requests: <= ``max_retries`` retries with exponential
+      1, 2, 4, ... second backoff on transient errors;
+    - non-idempotent submissions: NEVER retried (an ambiguous timeout
+      could have created the job — duplicate risk, sdk.py:247-252);
+    - results fetch: bounded linear retry (<= 20 x 5 s) for the
+      results-write race, via ``fetch_retries``/``fetch_interval``.
+
+    ``sleep`` is injectable for tests.
+    """
+
+    max_retries: int = 5
+    fetch_retries: int = 20
+    fetch_interval: float = 5.0
+    sleep: object = None
+
+    def _sleep(self, seconds: float) -> None:
+        import time as _time
+
+        (self.sleep or _time.sleep)(seconds)
+
+    def call(self, fn, *, idempotent: bool):
+        """Run ``fn`` under the retry budget. Non-idempotent calls get
+        exactly one attempt; transient errors propagate."""
+        attempts = self.max_retries + 1 if idempotent else 1
+        delay = 1.0
+        last: Exception | None = None
+        for attempt in range(attempts):
+            try:
+                return fn()
+            except RetryableError as e:
+                last = e
+                if attempt == attempts - 1:
+                    break
+                self._sleep(delay)
+                delay *= 2.0
+        raise last  # type: ignore[misc]
+
+    def fetch(self, fn):
+        """Bounded linear retry for eventually-consistent reads."""
+        last: Exception | None = None
+        for attempt in range(self.fetch_retries + 1):
+            try:
+                return fn()
+            except RetryableError as e:
+                last = e
+                if attempt == self.fetch_retries:
+                    break
+                self._sleep(self.fetch_interval)
+        raise last  # type: ignore[misc]
+
+
 class HttpBackend:
     """Real-service backend: POSTs prompt batches to an OpenAI-style or
     sutro-style HTTP endpoint from inside the executor task.
