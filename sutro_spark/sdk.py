@@ -40,12 +40,33 @@ class SutroSpark:
     >>> results = so.infer(df, column="text", output_schema=Schema)
     """
 
-    def __init__(self, spark: SparkSession | None = None, backend: str = "stub"):
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        backend: str = "stub",
+        api_key: str | None = None,
+        base_url: str | None = None,
+    ):
         from sutro_spark.session import get_spark
 
         self.spark = spark or get_spark()
         self.backend = backend
         self.registry = JobRegistry(self.spark)
+        self.api_key = api_key or ""
+        self.base_url = base_url or ""
+
+    # --- config setters (reference: sdk.py:64-101) ------------------------
+    def set_api_key(self, api_key: str) -> None:
+        from sutro_spark.plans.config import save_config
+
+        self.api_key = api_key
+        save_config(api_key=api_key, base_url=self.base_url)
+
+    def set_base_url(self, base_url: str) -> None:
+        from sutro_spark.plans.config import save_config
+
+        self.base_url = base_url
+        save_config(api_key=self.api_key, base_url=base_url)
 
     # --- core inference (reference: sdk.py:465-537) ----------------------
     def infer(
@@ -165,22 +186,35 @@ class SutroSpark:
         self,
         job_id: str,
         output_column: str = "inference_result",
+        include_inputs: bool = False,
+        include_cumulative_logprobs: bool = False,
         disable_cache: bool = False,
         unpack_json: bool = True,
     ):
         """Cache-first results fetch (reference: sdk.py:1131-1340 —
-        reuse iff cached columns ⊇ expected)."""
+        reuse iff cached columns ⊇ expected; include_* knobs shape the
+        output columns like the reference's P5 projection)."""
         if not disable_cache:
             cached = read_result_cache(self.spark, job_id, [output_column])
             if cached is not None:
-                return cached
-        res = self.registry.get_job_results(job_id)
+                res = cached
+            else:
+                res = None
+        else:
+            res = None
         if res is None:
-            raise ValueError(f"no results for job {job_id}")
-        res = rename_output(res, output_column)
-        if unpack_json:
-            res = unpack_json_outputs(res, output_column)
-        return res
+            res = self.registry.get_job_results(job_id)
+            if res is None:
+                raise ValueError(f"no results for job {job_id}")
+            res = rename_output(res, output_column)
+            if unpack_json:
+                res = unpack_json_outputs(res, output_column)
+        drop = []
+        if not include_cumulative_logprobs and "cumulative_logprobs" in res.columns:
+            drop.append("cumulative_logprobs")
+        if not include_inputs and "__prompt" in res.columns:
+            drop.append("__prompt")
+        return res.drop(*drop) if drop else res
 
     def get_quotas(self) -> dict:
         return {
