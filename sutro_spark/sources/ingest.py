@@ -34,18 +34,50 @@ ROW_ID = "__row_id"
 def with_row_id(df: DataFrame, order_by: Sequence[str] | None = None) -> DataFrame:
     """Mint the engine's order column (see module docstring).
 
-    With ``order_by``: contiguous 0-based ids in key order (one global
-    sort — use for correctness-checked paths and small/medium tables).
+    With ``order_by``: contiguous 0-based ids in key order, computed
+    scale-safely — range-partition on the keys, per-partition
+    ``row_number`` (parallel windows), then add per-partition offsets
+    from a tiny count aggregate. A naive global ``row_number() over
+    (order by ...)`` collapses to an Exchange SinglePartition: every
+    row through one task — unusable at 100 TB. Ids equal the global
+    row_number when the keys are unique (ties may order arbitrarily
+    across partition boundaries).
+
     Without: ``monotonically_increasing_id`` — non-contiguous but
     monotone with file/partition order and computed with zero shuffle;
     the right default at 100 TB where a global sort of ids is pure waste.
     """
     if ROW_ID in df.columns:
         return df
-    if order_by:
-        w = Window.orderBy(*order_by)
-        return df.withColumn(ROW_ID, F.row_number().over(w).cast("long") - F.lit(1))
-    return df.withColumn(ROW_ID, F.monotonically_increasing_id())
+    if not order_by:
+        return df.withColumn(ROW_ID, F.monotonically_increasing_id())
+    spark = df.sparkSession
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = df.repartitionByRange(n_parts, *order_by)
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    local = ranged.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__local", F.row_number().over(w).cast("long")
+    )
+    # persist: the count job and the final plan must observe the SAME
+    # range boundaries (repartitionByRange samples), and this also
+    # avoids computing the upstream twice
+    local = local.persist()
+    # per-partition counts are |partitions| rows — a driver-side prefix
+    # sum, then a broadcast-sized join back
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in local.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets, "__pid int, __offset long")
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(ROW_ID, F.col("__offset") + F.col("__local") - 1)
+        .drop("__pid", "__local", "__offset")
+    )
 
 
 # --- S1: list-of-prompts source (common.py:126-127) -----------------------
