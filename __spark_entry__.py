@@ -534,6 +534,43 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_list_source_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S1 — list-of-prompts source through the transform, row order kept.
+    from sutro_spark.sources.ingest import from_list
+
+    df = from_list(spark, ["alpha beta", "gamma", "delta epsilon zeta"])
+    out = llm_transform(df, "prompt")
+    return out.select(F.col(ROW_ID).alias("row_id"), "prompt", "outputs")
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # union + distinct + except set operations.
+    ev = _t(spark, sf_dir, "events").select(F.col("event_type").alias("v")).distinct()
+    st = _t(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("v")).distinct()
+    minus = spark.createDataFrame([("click",)], "v string")
+    return ev.union(st).distinct().exceptAll(minus)
+
+
+def q_pivot_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pivot: quantity totals by returnflag × linestatus as columns.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rollup: hierarchical subtotals over (returnflag, linestatus).
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "select_prompt_column": q_select_prompt_column,
@@ -572,6 +609,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_dedup": q_ivf_dedup,
         "tpch_q6": q_tpch_q6,
         "promo_revenue": q_promo_revenue,
+        "list_source_infer": q_list_source_infer,
+        "set_ops": q_set_ops,
+        "pivot_qty": q_pivot_qty,
+        "rollup_counts": q_rollup_counts,
     }
 
 
@@ -966,6 +1007,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY 1
+        """,
+        "list_source_infer": """
+            SELECT row_id, prompt, 'ECHO: ' || upper(substr(prompt, 1, 32)) AS outputs
+            FROM (VALUES (CAST(0 AS BIGINT), 'alpha beta'),
+                         (CAST(1 AS BIGINT), 'gamma'),
+                         (CAST(2 AS BIGINT), 'delta epsilon zeta')) AS t(row_id, prompt)
+        """,
+        "set_ops": """
+            SELECT v FROM (
+                SELECT DISTINCT event_type AS v FROM events
+                UNION
+                SELECT DISTINCT o_orderstatus AS v FROM orders)
+            EXCEPT ALL SELECT 'click'
+        """,
+        "pivot_qty": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)
+                       AS qty_open,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)
+                       AS qty_filled
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "rollup_counts": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "events_sessionize": """
             WITH g AS (
