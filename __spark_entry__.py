@@ -571,6 +571,68 @@ def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_secs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id", "event_id", "event_type", "value", F.expr("ts div 1000000000").alias("sec")
+    )
+
+
+def q_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of join: each click gets the most recent prior purchase value
+    # by the same user (union + keyed window — one shuffle, no
+    # inequality join).
+    from sutro_spark.operators.joins import asof_join
+
+    e = _events_secs(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("sec").alias("click_sec")
+    )
+    w = Window.partitionBy("user_id", "sec").orderBy(F.desc("event_id"))
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("sec").alias("p_sec"), F.col("value").alias("p_value"))
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="click_sec", right_ts="p_sec",
+        value_columns=["p_value"],
+    ).select("click_id", "user_id", "click_sec", F.round("p_value", 4).alias("p_value"))
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # range join: purchases within 10 minutes after each signup, same
+    # user (bucketed equi-join prefilter instead of inequality join).
+    from sutro_spark.operators.joins import range_join
+
+    e = _events_secs(spark, sf_dir)
+    signups = e.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("sec").alias("s_sec")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("sec").alias("p_sec")
+    )
+    return range_join(
+        signups, purchases, on="user_id", left_ts="s_sec", right_ts="p_sec", window=600
+    ).select("signup_id", "purchase_id", "user_id")
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental near-dup: docs >= 250 (the "new batch") against docs
+    # < 250 (the corpus) — cross-set only.
+    from sutro_spark.operators.dedup import incremental_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_jaccard_pairs(
+        docs.where(F.col("doc_id") < 250),
+        docs.where(F.col("doc_id") >= 250),
+        k=8,
+        threshold=0.05,
+        max_df=100,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "select_prompt_column": q_select_prompt_column,
@@ -609,6 +671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_dedup": q_ivf_dedup,
         "tpch_q6": q_tpch_q6,
         "promo_revenue": q_promo_revenue,
+        "asof_purchase": q_asof_purchase,
+        "range_join_events": q_range_join_events,
+        "incremental_dedup": q_incremental_dedup,
         "list_source_infer": q_list_source_infer,
         "set_ops": q_set_ops,
         "pivot_qty": q_pivot_qty,
@@ -781,11 +846,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
                 FROM shf a JOIN shf b USING (shingle)
                 WHERE a.id < b.id GROUP BY 1, 2)
-            SELECT id_a, id_b, round(i / (sa.n + sb.n - i), 6) AS jaccard
+            SELECT id_a, id_b, i / (sa.n + sb.n - i) AS jaccard
             FROM inter
             JOIN sizes sa ON sa.id = id_a
             JOIN sizes sb ON sb.id = id_b
-            WHERE round(i / (sa.n + sb.n - i), 6) >= 0.1
+            WHERE i / (sa.n + sb.n - i) >= 0.1
         """,
         "minhash_lsh": f"""
             WITH {_SHINGLES_CTE},
@@ -1007,6 +1072,63 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY 1
+        """,
+        "asof_purchase": """
+            WITH e AS (
+                SELECT user_id, event_id, event_type, value,
+                       epoch_ns(ts) // 1000000000 AS sec
+                FROM events),
+            c AS (SELECT user_id, event_id AS click_id, sec AS click_sec
+                  FROM e WHERE event_type = 'click'),
+            p0 AS (SELECT user_id, sec AS p_sec, value AS p_value,
+                          row_number() OVER (PARTITION BY user_id, sec
+                                             ORDER BY event_id DESC) AS rn
+                   FROM e WHERE event_type = 'purchase'),
+            p AS (SELECT user_id, p_sec, p_value FROM p0 WHERE rn = 1)
+            SELECT c.click_id, c.user_id, c.click_sec,
+                   round(p.p_value, 4) AS p_value
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND c.click_sec >= p.p_sec
+        """,
+        "range_join_events": """
+            WITH e AS (
+                SELECT user_id, event_id, event_type,
+                       epoch_ns(ts) // 1000000000 AS sec
+                FROM events),
+            s AS (SELECT user_id, event_id AS signup_id, sec AS s_sec
+                  FROM e WHERE event_type = 'signup'),
+            p AS (SELECT user_id, event_id AS purchase_id, sec AS p_sec
+                  FROM e WHERE event_type = 'purchase')
+            SELECT signup_id, purchase_id, s.user_id
+            FROM s JOIN p ON s.user_id = p.user_id
+            WHERE p.p_sec >= s.s_sec AND p.p_sec < s.s_sec + 600
+        """,
+        "incremental_dedup": f"""
+            WITH raw AS (
+                SELECT doc_id AS id, CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS side,
+                       text
+                FROM documents),
+            sh AS (
+                SELECT DISTINCT id, side, shingle FROM (
+                    SELECT id, side,
+                           unnest(list_transform(
+                               range(1, greatest(length(text) - 7, 1) + 1),
+                               g -> substring(text, g, 8))) AS shingle
+                    FROM raw)
+                WHERE length(shingle) = 8),
+            keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+            shf AS (SELECT sh.id, sh.side, sh.shingle FROM sh JOIN keep USING (shingle)),
+            sizes AS (SELECT id, side, count(*) AS n FROM shf GROUP BY id, side),
+            inter AS (
+                SELECT a.id AS corpus_id, b.id AS new_id, count(*) AS i
+                FROM shf a JOIN shf b USING (shingle)
+                WHERE a.side = 0 AND b.side = 1
+                GROUP BY 1, 2)
+            SELECT corpus_id, new_id, i / (sc.n + sn.n - i) AS jaccard
+            FROM inter
+            JOIN sizes sc ON sc.id = corpus_id AND sc.side = 0
+            JOIN sizes sn ON sn.id = new_id AND sn.side = 1
+            WHERE i / (sc.n + sn.n - i) >= 0.05
         """,
         "list_source_infer": """
             SELECT row_id, prompt, 'ECHO: ' || upper(substr(prompt, 1, 32)) AS outputs

@@ -102,8 +102,9 @@ def ngram_jaccard_pairs(
     Jaccard = |∩| / (|A| + |B| - |∩|) with sizes computed AFTER the
     max_df filter so the metric matches the joined universe.
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6
-    decimals (stable across engines).
+    Returns (id_a, id_b, jaccard) with id_a < id_b; jaccard is the raw
+    integer-ratio division (bit-identical across engines — see the
+    inline note on why rounding would actually *hurt* parity).
     """
     sh = char_shingles(df, text_column, id_column, k)
     # One groupBy(shingle) produces both the df-cap filter and the
@@ -129,8 +130,12 @@ def ngram_jaccard_pairs(
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
+            # raw division, NOT rounded: both engines divide the same
+            # exact ints → identical bits, while round() at a decimal
+            # tie (e.g. 41/640) differs between BigDecimal HALF_UP and
+            # binary rounding
             "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -238,6 +243,63 @@ def minhash_lsh_pairs(
         df, text_column, id_column, k=k, threshold=verify_threshold, max_df=max_df
     )
     return cand.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+def incremental_jaccard_pairs(
+    corpus: DataFrame,
+    new: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    k: int = 8,
+    threshold: float = 0.1,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Incremental near-dup: new batch vs existing corpus ONLY (not
+    within-new) — the shape a daily training-data ingest actually runs.
+    Same posting-list plan as ``ngram_jaccard_pairs`` with a side tag;
+    at scale the corpus shingles are precomputed+persisted and only the
+    new side is shingled per increment.
+
+    Returns (corpus_id, new_id, jaccard).
+    """
+    sh_c = char_shingles(corpus, text_column, id_column, k).withColumn(
+        "side", F.lit(0)
+    )
+    sh_n = char_shingles(new, text_column, id_column, k).withColumn("side", F.lit(1))
+    sh = sh_c.unionByName(sh_n)
+    grouped = sh.groupBy("shingle").agg(
+        F.collect_list(F.struct("id", "side")).alias("members")
+    )
+    if max_df is not None:
+        grouped = grouped.where(F.size("members") <= max_df)
+    postings = grouped.select(F.explode("members").alias("m"), "members").select(
+        F.col("m.id").alias("id"), F.col("m.side").alias("side"), "members"
+    )
+    sizes = postings.groupBy("id", "side").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        postings.where(F.col("side") == 0)
+        .select(F.col("id").alias("corpus_id"), F.explode("members").alias("m"))
+        .where(F.col("m.side") == 1)
+        .groupBy("corpus_id", F.col("m.id").alias("new_id"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sc = sizes.where(F.col("side") == 0).select(
+        F.col("id").alias("corpus_id"), F.col("n_shingles").alias("nc")
+    )
+    sn = sizes.where(F.col("side") == 1).select(
+        F.col("id").alias("new_id"), F.col("n_shingles").alias("nn")
+    )
+    return (
+        inter.join(sc, "corpus_id")
+        .join(sn, "new_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("nc") + F.col("nn") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("corpus_id", "new_id", "jaccard")
+    )
 
 
 def simhash(

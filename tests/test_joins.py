@@ -1,0 +1,58 @@
+"""Temporal joins: as-of and range (operators/joins.py)."""
+
+from pyspark.sql import functions as F
+
+from sutro_spark.operators.joins import asof_join, range_join
+
+
+def _frames(spark):
+    trades = spark.createDataFrame(
+        [(1, 10, "t1"), (1, 20, "t2"), (2, 15, "t3"), (3, 5, "t4")],
+        "key long, t long, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 101.0), (1, 20, 102.0), (2, 20, 200.0)],
+        "key long, q long, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_join_left_semantics(spark):
+    trades, quotes = _frames(spark)
+    out = asof_join(
+        trades, quotes, on="key", left_ts="t", right_ts="q", value_columns=["px"]
+    )
+    got = {r["trade"]: r["px"] for r in out.collect()}
+    # t1@10 → quote@8; t2@20 → quote@20 (inclusive); t3@15 → none prior
+    assert got == {"t1": 100.0, "t2": 102.0, "t3": None, "t4": None}
+
+
+def test_asof_join_inner_drops_unmatched(spark):
+    trades, quotes = _frames(spark)
+    out = asof_join(
+        trades, quotes, on="key", left_ts="t", right_ts="q",
+        value_columns=["px"], how="inner",
+    )
+    assert {r["trade"] for r in out.collect()} == {"t1", "t2"}
+
+
+def test_range_join_window_pairs(spark):
+    trades, quotes = _frames(spark)
+    out = range_join(trades, quotes, on="key", left_ts="t", right_ts="q", window=10)
+    pairs = {(r["trade"], r["q"]) for r in out.collect()}
+    # [t, t+10): t1@10 → quotes 15; t2@20 → quote 20; t3@15 → quote 20
+    assert pairs == {("t1", 15), ("t2", 20), ("t3", 20)}
+
+
+def test_range_join_matches_inequality_join(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.expr("ts div 1000000000").alias("sec"), "event_id"
+    ).limit(2000)
+    a = ev.select("user_id", F.col("sec").alias("a_sec"), F.col("event_id").alias("a_id"))
+    b = ev.select("user_id", F.col("sec").alias("b_sec"), F.col("event_id").alias("b_id"))
+    fast = range_join(a, b, on="user_id", left_ts="a_sec", right_ts="b_sec", window=600)
+    slow = a.join(b, "user_id").where(
+        (F.col("b_sec") >= F.col("a_sec")) & (F.col("b_sec") < F.col("a_sec") + 600)
+    )
+    assert fast.count() == slow.count()
+    assert fast.exceptAll(slow).count() == 0
