@@ -163,25 +163,89 @@ def embedding_dedup_pairs(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >=
-    threshold). All-pairs via self-crossJoin with precomputed norms —
-    correct baseline; at scale route through ivf buckets first (join on
-    centroid_id) to prune the quadratic term."""
-    v = _prepared(corpus, id_column, vector_column, "x_")
-    a = v.select(
-        F.col("x_id").alias("id_a"), F.col("x_v").alias("a_v"), F.col("x_n").alias("a_n")
+    threshold).
+
+    Plan: broadcast the collected corpus matrix to executors, stream
+    corpus partitions through ``mapInPandas``, and compute each batch's
+    sims against the full matrix in numpy. Summation uses ``cumsum``
+    along the feature axis — *sequential* left-to-right addition, so
+    the bits match DuckDB's in-order list_dot_product exactly
+    (``np.sum``/``np.dot`` use pairwise/SIMD blocking and would NOT).
+    Only pairs over threshold leave Python — Arrow never carries the
+    n² matrix.
+
+    Valid while one corpus copy fits executor memory (the only regime
+    where exact all-pairs is sane anyway); beyond that, ``ivf_topk``'s
+    bucketed path is the answer — or chunk the broadcast.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    rows = (
+        corpus.select(F.col(id_column).alias("id"), to_double_array(F.col(vector_column)).alias("v"))
+        .collect()
     )
-    b = v.select(
-        F.col("x_id").alias("id_b"), F.col("x_v").alias("b_v"), F.col("x_n").alias("b_n")
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    src = corpus.select(F.col(id_column).alias("id"), to_double_array(F.col(vector_column)).alias("v"))
+    # single-file scans arrive as one partition — spread so every core
+    # gets a slice of the stream side
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
     )
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                raw_dot(F.col("a_v"), F.col("b_v")) / (F.col("a_n") * F.col("b_n")), 6
-            ).alias("sim"),
-        )
-        .where(F.col("sim") >= threshold)
-    )
+
+    def run(batches):
+        c_ids, c_mat, c_norms = bc.value
+        for pdf in batches:
+            a_ids = pdf["id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf["v"]), dtype=np.float64)
+            a_norms = np.sqrt(np.cumsum(a_mat * a_mat, axis=1)[:, -1])
+            outs = []
+            dim = a_mat.shape[1]
+            # chunk the corpus axis so the dots matrix stays modest
+            step = max(64, int(8_000_000 // max(1, a_mat.shape[0])))
+            for s in range(0, c_mat.shape[0], step):
+                blk = c_mat[s : s + step]
+                # strict left-to-right accumulation over the feature
+                # axis: 64 in-place rank-1 adds — bit-identical to a
+                # sequential sum, no (a × b × dim) tensor materialized
+                dots = np.zeros((a_mat.shape[0], blk.shape[0]))
+                for d in range(dim):
+                    dots += a_mat[:, d, None] * blk[None, :, d]
+                sims = np.round(dots / (a_norms[:, None] * c_norms[None, s : s + step]), 6)
+                ai, bi = np.nonzero(sims >= threshold)
+                if ai.size:
+                    id_a = a_ids[ai]
+                    id_b = c_ids[s + bi]
+                    keep = id_a < id_b
+                    if keep.any():
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "id_a": id_a[keep],
+                                    "id_b": id_b[keep],
+                                    "sim": sims[ai[keep], bi[keep]],
+                                }
+                            )
+                        )
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+                )
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
