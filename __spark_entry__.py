@@ -725,7 +725,8 @@ _SIMHASH_CTE = """
     sums AS (SELECT id, b, sum(vote) AS s FROM votes GROUP BY id, b),
     fp AS (
         SELECT id,
-               sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+               CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                    AS BIGINT) AS simhash
         FROM sums GROUP BY id
     )
 """
@@ -1165,8 +1166,8 @@ def oracle_sql() -> dict[str, str]:
                            AS prev_sec
                 FROM events)
             SELECT user_id,
-                   sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
-                            THEN 1 ELSE 0 END) AS n_sessions,
+                   CAST(sum(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id
         """,
