@@ -534,6 +534,20 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal frame sampling: one row per sampled frame index, blob
+    # dropped after the (stubbed) frame extraction.
+    from sutro_spark.operators.multimodal import attach_fake_media, sample_frames
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_nth=5)
+    return frames.select(
+        "doc_id",
+        "frame_id",
+        F.decode(F.col("frame_bytes"), "UTF-8").alias("frame_text"),
+    )
+
+
 def q_list_source_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S1 — list-of-prompts source through the transform, row order kept.
     from sutro_spark.sources.ingest import from_list
@@ -674,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase": q_asof_purchase,
         "range_join_events": q_range_join_events,
         "incremental_dedup": q_incremental_dedup,
+        "frame_sample": q_frame_sample,
         "list_source_infer": q_list_source_infer,
         "set_ops": q_set_ops,
         "pivot_qty": q_pivot_qty,
@@ -1130,6 +1145,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sc ON sc.id = corpus_id AND sc.side = 0
             JOIN sizes sn ON sn.id = new_id AND sn.side = 1
             WHERE i / (sc.n + sn.n - i) >= 0.05
+        """,
+        "frame_sample": """
+            SELECT doc_id,
+                   CAST(f AS INTEGER) AS frame_id,
+                   substring(text, CAST(f AS INTEGER) * 4 + 1, 4) AS frame_text
+            FROM (SELECT doc_id, text,
+                         unnest(range(0, length(text) % 30 + 1, 5)) AS f
+                  FROM documents)
         """,
         "list_source_infer": """
             SELECT row_id, prompt, 'ECHO: ' || upper(substr(prompt, 1, 32)) AS outputs
