@@ -84,6 +84,14 @@ class StubBackend:
     ) -> pd.DataFrame:
         if output_schema is None:
             outputs = "ECHO: " + prompts.fillna("").str.slice(0, 32).str.upper()
+            if random_seed_per_input:
+                # reference knob (sdk.py:478): vary sampling per row.
+                # Deterministic analog: suffix a per-prompt seed so the
+                # effect is observable yet reproducible/idempotent.
+                seeds = prompts.fillna("").map(
+                    lambda p: f" [seed={sum(p.encode()) % 997}]"
+                )
+                outputs = outputs + seeds
         else:
             outputs = prompts.fillna("").map(lambda p: self._structured(p, output_schema))
         logprobs = -prompts.fillna("").str.len().astype("float64") / 100.0

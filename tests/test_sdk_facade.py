@@ -79,6 +79,35 @@ def test_jobs_table_and_quotas(so):
     assert 0 in q and q[0]["max_rows"] > 0
 
 
+def test_rank_and_elo_through_facade(so, documents):
+    docs = documents.limit(12).select(
+        "doc_id",
+        F.substring("text", 1, 8).alias("x"),
+        F.substring("text", 9, 8).alias("y"),
+    )
+    ranked = so.rank(docs, ["x", "y"], "quality")
+    row = ranked.first()
+    assert set(row["ranking"]) == {"x", "y"}
+    ratings = so.rank(docs, ["x", "y"], "quality", run_elo=True)
+    assert {r["label"] for r in ratings.collect()} <= {"x", "y"}
+
+
+def test_infer_per_model_through_facade(so, documents):
+    out = so.infer_per_model(
+        documents.limit(4), ["stub-echo", "stub-echo"], names=["a", "b"], column="text"
+    )
+    assert out.count() == 8
+    assert {r["model_name"] for r in out.collect()} == {"a", "b"}
+
+
+def test_random_seed_per_input_observable(so, documents):
+    res = so.infer(
+        documents.limit(3), column="text", random_seed_per_input=True,
+        output_column="out",
+    )
+    assert all("[seed=" in r["out"] for r in res.collect())
+
+
 def test_facade_list_input(so):
     res = so.infer(["alpha", "beta"], column=None)
     rows = {r["prompt"]: r["inference_result"] for r in res.collect()}
