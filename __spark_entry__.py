@@ -548,6 +548,21 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal audio path: fake-PCM payload → mapInPandas feature
+    # extraction (mean amplitude, RMS), metadata duration carried along.
+    from sutro_spark.operators.multimodal import attach_fake_audio, audio_features
+
+    audio = attach_fake_audio(_t(spark, sf_dir, "documents"))
+    return audio_features(audio).select(
+        "doc_id",
+        "n_samples",
+        "mean_amp",
+        "rms",
+        F.col("audio_meta.duration_s").alias("duration_s"),
+    )
+
+
 def q_list_source_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S1 — list-of-prompts source through the transform, row order kept.
     from sutro_spark.sources.ingest import from_list
@@ -689,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join_events,
         "incremental_dedup": q_incremental_dedup,
         "frame_sample": q_frame_sample,
+        "audio_features": q_audio_features,
         "list_source_infer": q_list_source_infer,
         "set_ops": q_set_ops,
         "pivot_qty": q_pivot_qty,
@@ -1153,6 +1169,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, text,
                          unnest(range(0, length(text) % 30 + 1, 5)) AS f
                   FROM documents)
+        """,
+        "audio_features": """
+            WITH b AS (
+                SELECT doc_id, length(text) AS n,
+                       list_transform(string_split(text, ''), c -> unicode(c)) AS bytes
+                FROM documents)
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(list_sum(bytes) AS DOUBLE) / n AS mean_amp,
+                   sqrt(CAST(list_sum(list_transform(bytes, x -> x * x)) AS DOUBLE) / n)
+                       AS rms,
+                   CAST(n AS DOUBLE) / 16000 AS duration_s
+            FROM b
         """,
         "list_source_infer": """
             SELECT row_id, prompt, 'ECHO: ' || upper(substr(prompt, 1, 32)) AS outputs

@@ -114,6 +114,71 @@ def decode_media(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def attach_fake_audio(df: DataFrame, text_column: str = "text") -> DataFrame:
+    """Audio-shaped multimodal table: payload = UTF-8 bytes standing in
+    for PCM samples; metadata carries sample_rate and a duration derived
+    from the payload length (duration = n_bytes / sample_rate — the real
+    relationship for 8-bit mono PCM)."""
+    n = F.length(F.col(text_column))
+    return df.withColumns(
+        {
+            "audio": F.encode(F.col(text_column), "UTF-8"),
+            "audio_meta": F.struct(
+                F.lit("audio/fake-pcm8").alias("media_type"),
+                F.lit(16000).alias("sample_rate"),
+                (n.cast("double") / 16000).alias("duration_s"),
+            ),
+        }
+    )
+
+
+def audio_features(
+    df: DataFrame, audio_column: str = "audio", meta_column: str = "audio_meta"
+) -> DataFrame:
+    """Stubbed audio feature extraction via ``mapInPandas``: byte-level
+    mean amplitude + RMS over the fake PCM payload (a real
+    implementation would decode with soundfile/librosa behind the same
+    signature and raise NotImplementedError if absent). Blob dropped on
+    output."""
+    keep = [f for f in df.schema.fields if f.name != audio_column]
+    out_schema = T.StructType(
+        keep
+        + [
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("mean_amp", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+    keep_names = [f.name for f in keep]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            n_samples, mean_amp, rms = [], [], []
+            for payload in pdf[audio_column]:
+                if not payload:
+                    n_samples.append(0)
+                    mean_amp.append(0.0)
+                    rms.append(0.0)
+                    continue
+                n = len(payload)
+                total = sum(payload)
+                sq = 0.0
+                for b in payload:  # sequential: engine-reproducible
+                    sq += float(b * b)
+                n_samples.append(n)
+                mean_amp.append(total / n)
+                rms.append(math.sqrt(sq / n))
+            out = pdf[keep_names].copy()
+            out["n_samples"] = n_samples
+            out["mean_amp"] = mean_amp
+            out["rms"] = rms
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     media_column: str = "media",

@@ -50,6 +50,10 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    orphans = set(oracles) - set(qs)
+    if orphans:
+        print(f"FAIL contract: oracle keys without queries: {sorted(orphans)}")
+        failures += 1
     for name, fn in qs.items():
         if only and name not in only:
             continue
