@@ -20,6 +20,7 @@ def get_spark(app_name: str = "sutro_spark", cpus: int | None = None) -> SparkSe
     - UTC session timezone so timestamp semantics are environment-free.
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    fair_xml = os.path.join(os.path.dirname(__file__), "resources", "fairscheduler.xml")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -41,6 +42,10 @@ def get_spark(app_name: str = "sutro_spark", cpus: int | None = None) -> SparkSe
         # which Spark 4 rejects outright; read nanos as long and convert
         # explicitly (exact integer arithmetic, see streaming.progress).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # C9 priority classes: FAIR pools (jobs.py sets the pool local
+        # property per submitted job)
+        .config("spark.scheduler.mode", "FAIR")
+        .config("spark.scheduler.allocation.file", fair_xml)
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
