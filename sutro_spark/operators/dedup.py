@@ -194,7 +194,6 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     verify_threshold: float | None = 0.2,
-    max_df: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (optionally Jaccard-verified).
 
@@ -239,10 +238,37 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return cand
-    verified = ngram_jaccard_pairs(
-        df, text_column, id_column, k=k, threshold=verify_threshold, max_df=max_df
+    # Verify ONLY the candidate pairs: restrict the shingle postings to
+    # docs that appear in some candidate, then count intersections by
+    # joining the pair list to each side's shingle set. Cost scales with
+    # |candidates| x shingles/doc — never corpus² (the old path re-ran
+    # exact all-pairs Jaccard over the whole corpus, negating LSH).
+    # Note: this is TRUE Jaccard (no max_df cap) — correct for
+    # verification; max_df is a candidate-generation skew guard, not a
+    # similarity definition.
+    sh = char_shingles(df, text_column, id_column, k)
+    members = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
     )
-    return cand.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    sh = sh.join(members, "id")  # AQE broadcasts `members` when small
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def incremental_jaccard_pairs(

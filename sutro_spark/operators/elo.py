@@ -58,7 +58,10 @@ def pairwise_counts(
     l = ex.alias("l")
     joined = w.join(l, F.col(f"w.{_BALLOT}") == F.col(f"l.{_BALLOT}"))
     wins = (
-        joined.where(F.col("w.pos") < F.col("l.pos"))
+        # label != label guard: a label appearing at two positions in one
+        # ballot must not produce a self-win row (reference skips w == l,
+        # evals.py:234).
+        joined.where((F.col("w.pos") < F.col("l.pos")) & (F.col("w.label") != F.col("l.label")))
         .groupBy(F.col("w.label").alias("winner"), F.col("l.label").alias("loser"))
         .agg(F.count(F.lit(1)).alias("wins"))
     )
@@ -81,7 +84,7 @@ def pairwise_counts(
 def bradley_terry_elo(
     counts: list[tuple[str, str, int, int]],
     *,
-    laplace: float = 0.1,
+    laplace: float = 0.5,
     max_iter: int = 1000,
     tol: float = 1e-8,
     elo_mean: float = 1500.0,
@@ -96,6 +99,8 @@ def bradley_terry_elo(
     n = len(labels)
     W = np.zeros((n, n))  # W[i, j] = effective wins of i over j
     for winner, loser, wins, ties in counts:
+        if winner == loser:  # reference skips self-pairs (evals.py:264)
+            continue
         i, j = idx[winner], idx[loser]
         W[i, j] += wins + 0.5 * ties
         W[j, i] += 0.5 * ties
@@ -142,7 +147,7 @@ def elo(
     df: DataFrame,
     ranking_column: str = "ranking",
     *,
-    laplace: float = 0.1,
+    laplace: float = 0.5,
     max_iter: int = 1000,
     tol: float = 1e-8,
     elo_mean: float = 1500.0,

@@ -275,7 +275,11 @@ def batch_run_function(
     Spark-first: the record is ``to_json(struct(*))`` — a pure
     projection — and the function call is the same U1 transform.
     """
-    src = df.withColumn("__record", F.to_json(F.struct(*df.columns)))
+    # Exclude internal __-prefixed columns (e.g. __row_id minted by the
+    # facade) so the shipped record matches the reference's
+    # to_dict(orient="records") of the user-visible frame.
+    visible = [c for c in df.columns if not c.startswith("__")]
+    src = df.withColumn("__record", F.to_json(F.struct(*visible)))
     return llm_transform(
         src, "__record", model=function_name, output_column=output_column, backend=backend
     ).drop("__record")

@@ -162,13 +162,21 @@ class JobRegistry:
                         job.rows_total = n
                     with self._lock:
                         self._results[job_id] = out
-                job.status = JobStatus.SUCCEEDED
+                # Terminal transition under the lock: a cancel_job() racing
+                # in after the last Spark action must win (CANCELLING →
+                # CANCELLED, never SUCCEEDED).
+                with self._lock:
+                    if job.status == JobStatus.CANCELLING:
+                        job.status = JobStatus.CANCELLED
+                    else:
+                        job.status = JobStatus.SUCCEEDED
             except Exception as e:  # noqa: BLE001 - failure_reason capture (C12)
-                if job.status == JobStatus.CANCELLING:
-                    job.status = JobStatus.CANCELLED
-                else:
-                    job.status = JobStatus.FAILED
-                    job.failure_reason = str(e)[:500]
+                with self._lock:
+                    if job.status == JobStatus.CANCELLING:
+                        job.status = JobStatus.CANCELLED
+                    else:
+                        job.status = JobStatus.FAILED
+                        job.failure_reason = str(e)[:500]
             finally:
                 job.datetime_completed = datetime.now(timezone.utc)
 
@@ -240,9 +248,12 @@ class JobRegistry:
     # --- C7: cancel -------------------------------------------------------
     def cancel_job(self, job_id: str) -> None:
         job = self.jobs.get(job_id)
-        if job is None or job.status.is_terminal:
+        if job is None:
             return
-        job.status = JobStatus.CANCELLING
+        with self._lock:
+            if job.status.is_terminal:
+                return
+            job.status = JobStatus.CANCELLING
         self.spark.sparkContext.cancelJobGroup(job_id)
 
     # --- list_jobs as a DataFrame (feeds the CLI relational ops) ---------
