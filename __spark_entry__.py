@@ -390,12 +390,15 @@ def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_rank_elo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # U5 + A1-A3 full pipeline: ballots → pairwise counts → driver-side
-    # Bradley-Terry fit. Iterative numpy — deliberately no SQL oracle
-    # (driver records the rows-only check).
+    # Bradley-Terry fit. The iterative elo float stays under analytic
+    # pytest (tests/test_elo.py); the oracled projection is the
+    # relational half of the ratings table — laplace-smoothed
+    # wins/losses/matches per label, closed-form reproducible
+    # (wins = raw_wins + laplace*(n_labels-1), exact in binary).
     from sutro_spark.operators.elo import elo
 
     return elo(_ranked(spark, sf_dir), "ranking").select(
-        "label", F.round("elo", 3).alias("elo"), "wins", "losses", "matches"
+        "label", "wins", "losses", "matches"
     )
 
 
@@ -1046,7 +1049,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
             GROUP BY n_name
         """,
-        # rank_elo: no oracle — iterative driver-side numpy fit
+        # rank_elo: the elo float itself is an iterative numpy fit
+        # (pytest-verified analytically); the oracle reproduces the
+        # relational columns of the ratings table. laplace=0.5 adds
+        # 0.5 per directed edge between distinct labels, so
+        # wins = raw_wins + 0.5*(n_labels-1) — exact doubles.
+        "rank_elo": f"""
+            WITH p AS (
+                SELECT doc_id, length({_RANK_PROMPT}) % 3 AS k FROM documents
+            ),
+            pairs AS (
+                SELECT (['opt_a', 'opt_b', 'opt_c'])[(k + i) % 3 + 1] AS winner,
+                       (['opt_a', 'opt_b', 'opt_c'])[(k + j) % 3 + 1] AS loser
+                FROM p, generate_series(0, 2) AS gi(i), generate_series(0, 2) AS gj(j)
+                WHERE i < j
+            ),
+            counts AS (SELECT winner, loser, count(*) AS w FROM pairs GROUP BY 1, 2),
+            labels AS (
+                SELECT winner AS label FROM counts
+                UNION SELECT loser FROM counts
+            ),
+            nl AS (SELECT count(*) AS n FROM labels),
+            raw_w AS (SELECT winner AS label, sum(w) AS rw FROM counts GROUP BY 1),
+            raw_l AS (SELECT loser AS label, sum(w) AS rl FROM counts GROUP BY 1)
+            SELECT label,
+                   CAST(coalesce(rw, 0) + 0.5 * (nl.n - 1) AS DOUBLE) AS wins,
+                   CAST(coalesce(rl, 0) + 0.5 * (nl.n - 1) AS DOUBLE) AS losses,
+                   CAST(coalesce(rw, 0) + coalesce(rl, 0) + (nl.n - 1) AS DOUBLE) AS matches
+            FROM labels LEFT JOIN raw_w USING (label) LEFT JOIN raw_l USING (label), nl
+        """,
         "dedup_normalized": """
             SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                        AS content_hash,
