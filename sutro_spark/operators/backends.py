@@ -203,34 +203,262 @@ class RetryPolicy:
         raise last  # type: ignore[misc]
 
 
-class HttpBackend:
-    """Real-service backend: POSTs prompt batches to an OpenAI-style or
-    sutro-style HTTP endpoint from inside the executor task.
+class HttpStatusError(Exception):
+    """Non-2xx HTTP response (reference analog: requests.HTTPError)."""
 
-    Retry policy mirrors the reference (/root/reference/sutro/sdk.py:103-177):
-    idempotent requests retried <=5 times with exponential 1,2,4,... s
-    backoff on 524-style timeouts; non-idempotent submissions never
-    retried. Requires the ``requests`` package (not baked into this
-    container), so construction is gated.
-    """
+    def __init__(self, status_code: int, body: dict | None = None):
+        super().__init__(f"HTTP {status_code}")
+        self.status_code = status_code
+        self.body = body or {}
 
-    def __init__(self, base_url: str, api_key: str = "", max_retries: int = 5):
+
+class Transport(Protocol):
+    """Injectable wire layer: one method, easily faked in tests (the
+    reference mock-patches requests.post/get the same way,
+    /root/reference/tests/test_sdk.py:30-45)."""
+
+    def request(
+        self, method: str, url: str, *, headers: dict, json: dict | None = None
+    ) -> tuple[int, dict]: ...
+
+
+class RequestsTransport:
+    """Default transport over the ``requests`` package (gated import —
+    not baked into this container)."""
+
+    def __init__(self, timeout: float = 600.0):
         try:
-            import requests  # noqa: F401
+            import requests
         except ImportError as e:  # pragma: no cover - environment-dependent
             raise NotImplementedError(
-                "HttpBackend requires the 'requests' package; use StubBackend "
-                "in this environment"
+                "HttpBackend's default transport requires the 'requests' "
+                "package; inject a Transport or use StubBackend"
             ) from e
+        self._requests = requests
+        self.timeout = timeout
+
+    def request(self, method, url, *, headers, json=None):  # pragma: no cover
+        resp = self._requests.request(
+            method, url, headers=headers, json=json, timeout=self.timeout
+        )
+        try:
+            body = resp.json()
+        except ValueError:
+            body = {}
+        return resp.status_code, body
+
+
+class HttpClient:
+    """Authenticated request helper with the reference's retry contract
+    (/root/reference/sutro/sdk.py:103-177):
+
+    - ``Authorization: Key <api_key>`` header, base_url/endpoint join;
+    - ONLY Cloudflare-524 timeouts are retried, with exponential
+      1, 2, 4, ... second backoff, up to ``max_retries`` times;
+    - any other non-2xx raises :class:`HttpStatusError` immediately;
+    - ``max_retries=0`` re-raises the initial 524 untouched.
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        api_key: str = "",
+        *,
+        transport: Transport | None = None,
+        sleep=None,
+    ):
         self.base_url = base_url
         self.api_key = api_key
-        self.max_retries = max_retries
+        self.transport = transport if transport is not None else RequestsTransport()
+        self._sleep = sleep if sleep is not None else __import__("time").sleep
 
-    def generate(self, prompts, **kw):  # pragma: no cover - needs network
-        raise NotImplementedError("network inference not available in this environment")
+    def do_request(
+        self, method: str, endpoint: str, *, json: dict | None = None, max_retries: int = 5
+    ) -> dict:
+        url = self.base_url.rstrip("/") + "/" + endpoint.lstrip("/")
+        headers = {"Authorization": f"Key {self.api_key}"}
 
-    def embed(self, prompts, **kw):  # pragma: no cover - needs network
-        raise NotImplementedError("network inference not available in this environment")
+        def attempt() -> dict:
+            status, body = self.transport.request(method, url, headers=headers, json=json)
+            if status >= 400:
+                raise HttpStatusError(status, body)
+            return body
+
+        try:
+            return attempt()
+        except HttpStatusError as e:
+            if e.status_code != 524 or max_retries <= 0:
+                raise
+            for i in range(max_retries):
+                self._sleep(2**i)
+                try:
+                    return attempt()
+                except HttpStatusError as retry_err:
+                    if retry_err.status_code != 524 or i == max_retries - 1:
+                        raise
+            raise  # pragma: no cover - loop always returns or raises
+
+
+class HttpBackend:
+    """Real-service backend: ships prompt batches to a sutro-style HTTP
+    API and returns positionally aligned outputs.
+
+    Wire protocol mirrors the reference end to end:
+
+    - submit: ``POST batch-inference`` with the reference payload shape
+      (model, inputs, job_priority, json_schema, system_prompt,
+      cost_estimate, sampling_params, random_seed_per_input,
+      truncate_rows, name, description — sdk.py:216-232), and
+      ``max_retries=0``: a 524 is ambiguous about whether the job was
+      created, so the submission is NEVER retried (sdk.py:247-252);
+    - poll: ``GET job-status/{job_id}`` (idempotent → 524-retried);
+    - results: ``POST job-results`` under the bounded linear
+      20 x 5 s retry for the results-write race (sdk.py:407-425);
+    - alignment: the server returns ``outputs`` positionally aligned
+      with ``inputs``; a length mismatch is a hard error, never a
+      silent truncation.
+
+    The transport is injectable so the whole path is mock-testable
+    offline (tests/test_http_backend.py), exactly like the reference's
+    own suite patches requests.
+    """
+
+    TERMINAL = frozenset({"SUCCEEDED", "FAILED", "CANCELLED"})
+
+    def __init__(
+        self,
+        base_url: str,
+        api_key: str = "",
+        *,
+        transport: Transport | None = None,
+        retry: RetryPolicy | None = None,
+        poll_interval: float = 5.0,
+        max_polls: int = 10_000,
+        sleep=None,
+    ):
+        self.retry = retry or RetryPolicy(sleep=sleep)
+        self.client = HttpClient(
+            base_url, api_key, transport=transport, sleep=self.retry._sleep
+        )
+        self.poll_interval = poll_interval
+        self.max_polls = max_polls
+        self.name = "http"
+
+    # -- wire steps, each independently testable ------------------------
+    def build_payload(
+        self,
+        inputs: list,
+        *,
+        model: str,
+        system_prompt: str = "",
+        output_schema: dict | None = None,
+        sampling_params: dict | None = None,
+        random_seed_per_input: bool = False,
+        job_priority: int = 0,
+        truncate_rows: bool = True,
+        name: str | None = None,
+        description: str | None = None,
+        cost_estimate: bool = False,
+    ) -> dict:
+        return {
+            "model": model,
+            "inputs": inputs,
+            "job_priority": job_priority,
+            "json_schema": output_schema,
+            "system_prompt": system_prompt,
+            "cost_estimate": cost_estimate,
+            "sampling_params": sampling_params,
+            "random_seed_per_input": random_seed_per_input,
+            "truncate_rows": truncate_rows,
+            "name": name,
+            "description": description,
+        }
+
+    def submit(self, payload: dict) -> str:
+        # Non-idempotent: exactly one attempt (max_retries=0).
+        body = self.client.do_request(
+            "POST", "batch-inference", json=payload, max_retries=0
+        )
+        return body["results"]
+
+    def poll_until_done(self, job_id: str) -> str:
+        status = "PENDING"
+        for _ in range(self.max_polls):
+            body = self.client.do_request(
+                "GET", f"job-status/{job_id}", max_retries=self.retry.max_retries
+            )
+            status = body["results"] if isinstance(body.get("results"), str) else body.get(
+                "results", {}
+            ).get("status", "UNKNOWN")
+            if status in self.TERMINAL:
+                return status
+            self.retry._sleep(self.poll_interval)
+        raise TimeoutError(f"job {job_id} not terminal after {self.max_polls} polls")
+
+    def fetch_results(self, job_id: str, *, include_cumulative_logprobs: bool = True) -> dict:
+        def one_fetch():
+            try:
+                return self.client.do_request(
+                    "POST",
+                    "job-results",
+                    json={
+                        "job_id": job_id,
+                        "include_cumulative_logprobs": include_cumulative_logprobs,
+                    },
+                    max_retries=0,
+                )
+            except HttpStatusError as e:
+                # results-write race: job reports SUCCEEDED before the
+                # results land; retried linearly by RetryPolicy.fetch.
+                raise RetryableError(str(e)) from e
+
+        return self.retry.fetch(one_fetch)["results"]
+
+    # -- Backend protocol ----------------------------------------------
+    def generate(
+        self,
+        prompts: pd.Series,
+        *,
+        model: str = "gpt-oss-20b",
+        system_prompt: str = "",
+        output_schema: dict | None = None,
+        sampling_params: dict | None = None,
+        random_seed_per_input: bool = False,
+    ) -> pd.DataFrame:
+        inputs = prompts.fillna("").tolist()
+        payload = self.build_payload(
+            inputs,
+            model=model,
+            system_prompt=system_prompt,
+            output_schema=output_schema,
+            sampling_params=sampling_params,
+            random_seed_per_input=random_seed_per_input,
+        )
+        job_id = self.submit(payload)
+        status = self.poll_until_done(job_id)
+        if status != "SUCCEEDED":
+            raise RuntimeError(f"job {job_id} terminated with status {status}")
+        results = self.fetch_results(job_id)
+        outputs = results["outputs"]
+        if len(outputs) != len(inputs):
+            raise RuntimeError(
+                f"positional alignment violated: {len(inputs)} inputs, "
+                f"{len(outputs)} outputs (job {job_id})"
+            )
+        logprobs = results.get("cumulative_logprobs") or [None] * len(outputs)
+        if len(logprobs) != len(outputs):
+            raise RuntimeError(f"cumulative_logprobs misaligned (job {job_id})")
+        out = pd.Series(outputs, index=prompts.index, dtype=object)
+        lp = pd.Series(logprobs, index=prompts.index, dtype="float64")
+        mask = prompts.isna()
+        if mask.any():
+            out = out.where(~mask, None)
+            lp = lp.where(~mask, None)
+        return pd.DataFrame({"outputs": out, "cumulative_logprobs": lp})
+
+    def embed(self, prompts: pd.Series, *, model: str = "qwen-3-embedding-0.6b", dim: int = 0):
+        res = self.generate(prompts, model=model)
+        return res["outputs"]
 
 
 _REGISTRY: dict[str, Backend] = {"stub": StubBackend()}
