@@ -155,34 +155,115 @@ def ivf_topk(
     )
 
 
+def bucketed_dedup_pairs(
+    corpus: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    threshold: float = 0.95,
+    num_centroids: int = 64,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Scale path for embedding near-dup: IVF-bucketed candidate pairs,
+    pure Catalyst — zero driver collect, zero Python.
+
+    Plan: pick ``num_centroids`` deterministic seed vectors (smallest
+    ids — one top-k, no randomness so reruns/oracles agree), broadcast
+    them, assign every vector to its ``nprobe`` nearest centroids, then
+    equi-join on centroid id: candidates are within-bucket only, so the
+    pair count is Σ bucket², never corpus². Exact cosine is computed
+    per candidate with the sequential-order ``raw_dot`` (bit-stable
+    across engines). Approximate by construction — a near-dup pair
+    split across non-overlapping probe sets is missed; raise ``nprobe``
+    or ``num_centroids`` for recall.
+
+    Output matches :func:`embedding_dedup_pairs`: (id_a, id_b, sim),
+    id_a < id_b, sim rounded to 6 decimals.
+    """
+    prep = corpus.select(
+        F.col(id_column).alias("id"), to_double_array(F.col(vector_column)).alias("v")
+    ).withColumn("n", F.sqrt(raw_dot(F.col("v"), F.col("v"))))
+    cents = prep.orderBy("id").limit(num_centroids).select(
+        F.col("id").alias("__cid"), F.col("v").alias("__centv"), F.col("n").alias("__centn")
+    )
+    scored = prep.crossJoin(F.broadcast(cents)).withColumn(
+        "__d", raw_dot(F.col("v"), F.col("__centv")) / (F.col("n") * F.col("__centn"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("__d"), F.asc("__cid"))
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= nprobe)
+        .select("id", "v", "n", F.col("__cid").alias("bucket"))
+    )
+    a = assigned.select(
+        "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = assigned.select(
+        "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        # a pair sharing several probe buckets would otherwise appear per
+        # bucket; dedup on ids BEFORE the dot product so each pair pays
+        # for its cosine once
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first("va").alias("va"),
+            F.first("na").alias("na"),
+            F.first("vb").alias("vb"),
+            F.first("nb").alias("nb"),
+        )
+        .withColumn(
+            "sim", F.round(raw_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+        )
+    )
+    return pairs.where(F.col("sim") >= threshold).select("id_a", "id_b", "sim")
+
+
 def embedding_dedup_pairs(
     corpus: DataFrame,
     *,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
     threshold: float = 0.95,
+    max_collect_rows: int = 500_000,
+    num_centroids: int = 64,
+    nprobe: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >=
     threshold).
 
-    Plan: broadcast the collected corpus matrix to executors, stream
-    corpus partitions through ``mapInPandas``, and compute each batch's
-    sims against the full matrix in numpy. Summation uses ``cumsum``
-    along the feature axis — *sequential* left-to-right addition, so
-    the bits match DuckDB's in-order list_dot_product exactly
-    (``np.sum``/``np.dot`` use pairwise/SIMD blocking and would NOT).
-    Only pairs over threshold leave Python — Arrow never carries the
-    n² matrix.
+    Strategy guard: corpora up to ``max_collect_rows`` take the exact
+    all-pairs path (broadcast matrix — the only regime where exact n²
+    is sane anyway); anything larger routes through
+    :func:`bucketed_dedup_pairs`, which never materializes the corpus
+    on the driver. The row count used for the guard is one distributed
+    count (parquet-metadata cheap).
 
-    Valid while one corpus copy fits executor memory (the only regime
-    where exact all-pairs is sane anyway); beyond that, ``ivf_topk``'s
-    bucketed path is the answer — or chunk the broadcast.
+    Exact path: broadcast the collected corpus matrix to executors,
+    stream corpus partitions through ``mapInPandas``, and compute each
+    batch's sims against the full matrix in numpy. Summation uses
+    ``cumsum`` along the feature axis — *sequential* left-to-right
+    addition, so the bits match DuckDB's in-order list_dot_product
+    exactly (``np.sum``/``np.dot`` use pairwise/SIMD blocking and would
+    NOT). Only pairs over threshold leave Python — Arrow never carries
+    the n² matrix.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     spark = corpus.sparkSession
+    if corpus.count() > max_collect_rows:
+        return bucketed_dedup_pairs(
+            corpus,
+            id_column=id_column,
+            vector_column=vector_column,
+            threshold=threshold,
+            num_centroids=num_centroids,
+            nprobe=nprobe,
+        )
     rows = (
         corpus.select(F.col(id_column).alias("id"), to_double_array(F.col(vector_column)).alias("v"))
         .collect()

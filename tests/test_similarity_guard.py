@@ -1,0 +1,64 @@
+"""The embedding-dedup size guard: small corpora take the exact
+broadcast path; large corpora must route through the IVF-bucketed plan
+WITHOUT any driver-side collect of the corpus."""
+
+from __future__ import annotations
+
+import pyspark.sql
+import pytest
+from pyspark.sql import functions as F
+
+from sutro_spark.operators.similarity import bucketed_dedup_pairs, embedding_dedup_pairs
+
+
+def _clustered(spark, n_per=6, n_clusters=3, dim=8):
+    """n_clusters tight clusters: members of a cluster are near-identical
+    (cosine ~1), cross-cluster vectors nearly orthogonal."""
+    rows = []
+    for c in range(n_clusters):
+        base = [1.0 if i == c else 0.0 for i in range(dim)]
+        for m in range(n_per):
+            v = list(base)
+            v[dim - 1] = 0.001 * m  # tiny perturbation, keeps sim > 0.999
+            # interleave ids across clusters so the smallest n_clusters
+            # ids — the deterministic IVF seeds — cover every cluster
+            rows.append((m * 10 + c, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_exact_and_bucketed_agree_on_clustered_corpus(spark):
+    df = _clustered(spark)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_dedup_pairs(df, threshold=0.99, max_collect_rows=10_000).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in bucketed_dedup_pairs(df, threshold=0.99, num_centroids=3, nprobe=1).collect()
+    }
+    assert exact  # non-trivial: each cluster contributes C(n_per,2) pairs
+    assert bucketed == exact
+
+
+def test_large_corpus_never_collected(spark, monkeypatch):
+    df = _clustered(spark)
+    n = df.count()
+
+    def forbidden_collect(self):
+        raise AssertionError("driver-side collect() above max_collect_rows")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", forbidden_collect)
+    out = embedding_dedup_pairs(df, threshold=0.99, max_collect_rows=n - 1)
+    pdf = out.toPandas()  # toPandas does not route through DataFrame.collect
+    monkeypatch.undo()
+    assert len(pdf) > 0
+    assert set(pdf.columns) == {"id_a", "id_b", "sim"}
+    assert (pdf["id_a"] < pdf["id_b"]).all()
+
+
+def test_small_corpus_still_exact(spark):
+    df = _clustered(spark, n_per=3, n_clusters=2)
+    out = embedding_dedup_pairs(df, threshold=0.99).toPandas()
+    # each cluster of 3 near-identical vectors → 3 pairs
+    assert len(out) == 6
+    assert (out["sim"] >= 0.99).all()
