@@ -127,6 +127,81 @@ def cache_clear() -> int:
     return n
 
 
+DOCS_URL = "https://docs.sutro.sh"  # reference cli.py:384-388 click.launch target
+
+
+def login(api_key: str, base_url: str | None = None) -> bool:
+    """Reference ``sutro login`` (cli.py:88-134): validate the key,
+    persist {api_key, base_url}. The stub engine authenticates any
+    non-empty key offline."""
+    from sutro_spark.plans.config import load_config, save_config
+
+    if not api_key:
+        return False
+    prev = load_config()
+    save_config(api_key, base_url if base_url is not None else prev.get("base_url", ""))
+    return True
+
+
+def set_base_url(base_url: str) -> str:
+    """Reference ``sutro set-base-url`` (cli.py:390-396)."""
+    from sutro_spark.plans.config import load_config, save_config
+
+    cfg = load_config()
+    return save_config(cfg.get("api_key", ""), base_url)
+
+
+def _cli_registry():
+    from sutro_spark.plans.jobs import JobRegistry
+    from sutro_spark.session import get_spark
+
+    return JobRegistry(get_spark("cli", cpus=4))
+
+
+def jobs_status(job_id: str) -> str:
+    """``jobs status`` (reference cli.py:204-214). Jobs live in a
+    per-session registry; a job unknown to this process but present in
+    the results cache reports SUCCEEDED (the cache is only written on
+    success)."""
+    from sutro_spark.operators.results import cache_path
+    from sutro_spark.plans.jobs import JobStatus
+
+    status = _cli_registry().get_job_status(job_id)
+    if status is JobStatus.UNKNOWN and os.path.isdir(cache_path(job_id)):
+        return JobStatus.SUCCEEDED.value
+    return status.value
+
+
+def jobs_results(
+    job_id: str,
+    *,
+    include_inputs: bool = False,
+    include_cumulative_logprobs: bool = False,
+    save: bool = False,
+    save_format: str = "parquet",
+    output_dir: str = ".",
+) -> DataFrame | None:
+    """``jobs results`` (reference cli.py:216-262): cache-first fetch,
+    optional parquet/csv save named after the job id."""
+    from sutro_spark.operators.results import read_result_cache, save_results
+    from sutro_spark.session import get_spark
+
+    spark = get_spark("cli", cpus=4)
+    res = read_result_cache(spark, job_id, [])
+    if res is None:
+        return None
+    drop = []
+    if not include_inputs and "__prompt" in res.columns:
+        drop.append("__prompt")
+    if not include_cumulative_logprobs and "cumulative_logprobs" in res.columns:
+        drop.append("cumulative_logprobs")
+    if drop:
+        res = res.drop(*drop)
+    if save:
+        save_results(res, os.path.join(output_dir, f"{job_id}.{save_format}"), save_format)
+    return res
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="sutro-spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -134,6 +209,14 @@ def main(argv: list[str] | None = None) -> int:
     jobs_p = sub.add_parser("jobs")
     jobs_sub = jobs_p.add_subparsers(dest="jobs_cmd", required=True)
     jobs_sub.add_parser("list").add_argument("--all", action="store_true")
+    jobs_sub.add_parser("status").add_argument("job_id")
+    p = jobs_sub.add_parser("results")
+    p.add_argument("job_id")
+    p.add_argument("--include-inputs", action="store_true")
+    p.add_argument("--include-cumulative-logprobs", action="store_true")
+    p.add_argument("--save", action="store_true")
+    p.add_argument("--save-format", choices=["parquet", "csv"], default="parquet")
+    jobs_sub.add_parser("cancel").add_argument("job_id")
 
     ds_p = sub.add_parser("datasets")
     ds_sub = ds_p.add_subparsers(dest="ds_cmd", required=True)
@@ -144,6 +227,9 @@ def main(argv: list[str] | None = None) -> int:
     p = ds_sub.add_parser("upload")
     p.add_argument("name")
     p.add_argument("path")
+    p = ds_sub.add_parser("download")
+    p.add_argument("name")
+    p.add_argument("dest", nargs="?", default=".")
 
     cache_p = sub.add_parser("cache")
     cache_sub = cache_p.add_subparsers(dest="cache_cmd", required=True)
@@ -151,6 +237,11 @@ def main(argv: list[str] | None = None) -> int:
     cache_sub.add_parser("clear")
 
     sub.add_parser("quotas")
+    p = sub.add_parser("login")
+    p.add_argument("--api-key", required=True)  # non-interactive (no TTY prompt)
+    p.add_argument("--base-url", default=None)
+    sub.add_parser("set-base-url").add_argument("base_url")
+    sub.add_parser("docs")
 
     args = parser.parse_args(argv)
     if args.cmd == "datasets":
@@ -162,6 +253,8 @@ def main(argv: list[str] | None = None) -> int:
             print("\n".join(list_dataset_files(args.name)))
         elif args.ds_cmd == "upload":
             print("\n".join(upload_to_dataset(args.name, args.path)))
+        elif args.ds_cmd == "download":
+            print("\n".join(download_from_dataset(args.name, args.dest)))
     elif args.cmd == "cache":
         if args.cache_cmd == "show":
             for name, gb in cache_show().items():
@@ -173,16 +266,44 @@ def main(argv: list[str] | None = None) -> int:
 
         for prio, q in sorted(DEFAULT_QUOTAS.items()):
             print(f"priority {prio}: rows<={q.max_rows} tokens<={q.max_tokens}")
+    elif args.cmd == "login":
+        if not login(args.api_key, args.base_url):
+            print("Invalid API key. Try again.", file=sys.stderr)
+            return 1
+        print("Successfully authenticated. Welcome back!")
+    elif args.cmd == "set-base-url":
+        set_base_url(args.base_url)
+        print(f"Base URL set to {args.base_url}.")
+    elif args.cmd == "docs":
+        # no browser in this environment; print the launch target
+        print(DOCS_URL)
     elif args.cmd == "jobs":
-        # jobs live in a per-session registry; the CLI shows an empty
-        # table when no session is running (local engine, no server).
-        from sutro_spark.plans.jobs import JobRegistry
-        from sutro_spark.session import get_spark
-
-        reg = JobRegistry(get_spark("cli", cpus=4))
-        format_jobs_table(reg.jobs_table(), limit=None if getattr(args, "all", False) else 25).show(
-            truncate=False
-        )
+        if args.jobs_cmd == "status":
+            print(jobs_status(args.job_id))
+        elif args.jobs_cmd == "results":
+            res = jobs_results(
+                args.job_id,
+                include_inputs=args.include_inputs,
+                include_cumulative_logprobs=args.include_cumulative_logprobs,
+                save=args.save,
+                save_format=args.save_format,
+            )
+            if res is None:
+                print(f"No results found for job {args.job_id}.", file=sys.stderr)
+                return 1
+            res.show(truncate=False)
+            if args.save:
+                print(f"Results saved to {args.job_id}.{args.save_format}")
+        elif args.jobs_cmd == "cancel":
+            _cli_registry().cancel_job(args.job_id)
+            print("Job cancelled successfully.")
+        else:
+            # jobs live in a per-session registry; the CLI shows an
+            # empty table when no session is running (local engine).
+            reg = _cli_registry()
+            format_jobs_table(
+                reg.jobs_table(), limit=None if getattr(args, "all", False) else 25
+            ).show(truncate=False)
     return 0
 
 

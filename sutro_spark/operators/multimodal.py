@@ -154,6 +154,8 @@ def audio_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
 
+        import numpy as np
+
         for pdf in batches:
             n_samples, mean_amp, rms = [], [], []
             for payload in pdf[audio_column]:
@@ -162,14 +164,18 @@ def audio_features(
                     mean_amp.append(0.0)
                     rms.append(0.0)
                     continue
-                n = len(payload)
-                total = sum(payload)
-                sq = 0.0
-                for b in payload:  # sequential: engine-reproducible
-                    sq += float(b * b)
-                n_samples.append(n)
-                mean_amp.append(total / n)
-                rms.append(math.sqrt(sq / n))
+                # Vectorized over the buffer; int64 sums are EXACT
+                # (byte² ≤ 65025, so any realistic payload stays far
+                # under 2^53), hence bit-identical to a sequential
+                # float accumulation — reproducible across engines,
+                # ~100x faster than the per-byte Python loop it
+                # replaces. A real decoder drops in here keeping the
+                # same reduction discipline.
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n = arr.size
+                n_samples.append(int(n))
+                mean_amp.append(int(arr.sum()) / n)
+                rms.append(math.sqrt(int((arr * arr).sum()) / n))
             out = pdf[keep_names].copy()
             out["n_samples"] = n_samples
             out["mean_amp"] = mean_amp

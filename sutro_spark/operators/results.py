@@ -36,7 +36,8 @@ def order_results(
     ordered: list[str] = []
     if include_inputs and input_column in df.columns:
         ordered.append(input_column)
-    ordered += meta + [output_column]
+    # the output column is absent when JSON unpack promoted-and-dropped it
+    ordered += meta + ([output_column] if output_column in df.columns else [])
     if include_logprobs and "cumulative_logprobs" in df.columns:
         ordered.append("cumulative_logprobs")
     if "confidence_score" in df.columns:

@@ -61,6 +61,7 @@ def llm_transform(
     include_logprobs: bool = False,
     backend: str = "stub",
     slim: bool = False,
+    keep_prompt: bool = False,
     progress_accumulator=None,
 ) -> DataFrame:
     """U1 — per-row model completion as a streaming Arrow pipeline.
@@ -93,9 +94,10 @@ def llm_transform(
             backend=backend,
             progress_accumulator=progress_accumulator,
         ).drop(_PROMPT)
-        return src.drop(_PROMPT).join(transformed, on=ROW_ID, how="inner")
+        left = src if keep_prompt else src.drop(_PROMPT)
+        return left.join(transformed, on=ROW_ID, how="inner")
 
-    return _apply_backend(
+    out = _apply_backend(
         src,
         model=model,
         output_column=output_column,
@@ -106,7 +108,8 @@ def llm_transform(
         include_logprobs=include_logprobs,
         backend=backend,
         progress_accumulator=progress_accumulator,
-    ).drop(_PROMPT)
+    )
+    return out if keep_prompt else out.drop(_PROMPT)
 
 
 def _apply_backend(

@@ -105,6 +105,10 @@ class SutroSpark:
             random_seed_per_input=random_seed_per_input,
             truncate_chars=8192 * 4 if truncate_rows else None,
             backend=self.backend,
+            # carry the shipped prompt so results/cache can resurface it
+            # as `inputs` (reference stores inputs with results,
+            # sdk.py:1251-1276)
+            keep_prompt=True,
         )
         if dry_run:
             return self.estimate_cost(df, column or "prompt", model=model)
@@ -126,8 +130,8 @@ class SutroSpark:
         res = rename_output(res, output_column)
         if unpack_json and schema_dict is not None:
             res = unpack_json_outputs(res, output_column, schema_dict)
-        write_result_cache(res, job_id)
-        return res
+        write_result_cache(res, job_id)  # cache keeps __prompt for include_inputs
+        return res.drop("__prompt")
 
     # --- templates (reference: templates/*) ------------------------------
     def classify(self, data, classes, column=None, **kw):
@@ -176,7 +180,8 @@ class SutroSpark:
         self.registry.cancel_job(job_id)
 
     def await_job_completion(self, job_id: str, timeout: float = 7200.0, **kw):
-        return self.registry.await_job_completion(job_id, timeout=timeout, **kw)
+        res = self.registry.await_job_completion(job_id, timeout=timeout, **kw)
+        return res.drop("__prompt") if res is not None and "__prompt" in res.columns else res
 
     def attach(self, job_id: str):
         """Reference: re-attach to a running job and wait (sdk.py:853-964)."""
@@ -188,20 +193,32 @@ class SutroSpark:
         output_column: str = "inference_result",
         include_inputs: bool = False,
         include_cumulative_logprobs: bool = False,
+        with_original_df: DataFrame | None = None,
         disable_cache: bool = False,
         unpack_json: bool = True,
     ):
         """Cache-first results fetch (reference: sdk.py:1131-1340 —
-        reuse iff cached columns ⊇ expected; include_* knobs shape the
-        output columns like the reference's P5 projection)."""
+        reuse iff cached columns ⊇ expected).
+
+        - ``include_inputs`` resurfaces the shipped prompt as an
+          ``inputs`` column, ordered first (sdk.py:1251-1276);
+        - ``with_original_df`` concatenates the results onto the given
+          original frame by row position — the reference's polars
+          ``with_columns`` (sdk.py:1322-1334), here an equi-join on the
+          engine-wide ``__row_id``; result columns win name collisions
+          exactly like ``with_columns`` does.
+        """
+        from sutro_spark.operators.results import order_results, positional_join
+        from sutro_spark.sources.ingest import ROW_ID, with_row_id
+
+        expected = [output_column]
+        if include_inputs:
+            expected.append("__prompt")
+        if include_cumulative_logprobs:
+            expected.append("cumulative_logprobs")
+        res = None
         if not disable_cache:
-            cached = read_result_cache(self.spark, job_id, [output_column])
-            if cached is not None:
-                res = cached
-            else:
-                res = None
-        else:
-            res = None
+            res = read_result_cache(self.spark, job_id, expected)
         if res is None:
             res = self.registry.get_job_results(job_id)
             if res is None:
@@ -209,12 +226,32 @@ class SutroSpark:
             res = rename_output(res, output_column)
             if unpack_json:
                 res = unpack_json_outputs(res, output_column)
-        drop = []
+        if include_inputs and "__prompt" in res.columns:
+            res = res.withColumnRenamed("__prompt", "inputs")
+        elif "__prompt" in res.columns:
+            res = res.drop("__prompt")
         if not include_cumulative_logprobs and "cumulative_logprobs" in res.columns:
-            drop.append("cumulative_logprobs")
-        if not include_inputs and "__prompt" in res.columns:
-            drop.append("__prompt")
-        return res.drop(*drop) if drop else res
+            res = res.drop("cumulative_logprobs")
+        if with_original_df is not None:
+            if ROW_ID not in res.columns:
+                raise ValueError(
+                    "results lack __row_id; with_original_df needs positional alignment"
+                )
+            orig = (
+                with_original_df
+                if ROW_ID in with_original_df.columns
+                else with_row_id(with_original_df, None)
+            )
+            overlap = (set(orig.columns) & set(res.columns)) - {ROW_ID}
+            if overlap:  # result columns replace originals (with_columns rule)
+                orig = orig.drop(*overlap)
+            res = positional_join(orig, res)
+        return order_results(
+            res,
+            output_column,
+            include_inputs=include_inputs,
+            include_logprobs=include_cumulative_logprobs,
+        )
 
     def get_quotas(self) -> dict:
         return {

@@ -112,3 +112,32 @@ def test_facade_list_input(so):
     res = so.infer(["alpha", "beta"], column=None)
     rows = {r["prompt"]: r["inference_result"] for r in res.collect()}
     assert rows["alpha"] == "ECHO: ALPHA"
+
+
+def test_get_job_results_include_inputs_surfaces_inputs_first(so, documents, tmp_path, monkeypatch):
+    monkeypatch.setenv("SUTRO_SPARK_CACHE", str(tmp_path))
+    job_id = so.infer(documents.limit(6), column="text", stay_attached=False)
+    so.await_job_completion(job_id, timeout=120)
+    res = so.get_job_results(job_id, output_column="out", include_inputs=True)
+    # reference sdk.py:1251-1276 — inputs ordered first, named `inputs`
+    assert res.columns[0] == "inputs"
+    assert "__prompt" not in res.columns
+    row = res.first()
+    assert row["out"] == "ECHO: " + row["inputs"][:32].upper()
+    bare = so.get_job_results(job_id, output_column="out")
+    assert "inputs" not in bare.columns
+
+
+def test_get_job_results_with_original_df(so, documents, tmp_path, monkeypatch):
+    monkeypatch.setenv("SUTRO_SPARK_CACHE", str(tmp_path))
+    original = documents.limit(6).select("doc_id", "text", "lang")
+    job_id = so.infer(original, column="text", stay_attached=False)
+    so.await_job_completion(job_id, timeout=120)
+    joined = so.get_job_results(
+        job_id, output_column="out", with_original_df=original
+    )
+    assert {"doc_id", "text", "lang", "out"} <= set(joined.columns)
+    assert joined.count() == 6
+    # positional: each row's output is the echo of its own text
+    for r in joined.collect():
+        assert r["out"] == "ECHO: " + r["text"][:32].upper()
