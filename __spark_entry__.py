@@ -41,14 +41,12 @@ RANK_LABELS = ["opt_a", "opt_b", "opt_c"]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The driver may run these queries in its own session: pin the two
-    # dynamic confs the results depend on. UTC keeps date_format/
-    # unix_timestamp deterministic; nanosAsLong lets Spark 4 read the
-    # events table's TIMESTAMP(NANOS) parquet at all (ts arrives as
-    # nanos-since-epoch long; queries convert with integer division).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The driver may run these queries in its own session; the factory
+    # pins the same confs statically. One shared helper, documented in
+    # sutro_spark/session.py, so the two paths can't diverge.
+    from sutro_spark.session import ensure_reader_confs
+
+    ensure_reader_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

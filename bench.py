@@ -51,8 +51,19 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    # warm the JVM/session so the first query doesn't pay startup cost
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm the JVM: a scan, a shuffle agg, a broadcast join, and a sha2
+    # expression touch the codegen/shuffle paths the headline queries
+    # use, so the first measured query isn't paying one-time JIT cost.
+    from pyspark.sql import functions as F
+
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)), F.min(F.sha2(F.col("n_name"), 256)))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -62,6 +73,17 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # BASELINE.md-promised metric: prefix-sample cost-estimate accuracy.
+    # Ratio of the C6 sampled-prefix input-token estimate to the exact
+    # full-scan token count over documents.text (1.0 = perfect).
+    from sutro_spark.plans.cost import count_tokens, estimate_cost
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    est = estimate_cost(docs, "text")
+    actual = count_tokens(docs, "text").agg(F.sum("__tokens").alias("t")).first()["t"]
+    estimate_accuracy = round(est["input_tokens"] / actual, 4) if actual else None
+
     print(
         json.dumps(
             {
@@ -70,6 +92,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "estimate_accuracy": estimate_accuracy,
             }
         )
     )

@@ -56,9 +56,17 @@ def _spread(df: DataFrame) -> DataFrame:
     """Ensure the input is spread across the cluster before a row-
     multiplying explode. Small/single-file scans arrive as 1-2
     partitions; exploding there serializes the whole pipeline on one
-    core. No-op when the scan is already parallel (the 100 TB case)."""
+    core. No-op when the scan is already parallel (the 100 TB case).
+
+    The check reads ``inputFiles()`` — pure scan metadata — instead of
+    ``df.rdd.getNumPartitions()``, which would force a full RDD
+    conversion/analysis per call."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file source; cheap to spread
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df
 
@@ -149,34 +157,57 @@ def minhash_signatures(
     *,
     k: int = 8,
     num_hashes: int = 16,
+    hash_family: str = "sha2",
 ) -> DataFrame:
-    """MinHash signature per doc. Hash family: shingle → 2 salted
-    sha256 digests, each split into 8 disjoint 8-hex-char (32-bit)
-    chunks → 16 independent uniform hashes from only 2 digest
+    """MinHash signature per doc.
+
+    ``hash_family='sha2'`` (default, oracle-reproducible): shingle → 2
+    salted sha256 digests, each split into 8 disjoint 8-hex-char
+    (32-bit) chunks → 16 independent uniform hashes from only 2 digest
     computations per shingle (8× less hashing than one digest per
     hash). sig_i = lexicographic min of chunk i over the doc's
     shingles — identical in any engine. Output: (id, sig array<string>).
 
+    ``hash_family='xxhash64'`` (scale path): one salted xxhash64 per
+    hash slot — a JVM-intrinsic non-crypto hash, ~10× cheaper per call
+    than sha256 and codegen-friendly. Signature elements are the
+    zero-padded hex of the 64-bit min (same string-typed schema). Use
+    when cross-engine bit-reproducibility is not required — dedup
+    quality is equivalent.
+
     Per-doc min is a partial aggregation → map-side combine, single
     shuffle on id.
     """
-    if num_hashes > 16:
-        raise ValueError("num_hashes <= 16 with the 2-digest hash family")
     sh = char_shingles(df, text_column, id_column, k, distinct=False)
-    salted = sh.select(
-        "id",
-        *[
-            F.sha2(F.concat(F.lit(f"s{s}:"), F.col("shingle")), 256).alias(f"d{s}")
-            for s in range(2)
-        ],
-    )
-    hashed = salted.select(
-        "id",
-        *[
-            F.substring(F.col(f"d{i // 8}"), (i % 8) * 8 + 1, 8).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
-    )
+    if hash_family == "xxhash64":
+        hashed = sh.select(
+            "id",
+            *[
+                F.lpad(
+                    F.hex(F.xxhash64(F.lit(f"s{i}:"), F.col("shingle"))), 16, "0"
+                ).alias(f"h{i}")
+                for i in range(num_hashes)
+            ],
+        )
+    elif hash_family == "sha2":
+        if num_hashes > 16:
+            raise ValueError("num_hashes <= 16 with the 2-digest sha2 hash family")
+        salted = sh.select(
+            "id",
+            *[
+                F.sha2(F.concat(F.lit(f"s{s}:"), F.col("shingle")), 256).alias(f"d{s}")
+                for s in range(2)
+            ],
+        )
+        hashed = salted.select(
+            "id",
+            *[
+                F.substring(F.col(f"d{i // 8}"), (i % 8) * 8 + 1, 8).alias(f"h{i}")
+                for i in range(num_hashes)
+            ],
+        )
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}; use 'sha2' or 'xxhash64'")
     agg = hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
@@ -194,6 +225,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     verify_threshold: float | None = 0.2,
+    hash_family: str = "sha2",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (optionally Jaccard-verified).
 
@@ -205,20 +237,22 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_column, id_column, k=k, num_hashes=num_hashes)
+    sig = minhash_signatures(
+        df, text_column, id_column, k=k, num_hashes=num_hashes, hash_family=hash_family
+    )
+    # Band key = band id + the band's raw minhash values. No hash needed:
+    # docs collide iff their r minhashes are equal, and the concat IS that
+    # equality key (a sha2 here would only re-encode it, 8 digests/doc
+    # slower, without changing the candidate set).
     band_rows = sig.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.sha2(
-                        F.concat(
-                            F.lit(f"band{b}:"),
-                            F.concat_ws(
-                                "|", *[F.element_at("signature", b * r + j + 1) for j in range(r)]
-                            ),
-                        ),
-                        256,
+                    F.concat_ws(
+                        "|",
+                        F.lit(f"band{b}"),
+                        *[F.element_at("signature", b * r + j + 1) for j in range(r)],
                     )
                     for b in range(bands)
                 ]

@@ -274,9 +274,14 @@ def embedding_dedup_pairs(
     bc = spark.sparkContext.broadcast((ids, mat, norms))
     src = corpus.select(F.col(id_column).alias("id"), to_double_array(F.col(vector_column)).alias("v"))
     # single-file scans arrive as one partition — spread so every core
-    # gets a slice of the stream side
+    # gets a slice of the stream side (inputFiles() is scan metadata;
+    # df.rdd would force an RDD conversion per call)
     target = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(src.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         src = src.repartition(target)
 
     out_schema = T.StructType(

@@ -50,3 +50,23 @@ def get_spark(app_name: str = "sutro_spark", cpus: int | None = None) -> SparkSe
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_reader_confs(spark: SparkSession) -> None:
+    """THE one place the two result-affecting dynamic confs are pinned.
+
+    Sessions built by :func:`get_spark` already carry both statically
+    (above), but the external driver runs our queries inside ITS OWN
+    session — so every query path re-pins them here at read time:
+
+    - ``spark.sql.session.timeZone=UTC``: keeps date_format /
+      unix_timestamp deterministic across host timezones;
+    - ``spark.sql.legacy.parquet.nanosAsLong=true``: the synthetic
+      events table stores TIMESTAMP(NANOS) parquet, which Spark 4
+      otherwise rejects; ts arrives as nanos-since-epoch long and
+      queries convert with exact integer division.
+
+    Both are safe to set repeatedly (idempotent dynamic confs).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

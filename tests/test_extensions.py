@@ -99,3 +99,42 @@ def test_multimodal_decode_and_frames(spark):
     n_frames = 40 % 30 + 1  # metadata rule
     assert len(frames) == len(range(0, n_frames, 5))
     assert all(r["frame_id"] % 5 == 0 for r in frames)
+
+
+def test_minhash_xxhash64_family_equivalent_candidates(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    rows = [(1, base), (2, base + " extra"), (3, "completely different words entirely here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            df, k=5, num_hashes=16, bands=8, verify_threshold=None, hash_family="xxhash64"
+        ).collect()
+    }
+    assert (1, 2) in fast
+    assert (1, 3) not in fast and (2, 3) not in fast
+
+
+def test_minhash_unknown_family_raises(spark):
+    df = spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string")
+    import pytest
+    from sutro_spark.operators.dedup import minhash_signatures
+
+    with pytest.raises(ValueError, match="hash_family"):
+        minhash_signatures(df, hash_family="md5")
+
+
+def test_minhash_verify_is_pair_scoped_true_jaccard(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    rows = [(1, base), (2, base + " extra"), (3, "completely different words entirely here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(df, k=5, num_hashes=16, bands=8, verify_threshold=0.3).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, k=5, threshold=0.3, max_df=None).collect()
+    }
+    assert (1, 2) in verified
+    assert verified[(1, 2)] == exact[(1, 2)]  # verify = true Jaccard, uncapped
