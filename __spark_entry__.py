@@ -291,6 +291,17 @@ def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dedup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
+def q_bucketed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the 100-TB scale path of embedding near-dup: IVF-bucketed candidate
+    # generation (deterministic seed centroids, nprobe probing), zero
+    # driver collect — pure Catalyst end to end.
+    from sutro_spark.operators.similarity import bucketed_dedup_pairs
+
+    return bucketed_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, num_centroids=16, nprobe=2
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sutro_spark.operators.multimodal import attach_fake_media, decode_media
 
@@ -686,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "similarity_topk": q_similarity_topk,
         "embedding_dedup": q_embedding_dedup,
+        "bucketed_dedup": q_bucketed_dedup,
         "multimodal_decode": q_multimodal_decode,
         "infer_per_model": q_infer_per_model,
         "batch_function": q_batch_function,
@@ -983,6 +995,30 @@ def oracle_sql() -> dict[str, str]:
             FROM v a, v b
             WHERE a.vec_id < b.vec_id
               AND {_COSINE.format(a='a.e', b='b.e')} >= 0.35
+        """,
+        "bucketed_dedup": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS n FROM v),
+            c AS (SELECT vec_id AS cid, e AS ce, n AS cn FROM vn ORDER BY vec_id LIMIT 16),
+            scored AS (
+                SELECT vn.vec_id, vn.e, vn.n, c.cid,
+                       list_dot_product(vn.e, c.ce) / (vn.n * c.cn) AS d
+                FROM vn, c),
+            assigned AS (
+                SELECT vec_id, e, n, cid FROM (
+                    SELECT *, row_number() OVER
+                        (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rn
+                    FROM scored) WHERE rn <= 2),
+            pairs AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM assigned a JOIN assigned b USING (cid)
+                WHERE a.vec_id < b.vec_id)
+            SELECT p.id_a, p.id_b,
+                   round(list_dot_product(x.e, y.e) / (x.n * y.n), 6) AS sim
+            FROM pairs p
+            JOIN vn x ON x.vec_id = p.id_a
+            JOIN vn y ON y.vec_id = p.id_b
+            WHERE round(list_dot_product(x.e, y.e) / (x.n * y.n), 6) >= 0.3
         """,
         "multimodal_decode": """
             SELECT doc_id,
