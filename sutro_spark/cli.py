@@ -172,6 +172,41 @@ def jobs_status(job_id: str) -> str:
     return status.value
 
 
+def jobs_attach(job_id: str | None, *, latest: bool = False) -> int:
+    """``jobs attach [job_id] [--latest]`` (reference cli.py:419-435):
+    ``--latest`` picks the newest job from the registry table; no id and
+    no flag is a usage message. Jobs live in a per-session registry, so
+    a job from another process is resolved via the results cache and
+    reported as already completed (the cache is only written on
+    success), matching the reference's done-job short-circuit
+    (sdk.py:873-879)."""
+    from sutro_spark.operators.results import cache_path
+    from sutro_spark.plans.jobs import JobStatus
+    from sutro_spark.sdk import SutroSpark
+    from sutro_spark.session import get_spark
+
+    reg = _cli_registry()
+    if latest:
+        rows = format_jobs_table(reg.jobs_table(), limit=1).collect()
+        if not rows:
+            print("No jobs found.")
+            return 1
+        job_id = rows[0]["job_id"]
+        print(f"Attaching to latest job: {job_id}")
+    elif not job_id:
+        print("No job ID provided.")
+        return 1
+    if reg.get_job_status(job_id) is JobStatus.UNKNOWN and os.path.isdir(cache_path(job_id)):
+        print(
+            "Job already completed. You can obtain the results with"
+            f" `sutro jobs results {job_id}`"
+        )
+        return 0
+    so = SutroSpark(get_spark("cli", cpus=4))
+    so.registry = reg
+    return 0 if so.attach(job_id) is not None else 1
+
+
 def jobs_results(
     job_id: str,
     *,
@@ -217,6 +252,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--save", action="store_true")
     p.add_argument("--save-format", choices=["parquet", "csv"], default="parquet")
     jobs_sub.add_parser("cancel").add_argument("job_id")
+    p = jobs_sub.add_parser("attach")
+    p.add_argument("job_id", nargs="?")
+    p.add_argument("--latest", action="store_true")
 
     ds_p = sub.add_parser("datasets")
     ds_sub = ds_p.add_subparsers(dest="ds_cmd", required=True)
@@ -297,6 +335,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.jobs_cmd == "cancel":
             _cli_registry().cancel_job(args.job_id)
             print("Job cancelled successfully.")
+        elif args.jobs_cmd == "attach":
+            return jobs_attach(args.job_id, latest=args.latest)
         else:
             # jobs live in a per-session registry; the CLI shows an
             # empty table when no session is running (local engine).

@@ -86,6 +86,7 @@ class SutroSpark:
         random_seed_per_input: bool = False,
         truncate_rows: bool = True,
         unpack_json: bool = True,
+        show_preview: bool = False,
     ):
         """Submit a batch inference over ``data``; attached (default for
         priority 0, sdk.py:512-514) returns the results DataFrame,
@@ -118,10 +119,13 @@ class SutroSpark:
         if not stay_attached:
             return job_id
         return self._finalize_results(
-            job_id, output_column, schema_dict, unpack_json=unpack_json
+            job_id, output_column, schema_dict, unpack_json=unpack_json,
+            show_preview=show_preview,
         )
 
-    def _finalize_results(self, job_id, output_column, schema_dict, *, unpack_json=True):
+    def _finalize_results(
+        self, job_id, output_column, schema_dict, *, unpack_json=True, show_preview=False
+    ):
         res = self.registry.await_job_completion(job_id)
         if res is None:
             raise RuntimeError(
@@ -131,7 +135,17 @@ class SutroSpark:
         if unpack_json and schema_dict is not None:
             res = unpack_json_outputs(res, output_column, schema_dict)
         write_result_cache(res, job_id)  # cache keeps __prompt for include_inputs
-        return res.drop("__prompt")
+        res = res.drop("__prompt")
+        if show_preview:
+            # the attached-run preview print (reference sdk.py:437-459);
+            # here `res` already carries the input columns structurally
+            res.show(10, truncate=48)
+            print(
+                "✔ Displaying result preview. You can join the results on the"
+                f" original dataframe with `so.get_job_results('{job_id}',"
+                " with_original_df=<original_df>)`"
+            )
+        return res
 
     # --- templates (reference: templates/*) ------------------------------
     def classify(self, data, classes, column=None, **kw):
@@ -183,9 +197,65 @@ class SutroSpark:
         res = self.registry.await_job_completion(job_id, timeout=timeout, **kw)
         return res.drop("__prompt") if res is not None and "__prompt" in res.columns else res
 
-    def attach(self, job_id: str):
-        """Reference: re-attach to a running job and wait (sdk.py:853-964)."""
-        return self.registry.await_job_completion(job_id)
+    def attach(
+        self,
+        job_id: str,
+        original_df: DataFrame | None = None,
+        output_column: str = "inference_result",
+        preview_rows: int = 10,
+        quiet: bool = False,
+    ):
+        """Re-attach to a job and wait (reference: sdk.py:852-965).
+
+        Terminal jobs short-circuit with the reference's messages; a
+        live job is awaited. On success the results are merged onto
+        ``original_df`` (when given) and a preview is printed — the
+        attached-run preview join of sdk.py:437-459 — and the job id is
+        returned. Failures return None.
+        """
+        status = self.registry.get_job_status(job_id)
+        if status is JobStatus.UNKNOWN:
+            if not quiet:
+                print(f"Job {job_id} not found")
+            return None
+        if status is JobStatus.SUCCEEDED:
+            # the reference can't re-stream a done job's progress; it
+            # points at `jobs results` instead (sdk.py:873-879). The
+            # local engine still surfaces the preview join.
+            return self._show_preview(
+                job_id, original_df, output_column, preview_rows, quiet
+            )
+        if status.is_terminal:
+            if not quiet:
+                print(f"Job is in {status.value.lower()} state.")
+            return None
+        res = self.registry.await_job_completion(job_id)
+        if res is None:
+            if not quiet:
+                print(f"Failure reason: {self.registry.get_failure_reason(job_id)}")
+            return None
+        return self._show_preview(job_id, original_df, output_column, preview_rows, quiet)
+
+    def _show_preview(self, job_id, original_df, output_column, preview_rows, quiet):
+        """The attached-run result preview (reference sdk.py:437-459):
+        outputs merged onto the original frame, printed, job id back."""
+        preview = self.get_job_results(
+            job_id, output_column=output_column, with_original_df=original_df
+        )
+        if not quiet:
+            preview.show(preview_rows, truncate=48)
+            if original_df is not None:
+                print(
+                    "✔ Displaying result preview. You can join the results on the"
+                    f" original dataframe with `so.get_job_results('{job_id}',"
+                    " with_original_df=<original_df>)`"
+                )
+            else:
+                print(
+                    "✔ Job results received. You can re-obtain the results with"
+                    f" `so.get_job_results('{job_id}')`"
+                )
+        return job_id
 
     def get_job_results(
         self,

@@ -101,3 +101,23 @@ def test_jobs_results_from_cache_with_save(spark, documents, isolated_cache, tmp
 def test_jobs_results_missing_returns_error(isolated_cache, capsys):
     assert main(["jobs", "results", "job-absent"]) == 1
     assert "No results found" in capsys.readouterr().err
+
+
+def test_jobs_attach_requires_id_or_latest(capsys):
+    assert main(["jobs", "attach"]) == 1
+    assert "No job ID provided" in capsys.readouterr().out
+
+
+def test_jobs_attach_cached_job_short_circuits(spark, documents, isolated_cache, capsys):
+    from sutro_spark.operators.results import write_result_cache
+
+    write_result_cache(documents.limit(2), "job-cli-att")
+    # unknown to this process's registry but present in the results cache →
+    # the reference's done-job short-circuit (sdk.py:873-879)
+    assert main(["jobs", "attach", "job-cli-att"]) == 0
+    assert "already completed" in capsys.readouterr().out
+
+
+def test_jobs_attach_latest_empty_registry(capsys):
+    assert main(["jobs", "attach", "--latest"]) == 1
+    assert "No jobs found" in capsys.readouterr().out

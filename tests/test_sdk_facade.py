@@ -128,6 +128,43 @@ def test_get_job_results_include_inputs_surfaces_inputs_first(so, documents, tmp
     assert "inputs" not in bare.columns
 
 
+def test_attach_succeeded_job_previews_and_returns_id(
+    so, documents, tmp_path, monkeypatch, capsys
+):
+    monkeypatch.setenv("SUTRO_SPARK_CACHE", str(tmp_path))
+    original = documents.limit(4).select("doc_id", "text")
+    job_id = so.infer(original, column="text", stay_attached=False)
+    so.await_job_completion(job_id, timeout=120)
+    # quiet attach: merged preview computed, no print, job id back
+    assert so.attach(job_id, original_df=original, quiet=True) == job_id
+    out = capsys.readouterr().out
+    assert "preview" not in out
+    # loud attach without original_df: reference's "results received" message
+    assert so.attach(job_id) == job_id
+    assert "re-obtain the results" in capsys.readouterr().out
+
+
+def test_attach_unknown_job_returns_none(so, capsys):
+    assert so.attach("job-does-not-exist") is None
+    assert "not found" in capsys.readouterr().out
+
+
+def test_attach_cancelled_job_reports_state(so, documents, capsys):
+    job_id = so.infer(documents.limit(3), column="text", stay_attached=False)
+    so.registry.cancel_job(job_id)
+    res = so.await_job_completion(job_id, timeout=120)
+    if res is not None:  # stub job outran the cancel — nothing to assert
+        pytest.skip("job finished before cancel")
+    assert so.attach(job_id) is None
+    assert "cancelled" in capsys.readouterr().out
+
+
+def test_infer_show_preview_prints(so, documents, capsys):
+    res = so.infer(documents.limit(3), column="text", show_preview=True)
+    assert res.count() == 3
+    assert "result preview" in capsys.readouterr().out
+
+
 def test_get_job_results_with_original_df(so, documents, tmp_path, monkeypatch):
     monkeypatch.setenv("SUTRO_SPARK_CACHE", str(tmp_path))
     original = documents.limit(6).select("doc_id", "text", "lang")
