@@ -75,22 +75,28 @@ def char_shingles(
     df: DataFrame, text_column: str, id_column: str, k: int = 8, *, distinct: bool = True
 ) -> DataFrame:
     """Character k-gram shingles per document: (id, shingle), distinct
-    by default. Uses sequence+transform (no Python), then explode.
+    per document by default. Uses sequence+transform (no Python), then
+    explode.
 
-    ``distinct=False`` skips the dedup shuffle for consumers whose
-    aggregation is idempotent over duplicates (MinHash: min of a hash
-    is unchanged by repeats) — one full shuffle saved."""
+    Distinctness is ZERO-SHUFFLE: (id, shingle)-distinct is exactly
+    per-document-distinct because the id is part of the key, so
+    ``array_distinct`` on the per-row gram array before the explode
+    replaces the cross-partition ``.distinct()`` a naive plan would
+    shuffle for. ``distinct=False`` skips even that per-row dedup for
+    consumers whose aggregation is idempotent over duplicates (MinHash:
+    min of a hash is unchanged by repeats)."""
     n = F.length(F.col(text_column))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
         lambda i: F.col(text_column).substr(i, F.lit(k)),
     )
-    out = (
+    if distinct:
+        grams = F.array_distinct(grams)
+    return (
         _spread(df.select(F.col(id_column).alias("id"), F.col(text_column)))
         .select("id", F.explode(grams).alias("shingle"))
         .where(F.length("shingle") == k)
     )
-    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
