@@ -170,12 +170,16 @@ def q_positional_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S4 — CSV scan: round-trip nation through CSV, read with our reader.
+    # The fixture is written ONCE per sf_dir (keyed into the tmp path) —
+    # a coalesce(1) write belongs in setup, never in a query plan.
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), "sutro_spark_nation_csv")
-    _t(spark, sf_dir, "nation").orderBy("n_nationkey").coalesce(1).write.mode(
-        "overwrite"
-    ).option("header", True).csv(path)
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"sutro_spark_nation_csv_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _t(spark, sf_dir, "nation").orderBy("n_nationkey").coalesce(1).write.mode(
+            "overwrite"
+        ).option("header", True).csv(path)
     df = read_csv(spark, path)
     return df.select(
         F.col("n_nationkey").cast("long").alias("n_nationkey"),
@@ -274,6 +278,43 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_pred",
         "fingerprint",
     )
+
+
+def q_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic content-hash sampling + split assignment: a 20%
+    # sample of documents, each assigned train/val/test by an
+    # independent salt — both pure projections, zero shuffle.
+    from sutro_spark.functions.sampling import deterministic_sample, hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = deterministic_sample(docs, 20, "doc_id", salt="bench")
+    return hash_split(sampled, "doc_id").select("doc_id", "lang", "split")
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # context-window packing: 128-char chunks with 32-char overlap,
+    # explode inside the scan stage (no shuffle).
+    from sutro_spark.functions.text import chunk_text
+
+    return chunk_text(_t(spark, sf_dir, "documents"), size=128, overlap=32)
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII scrub over deterministically injected spans (the synthetic
+    # corpus has none): append an email + phone per doc, then redact
+    # and count. Single projection, JVM regex only.
+    from sutro_spark.functions.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-012-3456."),
+        ),
+    )
+    return redact_pii(docs, "text2").select("doc_id", "n_email", "n_phone", "redacted")
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,6 +587,67 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q4 shape: priority census of orders with ≥1 returned line. EXISTS
+    # becomes a LEFT SEMI join — no row multiplication, and Catalyst
+    # can shuffle-or-broadcast the filtered lineitem side as stats allow.
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q12 shape: conditional aggregation — per linestatus, how many
+    # lines belong to high- vs low-priority orders. The CASE WHEN sums
+    # fold into one map-side-combinable aggregate over a single join.
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q10 shape: returned-item revenue per customer, top 20. Fact-fact
+    # join shuffles on orderkey; nation is a broadcast dim; the top-k is
+    # a TakeOrderedAndProject (no global sort materialization).
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal frame sampling: one row per sampled frame index, blob
     # dropped after the (stubbed) frame extraction.
@@ -695,6 +797,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "text_profile": q_text_profile,
+        "hash_sample_split": q_hash_sample_split,
+        "chunk_docs": q_chunk_docs,
+        "redact_pii": q_redact_pii,
         "similarity_topk": q_similarity_topk,
         "embedding_dedup": q_embedding_dedup,
         "bucketed_dedup": q_bucketed_dedup,
@@ -712,6 +817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "ivf_dedup": q_ivf_dedup,
         "tpch_q6": q_tpch_q6,
+        "tpch_q4ish": q_tpch_q4ish,
+        "tpch_q12ish": q_tpch_q12ish,
+        "tpch_q10ish": q_tpch_q10ish,
         "promo_revenue": q_promo_revenue,
         "asof_purchase": q_asof_purchase,
         "range_join_events": q_range_join_events,
@@ -973,6 +1081,44 @@ def oracle_sql() -> dict[str, str]:
                    sha256(array_to_string(list_sort(list_distinct(ltoks)), ' ')) AS fingerprint
             FROM m
         """,
+        "hash_sample_split": """
+            WITH b AS (
+                SELECT doc_id, lang,
+                       CAST(concat('0x', substr(sha256(concat('bench:',
+                            CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) % 100 AS sb,
+                       CAST(concat('0x', substr(sha256(concat('split:',
+                            CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) % 100 AS kb
+                FROM documents)
+            SELECT doc_id, lang,
+                   CASE WHEN kb < 98 THEN 'train'
+                        WHEN kb < 99 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b WHERE sb < 20
+        """,
+        "chunk_docs": """
+            SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_id,
+                   substr(text, CAST(t.i * 96 + 1 AS INT), 128) AS chunk
+            FROM documents,
+                 unnest(range(0, greatest((length(text) - 1) // 96, 0) + 1)) AS t(i)
+            WHERE length(substr(text, CAST(t.i * 96 + 1 AS INT), 128)) > 0
+        """,
+        "redact_pii": """
+            WITH t AS (
+                SELECT doc_id,
+                       concat(text, ' Contact user', CAST(doc_id AS VARCHAR),
+                              '@example.com or 555-012-3456.') AS text2
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text2,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                       AS n_email,
+                   CAST(len(regexp_extract_all(text2,
+                       '[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS BIGINT) AS n_phone,
+                   regexp_replace(regexp_replace(text2,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                       '[0-9]{3}-[0-9]{3,4}-[0-9]{4}', '[PHONE]', 'g') AS redacted
+            FROM t
+        """,
         "similarity_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id < 5),
@@ -1162,6 +1308,38 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "tpch_q4ish": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q12ish": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_linestatus
+        """,
+        "tpch_q10ish": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
         """,
         "promo_revenue": """
             SELECT CAST(p_type LIKE 'PROMO%' AS INTEGER) AS promo,

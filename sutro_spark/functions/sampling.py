@@ -1,0 +1,87 @@
+"""Deterministic sampling and split assignment for training-data
+pipelines.
+
+Random sampling (``df.sample``, ``TABLESAMPLE``) is seeded per-engine
+and per-partitioning, so a "10% sample" is neither reproducible across
+runs with different partition counts nor auditable. Pipelines at 100 TB
+instead sample by CONTENT HASH: a row is in the sample iff
+``hash(salt, key) % buckets < share`` — a pure per-row projection:
+
+- zero shuffle, zero state: the decision is a filter, fully pushed
+  into the scan stage;
+- stable under repartitioning, retries, cluster size, engine version;
+- composable: the same (salt, key) always lands in the same split, so
+  train/val/test assignment is consistent across every table derived
+  from the same key (no leakage between splits when new tables join
+  the pipeline);
+- auditable: any engine can recompute membership (sha256 is the
+  portable hash family — the DuckDB oracle reproduces the exact
+  bucket with ``CAST('0x' || substr(sha256(x), 1, 8) AS UBIGINT)``).
+
+Not present in the reference (an SDK concern, not an engine one); the
+operator family the brief's "training-data pipeline" scope calls for.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column | str, *, salt: str = "", buckets: int = 100) -> Column:
+    """Uniform bucket in [0, buckets) from the first 32 bits of
+    sha256(salt ':' key). 32 bits keeps the value inside a BIGINT in
+    every engine (the full 256-bit digest wouldn't parse portably) while
+    leaving bucket-count granularity up to ~4e9."""
+    k = F.col(key) if isinstance(key, str) else key
+    h32 = F.conv(
+        F.substring(F.sha2(F.concat(F.lit(f"{salt}:"), k.cast("string")), 256), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (h32 % buckets).alias("bucket")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate_pct: int,
+    key_column: str,
+    *,
+    salt: str = "sample",
+    buckets: int = 100,
+) -> DataFrame:
+    """Keep rows whose hash bucket < ``rate_pct`` of ``buckets`` — a
+    reproducible ``rate_pct/buckets`` sample keyed on content, applied
+    as a plain filter (survives predicate pushdown reordering since it
+    only reads one column)."""
+    return df.where(hash_bucket(key_column, salt=salt, buckets=buckets) < rate_pct)
+
+
+def hash_split(
+    df: DataFrame,
+    key_column: str,
+    splits: Mapping[str, int] | None = None,
+    *,
+    salt: str = "split",
+    column: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hash bucket share.
+
+    ``splits`` maps name → integer share; shares are cumulated in
+    insertion order over ``sum(shares)`` buckets (default 98/1/1
+    train/val/test). One projection, no shuffle; the same key always
+    lands in the same split in every table and every run."""
+    splits = dict(splits or {"train": 98, "val": 1, "test": 1})
+    total = sum(splits.values())
+    if total <= 0 or any(v < 0 for v in splits.values()):
+        raise ValueError(f"split shares must be non-negative with a positive sum: {splits}")
+    bucket = hash_bucket(key_column, salt=salt, buckets=total)
+    expr = None
+    acc = 0
+    for name, share in splits.items():
+        acc += share
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(column, expr)

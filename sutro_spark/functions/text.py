@@ -126,6 +126,78 @@ def fingerprint(col) -> Column:
     return F.sha2(canon, 256)
 
 
+def chunk_text(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    size: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    context-window packing for embedding/inference pipelines.
+
+    Pure Catalyst: a per-row ``sequence`` of chunk starts →
+    ``transform`` to substrings → ``posexplode``. No shuffle, no
+    Python; output size is rows × ceil(len/stride), produced inside the
+    scan stage, so at 100 TB the explode parallelism is the scan
+    parallelism (partition count follows maxPartitionBytes, not a
+    repartition).
+
+    Chunk i covers [i·stride, i·stride + size); the final chunk may be
+    shorter. Returns (id, chunk_id, chunk).
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+    n = F.length(F.col(text_column))
+    last = F.greatest(F.floor((n - 1) / stride), F.lit(0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), last),
+        lambda i: F.col(text_column).substr(i * stride + 1, F.lit(size)),
+    )
+    return (
+        df.select(F.col(id_column), F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .where(F.length("chunk") > 0)
+        .withColumn("chunk_id", F.col("chunk_id").cast("long"))
+    )
+
+
+# PII patterns restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): character classes, bounded repeats —
+# no lookarounds, no backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_column: str = "text",
+    *,
+    output_column: str = "redacted",
+    patterns: dict[str, str] | None = None,
+    token: str = "[{name}]",
+) -> DataFrame:
+    """Scrub PII-shaped spans and count them per document.
+
+    One projection: for each named pattern, ``regexp_extract_all`` size
+    → ``n_<name>`` count column (computed on the ORIGINAL text, so
+    counts are order-independent), then chained ``regexp_replace`` into
+    ``output_column``. JVM-side regex only — the classic pre-training
+    scrub runs at scan speed with zero Python.
+    """
+    patterns = patterns or {"email": EMAIL_RE, "phone": PHONE_RE}
+    src = F.col(text_column)
+    counts = {
+        f"n_{name}": F.size(F.regexp_extract_all(src, F.lit(pat), 0)).cast("long")
+        for name, pat in patterns.items()
+    }
+    redacted = src
+    for name, pat in patterns.items():
+        redacted = F.regexp_replace(redacted, pat, token.format(name=name.upper()))
+    return df.withColumns({**counts, output_column: redacted})
+
+
 def text_profile(df: DataFrame, text_column: str = "text") -> DataFrame:
     """All text metrics as one projection (single scan, no shuffle)."""
     c = F.col(text_column)

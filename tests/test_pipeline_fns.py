@@ -1,0 +1,113 @@
+"""Training-pipeline functions: deterministic sampling/splits, chunking,
+PII redaction. All are pure projections — the tests assert semantics AND
+that the plans stay shuffle-free (the 100 TB property)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sutro_spark.functions.sampling import deterministic_sample, hash_bucket, hash_split
+from sutro_spark.functions.text import chunk_text, redact_pii
+
+
+def _no_exchange(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_hash_split_assigns_everyone_deterministically(documents):
+    out = hash_split(documents, "doc_id")
+    assert out.where(F.col("split").isNull()).count() == 0
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(documents, "doc_id").collect()}
+    assert a == b
+    # 98/1/1 shares: train dominates, every named split non-degenerate
+    # at 500 docs is not guaranteed for val/test, but train must be ~490
+    n = documents.count()
+    assert a and sum(1 for s in a.values() if s == "train") > 0.9 * n
+    _no_exchange(out)
+
+
+def test_hash_split_consistent_across_tables(documents, spark):
+    # same key ⇒ same split in ANY table derived from it (no leakage)
+    other = documents.select("doc_id", F.lit("x").alias("payload"))
+    a = {r["doc_id"]: r["split"] for r in hash_split(documents, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(other, "doc_id").collect()}
+    assert a == b
+
+
+def test_hash_split_rejects_bad_shares(documents):
+    with pytest.raises(ValueError):
+        hash_split(documents, "doc_id", {"a": 0, "b": 0})
+    with pytest.raises(ValueError):
+        hash_split(documents, "doc_id", {"a": -1, "b": 2})
+
+
+def test_deterministic_sample_rate_and_stability(documents):
+    n = documents.count()
+    s = deterministic_sample(documents, 20, "doc_id")
+    k = s.count()
+    assert k == deterministic_sample(documents, 20, "doc_id").count()
+    assert 0.1 * n < k < 0.35 * n  # ~20% with hash noise
+    # sample at 50 is a superset of sample at 20 (same salt ⇒ nested)
+    ids20 = {r["doc_id"] for r in s.collect()}
+    ids50 = {r["doc_id"] for r in deterministic_sample(documents, 50, "doc_id").collect()}
+    assert ids20 <= ids50
+    _no_exchange(s)
+
+
+def test_hash_bucket_range(documents):
+    rows = documents.select(hash_bucket("doc_id", buckets=7).alias("b")).collect()
+    assert {r["b"] for r in rows} <= set(range(7))
+
+
+def test_chunk_text_reconstructs_documents(spark):
+    df = spark.createDataFrame(
+        [(1, "a" * 10), (2, "x" * 300), (3, "short")], ["doc_id", "text"]
+    )
+    out = chunk_text(df, size=128, overlap=32)
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk"]) for r in out.collect()
+    )
+    by_doc = {}
+    for doc, cid, chunk in rows:
+        assert len(chunk) <= 128
+        by_doc.setdefault(doc, []).append((cid, chunk))
+    originals = {r["doc_id"]: r["text"] for r in df.collect()}
+    stride = 128 - 32
+    for doc, chunks in by_doc.items():
+        chunks.sort()
+        assert [c[0] for c in chunks] == list(range(len(chunks)))
+        rebuilt = chunks[0][1] + "".join(c[1][32:] for c in chunks[1:])
+        assert rebuilt == originals[doc]
+        # every chunk except the last starts exactly `stride` later
+        assert len(chunks) == max(0, (len(originals[doc]) - 1) // stride) + 1
+
+
+def test_chunk_text_empty_and_validation(spark):
+    df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    assert chunk_text(df).count() == 0
+    with pytest.raises(ValueError):
+        chunk_text(df, size=32, overlap=32)
+
+
+def test_chunk_text_no_shuffle(documents):
+    _no_exchange(chunk_text(documents))
+
+
+def test_redact_pii_counts_and_scrubs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@corp.example.com or 555-123-4567 ok"),
+            (2, "no pii here"),
+            (3, "two mails a@b.io c@d.org and 555-12-34 (not a phone)"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "[EMAIL]" in out[1]["redacted"] and "[PHONE]" in out[1]["redacted"]
+    assert "alice" not in out[1]["redacted"]
+    assert out[2]["n_email"] == 0 and out[2]["n_phone"] == 0
+    assert out[2]["redacted"] == "no pii here"
+    assert out[3]["n_email"] == 2 and out[3]["n_phone"] == 0
+    _no_exchange(redact_pii(df))
