@@ -508,6 +508,29 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rh_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # random-hyperplane LSH near-dup: 64 deterministic sign-sketch bits
+    # per vector, banded 8×8 into an equi-join, exact-cosine verify —
+    # the data-independent ANN scale path next to IVF. The synthetic
+    # corpus has no high-sim pairs, so the query PLANTS one near-dup
+    # per vector (element 0 scaled 1.05×, id offset +100000) and runs
+    # the operator at its real operating point (threshold 0.98); the
+    # oracle mirrors the same planting, so banding misses — if any —
+    # are identical in both engines.
+    from sutro_spark.operators.similarity import rh_lsh_dedup_pairs
+
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    planted = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x * 1.05).otherwise(x)
+        ).alias("embedding"),
+    )
+    return rh_lsh_dedup_pairs(base.unionByName(planted), threshold=0.98)
+
+
 def q_ivf_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF-bucketed near-dup: assign each vector to its nearest centroid
     # (every 50th vector), then compare only within buckets — the
@@ -816,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_regions": q_customer_regions,
         "events_sessionize": q_events_sessionize,
         "ivf_dedup": q_ivf_dedup,
+        "rh_lsh_dedup": q_rh_lsh_dedup,
         "tpch_q6": q_tpch_q6,
         "tpch_q4ish": q_tpch_q4ish,
         "tpch_q12ish": q_tpch_q12ish,
@@ -887,6 +911,49 @@ _COSINE = (
     "round(list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
+
+
+def _rh_lsh_sql() -> str:
+    """DuckDB mirror of q_rh_lsh_dedup (planes=64, bands=8, r=8, planted
+    near-dups): the sign matrix is regenerated from the same sha256
+    derivation and inlined as literal arrays, so both engines sketch
+    identically — banding misses agree bit-for-bit."""
+    from sutro_spark.operators.similarity import rh_signs
+
+    planes, bands = 64, 8
+    r = planes // bands
+    signs = rh_signs(planes, 64)
+    bits = ", ".join(
+        f"CAST((list_dot_product(e, [{', '.join(f'{s}.0' for s in signs[p])}]) > 0)"
+        f" AS INT) AS bit{p}"
+        for p in range(planes)
+    )
+    keys = ", ".join(
+        "concat('b{b}', {parts})".format(
+            b=b,
+            parts=", ".join(f"'|', bit{b * r + j}" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    cos = _COSINE.format(a="va.e", b="vb.e")
+    return f"""
+        WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        v AS (
+            SELECT vec_id, e FROM base
+            UNION ALL
+            SELECT vec_id + 100000 AS vec_id,
+                   list_concat([e[1] * 1.05], e[2:]) AS e
+            FROM base),
+        s AS (SELECT vec_id, {bits} FROM v),
+        k AS (SELECT vec_id, unnest([{keys}]) AS bk FROM s),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM k a JOIN k b ON a.bk = b.bk AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, {cos} AS sim
+        FROM cand
+        JOIN v va ON va.vec_id = id_a
+        JOIN v vb ON vb.vec_id = id_b
+        WHERE {cos} >= 0.98
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1282,6 +1349,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, c_mktsegment
         """,
+        "rh_lsh_dedup": _rh_lsh_sql(),
         "ivf_dedup": f"""
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
             vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS n FROM v),

@@ -221,6 +221,116 @@ def bucketed_dedup_pairs(
     return pairs.where(F.col("sim") >= threshold).select("id_a", "id_b", "sim")
 
 
+def rh_signs(planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 random-hyperplane sign matrix: sign(p, d) comes
+    from the first byte of sha256("rh{p}:{d}"). No RNG state — any
+    engine (and the DuckDB oracle) regenerates the identical planes, so
+    sketches are reproducible across runs, engines, and cluster sizes."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.sha256(f"rh{p}:{d}".encode()).digest()[0] % 2 == 0 else -1
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def rh_sketch_bits(vector_col, signs: list[list[int]]) -> list[F.Column]:
+    """SimHash-for-embeddings: bit p = (v · s_p) > 0. With ±1 weights
+    the dot is a signed sum of components — one sequential-order pass
+    per plane, all JVM-side."""
+    return [
+        (raw_dot(vector_col, F.array(*[F.lit(float(s)) for s in plane])) > 0).cast("int")
+        for plane in signs
+    ]
+
+
+def rh_lsh_dedup_pairs(
+    corpus: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int = 64,
+    planes: int = 64,
+    bands: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Random-hyperplane LSH near-duplicate pairs — the second ANN scale
+    path next to IVF (:func:`bucketed_dedup_pairs`), data-independent:
+    no centroids to pick, so it needs no seed pass over the corpus and
+    the sketch of a vector never changes as the corpus grows (stable
+    under incremental ingest — the property IVF lacks).
+
+    Plan shape mirrors MinHash-LSH banding: ``planes`` sign bits per
+    vector (one projection), split into ``bands`` groups of r bits;
+    vectors agreeing on ALL r bits of some band become candidates via an
+    equi-join on the band key. For vectors at angle θ each bit agrees
+    with prob 1-θ/π, so a band matches with (1-θ/π)^r and a true pair
+    is missed with (1-(1-θ/π)^r)^bands. The defaults (r=8, bands=8)
+    target HIGH-similarity dedup: recall ≈ 93% at cos 0.9, ≈ 99.99% at
+    cos 0.99, while an unrelated pair (cos≈0, bit-agree ½) collides
+    with only 8·(½)^8 ≈ 3% of bands — the band alphabet must stay large
+    (2^r keys) or candidate generation degenerates to all-pairs; r
+    below ~6 is rejected. Grow r (and planes) as the corpus grows to
+    keep |candidates| ≈ linear; RH-LSH is NOT a recall-preserving
+    choice for loose thresholds (cos < ~0.7) — use IVF there.
+    Candidates are verified with the exact sequential-order cosine;
+    only pairs ≥ threshold survive, so precision is exact and recall is
+    the only approximation.
+
+    Band rows carry ONLY (id, band_key) — never the vector — so the
+    band self-join shuffles 2 small columns × bands rows; vectors are
+    re-joined by id for the verify step (two joins the optimizer can
+    broadcast or co-shuffle). Carrying d doubles × bands through the
+    band shuffle measures ~2× slower even at 4k vectors and only
+    worsens with d.
+    Output: (id_a, id_b, sim), id_a < id_b, sim rounded to 6 decimals.
+    """
+    if planes % bands:
+        raise ValueError("planes must be divisible by bands")
+    r = planes // bands
+    if r < 6:
+        raise ValueError(
+            f"band width r={r} gives only {2**r} band keys — candidate "
+            "generation would be near-quadratic; use planes/bands >= 6"
+        )
+    signs = rh_signs(planes, dim)
+    prep = corpus.select(
+        F.col(id_column).alias("id"), to_double_array(F.col(vector_column)).alias("v")
+    ).withColumn("n", F.sqrt(raw_dot(F.col("v"), F.col("v"))))
+    bits = rh_sketch_bits(F.col("v"), signs)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|", F.lit(f"b{b}"), *[c.cast("string") for c in bits[b * r : (b + 1) * r]]
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = prep.select("id", F.explode(band_keys).alias("bk"))
+    cand = (
+        keyed.select("bk", F.col("id").alias("id_a"))
+        .join(keyed.select("bk", F.col("id").alias("id_b")), "bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        # a pair colliding in several bands must pay its cosine once
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = prep.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    vb = prep.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "sim", F.round(raw_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+        )
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def embedding_dedup_pairs(
     corpus: DataFrame,
     *,

@@ -8,7 +8,12 @@ import pyspark.sql
 import pytest
 from pyspark.sql import functions as F
 
-from sutro_spark.operators.similarity import bucketed_dedup_pairs, embedding_dedup_pairs
+from sutro_spark.operators.similarity import (
+    bucketed_dedup_pairs,
+    embedding_dedup_pairs,
+    rh_lsh_dedup_pairs,
+    rh_signs,
+)
 
 
 def _clustered(spark, n_per=6, n_clusters=3, dim=8):
@@ -62,3 +67,50 @@ def test_small_corpus_still_exact(spark):
     # each cluster of 3 near-identical vectors → 3 pairs
     assert len(out) == 6
     assert (out["sim"] >= 0.99).all()
+
+
+def test_rh_signs_deterministic_and_balanced():
+    a = rh_signs(16, 64)
+    assert a == rh_signs(16, 64)
+    assert {s for plane in a for s in plane} == {-1, 1}
+    # sha256-derived bits are ~balanced: no plane is constant
+    assert all(-64 < sum(plane) < 64 for plane in a)
+    # planes are distinct (a repeated plane wastes a band)
+    assert len({tuple(p) for p in a}) == 16
+
+
+def test_rh_lsh_full_recall_on_tight_clusters(spark):
+    # near-identical vectors agree on EVERY sketch bit → recall is 1.0
+    # for tight clusters regardless of banding
+    df = _clustered(spark, dim=8)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_dedup_pairs(df, threshold=0.99, max_collect_rows=10_000).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in rh_lsh_dedup_pairs(df, dim=8, threshold=0.99).collect()
+    }
+    assert exact and lsh == exact
+
+
+def test_rh_lsh_precision_is_exact(spark):
+    # whatever candidates banding admits, the verify step keeps only
+    # true >=threshold pairs — so the result is a SUBSET of exact pairs
+    df = _clustered(spark, n_per=4, n_clusters=4, dim=8)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_dedup_pairs(df, threshold=0.5, max_collect_rows=10_000).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b) for r in rh_lsh_dedup_pairs(df, dim=8, threshold=0.5).collect()
+    }
+    assert lsh <= exact
+
+
+def test_rh_lsh_validates_banding():
+    with pytest.raises(ValueError):
+        rh_lsh_dedup_pairs(None, planes=16, bands=5)
+    # narrow bands (tiny key alphabet) degenerate to all-pairs — rejected
+    with pytest.raises(ValueError, match="band width"):
+        rh_lsh_dedup_pairs(None, planes=16, bands=8)
