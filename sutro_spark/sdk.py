@@ -54,6 +54,7 @@ class SutroSpark:
         self.registry = JobRegistry(self.spark)
         self.api_key = api_key or ""
         self.base_url = base_url or ""
+        self.serving_base_url = ""
 
     # --- config setters (reference: sdk.py:64-101) ------------------------
     def set_api_key(self, api_key: str) -> None:
@@ -67,6 +68,12 @@ class SutroSpark:
 
         self.base_url = base_url
         save_config(api_key=self.api_key, base_url=base_url)
+
+    def set_serving_base_url(self, serving_base_url: str) -> None:
+        """Base URL for function-execution requests (reference
+        sdk.py:91-101); run_function routes through it when the HTTP
+        backend is active."""
+        self.serving_base_url = serving_base_url
 
     # --- core inference (reference: sdk.py:465-537) ----------------------
     def infer(
@@ -85,12 +92,21 @@ class SutroSpark:
         stay_attached: bool | None = None,
         random_seed_per_input: bool = False,
         truncate_rows: bool = True,
+        id_column: str | None = None,
         unpack_json: bool = True,
         show_preview: bool = False,
     ):
         """Submit a batch inference over ``data``; attached (default for
         priority 0, sdk.py:512-514) returns the results DataFrame,
-        detached returns the job id."""
+        detached returns the job id.
+
+        ``id_column`` mirrors the reference's restriction (sdk.py:207-212):
+        only HTTP(S) download-URL inputs accept one — for every other
+        source the input columns already ride through to the results."""
+        if id_column is not None and not (
+            isinstance(data, str) and data.startswith(("http://", "https://"))
+        ):
+            raise ValueError("id_column is only supported for HTTP(S) download URL inputs.")
         df = prepare_input_data(self.spark, data, column if isinstance(column, str) else None)
         schema_dict = normalize_output_schema(output_schema) if output_schema else None
         if stay_attached is None:

@@ -159,6 +159,17 @@ def test_attach_cancelled_job_reports_state(so, documents, capsys):
     assert "cancelled" in capsys.readouterr().out
 
 
+def test_id_column_restricted_to_url_inputs(so, documents):
+    # reference sdk.py:207-212 — id_column only valid for URL inputs
+    with pytest.raises(ValueError, match="HTTP"):
+        so.infer(documents.limit(2), column="text", id_column="doc_id")
+
+
+def test_set_serving_base_url(so):
+    so.set_serving_base_url("https://serve.example")
+    assert so.serving_base_url == "https://serve.example"
+
+
 def test_infer_show_preview_prints(so, documents, capsys):
     res = so.infer(documents.limit(3), column="text", show_preview=True)
     assert res.count() == 3
