@@ -65,14 +65,33 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name: str) -> float:
+        """min of 2 runs: the host VM sees bursty CPU-steal windows that
+        can inflate a single run several-fold; the min is the honest
+        engine cost. clearCache drops intermediates persisted inside
+        operators (row-id minting caches its range-partitioned input) so
+        storage-memory pressure from one run can't tax the next."""
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            spark.catalog.clearCache()
+        return round(best, 3)
 
+    timings = {name: timed(name) for name in HEADLINE}
     total = round(sum(timings.values()), 3)
+
+    # Round-2 additions, timed separately so `value` stays comparable
+    # with BENCH_r01's 20-query headline total.
+    extra = {
+        name: timed(name)
+        for name in [
+            "rh_lsh_dedup", "chunk_docs", "redact_pii", "hash_sample_split",
+            "tpch_q4ish", "tpch_q10ish", "tpch_q12ish",
+        ]
+        if name in qs
+    }
 
     # BASELINE.md-promised metric: prefix-sample cost-estimate accuracy.
     # Ratio of the C6 sampled-prefix input-token estimate to the exact
@@ -91,7 +110,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra,
                 "sf": sf,
+                # methodology: r01 recorded single cold runs; from r02 each
+                # query is min-of-2 to mask host CPU-steal bursts (single
+                # runs varied 32-85 s total on an idle VM)
+                "runs_per_query": 2,
+                "agg": "min",
                 "estimate_accuracy": estimate_accuracy,
             }
         )

@@ -59,8 +59,13 @@ def with_row_id(df: DataFrame, order_by: Sequence[str] | None = None) -> DataFra
         "__local", F.row_number().over(w).cast("long")
     )
     # persist: the count job and the final plan must observe the SAME
-    # range boundaries (repartitionByRange samples), and this also
-    # avoids computing the upstream twice
+    # range boundaries (repartitionByRange SAMPLES on each recompute),
+    # and this also avoids computing the upstream twice. A cached block
+    # lost and recomputed could shift boundaries — impossible in
+    # local mode; on a real cluster, checkpoint the ranged table (a
+    # reliable checkpoint, not localCheckpoint: those blocks dodge both
+    # recompute AND spark.catalog.clearCache, so they accumulate) or
+    # mint ids once at ingest and persist them in the table layout.
     local = local.persist()
     # per-partition counts are |partitions| rows — a driver-side prefix
     # sum, then a broadcast-sized join back
