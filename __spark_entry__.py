@@ -510,7 +510,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_rh_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # random-hyperplane LSH near-dup: 64 deterministic sign-sketch bits
-    # per vector, banded 8×8 into an equi-join, exact-cosine verify —
+    # per vector, banded 4×16 into an equi-join, exact-cosine verify —
     # the data-independent ANN scale path next to IVF. The synthetic
     # corpus has no high-sim pairs, so the query PLANTS one near-dup
     # per vector (element 0 scaled 1.05×, id offset +100000) and runs
@@ -914,20 +914,26 @@ _COSINE = (
 
 
 def _rh_lsh_sql() -> str:
-    """DuckDB mirror of q_rh_lsh_dedup (planes=64, bands=8, r=8, planted
+    """DuckDB mirror of q_rh_lsh_dedup (planes=64, bands=4, r=16, planted
     near-dups): the sign matrix is regenerated from the same sha256
     derivation and inlined as literal arrays, so both engines sketch
     identically — banding misses agree bit-for-bit."""
     from sutro_spark.operators.similarity import rh_signs
 
-    planes, bands = 64, 8
+    planes, bands = 64, 4
     r = planes // bands
-    signs = rh_signs(planes, 64)
-    bits = ", ".join(
-        f"CAST((list_dot_product(e, [{', '.join(f'{s}.0' for s in signs[p])}]) > 0)"
-        f" AS INT) AS bit{p}"
-        for p in range(planes)
-    )
+    dim = 64
+    signs = rh_signs(planes, dim)
+    # bit p = (Σv − 2·Σ_neg v) > 0 with BOTH sums as left-associated
+    # element chains — the exact arithmetic of rh_sketch_bits, so the
+    # bits agree with Spark to the last ulp
+    tot = " + ".join(f"e[{i}]" for i in range(1, dim + 1))
+    def _bit(p: int) -> str:
+        negs = [i + 1 for i, s in enumerate(signs[p]) if s == -1]
+        negsum = " + ".join(f"e[{i}]" for i in negs)
+        dot = f"(tot - 2*({negsum}))" if negs else "tot"
+        return f"CAST(({dot} > 0) AS INT) AS bit{p}"
+    bits = ", ".join(_bit(p) for p in range(planes))
     keys = ", ".join(
         "concat('b{b}', {parts})".format(
             b=b,
@@ -944,7 +950,8 @@ def _rh_lsh_sql() -> str:
             SELECT vec_id + 100000 AS vec_id,
                    list_concat([e[1] * 1.05], e[2:]) AS e
             FROM base),
-        s AS (SELECT vec_id, {bits} FROM v),
+        t AS (SELECT vec_id, e, ({tot}) AS tot FROM v),
+        s AS (SELECT vec_id, {bits} FROM t),
         k AS (SELECT vec_id, unnest([{keys}]) AS bk FROM s),
         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                  FROM k a JOIN k b ON a.bk = b.bk AND a.vec_id < b.vec_id)
