@@ -916,28 +916,31 @@ _COSINE = (
 def _rh_lsh_sql() -> str:
     """DuckDB mirror of q_rh_lsh_dedup (planes=64, bands=4, r=16, planted
     near-dups): the sign matrix is regenerated from the same sha256
-    derivation and inlined as literal arrays, so both engines sketch
-    identically — banding misses agree bit-for-bit."""
-    from sutro_spark.operators.similarity import rh_signs
+    derivation, and the sketch uses the same INTEGER quantization as
+    :func:`sutro_spark.operators.similarity.rh_band_keys_udf`
+    (``floor(e_i·2^20)`` then int64 sums) — integer arithmetic is
+    associative, so numpy's matmul and this SQL's chains agree exactly
+    and banding misses are identical in both engines."""
+    from sutro_spark.operators.similarity import RH_SCALE, rh_signs
 
     planes, bands = 64, 4
     r = planes // bands
     dim = 64
     signs = rh_signs(planes, dim)
-    # bit p = (Σv − 2·Σ_neg v) > 0 with BOTH sums as left-associated
-    # element chains — the exact arithmetic of rh_sketch_bits, so the
-    # bits agree with Spark to the last ulp
-    tot = " + ".join(f"e[{i}]" for i in range(1, dim + 1))
+    qexprs = ", ".join(
+        f"CAST(FLOOR(e[{i}] * {RH_SCALE}.0) AS BIGINT) AS q{i}" for i in range(1, dim + 1)
+    )
+    tot = " + ".join(f"q{i}" for i in range(1, dim + 1))
     def _bit(p: int) -> str:
         negs = [i + 1 for i, s in enumerate(signs[p]) if s == -1]
-        negsum = " + ".join(f"e[{i}]" for i in negs)
+        negsum = " + ".join(f"q{i}" for i in negs)
         dot = f"(tot - 2*({negsum}))" if negs else "tot"
-        return f"CAST(({dot} > 0) AS INT) AS bit{p}"
+        return f"CAST(({dot} > 0) AS BIGINT) AS bit{p}"
     bits = ", ".join(_bit(p) for p in range(planes))
     keys = ", ".join(
-        "concat('b{b}', {parts})".format(
-            b=b,
-            parts=", ".join(f"'|', bit{b * r + j}" for j in range(r)),
+        "({base} + {parts})".format(
+            base=b << r,
+            parts=" + ".join(f"bit{b * r + j} * {1 << j}" for j in range(r)),
         )
         for b in range(bands)
     )
@@ -950,7 +953,8 @@ def _rh_lsh_sql() -> str:
             SELECT vec_id + 100000 AS vec_id,
                    list_concat([e[1] * 1.05], e[2:]) AS e
             FROM base),
-        t AS (SELECT vec_id, e, ({tot}) AS tot FROM v),
+        qt AS (SELECT vec_id, {qexprs} FROM v),
+        t AS (SELECT vec_id, ({tot}) AS tot, * EXCLUDE (vec_id) FROM qt),
         s AS (SELECT vec_id, {bits} FROM t),
         k AS (SELECT vec_id, unnest([{keys}]) AS bk FROM s),
         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b

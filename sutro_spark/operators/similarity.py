@@ -20,6 +20,8 @@ so a corpus of n vectors pays n norm computations, not n².
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -237,34 +239,45 @@ def rh_signs(planes: int, dim: int) -> list[list[int]]:
     ]
 
 
-def rh_sketch_bits(vector_col, signs: list[list[int]]) -> list[F.Column]:
-    """SimHash-for-embeddings: bit p = (v · s_p) > 0. With ±1 weights
-    v·s_p = Σv − 2·Σ_{i: s_i=−1} v_i, so the whole sketch costs ONE
-    full sum plus one half-length sum per plane — and, built as literal
-    ``element_at`` chains instead of zip_with/aggregate lambdas, it
-    stays inside whole-stage codegen (higher-order functions are
-    interpreted; the chain form measured ~5× faster warm). Both sums
-    are left-associated in index order, so any engine writing the same
-    chain (the DuckDB oracle does) reproduces the bits exactly."""
-    import functools
-    import operator
+RH_SCALE = 1 << 20
 
-    dim = len(signs[0])
-    total = functools.reduce(
-        operator.add, [F.element_at(vector_col, i) for i in range(1, dim + 1)]
-    )
-    bits = []
-    for plane in signs:
-        negs = [i + 1 for i, s in enumerate(plane) if s == -1]
-        if negs:
-            negsum = functools.reduce(
-                operator.add, [F.element_at(vector_col, i) for i in negs]
-            )
-            dot = total - 2 * negsum
-        else:
-            dot = total
-        bits.append((dot > 0).cast("int"))
-    return bits
+
+def rh_band_keys_udf(signs: list[list[int]], bands: int, *, scale: int = RH_SCALE):
+    """Arrow-batched band-key sketch: quantize v to integers
+    (``floor(v_i * scale)`` — floor is exact in IEEE double, so any
+    engine reproduces it bit-for-bit), then bit p = (q · s_p) > 0 via
+    ONE int64 matmul per Arrow batch, and each band's r bits pack into
+    a bigint key ``band * 2^r + Σ bit_j·2^j``.
+
+    Why a Pandas UDF and not Catalyst expressions: the expression form
+    of 64 dot products over a 64-dim array is ~2k ``element_at`` nodes
+    — janino aborts whole-stage codegen with "Code grows beyond 64 KB"
+    and Spark falls back to interpreted per-row evaluation (measured
+    60 s where this matmul takes 0.3 s at the same SF). Dense linear
+    algebra over embeddings is the one place the Arrow batch boundary
+    pays for itself. INTEGER quantization is what makes the UDF safe
+    for oracle parity: int64 sums are associative, so numpy's blocked
+    matmul and DuckDB's left-to-right chains agree exactly — no float
+    summation-order hazard (cf. the cumsum trick in
+    :func:`embedding_dedup_pairs`, which this sidesteps entirely)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    S = np.asarray(signs, dtype=np.int64)  # planes × dim
+    planes = S.shape[0]
+    r = planes // bands
+    weights = (np.int64(1) << np.arange(r, dtype=np.int64))  # 2^j per bit
+    offsets = (np.arange(bands, dtype=np.int64) << r)  # band-tag the keyspace
+
+    @pandas_udf(ArrayType(LongType()))
+    def _keys(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.to_numpy())  # rows × dim float64
+        Q = np.floor(M * scale).astype(np.int64)
+        B = (Q @ S.T) > 0  # rows × planes
+        K = B.reshape(len(B), bands, r).astype(np.int64) @ weights + offsets
+        return pd.Series(list(K))
+
+    return _keys
 
 
 def rh_lsh_dedup_pairs(
@@ -319,13 +332,10 @@ def rh_lsh_dedup_pairs(
             "generation would be near-quadratic; use planes/bands >= 6"
         )
     signs = rh_signs(planes, dim)
-    # The repartition is a MATERIALIZATION BARRIER, not (just) load
-    # balancing: if the vector column is a computed expression (a cast,
-    # a union branch, a transform), CollapseProject inlines it into
-    # every one of the sketch's ~2k element_at terms and the array is
-    # re-evaluated per term — measured 30 s instead of 2 s on 2k rows.
-    # The exchange forces concrete arrays; its cost is bounded by the
-    # band-explode shuffle this plan pays anyway.
+    # The repartition spreads a single-file (or union-of-two-files)
+    # corpus across cores so the Arrow sketch batches run in parallel;
+    # its cost is bounded by the band-explode shuffle this plan pays
+    # anyway.
     prep = (
         corpus.select(
             F.col(id_column).alias("id"), to_double_array(F.col(vector_column)).alias("v")
@@ -333,15 +343,7 @@ def rh_lsh_dedup_pairs(
         .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
         .withColumn("n", F.sqrt(raw_dot(F.col("v"), F.col("v"))))
     )
-    bits = rh_sketch_bits(F.col("v"), signs)
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "|", F.lit(f"b{b}"), *[c.cast("string") for c in bits[b * r : (b + 1) * r]]
-            )
-            for b in range(bands)
-        ]
-    )
+    band_keys = rh_band_keys_udf(signs, bands)(F.col("v"))
     # Posting-list candidates, NOT a self-join: a self-join would run
     # the 64-dot sketch once per side; grouping the single keyed stream
     # by band key computes the sketch once and costs one shuffle of
