@@ -799,6 +799,40 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECON_N = 8  # word-gram width: every synthetic doc has >= 10 words
+
+
+def _decon_bench(docs: DataFrame) -> DataFrame:
+    # The synthetic corpus has no eval set, so the query PLANTS one:
+    # every 10th doc contributes words 4..13 (N+2 words -> 3 N-grams)
+    # as a "benchmark" document. The oracle mirrors the same slice, so
+    # which train docs count as contaminated is identical per-engine.
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.concat_ws(" ", F.slice(toks, 4, _DECON_N + 2)).alias("text")
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark decontamination (report): per-doc count of distinct
+    # word 8-grams shared with the planted benchmark set. Broadcast
+    # semi-join plan — the train corpus is never shuffled.
+    from sutro_spark.operators.decontaminate import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_report(docs, _decon_bench(docs), n=_DECON_N)
+
+
+def q_decontaminate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark decontamination (filter): the surviving training set.
+    from sutro_spark.operators.decontaminate import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(docs, _decon_bench(docs), n=_DECON_N).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "select_prompt_column": q_select_prompt_column,
@@ -854,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "pivot_qty": q_pivot_qty,
         "rollup_counts": q_rollup_counts,
+        "decontaminate": q_decontaminate,
+        "decontaminate_clean": q_decontaminate_clean,
     }
 
 
@@ -911,6 +947,26 @@ _COSINE = (
     "round(list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
+
+# word-8-gram contamination hits vs the planted benchmark slice
+# (mirrors operators/decontaminate.py with n=_DECON_N=8: benchmark =
+# words 4..13 of every 10th doc; grams joined on the raw string)
+_DECON_CTE = """
+    WITH bench AS (
+        SELECT array_to_string(
+                 (regexp_split_to_array(trim(text), '\\s+'))[4:13], ' ') AS text
+        FROM documents WHERE doc_id % 10 = 0),
+    bt AS (SELECT regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks
+           FROM bench),
+    bi AS (SELECT toks, unnest(range(1, len(toks) - 6)) AS i FROM bt),
+    bg AS (SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS gram FROM bi),
+    tt AS (SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks
+           FROM documents),
+    ti AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM tt),
+    tg AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS gram FROM ti),
+    hits AS (SELECT doc_id, count(*) AS n_hits
+             FROM tg JOIN bg USING (gram) GROUP BY doc_id)
+"""
 
 
 def _rh_lsh_sql() -> str:
@@ -1361,6 +1417,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r_name, c_mktsegment
         """,
         "rh_lsh_dedup": _rh_lsh_sql(),
+        "decontaminate": _DECON_CTE + "SELECT doc_id, n_hits FROM hits",
+        "decontaminate_clean": _DECON_CTE
+        + """
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        """,
         "ivf_dedup": f"""
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
             vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS n FROM v),

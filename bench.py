@@ -88,7 +88,7 @@ def main() -> None:
         name: timed(name)
         for name in [
             "rh_lsh_dedup", "chunk_docs", "redact_pii", "hash_sample_split",
-            "tpch_q4ish", "tpch_q10ish", "tpch_q12ish",
+            "tpch_q4ish", "tpch_q10ish", "tpch_q12ish", "decontaminate",
         ]
         if name in qs
     }

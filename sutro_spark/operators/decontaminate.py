@@ -1,0 +1,119 @@
+"""Benchmark decontamination: drop (or flag) training documents that
+share any word n-gram with an evaluation/benchmark set.
+
+The standard pretraining hygiene step (13-gram overlap in GPT-3/PaLM
+data cards): a train doc containing any n-gram that also appears in a
+benchmark is "contaminated" and must be excluded so eval numbers stay
+honest.
+
+Scale shape — this is the one dedup-family op with an asymmetry you
+must exploit: the benchmark side is TINY (eval suites are thousands of
+documents; the train side is the 100 TB). So the plan is a **broadcast
+semi-join on the gram**: distinct benchmark grams are collected into a
+broadcast hash relation and the train corpus streams through map-side
+— the train side is never shuffled, never collected, and scans with
+full column pruning. Contrast ``incremental_jaccard_pairs`` (both
+sides large → shuffle equi-join on shingle): use that shape if your
+"benchmark" is actually another corpus.
+
+At real scale, shrink the broadcast by joining on a 64-bit digest of
+the gram (``xxhash64``) instead of the raw string — collisions only
+*add* false contamination at ~2^-64 per pair, which is the safe
+direction for decontamination. The raw-string join is kept as the
+default because it is exactly reproducible in any engine (the DuckDB
+oracle mirrors it); digesting is a flag.
+
+Reference parity note: the reference SDK (an LLM-batch client) has no
+decontamination op — this belongs to the "operations a large-scale
+training-data pipeline needs" extension surface, same family as
+sutro_spark/operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 13,
+    *,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per document: (id, gram).
+
+    Tokens are whitespace-split; gram i is words [i, i+n) joined by a
+    single space (so runs of whitespace normalize away — the form any
+    engine reproduces). Distinctness uses the same zero-shuffle
+    ``array_distinct``-before-explode trick as ``char_shingles``:
+    per-document distinctness is per-row array work, no shuffle.
+    """
+    toks = F.split(F.trim(F.coalesce(F.col(text_column), F.lit(""))), r"\s+")
+    m = F.size(toks)
+    grams = F.when(
+        m >= n,
+        F.transform(
+            F.sequence(F.lit(1), m - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    if distinct:
+        grams = F.array_distinct(grams)
+    return df.select(
+        F.col(id_column).alias("id"), F.explode(grams).alias("gram")
+    )
+
+
+def contamination_report(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 13,
+    digest: bool = False,
+) -> DataFrame:
+    """Per-contaminated-doc hit counts: (id, n_hits) where n_hits is
+    the number of distinct train-doc grams that appear anywhere in the
+    benchmark set. Only contaminated docs appear.
+
+    Plan: distinct benchmark grams (small) → broadcast → inner join
+    against the train gram stream (map-side, no train shuffle) → one
+    partial-aggregatable groupBy(id). The only shuffle is the final
+    count over *hit* rows — proportional to contamination, not corpus.
+    """
+    bench = word_shingles(
+        benchmark, text_column, id_column, n
+    ).select("gram").distinct()
+    tr = word_shingles(train, text_column, id_column, n)
+    if digest:
+        bench = bench.select(F.xxhash64("gram").alias("gram"))
+        tr = tr.select("id", F.xxhash64("gram").alias("gram"))
+    return (
+        tr.join(F.broadcast(bench), "gram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(F.col("id").alias(id_column), "n_hits")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 13,
+    digest: bool = False,
+) -> DataFrame:
+    """The filtered training set: train rows sharing NO word n-gram
+    with the benchmark. Same broadcast plan as
+    :func:`contamination_report`, finished with a left-anti join on the
+    doc id — train columns pass through untouched."""
+    bad = contamination_report(
+        train, benchmark, text_column=text_column, id_column=id_column, n=n, digest=digest
+    ).select(id_column)
+    return train.join(bad, id_column, "left_anti")

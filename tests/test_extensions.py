@@ -138,3 +138,41 @@ def test_minhash_verify_is_pair_scoped_true_jaccard(spark):
     }
     assert (1, 2) in verified
     assert verified[(1, 2)] == exact[(1, 2)]  # verify = true Jaccard, uncapped
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    from sutro_spark.operators.decontaminate import (
+        contamination_report,
+        decontaminate,
+        word_shingles,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # contains bench gram
+            (2, "alpha beta gamma nope delta epsilon"),   # shares words, not the 4-gram
+            (3, "totally unrelated text goes right here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    rep = {r["doc_id"]: r["n_hits"] for r in contamination_report(train, bench, n=4).collect()}
+    assert rep == {1: 1}
+    clean = sorted(r["doc_id"] for r in decontaminate(train, bench, n=4).collect())
+    assert clean == [2, 3]
+    # word_shingles: per-doc distinct, whitespace-normalizing
+    sh = word_shingles(
+        spark.createDataFrame([(1, "a  b a b a b")], "doc_id long, text string"),
+        n=2,
+    )
+    grams = sorted(r["gram"] for r in sh.collect())
+    assert grams == ["a b", "b a"]  # distinct, single-space joined
+
+
+def test_decontaminate_short_docs_yield_no_grams(spark):
+    from sutro_spark.operators.decontaminate import word_shingles
+
+    df = spark.createDataFrame([(1, "one two three"), (2, None)], "doc_id long, text string")
+    assert word_shingles(df, n=5).count() == 0
