@@ -833,6 +833,15 @@ def q_decontaminate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher quality gate: per-doc surface + repetition metrics, each
+    # with the published keep-threshold; one scan + one (doc, 2gram)
+    # groupBy for the repetition measure.
+    from sutro_spark.operators.quality import gopher_quality
+
+    return gopher_quality(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "select_prompt_column": q_select_prompt_column,
@@ -890,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_counts": q_rollup_counts,
         "decontaminate": q_decontaminate,
         "decontaminate_clean": q_decontaminate_clean,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -1417,6 +1427,58 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r_name, c_mktsegment
         """,
         "rh_lsh_dedup": _rh_lsh_sql(),
+        "gopher_quality": """
+            WITH t AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks,
+                       length(coalesce(text, '')) AS n_chars
+                FROM documents),
+            m AS (
+                SELECT doc_id, n_chars, toks,
+                       len(toks) AS n_words,
+                       CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(
+                           CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+                           / len(toks), 6) END AS mean_word_len,
+                       CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(
+                           CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                                AS DOUBLE) / len(toks), 6) END AS alpha_word_frac,
+                       CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(
+                           CAST((length(text) - length(replace(text, '#', '')))
+                                + CAST((length(text) - length(replace(text, '...', ''))) / 3
+                                       AS BIGINT) AS DOUBLE) / len(toks), 6)
+                           END AS symbol_word_ratio,
+                       len(list_filter(toks, w -> lower(w) IN
+                           ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS stop_hits,
+                       CASE WHEN len(string_split(text, chr(10))) = 0 THEN 0.0 ELSE round(
+                           CAST(len(string_split(text, chr(10)))
+                                - len(list_distinct(string_split(text, chr(10))))
+                                AS DOUBLE) / len(string_split(text, chr(10))), 6)
+                           END AS dup_line_frac
+                FROM t),
+            gi AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+            g AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram FROM gi),
+            gc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+            gt AS (SELECT doc_id, gram, cnt FROM (
+                       SELECT *, row_number() OVER
+                           (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+                       FROM gc) WHERE rn = 1),
+            j AS (
+                SELECT m.*,
+                       CASE WHEN gt.gram IS NULL OR m.n_chars = 0 THEN 0.0 ELSE round(
+                           CAST(gt.cnt * length(gt.gram) AS DOUBLE) / m.n_chars, 6)
+                           END AS top_2gram_frac
+                FROM m LEFT JOIN gt USING (doc_id))
+            SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+                   symbol_word_ratio, stop_hits, dup_line_frac, top_2gram_frac,
+                   CAST((n_words BETWEEN 50 AND 100000)
+                        AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                        AND (alpha_word_frac >= 0.8)
+                        AND (symbol_word_ratio <= 0.1)
+                        AND (stop_hits >= 2)
+                        AND (dup_line_frac <= 0.3)
+                        AND (top_2gram_frac <= 0.2) AS BIGINT) AS keep
+            FROM j
+        """,
         "decontaminate": _DECON_CTE + "SELECT doc_id, n_hits FROM hits",
         "decontaminate_clean": _DECON_CTE
         + """

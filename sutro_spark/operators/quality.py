@@ -1,0 +1,153 @@
+"""Gopher-style document quality filters (Rae et al. 2021, "Scaling
+Language Models: ... Gopher", Table A1) — the standard pretraining
+quality gate: cheap surface statistics plus repetition measures, each
+with a published keep-threshold.
+
+Everything except the top-2-gram measure is per-row Catalyst array
+arithmetic — a single scan, no shuffle, no Python. The top-2-gram
+fraction (what share of the document's characters belong to its most
+frequent word bigram) genuinely needs a per-(doc, gram) count: that is
+one map-side-combinable groupBy plus a per-doc window, then one join
+back by doc id — cost scales with corpus size, never corpus².
+
+Float parity discipline (the oracle contract): every fraction is
+produced by ONE division of exactly-integer operands, rounded to 6
+decimals — any engine computing the same integers reproduces the
+doubles bit-for-bit.
+
+Reference parity note: the reference SDK has no quality-filter ops;
+this extends the training-data surface next to
+sutro_spark/functions/text.py's heuristics (quality_score there is a
+composite score; these are the individual gated metrics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sutro_spark.functions.text import STOPWORDS
+from sutro_spark.operators.decontaminate import word_shingles
+
+#: Gopher Table A1 keep-thresholds.
+GOPHER_RULES = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "min_alpha_word_frac": 0.8,
+    "max_symbol_word_ratio": 0.1,
+    "min_stop_hits": 2,
+    "max_dup_line_frac": 0.3,
+    "max_top_2gram_frac": 0.2,
+}
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    rules: dict | None = None,
+) -> DataFrame:
+    """Per-document Gopher metrics + keep flag.
+
+    Output: (id, n_words, mean_word_len, alpha_word_frac,
+    symbol_word_ratio, stop_hits, dup_line_frac, top_2gram_frac, keep)
+    with keep as 0/1 bigint (all rules pass).
+    """
+    rules = {**GOPHER_RULES, **(rules or {})}
+    text = F.coalesce(F.col(text_column), F.lit(""))
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+
+    word_len_sum = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mean_word_len = F.round(
+        F.when(n == 0, F.lit(0.0)).otherwise(word_len_sum.cast("double") / n), 6
+    )
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    alpha_word_frac = F.round(
+        F.when(n == 0, F.lit(0.0)).otherwise(alpha_words.cast("double") / n), 6
+    )
+    # '#' and non-overlapping '...' occurrences per Gopher's symbol set;
+    # both counts are exact integers so the single division is
+    # engine-reproducible
+    hash_count = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ellipsis_count = (
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / F.lit(3)
+    ).cast("long")
+    symbol_word_ratio = F.round(
+        F.when(n == 0, F.lit(0.0)).otherwise(
+            (hash_count + ellipsis_count).cast("double") / n
+        ),
+        6,
+    )
+    stop_hits = F.size(
+        F.filter(
+            toks,
+            lambda w: F.lower(w).isin(*STOPWORDS["en"]),
+        )
+    )
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    dup_line_frac = F.round(
+        F.when(n_lines == 0, F.lit(0.0)).otherwise(
+            (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines
+        ),
+        6,
+    )
+
+    base = df.select(
+        F.col(id_column).alias("id"),
+        F.length(text).alias("n_chars"),
+        n.cast("bigint").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        dup_line_frac.alias("dup_line_frac"),
+    )
+
+    # top word-2-gram by (count desc, gram asc — deterministic tie);
+    # fraction = chars covered by its occurrences / doc chars. The
+    # groupBy partial-aggregates map-side; the window is per doc id.
+    grams = word_shingles(df, text_column, id_column, n=2, distinct=False)
+    counts = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "gram", "cnt")
+    )
+    scored = (
+        base.join(top, "id", "left")
+        .withColumn(
+            "top_2gram_frac",
+            F.round(
+                F.when(
+                    F.col("gram").isNull() | (F.col("n_chars") == 0), F.lit(0.0)
+                ).otherwise(
+                    (F.col("cnt") * F.length("gram")).cast("double") / F.col("n_chars")
+                ),
+                6,
+            ),
+        )
+        .drop("gram", "cnt", "n_chars")
+    )
+
+    keep = (
+        F.col("n_words").between(rules["min_words"], rules["max_words"])
+        & F.col("mean_word_len").between(
+            rules["min_mean_word_len"], rules["max_mean_word_len"]
+        )
+        & (F.col("alpha_word_frac") >= rules["min_alpha_word_frac"])
+        & (F.col("symbol_word_ratio") <= rules["max_symbol_word_ratio"])
+        & (F.col("stop_hits") >= rules["min_stop_hits"])
+        & (F.col("dup_line_frac") <= rules["max_dup_line_frac"])
+        & (F.col("top_2gram_frac") <= rules["max_top_2gram_frac"])
+    )
+    return scored.withColumn("keep", keep.cast("bigint")).withColumnRenamed(
+        "id", id_column
+    )

@@ -176,3 +176,28 @@ def test_decontaminate_short_docs_yield_no_grams(spark):
 
     df = spark.createDataFrame([(1, "one two three"), (2, None)], "doc_id long, text string")
     assert word_shingles(df, n=5).count() == 0
+
+
+def test_gopher_quality_rules(spark):
+    from sutro_spark.operators.quality import gopher_quality
+
+    good = " ".join(
+        ["the quick brown fox jumps over the lazy dog and runs away tonight"] * 1
+        + ["word%d stuff happens here again and again in the story" % i for i in range(6)]
+    )
+    repeated = "spam ham " * 40  # top 2-gram dominates
+    multiline = "\n".join(["same line"] * 8 + ["unique"])
+    symbols = " ".join(["### ... ###"] * 20)
+    rows = [(1, good), (2, repeated), (3, multiline), (4, symbols), (5, "short text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality(df).collect()}
+
+    assert out[1]["keep"] == 1
+    assert out[2]["top_2gram_frac"] > 0.2 and out[2]["keep"] == 0
+    assert out[3]["dup_line_frac"] > 0.3 and out[3]["keep"] == 0
+    assert out[4]["symbol_word_ratio"] > 0.1 and out[4]["keep"] == 0
+    assert out[5]["n_words"] == 2 and out[5]["keep"] == 0
+    # metric sanity on the good doc
+    assert 3.0 <= out[1]["mean_word_len"] <= 10.0
+    assert out[1]["alpha_word_frac"] >= 0.8
+    assert out[1]["stop_hits"] >= 2
