@@ -842,6 +842,14 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(_t(spark, sf_dir, "documents"))
 
 
+def q_quality_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hashed-feature linear scorer: sha-bucketed bag-of-words against a
+    # broadcast weight table; mean-weight score + sign label.
+    from sutro_spark.operators.quality import linear_quality_score
+
+    return linear_quality_score(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "select_prompt_column": q_select_prompt_column,
@@ -900,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "decontaminate_clean": q_decontaminate_clean,
         "gopher_quality": q_gopher_quality,
+        "quality_scorer": q_quality_scorer,
     }
 
 
@@ -1478,6 +1487,29 @@ def oracle_sql() -> dict[str, str]:
                         AND (dup_line_frac <= 0.3)
                         AND (top_2gram_frac <= 0.2) AS BIGINT) AS keep
             FROM j
+        """,
+        "quality_scorer": """
+            WITH tk AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           trim(lower(coalesce(text, ''))), '\\s+')) AS tok
+                FROM documents),
+            h AS (SELECT doc_id, sha256(tok) AS hx FROM tk WHERE tok <> ''),
+            b AS (SELECT doc_id,
+                         ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+                        + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+                        + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 4096
+                             AS bucket
+                  FROM h),
+            wt AS (SELECT i AS bucket, (i * 2654435761) % 1001 - 500 AS w_milli
+                   FROM (SELECT unnest(range(0, 4096)) AS i)),
+            agg AS (SELECT doc_id, count(*) AS n_tokens, sum(w_milli) AS s_milli
+                    FROM b JOIN wt USING (bucket) GROUP BY doc_id)
+            SELECT doc_id, n_tokens,
+                   round(CAST(s_milli AS DOUBLE) / (1000 * n_tokens), 6) AS score,
+                   CAST(s_milli > 0 AS BIGINT) AS label
+            FROM agg
         """,
         "decontaminate": _DECON_CTE + "SELECT doc_id, n_hits FROM hits",
         "decontaminate_clean": _DECON_CTE

@@ -89,7 +89,7 @@ def main() -> None:
         for name in [
             "rh_lsh_dedup", "chunk_docs", "redact_pii", "hash_sample_split",
             "tpch_q4ish", "tpch_q10ish", "tpch_q12ish", "decontaminate",
-            "gopher_quality",
+            "gopher_quality", "quality_scorer",
         ]
         if name in qs
     }

@@ -151,3 +151,73 @@ def gopher_quality(
     return scored.withColumn("keep", keep.cast("bigint")).withColumnRenamed(
         "id", id_column
     )
+
+
+def hash_bucket(col, dim: int) -> F.Column:
+    """Deterministic feature-hash bucket: first 4 hex nibbles of
+    sha256(token) mod ``dim``. sha-based (not murmur/xxhash) so any
+    engine — and the DuckDB oracle — reproduces the bucketing from the
+    same spec; integer arithmetic end-to-end."""
+    h = F.sha2(col, 256)
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % dim
+
+
+def default_weights(spark, dim: int) -> DataFrame:
+    """Deterministic pseudo-trained weight table (bucket, w_milli) with
+    w_milli in [-500, 500]: a stand-in for a trained linear model. In
+    production, read the trained weights parquet instead — the scoring
+    plan below is identical (the weight table is a broadcast dim)."""
+    return spark.range(dim).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761)) % 1001 - 500).alias("w_milli"),
+    )
+
+
+def linear_quality_score(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    dim: int = 4096,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """fastText-style linear document scorer over hashed bag-of-words:
+    each lowercased token hashes to one of ``dim`` buckets; the doc
+    score is the mean bucket weight (millis scaled back by one exact
+    division); label = score > 0.
+
+    Plan: token explode → broadcast join against the ``dim``-row weight
+    table (the model IS a broadcast dim — no shuffle of the corpus to
+    meet its model) → one map-side-combinable groupBy(doc). Integer
+    weight sums make the single final division engine-exact.
+
+    Output: (id, n_tokens, score, label); docs with zero tokens drop
+    out (nothing to score).
+    """
+    w = weights if weights is not None else default_weights(df.sparkSession, dim)
+    toks = df.select(
+        F.col(id_column).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.coalesce(F.col(text_column), F.lit("")))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    scored = (
+        toks.withColumn("bucket", hash_bucket(F.col("tok"), dim))
+        .join(F.broadcast(w), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_milli").alias("s_milli"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias(id_column),
+        "n_tokens",
+        F.round(
+            F.col("s_milli").cast("double") / (1000 * F.col("n_tokens")), 6
+        ).alias("score"),
+        (F.col("s_milli") > 0).cast("bigint").alias("label"),
+    )

@@ -201,3 +201,35 @@ def test_gopher_quality_rules(spark):
     assert 3.0 <= out[1]["mean_word_len"] <= 10.0
     assert out[1]["alpha_word_frac"] >= 0.8
     assert out[1]["stop_hits"] >= 2
+
+
+def test_linear_quality_score_deterministic_and_weighted(spark):
+    from sutro_spark.operators.quality import (
+        default_weights,
+        hash_bucket,
+        linear_quality_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in linear_quality_score(df).collect()}
+    assert set(out) == {1, 2}  # empty doc drops out
+    assert out[1]["score"] == out[2]["score"]  # same text -> same score
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["label"] in (0, 1)
+
+    # score is exactly the mean of the hashed buckets' weights
+    w = {r["bucket"]: r["w_milli"] for r in default_weights(spark, 4096).collect()}
+    toks = spark.createDataFrame([(t,) for t in ["alpha", "beta", "gamma"]], "tok string")
+    buckets = [r["b"] for r in toks.select(hash_bucket(F.col("tok"), 4096).alias("b")).collect()]
+    expected = round(sum(w[b] for b in buckets) / (1000 * 3), 6)
+    assert abs(out[1]["score"] - expected) < 1e-9
+
+    # custom weights override the default table
+    wt = spark.range(4096).select(
+        F.col("id").alias("bucket"), F.lit(7).alias("w_milli")
+    )
+    custom = linear_quality_score(df, weights=wt).collect()[0]
+    assert custom["score"] == round(7 / 1000, 6) and custom["label"] == 1
