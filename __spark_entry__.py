@@ -265,6 +265,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fuzzy-dedup pipeline: simhash candidate pairs → transitive
+    closure (large-star/small-star connected components) → one
+    representative per duplicate cluster."""
+    from sutro_spark.operators.cluster import dedup_clusters
+    from sutro_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, max_hamming=8).select("id_a", "id_b")
+    return dedup_clusters(docs, pairs)
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sutro_spark.functions.text import text_profile
 
@@ -870,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "dup_clusters": q_dup_clusters,
         "text_profile": q_text_profile,
         "hash_sample_split": q_hash_sample_split,
         "chunk_docs": q_chunk_docs,
@@ -1190,6 +1203,37 @@ def oracle_sql() -> dict[str, str]:
                 WHERE x.id < y.id)
             SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS ham
             FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 8
+        """,
+        # transitive closure via recursive min-reachability: reach
+        # enumerates every node reachable from each doc over the
+        # simhash-pair edge set; min(r) is the component representative
+        # (same fixpoint the large-star/small-star rounds converge to)
+        "dup_clusters": f"""
+            WITH RECURSIVE {_SIMHASH_CTE},
+            chunks AS (
+                SELECT id, simhash, cid, (simhash >> (cid * 16)) & 65535 AS chunk
+                FROM fp, (SELECT unnest(range(0, 4)) AS cid) c),
+            p AS (
+                SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                FROM chunks x
+                JOIN chunks y ON x.cid = y.cid AND x.chunk = y.chunk
+                WHERE x.id < y.id
+                  AND bit_count(xor(x.simhash, y.simhash)) <= 8),
+            edges AS (SELECT id_a AS a, id_b AS b FROM p
+                      UNION ALL SELECT id_b, id_a FROM p),
+            reach AS (
+                SELECT doc_id AS node, doc_id AS r FROM documents
+                UNION
+                SELECT reach.node, e.b AS r
+                FROM reach JOIN edges e ON e.a = reach.r),
+            lab AS (SELECT node AS doc_id, min(r) AS cluster_id
+                    FROM reach GROUP BY node),
+            sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                      FROM lab GROUP BY cluster_id)
+            SELECT lab.doc_id, lab.cluster_id, sizes.cluster_size,
+                   CAST(CASE WHEN lab.doc_id = lab.cluster_id THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_representative
+            FROM lab JOIN sizes USING (cluster_id)
         """,
         "text_profile": """
             WITH base AS (

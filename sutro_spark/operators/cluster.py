@@ -1,0 +1,145 @@
+"""Duplicate-cluster formation: candidate pairs → connected components
+→ one representative per cluster.
+
+This is the step after every near-dup candidate generator in this repo
+(minhash_lsh_pairs / simhash_pairs / rh_lsh_dedup_pairs): pairwise
+"A duplicates B" edges must be closed transitively before you can keep
+one document per group — keeping "the first of each pair" both
+over-deletes (B dup of A, C dup of B but not of A) and under-deletes.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC 2014) — the
+standard shuffle-based CC algorithm:
+
+- large-star(u): attach every neighbor v > u to min(N(u) ∪ {u});
+- small-star(u): attach every neighbor of u (edges oriented high→low)
+  plus u itself to min(N(u) ∪ {u}).
+
+Both steps are a groupBy(min) + an equi-join — two shuffles per round,
+no collect, no per-node adjacency lists (the min is computed with an
+aggregate, never `collect_list`, so a 10⁹-degree hub node costs a
+map-side-combinable min, not an OOM). Converges in O(log² n) rounds to
+star graphs rooted at each component's minimum node; near-dup graphs
+(small diameter) converge in 2-3 rounds. Lineage is truncated every
+round with an eager localCheckpoint so the plan does not grow with the
+iteration count.
+
+The reference has no clustering operator (its dedup story ends at the
+SDK boundary); this extends SURVEY.md §2's dedup suite the way a
+training-data pipeline needs at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Emit (v, m) for every neighbor v > u, where m = min(N(u) ∪ {u})."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high→low, then attach every low neighbor and u
+    itself to m = min(N(u) ∪ {u})."""
+    o = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+    )
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))  # m < u by orientation
+    neighbors = (
+        o.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+    )
+    selves = mins.select(F.col("u"), F.col("m").alias("v"))
+    return neighbors.union(selves)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node that shares a component with at
+    least one other node; component = min node id of the component.
+    Singletons (nodes absent from ``edges``) are simply absent — join
+    with a left-coalesce to label them with their own id.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).distinct().localCheckpoint(eager=True)
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 2^63-range hashes
+            # overflows under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # Converged: every edge is (node, root) with root = component min.
+    return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_column: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Label every document with its duplicate-cluster id and size.
+
+    Output: (id_column, cluster_id, cluster_size, is_representative)
+    where cluster_id = min doc id in the component (singletons map to
+    themselves) and is_representative marks the one kept doc per
+    cluster (the min id — deterministic, no tie-break ambiguity).
+    """
+    comp = connected_components(pairs, src, dst)
+    labeled = (
+        docs.select(F.col(id_column))
+        .join(comp, docs[id_column] == comp["node"], "left")
+        .select(
+            F.col(id_column),
+            F.coalesce("component", F.col(id_column)).alias("cluster_id"),
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labeled.join(sizes, "cluster_id")
+        .select(
+            id_column,
+            "cluster_id",
+            "cluster_size",
+            (F.col(id_column) == F.col("cluster_id"))
+            .cast("bigint")
+            .alias("is_representative"),
+        )
+    )

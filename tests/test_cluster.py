@@ -1,0 +1,80 @@
+"""Connected-components clustering (operators/cluster.py)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from sutro_spark.operators.cluster import connected_components, dedup_clusters
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Brute-force union-find reference: node -> min id of component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _cc_dict(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = connected_components(df).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_chain_and_island(spark):
+    # chain 1-2-3 plus island 10-11; transitive closure required
+    got = _cc_dict(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {2: 1, 3: 1, 11: 10}  # roots/singletons absent
+
+
+def test_long_path_needs_multiple_rounds(spark):
+    # a 16-node path with shuffled ids — diameter 15 defeats any
+    # single-round min-propagation; large/small-star must still converge
+    ids = [37, 4, 91, 12, 55, 2, 78, 31, 66, 9, 44, 83, 20, 71, 5, 60]
+    edges = list(zip(ids, ids[1:]))
+    got = _cc_dict(spark, edges)
+    want = _uf_components(edges)
+    full = {n: got.get(n, n) for n in ids}
+    assert full == {n: want[n] for n in ids}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    nodes = list(range(1, 61))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    got = _cc_dict(spark, edges)
+    want = _uf_components(edges)
+    touched = {n for e in edges for n in e}
+    assert {n: got.get(n, n) for n in touched} == want
+
+
+def test_dedup_clusters_labels_and_representatives(spark):
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 10, 11]], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert rows[1]["cluster_id"] == 1 and rows[1]["is_representative"] == 1
+    assert rows[2]["cluster_id"] == 1 and rows[2]["is_representative"] == 0
+    assert rows[3]["cluster_size"] == 3
+    assert rows[7]["cluster_id"] == 7 and rows[7]["cluster_size"] == 1
+    assert rows[10]["is_representative"] == 1 and rows[11]["cluster_id"] == 10
+    # exactly one representative per cluster
+    reps = (
+        dedup_clusters(docs, pairs)
+        .groupBy("cluster_id")
+        .agg(F.sum("is_representative").alias("r"))
+        .collect()
+    )
+    assert all(r["r"] == 1 for r in reps)
