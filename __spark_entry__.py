@@ -292,6 +292,12 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sutro_spark.functions.text import term_topk
+
+    return term_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
 def q_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic content-hash sampling + split assignment: a 20%
     # sample of documents, each assigned train/val/test by an
@@ -883,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "dup_clusters": q_dup_clusters,
+        "term_topk": q_term_topk,
         "text_profile": q_text_profile,
         "hash_sample_split": q_hash_sample_split,
         "chunk_docs": q_chunk_docs,
@@ -1234,6 +1241,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN lab.doc_id = lab.cluster_id THEN 1 ELSE 0 END
                         AS BIGINT) AS is_representative
             FROM lab JOIN sizes USING (cluster_id)
+        """,
+        "term_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS term
+                FROM documents)
+            SELECT term, count(*) AS occurrences,
+                   count(DISTINCT doc_id) AS doc_freq
+            FROM toks GROUP BY term
+            ORDER BY occurrences DESC, term
+            LIMIT 50
         """,
         "text_profile": """
             WITH base AS (

@@ -213,3 +213,36 @@ def text_profile(df: DataFrame, text_column: str = "text") -> DataFrame:
             "fingerprint": fingerprint(c),
         }
     )
+
+
+def term_topk(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus term statistics: the k most frequent lowercase tokens with
+    total occurrences and document frequency.
+
+    Scale shape: explode → one groupBy(term) computing count and
+    approx-free exact doc_freq via count(distinct id) (Spark plans this
+    as a two-phase expand+partial agg, still one logical shuffle on
+    term); the final top-k is `TakeOrderedAndProject` — each partition
+    keeps only k rows, no global sort shuffle. Ties at the k boundary
+    break deterministically on the term string so two engines select
+    the same set.
+    """
+    toks = df.select(
+        F.col(id_column).alias("__id"),
+        F.explode(tokens(F.lower(F.col(text_column)))).alias("term"),
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("__id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("term"))
+        .limit(k)
+    )

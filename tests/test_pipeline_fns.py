@@ -111,3 +111,19 @@ def test_redact_pii_counts_and_scrubs(spark):
     assert out[2]["redacted"] == "no pii here"
     assert out[3]["n_email"] == 2 and out[3]["n_phone"] == 0
     _no_exchange(redact_pii(df))
+
+
+def test_term_topk_counts_and_ties(spark):
+    from sutro_spark.functions.text import term_topk
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c\tA"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = term_topk(df, k=2).collect()
+    # a: 3 occurrences in 2 docs (case-folded); b: 2 in 2 docs;
+    # tie-break on term would order b before c at the boundary
+    assert [(r["term"], r["occurrences"], r["doc_freq"]) for r in rows] == [
+        ("a", 3, 2),
+        ("b", 2, 2),
+    ]
