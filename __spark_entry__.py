@@ -666,6 +666,36 @@ def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q18 shape: large-volume customers. The HAVING subquery is one
+    # aggregate over lineitem reused as a key filter: aggregate on
+    # orderkey, filter to the top ~0.3% of orders, then join back —
+    # the surviving key set is tiny, so AQE converts the orders and
+    # customer joins to broadcasts at runtime.
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate_s"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
 def q_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q10 shape: returned-item revenue per customer, top 20. Fact-fact
     # join shuffles on orderkey; nation is a broadcast dim; the top-k is
@@ -914,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q4ish": q_tpch_q4ish,
         "tpch_q12ish": q_tpch_q12ish,
+        "tpch_q18ish": q_tpch_q18ish,
         "tpch_q10ish": q_tpch_q10ish,
         "promo_revenue": q_promo_revenue,
         "asof_purchase": q_asof_purchase,
@@ -1627,6 +1658,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY l_linestatus
+        """,
+        "tpch_q18ish": """
+            WITH big AS (
+                SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING round(sum(l_quantity), 2) > 300)
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate_s,
+                   round(o_totalprice, 2) AS o_totalprice, total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
         """,
         "tpch_q10ish": """
             SELECT c_custkey, c_name, n_name,
