@@ -696,6 +696,54 @@ def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q22 shape: well-funded customers who never placed a large order.
+    # The scalar subquery (half the avg positive balance) is a 1-row
+    # aggregate broadcast into a cross join — fully lazy, no driver
+    # collect — and the "never placed" predicate is a left_anti join,
+    # which Spark executes as a broadcast/shuffled hash anti-join
+    # (null-safe, no NOT IN trap). The avg is rounded to cents in both
+    # engines so the comparison boundary cannot drift on float
+    # summation order; the filter on the anti side pushes to the
+    # orders scan before the join.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(F.round(F.avg("c_acctbal") / 2, 2).alias("__avg"))
+    )
+    rich = c.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("__avg"))
+    never_ordered = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        never_ordered.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact percentiles (linear interpolation on order statistics) per
+    # group: one shuffle on the group key; Spark's percentile aggregate
+    # and DuckDB's quantile_cont share the (n-1)*p interpolation rule,
+    # so the values hash-match without sampling error.
+    li = _t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)))
+    return (
+        li.groupBy("l_linestatus")
+        .agg(pct.alias("__p"), F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            "l_linestatus",
+            F.round(F.col("__p")[0], 4).alias("p25"),
+            F.round(F.col("__p")[1], 4).alias("p50"),
+            F.round(F.col("__p")[2], 4).alias("p75"),
+            F.round(F.col("__p")[3], 4).alias("p95"),
+            "n_lines",
+        )
+    )
+
+
 def q_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q10 shape: returned-item revenue per customer, top 20. Fact-fact
     # join shuffles on orderkey; nation is a broadcast dim; the top-k is
@@ -945,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4ish": q_tpch_q4ish,
         "tpch_q12ish": q_tpch_q12ish,
         "tpch_q18ish": q_tpch_q18ish,
+        "tpch_q22ish": q_tpch_q22ish,
+        "price_quantiles": q_price_quantiles,
         "tpch_q10ish": q_tpch_q10ish,
         "promo_revenue": q_promo_revenue,
         "asof_purchase": q_asof_purchase,
@@ -1672,6 +1722,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 100
+        """,
+        "tpch_q22ish": """
+            WITH a AS (SELECT round(avg(c_acctbal) / 2, 2) AS av
+                       FROM customer WHERE c_acctbal > 0)
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer, a
+            WHERE c_acctbal > a.av
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 300000)
+            GROUP BY c_nationkey
+        """,
+        "price_quantiles": """
+            SELECT l_linestatus,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+                   count(*) AS n_lines
+            FROM lineitem
+            GROUP BY l_linestatus
         """,
         "tpch_q10ish": """
             SELECT c_custkey, c_name, n_name,
