@@ -298,6 +298,22 @@ def q_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_topk(_t(spark, sf_dir, "documents"), k=50)
 
 
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sutro_spark.operators.mixture import source_mix
+
+    return source_mix(_t(spark, sf_dir, "documents"))
+
+
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sutro_spark.operators.mixture import cap_per_source
+
+    return cap_per_source(
+        _t(spark, sf_dir, "documents"), cap=8
+    ).select(
+        "doc_id", "source", F.col("sample_rank").cast("bigint").alias("sample_rank")
+    )
+
+
 def q_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic content-hash sampling + split assignment: a 20%
     # sample of documents, each assigned train/val/test by an
@@ -968,6 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dup_clusters": q_dup_clusters,
         "term_topk": q_term_topk,
+        "source_mix": q_source_mix,
+        "cap_per_source": q_cap_per_source,
         "text_profile": q_text_profile,
         "hash_sample_split": q_hash_sample_split,
         "chunk_docs": q_chunk_docs,
@@ -1322,6 +1340,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN lab.doc_id = lab.cluster_id THEN 1 ELSE 0 END
                         AS BIGINT) AS is_representative
             FROM lab JOIN sizes USING (cluster_id)
+        """,
+        "source_mix": """
+            WITH s AS (
+                SELECT source, lang, count(*) AS n_docs,
+                       CAST(sum(len(list_filter(
+                           regexp_split_to_array(text, '\\s+'),
+                           x -> x <> ''))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source, lang),
+            t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s)
+            SELECT source, lang, n_docs, n_tokens,
+                   round(n_tokens / t.total, 6) AS token_share
+            FROM s, t
+        """,
+        "cap_per_source": """
+            SELECT doc_id, source, sample_rank FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY sha256('mix:' || CAST(doc_id AS VARCHAR)),
+                                    doc_id) AS sample_rank
+                FROM documents)
+            WHERE sample_rank <= 8
         """,
         "term_topk": """
             WITH toks AS (

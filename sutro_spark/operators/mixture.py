@@ -1,0 +1,84 @@
+"""Data-mixture operators: what a pre-training corpus is made of, and
+deterministic re-weighting of over-represented slices.
+
+Two halves of the same workflow:
+
+- :func:`source_mix` is the mixture *report* — per (source, lang):
+  document count, token count, and share of total corpus tokens. At
+  100 TB this is one shuffle on (source, lang) with map-side partial
+  aggregation; the corpus total is a 1-row aggregate broadcast into a
+  cross join, not a second pass or a driver collect.
+
+- :func:`cap_per_source` is the mixture *edit* — keep at most ``cap``
+  documents per source, selected by a deterministic pseudo-random
+  order (sha2 of the salted doc id) so reruns and engines agree
+  row-for-row. This is the standard down-sampling step when one crawl
+  dominates the mixture. The rank is a per-source window sort; at
+  100 TB the sort is bounded per source partition, and a skewed
+  mega-source can be pre-sharded with the salting utilities in
+  functions/skew.py before ranking.
+
+The reference has no mixture surface (it is an inference SDK); these
+extend the dedup/quality suite per the brief's training-data-pipeline
+mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sutro_spark.functions.text import token_count
+
+
+def source_mix(
+    df: DataFrame,
+    source_column: str = "source",
+    lang_column: str = "lang",
+    text_column: str = "text",
+) -> DataFrame:
+    """(source, lang, n_docs, n_tokens, token_share) — token_share is
+    this slice's fraction of all corpus tokens, rounded to 6 places
+    (single long/long division, engine-reproducible)."""
+    per_slice = (
+        df.groupBy(
+            F.col(source_column).alias("source"), F.col(lang_column).alias("lang")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col(text_column))).alias("n_tokens"),
+        )
+    )
+    total = per_slice.agg(F.sum("n_tokens").alias("__total"))
+    return (
+        per_slice.join(F.broadcast(total))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("__total"), 6).alias("token_share"),
+        )
+    )
+
+
+def cap_per_source(
+    df: DataFrame,
+    cap: int,
+    source_column: str = "source",
+    id_column: str = "doc_id",
+    *,
+    salt: str = "mix",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per source, chosen by sha2-hash order
+    of the salted id (a deterministic shuffle — no rand(), so resuming
+    a failed job keeps the identical sample). Output adds ``sample_rank``
+    (1-based within source)."""
+    order = F.sha2(
+        F.concat(F.lit(salt + ":"), F.col(id_column).cast("string")), 256
+    )
+    w = Window.partitionBy(source_column).orderBy(order, F.col(id_column))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= cap)
+    )
