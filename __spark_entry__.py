@@ -298,6 +298,31 @@ def q_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return term_topk(_t(spark, sf_dir, "documents"), k=50)
 
 
+def q_reassemble_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round-trip proof: chunk_text → reassemble_text reconstructs every
+    # document byte-for-byte (matches_original is 1 on all rows)
+    from sutro_spark.functions.text import chunk_text, reassemble_text
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_text(docs, size=128, overlap=32)
+    rebuilt = reassemble_text(chunks, id_column="doc_id", overlap=32)
+    return (
+        rebuilt.join(docs.select("doc_id", F.col("text").alias("__orig")), "doc_id")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.length("text").cast("bigint").alias("rebuilt_len"),
+            (F.col("text") == F.col("__orig")).cast("bigint").alias("matches_original"),
+        )
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sutro_spark.operators.similarity import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sutro_spark.operators.mixture import source_mix
 
@@ -985,6 +1010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "term_topk": q_term_topk,
         "source_mix": q_source_mix,
+        "reassemble_chunks": q_reassemble_chunks,
+        "label_centroids": q_label_centroids,
         "cap_per_source": q_cap_per_source,
         "text_profile": q_text_profile,
         "hash_sample_split": q_hash_sample_split,
@@ -1340,6 +1367,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN lab.doc_id = lab.cluster_id THEN 1 ELSE 0 END
                         AS BIGINT) AS is_representative
             FROM lab JOIN sizes USING (cluster_id)
+        """,
+        "reassemble_chunks": """
+            WITH ch AS (
+                SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_id,
+                       substr(text, CAST(t.i * 96 + 1 AS INT), 128) AS chunk
+                FROM documents,
+                     unnest(range(0, greatest((length(text) - 1) // 96, 0) + 1)) AS t(i)
+                WHERE length(substr(text, CAST(t.i * 96 + 1 AS INT), 128)) > 0),
+            re AS (
+                SELECT doc_id,
+                       CAST(max(chunk_id) + 1 AS BIGINT) AS n_chunks,
+                       string_agg(CASE WHEN chunk_id = 0 THEN chunk
+                                       ELSE substr(chunk, 33) END,
+                                  '' ORDER BY chunk_id) AS rebuilt
+                FROM ch GROUP BY doc_id)
+            SELECT d.doc_id, re.n_chunks,
+                   CAST(length(re.rebuilt) AS BIGINT) AS rebuilt_len,
+                   CAST(re.rebuilt = d.text AS BIGINT) AS matches_original
+            FROM documents d JOIN re USING (doc_id)
+        """,
+        "label_centroids": """
+            WITH ex AS (
+                SELECT label, i.i AS pos,
+                       CAST(embedding[CAST(i.i + 1 AS INT)] AS DOUBLE) AS v
+                FROM embeddings, (SELECT unnest(range(0, 64)) AS i) i),
+            cent AS (
+                SELECT label, pos, avg(v) AS c, count(*) AS n
+                FROM ex GROUP BY label, pos)
+            SELECT label, CAST(max(n) AS BIGINT) AS n_vecs,
+                   round(sqrt(sum(c * c)), 6) AS centroid_norm
+            FROM cent GROUP BY label
         """,
         "source_mix": """
             WITH s AS (

@@ -246,3 +246,44 @@ def term_topk(
         .orderBy(F.desc("occurrences"), F.asc("term"))
         .limit(k)
     )
+
+
+def reassemble_text(
+    chunks: DataFrame,
+    id_column: str = "doc_id",
+    chunk_id_column: str = "chunk_id",
+    chunk_column: str = "chunk",
+    *,
+    overlap: int = 32,
+) -> DataFrame:
+    """Inverse of :func:`chunk_text`: stitch overlapping chunks back
+    into the original document (chunk 0 whole, later chunks minus their
+    ``overlap``-char prefix).
+
+    Order safety in a distributed engine: ``collect_list`` gives no
+    ordering guarantee across shuffle partitions, so the parts are
+    gathered as (chunk_id, chunk) structs and ``array_sort``ed before
+    the fold — the result is identical on any partitioning. One shuffle
+    on the doc id; per-doc state is bounded by document length.
+
+    Returns (id_column, n_chunks, text).
+    """
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col(chunk_id_column), F.col(chunk_column)))
+    )
+    rebuilt = F.aggregate(
+        parts,
+        F.lit(""),
+        lambda acc, p: F.concat(
+            acc,
+            F.when(p[chunk_id_column] == 0, p[chunk_column]).otherwise(
+                p[chunk_column].substr(
+                    F.lit(overlap + 1), F.length(p[chunk_column])
+                )
+            ),
+        ),
+    )
+    return chunks.groupBy(F.col(id_column)).agg(
+        (F.max(chunk_id_column) + 1).alias("n_chunks"),
+        rebuilt.alias("text"),
+    )

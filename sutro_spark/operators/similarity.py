@@ -486,3 +486,36 @@ def embedding_dedup_pairs(
             )
 
     return src.mapInPandas(run, schema=out_schema)
+
+
+def label_centroids(
+    df: DataFrame,
+    vector_column: str = "embedding",
+    label_column: str = "label",
+) -> DataFrame:
+    """Per-class centroid statistics: (label, n_vecs, centroid_norm).
+
+    The centroid is computed by position — posexplode to (label, pos,
+    value), one groupBy(label, pos) average (map-side combinable; at
+    100 TB this is a single shuffle of |labels|·dim cells, independent
+    of corpus size), then a tiny groupBy(label) folds the per-position
+    means into the L2 norm. No vectors are ever collected or
+    broadcast; the explode stays inside the scan stage.
+    """
+    ex = df.select(
+        F.col(label_column).alias("label"),
+        F.posexplode(vector_column).alias("pos", "v"),
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias(
+                "centroid_norm"
+            ),
+        )
+    )

@@ -127,3 +127,35 @@ def test_term_topk_counts_and_ties(spark):
         ("a", 3, 2),
         ("b", 2, 2),
     ]
+
+
+def test_chunk_reassemble_round_trip(spark):
+    from sutro_spark.functions.text import chunk_text, reassemble_text
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 300), (2, "short"), (3, "a" * 128), (4, "b" * 129)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_text(docs, size=128, overlap=32)
+    rebuilt = reassemble_text(chunks, overlap=32)
+    joined = rebuilt.join(docs.withColumnRenamed("text", "orig"), "doc_id")
+    rows = joined.collect()
+    assert len(rows) == 4
+    assert all(r["text"] == r["orig"] for r in rows)
+
+
+def test_label_centroids_norms(spark):
+    from sutro_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.0, 1.0], 0),
+            (3, [2.0, 2.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r["label"]: r for r in label_centroids(df).collect()}
+    # label 0 centroid (0.5, 0.5) -> norm sqrt(0.5); label 1 -> sqrt(8)
+    assert rows[0]["n_vecs"] == 2 and abs(rows[0]["centroid_norm"] - 0.707107) < 1e-6
+    assert rows[1]["n_vecs"] == 1 and abs(rows[1]["centroid_norm"] - 2.828427) < 1e-6
