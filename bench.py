@@ -90,6 +90,9 @@ def main() -> None:
             "rh_lsh_dedup", "chunk_docs", "redact_pii", "hash_sample_split",
             "tpch_q4ish", "tpch_q10ish", "tpch_q12ish", "decontaminate",
             "gopher_quality", "quality_scorer",
+            "dup_clusters", "term_topk", "source_mix", "cap_per_source",
+            "reassemble_chunks", "label_centroids", "price_quantiles",
+            "tpch_q18ish", "tpch_q22ish",
         ]
         if name in qs
     }
