@@ -437,6 +437,25 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_stats(_t(spark, sf_dir, "events"), window_seconds=300)
 
 
+def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # semi-structured path: the JSON props column is parsed JVM-side
+    # with from_json (typed schema, no Python, stays inside codegen) and
+    # aggregated in the same stage — at 100 TB the parse cost rides the
+    # scan, and only (event_type, partial aggs) reach the shuffle.
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k bigint")["k"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("k_sum"),
+            F.round(F.avg(k), 6).alias("k_avg"),
+            F.min(k).alias("k_min"),
+            F.max(k).alias("k_max"),
+        )
+    )
+
+
 def q_events_top_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Window functions: highest-value event per user.
     ev = _t(spark, sf_dir, "events")
@@ -1011,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_topk": q_term_topk,
         "source_mix": q_source_mix,
         "reassemble_chunks": q_reassemble_chunks,
+        "events_props_stats": q_events_props_stats,
         "label_centroids": q_label_centroids,
         "cap_per_source": q_cap_per_source,
         "text_profile": q_text_profile,
@@ -1367,6 +1387,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN lab.doc_id = lab.cluster_id THEN 1 ELSE 0 END
                         AS BIGINT) AS is_representative
             FROM lab JOIN sizes USING (cluster_id)
+        """,
+        "events_props_stats": """
+            WITH e AS (
+                SELECT event_type, CAST(props->>'k' AS BIGINT) AS k
+                FROM events)
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(k) AS BIGINT) AS k_sum,
+                   round(avg(k), 6) AS k_avg,
+                   min(k) AS k_min, max(k) AS k_max
+            FROM e GROUP BY event_type
         """,
         "reassemble_chunks": """
             WITH ch AS (
