@@ -323,6 +323,28 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(_t(spark, sf_dir, "embeddings"))
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation flow as one lazy DataFrame expression:
+    Gopher quality filter → simhash near-dup clusters over survivors →
+    keep one representative per cluster → per-(source, lang) doc/token
+    mixture report. Every stage is an operator proven green on its own
+    [Q]; this query proves they compose. At 100 TB the stages pipeline
+    inside one Spark job graph — no intermediate materialization."""
+    from sutro_spark.operators.cluster import dedup_clusters
+    from sutro_spark.operators.dedup import simhash_pairs
+    from sutro_spark.operators.mixture import source_mix
+    from sutro_spark.operators.quality import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    keep_ids = gopher_quality(docs).where("keep = 1").select("doc_id")
+    # three consumers (pair generation, cluster labeling, final report)
+    # read the filtered set; persist so the gopher window runs once
+    kept = docs.join(keep_ids, "doc_id").persist()
+    pairs = simhash_pairs(kept, max_hamming=8).select("id_a", "id_b")
+    reps = dedup_clusters(kept, pairs).where("is_representative = 1").select("doc_id")
+    return source_mix(kept.join(reps, "doc_id"))
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sutro_spark.operators.mixture import source_mix
 
@@ -1031,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "reassemble_chunks": q_reassemble_chunks,
         "events_props_stats": q_events_props_stats,
+        "curation_pipeline": q_curation_pipeline,
         "label_centroids": q_label_centroids,
         "cap_per_source": q_cap_per_source,
         "text_profile": q_text_profile,
@@ -1104,6 +1127,59 @@ _SHINGLES_CTE = """
         WHERE length(shingle) = 8
     )
 """
+
+_GOPHER_SQL = """
+            WITH t AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks,
+                       length(coalesce(text, '')) AS n_chars
+                FROM documents),
+            m AS (
+                SELECT doc_id, n_chars, toks,
+                       len(toks) AS n_words,
+                       CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(
+                           CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+                           / len(toks), 6) END AS mean_word_len,
+                       CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(
+                           CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+                                AS DOUBLE) / len(toks), 6) END AS alpha_word_frac,
+                       CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(
+                           CAST((length(text) - length(replace(text, '#', '')))
+                                + CAST((length(text) - length(replace(text, '...', ''))) / 3
+                                       AS BIGINT) AS DOUBLE) / len(toks), 6)
+                           END AS symbol_word_ratio,
+                       len(list_filter(toks, w -> lower(w) IN
+                           ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS stop_hits,
+                       CASE WHEN len(string_split(text, chr(10))) = 0 THEN 0.0 ELSE round(
+                           CAST(len(string_split(text, chr(10)))
+                                - len(list_distinct(string_split(text, chr(10))))
+                                AS DOUBLE) / len(string_split(text, chr(10))), 6)
+                           END AS dup_line_frac
+                FROM t),
+            gi AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+            g AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram FROM gi),
+            gc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+            gt AS (SELECT doc_id, gram, cnt FROM (
+                       SELECT *, row_number() OVER
+                           (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+                       FROM gc) WHERE rn = 1),
+            j AS (
+                SELECT m.*,
+                       CASE WHEN gt.gram IS NULL OR m.n_chars = 0 THEN 0.0 ELSE round(
+                           CAST(gt.cnt * length(gt.gram) AS DOUBLE) / m.n_chars, 6)
+                           END AS top_2gram_frac
+                FROM m LEFT JOIN gt USING (doc_id))
+            SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+                   symbol_word_ratio, stop_hits, dup_line_frac, top_2gram_frac,
+                   CAST((n_words BETWEEN 50 AND 100000)
+                        AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                        AND (alpha_word_frac >= 0.8)
+                        AND (symbol_word_ratio <= 0.1)
+                        AND (stop_hits >= 2)
+                        AND (dup_line_frac <= 0.3)
+                        AND (top_2gram_frac <= 0.2) AS BIGINT) AS keep
+            FROM j
+        """
 
 # 63-bit simhash fingerprint per doc (mirrors dedup.simhash)
 _SIMHASH_CTE = """
@@ -1429,6 +1505,46 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(sum(c * c)), 6) AS centroid_norm
             FROM cent GROUP BY label
         """,
+        # the composed pipeline: gopher keep → simhash clusters over
+        # survivors (same fragments as the standalone oracles, with the
+        # simhash CTE re-anchored on the kept set) → representatives →
+        # mixture report
+        "curation_pipeline": f"""
+            WITH RECURSIVE
+            kept AS (SELECT doc_id FROM ({_GOPHER_SQL}) gq WHERE keep = 1),
+            kd AS (SELECT d.* FROM documents d JOIN kept USING (doc_id)),
+            {_SIMHASH_CTE.replace("FROM documents", "FROM kd")},
+            chunks AS (
+                SELECT id, simhash, cid, (simhash >> (cid * 16)) & 65535 AS chunk
+                FROM fp, (SELECT unnest(range(0, 4)) AS cid) c),
+            p AS (
+                SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                FROM chunks x
+                JOIN chunks y ON x.cid = y.cid AND x.chunk = y.chunk
+                WHERE x.id < y.id
+                  AND bit_count(xor(x.simhash, y.simhash)) <= 8),
+            edges AS (SELECT id_a AS a, id_b AS b FROM p
+                      UNION ALL SELECT id_b, id_a FROM p),
+            reach AS (
+                SELECT doc_id AS node, doc_id AS r FROM kd
+                UNION
+                SELECT reach.node, e.b
+                FROM reach JOIN edges e ON e.a = reach.r),
+            lab AS (SELECT node AS doc_id, min(r) AS cluster_id
+                    FROM reach GROUP BY node),
+            fd AS (SELECT kd.* FROM kd
+                   JOIN lab ON kd.doc_id = lab.doc_id
+                           AND lab.doc_id = lab.cluster_id),
+            s AS (SELECT source, lang, count(*) AS n_docs,
+                         CAST(sum(len(list_filter(
+                             regexp_split_to_array(text, '\\s+'),
+                             x -> x <> ''))) AS BIGINT) AS n_tokens
+                  FROM fd GROUP BY source, lang),
+            t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s)
+            SELECT source, lang, n_docs, n_tokens,
+                   round(n_tokens / t.total, 6) AS token_share
+            FROM s, t
+        """,
         "source_mix": """
             WITH s AS (
                 SELECT source, lang, count(*) AS n_docs,
@@ -1709,58 +1825,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r_name, c_mktsegment
         """,
         "rh_lsh_dedup": _rh_lsh_sql(),
-        "gopher_quality": """
-            WITH t AS (
-                SELECT doc_id, coalesce(text, '') AS text,
-                       regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks,
-                       length(coalesce(text, '')) AS n_chars
-                FROM documents),
-            m AS (
-                SELECT doc_id, n_chars, toks,
-                       len(toks) AS n_words,
-                       CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(
-                           CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
-                           / len(toks), 6) END AS mean_word_len,
-                       CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(
-                           CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
-                                AS DOUBLE) / len(toks), 6) END AS alpha_word_frac,
-                       CASE WHEN len(toks) = 0 THEN 0.0 ELSE round(
-                           CAST((length(text) - length(replace(text, '#', '')))
-                                + CAST((length(text) - length(replace(text, '...', ''))) / 3
-                                       AS BIGINT) AS DOUBLE) / len(toks), 6)
-                           END AS symbol_word_ratio,
-                       len(list_filter(toks, w -> lower(w) IN
-                           ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS stop_hits,
-                       CASE WHEN len(string_split(text, chr(10))) = 0 THEN 0.0 ELSE round(
-                           CAST(len(string_split(text, chr(10)))
-                                - len(list_distinct(string_split(text, chr(10))))
-                                AS DOUBLE) / len(string_split(text, chr(10))), 6)
-                           END AS dup_line_frac
-                FROM t),
-            gi AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
-            g AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram FROM gi),
-            gc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
-            gt AS (SELECT doc_id, gram, cnt FROM (
-                       SELECT *, row_number() OVER
-                           (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
-                       FROM gc) WHERE rn = 1),
-            j AS (
-                SELECT m.*,
-                       CASE WHEN gt.gram IS NULL OR m.n_chars = 0 THEN 0.0 ELSE round(
-                           CAST(gt.cnt * length(gt.gram) AS DOUBLE) / m.n_chars, 6)
-                           END AS top_2gram_frac
-                FROM m LEFT JOIN gt USING (doc_id))
-            SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
-                   symbol_word_ratio, stop_hits, dup_line_frac, top_2gram_frac,
-                   CAST((n_words BETWEEN 50 AND 100000)
-                        AND (mean_word_len BETWEEN 3.0 AND 10.0)
-                        AND (alpha_word_frac >= 0.8)
-                        AND (symbol_word_ratio <= 0.1)
-                        AND (stop_hits >= 2)
-                        AND (dup_line_frac <= 0.3)
-                        AND (top_2gram_frac <= 0.2) AS BIGINT) AS keep
-            FROM j
-        """,
+        "gopher_quality": _GOPHER_SQL,
         "quality_scorer": """
             WITH tk AS (
                 SELECT doc_id,
