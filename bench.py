@@ -92,7 +92,7 @@ def main() -> None:
             "gopher_quality", "quality_scorer",
             "dup_clusters", "term_topk", "source_mix", "cap_per_source",
             "reassemble_chunks", "label_centroids", "price_quantiles",
-            "tpch_q18ish", "tpch_q22ish",
+            "tpch_q18ish", "tpch_q22ish", "events_props_stats",
         ]
         if name in qs
     }
