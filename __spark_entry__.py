@@ -1028,6 +1028,24 @@ def q_quality_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # concat-and-chunk sequence packing: one window cumsum per source
+    # gives every doc its span in the packed token stream; chunk
+    # membership is integer math — no self-join, no Python.
+    from sutro_spark.operators.packing import pack_contexts
+
+    return pack_contexts(_t(spark, sf_dir, "documents"), budget=256)
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-context-window occupancy: explode each doc over the windows
+    # it touches (bounded by n_tokens/budget + 1), groupBy window.
+    from sutro_spark.operators.packing import pack_chunk_stats, pack_contexts
+
+    packed = pack_contexts(_t(spark, sf_dir, "documents"), budget=256)
+    return pack_chunk_stats(packed, budget=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "select_prompt_column": q_select_prompt_column,
@@ -1098,6 +1116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_clean": q_decontaminate_clean,
         "gopher_quality": q_gopher_quality,
         "quality_scorer": q_quality_scorer,
+        "pack_contexts": q_pack_contexts,
+        "pack_chunks": q_pack_chunks,
     }
 
 
@@ -1212,6 +1232,35 @@ _COSINE = (
 # word-8-gram contamination hits vs the planted benchmark slice
 # (mirrors operators/decontaminate.py with n=_DECON_N=8: benchmark =
 # words 4..13 of every 10th doc; grams joined on the raw string)
+#: concat-and-chunk packing offsets (budget 256, grouped by source) —
+#: mirrors operators/packing.py pack_contexts: whitespace token counts,
+#: one window cumsum, integer chunk arithmetic.
+_PACK_CTE = """
+    WITH tok AS (
+        SELECT source, doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+    off AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_offset
+        FROM tok),
+    packed AS (
+        SELECT source, doc_id, n_tokens, start_offset,
+               start_offset // 256 AS chunk_start,
+               CASE WHEN n_tokens = 0 THEN start_offset // 256
+                    ELSE (start_offset + n_tokens - 1) // 256
+               END AS chunk_end,
+               CAST(CASE WHEN n_tokens = 0 THEN 0
+                    ELSE (start_offset + n_tokens - 1) // 256
+                       - start_offset // 256 + 1
+               END AS BIGINT) AS n_chunks
+        FROM off)
+"""
+
 _DECON_CTE = """
     WITH bench AS (
         SELECT array_to_string(
@@ -1848,6 +1897,29 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s_milli AS DOUBLE) / (1000 * n_tokens), 6) AS score,
                    CAST(s_milli > 0 AS BIGINT) AS label
             FROM agg
+        """,
+        "pack_contexts": _PACK_CTE
+        + """
+            SELECT source, doc_id, n_tokens, start_offset,
+                   chunk_start, chunk_end, n_chunks
+            FROM packed
+        """,
+        "pack_chunks": _PACK_CTE
+        + """
+            , spans AS (
+                SELECT source, start_offset,
+                       start_offset + n_tokens AS end_offset,
+                       unnest(range(chunk_start, chunk_end + 1)) AS chunk_id
+                FROM packed WHERE n_tokens > 0)
+            SELECT source, chunk_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(least(end_offset, (chunk_id + 1) * 256)
+                          - greatest(start_offset, chunk_id * 256)) AS BIGINT)
+                       AS n_tokens,
+                   CAST(sum(least(end_offset, (chunk_id + 1) * 256)
+                          - greatest(start_offset, chunk_id * 256)) AS DOUBLE) / 256
+                       AS fill
+            FROM spans GROUP BY source, chunk_id
         """,
         "decontaminate": _DECON_CTE + "SELECT doc_id, n_hits FROM hits",
         "decontaminate_clean": _DECON_CTE

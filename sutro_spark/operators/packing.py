@@ -1,0 +1,119 @@
+"""Context-window packing (concat-and-chunk) for LLM pretraining.
+
+The standard pretraining data step the reference SDK leaves to the
+trainer: documents are concatenated into one token stream per packing
+group and cut into fixed ``budget``-token context windows; a document
+may straddle a window boundary, exactly like the tokenizer's
+concat-then-split. (Reference has no packing op — this extends the
+training-data surface mandated by the brief, next to
+operators/quality.py and functions/sampling.py.)
+
+Spark-first design:
+- ONE window cumulative sum per group (``SUM(n_tokens) OVER
+  (PARTITION BY group ORDER BY id)``) yields every document's start
+  offset; chunk membership is then pure integer arithmetic — no
+  self-join, no Python, no second shuffle.
+- the shuffle key is the packing group (e.g. ``source``), so groups
+  pack in parallel. A window partition spills rather than OOMs, but at
+  100 TB a single giant group still serializes its cumsum — pass
+  ``buckets=N`` to subdivide each group by a portable sha bucket of
+  the id (each (group, bucket) packs independently, bounding any one
+  task at corpus/N regardless of skew).
+- all offsets are exact integers (whitespace token counts), so any
+  engine — and the DuckDB oracle — reproduces the packing bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sutro_spark.functions.sampling import hash_bucket
+from sutro_spark.functions.text import token_count
+
+
+def pack_contexts(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    budget: int = 512,
+    group_by: str = "source",
+    buckets: int | None = None,
+) -> DataFrame:
+    """Assign each document its span in the packed token stream.
+
+    Output: (group, [bucket,] id, n_tokens, start_offset, chunk_start,
+    chunk_end, n_chunks) where chunk ids are 0-based within the
+    (group[, bucket]) stream and ``n_chunks`` is how many context
+    windows the document touches (0 for an empty document).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    keys = [group_by]
+    out = df.select(
+        F.col(group_by),
+        F.col(id_column),
+        token_count(F.col(text_column)).alias("n_tokens"),
+    )
+    if buckets:
+        out = out.withColumn(
+            "bucket", hash_bucket(id_column, salt="pack", buckets=buckets)
+        )
+        keys.append("bucket")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(id_column)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = out.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    chunk_start = F.expr(f"start_offset div {budget}")
+    chunk_end = F.when(F.col("n_tokens") == 0, chunk_start).otherwise(
+        F.expr(f"(start_offset + n_tokens - 1) div {budget}")
+    )
+    return (
+        out.withColumn("chunk_start", chunk_start)
+        .withColumn("chunk_end", chunk_end)
+        .withColumn(
+            "n_chunks",
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint")).otherwise(
+                F.col("chunk_end") - F.col("chunk_start") + 1
+            ),
+        )
+    )
+
+
+def pack_chunk_stats(
+    packed: DataFrame,
+    *,
+    budget: int = 512,
+    group_by: str = "source",
+) -> DataFrame:
+    """Per-context-window occupancy from a ``pack_contexts`` result.
+
+    Explodes each document over the (few) windows it touches —
+    bounded by n_tokens/budget + 1, never corpus² — and aggregates
+    per (group, chunk_id): documents touching the window, tokens in
+    it, and fill fraction (exact integer ratio; the final window of a
+    group is the only one allowed to be partial).
+    """
+    spans = packed.where(F.col("n_tokens") > 0).select(
+        F.col(group_by),
+        F.col("start_offset"),
+        (F.col("start_offset") + F.col("n_tokens")).alias("end_offset"),
+        F.explode(F.sequence("chunk_start", "chunk_end")).alias("chunk_id"),
+    )
+    tokens_in_chunk = F.least(
+        F.col("end_offset"), (F.col("chunk_id") + 1) * budget
+    ) - F.greatest(F.col("start_offset"), F.col("chunk_id") * budget)
+    return (
+        spans.withColumn("chunk_tokens", tokens_in_chunk)
+        .groupBy(group_by, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chunk_tokens").alias("n_tokens"),
+        )
+        .withColumn("fill", F.col("n_tokens").cast("double") / budget)
+    )

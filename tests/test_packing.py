@@ -1,0 +1,93 @@
+"""Context packing invariants (operators/packing.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sutro_spark.operators.packing import pack_chunk_stats, pack_contexts
+
+BUDGET = 256
+
+
+@pytest.fixture(scope="module")
+def packed(documents):
+    return pack_contexts(documents, budget=BUDGET).cache()
+
+
+def test_offsets_are_contiguous_per_group(packed):
+    # start_offset of each doc == sum of n_tokens of all earlier docs
+    # in its group: equivalently, offsets+n_tokens re-derive the next
+    # start. Check via self-consistency: per group, max(end) == sum(n).
+    agg = (
+        packed.groupBy("source")
+        .agg(
+            F.max(F.col("start_offset") + F.col("n_tokens")).alias("stream_end"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .collect()
+    )
+    assert agg
+    for r in agg:
+        assert r["stream_end"] == r["total_tokens"]
+
+
+def test_chunk_span_matches_token_interval(packed):
+    bad = packed.where(
+        (F.col("n_tokens") > 0)
+        & (
+            (F.col("chunk_start") != F.expr(f"start_offset div {BUDGET}"))
+            | (
+                F.col("chunk_end")
+                != F.expr(f"(start_offset + n_tokens - 1) div {BUDGET}")
+            )
+            | (F.col("n_chunks") != F.col("chunk_end") - F.col("chunk_start") + 1)
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_chunk_stats_conserve_tokens(packed):
+    stats = pack_chunk_stats(packed, budget=BUDGET)
+    per_group = stats.groupBy("source").agg(
+        F.sum("n_tokens").alias("chunk_tokens"),
+        F.max("chunk_id").alias("last_chunk"),
+        F.sum(F.when(F.col("n_tokens") != BUDGET, 1).otherwise(0)).alias("partial"),
+    )
+    docs_tokens = packed.groupBy("source").agg(F.sum("n_tokens").alias("doc_tokens"))
+    rows = per_group.join(docs_tokens, "source").collect()
+    assert rows
+    for r in rows:
+        # every token lands in exactly one chunk
+        assert r["chunk_tokens"] == r["doc_tokens"]
+        # only the final chunk of a group may be partial
+        assert r["partial"] <= 1
+        # chunk ids are dense 0..last
+        assert r["last_chunk"] == (r["doc_tokens"] - 1) // BUDGET
+
+
+def test_bucketed_packing_bounds_groups(documents):
+    packed = pack_contexts(documents, budget=BUDGET, buckets=4)
+    assert "bucket" in packed.columns
+    # each (source, bucket) stream is independently contiguous
+    agg = (
+        packed.groupBy("source", "bucket")
+        .agg(
+            F.max(F.col("start_offset") + F.col("n_tokens")).alias("stream_end"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .collect()
+    )
+    assert len(agg) > 4
+    for r in agg:
+        assert r["stream_end"] == r["total_tokens"]
+
+
+def test_empty_doc_occupies_no_chunk(spark):
+    df = spark.createDataFrame(
+        [("s", 1, "a b c"), ("s", 2, "   "), ("s", 3, "d")],
+        "source string, doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in pack_contexts(df, budget=2).collect()}
+    assert rows[2]["n_tokens"] == 0 and rows[2]["n_chunks"] == 0
+    assert rows[1]["chunk_start"] == 0 and rows[1]["chunk_end"] == 1
+    # doc 3 starts right after doc 1's 3 tokens despite the empty doc
+    assert rows[3]["start_offset"] == 3 and rows[3]["chunk_start"] == 1
