@@ -1028,6 +1028,32 @@ def q_quality_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # data-mixture rebalancing: per-language keep rates applied as a
+    # content-hash filter against a broadcast rate table.
+    from sutro_spark.functions.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"en": 25, "es": 50, "de": 75}  # others keep default 100
+    return stratified_sample(docs, "doc_id", "lang", rates).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_quality_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # keep the top 40% of documents per language by composite quality
+    # score: one deterministic percent_rank window per lang.
+    from sutro_spark.functions.text import quality_score
+    from sutro_spark.operators.quality import percentile_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    return percentile_filter(
+        docs, "quality", partition_column="lang", keep_top_frac=0.4
+    )
+
+
 def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concat-and-chunk sequence packing: one window cumsum per source
     # gives every doc its span in the packed token stream; chunk
@@ -1118,6 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scorer": q_quality_scorer,
         "pack_contexts": q_pack_contexts,
         "pack_chunks": q_pack_chunks,
+        "stratified_sample": q_stratified_sample,
+        "quality_percentile": q_quality_percentile,
     }
 
 
@@ -1897,6 +1925,35 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s_milli AS DOUBLE) / (1000 * n_tokens), 6) AS score,
                    CAST(s_milli > 0 AS BIGINT) AS label
             FROM agg
+        """,
+        "stratified_sample": """
+            WITH r AS (SELECT * FROM (VALUES ('en', 25), ('es', 50), ('de', 75))
+                       t(lang, rate_pct))
+            SELECT doc_id, lang, source
+            FROM documents LEFT JOIN r USING (lang)
+            WHERE CAST(concat('0x', substr(sha256(concat('stratified:',
+                      CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) % 100
+                  < COALESCE(rate_pct, 100)
+        """,
+        "quality_percentile": """
+            WITH q AS (
+                SELECT doc_id, lang,
+                       round(0.4 * least(CAST(length(text) AS DOUBLE) / 400, 1.0)
+                           + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                               CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                                    AS DOUBLE) / length(text) END)
+                           + 0.3 * CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                    AS DOUBLE) / length(text) END, 6) AS quality
+                FROM documents),
+            ranked AS (
+                SELECT doc_id, lang, quality,
+                       percent_rank() OVER (PARTITION BY lang
+                           ORDER BY quality, doc_id) AS pct_rank
+                FROM q)
+            SELECT doc_id, lang, quality, pct_rank
+            FROM ranked
+            WHERE pct_rank >= CAST(1.0 AS DOUBLE) - CAST(0.4 AS DOUBLE)
         """,
         "pack_contexts": _PACK_CTE
         + """

@@ -59,6 +59,46 @@ def deterministic_sample(
     return df.where(hash_bucket(key_column, salt=salt, buckets=buckets) < rate_pct)
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_column: str,
+    stratum_column: str,
+    rates: Mapping[str, int] | DataFrame,
+    *,
+    default_pct: int = 100,
+    salt: str = "stratified",
+    buckets: int = 100,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the rebalancing step of a
+    data-mixture pipeline (downsample over-represented languages or
+    sources to a target share) with the same content-hash guarantees as
+    :func:`deterministic_sample`.
+
+    ``rates`` maps stratum value → keep share out of ``buckets`` (or a
+    (stratum, rate_pct) DataFrame read from config). The rate table is
+    a BROADCAST dim — the corpus never shuffles to meet its config;
+    membership stays a per-row filter evaluated in the scan stage.
+    Strata absent from the table keep ``default_pct``.
+    """
+    spark = df.sparkSession
+    if isinstance(rates, DataFrame):
+        rate_df = rates.select(
+            F.col(rates.columns[0]).alias(stratum_column),
+            F.col(rates.columns[1]).cast("int").alias("__rate_pct"),
+        )
+    else:
+        rate_df = spark.createDataFrame(
+            [(k, int(v)) for k, v in rates.items()],
+            f"{stratum_column} string, __rate_pct int",
+        )
+    bucket = hash_bucket(key_column, salt=salt, buckets=buckets)
+    return (
+        df.join(F.broadcast(rate_df), stratum_column, "left")
+        .where(bucket < F.coalesce(F.col("__rate_pct"), F.lit(default_pct)))
+        .drop("__rate_pct")
+    )
+
+
 def hash_split(
     df: DataFrame,
     key_column: str,

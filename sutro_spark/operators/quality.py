@@ -153,6 +153,32 @@ def gopher_quality(
     )
 
 
+def percentile_filter(
+    df: DataFrame,
+    score_column: str,
+    *,
+    partition_column: str | None = None,
+    id_column: str = "doc_id",
+    keep_top_frac: float = 0.5,
+    rank_column: str = "pct_rank",
+) -> DataFrame:
+    """Keep rows at or above a score percentile, per partition group —
+    the "keep the best half per language" curation step.
+
+    ``percent_rank`` over (score, id) is fully deterministic (the id
+    tiebreak makes equal scores orderable) and an exact integer ratio
+    ((rank-1)/(n-1)), so any engine reproduces it bit-for-bit. One
+    window shuffle on the partition key; at 100 TB prefer a coarse
+    partition key (language, source) so groups parallelize — a global
+    percentile (partition_column=None) serializes one ordering and is
+    only for small refinement sets.
+    """
+    keys = [partition_column] if partition_column else []
+    w = Window.partitionBy(*keys).orderBy(score_column, id_column)
+    ranked = df.withColumn(rank_column, F.percent_rank().over(w))
+    return ranked.where(F.col(rank_column) >= 1.0 - keep_top_frac)
+
+
 def hash_bucket(col, dim: int) -> F.Column:
     """Deterministic feature-hash bucket: first 4 hex nibbles of
     sha256(token) mod ``dim``. sha-based (not murmur/xxhash) so any

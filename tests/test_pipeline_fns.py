@@ -159,3 +159,51 @@ def test_label_centroids_norms(spark):
     # label 0 centroid (0.5, 0.5) -> norm sqrt(0.5); label 1 -> sqrt(8)
     assert rows[0]["n_vecs"] == 2 and abs(rows[0]["centroid_norm"] - 0.707107) < 1e-6
     assert rows[1]["n_vecs"] == 1 and abs(rows[1]["centroid_norm"] - 2.828427) < 1e-6
+
+
+def test_stratified_sample_rates_and_default(documents, spark):
+    from sutro_spark.functions.sampling import stratified_sample
+
+    total = documents.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in total}
+    # rate 0 drops a stratum entirely; absent strata keep default 100
+    out = stratified_sample(documents, "doc_id", "lang", {"en": 0})
+    kept = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert "en" not in kept
+    for lang, n in by_lang.items():
+        if lang != "en":
+            assert kept[lang] == n
+    # DataFrame-valued rates match the mapping path exactly
+    rates_df = spark.createDataFrame([("en", 30), ("es", 60)], "lang string, pct int")
+    a = stratified_sample(documents, "doc_id", "lang", {"en": 30, "es": 60})
+    b = stratified_sample(documents, "doc_id", "lang", rates_df)
+    assert a.select("doc_id").exceptAll(b.select("doc_id")).count() == 0
+    assert a.count() == b.count()
+    # sampling is a subset of the stratum, roughly at the rate
+    n_en = a.where(F.col("lang") == "en").count()
+    assert 0 < n_en < by_lang["en"]
+
+
+def test_percentile_filter_keeps_top_fraction(spark):
+    from sutro_spark.operators.quality import percentile_filter
+
+    rows = [("g", i, float(i % 50)) for i in range(100)] + [
+        ("h", i, float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "grp string, doc_id int, score double")
+    kept = percentile_filter(
+        df, "score", partition_column="grp", id_column="doc_id", keep_top_frac=0.25
+    )
+    got = kept.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.min("score").alias("lo")
+    ).collect()
+    by = {r["grp"]: r for r in got}
+    # percent_rank >= 0.75 keeps the top quarter (ties broken by id)
+    assert by["h"]["n"] == 3 and by["h"]["lo"] == 7.0
+    assert by["g"]["n"] == 25
+    # every kept row outranks every dropped row under (score, id) order
+    dropped = df.join(kept.select("grp", "doc_id"), ["grp", "doc_id"], "left_anti")
+    lo = kept.groupBy("grp").agg(F.min(F.struct("score", "doc_id")).alias("k"))
+    hi = dropped.groupBy("grp").agg(F.max(F.struct("score", "doc_id")).alias("d"))
+    for r in lo.join(hi, "grp").collect():
+        assert (r["k"]["score"], r["k"]["doc_id"]) > (r["d"]["score"], r["d"]["doc_id"])
