@@ -1028,6 +1028,73 @@ def q_quality_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q7 shape: volume shipping between a nation pair, both
+    # directions, by ship year. Fact-fact join on orderkey; both
+    # nation legs resolve through broadcast dims.
+    n = _t(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    sn = F.broadcast(
+        n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    cn = F.broadcast(
+        n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(sn, F.col("s_nationkey") == F.col("s_nk"))
+        .join(cn, F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q17ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17 shape: correlated per-part average — revenue lost to
+    # small orders of one brand. The per-part avg is an aggregate of
+    # the same fact table joined back (broadcast: one row per brand
+    # part); avg built from exact integer sums so the membership
+    # threshold is engine-exact.
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li_b = li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+    avg_q = li_b.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li_b.drop("p_partkey")
+        .join(F.broadcast(avg_q), "l_partkey")
+        .where(F.col("l_quantity") < F.col("avg_qty") / 5)
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data-mixture rebalancing: per-language keep rates applied as a
     # content-hash filter against a broadcast rate table.
@@ -1146,6 +1213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "stratified_sample": q_stratified_sample,
         "quality_percentile": q_quality_percentile,
+        "tpch_q7ish": q_tpch_q7ish,
+        "tpch_q17ish": q_tpch_q17ish,
     }
 
 
@@ -1925,6 +1994,35 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s_milli AS DOUBLE) / (1000 * n_tokens), 6) AS score,
                    CAST(s_milli > 0 AS BIGINT) AS label
             FROM agg
+        """,
+        "tpch_q7ish": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+               OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+            GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+        """,
+        "tpch_q17ish": """
+            WITH brand_parts AS (
+                SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+            li_b AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN brand_parts ON l_partkey = p_partkey),
+            avg_q AS (
+                SELECT l_partkey, sum(l_quantity) / count(*) AS avg_qty
+                FROM li_b GROUP BY l_partkey)
+            SELECT round(sum(l_extendedprice) / 7, 2) AS avg_yearly,
+                   CAST(count(*) AS BIGINT) AS n_small
+            FROM li_b JOIN avg_q USING (l_partkey)
+            WHERE l_quantity < avg_qty / 5
         """,
         "stratified_sample": """
             WITH r AS (SELECT * FROM (VALUES ('en', 25), ('es', 50), ('de', 75))
