@@ -1028,6 +1028,16 @@ def q_quality_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linear_quality_score(_t(spark, sf_dir, "documents"))
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quantized Lloyd k-means, k=8, 2 rounds, deterministic init:
+    # integer milli-space makes every step engine-exact (see
+    # operators/kmeans.py). Output is per-cluster size + inertia.
+    from sutro_spark.operators.kmeans import kmeans, kmeans_summary
+
+    assigned, _ = kmeans(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+    return kmeans_summary(assigned)
+
+
 def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q7 shape: volume shipping between a nation pair, both
     # directions, by ship year. Fact-fact join on orderkey; both
@@ -1215,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile": q_quality_percentile,
         "tpch_q7ish": q_tpch_q7ish,
         "tpch_q17ish": q_tpch_q17ish,
+        "kmeans_clusters": q_kmeans_clusters,
     }
 
 
@@ -1357,6 +1368,56 @@ _PACK_CTE = """
                END AS BIGINT) AS n_chunks
         FROM off)
 """
+
+def _kmeans_sql() -> str:
+    """Two unrolled Lloyd rounds mirroring operators/kmeans.py: integer
+    milli-quantization (truncating cast, +1000 offset), squared-L2
+    argmin with (dist, cluster) tie-break, floor-division means (all
+    values non-negative, so DuckDB's ``//`` matches Spark's ``div``)."""
+
+    def assign(tag: str, ctab: str) -> str:
+        return f"""
+    a{tag} AS (
+        SELECT vec_id, cluster,
+               CAST(list_sum(list_transform(range(1, 65),
+                   i -> (qv[CAST(i AS INT)] - cv[CAST(i AS INT)])
+                      * (qv[CAST(i AS INT)] - cv[CAST(i AS INT)]))) AS BIGINT)
+                   AS dist2
+        FROM q, {ctab}),
+    m{tag} AS (
+        SELECT vec_id, cluster, dist2 FROM (
+            SELECT vec_id, cluster, dist2,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dist2, cluster) AS rn
+            FROM a{tag})
+        WHERE rn = 1)"""
+
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)
+                   AS qv
+        FROM embeddings),
+    c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
+        FROM q ORDER BY vec_id LIMIT 8),
+    {assign("1", "c0")},
+    e1 AS (
+        SELECT m1.cluster, i AS pos, qv[CAST(i AS INT)] AS v
+        FROM m1 JOIN q USING (vec_id), unnest(range(1, 65)) AS t(i)),
+    c1p AS (
+        SELECT cluster, pos, CAST(sum(v) AS BIGINT) // count(*) AS comp
+        FROM e1 GROUP BY cluster, pos),
+    c1 AS (
+        SELECT cluster, list(comp ORDER BY pos) AS cv
+        FROM c1p GROUP BY cluster),
+    {assign("2", "c1")}
+    SELECT cluster, CAST(count(*) AS BIGINT) AS size,
+           CAST(sum(dist2) AS BIGINT) AS inertia
+    FROM m2 GROUP BY cluster
+    """
+
 
 _DECON_CTE = """
     WITH bench AS (
@@ -1995,6 +2056,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s_milli > 0 AS BIGINT) AS label
             FROM agg
         """,
+        "kmeans_clusters": _kmeans_sql(),
         "tpch_q7ish": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS BIGINT) AS l_year,

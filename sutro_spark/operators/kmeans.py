@@ -1,0 +1,141 @@
+"""Quantized Lloyd k-means over embedding columns.
+
+The clustering step behind SemDeDup-style curation and IVF index
+builds (operators/similarity.py consumes the centroids). Not in the
+reference SDK (it delegates embedding use to the caller); part of the
+training-data surface the brief mandates.
+
+Engine-exactness: float centroid means are shuffle-order-dependent, so
+a naive float k-means is neither reproducible run-to-run nor
+oracle-checkable. We quantize each float32 component to integer
+milli-units (truncating cast + offset into non-negative range —
+identical semantics in every engine), after which every Lloyd step —
+squared-L2 distances, argmin assignment with (dist, cluster)
+tie-break, centroid means by integer division — is exact int64
+arithmetic: order-independent, engine-exact, reproducible at any
+cluster size. Quantization error is bounded by 1/scale per component,
+irrelevant for clustering. (int64 distance math is also
+codegen-friendly — no fp reassociation barriers.)
+
+Scale design: assignment is a broadcast cross join against k centroid
+rows (k·|corpus| intermediate, aggregated straight back down — the
+standard distributed Lloyd shape); the update is one
+groupBy(cluster, pos) over k·dim cells, map-side combinable. Only the
+k×dim centroid table (a few KB) ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QVEC = "qvec"
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vector_column: str = "embedding",
+    *,
+    scale: int = 1000,
+    offset: int = 1000,
+    out: str = QVEC,
+) -> DataFrame:
+    """array<float> → array<bigint> in [0, 2·offset] milli-units.
+
+    Truncating cast (toward zero) — the one float→int conversion with
+    identical semantics across engines; components must lie in
+    [-offset/scale, offset/scale].
+    """
+    return df.withColumn(
+        out,
+        F.transform(
+            F.col(vector_column),
+            lambda x: (x.cast("double") * scale).cast("long") + offset,
+        ),
+    )
+
+
+def _dist2(qcol: str, ccol: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(qcol, ccol, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    id_column: str = "vec_id",
+    qcol: str = QVEC,
+) -> DataFrame:
+    """Nearest-centroid assignment: (id, cluster, dist2).
+
+    Broadcast cross join against the k-row centroid table, then an
+    argmin per id via min(struct(dist2, cluster)) — deterministic
+    tie-break, single map-side-combinable aggregation.
+    """
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(c), [int(x) for x in v]) for c, v in centroids],
+        "cluster bigint, cvec array<bigint>",
+    )
+    d = (
+        df.select(id_column, qcol)
+        .crossJoin(F.broadcast(cdf))
+        .withColumn("dist2", _dist2(qcol, "cvec"))
+    )
+    best = d.groupBy(id_column).agg(F.min(F.struct("dist2", "cluster")).alias("b"))
+    return best.select(
+        id_column,
+        F.col("b.cluster").alias("cluster"),
+        F.col("b.dist2").alias("dist2"),
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    scale: int = 1000,
+    offset: int = 1000,
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Lloyd's algorithm, ``iters`` rounds, deterministic init (the k
+    lowest-id vectors). Returns (assignments, centroids); empty
+    clusters are dropped (standard Lloyd).
+
+    Per round: one broadcast-assignment aggregation + one
+    groupBy(cluster, pos) mean over k·dim cells; only the centroid
+    table is collected.
+    """
+    q = quantize_embeddings(
+        df, vector_column, scale=scale, offset=offset
+    ).select(id_column, QVEC)
+    init = q.orderBy(id_column).limit(k).collect()
+    centroids = [(i, list(r[QVEC])) for i, r in enumerate(init)]
+    assigned = assign_clusters(q, centroids, id_column)
+    for _ in range(iters - 1):
+        ex = (
+            assigned.join(q, id_column)
+            .select("cluster", F.posexplode(QVEC).alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("comp", F.expr("s div n"))  # all values >= 0
+            .groupBy("cluster")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "comp"))).alias("pc"))
+            .select("cluster", F.col("pc.comp").alias("cvec"))
+            .collect()
+        )
+        centroids = [(r["cluster"], list(r["cvec"])) for r in ex]
+        assigned = assign_clusters(q, centroids, id_column)
+    return assigned, centroids
+
+
+def kmeans_summary(assigned: DataFrame) -> DataFrame:
+    """(cluster, size, inertia) — all exact integers."""
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("size"), F.sum("dist2").alias("inertia")
+    )
