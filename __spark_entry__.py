@@ -1038,6 +1038,15 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_summary(assigned)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup: k-means candidate generation + within-cluster cosine
+    # pairs — the semantic-dedup scale pattern (corpus^2/k, not
+    # corpus^2).
+    from sutro_spark.operators.kmeans import semdedup
+
+    return semdedup(_t(spark, sf_dir, "embeddings"))
+
+
 def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q7 shape: volume shipping between a nation pair, both
     # directions, by ship year. Fact-fact join on orderkey; both
@@ -1226,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7ish": q_tpch_q7ish,
         "tpch_q17ish": q_tpch_q17ish,
         "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
     }
 
 
@@ -1413,9 +1423,6 @@ def _kmeans_sql() -> str:
         SELECT cluster, list(comp ORDER BY pos) AS cv
         FROM c1p GROUP BY cluster),
     {assign("2", "c1")}
-    SELECT cluster, CAST(count(*) AS BIGINT) AS size,
-           CAST(sum(dist2) AS BIGINT) AS inertia
-    FROM m2 GROUP BY cluster
     """
 
 
@@ -2056,7 +2063,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s_milli > 0 AS BIGINT) AS label
             FROM agg
         """,
-        "kmeans_clusters": _kmeans_sql(),
+        "kmeans_clusters": _kmeans_sql()
+        + """
+            SELECT cluster, CAST(count(*) AS BIGINT) AS size,
+                   CAST(sum(dist2) AS BIGINT) AS inertia
+            FROM m2 GROUP BY cluster
+        """,
+        "semdedup": _kmeans_sql()
+        + """
+            , vn AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))) AS n
+                FROM embeddings),
+            mm AS (SELECT m2.vec_id, m2.cluster, e, n
+                   FROM m2 JOIN vn USING (vec_id))
+            SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS sim
+            FROM mm a JOIN mm b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.e, b.e) / (a.n * b.n), 6) >= 0.3
+        """,
         "tpch_q7ish": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS BIGINT) AS l_year,

@@ -134,6 +134,60 @@ def kmeans(
     return assigned, centroids
 
 
+def semdedup(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.3,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then flag near-duplicate pairs ONLY within a
+    cluster — candidate generation by k-means instead of all-pairs.
+
+    Returns (cluster, id_a, id_b, sim) with id_a < id_b and rounded
+    cosine >= threshold; callers drop the higher id per pair. Cost is
+    sum of per-cluster pair counts — with balanced clusters, corpus²/k
+    instead of corpus², and each cluster's self-join is an equi-join on
+    the cluster key (one shuffle, no broadcast of the corpus).
+    """
+    from sutro_spark.functions.vectors import raw_dot, to_double_array
+
+    assigned, _ = kmeans(
+        df, k=k, iters=iters, id_column=id_column, vector_column=vector_column
+    )
+    v = df.select(
+        F.col(id_column), to_double_array(F.col(vector_column)).alias("v")
+    ).withColumn("n", F.sqrt(raw_dot(F.col("v"), F.col("v"))))
+    m = assigned.select(id_column, "cluster").join(v, id_column)
+    a = m.select(
+        "cluster",
+        F.col(id_column).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = m.select(
+        "cluster",
+        F.col(id_column).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim",
+            F.round(
+                raw_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ),
+        )
+        .where(F.col("sim") >= threshold)
+        .select("cluster", "id_a", "id_b", "sim")
+    )
+
+
 def kmeans_summary(assigned: DataFrame) -> DataFrame:
     """(cluster, size, inertia) — all exact integers."""
     return assigned.groupBy("cluster").agg(
