@@ -1038,6 +1038,62 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_summary(assigned)
 
 
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pack → chunk → shard: the trainer-facing manifest (16 context
+    # windows per shard file, per source).
+    from sutro_spark.operators.packing import (
+        pack_chunk_stats,
+        pack_contexts,
+        shard_manifest,
+    )
+
+    packed = pack_contexts(_t(spark, sf_dir, "documents"), budget=256)
+    return shard_manifest(pack_chunk_stats(packed, budget=256), chunks_per_shard=16)
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # line-level web cleanup over deterministically injected
+    # boilerplate (the synthetic corpus has none): legal footer,
+    # engagement bait, and a too-short line all drop; real content
+    # stays verbatim.
+    from sutro_spark.functions.web import strip_boilerplate
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(
+                "\nCopyright 2024 Example Corp. All rights reserved"
+                "\nSubscribe to the newsletter today"
+                "\nshort"
+                "\nClosing paragraph with enough characters to survive."
+            ),
+        ),
+    )
+    return strip_boilerplate(docs, "text2")
+
+
+def q_url_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # URL anatomy over synthesized per-doc URLs: host, eTLD+1
+    # approximation, path depth — one projection, JVM regex only.
+    from sutro_spark.functions.web import url_profile
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/"),
+            F.col("lang"),
+            F.lit("/page/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/extra")).otherwise(F.lit("")),
+        ),
+    )
+    return url_profile(docs)
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SemDeDup: k-means candidate generation + within-cluster cosine
     # pairs — the semantic-dedup scale pattern (corpus^2/k, not
@@ -1236,6 +1292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17ish": q_tpch_q17ish,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
+        "shard_manifest": q_shard_manifest,
+        "strip_boilerplate": q_strip_boilerplate,
+        "url_profile": q_url_profile,
     }
 
 
@@ -2147,6 +2206,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, n_tokens, start_offset,
                    chunk_start, chunk_end, n_chunks
             FROM packed
+        """,
+        "shard_manifest": _PACK_CTE
+        + """
+            , spans AS (
+                SELECT source, start_offset,
+                       start_offset + n_tokens AS end_offset,
+                       unnest(range(chunk_start, chunk_end + 1)) AS chunk_id
+                FROM packed WHERE n_tokens > 0),
+            chunks AS (
+                SELECT source, chunk_id,
+                       CAST(sum(least(end_offset, (chunk_id + 1) * 256)
+                              - greatest(start_offset, chunk_id * 256)) AS BIGINT)
+                           AS n_tokens
+                FROM spans GROUP BY source, chunk_id)
+            SELECT source, chunk_id // 16 AS shard_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   min(chunk_id) AS chunk_lo,
+                   max(chunk_id) AS chunk_hi,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+            FROM chunks GROUP BY source, chunk_id // 16
+        """,
+        "strip_boilerplate": """
+            WITH t AS (
+                SELECT doc_id,
+                       concat(text,
+                           chr(10), 'Copyright 2024 Example Corp. All rights reserved',
+                           chr(10), 'Subscribe to the newsletter today',
+                           chr(10), 'short',
+                           chr(10), 'Closing paragraph with enough characters to survive.')
+                           AS text2
+                FROM documents),
+            k AS (
+                SELECT doc_id,
+                       string_split(text2, chr(10)) AS lines,
+                       list_filter(string_split(text2, chr(10)),
+                           l -> len(trim(l)) >= 10 AND NOT regexp_matches(trim(l),
+                               '(?i)^(copyright\\b|all rights reserved|terms of (use|service)|privacy policy|cookie|subscribe\\b|sign (in|up)\\b|log ?in\\b|share this|follow us|advertisement$)'))
+                           AS kept
+                FROM t)
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   array_to_string(kept, chr(10)) AS cleaned
+            FROM k
+        """,
+        "url_profile": """
+            WITH u AS (
+                SELECT doc_id,
+                       concat('https://www.', source, CAST(doc_id % 7 AS VARCHAR),
+                              '.com/', lang, '/page/', CAST(doc_id AS VARCHAR),
+                              CASE WHEN doc_id % 3 = 0 THEN '/extra' ELSE '' END)
+                           AS url
+                FROM documents),
+            p AS (
+                SELECT doc_id, url,
+                       regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host,
+                       regexp_extract(url,
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path
+                FROM u)
+            SELECT doc_id, host,
+                   regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+                   CAST(len(list_filter(string_split(path, '/'), s -> s <> ''))
+                        AS BIGINT) AS depth
+            FROM p
         """,
         "pack_chunks": _PACK_CTE
         + """

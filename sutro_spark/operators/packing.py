@@ -85,6 +85,35 @@ def pack_contexts(
     )
 
 
+def shard_manifest(
+    chunk_stats: DataFrame,
+    *,
+    chunks_per_shard: int = 16,
+    group_by: str = "source",
+) -> DataFrame:
+    """Training-shard manifest from ``pack_chunk_stats`` output: fixed
+    ``chunks_per_shard`` windows per shard file, per group. Pure
+    integer arithmetic over the chunk table (already tiny relative to
+    the corpus — one row per context window), one map-side-combinable
+    groupBy. Output: (group, shard_id, n_chunks, chunk_lo, chunk_hi,
+    n_tokens) — what a trainer's data loader consumes.
+    """
+    if chunks_per_shard <= 0:
+        raise ValueError(f"chunks_per_shard must be positive, got {chunks_per_shard}")
+    return (
+        chunk_stats.withColumn(
+            "shard_id", F.expr(f"chunk_id div {chunks_per_shard}")
+        )
+        .groupBy(group_by, "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.min("chunk_id").alias("chunk_lo"),
+            F.max("chunk_id").alias("chunk_hi"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
 def pack_chunk_stats(
     packed: DataFrame,
     *,

@@ -207,3 +207,68 @@ def test_percentile_filter_keeps_top_fraction(spark):
     hi = dropped.groupBy("grp").agg(F.max(F.struct("score", "doc_id")).alias("d"))
     for r in lo.join(hi, "grp").collect():
         assert (r["k"]["score"], r["k"]["doc_id"]) > (r["d"]["score"], r["d"]["doc_id"])
+
+
+def test_strip_boilerplate_line_rules(spark):
+    from sutro_spark.functions.web import strip_boilerplate
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "A perfectly fine content line here.\n"
+                "Copyright 2020 Acme\n"
+                "  subscribe to us  \n"
+                "tiny\n"
+                "Terms of Service\n"
+                "Another good line of real content.",
+            )
+        ],
+        "doc_id int, text string",
+    )
+    r = strip_boilerplate(df).first()
+    assert r["n_lines"] == 6
+    assert r["n_kept"] == 2
+    assert r["cleaned"].splitlines() == [
+        "A perfectly fine content line here.",
+        "Another good line of real content.",
+    ]
+
+
+def test_url_profile_anatomy(spark):
+    from sutro_spark.functions.web import url_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.blog.example.com/a/b/c?q=1#f"),
+            (2, "http://host.io"),
+            (3, "not a url"),
+        ],
+        "doc_id int, url string",
+    )
+    got = {r["doc_id"]: r for r in url_profile(df).collect()}
+    assert got[1]["host"] == "www.blog.example.com"
+    assert got[1]["domain"] == "example.com"
+    assert got[1]["depth"] == 3
+    assert got[2]["host"] == "host.io" and got[2]["depth"] == 0
+    assert got[3]["host"] == "" and got[3]["domain"] == ""
+
+
+def test_shard_manifest_partitions_chunks(documents):
+    from pyspark.sql import functions as F
+    from sutro_spark.operators.packing import (
+        pack_chunk_stats,
+        pack_contexts,
+        shard_manifest,
+    )
+
+    chunks = pack_chunk_stats(pack_contexts(documents, budget=128), budget=128)
+    man = shard_manifest(chunks, chunks_per_shard=8)
+    rows = man.collect()
+    assert rows
+    for r in rows:
+        assert r["chunk_lo"] // 8 == r["shard_id"] == r["chunk_hi"] // 8
+        assert 1 <= r["n_chunks"] <= 8
+    # shards cover every chunk exactly once
+    total = man.agg(F.sum("n_chunks")).first()[0]
+    assert total == chunks.count()
