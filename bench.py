@@ -93,6 +93,10 @@ def main() -> None:
             "dup_clusters", "term_topk", "source_mix", "cap_per_source",
             "reassemble_chunks", "label_centroids", "price_quantiles",
             "tpch_q18ish", "tpch_q22ish", "events_props_stats",
+            "pack_contexts", "pack_chunks", "shard_manifest",
+            "stratified_sample", "quality_percentile", "kmeans_clusters",
+            "semdedup", "strip_boilerplate", "url_profile",
+            "tpch_q7ish", "tpch_q17ish",
         ]
         if name in qs
     }
