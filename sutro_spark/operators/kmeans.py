@@ -80,16 +80,27 @@ def assign_clusters(
         [(int(c), [int(x) for x in v]) for c, v in centroids],
         "cluster bigint, cvec array<bigint>",
     )
-    d = (
+    # argmin as min() of one packed long (dist2·M + cluster, M > max
+    # cluster id): struct/min_by orderings force sort-based aggregation,
+    # but min(long) runs as a HashAggregate with map-side partial
+    # aggregation — the k-way blow-up collapses back to one row per id
+    # BEFORE the shuffle, and nothing is sorted. Tie-break: equal dist2
+    # → smallest cluster id, same as ordering (dist2, cluster).
+    mult = max(c for c, _ in centroids) + 1
+    packed = (
         df.select(id_column, qcol)
         .crossJoin(F.broadcast(cdf))
-        .withColumn("dist2", _dist2(qcol, "cvec"))
+        .select(
+            id_column,
+            (_dist2(qcol, "cvec") * mult + F.col("cluster")).alias("key"),
+        )
+        .groupBy(id_column)
+        .agg(F.min("key").alias("key"))
     )
-    best = d.groupBy(id_column).agg(F.min(F.struct("dist2", "cluster")).alias("b"))
-    return best.select(
+    return packed.select(
         id_column,
-        F.col("b.cluster").alias("cluster"),
-        F.col("b.dist2").alias("dist2"),
+        (F.col("key") % mult).alias("cluster"),
+        F.expr(f"key div {mult}").alias("dist2"),
     )
 
 
