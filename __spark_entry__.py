@@ -1038,6 +1038,38 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_summary(assigned)
 
 
+def _eval_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # predictions from the U3 classify stub vs a deterministic gold
+    # labeling — the eval-table shape every metric op consumes.
+    docs = _t(spark, sf_dir, "documents")
+    pred = classify(docs, CLASSES, "text").select(
+        "doc_id", F.col("classification").alias("pred")
+    )
+    gold = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(c) for c in CLASSES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("label"),
+    )
+    return gold.join(pred, "doc_id")
+
+
+def q_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-class precision/recall/F1 — two map-side groupBys joined on
+    # the class; every ratio one exact integer division.
+    from sutro_spark.operators.metrics import classification_report
+
+    return classification_report(_eval_preds(spark, sf_dir))
+
+
+def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # confusion-matrix cells (label, pred, n).
+    from sutro_spark.operators.metrics import confusion_matrix
+
+    return confusion_matrix(_eval_preds(spark, sf_dir))
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pack → chunk → shard: the trainer-facing manifest (16 context
     # windows per shard file, per source).
@@ -1292,6 +1324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17ish": q_tpch_q17ish,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
+        "eval_report": q_eval_report,
+        "eval_confusion": q_eval_confusion,
         "shard_manifest": q_shard_manifest,
         "strip_boilerplate": q_strip_boilerplate,
         "url_profile": q_url_profile,
@@ -1484,6 +1518,16 @@ def _kmeans_sql() -> str:
     {assign("2", "c1")}
     """
 
+
+#: eval predictions: classify stub (length-keyed) vs doc_id-keyed gold.
+_EVAL_CTE = """
+    WITH p AS (
+        SELECT doc_id,
+               (['news', 'blog', 'code'])[length(coalesce(CAST(text AS VARCHAR), '')) % 3 + 1]
+                   AS pred,
+               (['news', 'blog', 'code'])[CAST(doc_id % 3 + 1 AS INT)] AS label
+        FROM documents)
+"""
 
 _DECON_CTE = """
     WITH bench AS (
@@ -2206,6 +2250,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, n_tokens, start_offset,
                    chunk_start, chunk_end, n_chunks
             FROM packed
+        """,
+        "eval_report": _EVAL_CTE + """
+            , bl AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS support,
+                            CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS tp
+                     FROM p GROUP BY label),
+            bp AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS predicted
+                   FROM p GROUP BY pred),
+            j AS (SELECT cls, COALESCE(support, 0) AS support,
+                         COALESCE(predicted, 0) AS predicted,
+                         COALESCE(tp, 0) AS tp
+                  FROM bl FULL JOIN bp USING (cls))
+            SELECT cls, support, predicted, tp,
+                   predicted - tp AS fp, support - tp AS fn,
+                   CASE WHEN predicted <> 0
+                        THEN CAST(tp AS DOUBLE) / predicted END AS precision,
+                   CASE WHEN support <> 0
+                        THEN CAST(tp AS DOUBLE) / support END AS recall,
+                   CASE WHEN support + predicted <> 0
+                        THEN CAST(2 * tp AS DOUBLE) / (support + predicted)
+                        END AS f1
+            FROM j
+        """,
+        "eval_confusion": _EVAL_CTE + """
+            SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY label, pred
         """,
         "shard_manifest": _PACK_CTE
         + """

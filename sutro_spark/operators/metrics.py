@@ -1,0 +1,78 @@
+"""Classification evaluation metrics over prediction tables.
+
+Completes the evals family next to operators/elo.py (reference ships
+classify/score/rank templates — /root/reference/sutro/templates/
+evals.py — but leaves metric computation to the caller; a 100-TB
+pipeline needs it as an engine op).
+
+Relational all the way down: two map-side-combinable groupBys (by
+gold label, by predicted label) joined on the class — never a
+per-class scan. Float parity discipline: precision/recall/F1 are each
+ONE division of exact integer counts (F1 via 2·tp/(support+predicted),
+algebraically identical to the harmonic mean but engine-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def confusion_matrix(
+    df: DataFrame, label_column: str = "label", pred_column: str = "pred"
+) -> DataFrame:
+    """(label, pred, n) cell counts — one shuffle on the class pair."""
+    return df.groupBy(
+        F.col(label_column).alias("label"), F.col(pred_column).alias("pred")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def classification_report(
+    df: DataFrame, label_column: str = "label", pred_column: str = "pred"
+) -> DataFrame:
+    """Per-class (cls, support, predicted, tp, fp, fn, precision,
+    recall, f1). Classes seen only in predictions (or only in gold)
+    appear with zero-coalesced counts; undefined ratios are null.
+    """
+    hit = F.when(F.col(pred_column) == F.col(label_column), 1).otherwise(0)
+    by_label = df.groupBy(F.col(label_column).alias("cls")).agg(
+        F.count(F.lit(1)).alias("support"), F.sum(hit).alias("tp")
+    )
+    by_pred = df.groupBy(F.col(pred_column).alias("cls")).agg(
+        F.count(F.lit(1)).alias("predicted")
+    )
+    j = (
+        by_label.join(by_pred, "cls", "full")
+        .select(
+            "cls",
+            F.coalesce("support", F.lit(0)).alias("support"),
+            F.coalesce("predicted", F.lit(0)).alias("predicted"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+        .withColumn("fp", F.col("predicted") - F.col("tp"))
+        .withColumn("fn", F.col("support") - F.col("tp"))
+    )
+    div = lambda num, den: F.when(den != 0, num.cast("double") / den)  # noqa: E731
+    return (
+        j.withColumn("precision", div(F.col("tp"), F.col("predicted")))
+        .withColumn("recall", div(F.col("tp"), F.col("support")))
+        .withColumn(
+            "f1", div(2 * F.col("tp"), F.col("support") + F.col("predicted"))
+        )
+    )
+
+
+def accuracy(
+    df: DataFrame, label_column: str = "label", pred_column: str = "pred"
+) -> DataFrame:
+    """One-row (n, correct, accuracy) — exact single division."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col(pred_column) == F.col(label_column), 1).otherwise(0)
+        ).alias("correct"),
+    ).select(
+        "n",
+        "correct",
+        (F.col("correct").cast("double") / F.col("n")).alias("accuracy"),
+    )

@@ -272,3 +272,29 @@ def test_shard_manifest_partitions_chunks(documents):
     # shards cover every chunk exactly once
     total = man.agg(F.sum("n_chunks")).first()[0]
     assert total == chunks.count()
+
+
+def test_classification_report_counts(spark):
+    from sutro_spark.operators.metrics import (
+        accuracy,
+        classification_report,
+        confusion_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a")],
+        "label string, pred string",
+    )
+    rep = {r["cls"]: r for r in classification_report(df).collect()}
+    assert rep["a"]["support"] == 2 and rep["a"]["tp"] == 1
+    assert rep["a"]["predicted"] == 2 and rep["a"]["fp"] == 1
+    assert rep["a"]["precision"] == 0.5 and rep["a"]["recall"] == 0.5
+    assert rep["b"]["precision"] == 2 / 3 and rep["b"]["recall"] == 1.0
+    assert rep["b"]["f1"] == 4 / 5  # 2*2/(2+3)
+    # class only in gold: predicted=0 → precision null, recall 0
+    assert rep["c"]["predicted"] == 0 and rep["c"]["precision"] is None
+    assert rep["c"]["recall"] == 0.0
+    cm = {(r["label"], r["pred"]): r["n"] for r in confusion_matrix(df).collect()}
+    assert cm[("b", "b")] == 2 and cm[("c", "a")] == 1
+    acc = accuracy(df).first()
+    assert acc["n"] == 5 and acc["correct"] == 3 and acc["accuracy"] == 0.6
