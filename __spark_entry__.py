@@ -1055,6 +1055,14 @@ def _eval_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.join(pred, "doc_id")
 
 
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # remaining Gopher repetition signals: paragraph/line duplication
+    # in-scan, top 3-/4-gram coverage via (doc, gram) groupBys.
+    from sutro_spark.operators.quality import repetition_profile
+
+    return repetition_profile(_t(spark, sf_dir, "documents"))
+
+
 def q_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-class precision/recall/F1 — two map-side groupBys joined on
     # the class; every ratio one exact integer division.
@@ -1324,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17ish": q_tpch_q17ish,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
+        "repetition_profile": q_repetition_profile,
         "eval_report": q_eval_report,
         "eval_confusion": q_eval_confusion,
         "shard_manifest": q_shard_manifest,
@@ -2250,6 +2259,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, n_tokens, start_offset,
                    chunk_start, chunk_end, n_chunks
             FROM packed
+        """,
+        "repetition_profile": """
+            WITH t AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks,
+                       length(coalesce(text, '')) AS n_chars,
+                       string_split(coalesce(text, ''), chr(10) || chr(10)) AS paras,
+                       string_split(coalesce(text, ''), chr(10)) AS lines
+                FROM documents),
+            m AS (
+                SELECT doc_id, n_chars, toks,
+                       round(CASE WHEN len(paras) = 0 THEN 0.0 ELSE
+                           CAST(len(paras) - len(list_distinct(paras)) AS DOUBLE)
+                           / len(paras) END, 6) AS dup_para_frac,
+                       round(CASE WHEN n_chars = 0 THEN 0.0 ELSE
+                           CAST(coalesce(list_sum(list_transform(list_filter(lines,
+                               l -> len(list_filter(lines, x -> x = l)) > 1),
+                               l -> length(l))), 0) AS DOUBLE) / n_chars END, 6)
+                           AS dup_line_char_frac
+                FROM t),
+            g3 AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+                   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t)),
+            c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY doc_id, gram),
+            t3 AS (SELECT doc_id, gram, cnt FROM (
+                       SELECT *, row_number() OVER
+                           (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+                       FROM c3) WHERE rn = 1),
+            g4 AS (SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
+                   FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i FROM t)),
+            c4 AS (SELECT doc_id, gram, count(*) AS cnt FROM g4 GROUP BY doc_id, gram),
+            t4 AS (SELECT doc_id, gram, cnt FROM (
+                       SELECT *, row_number() OVER
+                           (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+                       FROM c4) WHERE rn = 1)
+            SELECT m.doc_id, m.dup_para_frac, m.dup_line_char_frac,
+                   round(CASE WHEN t3.gram IS NULL OR m.n_chars = 0 THEN 0.0 ELSE
+                       CAST(t3.cnt * length(t3.gram) AS DOUBLE) / m.n_chars END, 6)
+                       AS top_3gram_frac,
+                   round(CASE WHEN t4.gram IS NULL OR m.n_chars = 0 THEN 0.0 ELSE
+                       CAST(t4.cnt * length(t4.gram) AS DOUBLE) / m.n_chars END, 6)
+                       AS top_4gram_frac
+            FROM m LEFT JOIN t3 USING (doc_id) LEFT JOIN t4 USING (doc_id)
         """,
         "eval_report": _EVAL_CTE + """
             , bl AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS support,

@@ -153,6 +153,88 @@ def gopher_quality(
     )
 
 
+def _top_gram_frac(df: DataFrame, text_column: str, n: int, alias: str) -> DataFrame:
+    """(id, <alias>): chars covered by the most frequent word n-gram /
+    doc chars — one (doc, gram) groupBy + per-doc window, joined back."""
+    grams = word_shingles(df, text_column, "id", n=n, distinct=False)
+    counts = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("gram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "gram", "cnt")
+    ).withColumnRenamed("gram", f"__g{n}").withColumnRenamed("cnt", f"__c{n}")
+
+
+def repetition_profile(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """The remaining Gopher repetition signals (Rae et al. 2021, Table
+    A1) beyond gopher_quality's dup_line_frac/top_2gram_frac:
+
+    - dup_para_frac — duplicated paragraph share (split on blank line)
+    - dup_line_char_frac — share of characters living in lines whose
+      value occurs more than once (all occurrences count)
+    - top_3gram_frac / top_4gram_frac — chars covered by the most
+      frequent word 3-/4-gram
+
+    Paragraph/line measures are per-row array arithmetic in the scan
+    stage (the line-frequency check is O(lines²) per row — lines per
+    doc is small and corpus-size-independent). The n-gram measures are
+    one (doc, gram) groupBy + window each, corpus-linear. Every
+    fraction: one division of exact integers, rounded to 6.
+    """
+    text = F.coalesce(F.col(text_column), F.lit(""))
+    paras = F.split(text, "\n\n")
+    n_paras = F.size(paras)
+    dup_para_frac = F.round(
+        F.when(n_paras == 0, F.lit(0.0)).otherwise(
+            (n_paras - F.size(F.array_distinct(paras))).cast("double") / n_paras
+        ),
+        6,
+    )
+    lines = F.split(text, "\n")
+    dup_chars = F.aggregate(
+        F.filter(
+            lines,
+            lambda l: F.size(F.filter(lines, lambda x: x == l)) > 1,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, l: acc + F.length(l),
+    )
+    n_chars = F.length(text)
+    dup_line_char_frac = F.round(
+        F.when(n_chars == 0, F.lit(0.0)).otherwise(
+            dup_chars.cast("double") / n_chars
+        ),
+        6,
+    )
+    base = df.select(
+        F.col(id_column).alias("id"),
+        n_chars.alias("__nc"),
+        dup_para_frac.alias("dup_para_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+    )
+    out = base
+    for n in (3, 4):
+        out = out.join(_top_gram_frac(df.select(F.col(id_column).alias("id"), text_column), text_column, n, ""), "id", "left")
+        out = out.withColumn(
+            f"top_{n}gram_frac",
+            F.round(
+                F.when(
+                    F.col(f"__g{n}").isNull() | (F.col("__nc") == 0), F.lit(0.0)
+                ).otherwise(
+                    (F.col(f"__c{n}") * F.length(f"__g{n}")).cast("double")
+                    / F.col("__nc")
+                ),
+                6,
+            ),
+        ).drop(f"__g{n}", f"__c{n}")
+    return out.drop("__nc").withColumnRenamed("id", id_column)
+
+
 def percentile_filter(
     df: DataFrame,
     score_column: str,

@@ -298,3 +298,29 @@ def test_classification_report_counts(spark):
     assert cm[("b", "b")] == 2 and cm[("c", "a")] == 1
     acc = accuracy(df).first()
     assert acc["n"] == 5 and acc["correct"] == 3 and acc["accuracy"] == 0.6
+
+
+def test_repetition_profile_signals(spark):
+    from sutro_spark.operators.quality import repetition_profile
+
+    text = (
+        "alpha beta alpha beta alpha beta\n"
+        "same line here\n"
+        "same line here\n"
+        "unique line content\n\n"
+        "para two\n\npara two"
+    )
+    df = spark.createDataFrame([(1, text), (2, "no repeats at all")],
+                               "doc_id int, text string")
+    got = {r["doc_id"]: r for r in repetition_profile(df).collect()}
+    r = got[1]
+    # paragraphs: [.."para two", "para two"] → 1 dup of 3
+    assert r["dup_para_frac"] == round(1 / 3, 6)
+    # duplicated lines: "same line here"×2 (28) + "para two"×2 (16)
+    # + the two empty lines from the paragraph breaks (0) = 44 chars
+    assert r["dup_line_char_frac"] == round(44 / len(text), 6)
+    # "alpha beta alpha" appears twice (len 16) → 32/len(text)
+    assert r["top_3gram_frac"] == round(2 * 16 / len(text), 6)
+    assert r["top_4gram_frac"] > 0
+    r2 = got[2]
+    assert r2["dup_para_frac"] == 0.0 and r2["dup_line_char_frac"] == 0.0
