@@ -1055,6 +1055,24 @@ def _eval_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gold.join(pred, "doc_id")
 
 
+def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integer PageRank over the supplier<->part bipartite graph
+    # (distinct lineitem pairs, both directions), 2 rounds, top-50
+    # nodes. Iterative propagation entirely as joins + groupBys.
+    from sutro_spark.operators.cluster import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    und = li.select(
+        (F.col("l_suppkey") * 2).alias("a"),
+        (F.col("l_partkey") * 2 + 1).alias("b"),
+    ).distinct()
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    pr = pagerank(edges, iters=2)
+    return pr.orderBy(F.desc("rank"), F.asc("node")).limit(50)
+
+
 def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # remaining Gopher repetition signals: paragraph/line duplication
     # in-scan, top 3-/4-gram coverage via (doc, gram) groupBys.
@@ -1332,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17ish": q_tpch_q17ish,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
+        "pagerank_suppliers": q_pagerank_suppliers,
         "repetition_profile": q_repetition_profile,
         "eval_report": q_eval_report,
         "eval_confusion": q_eval_confusion,
@@ -2259,6 +2278,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, n_tokens, start_offset,
                    chunk_start, chunk_end, n_chunks
             FROM packed
+        """,
+        "pagerank_suppliers": """
+            WITH und AS (
+                SELECT DISTINCT l_suppkey * 2 AS a, l_partkey * 2 + 1 AS b
+                FROM lineitem),
+            e AS (SELECT a AS src, b AS dst FROM und
+                  UNION ALL SELECT b, a FROM und),
+            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            nodes AS (SELECT DISTINCT src AS node FROM e),
+            n AS (SELECT count(*) AS n FROM nodes),
+            p0 AS (SELECT node, 1000000000000 // (SELECT n FROM n) AS p
+                   FROM nodes),
+            c1 AS (SELECT e.dst, CAST(sum(p0.p // deg.deg) AS BIGINT) AS s
+                   FROM p0 JOIN deg ON p0.node = deg.src
+                           JOIN e ON e.src = deg.src
+                   GROUP BY e.dst),
+            p1 AS (SELECT node,
+                          (15 * 1000000000000) // (100 * (SELECT n FROM n))
+                          + (85 * COALESCE(s, 0)) // 100 AS p
+                   FROM nodes LEFT JOIN c1 ON node = dst),
+            c2 AS (SELECT e.dst, CAST(sum(p1.p // deg.deg) AS BIGINT) AS s
+                   FROM p1 JOIN deg ON p1.node = deg.src
+                           JOIN e ON e.src = deg.src
+                   GROUP BY e.dst),
+            p2 AS (SELECT node,
+                          (15 * 1000000000000) // (100 * (SELECT n FROM n))
+                          + (85 * COALESCE(s, 0)) // 100 AS p
+                   FROM nodes LEFT JOIN c2 ON node = dst)
+            SELECT node, p AS rank FROM p2
+            ORDER BY rank DESC, node LIMIT 50
         """,
         "repetition_profile": """
             WITH t AS (

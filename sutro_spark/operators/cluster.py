@@ -106,6 +106,67 @@ def connected_components(
     return e.select(F.col("u").alias("node"), F.col("v").alias("component"))
 
 
+def pagerank(
+    edges: DataFrame,
+    *,
+    iters: int = 2,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Integer-arithmetic PageRank — the iterative-propagation graph
+    primitive next to connected_components (e.g. rank documents by
+    citation/link structure when curating, or suppliers by part
+    connectivity).
+
+    ``edges`` is directed (src, dst); pass both directions for an
+    undirected graph. All probability mass is integer (``scale`` units
+    split across nodes; contributions use floor division on
+    non-negative values, identical in every engine) so ranks are
+    engine-exact and order-independent — a float PageRank's sums would
+    be shuffle-order-dependent and unreproducible.
+
+    Per iteration: one join (contrib = p div out-degree onto edges) +
+    one groupBy(dst) sum — both map-side-combinable, shuffle keyed on
+    node id. No collect (only the node count, a scalar). With
+    ``checkpoint=True`` lineage is truncated per round
+    (localCheckpoint) so deep iteration counts don't grow the plan —
+    the same discipline connected_components uses.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("bigint"))
+    base = (100 - damping_pct) * scale // (100 * n_nodes)
+    p = nodes.withColumn("p", F.lit(scale // n_nodes))
+    for _ in range(iters):
+        contrib = (
+            p.join(deg, p.node == deg.src, "inner")
+            .select(F.col("src"), F.expr("p div deg").alias("c"))
+            .join(edges, "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        p = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
+                ).alias("p"),
+            )
+        )
+        if checkpoint:
+            p = p.localCheckpoint(eager=True)
+    return p.withColumnRenamed("p", "rank")
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,

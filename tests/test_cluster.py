@@ -78,3 +78,26 @@ def test_dedup_clusters_labels_and_representatives(spark):
         .collect()
     )
     assert all(r["r"] == 1 for r in reps)
+
+
+def test_pagerank_star_graph(spark):
+    from pyspark.sql import functions as F
+    from sutro_spark.operators.cluster import pagerank
+
+    # undirected star: hub 0 - leaves 1..4
+    und = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src bigint, dst bigint"
+    )
+    pr = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    assert len(pr) == 5
+    # hub concentrates mass; leaves are symmetric → identical ranks
+    leaf_ranks = {pr[i] for i in range(1, 5)}
+    assert len(leaf_ranks) == 1
+    assert pr[0] > pr[1]
+    # integer mass is conserved up to floor-division loss
+    total = sum(pr.values())
+    assert 0.99 * 10**12 < total <= 10**12
+    # deterministic across runs (exact integers, no float drift)
+    pr2 = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    assert pr == pr2
