@@ -23,6 +23,10 @@ def main() -> None:
     from sutro_spark.functions.text import term_topk, text_profile
     from sutro_spark.operators.dedup import exact_dedup, minhash_lsh_pairs, simhash
     from sutro_spark.operators.mixture import cap_per_source
+    from sutro_spark.operators.packing import pack_contexts
+    from sutro_spark.operators.quality import percentile_filter, repetition_profile
+    from sutro_spark.functions.text import quality_score
+    from sutro_spark.functions.web import strip_boilerplate
     from sutro_spark.operators.quality import gopher_quality
     from sutro_spark.operators.transform import llm_transform
     from sutro_spark.session import get_spark
@@ -43,6 +47,18 @@ def main() -> None:
         "term_topk": lambda df: term_topk(df, k=50),
         "cap_per_source": lambda df: cap_per_source(df, cap=8).select(
             "doc_id", "source", "sample_rank"
+        ),
+        "pack_contexts": lambda df: pack_contexts(df, budget=512),
+        "repetition_profile": lambda df: repetition_profile(df),
+        "quality_percentile": lambda df: percentile_filter(
+            df.select(
+                "doc_id", "lang",
+                quality_score(F.col("text")).alias("quality"),
+            ),
+            "quality", partition_column="lang", keep_top_frac=0.4,
+        ),
+        "strip_boilerplate": lambda df: strip_boilerplate(df).select(
+            "doc_id", "n_kept"
         ),
     }
     results: dict[str, dict[int, float]] = {name: {} for name in ops}
