@@ -1272,6 +1272,285 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunk_stats(packed, budget=256)
 
 
+# ---------------------------------------------------------------------------
+# Remaining TPC-H query shapes, adapted to the synthetic schema (no
+# partsupp / commitdate columns — each keeps the *plan shape* of the
+# original: correlated scalar aggregates, semi/anti self-joins,
+# disjunctive join predicates, outer-join distributions).
+# ---------------------------------------------------------------------------
+def q_tpch_q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q2 shape: correlated min — the cheapest part(s) within each type.
+    # The per-type min is a small broadcast agg joined back to the dim;
+    # at 100 TB this is a map-side join (agg output = |types| rows).
+    p = _t(spark, sf_dir, "part")
+    m = p.groupBy("p_type").agg(F.min("p_retailprice").alias("min_price"))
+    return (
+        p.join(F.broadcast(m), "p_type")
+        .where(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_type", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+def q_tpch_q8ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q8 shape: market share — NATION_1 suppliers' share of revenue to
+    # ASIA customers per order year. Conditional aggregation over a
+    # fact-fact join; every dim leg is broadcast.
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    asia_nk = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    sn = F.broadcast(
+        n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(asia_nk, F.col("c_nationkey") == F.col("c_nk"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(rev), 2).alias("total_rev"),
+        )
+    )
+
+
+def q_tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q9 shape: profit by supplier nation × year over a part-name
+    # substring filter. The LIKE prunes the broadcast part dim before
+    # the fact join; group-by keys are (nation, year).
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q11 shape: group-by HAVING against a global scalar — parts whose
+    # lineitem revenue exceeds 1.4× the mean per-part share. The
+    # threshold is relative to part count so the query returns a stable
+    # fraction of parts at every scale factor; the scalar is a 1-row
+    # broadcast cross join, not a driver collect.
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("part_rev"))
+    stats = per_part.agg(
+        F.sum("part_rev").alias("total_rev"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(stats))
+        .where(F.col("part_rev") > F.lit(1.4) * F.col("total_rev") / F.col("n_parts"))
+        .select("l_partkey", F.round("part_rev", 2).alias("part_value"))
+    )
+
+
+def q_tpch_q13ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q13 shape: orders-per-customer distribution including zero-order
+    # customers — left outer join, count non-null, then count-of-counts.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q15 shape: top supplier(s) — per-supplier revenue in a window,
+    # kept where equal to the global max (scalar subquery → 1-row
+    # broadcast). Ties survive, exactly like the view-based original.
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+def q_tpch_q16ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q16 shape: distinct-supplier counts per part attribute, with an
+    # excluded-supplier anti-join (NOT IN → left_anti on the fact side).
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#1")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_name").like("%000000000%"))
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == F.col("bad_suppkey"), "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q19ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q19 shape: disjunctive join predicates — three OR'd brand/size/
+    # quantity bands evaluated after a single broadcast part join (the
+    # join key stays an equi-join; the disjunction is a post-filter, so
+    # no nested-loop join materializes).
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
+    )
+    return j.where(band).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_tpch_q20ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q20 shape: semi-join chain — suppliers who shipped > 300 units of
+    # 'small %' parts in 1997, resolved to (name, nation). Each hop is
+    # a semi-join or broadcast; nothing wide survives the chain.
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
+
+
+def q_tpch_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q21 shape: exists + not-exists self-joins on the fact table —
+    # suppliers solely responsible for returns on multi-supplier
+    # finished orders. l2 (exists: another supplier on the order) is a
+    # left_semi; l3 (not exists: another supplier also returned) is a
+    # left_anti; both are shuffle joins keyed on l_orderkey.
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    )
+    blamed = (
+        l1.join(o, l1.l_orderkey == o.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rolling range-frame window: per-user 10-minute trailing event
+    # count and value sum (RANGE BETWEEN on epoch seconds — frame
+    # includes all ties, identically in both engines). Values summed
+    # as exact integer cents so float association order can't matter.
+    ev = _t(spark, sf_dir, "events")
+    sec = F.expr("ts div 1000000000")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        sec.alias("sec"),
+        F.count(F.lit(1)).over(w).alias("roll_cnt"),
+        F.sum(cents).over(w).alias("roll_cents"),
+    )
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # document length histogram: fixed-width buckets computed with
+    # integer math in the scan stage, one map-side-combinable groupBy.
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.length(F.coalesce(F.col("text"), F.lit(""))) / 200), F.lit(9)).cast("long")
+    return (
+        docs.groupBy(bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")).alias("total_chars"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "select_prompt_column": q_select_prompt_column,
@@ -1348,6 +1627,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile": q_quality_percentile,
         "tpch_q7ish": q_tpch_q7ish,
         "tpch_q17ish": q_tpch_q17ish,
+        "tpch_q2ish": q_tpch_q2ish,
+        "tpch_q8ish": q_tpch_q8ish,
+        "tpch_q9ish": q_tpch_q9ish,
+        "tpch_q11ish": q_tpch_q11ish,
+        "tpch_q13ish": q_tpch_q13ish,
+        "tpch_q15ish": q_tpch_q15ish,
+        "tpch_q16ish": q_tpch_q16ish,
+        "tpch_q19ish": q_tpch_q19ish,
+        "tpch_q20ish": q_tpch_q20ish,
+        "tpch_q21ish": q_tpch_q21ish,
+        "events_rolling": q_events_rolling,
+        "length_histogram": q_length_histogram,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
         "pagerank_suppliers": q_pagerank_suppliers,
@@ -2669,6 +2960,162 @@ def oracle_sql() -> dict[str, str]:
         "rollup_counts": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "tpch_q2ish": """
+            WITH m AS (
+                SELECT p_type, min(p_retailprice) AS min_price
+                FROM part GROUP BY p_type)
+            SELECT p_type, p_partkey, p_name, p_retailprice
+            FROM part JOIN m USING (p_type)
+            WHERE p_retailprice = min_price
+        """,
+        "tpch_q8ish": """
+            WITH asia_nk AS (
+                SELECT n_nationkey FROM nation
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA')
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(CASE WHEN sn.n_name = 'NATION_1'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS mkt_share,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_rev
+            FROM lineitem
+            JOIN orders    ON l_orderkey = o_orderkey
+            JOIN customer  ON o_custkey = c_custkey
+            JOIN asia_nk   ON c_nationkey = n_nationkey
+            JOIN supplier  ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            GROUP BY year(o_orderdate)
+        """,
+        "tpch_q9ish": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, year(o_orderdate)
+        """,
+        "tpch_q11ish": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       sum(l_extendedprice * (1 - l_discount)) AS part_rev
+                FROM lineitem GROUP BY l_partkey),
+            stats AS (
+                SELECT sum(part_rev) AS total_rev, count(*) AS n_parts
+                FROM per_part)
+            SELECT l_partkey, round(part_rev, 2) AS part_value
+            FROM per_part, stats
+            WHERE part_rev > 1.4 * total_rev / n_parts
+        """,
+        "tpch_q13ish": """
+            WITH per_cust AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN (SELECT * FROM orders
+                           WHERE o_orderpriority <> '1-URGENT') o
+                  ON c_custkey = o_custkey
+                GROUP BY c_custkey)
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "tpch_q15ish": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2)
+                           AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_rev
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        """,
+        "tpch_q16ish": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier
+                  WHERE s_name LIKE '%000000000%')
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "tpch_q19ish": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "tpch_q20ish": """
+            WITH heavy AS (
+                SELECT l_suppkey
+                FROM lineitem
+                JOIN (SELECT p_partkey FROM part
+                      WHERE p_name LIKE 'small%') p
+                  ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate <  TIMESTAMP '1998-01-01'
+                GROUP BY l_suppkey
+                HAVING sum(l_quantity) > 300)
+            SELECT s_suppkey, s_name, n_name AS nation
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+        """,
+        "tpch_q21ish": """
+            WITH l1 AS (
+                SELECT l_orderkey, l_suppkey
+                FROM lineitem WHERE l_returnflag = 'R')
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM l1
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE l1.l_orderkey IN
+                  (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                  SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+            GROUP BY s_name
+        """,
+        "events_rolling": """
+            SELECT event_id, user_id,
+                   epoch_ns(ts) // 1000000000 AS sec,
+                   count(*) OVER w AS roll_cnt,
+                   sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                       AS roll_cents
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id
+                ORDER BY epoch_ns(ts) // 1000000000
+                RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        """,
+        "length_histogram": """
+            SELECT least(length(COALESCE(text, '')) // 200, 9) AS len_bucket,
+                   count(*) AS n_docs,
+                   sum(CAST(length(COALESCE(text, '')) AS BIGINT))
+                       AS total_chars
+            FROM documents
+            GROUP BY 1
         """,
         "events_sessionize": """
             WITH g AS (

@@ -97,6 +97,11 @@ def main() -> None:
             "stratified_sample", "quality_percentile", "kmeans_clusters",
             "semdedup", "strip_boilerplate", "url_profile",
             "tpch_q7ish", "tpch_q17ish",
+            "tpch_q2ish", "tpch_q8ish", "tpch_q9ish", "tpch_q11ish",
+            "tpch_q13ish", "tpch_q15ish", "tpch_q16ish", "tpch_q19ish",
+            "tpch_q20ish", "tpch_q21ish", "events_rolling",
+            "length_histogram", "eval_report", "repetition_profile",
+            "pagerank_suppliers",
         ]
         if name in qs
     }
