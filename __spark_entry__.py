@@ -1551,6 +1551,46 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc salient terms: tf × N/df weighting (exact-arithmetic
+    # stand-in for ln-idf), bounded rank window per doc.
+    from sutro_spark.functions.text import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus collocations: adjacent-pair counting (the BPE-merge /
+    # phrase-mining primitive), built in-scan with transform+explode.
+    from sutro_spark.functions.text import word_bigrams
+
+    return word_bigrams(_t(spark, sf_dir, "documents"), k=40)
+
+
+def q_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # leakage-safe train/val/test split: the hash key is the registered
+    # DOMAIN, not the doc id, so every page of a site lands in the same
+    # split — the grouping that keeps near-identical site boilerplate
+    # from straddling train and test. One projection, zero shuffles.
+    from sutro_spark.functions.sampling import hash_split
+    from sutro_spark.functions.web import registered_domain, url_host
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/"),
+            F.col("lang"),
+            F.lit("/page/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    docs = docs.withColumn("domain", registered_domain(url_host(F.col("url"))))
+    return hash_split(docs, "domain").select("doc_id", "domain", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "select_prompt_column": q_select_prompt_column,
@@ -1639,6 +1679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21ish": q_tpch_q21ish,
         "events_rolling": q_events_rolling,
         "length_histogram": q_length_histogram,
+        "tfidf_topk": q_tfidf_topk,
+        "word_bigrams": q_word_bigrams,
+        "domain_split": q_domain_split,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
         "pagerank_suppliers": q_pagerank_suppliers,
@@ -3108,6 +3151,67 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id
                 ORDER BY epoch_ns(ts) // 1000000000
                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        """,
+        "tfidf_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS term
+                FROM documents),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY doc_id, term),
+            dfreq AS (
+                SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+                SELECT doc_id, term, tf, doc_freq,
+                       tf * n_docs / doc_freq AS weight
+                FROM tf JOIN dfreq USING (term), n),
+            ranked AS (
+                SELECT doc_id, term, tf, doc_freq, weight,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY weight DESC, term) AS rank
+                FROM scored)
+            SELECT doc_id, term, tf, doc_freq,
+                   round(weight, 6) AS weight, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "word_bigrams": """
+            WITH t AS (
+                SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            b AS (
+                SELECT unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                FROM t WHERE len(toks) >= 2)
+            SELECT bigram, count(*) AS occurrences
+            FROM b GROUP BY bigram
+            ORDER BY occurrences DESC, bigram
+            LIMIT 40
+        """,
+        "domain_split": """
+            WITH u AS (
+                SELECT doc_id,
+                       concat('www.', source, CAST(doc_id % 7 AS VARCHAR),
+                              '.com') AS host
+                FROM documents),
+            d AS (
+                SELECT doc_id,
+                       regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain
+                FROM u),
+            b AS (
+                SELECT doc_id, domain,
+                       CAST(concat('0x', substr(sha256(concat('split:', domain)),
+                            1, 8)) AS UBIGINT) % 100 AS kb
+                FROM d)
+            SELECT doc_id, domain,
+                   CASE WHEN kb < 98 THEN 'train'
+                        WHEN kb < 99 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         "length_histogram": """
             SELECT least(length(COALESCE(text, '')) // 200, 9) AS len_bucket,

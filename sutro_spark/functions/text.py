@@ -248,6 +248,92 @@ def term_topk(
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k salient terms by tf × N/df weighting.
+
+    The reciprocal-df weight replaces the classic ln(N/df): the ranking
+    is identical (both are monotone in N/df) while staying inside
+    IEEE-exact arithmetic — one integer multiply and one double divide,
+    both exactly-rounded operations, so independent engines agree
+    bit-for-bit. Transcendentals (ln/log) carry no cross-libm exactness
+    guarantee and would make a value-hash correctness gate flaky.
+
+    Scale shape: one explode feeds groupBy(id, term) (map-side
+    combinable — the only shuffle over token volume); doc_freq is
+    derived from that aggregate's much smaller (doc, term) output;
+    corpus size N joins as a 1-row broadcast; the per-doc top-k is a
+    rank window bounded to k with a deterministic (weight desc, term)
+    tie-break.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_column).alias("__id"),
+        F.explode(tokens(F.lower(F.col(text_column)))).alias("term"),
+    )
+    tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = df.agg(F.countDistinct(F.col(id_column)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("weight", F.col("tf") * F.col("n_docs") / F.col("doc_freq"))
+    )
+    w = Window.partitionBy("__id").orderBy(F.desc("weight"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__id").alias(id_column),
+            "term",
+            "tf",
+            "doc_freq",
+            F.round("weight", 6).alias("weight"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def word_bigrams(
+    df: DataFrame,
+    text_column: str = "text",
+    *,
+    k: int = 40,
+) -> DataFrame:
+    """Top-k adjacent-token pairs (collocations) across the corpus —
+    the counting primitive under BPE-style merge induction and
+    boilerplate phrase mining.
+
+    Scale shape: the bigram list is built inside the scan stage with
+    ``transform`` over an index sequence (no self-join, no Python),
+    exploded, then one map-side-combinable groupBy; the final top-k is
+    TakeOrderedAndProject with a deterministic tie-break.
+    """
+    t = df.select(tokens(F.lower(F.col(text_column))).alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks)-2),"
+                " i -> concat(toks[i], ' ', toks[i+1]))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
 def reassemble_text(
     chunks: DataFrame,
     id_column: str = "doc_id",

@@ -324,3 +324,44 @@ def test_repetition_profile_signals(spark):
     assert r["top_4gram_frac"] > 0
     r2 = got[2]
     assert r2["dup_para_frac"] == 0.0 and r2["dup_line_char_frac"] == 0.0
+
+
+def test_tfidf_topk_ranks_rare_terms_highest(spark):
+    from sutro_spark.functions.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (0, "common rare common"),
+            (1, "common other"),
+            (2, "common unique unique"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 'rare' (df=1) outweighs 'common' (tf=2 but df=3):
+    # rare = 1*3/1 = 3.0 > common = 2*3/3 = 2.0
+    top0 = by_doc[0][0]
+    assert (top0["term"], top0["weight"], top0["rank"]) == ("rare", 3.0, 1)
+    # doc 2: 'unique' tf=2, df=1 → 2*3/1 = 6.0
+    top2 = by_doc[2][0]
+    assert (top2["term"], top2["weight"]) == ("unique", 6.0)
+    # every doc gets at most k rows, ranks are 1..k dense
+    for rows in by_doc.values():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+            range(1, len(rows) + 1)
+        )
+
+
+def test_word_bigrams_counts_and_short_docs(spark):
+    from sutro_spark.functions.text import word_bigrams
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "solo"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["bigram"]: r["occurrences"] for r in word_bigrams(df).collect()}
+    # "a b a b" → [a b, b a, a b]; "a b" → [a b]; short/empty/null drop out
+    assert got == {"a b": 3, "b a": 1}
