@@ -1096,6 +1096,14 @@ def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return confusion_matrix(_eval_preds(spark, sf_dir))
 
 
+def q_eval_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # chance-corrected agreement: Cohen's kappa as one double division
+    # of exact integer counts (see operators/metrics.py).
+    from sutro_spark.operators.metrics import cohens_kappa
+
+    return cohens_kappa(_eval_preds(spark, sf_dir))
+
+
 def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pack → chunk → shard: the trainer-facing manifest (16 context
     # windows per shard file, per source).
@@ -1551,6 +1559,22 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # canonical-survivor selection: fuzzy-dedup clusters (simhash →
+    # connected components) then keep the HIGHEST-QUALITY doc per
+    # cluster rather than the min-id — the policy step a curation
+    # pipeline actually runs. Argmax = one rank window per cluster.
+    from sutro_spark.functions.text import quality_score
+    from sutro_spark.operators.cluster import keep_best
+    from sutro_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, max_hamming=8).select("id_a", "id_b")
+    return keep_best(
+        docs, pairs, quality_score(F.coalesce(F.col("text"), F.lit("")))
+    )
+
+
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc salient terms: tf × N/df weighting (exact-arithmetic
     # stand-in for ln-idf), bounded rank window per doc.
@@ -1679,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21ish": q_tpch_q21ish,
         "events_rolling": q_events_rolling,
         "length_histogram": q_length_histogram,
+        "dedup_keep_best": q_dedup_keep_best,
         "tfidf_topk": q_tfidf_topk,
         "word_bigrams": q_word_bigrams,
         "domain_split": q_domain_split,
@@ -1688,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_profile": q_repetition_profile,
         "eval_report": q_eval_report,
         "eval_confusion": q_eval_confusion,
+        "eval_kappa": q_eval_kappa,
         "shard_manifest": q_shard_manifest,
         "strip_boilerplate": q_strip_boilerplate,
         "url_profile": q_url_profile,
@@ -2711,6 +2737,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, pred, CAST(count(*) AS BIGINT) AS n
             FROM p GROUP BY label, pred
         """,
+        "eval_kappa": _EVAL_CTE + """
+            , bl AS (SELECT label AS cls, CAST(count(*) AS BIGINT) AS support
+                     FROM p GROUP BY label),
+            bp AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS predicted
+                   FROM p GROUP BY pred),
+            chance AS (
+                SELECT CAST(sum(COALESCE(support, 0) * COALESCE(predicted, 0))
+                            AS BIGINT) AS chance_pairs
+                FROM bl FULL JOIN bp USING (cls)),
+            totals AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END)
+                            AS BIGINT) AS correct
+                FROM p)
+            SELECT n, correct, chance_pairs,
+                   CASE WHEN n * n - chance_pairs <> 0
+                        THEN CAST(n * correct - chance_pairs AS DOUBLE)
+                             / (n * n - chance_pairs) END AS kappa
+            FROM totals, chance
+        """,
         "shard_manifest": _PACK_CTE
         + """
             , spans AS (
@@ -3151,6 +3197,52 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id
                 ORDER BY epoch_ns(ts) // 1000000000
                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        """,
+        "dedup_keep_best": f"""
+            WITH RECURSIVE {_SIMHASH_CTE},
+            chunks AS (
+                SELECT id, simhash, cid, (simhash >> (cid * 16)) & 65535 AS chunk
+                FROM fp, (SELECT unnest(range(0, 4)) AS cid) c),
+            p AS (
+                SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                FROM chunks x
+                JOIN chunks y ON x.cid = y.cid AND x.chunk = y.chunk
+                WHERE x.id < y.id
+                  AND bit_count(xor(x.simhash, y.simhash)) <= 8),
+            edges AS (SELECT id_a AS a, id_b AS b FROM p
+                      UNION ALL SELECT id_b, id_a FROM p),
+            reach AS (
+                SELECT doc_id AS node, doc_id AS r FROM documents
+                UNION
+                SELECT reach.node, e.b AS r
+                FROM reach JOIN edges e ON e.a = reach.r),
+            lab AS (SELECT node AS doc_id, min(r) AS cluster_id
+                    FROM reach GROUP BY node),
+            q AS (
+                SELECT doc_id,
+                       round(0.4 * least(CAST(length(COALESCE(text, '')) AS DOUBLE) / 400, 1.0)
+                           + 0.3 * (1.0 - CASE WHEN length(COALESCE(text, '')) = 0 THEN 0.0 ELSE
+                               CAST(length(regexp_replace(COALESCE(text, ''), '[A-Za-z0-9\\s]', '', 'g'))
+                                    AS DOUBLE) / length(COALESCE(text, '')) END)
+                           + 0.3 * CASE WHEN length(COALESCE(text, '')) = 0 THEN 0.0 ELSE
+                               CAST(length(regexp_replace(COALESCE(text, ''), '[^A-Za-z]', '', 'g'))
+                                    AS DOUBLE) / length(COALESCE(text, '')) END, 6) AS score
+                FROM documents),
+            lj AS (
+                SELECT lab.doc_id, lab.cluster_id, q.score
+                FROM lab JOIN q USING (doc_id)),
+            sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                      FROM lj GROUP BY cluster_id),
+            ranked AS (
+                SELECT doc_id, cluster_id, score,
+                       row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY score DESC, doc_id) AS rk
+                FROM lj)
+            SELECT ranked.cluster_id, ranked.doc_id AS kept_doc_id,
+                   ranked.score AS kept_score, sizes.cluster_size,
+                   sizes.cluster_size - 1 AS n_dropped
+            FROM ranked JOIN sizes USING (cluster_id)
+            WHERE rk = 1
         """,
         "tfidf_topk": """
             WITH toks AS (

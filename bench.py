@@ -101,7 +101,8 @@ def main() -> None:
             "tpch_q13ish", "tpch_q15ish", "tpch_q16ish", "tpch_q19ish",
             "tpch_q20ish", "tpch_q21ish", "events_rolling",
             "length_histogram", "eval_report", "repetition_profile",
-            "pagerank_suppliers",
+            "pagerank_suppliers", "tfidf_topk", "word_bigrams",
+            "domain_split", "dedup_keep_best", "eval_kappa",
         ]
         if name in qs
     }

@@ -204,3 +204,59 @@ def dedup_clusters(
             .alias("is_representative"),
         )
     )
+
+
+def keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score,
+    id_column: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Canonical-survivor selection: after transitive closure of the
+    duplicate pairs, keep the highest-``score`` document per cluster
+    (ties break on the lower id — deterministic in any engine).
+
+    This is the policy step a curation pipeline actually wants —
+    ``dedup_clusters``' min-id representative discards quality
+    information; here the survivor is the argmax of a caller-supplied
+    score column expression evaluated over ``docs``.
+
+    Output: one row per cluster —
+    (cluster_id, kept_<id>, kept_score, cluster_size, n_dropped).
+
+    Scale shape: clustering cost is the CC loop (see
+    ``connected_components``); the argmax is one bounded rank window
+    partitioned by cluster_id — no collect, no cross join.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, src, dst)
+    labeled = (
+        docs.select(F.col(id_column), score.alias("__score"))
+        .join(comp, docs[id_column] == comp["node"], "left")
+        .select(
+            F.col(id_column),
+            F.coalesce("component", F.col(id_column)).alias("cluster_id"),
+            "__score",
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("__score"), F.asc(id_column)
+    )
+    return (
+        labeled.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .join(sizes, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col(id_column).alias(f"kept_{id_column}"),
+            F.col("__score").alias("kept_score"),
+            "cluster_size",
+            (F.col("cluster_size") - 1).alias("n_dropped"),
+        )
+    )

@@ -76,3 +76,48 @@ def accuracy(
         "correct",
         (F.col("correct").cast("double") / F.col("n")).alias("accuracy"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame, label_column: str = "label", pred_column: str = "pred"
+) -> DataFrame:
+    """One-row chance-corrected agreement: Cohen's κ between the gold
+    and predicted labelings.
+
+    κ = (pₒ − pₑ)/(1 − pₑ) is computed as ONE double division of exact
+    integers — (n·correct − Σ_c support_c·predicted_c) /
+    (n² − Σ_c support_c·predicted_c) — algebraically identical to the
+    textbook form but with no intermediate float rounding, so
+    independent engines agree bit-for-bit. Exact while n < ~3e9 (n²
+    must fit a BIGINT); beyond that switch the counts to DECIMAL.
+
+    Perfect chance agreement (pₑ = 1, denominator 0) yields null.
+    """
+    hit = F.when(F.col(pred_column) == F.col(label_column), 1).otherwise(0)
+    by_label = df.groupBy(F.col(label_column).alias("cls")).agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    by_pred = df.groupBy(F.col(pred_column).alias("cls")).agg(
+        F.count(F.lit(1)).alias("predicted")
+    )
+    chance = (
+        by_label.join(by_pred, "cls", "full")
+        .select(
+            (
+                F.coalesce("support", F.lit(0))
+                * F.coalesce("predicted", F.lit(0))
+            ).alias("prod")
+        )
+        .agg(F.sum("prod").alias("chance_pairs"))
+    )
+    totals = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(hit).alias("correct")
+    )
+    num = F.col("n") * F.col("correct") - F.col("chance_pairs")
+    den = F.col("n") * F.col("n") - F.col("chance_pairs")
+    return totals.crossJoin(F.broadcast(chance)).select(
+        "n",
+        "correct",
+        "chance_pairs",
+        F.when(den != 0, num.cast("double") / den).alias("kappa"),
+    )

@@ -365,3 +365,22 @@ def test_word_bigrams_counts_and_short_docs(spark):
     got = {r["bigram"]: r["occurrences"] for r in word_bigrams(df).collect()}
     # "a b a b" → [a b, b a, a b]; "a b" → [a b]; short/empty/null drop out
     assert got == {"a b": 3, "b a": 1}
+
+
+def test_cohens_kappa_analytic(spark):
+    from sutro_spark.operators.metrics import cohens_kappa
+
+    # textbook 2x2 case: n=100, correct=70, marginals
+    # label a: 60, b: 40; pred a: 50, b: 50
+    # pe = (60*50 + 40*50)/10000 = 0.5; kappa = (0.7-0.5)/0.5 = 0.4
+    rows = (
+        [("a", "a")] * 40 + [("a", "b")] * 20
+        + [("b", "a")] * 10 + [("b", "b")] * 30
+    )
+    df = spark.createDataFrame(rows, "label string, pred string")
+    r = cohens_kappa(df).first()
+    assert (r["n"], r["correct"], r["chance_pairs"]) == (100, 70, 5000)
+    assert abs(r["kappa"] - 0.4) < 1e-12
+    # degenerate: everything one class on both sides -> pe = 1 -> null
+    one = spark.createDataFrame([("a", "a")] * 5, "label string, pred string")
+    assert cohens_kappa(one).first()["kappa"] is None
