@@ -588,8 +588,10 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sessionization: a >30-minute gap starts a new session (lag +
     # running sum window functions; the streaming-state analog is
     # session_window, this is the batch-relational form).
+    from sutro_spark.streaming.progress import epoch_seconds
+
     ev = _t(spark, sf_dir, "events")
-    sec = F.expr("ts div 1000000000")
+    sec = epoch_seconds(ev, "ts")
     w = Window.partitionBy("user_id").orderBy(sec.asc(), F.col("event_id").asc())
     gapped = ev.select(
         "user_id",
@@ -916,9 +918,11 @@ def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_secs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sutro_spark.streaming.progress import epoch_seconds
+
     ev = _t(spark, sf_dir, "events")
     return ev.select(
-        "user_id", "event_id", "event_type", "value", F.expr("ts div 1000000000").alias("sec")
+        "user_id", "event_id", "event_type", "value", epoch_seconds(ev, "ts").alias("sec")
     )
 
 
@@ -1528,8 +1532,10 @@ def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count and value sum (RANGE BETWEEN on epoch seconds — frame
     # includes all ties, identically in both engines). Values summed
     # as exact integer cents so float association order can't matter.
+    from sutro_spark.streaming.progress import epoch_seconds
+
     ev = _t(spark, sf_dir, "events")
-    sec = F.expr("ts div 1000000000")
+    sec = epoch_seconds(ev, "ts")
     cents = F.round(F.col("value") * 100).cast("long")
     w = (
         Window.partitionBy("user_id")

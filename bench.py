@@ -65,21 +65,32 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
-    def timed(name: str) -> float:
+    errors: dict[str, str] = {}
+
+    def timed(name: str) -> float | None:
         """min of 2 runs: the host VM sees bursty CPU-steal windows that
         can inflate a single run several-fold; the min is the honest
         engine cost. clearCache drops intermediates persisted inside
         operators (row-id minting caches its range-partitioned input) so
-        storage-memory pressure from one run can't tax the next."""
+        storage-memory pressure from one run can't tax the next.
+
+        A failing query is recorded in `errors` and excluded from the
+        total instead of aborting the whole benchmark — one red query
+        must never zero out the other 60 timings."""
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — report, don't abort
+                errors[name] = f"{type(exc).__name__}: {exc}"[:400]
+                return None
             best = min(best, time.time() - t0)
             spark.catalog.clearCache()
         return round(best, 3)
 
     timings = {name: timed(name) for name in HEADLINE}
+    timings = {k: v for k, v in timings.items() if v is not None}
     total = round(sum(timings.values()), 3)
 
     # Round-2 additions, timed separately so `value` stays comparable
@@ -106,16 +117,21 @@ def main() -> None:
         ]
         if name in qs
     }
+    extra = {k: v for k, v in extra.items() if v is not None}
 
     # BASELINE.md-promised metric: prefix-sample cost-estimate accuracy.
     # Ratio of the C6 sampled-prefix input-token estimate to the exact
     # full-scan token count over documents.text (1.0 = perfect).
     from sutro_spark.plans.cost import count_tokens, estimate_cost
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    est = estimate_cost(docs, "text")
-    actual = count_tokens(docs, "text").agg(F.sum("__tokens").alias("t")).first()["t"]
-    estimate_accuracy = round(est["input_tokens"] / actual, 4) if actual else None
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        est = estimate_cost(docs, "text")
+        actual = count_tokens(docs, "text").agg(F.sum("__tokens").alias("t")).first()["t"]
+        estimate_accuracy = round(est["input_tokens"] / actual, 4) if actual else None
+    except Exception as exc:  # noqa: BLE001
+        errors["estimate_accuracy"] = f"{type(exc).__name__}: {exc}"[:400]
+        estimate_accuracy = None
 
     print(
         json.dumps(
@@ -132,6 +148,7 @@ def main() -> None:
                 "runs_per_query": 2,
                 "agg": "min",
                 "estimate_accuracy": estimate_accuracy,
+                "errors": errors,
             }
         )
     )

@@ -46,27 +46,38 @@ class ProgressTracker:
 
 
 def event_timestamp(events: DataFrame, ts_column: str = "ts") -> F.Column:
-    """The events table arrives with TIMESTAMP(NANOS) parquet, which the
-    session reads as a nanos-since-epoch long (see session.py). Convert
-    to a proper timestamp (microsecond truncation) when one is needed;
-    plain timestamp columns pass through."""
+    """A proper TIMESTAMP column regardless of how the events parquet
+    stores ``ts``: nanos-as-long (microsecond truncation), TIMESTAMP_NTZ
+    micros (cast — identical instant under the pinned UTC session
+    timezone, and required because watermarks/windows reject NTZ), or
+    TIMESTAMP (pass through)."""
     from pyspark.sql import types as T
 
-    if isinstance(events.schema[ts_column].dataType, T.LongType):
+    dt = events.schema[ts_column].dataType
+    if isinstance(dt, T.LongType):
         return F.timestamp_micros(F.expr(f"{ts_column} div 1000"))
+    if isinstance(dt, T.TimestampNTZType):
+        return F.col(ts_column).cast("timestamp")
     return F.col(ts_column)
 
 
-def _epoch_seconds(events: DataFrame, ts_column: str) -> F.Column:
-    """Exact integer epoch-seconds for bucketing: long nanos use integer
-    division (no double round-trip — nanos exceed 2^53)."""
+def epoch_seconds(events: DataFrame, ts_column: str = "ts") -> F.Column:
+    """Exact integer epoch-seconds for bucketing, robust to how the
+    events parquet stores ``ts``: nanos-as-long (integer division — nanos
+    exceed 2^53, a double round-trip would silently perturb values near
+    bucket boundaries) or TIMESTAMP/TIMESTAMP_NTZ micros
+    (``unix_timestamp`` under the pinned UTC session timezone). Every
+    query that needs epoch seconds MUST go through this helper — inline
+    ``ts div 1e9`` breaks the moment the physical type changes."""
     from pyspark.sql import types as T
 
     if isinstance(events.schema[ts_column].dataType, T.LongType):
-        # integer division — nanos exceed 2^53, a double round-trip
-        # would silently perturb values near bucket boundaries
         return F.expr(f"{ts_column} div 1000000000")
     return F.unix_timestamp(F.col(ts_column))
+
+
+# backwards-compatible private alias (earlier call sites)
+_epoch_seconds = epoch_seconds
 
 
 def windowed_event_stats(
@@ -103,6 +114,7 @@ def streaming_event_stats(
     constant memory."""
     schema = spark.read.parquet(parquet_dir).schema
     stream = spark.readStream.schema(schema).parquet(parquet_dir)
+    stream = stream.withColumn("ts", event_timestamp(stream))
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", f"{window_seconds} seconds"), "event_type")

@@ -45,8 +45,11 @@ def test_range_join_window_pairs(spark):
 
 
 def test_range_join_matches_inequality_join(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", F.expr("ts div 1000000000").alias("sec"), "event_id"
+    from sutro_spark.streaming.progress import epoch_seconds
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.select(
+        "user_id", epoch_seconds(raw, "ts").alias("sec"), "event_id"
     ).limit(2000)
     a = ev.select("user_id", F.col("sec").alias("a_sec"), F.col("event_id").alias("a_id"))
     b = ev.select("user_id", F.col("sec").alias("b_sec"), F.col("event_id").alias("b_id"))

@@ -61,7 +61,9 @@ def test_session_counts_match_lag_rule(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    sec = F.expr("ts div 1000000000")
+    from sutro_spark.streaming.progress import epoch_seconds
+
+    sec = epoch_seconds(events, "ts")
     w = Window.partitionBy("user_id").orderBy(sec.asc(), F.col("event_id").asc())
     lag_rule = (
         events.select(
