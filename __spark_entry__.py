@@ -1621,6 +1621,172 @@ def q_domain_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(docs, "domain").select("doc_id", "domain", "split")
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDC apply (Delta-MERGE shape): a synthetic changes feed derived
+    # from orders — updates (with a stale earlier version that must
+    # lose), deletes, and inserts — merged latest-wins onto the base.
+    # Anti-join + union; the base table is never shuffled twice.
+    from sutro_spark.operators.cdc import merge_upsert
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("total")
+    )
+    upd = base.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("total") + 100, 2).alias("total"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("v"),
+    )
+    stale = base.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("total") + 999, 2).alias("total"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("v"),
+    )
+    dele = base.where(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderkey", "o_orderstatus", "total", F.lit("D").alias("op"), F.lit(2).alias("v")
+    )
+    ins = base.where(F.col("o_orderkey") % 10 == 2).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "total",
+        F.lit("I").alias("op"),
+        F.lit(2).alias("v"),
+    )
+    changes = upd.unionByName(stale).unionByName(dele).unionByName(ins)
+    return merge_upsert(base, changes, ["o_orderkey"], order_column="v")
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time-series resample: per-user hourly buckets between first and
+    # last activity, empty buckets gap-filled (n=0) and forward-filled
+    # with the last seen bucket sum — sequence()/explode generates the
+    # calendar distributed, never on the driver.
+    from sutro_spark.operators.timeseries import resample_ffill
+
+    return resample_ffill(_events_secs(spark, sf_dir), bucket_seconds=3600)
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ordered conversion funnel signup → click → purchase: each stage is
+    # the earliest qualifying event at-or-after the previous stage's
+    # time; chained min-aggregations, one job, no per-user collect.
+    from sutro_spark.operators.timeseries import funnel_stages
+
+    return funnel_stages(_events_secs(spark, sf_dir), ["signup", "click", "purchase"])
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cohort retention matrix: users keyed by first-activity day,
+    # distinct-counted per (cohort day, day offset).
+    from sutro_spark.operators.timeseries import retention_cohorts
+
+    return retention_cohorts(_events_secs(spark, sf_dir), period_seconds=86400)
+
+
+def q_bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # semi-join pruning: lineitem rows kept only when their order is
+    # URGENT, revenue per ship mode. Spark's runtime bloom filter
+    # (injected under AQE) pushes a membership pre-filter into the
+    # lineitem scan side before the shuffle — the Spark-first answer to
+    # hand-built bloom pruning; the join itself stays exact.
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    return (
+        li.join(urgent, li.l_orderkey == urgent.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate string join: supplier names vs a corrupted copy (last
+    # char dropped, every 3rd name also loses its first digit) matched
+    # at edit distance ≤ 2 via length-band + prefix blocking — the
+    # candidates-then-verify shape, never a cross join. The blocking is
+    # lossless here (shared prefix, |Δlen| ≤ 2), so the naive oracle
+    # finds the identical pair set.
+    from sutro_spark.operators.joins import fuzzy_join
+
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    corrupted = s.select(
+        (F.col("s_suppkey") + 100000).alias("c_suppkey"),
+        F.when(
+            F.col("s_suppkey") % 3 == 0,
+            F.concat(
+                F.substring("s_name", 1, 9),
+                F.substring("s_name", 11, F.length("s_name") - 11),
+            ),
+        )
+        .otherwise(F.substring("s_name", 1, F.length("s_name") - 1))
+        .alias("c_name"),
+    )
+    return fuzzy_join(
+        s, corrupted, left_text="s_name", right_text="c_name", max_distance=2
+    ).select(
+        "s_suppkey", "c_suppkey", "s_name", "c_name",
+        F.col("distance").cast("long").alias("distance"),
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic weighted sampling: priority = hash32/weight, keep
+    # the k smallest — longer documents proportionally likelier, yet the
+    # sample is reproducible across engines and partitionings
+    # (TakeOrderedAndProject top-k, no global sort).
+    from sutro_spark.functions.sampling import weighted_topk
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.length(F.coalesce(F.col("text"), F.lit(""))) + 1).alias("weight")
+    )
+    return weighted_topk(docs, "doc_id", "weight", 200)
+
+
+def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-group winsorization: clip extended price to its linestatus
+    # [p05, p95] band — bounds are one tiny aggregate broadcast back,
+    # the clip is a projection in the probe stage.
+    from sutro_spark.functions.stats import winsorize
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_linestatus", "l_extendedprice"
+    )
+    return winsorize(li, "l_extendedprice", "l_linestatus").select(
+        "l_orderkey", "l_linenumber", "l_linestatus", "clipped"
+    )
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-group anomaly flags: z-scores from exact integer aggregates
+    # (cents sums / squared sums) so both engines derive bit-identical
+    # doubles; only |z| > 2.5 rows leave the probe stage.
+    from sutro_spark.functions.stats import zscore_outliers
+
+    return zscore_outliers(
+        _t(spark, sf_dir, "events"), "value", "event_type", "event_id", threshold=2.5
+    )
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUBE: all four grouping levels over (returnflag, linestatus) in
+    # one pass — Spark expands grouping sets map-side, one shuffle.
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "select_prompt_column": q_select_prompt_column,
@@ -1723,6 +1889,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "strip_boilerplate": q_strip_boilerplate,
         "url_profile": q_url_profile,
+        "merge_upsert": q_merge_upsert,
+        "gap_fill": q_gap_fill,
+        "funnel": q_funnel,
+        "retention": q_retention,
+        "bloom_semi_revenue": q_bloom_semi_revenue,
+        "fuzzy_join_names": q_fuzzy_join_names,
+        "weighted_sample": q_weighted_sample,
+        "winsorize_prices": q_winsorize_prices,
+        "zscore_outliers": q_zscore_outliers,
+        "cube_counts": q_cube_counts,
     }
 
 
@@ -3333,5 +3509,176 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id
+        """,
+        "merge_upsert": """
+            WITH base AS (
+                SELECT o_orderkey, o_orderstatus,
+                       round(o_totalprice, 2) AS total
+                FROM orders),
+            changes AS (
+                SELECT o_orderkey, o_orderstatus,
+                       round(total + 100, 2) AS total, 'U' AS op, 2 AS v
+                FROM base WHERE o_orderkey % 10 = 0
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus,
+                       round(total + 999, 2), 'U', 1
+                FROM base WHERE o_orderkey % 10 = 0
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus, total, 'D', 2
+                FROM base WHERE o_orderkey % 10 = 1
+                UNION ALL
+                SELECT o_orderkey + 10000000, 'N', total, 'I', 2
+                FROM base WHERE o_orderkey % 10 = 2),
+            latest AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY o_orderkey ORDER BY v DESC, op DESC) AS rn
+                    FROM changes)
+                WHERE rn = 1)
+            SELECT o_orderkey, o_orderstatus, total FROM base
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, total FROM latest WHERE op <> 'D'
+        """,
+        "gap_fill": """
+            WITH e AS (
+                SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, value
+                FROM events),
+            pb AS (
+                SELECT user_id, (sec // 3600) * 3600 AS bucket,
+                       count(*) AS n_events,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS cents
+                FROM e GROUP BY 1, 2),
+            spans AS (
+                SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+                FROM pb GROUP BY 1),
+            grid AS (
+                SELECT user_id,
+                       unnest(generate_series(lo, hi, 3600)) AS bucket
+                FROM spans),
+            j AS (
+                SELECT g.user_id, g.bucket,
+                       coalesce(pb.n_events, 0) AS n_events, pb.cents
+                FROM grid g LEFT JOIN pb
+                  ON g.user_id = pb.user_id AND g.bucket = pb.bucket)
+            SELECT user_id, bucket, n_events,
+                   coalesce(cents, 0) AS sum_cents,
+                   coalesce(last_value(cents IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       0) AS filled_cents
+            FROM j
+        """,
+        "funnel": """
+            WITH e AS (
+                SELECT user_id, epoch_ns(ts) // 1000000000 AS sec, event_type
+                FROM events),
+            s1 AS (
+                SELECT user_id, min(sec) AS t1 FROM e
+                WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (
+                SELECT e.user_id, s1.t1, min(e.sec) AS t2
+                FROM e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.sec >= s1.t1
+                GROUP BY 1, 2),
+            s3 AS (
+                SELECT e.user_id, min(e.sec) AS t3
+                FROM e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.sec >= s2.t2
+                GROUP BY 1)
+            SELECT * FROM (
+                SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS step,
+                       count(*) AS n_users FROM s1
+                UNION ALL
+                SELECT CAST(2 AS BIGINT), 'click', count(*) FROM s2
+                UNION ALL
+                SELECT CAST(3 AS BIGINT), 'purchase', count(*) FROM s3)
+            WHERE n_users > 0
+        """,
+        "retention": """
+            WITH e AS (
+                SELECT user_id,
+                       (epoch_ns(ts) // 1000000000) // 86400 AS p
+                FROM events),
+            m AS (
+                SELECT user_id, p,
+                       min(p) OVER (PARTITION BY user_id) AS cp
+                FROM e)
+            SELECT cp * 86400 AS cohort, p - cp AS "offset",
+                   count(DISTINCT user_id) AS n_users
+            FROM m GROUP BY 1, 2
+        """,
+        "bloom_semi_revenue": """
+            SELECT l_returnflag, count(*) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders
+                WHERE o_orderpriority = '1-URGENT')
+            GROUP BY 1
+        """,
+        "fuzzy_join_names": """
+            WITH s AS (SELECT s_suppkey, s_name FROM supplier),
+            c AS (
+                SELECT s_suppkey + 100000 AS c_suppkey,
+                       CASE WHEN s_suppkey % 3 = 0
+                            THEN substr(s_name, 1, 9) ||
+                                 substr(s_name, 11, length(s_name) - 11)
+                            ELSE substr(s_name, 1, length(s_name) - 1)
+                       END AS c_name
+                FROM supplier)
+            SELECT s_suppkey, c_suppkey, s_name, c_name,
+                   CAST(levenshtein(s_name, c_name) AS BIGINT) AS distance
+            FROM s, c
+            WHERE levenshtein(s_name, c_name) <= 2
+        """,
+        "weighted_sample": """
+            WITH d AS (
+                SELECT doc_id,
+                       length(coalesce(text, '')) + 1 AS weight
+                FROM documents),
+            p AS (
+                SELECT doc_id, weight,
+                       CAST(CAST(concat('0x', substr(sha256(concat('weighted:',
+                            CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+                            % 2147483648 AS DOUBLE)
+                           / CAST(weight AS DOUBLE) AS pri
+                FROM d)
+            SELECT doc_id, weight FROM p
+            ORDER BY pri ASC, doc_id ASC LIMIT 200
+        """,
+        "winsorize_prices": """
+            WITH b AS (
+                SELECT l_linestatus,
+                       quantile_cont(l_extendedprice, 0.05) AS lo,
+                       quantile_cont(l_extendedprice, 0.95) AS hi
+                FROM lineitem GROUP BY 1)
+            SELECT l_orderkey, l_linenumber,
+                   l.l_linestatus AS l_linestatus,
+                   round(least(greatest(l_extendedprice, lo), hi), 4) AS clipped
+            FROM lineitem l JOIN b ON l.l_linestatus = b.l_linestatus
+        """,
+        "zscore_outliers": """
+            WITH sc AS (
+                SELECT event_id AS id, event_type AS grp,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+            st AS (
+                SELECT grp, count(*) AS n, sum(cents) AS s,
+                       sum(cents * cents) AS ssq
+                FROM sc GROUP BY 1)
+            SELECT id, grp, cents, z FROM (
+                SELECT id, sc.grp AS grp, cents, n,
+                       round((cents - CAST(s AS DOUBLE) / n)
+                             / sqrt((ssq - (CAST(s AS DOUBLE) / n) * s)
+                                    / (n - 1)), 3) AS z
+                FROM sc JOIN st ON sc.grp = st.grp) t
+            WHERE n > 1 AND abs(z) > 2.5
+        """,
+        "cube_counts": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
     }

@@ -125,3 +125,35 @@ def hash_split(
         cond = bucket < acc
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn(column, expr)
+
+
+def weighted_topk(
+    df: DataFrame,
+    key_column: str,
+    weight: Column | str,
+    k: int,
+    *,
+    salt: str = "weighted",
+    buckets: int = 1 << 31,
+) -> DataFrame:
+    """Deterministic weighted sample without replacement: priority
+    sampling (Efraimidis-Spirtsis shape) with a content hash standing in
+    for the RNG — priority = u / w with u = 32-bit sha bucket of the
+    key, keep the k SMALLEST priorities. Doubling a row's weight halves
+    its priority, doubling its odds of making the cut, and the choice is
+    reproducible across runs, engines, and partitionings.
+
+    One projection + a global top-k (TakeOrderedAndProject: per-partition
+    heaps, k rows to the driver — no full sort, no shuffle of the data).
+    The priority is one double division of exact integers, so any engine
+    recomputes the identical sample.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = hash_bucket(key_column, salt=salt, buckets=buckets)
+    pri = u.cast("double") / w.cast("double")
+    return (
+        df.withColumn("__pri", pri)
+        .orderBy(F.col("__pri").asc(), F.col(key_column).asc())
+        .limit(k)
+        .drop("__pri")
+    )

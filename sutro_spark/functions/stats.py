@@ -1,0 +1,94 @@
+"""Per-group robust statistics for curation pipelines: winsorization
+(clip at group quantiles) and z-score outlier flagging.
+
+Float-parity design: every derived float is produced by ONE arithmetic
+expression over EXACT integer aggregates (cents sums, squared-cents
+sums, counts), evaluated in the same operation order the SQL oracle
+writes — so cross-engine hashes match bit-for-bit without tolerance
+windows. Group aggregates are tiny (one row per group) and broadcast
+back onto the fact side: the big table is never shuffled twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["winsorize", "zscore_outliers"]
+
+
+def winsorize(
+    df: DataFrame,
+    value_column: str,
+    group_column: str,
+    *,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    output_column: str = "clipped",
+    decimals: int = 4,
+) -> DataFrame:
+    """Clip ``value_column`` to its per-group [lo, hi] exact quantiles
+    (linear interpolation on order statistics — Spark's `percentile` and
+    DuckDB's `quantile_cont` share the (n-1)*p rule).
+
+    Plan: one shuffle computes the per-group bounds (two rows of state
+    per group), the bounds broadcast-join back, and the clip is a
+    projection in the probe stage — the fact table keeps its
+    partitioning.
+    """
+    bounds = df.groupBy(group_column).agg(
+        F.percentile(value_column, F.lit(lo)).alias("__lo"),
+        F.percentile(value_column, F.lit(hi)).alias("__hi"),
+    )
+    clipped = F.least(F.greatest(F.col(value_column), F.col("__lo")), F.col("__hi"))
+    return (
+        df.join(F.broadcast(bounds), group_column)
+        .withColumn(output_column, F.round(clipped, decimals))
+        .drop("__lo", "__hi")
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_column: str,
+    group_column: str,
+    id_column: str,
+    *,
+    threshold: float = 3.0,
+    decimals: int = 3,
+) -> DataFrame:
+    """Rows whose per-group z-score exceeds ``threshold`` in magnitude.
+
+    Mean and sample variance come from exact integer aggregates
+    (sum of cents, sum of squared cents, count):
+
+        mean = s / n
+        var  = (ssq - (s/n)*s) / (n - 1)
+        z    = (cents - mean) / sqrt(var)
+
+    written with that exact operation order on both engines, so the
+    doubles agree bit-for-bit.
+
+    Output: (id, group, cents, z) for |z| > threshold.
+    """
+    cents = F.round(F.col(value_column) * 100).cast("long")
+    scoped = df.select(
+        F.col(id_column).alias("id"),
+        F.col(group_column).alias("grp"),
+        cents.alias("cents"),
+    )
+    stats = scoped.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ssq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("ssq") - mean * F.col("s")) / (F.col("n") - F.lit(1))
+    z = (F.col("cents") - mean) / F.sqrt(var)
+    return (
+        scoped.join(F.broadcast(stats), "grp")
+        .where(F.col("n") > 1)
+        .withColumn("z", F.round(z, decimals))
+        .where(F.abs(F.col("z")) > threshold)
+        .select("id", F.col("grp").alias("grp"), "cents", "z")
+    )

@@ -108,3 +108,74 @@ def range_join(
         (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) < F.col(left_ts) + window)
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_text: str,
+    right_text: str,
+    max_distance: int = 2,
+    length_band: int | None = None,
+    prefix_chars: int = 1,
+) -> DataFrame:
+    """Approximate string join: pairs whose Levenshtein distance is at
+    most ``max_distance``, found with blocking instead of a cross join.
+
+    Candidate generation is an EQUI-join on (prefix, length band): two
+    strings within edit distance d differ in length by at most d, so
+    each side explodes into the ⌈(2d+1)/band⌉ length bands it could
+    match (a bounded constant, 3 rows for d=2/band=2) and pairs meet on
+    (first ``prefix_chars`` chars, band). That makes the expensive
+    `levenshtein` verification run only inside blocks — the same
+    candidates-then-verify shape as the LSH dedups, never all-pairs.
+
+    Blocking is part of the operator contract: pairs whose first
+    ``prefix_chars`` characters differ are not reported (document the
+    recall trade-off to callers; prefix_chars=0 disables that filter but
+    keeps the length band).
+
+    Output: left row ⋈ right row + `distance` for qualifying pairs.
+    """
+    band = length_band or max(1, max_distance)
+
+    # only ONE side needs to explode its band range; the other maps to
+    # its exact band — (lo..hi) ⋈ exact covers every |Δlen| ≤ d pair.
+    l_length = F.length(F.coalesce(F.col(left_text), F.lit("")))
+    l_prefix = (
+        F.upper(F.substring(F.coalesce(F.col(left_text), F.lit("")), 1, prefix_chars))
+        if prefix_chars
+        else F.lit("")
+    )
+    lk = (
+        left.withColumn(
+            "__bands",
+            F.sequence(
+                F.floor((l_length - max_distance) / band).cast("long"),
+                F.floor((l_length + max_distance) / band).cast("long"),
+            ),
+        )
+        .withColumn("__band", F.explode("__bands"))
+        .drop("__bands")
+        .withColumn("__key", F.concat_ws("|", l_prefix, F.col("__band").cast("string")))
+        .drop("__band")
+    )
+    r_length = F.length(F.coalesce(F.col(right_text), F.lit("")))
+    r_prefix = (
+        F.upper(F.substring(F.coalesce(F.col(right_text), F.lit("")), 1, prefix_chars))
+        if prefix_chars
+        else F.lit("")
+    )
+    rk = right.withColumn(
+        "__key",
+        F.concat_ws(
+            "|", r_prefix, F.floor(r_length / band).cast("long").cast("string")
+        ),
+    )
+    # each left row explodes DISTINCT band values and each right row has
+    # exactly one band, so a (left, right) pair meets at most once — no
+    # dedup pass needed (and none would be deterministic to add).
+    joined = lk.join(rk, "__key")
+    dist = F.levenshtein(F.col(left_text), F.col(right_text))
+    return joined.where(dist <= max_distance).drop("__key").withColumn("distance", dist)
