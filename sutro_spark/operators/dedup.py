@@ -120,12 +120,15 @@ def ngram_jaccard_pairs(
     integer-ratio division (bit-identical across engines — see the
     inline note on why rounding would actually *hurt* parity).
     """
-    sh = char_shingles(df, text_column, id_column, k)
-    # One groupBy(shingle) produces both the df-cap filter and the
-    # posting list; pairs come from exploding the list twice (cross
-    # product per shingle) — one shuffle instead of a repeated
-    # inverted-index self-join that would re-shuffle the postings twice.
-    grouped = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids"))
+    # Raw (non-distinct) shingles straight into ONE groupBy(shingle)
+    # whose collect_set deduplicates (doc, shingle) map-side as part of
+    # the partial aggregation — the separate explode→distinct pass would
+    # shuffle the full shingle stream a second time for nothing. The
+    # grouped frame then yields both the df-cap filter and the posting
+    # list; pairs come from exploding the set twice (cross product per
+    # shingle).
+    sh = char_shingles(df, text_column, id_column, k, distinct=False)
+    grouped = sh.groupBy("shingle").agg(F.collect_set("id").alias("ids"))
     if max_df is not None:
         grouped = grouped.where(F.size("ids") <= max_df)
     postings = grouped.select(F.explode("ids").alias("id"), "ids")
@@ -386,16 +389,27 @@ def simhash(
         "id",
         F.explode(F.split(F.trim(F.col(text_column)), r"\s+")).alias("tok"),
     ).where(F.col("tok") != "")
-    hashed = toks.select("id", F.sha2(F.col("tok"), 256).alias("h"))
+    # Parse the first 16 hex chars ONCE into two 32-bit halves; every
+    # per-bit vote is then two integer ops on a long. Semantically
+    # identical to per-digit extraction — bit b of the fingerprint is
+    # bit (63-b) of the leading-64-bit value, i.e. bit (31-b) of the
+    # high half for b<32, bit (63-b) of the low half otherwise — but
+    # ~30× fewer string operations per token than digit-wise instr().
+    hashed = toks.select(
+        "id",
+        F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hi"),
+        F.conv(F.substring(F.sha2(F.col("tok"), 256), 9, 8), 16, 10)
+        .cast("long")
+        .alias("lo"),
+    )
 
-    # One ±1 vote column per bit (instead of exploding tokens × 63 bits
-    # into 16M rows): 63 codegen'd expressions, one groupBy(id) with
-    # map-side combine — shuffle carries |docs| × 63 longs only.
     def vote(b: int):
-        digit = (
-            F.instr(F.lit("0123456789abcdef"), F.substring(F.col("h"), b // 4 + 1, 1)) - 1
-        )
-        bit = F.shiftright(digit, 3 - b % 4).bitwiseAND(F.lit(1))
+        if b < 32:
+            bit = F.shiftright(F.col("hi"), 31 - b).bitwiseAND(F.lit(1))
+        else:
+            bit = F.shiftright(F.col("lo"), 63 - b).bitwiseAND(F.lit(1))
         return F.when(bit == 1, 1).otherwise(-1)
 
     voted = hashed.select("id", *[vote(b).alias(f"v{b}") for b in range(bits)])
