@@ -126,6 +126,9 @@ def main() -> None:
             "length_histogram", "eval_report", "repetition_profile",
             "pagerank_suppliers", "tfidf_topk", "word_bigrams",
             "domain_split", "dedup_keep_best", "eval_kappa",
+            "merge_upsert", "gap_fill", "funnel", "retention",
+            "bloom_semi_revenue", "fuzzy_join_names", "weighted_sample",
+            "winsorize_prices", "zscore_outliers", "cube_counts",
         ]
         if name in qs
     }
