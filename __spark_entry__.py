@@ -1787,6 +1787,31 @@ def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KMV cardinality sketch: distinct users per event type estimated
+    # from the 64 smallest portable key hashes — constant state per
+    # group vs COUNT(DISTINCT)'s full key shuffle; the estimate itself
+    # is engine-reproducible (hash-derived), hence oracle-checkable.
+    from sutro_spark.functions.sketches import kmv_distinct
+
+    return kmv_distinct(_t(spark, sf_dir, "events"), "event_type", "user_id", k=64)
+
+
+def q_weighted_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-group weighted quota sampling: k smallest hash-priorities per
+    # source (WindowGroupLimit keeps ≤ k rows per group through the
+    # sort) — the per-source curation quota, deterministic across runs.
+    from sutro_spark.functions.sampling import weighted_topk_per_group
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        (F.length(F.coalesce(F.col("text"), F.lit(""))) + 1).alias("weight"),
+    )
+    return weighted_topk_per_group(docs, "source", "doc_id", "weight", 5).select(
+        "doc_id", "source", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- first 50: the driver correctness gate checks the first 50
@@ -1906,6 +1931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_prices": q_winsorize_prices,
         "zscore_outliers": q_zscore_outliers,
         "cube_counts": q_cube_counts,
+        "kmv_distinct": q_kmv_distinct,
+        "weighted_sample_group": q_weighted_sample_group,
     }
 
 
@@ -3687,5 +3714,41 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "kmv_distinct": """
+            WITH h AS (
+                SELECT DISTINCT event_type AS grp,
+                       CAST(concat('0x', substr(sha256(concat('kmv:',
+                            CAST(user_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+                           % 4294967296 AS h
+                FROM events),
+            r AS (
+                SELECT grp, h,
+                       row_number() OVER (PARTITION BY grp ORDER BY h ASC) AS rn
+                FROM h)
+            SELECT grp, count(*) AS n_le_k,
+                   CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                        ELSE (63.0 * 4294967296.0) / max(h)
+                   END AS est_distinct
+            FROM r WHERE rn <= 64 GROUP BY grp
+        """,
+        "weighted_sample_group": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       length(coalesce(text, '')) + 1 AS weight
+                FROM documents),
+            p AS (
+                SELECT doc_id, source,
+                       CAST(CAST(concat('0x', substr(sha256(concat('weighted:',
+                            CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+                            % 2147483648 AS DOUBLE)
+                           / CAST(weight AS DOUBLE) AS pri
+                FROM d),
+            r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source
+                           ORDER BY pri ASC, doc_id ASC) AS sample_rank
+                FROM p)
+            SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 5
         """,
     }

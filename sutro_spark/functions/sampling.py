@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -155,5 +155,38 @@ def weighted_topk(
         df.withColumn("__pri", pri)
         .orderBy(F.col("__pri").asc(), F.col(key_column).asc())
         .limit(k)
+        .drop("__pri")
+    )
+
+
+def weighted_topk_per_group(
+    df: DataFrame,
+    group_column: str,
+    key_column: str,
+    weight: Column | str,
+    k: int,
+    *,
+    salt: str = "weighted",
+    buckets: int = 1 << 31,
+) -> DataFrame:
+    """Per-group deterministic weighted sample: the k smallest
+    hash-priorities within each group (same priority construction as
+    :func:`weighted_topk`) — the per-source / per-language quota shape.
+
+    One shuffle on the group key; the rank filter is a bounded window
+    (WindowGroupLimit keeps only k rows per group through the sort), so
+    state never exceeds k rows per group regardless of corpus size.
+    Output keeps the input columns plus ``sample_rank`` (1-based).
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = hash_bucket(key_column, salt=salt, buckets=buckets)
+    pri = u.cast("double") / w.cast("double")
+    win = Window.partitionBy(group_column).orderBy(
+        F.col("__pri").asc(), F.col(key_column).asc()
+    )
+    return (
+        df.withColumn("__pri", pri)
+        .withColumn("sample_rank", F.row_number().over(win))
+        .where(F.col("sample_rank") <= k)
         .drop("__pri")
     )

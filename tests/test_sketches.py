@@ -1,0 +1,43 @@
+"""KMV distinct sketch and per-group weighted sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sutro_spark.functions.sketches import kmv_distinct
+from sutro_spark.functions.sampling import weighted_topk_per_group
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([("g", i % 10) for i in range(100)], "grp string, k bigint")
+    row = kmv_distinct(df, "grp", "k", k=64).collect()[0]
+    assert row["n_le_k"] == 10 and row["est_distinct"] == 10.0
+
+
+def test_kmv_estimate_above_k(spark):
+    n = 5000
+    df = spark.createDataFrame([("g", i) for i in range(n)], "grp string, k bigint")
+    row = kmv_distinct(df, "grp", "k", k=128).collect()[0]
+    assert row["n_le_k"] == 128
+    # KMV with k=128 has ~1/sqrt(128) ≈ 9% relative std error; 3σ bound
+    assert abs(row["est_distinct"] - n) / n < 0.27
+
+
+def test_kmv_merge_invariance(spark):
+    # the estimate only depends on the distinct key set, not on row
+    # counts or partitioning — duplicating every row changes nothing
+    df = spark.createDataFrame([("g", i) for i in range(1000)], "grp string, k bigint")
+    doubled = df.unionAll(df).repartition(7)
+    a = kmv_distinct(df, "grp", "k", k=64).collect()[0]["est_distinct"]
+    b = kmv_distinct(doubled, "grp", "k", k=64).collect()[0]["est_distinct"]
+    assert a == b
+
+
+def test_weighted_group_quota(spark):
+    rows = [(g * 100 + i, f"s{g}", 1 + (i % 3)) for g in range(3) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, w bigint")
+    out = weighted_topk_per_group(df, "source", "doc_id", "w", 4)
+    got = out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert {r["source"]: r["n"] for r in got} == {"s0": 4, "s1": 4, "s2": 4}
+    ranks = {r["sample_rank"] for r in out.where(F.col("source") == "s0").collect()}
+    assert ranks == {1, 2, 3, 4}
