@@ -1787,6 +1787,28 @@ def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S4-adjacent — JSONL scan (the LLM-pipeline interchange format):
+    # round-trip a 3-column orders projection through .jsonl with an
+    # explicit schema (no inference pass), read with our reader. The
+    # fixture is written once per sf_dir; integer/string columns only so
+    # the round-trip is bit-exact by construction.
+    import tempfile
+
+    from sutro_spark.sources.ingest import read_jsonl
+
+    key = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"sutro_spark_orders_jsonl_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus"
+        ).write.mode("overwrite").json(path)
+    df = read_jsonl(
+        spark, path, schema="o_orderkey bigint, o_custkey bigint, o_orderstatus string"
+    )
+    return df.select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # KMV cardinality sketch: distinct users per event type estimated
     # from the 64 smallest portable key hashes — constant state per
@@ -1933,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": q_cube_counts,
         "kmv_distinct": q_kmv_distinct,
         "weighted_sample_group": q_weighted_sample_group,
+        "jsonl_scan": q_jsonl_scan,
     }
 
 
@@ -3750,5 +3773,8 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY pri ASC, doc_id ASC) AS sample_rank
                 FROM p)
             SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 5
+        """,
+        "jsonl_scan": """
+            SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         """,
     }

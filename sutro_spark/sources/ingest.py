@@ -116,6 +116,27 @@ def read_parquet(
     return with_row_id(spark.read.parquet(path), order_by)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    order_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """JSON-lines scan — the de-facto LLM-pipeline interchange format
+    (one JSON object per line; .jsonl / sharded .jsonl.gz).
+
+    Pass an explicit ``schema`` (DDL string) at scale: schema inference
+    costs a full extra pass over the data, and a drifting inferred type
+    (one shard where an int column is all-null) silently changes the
+    result. Inference is allowed here for parity with the ad-hoc SDK
+    path, but every production call site should pin the schema.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return with_row_id(reader.json(path), order_by)
+
+
 def read_text(spark: SparkSession, path: str, column: str = "prompt") -> DataFrame:
     # Reference strips each line (common.py:152). Text files are read in
     # order per-file; row id follows partition order (zero shuffle).

@@ -105,3 +105,17 @@ def test_save_results_parquet_and_csv(spark, tmp_path):
     assert spark.read.option("header", True).csv(str(tmp_path / "out_csv")).count() == 2
     with pytest.raises(ValueError, match="format"):
         save_results(df, str(tmp_path / "x"), fmt="json")
+
+
+def test_read_jsonl_roundtrip(spark, tmp_path):
+    from sutro_spark.sources.ingest import ROW_ID, read_jsonl
+
+    p = str(tmp_path / "rows")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k bigint, s string"
+    ).write.json(p)
+    df = read_jsonl(spark, p, schema="k bigint, s string", order_by=["k"])
+    rows = df.orderBy("k").collect()
+    assert [r["k"] for r in rows] == [1, 2, 3]
+    assert rows[2]["s"] is None
+    assert [r[ROW_ID] for r in df.orderBy(ROW_ID).collect()] == [0, 1, 2]
