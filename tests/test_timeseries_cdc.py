@@ -124,3 +124,12 @@ def test_zscore_flags_planted_outlier(spark):
     df = spark.createDataFrame(rows, "id bigint, grp string, v double")
     out = zscore_outliers(df, "v", "grp", "id", threshold=3.0).collect()
     assert [r["id"] for r in out] == [99]
+
+
+def test_fuzzy_join_plan_no_cartesian(spark):
+    left = spark.createDataFrame([(1, "alpha")], "id bigint, a string")
+    right = spark.createDataFrame([(2, "alphb")], "rid bigint, b string")
+    out = fuzzy_join(left, right, left_text="a", right_text="b", max_distance=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert out.collect()[0]["distance"] == 1
