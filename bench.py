@@ -79,37 +79,47 @@ def main() -> None:
 
     errors: dict[str, str] = {}
 
-    def timed(name: str) -> float | None:
-        """min of 2 runs: the host VM sees bursty CPU-steal windows that
-        can inflate a single run several-fold; the min is the honest
-        engine cost. clearCache drops intermediates persisted inside
-        operators (row-id minting caches its range-partitioned input) so
-        storage-memory pressure from one run can't tax the next.
+    def run_once(name: str) -> float | None:
+        """One end-to-end run. clearCache afterwards drops intermediates
+        persisted inside operators (row-id minting caches its
+        range-partitioned input) so storage-memory pressure from one run
+        can't tax the next. A failing query is recorded in `errors` and
+        excluded from the total instead of aborting the whole benchmark —
+        one red query must never zero out the other timings."""
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — report, don't abort
+            errors[name] = f"{type(exc).__name__}: {exc}"[:400]
+            return None
+        spark.catalog.clearCache()
+        return time.time() - t0
 
-        A failing query is recorded in `errors` and excluded from the
-        total instead of aborting the whole benchmark — one red query
-        must never zero out the other 60 timings."""
-        best = float("inf")
+    def timed_set(names: list[str]) -> dict[str, float]:
+        """min over 2 INTERLEAVED passes: the host VM sees multi-minute
+        CPU-steal bursts that would cover both runs of a back-to-back
+        min-of-2; running the whole set twice spaces each query's two
+        runs minutes apart so at least one usually lands outside the
+        burst. The min is the honest engine cost."""
+        best: dict[str, float] = {}
         for _ in range(2):
-            t0 = time.time()
-            try:
-                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            except Exception as exc:  # noqa: BLE001 — report, don't abort
-                errors[name] = f"{type(exc).__name__}: {exc}"[:400]
-                return None
-            best = min(best, time.time() - t0)
-            spark.catalog.clearCache()
-        return round(best, 3)
+            for name in names:
+                if name in errors:
+                    continue
+                t = run_once(name)
+                if t is not None:
+                    best[name] = min(best.get(name, float("inf")), t)
+        return {k: round(v, 3) for k, v in best.items() if k not in errors}
 
-    timings = {name: timed(name) for name in HEADLINE}
-    timings = {k: v for k, v in timings.items() if v is not None}
+    timings = timed_set([n for n in HEADLINE if n in qs])
     total = round(sum(timings.values()), 3)
 
-    # Round-2 additions, timed separately so `value` stays comparable
+    # Round-2+ additions, timed separately so `value` stays comparable
     # with BENCH_r01's 20-query headline total.
-    extra = {
-        name: timed(name)
-        for name in [
+    extra = timed_set(
+        [
+            name
+            for name in [
             "rh_lsh_dedup", "chunk_docs", "redact_pii", "hash_sample_split",
             "tpch_q4ish", "tpch_q10ish", "tpch_q12ish", "decontaminate",
             "gopher_quality", "quality_scorer",
@@ -130,10 +140,10 @@ def main() -> None:
             "bloom_semi_revenue", "fuzzy_join_names", "weighted_sample",
             "winsorize_prices", "zscore_outliers", "cube_counts",
             "kmv_distinct", "weighted_sample_group",
+            ]
+            if name in qs
         ]
-        if name in qs
-    }
-    extra = {k: v for k, v in extra.items() if v is not None}
+    )
 
     # BASELINE.md-promised metric: prefix-sample cost-estimate accuracy.
     # Ratio of the C6 sampled-prefix input-token estimate to the exact
@@ -158,11 +168,11 @@ def main() -> None:
                 "queries": timings,
                 "extra_queries": extra,
                 "sf": sf,
-                # methodology: r01 recorded single cold runs; from r02 each
-                # query is min-of-2 to mask host CPU-steal bursts (single
-                # runs varied 32-85 s total on an idle VM)
+                # methodology: two full INTERLEAVED passes over the set,
+                # min per query — spaces each query's runs minutes apart
+                # so one host CPU-steal burst can't inflate both
                 "runs_per_query": 2,
-                "agg": "min",
+                "agg": "min_interleaved",
                 "estimate_accuracy": estimate_accuracy,
                 "errors": errors,
             }
