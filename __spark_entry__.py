@@ -1809,6 +1809,18 @@ def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("o_orderkey", "o_custkey", "o_orderstatus")
 
 
+def q_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic global training-order shuffle: (shard, position)
+    # address per doc from two independent content hashes — N local
+    # sorts (one per shard), never a cluster-wide total order.
+    from sutro_spark.operators.packing import shuffled_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffled_shards(docs, "doc_id", num_shards=16).select(
+        "doc_id", F.col("shard").cast("long").alias("shard"), "position"
+    )
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # KMV cardinality sketch: distinct users per event type estimated
     # from the 64 smallest portable key hashes — constant state per
@@ -1956,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "weighted_sample_group": q_weighted_sample_group,
         "jsonl_scan": q_jsonl_scan,
+        "shuffled_shards": q_shuffled_shards,
     }
 
 
@@ -3776,5 +3789,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jsonl_scan": """
             SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        """,
+        "shuffled_shards": """
+            WITH a AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(sha256(concat('shuffle:',
+                            CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+                           % 16 AS shard,
+                       CAST(concat('0x', substr(sha256(concat('shuffle:pos:',
+                            CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+                           % 2147483648 AS pos_key
+                FROM documents)
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                   row_number() OVER (PARTITION BY shard
+                       ORDER BY pos_key ASC, doc_id ASC) AS position
+            FROM a
         """,
     }

@@ -139,7 +139,7 @@ def main() -> None:
             "merge_upsert", "gap_fill", "funnel", "retention",
             "bloom_semi_revenue", "fuzzy_join_names", "weighted_sample",
             "winsorize_prices", "zscore_outliers", "cube_counts",
-            "kmv_distinct", "weighted_sample_group",
+            "kmv_distinct", "weighted_sample_group", "shuffled_shards",
             ]
             if name in qs
         ]

@@ -146,3 +146,37 @@ def pack_chunk_stats(
         )
         .withColumn("fill", F.col("n_tokens").cast("double") / budget)
     )
+
+
+def shuffled_shards(
+    df: DataFrame,
+    key_column: str,
+    *,
+    num_shards: int = 64,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    (shard, position) address from a content hash — the reproducible
+    equivalent of "shuffle the corpus then split into N shard files"
+    that trainers need for run-to-run comparable data order.
+
+    shard = hash bucket (rows land uniformly, independent of input
+    order or partitioning); position = rank of a SECOND, independent
+    hash within the shard. Writing is then `repartition(shard).sortWithin
+    Partitions(position)` — each shard file sorts locally, there is no
+    global sort barrier; at 100 TB this is N independent
+    spill-friendly sorts instead of one cluster-wide total order.
+    Identical keys always produce the identical address, so a re-run
+    (or a different engine) rebuilds byte-identical shards.
+    """
+    shard = hash_bucket(key_column, salt=salt, buckets=num_shards)
+    pos_key = hash_bucket(key_column, salt=salt + ":pos", buckets=1 << 31)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__pos_key").asc(), F.col(key_column).asc()
+    )
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__pos_key", pos_key)
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .drop("__pos_key")
+    )

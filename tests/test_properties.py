@@ -84,3 +84,60 @@ def test_unpack_roundtrips_json(spark, dicts):
                 assert actual == expect
             else:
                 assert actual == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(  # base rows: (key, payload)
+        st.tuples(st.integers(0, 15), st.integers(0, 99)),
+        min_size=0, max_size=10, unique_by=lambda t: t[0],
+    ),
+    st.lists(  # changes: (key, payload, op, version); unique (key, op,
+        # version) — an exact tie has no defined winner in either engine
+        st.tuples(
+            st.integers(0, 15), st.integers(0, 99),
+            st.sampled_from(["I", "U", "D"]), st.integers(1, 4),
+        ),
+        min_size=0, max_size=12, unique_by=lambda t: (t[0], t[2], t[3]),
+    ),
+)
+def test_merge_upsert_matches_python_model(spark, base_rows, change_rows):
+    from sutro_spark.operators.cdc import merge_upsert
+
+    base = spark.createDataFrame(base_rows + [(999, 0)], "k long, x long")
+    changes = spark.createDataFrame(
+        change_rows + [(998, 0, "U", 1)], "k long, x long, op string, v long"
+    )
+    got = {r["k"]: r["x"] for r in merge_upsert(base, changes, ["k"], order_column="v").collect()}
+
+    # python model: latest (v desc, op desc) change per key wins
+    model = {k: x for k, x in base_rows + [(999, 0)]}
+    winners = {}
+    for k, x, op, v in change_rows + [(998, 0, "U", 1)]:
+        if k not in winners or (v, op) > (winners[k][0], winners[k][1]):
+            winners[k] = (v, op, x)
+    for k, (v, op, x) in winners.items():
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = x
+    assert got == model
+
+
+def test_shuffled_shards_deterministic_and_complete(spark):
+    from sutro_spark.operators.packing import shuffled_shards
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = shuffled_shards(df, "doc_id", num_shards=8)
+    rows = a.collect()
+    assert len(rows) == 500
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    # every shard's positions are exactly 1..n (dense rank, no gaps)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # repartitioning the input must not change any address
+    b = {(r["doc_id"], r["shard"], r["position"])
+         for r in shuffled_shards(df.repartition(13), "doc_id", num_shards=8).collect()}
+    assert {(r["doc_id"], r["shard"], r["position"]) for r in rows} == b
