@@ -1809,6 +1809,51 @@ def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("o_orderkey", "o_custkey", "o_orderstatus")
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # forward as-of with tolerance: each click gets the EARLIEST
+    # subsequent purchase value by the same user within 1 hour (pandas
+    # merge_asof direction='forward' semantics) — same union + keyed
+    # window plan as the backward variant, one shuffle.
+    from sutro_spark.operators.joins import asof_join
+
+    e = _events_secs(spark, sf_dir)
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("sec").alias("click_sec")
+    )
+    w = Window.partitionBy("user_id", "sec").orderBy(F.asc("event_id"))
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("sec").alias("p_sec"), F.col("value").alias("p_value"))
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="click_sec", right_ts="p_sec",
+        value_columns=["p_value"], direction="forward", tolerance=3600,
+    ).select("click_id", "user_id", "click_sec", F.round("p_value", 4).alias("p_value"))
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # behavioral transition matrix: consecutive event-type pairs per
+    # user in time order (the Markov-chain / page-path primitive) —
+    # one lag window + one map-side-combinable groupBy.
+    from sutro_spark.streaming.progress import epoch_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    sec = epoch_seconds(ev, "ts")
+    w = Window.partitionBy("user_id").orderBy(sec.asc(), F.col("event_id").asc())
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("to_type"),
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
 def q_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic global training-order shuffle: (shard, position)
     # address per doc from two independent content hashes — N local
@@ -1969,6 +2014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_group": q_weighted_sample_group,
         "jsonl_scan": q_jsonl_scan,
         "shuffled_shards": q_shuffled_shards,
+        "asof_forward": q_asof_forward,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -3789,6 +3836,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jsonl_scan": """
             SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        """,
+        "asof_forward": """
+            WITH e AS (
+                SELECT user_id, event_id, event_type, value,
+                       epoch_ns(ts) // 1000000000 AS sec
+                FROM events),
+            clicks AS (
+                SELECT user_id, event_id AS click_id, sec AS click_sec
+                FROM e WHERE event_type = 'click'),
+            purchases AS (
+                SELECT user_id, sec AS p_sec, value AS p_value FROM (
+                    SELECT user_id, sec, value,
+                           row_number() OVER (PARTITION BY user_id, sec
+                               ORDER BY event_id ASC) AS rn
+                    FROM e WHERE event_type = 'purchase')
+                WHERE rn = 1),
+            m AS (
+                SELECT c.click_id, c.user_id, c.click_sec,
+                       min(p.p_sec) AS m_sec
+                FROM clicks c LEFT JOIN purchases p
+                  ON c.user_id = p.user_id
+                 AND p.p_sec >= c.click_sec
+                 AND p.p_sec <= c.click_sec + 3600
+                GROUP BY 1, 2, 3)
+            SELECT m.click_id, m.user_id, m.click_sec,
+                   round(p.p_value, 4) AS p_value
+            FROM m LEFT JOIN purchases p
+              ON m.user_id = p.user_id AND p.p_sec = m.m_sec
+        """,
+        "event_transitions": """
+            WITH g AS (
+                SELECT user_id, event_type AS to_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY epoch_ns(ts) // 1000000000 ASC,
+                                    event_id ASC) AS from_type
+                FROM events)
+            SELECT from_type, to_type, count(*) AS n_transitions
+            FROM g WHERE from_type IS NOT NULL
+            GROUP BY 1, 2
         """,
         "shuffled_shards": """
             WITH a AS (

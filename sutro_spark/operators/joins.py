@@ -30,19 +30,36 @@ def asof_join(
     right_ts: str,
     value_columns: list[str],
     how: str = "left",
+    direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
-    """As-of join: attach the most recent right-side values at or
-    before each left row's timestamp, per key.
+    """As-of join: attach right-side values to each left row per key —
+    the most recent at-or-before match (``direction="backward"``, the
+    default) or the earliest at-or-after match (``"forward"``); both
+    inclusive at equal timestamps, mirroring pandas ``merge_asof``.
 
-    ``how="left"`` keeps left rows with no prior right row (null
+    ``tolerance`` (same units as the ts columns) bounds how far the
+    match may be from the left timestamp; out-of-tolerance matches
+    become nulls (and drop under ``how="inner"``).
+
+    ``how="left"`` keeps left rows with no qualifying right row (null
     values); ``how="inner"`` drops them.
+
+    Plan: union + one keyed window — a single shuffle on the key, no
+    inequality join, no per-key state beyond the running carry.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    carried = list(value_columns)
+    if tolerance is not None:
+        carried = carried + ["__rts"]
+        right = right.withColumn("__rts", F.col(right_ts))
     l_tag = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.struct(*left.columns).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_columns],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in carried],
     )
     r_tag = right.select(
         F.col(on).alias("__k"),
@@ -51,23 +68,46 @@ def asof_join(
         F.lit(None).cast(
             l_tag.schema["__lrow"].dataType
         ).alias("__lrow"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_columns],
+        *[F.col(c).alias(f"__v_{c}") for c in carried],
     )
     u = l_tag.unionByName(r_tag)
-    # right rows sort before left rows at equal ts → inclusive (<=)
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if direction == "backward":
+        # right rows sort before left rows at equal ts → inclusive (<=)
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carry = {c: F.last(f"__v_{c}", ignorenulls=True).over(w) for c in carried}
+    else:
+        # left rows sort before right rows at equal ts → inclusive (>=)
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        carry = {c: F.first(f"__v_{c}", ignorenulls=True).over(w) for c in carried}
     filled = u.select(
         "__side",
         "__lrow",
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__v_{c}")
-            for c in value_columns
-        ],
+        F.col("__ts"),
+        *[carry[c].alias(f"__v_{c}") for c in carried],
     ).where(F.col("__side") == 1)
+    if tolerance is not None:
+        gap = (
+            (F.col("__ts") - F.col("__v___rts"))
+            if direction == "backward"
+            else (F.col("__v___rts") - F.col("__ts"))
+        )
+        in_tol = F.col("__v___rts").isNotNull() & (gap <= tolerance)
+        filled = filled.select(
+            "__side",
+            "__lrow",
+            *[
+                F.when(in_tol, F.col(f"__v_{c}")).alias(f"__v_{c}")
+                for c in value_columns
+            ],
+        )
     out = filled.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
         *[F.col(f"__v_{c}").alias(c) for c in value_columns],

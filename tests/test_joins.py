@@ -59,3 +59,41 @@ def test_range_join_matches_inequality_join(spark, sf_dir):
     )
     assert fast.count() == slow.count()
     assert fast.exceptAll(slow).count() == 0
+
+
+def test_asof_forward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [("k", 10, "a"), ("k", 50, "b"), ("k", 100, "c")], "key string, t long, tag string"
+    )
+    right = spark.createDataFrame(
+        [("k", 12, 1.0), ("k", 60, 2.0)], "key string, q long, v double"
+    )
+    fwd = {r["tag"]: r["v"] for r in asof_join(
+        left, right, on="key", left_ts="t", right_ts="q",
+        value_columns=["v"], direction="forward",
+    ).collect()}
+    # a@10 → q12; b@50 → q60; c@100 → nothing ahead
+    assert fwd == {"a": 1.0, "b": 2.0, "c": None}
+
+    tol = {r["tag"]: r["v"] for r in asof_join(
+        left, right, on="key", left_ts="t", right_ts="q",
+        value_columns=["v"], direction="forward", tolerance=5,
+    ).collect()}
+    # b@50 → q60 is 10 away > 5 → null
+    assert tol == {"a": 1.0, "b": None, "c": None}
+
+    back_tol = {r["tag"]: r["v"] for r in asof_join(
+        left, right, on="key", left_ts="t", right_ts="q",
+        value_columns=["v"], direction="backward", tolerance=5,
+    ).collect()}
+    # a@10: no prior within 5 (q12 is future); b@50: q12 is 38 back > 5;
+    # c@100: q60 is 40 back > 5
+    assert back_tol == {"a": None, "b": None, "c": None}
+
+    inclusive = {r["tag"]: r["v"] for r in asof_join(
+        left.where(F.col("t") == 50),
+        spark.createDataFrame([("k", 50, 9.0)], "key string, q long, v double"),
+        on="key", left_ts="t", right_ts="q",
+        value_columns=["v"], direction="forward",
+    ).collect()}
+    assert inclusive == {"b": 9.0}  # equal ts matches in forward mode too
