@@ -82,15 +82,18 @@ def main() -> None:
         copies.write.mode("overwrite").parquet(path)
         df = spark.read.parquet(path)
         rows = df.count()
-        for name, op in ops.items():
-            # min of 2 runs: the host VM sees bursty CPU-steal windows
-            # (same mitigation as bench.py) — a single run can read 3x
-            best = float("inf")
-            for _ in range(2):
+        # min over 2 INTERLEAVED passes (same mitigation as bench.py):
+        # back-to-back runs both land inside the same multi-minute host
+        # CPU-steal burst; spacing each operator's runs a full pass
+        # apart lets at least one usually escape it
+        best: dict[str, float] = {}
+        for _ in range(2):
+            for name, op in ops.items():
                 t0 = time.time()
                 op(df).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            results[name][factor] = round(best, 2)
+                best[name] = min(best.get(name, float("inf")), time.time() - t0)
+        for name in ops:
+            results[name][factor] = round(best[name], 2)
         print(f"x{factor} ({rows} rows): " + ", ".join(f"{k}={v[factor]}s" for k, v in results.items()), flush=True)
 
     lines = [
@@ -98,8 +101,8 @@ def main() -> None:
         "",
         f"Base table: sf0.1 documents ({n_base} rows), replicated with",
         "distinct ids and per-copy text perturbation (near-dup structure",
-        "preserved). local[32]; min of 2 runs per cell (host CPU-steal",
-        "guard); times include the full pipeline to a noop",
+        "preserved). local[32]; min over 2 interleaved passes",
+        "per cell (host CPU-steal guard); times include the full pipeline to a noop",
         "sink. Exponent = log(t16/t1)/log(16): ~1.0 is linear scaling;",
         "sub-linear means fixed overhead still dominates at this size.",
         "",
