@@ -1809,6 +1809,17 @@ def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("o_orderkey", "o_custkey", "o_orderstatus")
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # temperature-flattened mixture rates (share^0.5 renormalized to a
+    # 50% overall keep target): the multilingual-corpus rebalance rule;
+    # two tiny aggregates with broadcast cross joins, IEEE-sqrt exact.
+    from sutro_spark.operators.mixture import temperature_rates
+
+    return temperature_rates(
+        _t(spark, sf_dir, "documents"), "source", alpha_pct=50, target_pct=50
+    )
+
+
 def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     # forward as-of with tolerance: each click gets the EARLIEST
     # subsequent purchase value by the same user within 1 hour (pandas
@@ -2016,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffled_shards": q_shuffled_shards,
         "asof_forward": q_asof_forward,
         "event_transitions": q_event_transitions,
+        "temperature_mix": q_temperature_mix,
     }
 
 
@@ -3836,6 +3848,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jsonl_scan": """
             SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        """,
+        "temperature_mix": """
+            WITH c AS (
+                SELECT source AS stratum, count(*) AS n_docs
+                FROM documents GROUP BY 1),
+            t AS (SELECT sum(n_docs) AS total FROM c),
+            p AS (
+                SELECT stratum, n_docs,
+                       sqrt(CAST(n_docs AS DOUBLE) / total) AS w,
+                       CAST(n_docs AS DOUBLE) / total AS share
+                FROM c, t),
+            s AS (SELECT sum(w) AS wsum FROM p)
+            SELECT stratum, n_docs,
+                   CAST(least(100, greatest(1,
+                        CAST(floor(50 * (w / wsum) / share) AS BIGINT)
+                   )) AS INTEGER) AS rate_pct
+            FROM p, s
         """,
         "asof_forward": """
             WITH e AS (

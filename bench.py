@@ -140,7 +140,7 @@ def main() -> None:
             "bloom_semi_revenue", "fuzzy_join_names", "weighted_sample",
             "winsorize_prices", "zscore_outliers", "cube_counts",
             "kmv_distinct", "weighted_sample_group", "shuffled_shards",
-            "asof_forward", "event_transitions", "jsonl_scan",
+            "asof_forward", "event_transitions", "jsonl_scan", "temperature_mix",
             ]
             if name in qs
         ]

@@ -82,3 +82,63 @@ def cap_per_source(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= cap)
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    stratum_column: str = "source",
+    *,
+    alpha_pct: int = 50,
+    target_pct: int = 50,
+    buckets: int = 100,
+) -> DataFrame:
+    """Temperature-flattened mixture rates: per-stratum keep shares
+    ∝ share^(alpha_pct/100), normalized so the expected overall keep
+    fraction is ``target_pct``/``buckets``. alpha=100 keeps the natural
+    mixture; alpha→0 flattens toward uniform (the multilingual-corpus
+    "temperature sampling" rule used to stop head languages from
+    drowning the tail).
+
+    All arithmetic is deterministic: shares are exact integer-count
+    ratios, the power is IEEE ``pow`` of those (both engines correctly
+    round pow/sqrt), and the final rate is floored to an integer rate
+    out of ``buckets`` with a [1, buckets] clamp. Output:
+    (stratum, n_docs, rate_pct) — a tiny broadcast dim consumed by
+    :func:`sutro_spark.functions.sampling.stratified_sample`.
+    """
+    counts = df.groupBy(F.col(stratum_column).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = counts.agg(F.sum("n_docs").alias("__total"))
+    share = F.col("n_docs") / F.col("__total")
+    # alpha=50 (sqrt) gets the IEEE-correctly-rounded sqrt — identical
+    # in every engine; general pow(x, a) can differ by 1 ULP across
+    # libm implementations (fine for sampling, not for hash parity)
+    w = F.sqrt(share) if alpha_pct == 50 else F.pow(share, F.lit(alpha_pct / 100.0))
+    powed = counts.crossJoin(F.broadcast(total)).select(
+        "stratum",
+        "n_docs",
+        w.alias("__w"),
+        share.alias("__share"),
+    )
+    wsum = powed.agg(F.sum("__w").alias("__wsum"))
+    # expected kept fraction = Σ share_i · rate_i/buckets; solve the
+    # scale so it hits target_pct/buckets, then clamp each rate
+    return (
+        powed.crossJoin(F.broadcast(wsum))
+        .select(
+            "stratum",
+            "n_docs",
+            F.least(
+                F.lit(buckets),
+                F.greatest(
+                    F.lit(1),
+                    F.floor(
+                        F.lit(target_pct)
+                        * (F.col("__w") / F.col("__wsum"))
+                        / F.col("__share")
+                    ).cast("int"),
+                ),
+            ).alias("rate_pct"),
+        )
+    )

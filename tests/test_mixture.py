@@ -35,3 +35,29 @@ def test_cap_per_source_deterministic_and_bounded(spark):
     )
     assert {r["source"]: r["n"] for r in per_src} == {"big": 4, "small": 1}
     assert all(r["mx"] <= 4 for r in per_src)
+
+
+def test_temperature_rates_flattens_head(spark):
+    from sutro_spark.operators.mixture import temperature_rates
+
+    rows = [(i, "head") for i in range(900)] + [(i + 900, "tail") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    rates = {r["stratum"]: r["rate_pct"] for r in
+             temperature_rates(df, "source", alpha_pct=50, target_pct=50).collect()}
+    # sqrt flattening must keep a LARGER fraction of the tail than the head
+    assert rates["tail"] > rates["head"]
+    assert 1 <= rates["head"] <= 100 and 1 <= rates["tail"] <= 100
+    # expected overall keep ≈ target: Σ n_i·rate_i / Σ n_i·100 ≈ 50%
+    kept = 900 * rates["head"] + 100 * rates["tail"]
+    assert abs(kept / 1000 - 50) < 10
+
+
+def test_temperature_rates_alpha_100_is_uniform_rate(spark):
+    from sutro_spark.operators.mixture import temperature_rates
+
+    rows = [(i, "a") for i in range(300)] + [(i + 300, "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    rates = {r["stratum"]: r["rate_pct"] for r in
+             temperature_rates(df, "source", alpha_pct=100, target_pct=40).collect()}
+    # alpha=1: w/wsum == share, so every stratum gets exactly target_pct
+    assert rates == {"a": 40, "b": 40}
