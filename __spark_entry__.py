@@ -1809,6 +1809,26 @@ def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("o_orderkey", "o_custkey", "o_orderstatus")
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus snapshot diff: old = documents; new = documents with
+    # %7==0 docs dropped (→removed), %7==1 docs re-texted (→changed),
+    # and a +1000000 id block appended (→added). Full-outer join on
+    # (key, digest) pairs only — payloads never shuffle.
+    from sutro_spark.operators.cdc import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    new = docs.where(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 1, F.concat(F.lit("v2 "), F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    added = docs.where(F.col("doc_id") % 7 == 2).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    return snapshot_diff(docs, new.unionByName(added), ["doc_id"])
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # temperature-flattened mixture rates (share^0.5 renormalized to a
     # 50% overall keep target): the multilingual-corpus rebalance rule;
@@ -2028,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "event_transitions": q_event_transitions,
         "temperature_mix": q_temperature_mix,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -3848,6 +3869,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jsonl_scan": """
             SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        """,
+        "snapshot_diff": """
+            WITH old AS (SELECT doc_id FROM documents),
+            newt AS (
+                SELECT doc_id FROM documents WHERE doc_id % 7 NOT IN (0)
+                UNION ALL
+                SELECT doc_id + 1000000 FROM documents WHERE doc_id % 7 = 2)
+            SELECT o.doc_id AS doc_id, 'removed' AS change
+            FROM old o LEFT JOIN newt n ON o.doc_id = n.doc_id
+            WHERE n.doc_id IS NULL
+            UNION ALL
+            SELECT n.doc_id, 'added'
+            FROM newt n LEFT JOIN old o ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL
+            UNION ALL
+            SELECT doc_id, 'changed' FROM documents WHERE doc_id % 7 = 1
         """,
         "temperature_mix": """
             WITH c AS (

@@ -63,3 +63,49 @@ def merge_upsert(
     untouched = base.join(changed_keys, on=key_columns, how="left_anti")
     survivors = latest.where(F.col(op_column) != F.lit("D")).select(*base.columns)
     return untouched.unionByName(survivors)
+
+
+_SEP = "\x1f"
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_columns: list[str],
+    *,
+    compare_columns: list[str] | None = None,
+) -> DataFrame:
+    """Diff two corpus snapshots: which keys were added, removed, or
+    changed (same key, different content) between ``old`` and ``new``.
+
+    Content comparison is by sha2 digest over the null-coalesced,
+    unit-separator-joined compare columns — one full-outer join on the
+    key with both sides pre-reduced to (key, digest), so the payload
+    columns never travel through the shuffle. Unchanged rows are
+    dropped before anything leaves the join stage.
+
+    Output: key columns + ``change`` ∈ {'added','removed','changed'}.
+    """
+    compare = compare_columns or [c for c in old.columns if c not in key_columns]
+
+    def digest(df: DataFrame) -> F.Column:
+        return F.sha2(
+            F.concat_ws(
+                _SEP, *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in compare]
+            ),
+            256,
+        )
+
+    o = old.select(*key_columns, digest(old).alias("__old_d"))
+    n = new.select(*key_columns, digest(new).alias("__new_d"))
+    joined = o.join(n, on=key_columns, how="full_outer")
+    change = (
+        F.when(F.col("__old_d").isNull(), F.lit("added"))
+        .when(F.col("__new_d").isNull(), F.lit("removed"))
+        .when(F.col("__old_d") != F.col("__new_d"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(*key_columns, "change")
+    )
