@@ -3893,13 +3893,15 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT sum(n_docs) AS total FROM c),
             p AS (
                 SELECT stratum, n_docs,
-                       sqrt(CAST(n_docs AS DOUBLE) / total) AS w,
+                       CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / total)
+                            * 1000000000000) AS BIGINT) AS wi,
                        CAST(n_docs AS DOUBLE) / total AS share
                 FROM c, t),
-            s AS (SELECT sum(w) AS wsum FROM p)
+            s AS (SELECT sum(wi) AS wsum FROM p)
             SELECT stratum, n_docs,
                    CAST(least(100, greatest(1,
-                        CAST(floor(50 * (w / wsum) / share) AS BIGINT)
+                        CAST(floor(50 * (CAST(wi AS DOUBLE) / wsum) / share)
+                             AS BIGINT)
                    )) AS INTEGER) AS rate_pct
             FROM p, s
         """,

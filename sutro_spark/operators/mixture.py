@@ -115,13 +115,18 @@ def temperature_rates(
     # in every engine; general pow(x, a) can differ by 1 ULP across
     # libm implementations (fine for sampling, not for hash parity)
     w = F.sqrt(share) if alpha_pct == 50 else F.pow(share, F.lit(alpha_pct / 100.0))
+    # quantize the weight to integer micro-units BEFORE summing: a
+    # double Σw depends on partition order (floats don't associate) and
+    # would make the floor() boundary nondeterministic; integer sums
+    # are exact in any order
+    w_int = F.floor(w * F.lit(float(10**12))).cast("long")
     powed = counts.crossJoin(F.broadcast(total)).select(
         "stratum",
         "n_docs",
-        w.alias("__w"),
+        w_int.alias("__wi"),
         share.alias("__share"),
     )
-    wsum = powed.agg(F.sum("__w").alias("__wsum"))
+    wsum = powed.agg(F.sum("__wi").alias("__wsum"))
     # expected kept fraction = Σ share_i · rate_i/buckets; solve the
     # scale so it hits target_pct/buckets, then clamp each rate
     return (
@@ -135,7 +140,7 @@ def temperature_rates(
                     F.lit(1),
                     F.floor(
                         F.lit(target_pct)
-                        * (F.col("__w") / F.col("__wsum"))
+                        * (F.col("__wi").cast("double") / F.col("__wsum"))
                         / F.col("__share")
                     ).cast("int"),
                 ),
