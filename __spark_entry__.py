@@ -1809,6 +1809,15 @@ def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("o_orderkey", "o_custkey", "o_orderstatus")
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-wide line dedup (C4 rule): each distinct line survives
+    # once, at its first (doc, pos) occurrence; docs rebuilt from
+    # surviving lines in order. One digest shuffle + one groupBy(doc).
+    from sutro_spark.operators.dedup import dedup_lines_global
+
+    return dedup_lines_global(_t(spark, sf_dir, "documents"))
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus snapshot diff: old = documents; new = documents with
     # %7==0 docs dropped (→removed), %7==1 docs re-texted (→changed),
@@ -2049,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "temperature_mix": q_temperature_mix,
         "snapshot_diff": q_snapshot_diff,
+        "dedup_lines": q_dedup_lines,
     }
 
 
@@ -3869,6 +3879,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jsonl_scan": """
             SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        """,
+        "dedup_lines": """
+            WITH l0 AS (
+                SELECT doc_id AS id,
+                       string_split(coalesce(text, ''), chr(10)) AS parts
+                FROM documents),
+            lines AS (
+                SELECT id, CAST(t.i - 1 AS BIGINT) AS pos,
+                       parts[CAST(t.i AS INT)] AS line
+                FROM l0, unnest(generate_series(1, len(parts))) AS t(i)),
+            surv AS (
+                SELECT id, pos, line FROM (
+                    SELECT id, pos, line,
+                           row_number() OVER (PARTITION BY line
+                               ORDER BY id ASC, pos ASC) AS rn
+                    FROM lines) WHERE rn = 1),
+            nl AS (SELECT id, CAST(len(parts) AS BIGINT) AS n_lines FROM l0),
+            reb AS (
+                SELECT id,
+                       string_agg(line, chr(10) ORDER BY pos ASC) AS text,
+                       count(*) AS n_kept
+                FROM surv GROUP BY id)
+            SELECT nl.id AS doc_id, coalesce(reb.text, '') AS text,
+                   nl.n_lines, coalesce(reb.n_kept, 0) AS n_kept
+            FROM nl LEFT JOIN reb ON nl.id = reb.id
         """,
         "snapshot_diff": """
             WITH old AS (SELECT doc_id FROM documents),

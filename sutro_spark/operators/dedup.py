@@ -23,7 +23,7 @@ identically).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -473,4 +473,70 @@ def simhash_pairs(
         cand.withColumn("ham", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("ham") <= max_hamming)
         .select("id_a", "id_b", "ham")
+    )
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    min_line_chars: int = 0,
+) -> DataFrame:
+    """Corpus-WIDE line deduplication (the C4 rule): every distinct
+    line of text survives exactly once across the whole corpus — at its
+    first occurrence in (doc id, line position) order — and each
+    document is reassembled from its surviving lines in original order.
+
+    Plan: explode lines with their position (in-scan, no shuffle),
+    ONE shuffle on the line digest where a bounded rank window keeps the
+    first (doc, pos) occurrence per digest (WindowGroupLimit: only the
+    winner leaves the sort), then one groupBy(doc) rebuilds the text
+    with an order-by-position array sort — never a collect, never a
+    driver-side string. Lines shorter than ``min_line_chars`` pass
+    through untouched (attribution boilerplate is what the rule is for;
+    gutting two-char lines corpus-wide would mangle code/text).
+
+    Output: (id, text, n_lines, n_kept) with text rebuilt from kept
+    lines ('' when every line lost).
+    """
+    text = F.coalesce(F.col(text_column), F.lit(""))
+    lines = _spread(df.select(F.col(id_column).alias("id"), text.alias("__t"))).select(
+        "id",
+        F.posexplode(F.split(F.col("__t"), "\n")).alias("pos", "line"),
+    )
+    protected = F.length(F.col("line")) < min_line_chars
+    keyed = lines.withColumn(
+        "__dig",
+        F.when(protected, F.lit(None)).otherwise(F.sha2(F.col("line"), 256)),
+    )
+    w = Window.partitionBy("__dig").orderBy(F.col("id").asc(), F.col("pos").asc())
+    survivors = keyed.withColumn(
+        "__rn", F.when(F.col("__dig").isNull(), F.lit(1)).otherwise(F.row_number().over(w))
+    ).where(F.col("__rn") == 1)
+    n_lines = df.select(
+        F.col(id_column).alias("id"),
+        F.size(F.split(text, "\n")).cast("long").alias("n_lines"),
+    )
+    rebuilt = (
+        survivors.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_column),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+    )
+    return (
+        n_lines.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_column),
+            F.coalesce(F.col(text_column), F.lit("")).alias(text_column),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
     )

@@ -384,3 +384,35 @@ def test_cohens_kappa_analytic(spark):
     # degenerate: everything one class on both sides -> pe = 1 -> null
     one = spark.createDataFrame([("a", "a")] * 5, "label string, pred string")
     assert cohens_kappa(one).first()["kappa"] is None
+
+
+def test_dedup_lines_global_first_occurrence_wins(spark):
+    from sutro_spark.operators.dedup import dedup_lines_global
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared\nbeta"),
+            (2, "shared\ngamma"),      # 'shared' already seen in doc 1
+            (3, "gamma\ngamma"),       # within-doc dup + seen in doc 2
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"])
+           for r in dedup_lines_global(docs).collect()}
+    assert out[1] == ("alpha\nshared\nbeta", 3, 3)
+    assert out[2] == ("gamma", 2, 1)
+    assert out[3] == ("", 2, 0)
+
+
+def test_dedup_lines_min_chars_protects_short_lines(spark):
+    from sutro_spark.operators.dedup import dedup_lines_global
+
+    docs = spark.createDataFrame(
+        [(1, "}\nlong duplicated line"), (2, "}\nlong duplicated line")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_lines_global(docs, min_line_chars=3).collect()}
+    # '}' is under the protection threshold → survives in BOTH docs
+    assert out[1] == "}\nlong duplicated line"
+    assert out[2] == "}"
