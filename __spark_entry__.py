@@ -1809,6 +1809,21 @@ def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("o_orderkey", "o_custkey", "o_orderstatus")
 
 
+def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FUZZY decontamination: benchmark = perturbed copies of every 11th
+    # doc (first two chars replaced — every 13-gram containing them
+    # changes, defeating exact decon, but most minhash bands survive).
+    # Cross-set LSH: bench band keys broadcast; train never shuffles.
+    from sutro_spark.operators.decontaminate import fuzzy_contamination
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.lit("Z"), F.expr("substring(text, 3)")).alias("text"),
+    )
+    return fuzzy_contamination(docs, bench)
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-wide line dedup (C4 rule): each distinct line survives
     # once, at its first (doc, pos) occurrence; docs rebuilt from
@@ -2059,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "snapshot_diff": q_snapshot_diff,
         "dedup_lines": q_dedup_lines,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
     }
 
 
@@ -3879,6 +3895,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jsonl_scan": """
             SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        """,
+        "fuzzy_decontaminate": f"""
+            WITH {_SHINGLES_CTE},
+            bt AS (
+                SELECT doc_id + 500000 AS id,
+                       'Z' || substr(text, 3) AS text
+                FROM documents WHERE doc_id % 11 = 0),
+            shb AS (
+                SELECT DISTINCT id, shingle FROM (
+                    SELECT id,
+                           unnest(list_transform(
+                               range(1, greatest(length(text) - 7, 1) + 1),
+                               g -> substring(text, g, 8))) AS shingle
+                    FROM bt)
+                WHERE length(shingle) = 8),
+            mins_t AS (
+                SELECT id, i,
+                       min(substring(sha256('s' || CAST(i // 8 AS VARCHAR)
+                               || ':' || shingle), (i % 8) * 8 + 1, 8)) AS h
+                FROM sh, (SELECT unnest(range(0, 16)) AS i) seeds
+                GROUP BY id, i),
+            sigs_t AS (SELECT id, list(h ORDER BY i) AS sig
+                       FROM mins_t GROUP BY id),
+            bands_t AS (
+                SELECT id, unnest(list_transform(range(0, 8),
+                    b -> CAST(b AS VARCHAR) || '|' || sig[2*b + 1]
+                         || '|' || sig[2*b + 2])) AS band_key
+                FROM sigs_t),
+            mins_b AS (
+                SELECT id, i,
+                       min(substring(sha256('s' || CAST(i // 8 AS VARCHAR)
+                               || ':' || shingle), (i % 8) * 8 + 1, 8)) AS h
+                FROM shb, (SELECT unnest(range(0, 16)) AS i) seeds
+                GROUP BY id, i),
+            sigs_b AS (SELECT id, list(h ORDER BY i) AS sig
+                       FROM mins_b GROUP BY id),
+            bands_b AS (
+                SELECT DISTINCT id, unnest(list_transform(range(0, 8),
+                    b -> CAST(b AS VARCHAR) || '|' || sig[2*b + 1]
+                         || '|' || sig[2*b + 2])) AS band_key
+                FROM sigs_b)
+            SELECT t.id AS doc_id,
+                   count(DISTINCT b.id) AS n_bench_hits
+            FROM bands_t t
+            JOIN (SELECT DISTINCT id, band_key FROM bands_b) b
+              USING (band_key)
+            GROUP BY t.id
         """,
         "dedup_lines": """
             WITH l0 AS (

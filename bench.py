@@ -141,7 +141,7 @@ def main() -> None:
             "winsorize_prices", "zscore_outliers", "cube_counts",
             "kmv_distinct", "weighted_sample_group", "shuffled_shards",
             "asof_forward", "event_transitions", "jsonl_scan", "temperature_mix",
-            "snapshot_diff", "dedup_lines",
+            "snapshot_diff", "dedup_lines", "fuzzy_decontaminate",
             ]
             if name in qs
         ]

@@ -117,3 +117,48 @@ def decontaminate(
         train, benchmark, text_column=text_column, id_column=id_column, n=n, digest=digest
     ).select(id_column)
     return train.join(bad, id_column, "left_anti")
+
+
+def fuzzy_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k: int = 8,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """FUZZY benchmark decontamination via cross-set MinHash-LSH:
+    train docs whose signature collides with any benchmark doc on any
+    band. Catches paraphrased/lightly-edited benchmark leakage that the
+    exact n-gram rule (:func:`contamination_report`) misses — a small
+    edit changes every 13-gram it touches, but most minhash bands
+    survive.
+
+    Same asymmetry as the exact rule: the benchmark is tiny, so its
+    (band_key, id) rows broadcast and the train side streams map-side —
+    one shuffle for the final per-doc count, proportional to hits.
+
+    Output: (id, n_bench_hits) — distinct benchmark docs sharing ≥1
+    band. Tune recall/precision with bands×rows like any LSH: more
+    bands → higher recall, wider nets.
+    """
+    from sutro_spark.operators.dedup import minhash_band_rows, minhash_signatures
+
+    t_bands = minhash_band_rows(
+        minhash_signatures(train, text_column, id_column, k=k, num_hashes=num_hashes),
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    b_bands = minhash_band_rows(
+        minhash_signatures(benchmark, text_column, id_column, k=k, num_hashes=num_hashes),
+        num_hashes=num_hashes,
+        bands=bands,
+    ).select("band_key", F.col("id").alias("__bench_id")).distinct()
+    return (
+        t_bands.join(F.broadcast(b_bands), "band_key")
+        .groupBy("id")
+        .agg(F.count_distinct("__bench_id").alias("n_bench_hits"))
+        .select(F.col("id").alias(id_column), "n_bench_hits")
+    )

@@ -225,6 +225,32 @@ def minhash_signatures(
     )
 
 
+def minhash_band_rows(sig: DataFrame, *, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band_key) rows from a signature frame. Band key = band id +
+    the band's raw minhash values. No hash needed: docs collide iff
+    their r minhashes are equal, and the concat IS that equality key (a
+    sha2 here would only re-encode it, bands digests/doc slower, without
+    changing the candidate set)."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(f"band{b}"),
+                        *[F.element_at("signature", b * r + j + 1) for j in range(r)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_column: str = "text",
@@ -249,25 +275,7 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(
         df, text_column, id_column, k=k, num_hashes=num_hashes, hash_family=hash_family
     )
-    # Band key = band id + the band's raw minhash values. No hash needed:
-    # docs collide iff their r minhashes are equal, and the concat IS that
-    # equality key (a sha2 here would only re-encode it, 8 digests/doc
-    # slower, without changing the candidate set).
-    band_rows = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        F.lit(f"band{b}"),
-                        *[F.element_at("signature", b * r + j + 1) for j in range(r)],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_key"),
-    )
+    band_rows = minhash_band_rows(sig, num_hashes=num_hashes, bands=bands)
     # Bucket once and explode pairs from the posting list — the
     # signature pipeline runs a single time (a self-join would carry it
     # on both sides) and candidates cost one shuffle on band_key.

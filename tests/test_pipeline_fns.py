@@ -416,3 +416,22 @@ def test_dedup_lines_min_chars_protects_short_lines(spark):
     # '}' is under the protection threshold → survives in BOTH docs
     assert out[1] == "}\nlong duplicated line"
     assert out[2] == "}"
+
+
+def test_fuzzy_contamination_catches_edited_benchmark(spark):
+    from sutro_spark.operators.decontaminate import fuzzy_contamination
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while seventeen astronauts deduplicate training corpora") * 3
+    train = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated text about turnip farming " * 8)],
+        "doc_id bigint, text string",
+    )
+    # benchmark = lightly edited copy (word changed mid-string)
+    bench = spark.createDataFrame(
+        [(100, base.replace("astronauts", "cosmonauts"))], "doc_id bigint, text string"
+    )
+    hits = {r["doc_id"]: r["n_bench_hits"] for r in
+            fuzzy_contamination(train, bench).collect()}
+    assert 1 in hits and hits[1] >= 1  # edited copy still collides
+    assert 2 not in hits               # unrelated doc untouched
