@@ -26,20 +26,36 @@ def winsorize(
     hi: float = 0.95,
     output_column: str = "clipped",
     decimals: int = 4,
+    exact: bool = True,
 ) -> DataFrame:
-    """Clip ``value_column`` to its per-group [lo, hi] exact quantiles
-    (linear interpolation on order statistics — Spark's `percentile` and
-    DuckDB's `quantile_cont` share the (n-1)*p rule).
+    """Clip ``value_column`` to its per-group [lo, hi] quantiles.
 
-    Plan: one shuffle computes the per-group bounds (two rows of state
-    per group), the bounds broadcast-join back, and the clip is a
-    projection in the probe stage — the fact table keeps its
-    partitioning.
+    ``exact=True`` (default): Spark's `percentile` — linear
+    interpolation on order statistics, the (n-1)*p rule DuckDB's
+    `quantile_cont` shares, so results are oracle-reproducible. BUT the
+    exact aggregate buffers every group value in aggregation state —
+    fine up to millions of rows per group, NOT the 100 TB path.
+
+    ``exact=False`` (the scale path): `percentile_approx`
+    (Greenwald-Khanna sketch, bounded state per group) — what a real
+    100 TB winsorization should run; bounds are approximate, so it is
+    not hash-comparable across engines and the oracle-checked [Q] keeps
+    the exact form at test SF.
+
+    Either way the bounds are one tiny aggregate broadcast back, and
+    the clip is a projection in the probe stage — the fact table keeps
+    its partitioning.
     """
-    bounds = df.groupBy(group_column).agg(
-        F.percentile(value_column, F.lit(lo)).alias("__lo"),
-        F.percentile(value_column, F.lit(hi)).alias("__hi"),
-    )
+    if exact:
+        bounds = df.groupBy(group_column).agg(
+            F.percentile(value_column, F.lit(lo)).alias("__lo"),
+            F.percentile(value_column, F.lit(hi)).alias("__hi"),
+        )
+    else:
+        bounds = df.groupBy(group_column).agg(
+            F.percentile_approx(value_column, F.lit(lo), F.lit(10000)).alias("__lo"),
+            F.percentile_approx(value_column, F.lit(hi), F.lit(10000)).alias("__hi"),
+        )
     clipped = F.least(F.greatest(F.col(value_column), F.col("__lo")), F.col("__hi"))
     return (
         df.join(F.broadcast(bounds), group_column)
