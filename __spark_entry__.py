@@ -1691,8 +1691,9 @@ def q_bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # URGENT, revenue per ship mode. Spark's runtime bloom filter
     # (injected under AQE) pushes a membership pre-filter into the
     # lineitem scan side before the shuffle — the Spark-first answer to
-    # hand-built bloom pruning; the join itself stays exact.
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    # hand-built bloom pruning; the join itself stays exact. The conf
+    # enabling runtime bloom filters lives in session.py (set once per
+    # session) — a query builder must never mutate shared session state.
     li = _t(spark, sf_dir, "lineitem")
     urgent = _t(spark, sf_dir, "orders").where(
         F.col("o_orderpriority") == "1-URGENT"
@@ -3556,8 +3557,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    epoch_ns(ts) // 1000000000 AS sec,
                    count(*) OVER w AS roll_cnt,
-                   sum(CAST(round(value * 100) AS BIGINT)) OVER w
-                       AS roll_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                       AS BIGINT) AS roll_cents
             FROM events
             WINDOW w AS (
                 PARTITION BY user_id
@@ -3674,8 +3675,8 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram": """
             SELECT least(length(COALESCE(text, '')) // 200, 9) AS len_bucket,
                    count(*) AS n_docs,
-                   sum(CAST(length(COALESCE(text, '')) AS BIGINT))
-                       AS total_chars
+                   CAST(sum(CAST(length(COALESCE(text, '')) AS BIGINT))
+                       AS BIGINT) AS total_chars
             FROM documents
             GROUP BY 1
         """,
@@ -3731,7 +3732,8 @@ def oracle_sql() -> dict[str, str]:
             pb AS (
                 SELECT user_id, (sec // 3600) * 3600 AS bucket,
                        count(*) AS n_events,
-                       sum(CAST(round(value * 100) AS BIGINT)) AS cents
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                           AS BIGINT) AS cents
                 FROM e GROUP BY 1, 2),
             spans AS (
                 SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
@@ -3826,7 +3828,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, weight,
                        CAST(CAST(concat('0x', substr(sha256(concat('weighted:',
                             CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
-                            % 2147483648 AS DOUBLE)
+                            % 2147483648 + 1 AS DOUBLE)
                            / CAST(weight AS DOUBLE) AS pri
                 FROM d)
             SELECT doc_id, weight FROM p
@@ -3892,7 +3894,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, source,
                        CAST(CAST(concat('0x', substr(sha256(concat('weighted:',
                             CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT)
-                            % 2147483648 AS DOUBLE)
+                            % 2147483648 + 1 AS DOUBLE)
                            / CAST(weight AS DOUBLE) AS pri
                 FROM d),
             r AS (

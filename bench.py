@@ -112,7 +112,11 @@ def main() -> None:
         return {k: round(v, 3) for k, v in best.items() if k not in errors}
 
     timings = timed_set([n for n in HEADLINE if n in qs])
-    total = round(sum(timings.values()), 3)
+    # a red headline query invalidates the total — a partial sum would
+    # make the run look FASTER than a complete one; null it instead so
+    # consumers comparing `value` across rounds can't be misled
+    headline_complete = not (set(HEADLINE) & set(errors))
+    total = round(sum(timings.values()), 3) if headline_complete else None
 
     # Round-2+ additions, timed separately so `value` stays comparable
     # with BENCH_r01's 20-query headline total.
@@ -161,14 +165,15 @@ def main() -> None:
         errors["estimate_accuracy"] = f"{type(exc).__name__}: {exc}"[:400]
         estimate_accuracy = None
 
+    # key order matters: the driver archives only the TAIL of stdout, so
+    # the headline `queries` dict and `value` total go LAST on the line
+    # (round 3 lost 11 of 20 per-query timings to tail truncation because
+    # they were printed first).
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "extra_queries": extra,
                 "sf": sf,
                 # methodology: two full INTERLEAVED passes over the set,
                 # min per query — spaces each query's runs minutes apart
@@ -177,6 +182,10 @@ def main() -> None:
                 "agg": "min_interleaved",
                 "estimate_accuracy": estimate_accuracy,
                 "errors": errors,
+                "headline_complete": headline_complete,
+                "extra_queries": extra,
+                "queries": timings,
+                "value": total,
             }
         )
     )

@@ -127,6 +127,28 @@ def hash_split(
     return df.withColumn(column, expr)
 
 
+def _weighted_priority(
+    key_column: str, weight: Column | str, *, salt: str, buckets: int
+) -> Column:
+    """priority = u / w with u mapped into [1, buckets] — u = 0 would
+    make the priority 0 for ANY weight (the row is unconditionally
+    sampled); shifting by one keeps the hash uniform while guaranteeing
+    every row's priority still scales with its weight. NULL/zero/
+    negative weights are rejected at evaluation time."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    wd = w.cast("double")
+    u = hash_bucket(key_column, salt=salt, buckets=buckets) + F.lit(1)
+    return F.when(
+        wd.isNull() | (wd <= 0),
+        F.raise_error(
+            F.concat(
+                F.lit("weighted sample: weight must be strictly positive, got "),
+                F.coalesce(wd.cast("string"), F.lit("NULL")),
+            )
+        ).cast("double"),
+    ).otherwise(u.cast("double") / wd)
+
+
 def weighted_topk(
     df: DataFrame,
     key_column: str,
@@ -147,10 +169,12 @@ def weighted_topk(
     heaps, k rows to the driver — no full sort, no shuffle of the data).
     The priority is one double division of exact integers, so any engine
     recomputes the identical sample.
+
+    Weights must be strictly positive; a NULL/zero/negative weight fails
+    the job (a declarative ``raise_error``, no eager scan) rather than
+    silently winning or vanishing from the sample.
     """
-    w = F.col(weight) if isinstance(weight, str) else weight
-    u = hash_bucket(key_column, salt=salt, buckets=buckets)
-    pri = u.cast("double") / w.cast("double")
+    pri = _weighted_priority(key_column, weight, salt=salt, buckets=buckets)
     return (
         df.withColumn("__pri", pri)
         .orderBy(F.col("__pri").asc(), F.col(key_column).asc())
@@ -177,10 +201,9 @@ def weighted_topk_per_group(
     (WindowGroupLimit keeps only k rows per group through the sort), so
     state never exceeds k rows per group regardless of corpus size.
     Output keeps the input columns plus ``sample_rank`` (1-based).
+    Weights must be strictly positive (see :func:`weighted_topk`).
     """
-    w = F.col(weight) if isinstance(weight, str) else weight
-    u = hash_bucket(key_column, salt=salt, buckets=buckets)
-    pri = u.cast("double") / w.cast("double")
+    pri = _weighted_priority(key_column, weight, salt=salt, buckets=buckets)
     win = Window.partitionBy(group_column).orderBy(
         F.col("__pri").asc(), F.col(key_column).asc()
     )

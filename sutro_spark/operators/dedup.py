@@ -23,7 +23,7 @@ identically).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -496,14 +496,18 @@ def dedup_lines_global(
     first occurrence in (doc id, line position) order — and each
     document is reassembled from its surviving lines in original order.
 
-    Plan: explode lines with their position (in-scan, no shuffle),
-    ONE shuffle on the line digest where a bounded rank window keeps the
-    first (doc, pos) occurrence per digest (WindowGroupLimit: only the
-    winner leaves the sort), then one groupBy(doc) rebuilds the text
-    with an order-by-position array sort — never a collect, never a
-    driver-side string. Lines shorter than ``min_line_chars`` pass
-    through untouched (attribution boilerplate is what the rule is for;
-    gutting two-char lines corpus-wide would mangle code/text).
+    Plan: explode lines with their position (in-scan, no shuffle), then
+    pick the first (doc, pos) occurrence per distinct line with a
+    ``groupBy(line).agg(min(struct(id, pos)))`` — a MIN aggregate, not a
+    rank window, so it is map-side combinable: even a line that appears
+    in every document of a 100 TB corpus (blank separators, boilerplate)
+    is reduced to one candidate per map task before the shuffle — no
+    single hot reducer, no salting needed. Protected lines (shorter
+    than ``min_line_chars``) never enter the shuffle at all; they pass
+    through as themselves (attribution boilerplate is what the rule is
+    for; gutting two-char lines corpus-wide would mangle code/text).
+    One groupBy(doc) then rebuilds the text with an order-by-position
+    array sort — never a collect, never a driver-side string.
 
     Output: (id, text, n_lines, n_kept) with text rebuilt from kept
     lines ('' when every line lost).
@@ -514,14 +518,15 @@ def dedup_lines_global(
         F.posexplode(F.split(F.col("__t"), "\n")).alias("pos", "line"),
     )
     protected = F.length(F.col("line")) < min_line_chars
-    keyed = lines.withColumn(
-        "__dig",
-        F.when(protected, F.lit(None)).otherwise(F.sha2(F.col("line"), 256)),
+    winners = (
+        lines.where(~protected)
+        .groupBy("line")
+        .agg(F.min(F.struct("id", "pos")).alias("__w"))
+        .select(F.col("__w.id").alias("id"), F.col("__w.pos").alias("pos"), "line")
     )
-    w = Window.partitionBy("__dig").orderBy(F.col("id").asc(), F.col("pos").asc())
-    survivors = keyed.withColumn(
-        "__rn", F.when(F.col("__dig").isNull(), F.lit(1)).otherwise(F.row_number().over(w))
-    ).where(F.col("__rn") == 1)
+    survivors = winners.unionByName(
+        lines.where(protected).select("id", "pos", "line")
+    )
     n_lines = df.select(
         F.col(id_column).alias("id"),
         F.size(F.split(text, "\n")).cast("long").alias("n_lines"),

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -45,30 +46,38 @@ def asof_join(
     ``how="left"`` keeps left rows with no qualifying right row (null
     values); ``how="inner"`` drops them.
 
+    The matched right row is carried as ONE struct of
+    (timestamp, value columns) through a single ``last/first(ignorenulls)``
+    window, so the tolerance timestamp and the emitted values always come
+    from the same right row — a right row whose value column is NULL
+    yields NULL (pandas parity), never a value smuggled in from an
+    older/farther row that might be out of tolerance.
+
     Plan: union + one keyed window — a single shuffle on the key, no
     inequality join, no per-key state beyond the running carry.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
-    carried = list(value_columns)
-    if tolerance is not None:
-        carried = carried + ["__rts"]
-        right = right.withColumn("__rts", F.col(right_ts))
+    vrow_type = T.StructType(
+        [T.StructField("__rts", right.schema[right_ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in value_columns]
+    )
     l_tag = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.struct(*left.columns).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in carried],
+        F.lit(None).cast(vrow_type).alias("__vrow"),
     )
     r_tag = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.lit(None).cast(
-            l_tag.schema["__lrow"].dataType
-        ).alias("__lrow"),
-        *[F.col(c).alias(f"__v_{c}") for c in carried],
+        F.lit(None).cast(l_tag.schema["__lrow"].dataType).alias("__lrow"),
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c) for c in value_columns],
+        ).alias("__vrow"),
     )
     u = l_tag.unionByName(r_tag)
     if direction == "backward":
@@ -78,7 +87,7 @@ def asof_join(
             .orderBy(F.col("__ts").asc(), F.col("__side").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        carry = {c: F.last(f"__v_{c}", ignorenulls=True).over(w) for c in carried}
+        carry = F.last("__vrow", ignorenulls=True).over(w)
     else:
         # left rows sort before right rows at equal ts → inclusive (>=)
         w = (
@@ -86,41 +95,28 @@ def asof_join(
             .orderBy(F.col("__ts").asc(), F.col("__side").desc())
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        carry = {c: F.first(f"__v_{c}", ignorenulls=True).over(w) for c in carried}
+        carry = F.first("__vrow", ignorenulls=True).over(w)
     filled = u.select(
-        "__side",
-        "__lrow",
-        F.col("__ts"),
-        *[carry[c].alias(f"__v_{c}") for c in carried],
+        "__lrow", F.col("__ts"), carry.alias("__vrow"), "__side"
     ).where(F.col("__side") == 1)
     if tolerance is not None:
+        rts = F.col("__vrow.__rts")
         gap = (
-            (F.col("__ts") - F.col("__v___rts"))
+            (F.col("__ts") - rts)
             if direction == "backward"
-            else (F.col("__v___rts") - F.col("__ts"))
+            else (rts - F.col("__ts"))
         )
-        in_tol = F.col("__v___rts").isNotNull() & (gap <= tolerance)
-        filled = filled.select(
-            "__side",
-            "__lrow",
-            *[
-                F.when(in_tol, F.col(f"__v_{c}")).alias(f"__v_{c}")
-                for c in value_columns
-            ],
+        filled = filled.withColumn(
+            "__vrow", F.when(rts.isNotNull() & (gap <= tolerance), F.col("__vrow"))
         )
-    out = filled.select(
-        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__v_{c}").alias(c) for c in value_columns],
-    )
     if how == "inner":
-        cond = None
-        for c in value_columns:
-            notnull = F.col(c).isNotNull()
-            cond = notnull if cond is None else (cond | notnull)
-        out = out.where(cond)
+        filled = filled.where(F.col("__vrow").isNotNull())
     elif how != "left":
         raise ValueError("how must be 'left' or 'inner'")
-    return out
+    return filled.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__vrow.{c}").alias(c) for c in value_columns],
+    )
 
 
 def range_join(

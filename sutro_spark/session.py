@@ -46,6 +46,11 @@ def get_spark(app_name: str = "sutro_spark", cpus: int | None = None) -> SparkSe
         # property per submitted job)
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.scheduler.allocation.file", fair_xml)
+        # runtime bloom-filter join pruning (semi-join membership
+        # pre-filters pushed into the probe-side scan under AQE) — set
+        # once here, never inside a query builder, so plan shapes don't
+        # depend on which query ran first in the session
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -90,10 +90,44 @@ def test_asof_forward_and_tolerance(spark):
     # c@100: q60 is 40 back > 5
     assert back_tol == {"a": None, "b": None, "c": None}
 
-    inclusive = {r["tag"]: r["v"] for r in asof_join(
+    inclusive_probe = {r["tag"]: r["v"] for r in asof_join(
         left.where(F.col("t") == 50),
         spark.createDataFrame([("k", 50, 9.0)], "key string, q long, v double"),
         on="key", left_ts="t", right_ts="q",
         value_columns=["v"], direction="forward",
     ).collect()}
-    assert inclusive == {"b": 9.0}  # equal ts matches in forward mode too
+    assert inclusive_probe == {"b": 9.0}  # equal ts matches in forward mode too
+
+
+def test_asof_nullable_value_columns_come_from_matched_row(spark):
+    """merge_asof parity: the matched (nearest) right row's values are
+    emitted as-is — a NULL value in that row must NOT be replaced by an
+    older row's value, and the tolerance gate must judge the matched
+    row's timestamp, not mix rows."""
+    left = spark.createDataFrame([("k", 100, "x")], "key string, t long, tag string")
+    right = spark.createDataFrame(
+        [("k", 10, 7.0), ("k", 99, None)], "key string, q long, v double"
+    )
+    # no tolerance: nearest-prior row is q99 whose v is NULL → NULL
+    plain = asof_join(
+        left, right, on="key", left_ts="t", right_ts="q", value_columns=["v"]
+    ).collect()
+    assert plain[0]["v"] is None
+    # tolerance=5 covers q99 but not q10: the old bug carried v=7.0 from
+    # q10 while taking the timestamp from q99, emitting an out-of-tolerance
+    # value. Correct answer is NULL.
+    tol = asof_join(
+        left, right, on="key", left_ts="t", right_ts="q",
+        value_columns=["v"], tolerance=5,
+    ).collect()
+    assert tol[0]["v"] is None
+    # two value columns: both must come from the same matched row
+    right2 = spark.createDataFrame(
+        [("k", 10, 7.0, "old"), ("k", 99, None, "new")],
+        "key string, q long, v double, lbl string",
+    )
+    both = asof_join(
+        left, right2, on="key", left_ts="t", right_ts="q",
+        value_columns=["v", "lbl"],
+    ).collect()
+    assert both[0]["v"] is None and both[0]["lbl"] == "new"

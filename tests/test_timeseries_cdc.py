@@ -109,6 +109,34 @@ def test_weighted_topk_prefers_heavy(spark):
     assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in again)
 
 
+def test_weighted_topk_rejects_nonpositive_weights(spark):
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, 3)], "doc_id bigint, w bigint"
+    )
+    with pytest.raises(Exception, match="strictly positive"):
+        weighted_topk(bad, "doc_id", "w", 2).collect()
+    null_w = spark.createDataFrame(
+        [(1, 5), (2, None)], "doc_id bigint, w bigint"
+    )
+    with pytest.raises(Exception, match="strictly positive"):
+        weighted_topk(null_w, "doc_id", "w", 2).collect()
+    # hash bucket 0 must not produce priority 0: every priority is
+    # strictly positive, so no row is unconditionally sampled
+    ok = spark.createDataFrame(
+        [(i, 7) for i in range(1000)], "doc_id bigint, w bigint"
+    )
+    from sutro_spark.functions.sampling import _weighted_priority
+
+    mn = (
+        ok.select(_weighted_priority("doc_id", "w", salt="weighted", buckets=3).alias("p"))
+        .agg(F.min("p").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert mn > 0.0
+
+
 def test_winsorize_clips_to_group_bounds(spark):
     df = spark.createDataFrame(
         [("g", float(v)) for v in range(1, 101)], "grp string, x double"

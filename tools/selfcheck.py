@@ -4,17 +4,26 @@ twin on DuckDB over the same parquet tables, then compare row count,
 column names, and an order-insensitive value comparison (columns sorted
 by name, rows sorted by all columns, exact cell equality).
 
-Usage: python tools/selfcheck.py [sf_dir] [query ...]
+``--strict`` additionally compares a type-classed canonical form of every
+cell (int vs float vs str vs bool ...), which mirrors the driver's
+dtype-sensitive value hash: a DuckDB HUGEINT aggregate surfaces as
+float64 in pandas and hashes differently from Spark's int64 even when
+the values are numerically equal.  Plain equality (``check_dtype=False``)
+cannot see that; strict mode can.
+
+Usage: python tools/selfcheck.py [--strict] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import time
 import traceback
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -33,9 +42,35 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def canon(v) -> str:
+    """Type-classed canonical cell repr: two cells agree iff the driver's
+    dtype-sensitive value hash would agree.  Ints and floats of any width
+    collapse to ``i:``/``f:`` classes, so int32-vs-int64 is benign but
+    float64-vs-int64 (the DuckDB HUGEINT trap) is a mismatch."""
+    if v is None:
+        return "@"
+    if isinstance(v, (np.floating, float)):
+        return "@" if math.isnan(v) else f"f:{float(v)!r}"
+    if isinstance(v, (np.bool_, bool)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (np.integer, int)):
+        return f"i:{int(v)}"
+    if isinstance(v, (tuple, list, np.ndarray)):
+        return "l:(" + ",".join(canon(x) for x in v) + ")"
+    if isinstance(v, bytes):
+        return f"y:{v!r}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    if v != v:  # NaT and friends
+        return "@"
+    return f"{type(v).__name__}:{v}"
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from sutro_spark.session import get_spark
@@ -95,6 +130,20 @@ def main() -> int:
             print(str(e).splitlines()[-1] if str(e) else "")
             failures += 1
             continue
+        if strict:
+            bad_cols = []
+            for c in s.columns:
+                sc = s[c].map(canon)
+                oc = o[c].map(canon)
+                if not sc.equals(oc):
+                    ex = next(
+                        (f"{a!r} vs {b!r}" for a, b in zip(sc, oc) if a != b), ""
+                    )
+                    bad_cols.append(f"{c} ({s[c].dtype} vs {o[c].dtype}: {ex})")
+            if bad_cols:
+                print(f"FAIL {name}: strict dtype mismatch: {'; '.join(bad_cols)}")
+                failures += 1
+                continue
         print(f"OK   {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
 
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
