@@ -289,6 +289,7 @@ def rh_lsh_dedup_pairs(
     planes: int = 64,
     bands: int = 4,
     threshold: float = 0.95,
+    max_bucket: int | None = 2000,
 ) -> DataFrame:
     """Random-hyperplane LSH near-duplicate pairs — the second ANN scale
     path next to IVF (:func:`bucketed_dedup_pairs`), data-independent:
@@ -321,6 +322,20 @@ def rh_lsh_dedup_pairs(
     broadcast or co-shuffle). Carrying d doubles × bands through the
     band shuffle measures ~2× slower even at 4k vectors and only
     worsens with d.
+
+    ``max_bucket`` caps the bucket size exactly like ``max_df`` in
+    ``ngram_jaccard_pairs``: on real corpora one degenerate band key
+    (zero/boilerplate embeddings all share every sign bit) would
+    otherwise materialize a |bucket|-element array in a single task and
+    emit |bucket|² candidate pairs from it. Buckets above the cap are
+    DROPPED — a recall trade documented to callers: members of a
+    dropped bucket can still pair through their other ``bands-1`` band
+    keys, and a key shared by >max_bucket vectors carries essentially
+    no discriminative signal (the same rationale as dropping
+    high-document-frequency shingles). The cap is enforced with a
+    map-side-combinable count per key BEFORE any id list is collected,
+    so the hot bucket never exists even transiently. ``None`` disables.
+
     Output: (id_a, id_b, sim), id_a < id_b, sim rounded to 6 decimals.
     """
     if planes % bands:
@@ -350,6 +365,17 @@ def rh_lsh_dedup_pairs(
     # (id, bk) rows. Pairs explode from each bucket's id list — linear
     # in actual collisions (same plan family as ngram_jaccard_pairs).
     keyed = prep.select("id", F.explode(band_keys).alias("bk"))
+    if max_bucket is not None:
+        # count per key is a partial-aggregatable pre-pass: a hot key is
+        # reduced map-side to one count per task, then dropped before
+        # collect_list can build its giant array
+        ok_keys = (
+            keyed.groupBy("bk")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where((F.col("__n") > 1) & (F.col("__n") <= max_bucket))
+            .select("bk")
+        )
+        keyed = keyed.join(ok_keys, "bk")
     buckets = keyed.groupBy("bk").agg(F.collect_list("id").alias("ids"))
     cand = (
         buckets.where(F.size("ids") > 1)

@@ -108,6 +108,25 @@ def test_rh_lsh_precision_is_exact(spark):
     assert lsh <= exact
 
 
+def test_rh_lsh_hot_bucket_cap_bounds_candidates(spark):
+    # a degenerate corpus: 60 identical vectors share EVERY band key
+    # (one hot bucket per band). With max_bucket below the cluster size
+    # the hot buckets are dropped before any id list is collected, so
+    # zero candidate pairs reach the verify step; with the default cap
+    # the 60·59/2 true pairs all survive. Distinct "normal" vectors
+    # around it must be unaffected either way.
+    rows = [(i, [1.0] * 8) for i in range(60)]
+    rows += [(100 + i, [float(j == i) for j in range(8)]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = rh_lsh_dedup_pairs(
+        df, dim=8, threshold=0.99, max_bucket=10
+    ).collect()
+    hot_ids = {r.id_a for r in capped} | {r.id_b for r in capped}
+    assert not (hot_ids & set(range(60)))  # hot cluster never pairs
+    full = rh_lsh_dedup_pairs(df, dim=8, threshold=0.99).collect()
+    assert sum(1 for r in full if r.id_a < 60 and r.id_b < 60) == 60 * 59 // 2
+
+
 def test_rh_lsh_validates_banding():
     with pytest.raises(ValueError):
         rh_lsh_dedup_pairs(None, planes=16, bands=5)
