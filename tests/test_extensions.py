@@ -101,6 +101,95 @@ def test_multimodal_decode_and_frames(spark):
     assert all(r["frame_id"] % 5 == 0 for r in frames)
 
 
+def _tiny_png(gray: int = 200) -> bytes:
+    """Minimal valid 1×1 8-bit grayscale PNG, hand-assembled from
+    stdlib struct+zlib — lets the gated PIL decode path be exercised
+    with a REAL image wherever PIL exists, without shipping fixtures."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    idat = zlib.compress(b"\x00" + bytes([gray]))
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_media_gated_real_path_with_stub_fallback(spark):
+    """Passes in BOTH environments: with PIL importable the auto decoder
+    reads actual pixels; without it, auto == stub byte features. The
+    schema and plan are identical either way."""
+    from sutro_spark.operators.multimodal import decode_media
+
+    png = _tiny_png(gray=200)
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, media binary")
+    media = df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image/png").alias("media_type"),
+            F.lit(3).alias("width"),  # metadata lies: real image is 1×1
+            F.lit(2).alias("height"),
+            F.lit(1).alias("n_frames"),
+            F.lit(0).alias("sample_rate"),
+        ),
+    )
+    auto = decode_media(media).first()
+    stub = decode_media(media, decoder="stub").first()
+    assert stub["n_bytes"] == len(png)
+    assert stub["aspect"] == 3 / 2  # stub trusts the metadata
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        # real decode: 1×1 image of luma 200, aspect from decoded dims
+        assert auto["aspect"] == 1.0
+        assert auto["mean_byte"] == 200.0
+    else:
+        assert auto == stub  # honest fallback, same values
+
+
+def test_audio_features_real_wav_decode(spark):
+    """The stdlib-wave path is REAL in this container: synthesize a
+    16-bit PCM WAV with known samples and assert the features come from
+    the decoded samples, not the container bytes."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from sutro_spark.operators.multimodal import audio_features
+
+    samples = np.array([1000, -1000, 2000, -2000], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(samples.tobytes())
+    wav = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, b"not a wav at all")],
+        "doc_id long, audio binary",
+    ).withColumn("audio_meta", F.struct(F.lit(16000).alias("sample_rate")))
+    rows = {r["doc_id"]: r for r in audio_features(df).collect()}
+    # real decode: 4 samples, mean 0, rms = sqrt(mean of squares)
+    assert rows[1]["n_samples"] == 4
+    assert rows[1]["mean_amp"] == 0.0
+    assert rows[1]["rms"] == float(np.sqrt((samples.astype(np.int64) ** 2).mean()))
+    # non-WAV payload: byte-level fallback over the raw 16 bytes
+    assert rows[2]["n_samples"] == 16
+
+
 def test_minhash_xxhash64_family_equivalent_candidates(spark):
     base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
     rows = [(1, base), (2, base + " extra"), (3, "completely different words entirely here")]
