@@ -1841,6 +1841,26 @@ def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_contamination(docs, bench)
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR importance scoring (Xie et al. 2023): hashed-unigram
+    # log-likelihood ratio of every document toward the German subset
+    # as the target distribution — model table ≤4096 rows, broadcast;
+    # the corpus shuffles only (id, bucket) count rows.
+    from sutro_spark.operators.selection import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.where(F.col("lang") == "de"))
+
+
+def q_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style LM quality proxy with no external model: corpus-fit
+    # character-bigram LM, per-doc mean log-prob of its transitions.
+    # Model = |alphabet|² rows, broadcast back to per-doc gram counts.
+    from sutro_spark.operators.selection import charlm_score
+
+    return charlm_score(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-wide line dedup (C4 rule): each distinct line survives
     # once, at its first (doc, pos) occurrence; docs rebuilt from
@@ -2097,6 +2117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16ish": q_tpch_q16ish,
         "tpch_q19ish": q_tpch_q19ish,
         "tpch_q20ish": q_tpch_q20ish,
+        "dsir_select": q_dsir_select,
+        "charlm_quality": q_charlm_quality,
     
     }
 
@@ -4081,5 +4103,85 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (PARTITION BY shard
                        ORDER BY pos_key ASC, doc_id ASC) AS position
             FROM a
+        """,
+        "dsir_select": """
+            WITH tokr AS (
+                SELECT doc_id AS id,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '\\s+'),
+                           t -> t <> '')) AS tok
+                FROM documents),
+            tbr AS (
+                SELECT id,
+                       CAST(CAST(concat('0x', substr(sha256(concat('dsir:',
+                            tok)), 1, 8)) AS UBIGINT) % 4096 AS BIGINT) AS b
+                FROM tokr),
+            tbt AS (
+                SELECT tbr.id, tbr.b FROM tbr
+                JOIN documents d ON tbr.id = d.doc_id
+                WHERE d.lang = 'de'),
+            rc AS (SELECT b, count(*) AS rc FROM tbr GROUP BY 1),
+            tc AS (SELECT b, count(*) AS tc FROM tbt GROUP BY 1),
+            tots AS (
+                SELECT (SELECT count(*) FROM tbr) AS R,
+                       (SELECT count(*) FROM tbt) AS T),
+            model AS (
+                SELECT coalesce(rc.b, tc.b) AS b,
+                       CAST(round(1000 * ln(
+                           (CAST(coalesce(tc, 0) + 1 AS DOUBLE)
+                            * CAST(R + 4096 AS DOUBLE))
+                           / (CAST(coalesce(rc, 0) + 1 AS DOUBLE)
+                              * CAST(T + 4096 AS DOUBLE))))
+                           AS BIGINT) AS w_milli
+                FROM rc FULL OUTER JOIN tc ON rc.b = tc.b
+                CROSS JOIN tots),
+            per_doc AS (
+                SELECT id, b, count(*) AS cnt FROM tbr GROUP BY 1, 2),
+            scored AS (
+                SELECT id,
+                       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                       CAST(sum(cnt * w_milli) AS BIGINT) AS dsir_milli
+                FROM per_doc JOIN model USING (b) GROUP BY 1)
+            SELECT d.doc_id AS id,
+                   coalesce(s.n_tokens, 0) AS n_tokens,
+                   coalesce(s.dsir_milli, 0) AS dsir_milli
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.id
+        """,
+        "charlm_quality": """
+            WITH norm AS (
+                SELECT doc_id AS id,
+                       trim(regexp_replace(lower(coalesce(text, '')),
+                                           '\\s+', ' ', 'g')) AS t
+                FROM documents),
+            grams AS (
+                SELECT id, substr(t, CAST(i AS INT), 2) AS bg
+                FROM norm, unnest(range(1, length(t))) AS u(i)
+                WHERE length(t) >= 2),
+            nxy AS (SELECT bg, count(*) AS nxy FROM grams GROUP BY 1),
+            nx AS (SELECT substr(bg, 1, 1) AS x, count(*) AS nx
+                   FROM grams GROUP BY 1),
+            vocab AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS V
+                      FROM grams),
+            model AS (
+                SELECT bg,
+                       CAST(round(1000 * ln(
+                           CAST(nxy + 1 AS DOUBLE) / (nx + V)))
+                           AS BIGINT) AS w_milli
+                FROM nxy JOIN nx ON substr(nxy.bg, 1, 1) = nx.x
+                CROSS JOIN vocab),
+            per_doc AS (
+                SELECT id, bg, count(*) AS cnt FROM grams GROUP BY 1, 2),
+            scored AS (
+                SELECT id,
+                       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                       CAST(sum(cnt * w_milli) AS BIGINT) AS s_milli
+                FROM per_doc JOIN model USING (bg) GROUP BY 1)
+            SELECT d.doc_id AS id,
+                   coalesce(s.n_bigrams, 0) AS n_bigrams,
+                   CASE WHEN coalesce(s.n_bigrams, 0) > 0
+                        THEN round(CAST(s.s_milli AS DOUBLE)
+                                   / (s.n_bigrams * 1000), 3)
+                        ELSE 0.0 END AS mean_logp
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.id
         """,
     }
