@@ -1870,6 +1870,23 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_global(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # paragraph-granularity corpus dedup (Gopher/MassiveText variant of
+    # the C4 rule). The synthetic corpus has no newlines, so paragraph
+    # structure is synthesized deterministically (every ' table '
+    # becomes a blank-line break) before the dedup — both engines apply
+    # the identical transform.
+    from sutro_spark.operators.dedup import dedup_lines_global
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(" table "), F.lit("\n\n")
+        ).alias("text"),
+    )
+    return dedup_lines_global(docs, unit="paragraph")
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus snapshot diff: old = documents; new = documents with
     # %7==0 docs dropped (→removed), %7==1 docs re-texted (→changed),
@@ -2119,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20ish": q_tpch_q20ish,
         "dsir_select": q_dsir_select,
         "charlm_quality": q_charlm_quality,
+        "dedup_paragraphs": q_dedup_paragraphs,
     
     }
 
@@ -4183,5 +4201,34 @@ def oracle_sql() -> dict[str, str]:
                                    / (s.n_bigrams * 1000), 3)
                         ELSE 0.0 END AS mean_logp
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.id
+        """,
+        "dedup_paragraphs": """
+            WITH l0 AS (
+                SELECT doc_id AS id,
+                       regexp_split_to_array(
+                           replace(coalesce(text, ''), ' table ',
+                                   chr(10) || chr(10)),
+                           '\\n\\n+') AS parts
+                FROM documents),
+            lines AS (
+                SELECT id, CAST(t.i - 1 AS BIGINT) AS pos,
+                       parts[CAST(t.i AS INT)] AS line
+                FROM l0, unnest(generate_series(1, len(parts))) AS t(i)),
+            surv AS (
+                SELECT id, pos, line FROM (
+                    SELECT id, pos, line,
+                           row_number() OVER (PARTITION BY line
+                               ORDER BY id ASC, pos ASC) AS rn
+                    FROM lines) WHERE rn = 1),
+            nl AS (SELECT id, CAST(len(parts) AS BIGINT) AS n_lines FROM l0),
+            reb AS (
+                SELECT id,
+                       string_agg(line, chr(10) || chr(10)
+                                  ORDER BY pos ASC) AS text,
+                       count(*) AS n_kept
+                FROM surv GROUP BY id)
+            SELECT nl.id AS doc_id, coalesce(reb.text, '') AS text,
+                   nl.n_lines, coalesce(reb.n_kept, 0) AS n_kept
+            FROM nl LEFT JOIN reb ON nl.id = reb.id
         """,
     }

@@ -490,11 +490,18 @@ def dedup_lines_global(
     id_column: str = "doc_id",
     *,
     min_line_chars: int = 0,
+    unit: str = "line",
 ) -> DataFrame:
     """Corpus-WIDE line deduplication (the C4 rule): every distinct
     line of text survives exactly once across the whole corpus — at its
     first occurrence in (doc id, line position) order — and each
     document is reassembled from its surviving lines in original order.
+
+    ``unit="paragraph"`` applies the same rule at PARAGRAPH granularity
+    (the Gopher/MassiveText variant): text splits on blank-line runs
+    (``\\n\\n+``) and reassembles with a single blank line between
+    surviving paragraphs — separator width is normalized, which is the
+    standard lossy trade of paragraph-level dedup.
 
     Plan: explode lines with their position (in-scan, no shuffle), then
     pick the first (doc, pos) occurrence per distinct line with a
@@ -512,10 +519,13 @@ def dedup_lines_global(
     Output: (id, text, n_lines, n_kept) with text rebuilt from kept
     lines ('' when every line lost).
     """
+    if unit not in ("line", "paragraph"):
+        raise ValueError("unit must be 'line' or 'paragraph'")
+    split_pat, joiner = ("\n", "\n") if unit == "line" else (r"\n\n+", "\n\n")
     text = F.coalesce(F.col(text_column), F.lit(""))
     lines = _spread(df.select(F.col(id_column).alias("id"), text.alias("__t"))).select(
         "id",
-        F.posexplode(F.split(F.col("__t"), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.col("__t"), split_pat)).alias("pos", "line"),
     )
     protected = F.length(F.col("line")) < min_line_chars
     winners = (
@@ -529,7 +539,7 @@ def dedup_lines_global(
     )
     n_lines = df.select(
         F.col(id_column).alias("id"),
-        F.size(F.split(text, "\n")).cast("long").alias("n_lines"),
+        F.size(F.split(text, split_pat)).cast("long").alias("n_lines"),
     )
     rebuilt = (
         survivors.groupBy("id")
@@ -539,7 +549,7 @@ def dedup_lines_global(
                     F.array_sort(F.collect_list(F.struct("pos", "line"))),
                     lambda s: s["line"],
                 ),
-                "\n",
+                joiner,
             ).alias(text_column),
             F.count(F.lit(1)).cast("long").alias("n_kept"),
         )

@@ -404,6 +404,29 @@ def test_dedup_lines_global_first_occurrence_wins(spark):
     assert out[3] == ("", 2, 0)
 
 
+def test_dedup_paragraphs_unit(spark):
+    from sutro_spark.operators.dedup import dedup_lines_global
+
+    docs = spark.createDataFrame(
+        [
+            (1, "first para\nstill first\n\nshared para"),
+            (2, "shared para\n\n\nsecond doc para"),  # \n\n+ run collapses
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"])
+           for r in dedup_lines_global(docs, unit="paragraph").collect()}
+    # paragraph granularity: inner single newlines are NOT split points
+    assert out[1] == ("first para\nstill first\n\nshared para", 2, 2)
+    # 'shared para' already seen at (1, pos 1) → doc 2 loses it
+    assert out[2] == ("second doc para", 2, 1)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unit"):
+        dedup_lines_global(docs, unit="sentence")
+
+
 def test_dedup_lines_min_chars_protects_short_lines(spark):
     from sutro_spark.operators.dedup import dedup_lines_global
 
