@@ -407,6 +407,19 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # int8 scalar-quantized top-k: integer dot products over per-vector
+    # max-abs/127 quantized embeddings (4-8x less bandwidth than float
+    # arrays; cosine is scale-invariant so the scales cancel). Exact
+    # integer arithmetic end to end; one IEEE division per pair.
+    from sutro_spark.operators.similarity import sq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sq_topk(emb, emb.where(F.col("vec_id") < 5), k=3).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sutro_spark.operators.similarity import embedding_dedup_pairs
 
@@ -2137,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "charlm_quality": q_charlm_quality,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "sq_topk": q_sq_topk,
     
     }
 
@@ -4201,6 +4215,45 @@ def oracle_sql() -> dict[str, str]:
                                    / (s.n_bigrams * 1000), 3)
                         ELSE 0.0 END AS mean_logp
             FROM documents d LEFT JOIN scored s ON d.doc_id = s.id
+        """,
+        "sq_topk": """
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+            mx AS (
+                SELECT vec_id, e,
+                       list_max(list_transform(e, x -> abs(x))) AS ma
+                FROM base),
+            qt AS (
+                SELECT vec_id,
+                       CASE WHEN ma = 0
+                            THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                            ELSE list_transform(e,
+                                x -> CAST(round(x / (ma / 127)) AS BIGINT))
+                       END AS qv
+                FROM mx),
+            qn AS (
+                SELECT vec_id, qv,
+                       CAST(list_sum(list_transform(qv, x -> x * x))
+                            AS BIGINT) AS qn2
+                FROM qt),
+            pairs AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       CASE WHEN c.qn2 > 0 AND q.qn2 > 0 THEN
+                           round(CAST(list_dot_product(
+                                     CAST(c.qv AS DOUBLE[]),
+                                     CAST(q.qv AS DOUBLE[])) AS DOUBLE)
+                                 / (sqrt(c.qn2) * sqrt(q.qn2)), 6)
+                       ELSE 0.0 END AS sim_q
+                FROM qn c, (SELECT * FROM qn WHERE vec_id < 5) q
+                WHERE c.vec_id <> q.vec_id),
+            ranked AS (
+                SELECT query_id, neighbor_id, sim_q,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim_q DESC, neighbor_id ASC) AS rank
+                FROM pairs)
+            SELECT query_id, neighbor_id, sim_q, rank
+            FROM ranked WHERE rank <= 3
         """,
         "dedup_paragraphs": """
             WITH l0 AS (

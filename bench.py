@@ -146,7 +146,7 @@ def main() -> None:
             "kmv_distinct", "weighted_sample_group", "shuffled_shards",
             "asof_forward", "event_transitions", "jsonl_scan", "temperature_mix",
             "snapshot_diff", "dedup_lines", "fuzzy_decontaminate",
-            "dsir_select", "charlm_quality", "dedup_paragraphs",
+            "dsir_select", "charlm_quality", "dedup_paragraphs", "sq_topk",
             ]
             if name in qs
         ]

@@ -223,6 +223,124 @@ def bucketed_dedup_pairs(
     return pairs.where(F.col("sim") >= threshold).select("id_a", "id_b", "sim")
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: each vector is
+    scaled by ``max(|v_i|)/127`` and rounded, so every component fits a
+    signed byte. COSINE IS SCALE-INVARIANT, so similarity between two
+    quantized vectors needs only their integer arrays — the per-vector
+    scale cancels and is not even stored.
+
+    Why at 100 TB: the quantized corpus is 4-8× smaller than
+    float32/64 arrays — that is 4-8× less shuffle/broadcast bandwidth
+    and cache footprint for every downstream join — and the scoring
+    arithmetic becomes EXACT integer dot products (deterministic across
+    engines with no float-summation order caveats; only the final
+    normalization divides).
+
+    Output: (id, qv array<tinyint>, qn2 bigint) with qn2 = Σ qv_i² (the
+    exact integer squared norm). Zero vectors quantize to all-zero
+    (qn2 = 0) and never match anything.
+    """
+    v = to_double_array(F.col(vector_column))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    qv = F.transform(
+        v,
+        lambda x: F.when(maxabs == 0, F.lit(0))
+        .otherwise(F.round(x / (maxabs / 127)))
+        .cast("tinyint"),
+    )
+    out = df.select(F.col(id_column).alias("id"), qv.alias("qv"))
+    qn2 = F.aggregate(
+        F.transform(F.col("qv"), lambda x: (x.cast("long") * x.cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return out.withColumn("qn2", qn2)
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    k: int = 5,
+    exclude_self: bool = True,
+    rescore_multiple: int | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors in the QUANTIZED domain (int8, see
+    :func:`quantize_embeddings`): integer dot products and integer
+    squared norms; one final ``dot / (√na²·√nb²)`` division per pair
+    (IEEE sqrt/division are correctly rounded — engine-exact).
+
+    ``rescore_multiple=m`` adds the standard refine step: take the
+    top ``m·k`` quantized candidates per query, re-score ONLY those
+    with the exact float cosine, re-rank, cut to k — full precision at
+    a fraction of the float bandwidth (the corpus's float vectors are
+    read only for candidate rows).
+
+    Output: (query_id, neighbor_id, sim_q, rank) — plus ``sim`` (exact)
+    instead of ``sim_q`` when rescoring.
+    """
+    qc = quantize_embeddings(corpus, id_column=id_column, vector_column=vector_column)
+    qq = quantize_embeddings(queries, id_column=id_column, vector_column=vector_column)
+    pairs = qc.select(
+        F.col("id").alias("neighbor_id"), F.col("qv").alias("cv"), F.col("qn2").alias("cn2")
+    ).crossJoin(
+        F.broadcast(
+            qq.select(
+                F.col("id").alias("query_id"),
+                F.col("qv").alias("quv"),
+                F.col("qn2").alias("qn2"),
+            )
+        )
+    )
+    if exclude_self:
+        pairs = pairs.where(F.col("neighbor_id") != F.col("query_id"))
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("cv"), F.col("quv"), lambda x, y: x.cast("long") * y.cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim_q = F.when(
+        (F.col("cn2") > 0) & (F.col("qn2") > 0),
+        F.round(
+            idot.cast("double") / (F.sqrt(F.col("cn2")) * F.sqrt(F.col("qn2"))), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    scored = pairs.select("query_id", "neighbor_id", sim_q.alias("sim_q"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_q"), F.asc("neighbor_id"))
+    cut = k if rescore_multiple is None else k * rescore_multiple
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= cut)
+    )
+    if rescore_multiple is None:
+        return top.select("query_id", "neighbor_id", "sim_q", "rank")
+    # refine: exact float cosine over the small candidate set only
+    c = _prepared(corpus, id_column, vector_column, "c_")
+    q = _prepared(queries, id_column, vector_column, "q_")
+    exact = (
+        top.select("query_id", "neighbor_id")
+        .join(c.withColumnRenamed("c_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(q.withColumnRenamed("q_id", "query_id")), "query_id")
+        .select("query_id", "neighbor_id", _sim("q_", "c_").alias("sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def rh_signs(planes: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 random-hyperplane sign matrix: sign(p, d) comes
     from the first byte of sha256("rh{p}:{d}"). No RNG state — any

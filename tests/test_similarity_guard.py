@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from sutro_spark.operators.similarity import (
+    brute_force_topk,
     bucketed_dedup_pairs,
     embedding_dedup_pairs,
     rh_lsh_dedup_pairs,
@@ -106,6 +107,48 @@ def test_rh_lsh_precision_is_exact(spark):
         (r.id_a, r.id_b) for r in rh_lsh_dedup_pairs(df, dim=8, threshold=0.5).collect()
     }
     assert lsh <= exact
+
+
+def test_sq_topk_quantized_matches_exact_neighbors(spark):
+    from sutro_spark.operators.similarity import quantize_embeddings, sq_topk
+
+    df = _clustered(spark, n_per=5, n_clusters=4, dim=8)
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in brute_force_topk(df, df.where(F.col("vec_id") < 2), k=3).collect()
+    }
+    quant = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in sq_topk(df, df.where(F.col("vec_id") < 2), k=3).collect()
+    }
+    # int8 quantization preserves tight-cluster neighbor ORDER here
+    assert quant == exact
+    # rescore path: exact float sims over the candidate set
+    rescored = sq_topk(
+        df, df.where(F.col("vec_id") < 2), k=3, rescore_multiple=3
+    ).collect()
+    exact_sims = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in brute_force_topk(df, df.where(F.col("vec_id") < 2), k=9).collect()
+    }
+    for r in rescored:
+        assert r.sim == exact_sims[(r.query_id, r.neighbor_id)]
+    # quantization invariants: int8 range, exact integer squared norm
+    q = quantize_embeddings(df).collect()
+    for row in q:
+        assert all(-127 <= x <= 127 for x in row.qv)
+        assert row.qn2 == sum(x * x for x in row.qv)
+
+
+def test_sq_topk_zero_vectors_never_match(spark):
+    from sutro_spark.operators.similarity import sq_topk
+
+    rows = [(0, [0.0] * 8), (1, [1.0] * 8), (2, [1.0] * 8), (3, [0.5] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sq_topk(df, df.where(F.col("vec_id") == 1), k=3).collect()
+    sims = {r.neighbor_id: r.sim_q for r in out}
+    assert sims[0] == 0.0  # zero vector: defined 0 similarity, no NaN/div0
+    assert sims[2] == 1.0 and sims[3] == 1.0  # parallel → cosine 1 survives quant
 
 
 def test_rh_lsh_hot_bucket_cap_bounds_candidates(spark):
