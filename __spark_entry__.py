@@ -1900,6 +1900,25 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_global(docs, unit="paragraph")
 
 
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ExactSubstr-style duplicate-passage profile (Lee et al. 2022):
+    # per-doc count + interval-union token coverage of 6-token windows
+    # that occur more than once corpus-wide. Window digests are
+    # sha256-derived so the oracle reproduces them bit-for-bit.
+    from sutro_spark.operators.passages import dup_passage_stats
+
+    return dup_passage_stats(_t(spark, sf_dir, "documents"), k=6)
+
+
+def q_strip_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # remove every duplicated 6-token window occurrence except the
+    # corpus-wide canonical (min (doc_id, pos)) copy; rebuild documents
+    # order-preservingly from the surviving tokens.
+    from sutro_spark.operators.passages import strip_dup_passages
+
+    return strip_dup_passages(_t(spark, sf_dir, "documents"), k=6)
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus snapshot diff: old = documents; new = documents with
     # %7==0 docs dropped (→removed), %7==1 docs re-texted (→changed),
@@ -2151,7 +2170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charlm_quality": q_charlm_quality,
         "dedup_paragraphs": q_dedup_paragraphs,
         "sq_topk": q_sq_topk,
-    
+        "dup_passages": q_dup_passages,
+        "strip_passages": q_strip_passages,
     }
 
 
@@ -2269,6 +2289,27 @@ _COSINE = (
 #: concat-and-chunk packing offsets (budget 256, grouped by source) —
 #: mirrors operators/packing.py pack_contexts: whitespace token counts,
 #: one window cumsum, integer chunk arithmetic.
+# Shared CTE for the ExactSubstr passage-dedup oracles: tokenize,
+# emit 6-token windows with the same sha256-derived 16-hex digest the
+# Spark operator uses, and attach each digest's corpus-wide count.
+_PASSAGE_CTE = """
+            WITH b2 AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            b3 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM b2),
+            og AS (
+                SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+                       substr(sha256(array_to_string(
+                           toks[CAST(t.i + 1 AS INT) : CAST(t.i + 6 AS INT)],
+                           ' ')), 1, 16) AS dig
+                FROM b3, unnest(generate_series(0, n_tokens - 6)) AS t(i)
+                WHERE n_tokens >= 6),
+            pdg AS (SELECT dig, count(*) AS n_occ FROM og GROUP BY dig),
+            fo AS (SELECT og.doc_id, og.pos, og.dig, pdg.n_occ
+                   FROM og JOIN pdg USING (dig))"""
+
 _PACK_CTE = """
     WITH tok AS (
         SELECT source, doc_id,
@@ -4283,5 +4324,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT nl.id AS doc_id, coalesce(reb.text, '') AS text,
                    nl.n_lines, coalesce(reb.n_kept, 0) AS n_kept
             FROM nl LEFT JOIN reb ON nl.id = reb.id
+        """,
+        "dup_passages": _PASSAGE_CTE + """,
+            dupu AS (
+                SELECT doc_id,
+                       least(6, coalesce(pos - lag(pos) OVER (
+                           PARTITION BY doc_id ORDER BY pos), 6)) AS c
+                FROM fo WHERE n_occ > 1),
+            du AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_tokens
+                   FROM dupu GROUP BY doc_id),
+            pw AS (SELECT doc_id, count(*) AS n_windows,
+                          sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup_windows
+                   FROM fo GROUP BY doc_id)
+            SELECT b3.doc_id, b3.n_tokens,
+                   CAST(coalesce(pw.n_windows, 0) AS BIGINT) AS n_windows,
+                   CAST(coalesce(pw.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+                   CAST(coalesce(du.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   round(CASE WHEN b3.n_tokens = 0 THEN 0.0
+                              ELSE CAST(coalesce(du.dup_tokens, 0) AS DOUBLE)
+                                   / b3.n_tokens END, 6) AS dup_ratio
+            FROM b3 LEFT JOIN pw USING (doc_id) LEFT JOIN du USING (doc_id)
+        """,
+        "strip_passages": _PASSAGE_CTE + """,
+            ro AS (SELECT doc_id, pos FROM (
+                       SELECT doc_id, pos, row_number() OVER (
+                           PARTITION BY dig ORDER BY doc_id, pos) AS rn
+                       FROM fo WHERE n_occ > 1) WHERE rn > 1),
+            rp AS (SELECT DISTINCT doc_id, pos + u.i AS p
+                   FROM ro, unnest(range(0, 6)) AS u(i)),
+            tp AS (SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS p,
+                          toks[CAST(t.i AS INT)] AS tok
+                   FROM b3, unnest(generate_series(1, CAST(n_tokens AS INT))) AS t(i)),
+            keep AS (SELECT tp.doc_id, tp.p, tp.tok
+                     FROM tp LEFT JOIN rp
+                       ON tp.doc_id = rp.doc_id AND tp.p = rp.p
+                     WHERE rp.doc_id IS NULL),
+            reb AS (SELECT doc_id, count(*) AS n_kept,
+                           string_agg(tok, ' ' ORDER BY p) AS clean_text
+                    FROM keep GROUP BY doc_id)
+            SELECT b3.doc_id, b3.n_tokens,
+                   CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(b3.n_tokens - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed,
+                   coalesce(reb.clean_text, '') AS clean_text
+            FROM b3 LEFT JOIN reb USING (doc_id)
         """,
     }
