@@ -2017,6 +2017,16 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(_t(spark, sf_dir, "events"), "event_type", "user_id", k=64)
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperLogLog with engine-reproducible registers (64 registers,
+    # rho from length(bin(rem)) — identical semantics in both engines);
+    # harmonic sum kept as an exact scaled integer so the estimate is
+    # bit-identical IEEE math, not an engine-private sketch.
+    from sutro_spark.functions.sketches import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir, "events"), "event_type", "user_id")
+
+
 def q_weighted_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-group weighted quota sampling: k smallest hash-priorities per
     # source (WindowGroupLimit keeps ≤ k rows per group through the
@@ -2172,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_topk": q_sq_topk,
         "dup_passages": q_dup_passages,
         "strip_passages": q_strip_passages,
+        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -4367,5 +4378,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b3.n_tokens - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed,
                    coalesce(reb.clean_text, '') AS clean_text
             FROM b3 LEFT JOIN reb USING (doc_id)
+        """,
+        "hll_distinct": """
+            WITH h0 AS (
+                SELECT event_type AS grp,
+                       CAST(concat('0x', substr(sha256(concat('hll:',
+                            CAST(user_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+                           % 4294967296 AS h
+                FROM events),
+            hh AS (SELECT grp, CAST(h % 64 AS BIGINT) AS j,
+                          CAST(h // 64 AS BIGINT) AS rem FROM h0),
+            rr AS (SELECT grp, j,
+                          CASE WHEN rem = 0 THEN 27
+                               ELSE 27 - length(bin(rem)) END AS rho
+                   FROM hh),
+            regs AS (SELECT grp, j, max(rho) AS M FROM rr GROUP BY grp, j),
+            grid AS (SELECT g.grp, gj.j
+                     FROM (SELECT DISTINCT grp FROM h0) g,
+                          (SELECT unnest(range(0, 64)) AS j) gj),
+            fl AS (SELECT grid.grp, grid.j, coalesce(regs.M, 0) AS M
+                   FROM grid LEFT JOIN regs
+                     ON grid.grp = regs.grp AND grid.j = regs.j),
+            ag AS (SELECT grp,
+                          CAST(sum(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                              AS n_zero,
+                          CAST(sum(CAST(1 AS BIGINT) << (27 - M)) AS BIGINT)
+                              AS s_scaled
+                   FROM fl GROUP BY grp)
+            SELECT grp, n_zero, s_scaled,
+                   CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                       * CAST(134217728 AS DOUBLE) / s_scaled AS est_hll
+            FROM ag
         """,
     }

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from sutro_spark.functions.sampling import hash_bucket
 
-__all__ = ["kmv_distinct"]
+__all__ = ["kmv_distinct", "hll_distinct"]
 
 
 def kmv_distinct(
@@ -66,4 +66,75 @@ def kmv_distinct(
             )
             .alias("est_distinct"),
         )
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_column: str,
+    key_column: str,
+    *,
+    p: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate with
+    engine-reproducible registers (Flajolet et al. 2007).
+
+    Unlike Spark's ``approx_count_distinct`` (HLL++, engine-private
+    sketch bytes), every intermediate here is portable integer math on
+    the repo's sha-derived 32-bit hash: register index = low ``p`` bits,
+    rho = leading-zero rank of the remaining ``32-p`` bits computed via
+    ``length(bin(rem))`` (identical string semantics in Spark and
+    DuckDB — both render 0 as '0' and no leading zeros).
+
+    The harmonic sum is kept as an exact integer ``s_scaled =
+    sum_j 2^(F+1-M_j)`` (F = 32-p; empty registers contribute 2^(F+1)),
+    so the final estimate is literal-double arithmetic over exact
+    integers — bit-identical on any IEEE-754 engine, hence
+    oracle-checkable. The ln-based small-range (linear counting)
+    correction is deliberately NOT applied — libm ln differs across
+    engines; ``n_zero`` (empty-register count) is emitted so callers
+    can apply it when they don't need cross-engine determinism.
+
+    Plan: one shuffle to (grp, register) with map-side-combinable max —
+    constant state per group (m registers), the 100 TB COUNT(DISTINCT)
+    shape. The register grid completes via a broadcast cross join with
+    the m-row index range so empty registers count.
+
+    Output: (grp, n_zero bigint, s_scaled bigint, est_hll double).
+    """
+    if not 4 <= p <= 12:
+        raise ValueError(f"p must be in [4, 12], got {p}")
+    m = 1 << p
+    field = 32 - p
+    scale = field + 1
+    h = hash_bucket(F.col(key_column), salt=salt, buckets=1 << 32)
+    rows = df.select(F.col(group_column).alias("grp"), h.alias("h")).select(
+        "grp",
+        (F.col("h") % m).alias("j"),
+        F.shiftright(F.col("h"), p).alias("rem"),
+    )
+    rho = F.when(F.col("rem") == 0, F.lit(scale)).otherwise(
+        F.lit(scale) - F.length(F.bin(F.col("rem")))
+    )
+    regs = rows.groupBy("grp", "j").agg(F.max(rho).alias("M"))
+    js = df.sparkSession.range(m).select(F.col("id").alias("j"))
+    grid = rows.select("grp").distinct().crossJoin(F.broadcast(js))
+    full = grid.join(regs, ["grp", "j"], "left").select(
+        "grp", F.coalesce(F.col("M"), F.lit(0)).alias("M")
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.709)
+    return full.groupBy("grp").agg(
+        F.sum(F.when(F.col("M") == 0, 1).otherwise(0)).cast("long").alias("n_zero"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - M)")).alias("s_scaled"),
+    ).select(
+        "grp",
+        "n_zero",
+        "s_scaled",
+        (
+            F.lit(alpha)
+            * F.lit(float(m * m))
+            * F.lit(float(1 << scale))
+            / F.col("s_scaled")
+        ).alias("est_hll"),
     )

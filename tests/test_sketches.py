@@ -41,3 +41,44 @@ def test_weighted_group_quota(spark):
     assert {r["source"]: r["n"] for r in got} == {"s0": 4, "s1": 4, "s2": 4}
     ranks = {r["sample_rank"] for r in out.where(F.col("source") == "s0").collect()}
     assert ranks == {1, 2, 3, 4}
+
+
+def test_hll_estimate_accuracy(spark):
+    from sutro_spark.functions.sketches import hll_distinct
+
+    n = 5000
+    df = spark.createDataFrame([("g", i) for i in range(n)], "grp string, k bigint")
+    row = hll_distinct(df, "grp", "k").collect()[0]
+    # m=64 → ~1.04/sqrt(64) ≈ 13% relative std error; allow 3σ
+    assert abs(row["est_hll"] - n) / n < 0.4
+    assert row["n_zero"] == 0  # 5000 keys over 64 registers: all hit
+
+
+def test_hll_duplicate_and_partition_invariance(spark):
+    from sutro_spark.functions.sketches import hll_distinct
+
+    df = spark.createDataFrame([("g", i) for i in range(800)], "grp string, k bigint")
+    a = hll_distinct(df, "grp", "k").collect()[0]
+    b = hll_distinct(df.unionAll(df).repartition(13), "grp", "k").collect()[0]
+    assert a["s_scaled"] == b["s_scaled"] and a["est_hll"] == b["est_hll"]
+
+
+def test_hll_empty_registers_counted(spark):
+    from sutro_spark.functions.sketches import hll_distinct
+
+    # 3 distinct keys can fill at most 3 of 64 registers; empty ones
+    # must still contribute 2^27 to the scaled harmonic sum
+    df = spark.createDataFrame([("g", i) for i in range(3)], "grp string, k bigint")
+    row = hll_distinct(df, "grp", "k").collect()[0]
+    assert row["n_zero"] >= 61
+    assert row["s_scaled"] >= 61 * (1 << 27)
+
+
+def test_hll_p_validation(spark):
+    import pytest as _pytest
+
+    from sutro_spark.functions.sketches import hll_distinct
+
+    df = spark.createDataFrame([("g", 1)], "grp string, k bigint")
+    with _pytest.raises(ValueError):
+        hll_distinct(df, "grp", "k", p=2)
