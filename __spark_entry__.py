@@ -2027,6 +2027,17 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(_t(spark, sf_dir, "events"), "event_type", "user_id")
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed BPE merge induction (Sennrich et al. 2016): 4 unrolled
+    # rounds over the distinct-word vocabulary (corpus size stops
+    # mattering after the first shuffle); per round, the argmax pair is
+    # a 1-row broadcast cross join and the merge is a boundary-safe
+    # string replace — greedy left-to-right in both engines.
+    from sutro_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), rounds=4)
+
+
 def q_weighted_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-group weighted quota sampling: k smallest hash-priorities per
     # source (WindowGroupLimit keeps ≤ k rows per group through the
@@ -2183,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_passages": q_dup_passages,
         "strip_passages": q_strip_passages,
         "hll_distinct": q_hll_distinct,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -2300,6 +2312,60 @@ _COSINE = (
 #: concat-and-chunk packing offsets (budget 256, grouped by source) —
 #: mirrors operators/packing.py pack_contexts: whitespace token counts,
 #: one window cumsum, integer chunk arithmetic.
+def _bpe_round_ctes(r: int) -> str:
+    """One unrolled BPE round for the DuckDB oracle: pair counts from
+    the wrapped symbol string, deterministic argmax (cnt DESC, pair
+    ASC), boundary-safe replace — mirrors operators/bpe.py exactly."""
+    prev = f"w{r - 1}"
+    return f"""
+            p{r} AS (
+                SELECT l, r, CAST(sum(weight) AS BIGINT) AS cnt FROM (
+                    SELECT weight, syms[CAST(t.i AS INT)] AS l,
+                           syms[CAST(t.i + 1 AS INT)] AS r
+                    FROM (SELECT weight,
+                                 string_split(substr(ws, 2, length(ws) - 2),
+                                              chr(2) || chr(1)) AS syms
+                          FROM {prev}) s,
+                         unnest(generate_series(1, len(syms) - 1)) AS t(i)
+                    WHERE len(syms) >= 2)
+                GROUP BY l, r),
+            t{r} AS (SELECT l, r, cnt FROM p{r}
+                     ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+            w{r} AS (
+                SELECT w, weight,
+                       replace(ws, chr(1) || t{r}.l || chr(2) || chr(1)
+                                   || t{r}.r || chr(2),
+                               chr(1) || t{r}.l || t{r}.r || chr(2)) AS ws
+                FROM {prev}, t{r})"""
+
+
+_BPE_SQL = (
+    """
+            WITH words AS (
+                SELECT tok AS w, count(*) AS weight FROM (
+                    SELECT unnest(list_filter(
+                        regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                        t -> t <> '')) AS tok
+                    FROM documents)
+                GROUP BY tok),
+            w0 AS (
+                SELECT w, weight,
+                       array_to_string(list_transform(
+                           range(1, length(w) + 1),
+                           i -> chr(1) || substr(w, CAST(i AS INT), 1) || chr(2)),
+                           '') AS ws
+                FROM words)"""
+    + ","
+    + ",".join(_bpe_round_ctes(r) for r in range(1, 5))
+    + "\n            "
+    + "\n            UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, l AS lhs, r AS rhs,"
+        f" cnt AS weight FROM t{r}"
+        for r in range(1, 5)
+    )
+)
+
+
 # Shared CTE for the ExactSubstr passage-dedup oracles: tokenize,
 # emit 6-token windows with the same sha256-derived 16-hex digest the
 # Spark operator uses, and attach each digest's corpus-wide count.
@@ -4410,4 +4476,5 @@ def oracle_sql() -> dict[str, str]:
                        * CAST(134217728 AS DOUBLE) / s_scaled AS est_hll
             FROM ag
         """,
+        "bpe_merges": _BPE_SQL,
     }
