@@ -2038,6 +2038,15 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(_t(spark, sf_dir, "documents"), rounds=4)
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the APPLY step: segment the distinct-word vocabulary with the 4
+    # learned merges and report the top-20 subwords by weighted corpus
+    # frequency (deterministic tie-break).
+    from sutro_spark.operators.bpe import bpe_vocab
+
+    return bpe_vocab(_t(spark, sf_dir, "documents"), rounds=4, top=20)
+
+
 def q_weighted_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-group weighted quota sampling: k smallest hash-priorities per
     # source (WindowGroupLimit keeps ≤ k rows per group through the
@@ -2195,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_passages": q_strip_passages,
         "hll_distinct": q_hll_distinct,
         "bpe_merges": q_bpe_merges,
+        "bpe_vocab": q_bpe_vocab,
     }
 
 
@@ -2339,7 +2349,7 @@ def _bpe_round_ctes(r: int) -> str:
                 FROM {prev}, t{r})"""
 
 
-_BPE_SQL = (
+_BPE_CTES = (
     """
             WITH words AS (
                 SELECT tok AS w, count(*) AS weight FROM (
@@ -2357,12 +2367,30 @@ _BPE_SQL = (
                 FROM words)"""
     + ","
     + ",".join(_bpe_round_ctes(r) for r in range(1, 5))
+)
+
+_BPE_SQL = (
+    _BPE_CTES
     + "\n            "
     + "\n            UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS round, l AS lhs, r AS rhs,"
         f" cnt AS weight FROM t{r}"
         for r in range(1, 5)
     )
+)
+
+_BPE_VOCAB_SQL = (
+    _BPE_CTES
+    + """,
+            seg AS (SELECT w, weight,
+                           unnest(string_split(substr(ws, 2, length(ws) - 2),
+                                               chr(2) || chr(1))) AS subword
+                    FROM w4)
+            SELECT subword,
+                   CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+                   CAST(sum(weight) AS BIGINT) AS occurrences
+            FROM seg GROUP BY subword
+            ORDER BY occurrences DESC, subword ASC LIMIT 20"""
 )
 
 
@@ -4477,4 +4505,5 @@ def oracle_sql() -> dict[str, str]:
             FROM ag
         """,
         "bpe_merges": _BPE_SQL,
+        "bpe_vocab": _BPE_VOCAB_SQL,
     }

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from sutro_spark.functions.text import tokens
 
-__all__ = ["bpe_merges"]
+__all__ = ["bpe_merges", "bpe_segment", "bpe_vocab"]
 
 _L = "\x01"
 _R = "\x02"
@@ -65,18 +65,9 @@ def _symbols(ws) -> F.Column:
     return F.split(inner, f"{_R}{_L}")
 
 
-def bpe_merges(
-    df: DataFrame,
-    *,
-    text_column: str = "text",
-    rounds: int = 3,
-) -> DataFrame:
-    """Learn the first ``rounds`` BPE merges over ``text_column``.
-
-    Output: (round bigint, lhs string, rhs string, weight bigint) — one
-    row per learned merge, ``weight`` = corpus frequency of the pair at
-    the time it was merged (weighted by word occurrence count).
-    """
+def _train(df: DataFrame, text_column: str, rounds: int):
+    """Shared trainer: returns (list of per-round 1-row merge DFs, the
+    final segmented vocabulary DF (w, weight, ws))."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     words = (
@@ -128,4 +119,59 @@ def bpe_merges(
                 F.concat(F.lit(_L), F.col("ml"), F.col("mr"), F.lit(_R)),
             ).alias("ws"),
         )
+    return merges, cur
+
+
+def bpe_merges(
+    df: DataFrame,
+    *,
+    text_column: str = "text",
+    rounds: int = 3,
+) -> DataFrame:
+    """Learn the first ``rounds`` BPE merges over ``text_column``.
+
+    Output: (round bigint, lhs string, rhs string, weight bigint) — one
+    row per learned merge, ``weight`` = corpus frequency of the pair at
+    the time it was merged (weighted by word occurrence count).
+    """
+    merges, _ = _train(df, text_column, rounds)
     return reduce(lambda a, b: a.unionAll(b), merges)
+
+
+def bpe_segment(
+    df: DataFrame,
+    *,
+    text_column: str = "text",
+    rounds: int = 3,
+) -> DataFrame:
+    """Train ``rounds`` merges, then return the segmented vocabulary:
+    (w, weight, subwords array<string>) — the APPLY step of BPE, per
+    distinct word (join back on the word to tokenize a corpus; the
+    vocabulary is many orders smaller than the corpus, so the apply
+    step broadcasts at any realistic scale)."""
+    _, cur = _train(df, text_column, rounds)
+    return cur.select("w", "weight", _symbols("ws").alias("subwords"))
+
+
+def bpe_vocab(
+    df: DataFrame,
+    *,
+    text_column: str = "text",
+    rounds: int = 3,
+    top: int = 20,
+) -> DataFrame:
+    """Subword vocabulary report after ``rounds`` merges: the ``top``
+    subwords by corpus frequency (weighted by word count), ties broken
+    lexicographically. Output: (subword, n_words bigint — distinct
+    words containing it, occurrences bigint)."""
+    seg = bpe_segment(df, text_column=text_column, rounds=rounds)
+    return (
+        seg.select("w", "weight", F.explode("subwords").alias("subword"))
+        .groupBy("subword")
+        .agg(
+            F.count_distinct(F.col("w")).alias("n_words"),
+            F.sum("weight").cast("long").alias("occurrences"),
+        )
+        .orderBy(F.desc("occurrences"), F.asc("subword"))
+        .limit(top)
+    )

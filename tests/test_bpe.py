@@ -59,3 +59,25 @@ def test_no_python_udfs_in_plan(spark):
     df = _corpus(spark, "low lower low")
     plan = bpe_merges(df, rounds=2)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_segment_applies_merges(spark):
+    from sutro_spark.operators.bpe import bpe_segment
+
+    df = _corpus(spark, "low lower lowest low low", "newer newest new low")
+    seg = {r.w: r.subwords for r in bpe_segment(df, rounds=2).collect()}
+    # after merges (l,o) then (lo,w): 'low' is one token, 'lower' = low+e+r
+    assert seg["low"] == ["low"]
+    assert seg["lower"] == ["low", "e", "r"]
+    assert seg["new"] == ["n", "e", "w"]
+
+
+def test_vocab_top_and_tiebreak(spark):
+    from sutro_spark.operators.bpe import bpe_vocab
+
+    df = _corpus(spark, "ab ab ab cd")
+    out = bpe_vocab(df, rounds=1, top=3).collect()
+    # merge (a,b): subword 'ab' occurs 3 times; 'c'/'d' once each,
+    # lexicographic tie-break puts 'c' before 'd'
+    assert (out[0].subword, out[0].occurrences, out[0].n_words) == ("ab", 3, 1)
+    assert [r.subword for r in out[1:]] == ["c", "d"]
