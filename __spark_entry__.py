@@ -2027,6 +2027,27 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(_t(spark, sf_dir, "events"), "event_type", "user_id")
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-Min sketch point queries for the top-10 exact heavy hitters
+    # (deterministic candidate pick). est_count >= n_exact always (CMS
+    # upper-bound property); cells are portable-hash sums so the whole
+    # sketch is engine-reproducible.
+    from sutro_spark.functions.sketches import cms_counts, cms_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = cms_counts(ev, "user_id", depth=4, width=256)
+    cands = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(10)
+    )
+    est = cms_estimate(sketch, cands, "user_id", depth=4, width=256)
+    return cands.select(
+        F.col("user_id").cast("string").alias("key"), "n_exact"
+    ).join(est, "key").select("key", F.col("n_exact").cast("long").alias("n_exact"), "est_count")
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed BPE merge induction (Sennrich et al. 2016): 4 unrolled
     # rounds over the distinct-word vocabulary (corpus size stops
@@ -2205,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
     }
 
 
@@ -4506,4 +4528,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merges": _BPE_SQL,
         "bpe_vocab": _BPE_VOCAB_SQL,
+        "cms_heavy_hitters": """
+            WITH seeds AS (SELECT unnest(range(0, 4)) AS r),
+            cells AS (
+                SELECT s.r,
+                       CAST(CAST(concat('0x', substr(sha256(concat(
+                            'cms', CAST(s.r AS VARCHAR), ':',
+                            CAST(e.user_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+                            % 256 AS INT) AS bucket
+                FROM events e, seeds s),
+            sk AS (SELECT r, bucket, count(*) AS cnt
+                   FROM cells GROUP BY r, bucket),
+            cands AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+                FROM events GROUP BY user_id
+                ORDER BY n_exact DESC, user_id ASC LIMIT 10),
+            probes AS (
+                SELECT CAST(c.user_id AS VARCHAR) AS key, c.n_exact, s.r,
+                       CAST(CAST(concat('0x', substr(sha256(concat(
+                            'cms', CAST(s.r AS VARCHAR), ':',
+                            CAST(c.user_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+                            % 256 AS INT) AS bucket
+                FROM cands c, seeds s)
+            SELECT p.key, p.n_exact,
+                   CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_count
+            FROM probes p LEFT JOIN sk
+              ON p.r = sk.r AND p.bucket = sk.bucket
+            GROUP BY p.key, p.n_exact
+        """,
     }

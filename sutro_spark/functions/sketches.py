@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from sutro_spark.functions.sampling import hash_bucket
 
-__all__ = ["kmv_distinct", "hll_distinct"]
+__all__ = ["kmv_distinct", "hll_distinct", "cms_counts", "cms_estimate"]
 
 
 def kmv_distinct(
@@ -137,4 +137,91 @@ def hll_distinct(
             * F.lit(float(1 << scale))
             / F.col("s_scaled")
         ).alias("est_hll"),
+    )
+
+
+def cms_counts(
+    df: DataFrame,
+    key_column: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-Min sketch counters (Cormode & Muthukrishnan 2005) with
+    engine-reproducible cells.
+
+    Each occurrence of a key increments ``depth`` counters — one per
+    hash row, bucket = portable 32-bit hash of (salt+row, key) mod
+    ``width``. Counters are plain sums: associative, map-side
+    combinable, mergeable across partitions/batches/days by addition —
+    the sketch IS a DataFrame of (row, bucket, cnt), so incremental
+    maintenance is a unionAll + re-aggregate away.
+
+    At 100 TB the shuffle carries at most depth*width rows per map
+    task (combiner-bounded), regardless of key cardinality — the
+    frequency-table analog of hll_distinct's constant-state registers.
+
+    Output: (row int, bucket int, cnt bigint), depth*width rows dense
+    (absent cells are zero; they are NOT emitted).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    rows = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    hash_bucket(F.col(key_column), salt=f"{salt}{r}", buckets=width)
+                    .cast("int")
+                    .alias("bucket"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("cell")
+    )
+    return (
+        rows.groupBy(F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    key_column: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch for each candidate key: est = min over
+    hash rows of the addressed counter (the classic CMS upper bound —
+    est >= true count always; over-estimation bounded by e*N/width with
+    probability 1 - e^-depth).
+
+    The candidate set is typically tiny (suspected heavy hitters), so
+    the probe is a broadcast-friendly equi-join on (row, bucket) —
+    never a scan of the keyed data.
+
+    Output: (key string, est_count bigint).
+    """
+    probes = candidates.select(
+        F.col(key_column).cast("string").alias("key"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    hash_bucket(F.col(key_column), salt=f"{salt}{r}", buckets=width)
+                    .cast("int")
+                    .alias("bucket"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("cell"),
+    ).select("key", F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))
+    return (
+        probes.join(sketch, ["row", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count"))
     )

@@ -82,3 +82,40 @@ def test_hll_p_validation(spark):
     df = spark.createDataFrame([("g", 1)], "grp string, k bigint")
     with _pytest.raises(ValueError):
         hll_distinct(df, "grp", "k", p=2)
+
+
+def test_cms_overestimate_and_exact_small(spark):
+    from sutro_spark.functions.sketches import cms_counts, cms_estimate
+
+    rows = [("u%d" % (i % 20),) for i in range(400)] + [("hot",)] * 100
+    df = spark.createDataFrame(rows, "k string")
+    sk = cms_counts(df, "k")
+    cands = df.groupBy("k").count().withColumnRenamed("count", "true_n")
+    est = {r.key: r.est_count for r in cms_estimate(sk, cands, "k").collect()}
+    true = {r.k: r.true_n for r in cands.collect()}
+    for k, t in true.items():
+        assert est[k] >= t  # CMS never under-estimates
+    assert est["hot"] >= 100
+
+
+def test_cms_merge_additivity(spark):
+    from sutro_spark.functions.sketches import cms_counts
+
+    df = spark.createDataFrame([("k%d" % (i % 7),) for i in range(210)], "k string")
+    a, b = df.randomSplit([0.5, 0.5], seed=7)
+    whole = {(r.row, r.bucket): r.cnt for r in cms_counts(df, "k").collect()}
+    merged: dict = {}
+    for part in (a, b):
+        for r in cms_counts(part, "k").collect():
+            merged[(r.row, r.bucket)] = merged.get((r.row, r.bucket), 0) + r.cnt
+    assert merged == whole
+
+
+def test_cms_validation(spark):
+    import pytest as _pytest
+
+    from sutro_spark.functions.sketches import cms_counts
+
+    df = spark.createDataFrame([("x",)], "k string")
+    with _pytest.raises(ValueError):
+        cms_counts(df, "k", depth=0)
