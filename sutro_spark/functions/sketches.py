@@ -18,12 +18,12 @@ one double division of exact integers → identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sutro_spark.functions.sampling import hash_bucket
 
-__all__ = ["kmv_distinct", "hll_distinct", "cms_counts", "cms_estimate"]
+__all__ = ["kmv_distinct", "hll_distinct", "cms_cells", "cms_counts", "cms_estimate"]
 
 
 def kmv_distinct(
@@ -140,6 +140,29 @@ def hll_distinct(
     )
 
 
+def cms_cells(
+    key_column: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cms",
+) -> Column:
+    """The exploded (row, bucket) cell addresses of one key occurrence —
+    shared by the batch builder, the point-query probe, and the
+    streaming maintainer so all three address identical cells."""
+    return F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(r).alias("row"),
+                hash_bucket(F.col(key_column), salt=f"{salt}{r}", buckets=width)
+                .cast("int")
+                .alias("bucket"),
+            )
+            for r in range(depth)
+        ])
+    ).alias("cell")
+
+
 def cms_counts(
     df: DataFrame,
     key_column: str,
@@ -167,19 +190,7 @@ def cms_counts(
     """
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
-    rows = df.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(r).alias("row"),
-                    hash_bucket(F.col(key_column), salt=f"{salt}{r}", buckets=width)
-                    .cast("int")
-                    .alias("bucket"),
-                )
-                for r in range(depth)
-            ])
-        ).alias("cell")
-    )
+    rows = df.select(cms_cells(key_column, depth=depth, width=width, salt=salt))
     return (
         rows.groupBy(F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -208,17 +219,7 @@ def cms_estimate(
     """
     probes = candidates.select(
         F.col(key_column).cast("string").alias("key"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(r).alias("row"),
-                    hash_bucket(F.col(key_column), salt=f"{salt}{r}", buckets=width)
-                    .cast("int")
-                    .alias("bucket"),
-                )
-                for r in range(depth)
-            ])
-        ).alias("cell"),
+        cms_cells(key_column, depth=depth, width=width, salt=salt),
     ).select("key", F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))
     return (
         probes.join(sketch, ["row", "bucket"], "left")

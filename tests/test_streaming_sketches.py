@@ -1,0 +1,51 @@
+"""Streaming CMS maintenance == batch sketch over everything ingested."""
+
+from pyspark.sql import functions as F
+
+from sutro_spark.functions.sketches import cms_counts
+from sutro_spark.streaming.sketches import streaming_cms
+
+
+def test_streaming_cms_equals_batch(spark, sf_dir, tmp_path):
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("user_id") < 40)
+        .select("user_id")
+    )
+    src = str(tmp_path / "ev")
+    # two files → at least two streamed micro-batches under availableNow
+    a, b = events.randomSplit([0.5, 0.5], seed=3)
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            streaming_cms(stream, "user_id", depth=3, width=64)
+            .writeStream.format("memory")
+            .queryName("cms_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = {
+        (r.row, r.bucket): r.cnt
+        for r in spark.sql("select * from cms_stream").collect()
+    }
+    batch = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_counts(
+            spark.read.parquet(src), "user_id", depth=3, width=64
+        ).collect()
+    }
+    assert got == batch
+    assert sum(got.values()) == 3 * spark.read.parquet(src).count()
