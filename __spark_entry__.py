@@ -2027,6 +2027,16 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(_t(spark, sf_dir, "events"), "event_type", "user_id")
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-source n-gram duplication report: shared 6-gram digests per
+    # source pair with Jaccard — the mixture-decision evidence. Source
+    # sets per digest are bounded collect_sets; pairs explode in
+    # |sources|², never in corpus size.
+    from sutro_spark.operators.mixture import source_overlap
+
+    return source_overlap(_t(spark, sf_dir, "documents"), k=6)
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Count-Min sketch point queries for the top-10 exact heavy hitters
     # (deterministic candidate pick). est_count >= n_exact always (CMS
@@ -2227,6 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_vocab": q_bpe_vocab,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -4555,5 +4566,33 @@ def oracle_sql() -> dict[str, str]:
             FROM probes p LEFT JOIN sk
               ON p.r = sk.r AND p.bucket = sk.bucket
             GROUP BY p.key, p.n_exact
+        """,
+        "source_overlap": """
+            WITH b2 AS (
+                SELECT doc_id, source,
+                       list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                   t -> t <> '') AS toks
+                FROM documents),
+            b3 AS (SELECT doc_id, source, toks,
+                          CAST(len(toks) AS BIGINT) AS n_tokens FROM b2),
+            og AS (
+                SELECT source AS src,
+                       substr(sha256(array_to_string(
+                           toks[CAST(t.i + 1 AS INT) : CAST(t.i + 6 AS INT)],
+                           ' ')), 1, 16) AS dig
+                FROM b3, unnest(generate_series(0, n_tokens - 6)) AS t(i)
+                WHERE n_tokens >= 6),
+            g AS (SELECT DISTINCT src, dig FROM og),
+            sh AS (SELECT a.src AS src_a, b.src AS src_b
+                   FROM g a JOIN g b ON a.dig = b.dig AND a.src < b.src),
+            shared AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared
+                       FROM sh GROUP BY src_a, src_b),
+            tot AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY src)
+            SELECT s.src_a, s.src_b, s.n_shared, ta.n AS n_a, tb.n AS n_b,
+                   round(CAST(s.n_shared AS DOUBLE)
+                         / (ta.n + tb.n - s.n_shared), 6) AS jaccard
+            FROM shared s
+            JOIN tot ta ON s.src_a = ta.src
+            JOIN tot tb ON s.src_b = tb.src
         """,
     }

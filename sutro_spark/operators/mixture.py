@@ -147,3 +147,74 @@ def temperature_rates(
             ).alias("rate_pct"),
         )
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    source_column: str = "source",
+    k: int = 6,
+) -> DataFrame:
+    """Cross-source duplication report: for every pair of sources, how
+    much k-token n-gram content they share (the evidence behind
+    mixture decisions like "crawl B is 40% a re-crawl of A — cap it").
+
+    Output: (src_a, src_b, n_shared bigint, n_a bigint, n_b bigint,
+    jaccard double) with src_a < src_b; n_a/n_b are each source's
+    distinct-gram counts and jaccard = n_shared/(n_a + n_b - n_shared)
+    (one IEEE division, engine-exact).
+
+    Plan (100 TB shape): one pass tokenizes and emits (source, gram
+    digest) pairs, deduped by the same groupBy that builds the posting
+    list; per digest the source set is a bounded ``collect_set`` (at
+    most |sources| elements — corpus scale cannot grow it), and source
+    PAIRS explode combinatorially only in |sources|, not in corpus
+    size. No gram self-join, no all-pairs over documents.
+    """
+    from sutro_spark.operators.passages import passage_occurrences
+
+    occ = passage_occurrences(
+        df.select(F.col(id_column), F.col(source_column), F.col(text_column)),
+        text_column=text_column,
+        id_column=id_column,
+        k=k,
+    )
+    src = df.select(F.col(id_column).alias("doc_id"), F.col(source_column).alias("src"))
+    grams = (
+        occ.where(F.col("dig").isNotNull())
+        .join(src, "doc_id")
+        .select("src", "dig")
+        .distinct()
+    )
+    per_dig = grams.groupBy("dig").agg(F.array_sort(F.collect_set("src")).alias("srcs"))
+    pair_rows = per_dig.where(F.size("srcs") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (a, i) ->"
+                " transform(slice(srcs, i + 2, size(srcs)),"
+                " b -> struct(a AS src_a, b AS src_b))))"
+            )
+        ).alias("p")
+    )
+    shared = pair_rows.groupBy(
+        F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b")
+    ).agg(F.count(F.lit(1)).alias("n_shared"))
+    totals = grams.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        shared.join(totals.select(F.col("src").alias("src_a"), F.col("n").alias("n_a")), "src_a")
+        .join(totals.select(F.col("src").alias("src_b"), F.col("n").alias("n_b")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

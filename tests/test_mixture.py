@@ -61,3 +61,32 @@ def test_temperature_rates_alpha_100_is_uniform_rate(spark):
              temperature_rates(df, "source", alpha_pct=100, target_pct=40).collect()}
     # alpha=1: w/wsum == share, so every stratum gets exactly target_pct
     assert rates == {"a": 40, "b": 40}
+
+
+def test_source_overlap_counts_and_jaccard(spark):
+    from sutro_spark.operators.mixture import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", "a b c d e f x y"),   # grams: abcdef, bcdefx, cdefxy
+            (2, "B", "a b c d e f p q"),   # shares 'a b c d e f' with A
+            (3, "C", "zz zz zz zz zz zz"), # no overlap with anyone
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {(r.src_a, r.src_b): r for r in source_overlap(df, k=6).collect()}
+    assert set(out) == {("A", "B")}
+    r = out[("A", "B")]
+    assert r.n_shared == 1 and r.n_a == 3 and r.n_b == 3
+    assert r.jaccard == round(1 / 5, 6)
+
+
+def test_source_overlap_no_python_udfs(spark):
+    from sutro_spark.operators.mixture import source_overlap
+
+    df = spark.createDataFrame(
+        [(1, "A", "a b c d e f"), (2, "B", "a b c d e f")],
+        "doc_id long, source string, text string",
+    )
+    plan = source_overlap(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -29,6 +29,15 @@ def main() -> None:
     from sutro_spark.functions.web import strip_boilerplate
     from sutro_spark.operators.quality import gopher_quality
     from sutro_spark.operators.transform import llm_transform
+    from sutro_spark.operators.passages import (
+        dup_passage_stats as _dup_passage_stats,
+        strip_dup_passages as _strip_dup_passages,
+    )
+    from sutro_spark.operators.bpe import bpe_merges as _bpe_merges
+    from sutro_spark.functions.sketches import (
+        cms_counts as _cms_counts,
+        hll_distinct as _hll_distinct,
+    )
     from sutro_spark.session import get_spark
 
     spark = get_spark("scaling")
@@ -60,6 +69,11 @@ def main() -> None:
         "strip_boilerplate": lambda df: strip_boilerplate(df).select(
             "doc_id", "n_kept"
         ),
+        "dup_passages": lambda df: _dup_passage_stats(df, k=6),
+        "strip_passages": lambda df: _strip_dup_passages(df, k=6),
+        "bpe_merges": lambda df: _bpe_merges(df, rounds=4),
+        "hll_distinct": lambda df: _hll_distinct(df, "lang", "text"),
+        "cms_counts": lambda df: _cms_counts(df, "source"),
     }
     results: dict[str, dict[int, float]] = {name: {} for name in ops}
     tmp = tempfile.mkdtemp(prefix="sutro_scaling_")
