@@ -2027,6 +2027,16 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(_t(spark, sf_dir, "events"), "event_type", "user_id")
 
 
+def q_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold-sweep evidence for dedup tuning: candidate-pair Jaccard
+    # distribution in one pass. Buckets are pure integer division —
+    # immune to double-rounding at bucket edges; n_pairs_ge gives the
+    # would-merge count at each threshold via one 10-row window.
+    from sutro_spark.operators.dedup import jaccard_histogram
+
+    return jaccard_histogram(_t(spark, sf_dir, "documents"), k=8, max_df=100)
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-source n-gram duplication report: shared 6-gram digests per
     # source pair with Jaccard — the mixture-decision evidence. Source
@@ -2238,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab": q_bpe_vocab,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "source_overlap": q_source_overlap,
+        "jaccard_histogram": q_jaccard_histogram,
     }
 
 
@@ -4594,5 +4605,27 @@ def oracle_sql() -> dict[str, str]:
             FROM shared s
             JOIN tot ta ON s.src_a = ta.src
             JOIN tot tb ON s.src_b = tb.src
+        """,
+        "jaccard_histogram": f"""
+            WITH {_SHINGLES_CTE},
+            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+            shf AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+            sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
+            inter AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+                FROM shf a JOIN shf b USING (shingle)
+                WHERE a.id < b.id GROUP BY 1, 2),
+            bk AS (
+                SELECT least(9, CAST((i * 10) // (sa.n + sb.n - i) AS INT)) AS bucket
+                FROM inter
+                JOIN sizes sa ON sa.id = id_a
+                JOIN sizes sb ON sb.id = id_b),
+            hist AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs
+                     FROM bk GROUP BY bucket)
+            SELECT bucket, n_pairs,
+                   CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_pairs_ge
+            FROM hist
         """,
     }

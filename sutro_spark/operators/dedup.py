@@ -23,7 +23,7 @@ identically).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -99,27 +99,19 @@ def char_shingles(
     )
 
 
-def ngram_jaccard_pairs(
+def _pair_intersections(
     df: DataFrame,
     text_column: str = "text",
     id_column: str = "doc_id",
     *,
     k: int = 8,
-    threshold: float = 0.2,
     max_df: int | None = 100,
 ) -> DataFrame:
-    """Near-duplicate pairs by n-gram Jaccard similarity.
-
-    Inverted-index plan: distinct (doc, shingle) → drop shingles with
-    document frequency > max_df (skew + noise control; REQUIRED at
-    scale) → self equi-join on shingle → per-pair intersection counts →
-    Jaccard = |∩| / (|A| + |B| - |∩|) with sizes computed AFTER the
-    max_df filter so the metric matches the joined universe.
-
-    Returns (id_a, id_b, jaccard) with id_a < id_b; jaccard is the raw
-    integer-ratio division (bit-identical across engines — see the
-    inline note on why rounding would actually *hurt* parity).
-    """
+    """Candidate pairs with exact integer evidence: (id_a, id_b, inter,
+    na, nb) — shared-shingle count plus each side's post-max_df shingle
+    count. Shared by :func:`ngram_jaccard_pairs` (derives the double
+    Jaccard) and :func:`jaccard_histogram` (bins with pure integer
+    division, immune to double-rounding at bucket edges)."""
     # Raw (non-distinct) shingles straight into ONE groupBy(shingle)
     # whose collect_set deduplicates (doc, shingle) map-side as part of
     # the partial aggregation — the separate explode→distinct pass would
@@ -143,9 +135,32 @@ def ngram_jaccard_pairs(
     # (no hard hint: at 100 TB doc counts it must stay a shuffle join)
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    k: int = 8,
+    threshold: float = 0.2,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard similarity.
+
+    Inverted-index plan: distinct (doc, shingle) → drop shingles with
+    document frequency > max_df (skew + noise control; REQUIRED at
+    scale) → self equi-join on shingle → per-pair intersection counts →
+    Jaccard = |∩| / (|A| + |B| - |∩|) with sizes computed AFTER the
+    max_df filter so the metric matches the joined universe.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b; jaccard is the raw
+    integer-ratio division (bit-identical across engines — see the
+    inline note on why rounding would actually *hurt* parity).
+    """
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        _pair_intersections(df, text_column, id_column, k=k, max_df=max_df)
         .withColumn(
             # raw division, NOT rounded: both engines divide the same
             # exact ints → identical bits, while round() at a decimal
@@ -562,4 +577,50 @@ def dedup_lines_global(
             "n_lines",
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
+    )
+
+
+def jaccard_histogram(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    k: int = 8,
+    max_df: int | None = 100,
+    buckets: int = 10,
+) -> DataFrame:
+    """Threshold-sweep evidence for near-dup tuning: the distribution
+    of candidate-pair Jaccard similarities in one pass, so a curator
+    picks the dedup threshold from data instead of folklore.
+
+    Buckets are INTEGER math — bucket = min(buckets-1,
+    (inter * buckets) div union) — no floats anywhere, so both engines
+    bin identically even at exact bucket boundaries. ``n_pairs_ge`` is
+    the running count of pairs at-or-above each bucket's lower edge
+    (the number of pairs a threshold at that edge would merge) via one
+    bounded window over ``buckets`` rows.
+
+    Output: (bucket int, n_pairs bigint, n_pairs_ge bigint).
+
+    Plan: identical candidate generation to :func:`ngram_jaccard_pairs`
+    (posting lists, max_df skew cap) with threshold=0 — the histogram
+    sees every candidate pair; pairs that share no shingle are by
+    definition below any useful threshold and cost nothing.
+    """
+    pairs = _pair_intersections(df, text_column, id_column, k=k, max_df=max_df)
+    sized = pairs.select(
+        F.least(
+            F.lit(buckets - 1),
+            F.expr(f"CAST((inter * {buckets}) DIV (na + nb - inter) AS INT)"),
+        ).alias("bucket")
+    )
+    hist = sized.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return hist.select(
+        "bucket",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_ge"),
     )

@@ -458,3 +458,30 @@ def test_fuzzy_contamination_catches_edited_benchmark(spark):
             fuzzy_contamination(train, bench).collect()}
     assert 1 in hits and hits[1] >= 1  # edited copy still collides
     assert 2 not in hits               # unrelated doc untouched
+
+
+def test_jaccard_histogram_integer_buckets(spark):
+    from sutro_spark.operators.dedup import jaccard_histogram, ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "abcdefghijklmnop"),
+            (2, "abcdefghijklmnop"),   # identical to 1 → jaccard 1.0 → bucket 9
+            (3, "abcdefghijXYZWVU"),   # partial overlap with 1/2
+            (4, "qrstuvwx"),           # no shared shingles
+        ],
+        "doc_id long, text string",
+    )
+    hist = {r.bucket: r for r in jaccard_histogram(df, k=8).collect()}
+    assert hist[9].n_pairs == 1  # the identical pair, clamped to top bucket
+    total_pairs = ngram_jaccard_pairs(df, k=8, threshold=0.0).count()
+    assert sum(r.n_pairs for r in hist.values()) == total_pairs
+    # cumulative counts decrease (weakly) as the bucket edge rises
+    buckets = sorted(hist)
+    ge = [hist[b].n_pairs_ge for b in buckets]
+    assert ge == sorted(ge, reverse=False) or all(
+        hist[buckets[i]].n_pairs_ge >= hist[buckets[i + 1]].n_pairs_ge
+        for i in range(len(buckets) - 1)
+    )
+    # n_pairs_ge at the lowest bucket covers every candidate pair
+    assert hist[min(buckets)].n_pairs_ge == total_pairs
