@@ -2027,6 +2027,33 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(_t(spark, sf_dir, "events"), "event_type", "user_id")
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # honesty metric for the approximate dedup path: recall/precision
+    # of MinHash-LSH candidate pairs against exact n-gram Jaccard >= 0.1
+    # ground truth. One full-outer join over the two pair sets.
+    from sutro_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from sutro_spark.operators.metrics import candidate_recall
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, k=8, threshold=0.1, max_df=100)
+    cand = minhash_lsh_pairs(docs, k=8, num_hashes=16, bands=8, verify_threshold=None)
+    return candidate_recall(truth, cand)
+
+
+def q_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # honesty metric for the quantized ANN path: recall/precision of
+    # int8 scalar-quantized top-3 neighbor sets against exact
+    # brute-force cosine top-3 over the same queries.
+    from sutro_spark.operators.metrics import candidate_recall
+    from sutro_spark.operators.similarity import brute_force_topk, sq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=3)
+    approx = sq_topk(emb, queries, k=3)
+    return candidate_recall(exact, approx, keys=("query_id", "neighbor_id"))
+
+
 def q_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold-sweep evidence for dedup tuning: candidate-pair Jaccard
     # distribution in one pass. Buckets are pure integer division —
@@ -2249,6 +2276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "source_overlap": q_source_overlap,
         "jaccard_histogram": q_jaccard_histogram,
+        "lsh_recall": q_lsh_recall,
+        "sq_recall": q_sq_recall,
     }
 
 
@@ -4627,5 +4656,118 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS n_pairs_ge
             FROM hist
+        """,
+        "lsh_recall": f"""
+            WITH {_SHINGLES_CTE},
+            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+            shf AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+            sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
+            truth AS (
+                SELECT id_a, id_b FROM (
+                    SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+                    FROM shf a JOIN shf b USING (shingle)
+                    WHERE a.id < b.id GROUP BY 1, 2) x
+                JOIN sizes sa ON sa.id = x.id_a
+                JOIN sizes sb ON sb.id = x.id_b
+                WHERE i / (sa.n + sb.n - i) >= 0.1),
+            mins AS (
+                SELECT id, i,
+                       min(substring(sha256('s' || CAST(i // 8 AS VARCHAR) || ':' || shingle),
+                                     (i % 8) * 8 + 1, 8)) AS h
+                FROM sh, (SELECT unnest(range(0, 16)) AS i) seeds
+                GROUP BY id, i),
+            sigs AS (SELECT id, list(h ORDER BY i) AS sig FROM mins GROUP BY id),
+            bands AS (
+                SELECT id, unnest(list_transform(range(0, 8),
+                    b -> sha256('band' || CAST(b AS VARCHAR) || ':'
+                                || sig[2*b + 1] || '|' || sig[2*b + 2]))) AS band_key
+                FROM sigs),
+            cand AS (
+                SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                FROM bands x JOIN bands y USING (band_key)
+                WHERE x.id < y.id),
+            joined AS (
+                SELECT coalesce(t.id_a, c.id_a) AS id_a,
+                       CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS t,
+                       CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS c
+                FROM truth t FULL OUTER JOIN cand c
+                  ON t.id_a = c.id_a AND t.id_b = c.id_b),
+            agg AS (
+                SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+                       CAST(sum(c) AS BIGINT) AS n_cand,
+                       CAST(sum(t * c) AS BIGINT) AS n_hit
+                FROM joined)
+            SELECT n_truth, n_cand, n_hit,
+                   CASE WHEN n_truth > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+                   CASE WHEN n_cand > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_cand END AS precision
+            FROM agg
+        """,
+        "sq_recall": f"""
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings),
+            s AS (
+                SELECT query_id, neighbor_id,
+                       {_COSINE.format(a='qv', b='cv')} AS sim
+                FROM q, c WHERE neighbor_id <> query_id),
+            r AS (SELECT *, row_number() OVER
+                      (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+                  FROM s),
+            truth AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+            base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+            mx AS (
+                SELECT vec_id, e,
+                       list_max(list_transform(e, x -> abs(x))) AS ma
+                FROM base),
+            qt AS (
+                SELECT vec_id,
+                       CASE WHEN ma = 0
+                            THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                            ELSE list_transform(e,
+                                x -> CAST(round(x / (ma / 127)) AS BIGINT))
+                       END AS qv
+                FROM mx),
+            qn AS (
+                SELECT vec_id, qv,
+                       CAST(list_sum(list_transform(qv, x -> x * x))
+                            AS BIGINT) AS qn2
+                FROM qt),
+            pairs AS (
+                SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                       CASE WHEN cc.qn2 > 0 AND qq.qn2 > 0 THEN
+                           round(CAST(list_dot_product(
+                                     CAST(cc.qv AS DOUBLE[]),
+                                     CAST(qq.qv AS DOUBLE[])) AS DOUBLE)
+                                 / (sqrt(cc.qn2) * sqrt(qq.qn2)), 6)
+                       ELSE 0.0 END AS sim_q
+                FROM qn cc, (SELECT * FROM qn WHERE vec_id < 5) qq
+                WHERE cc.vec_id <> qq.vec_id),
+            ranked AS (
+                SELECT query_id, neighbor_id, sim_q,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim_q DESC, neighbor_id ASC) AS rank
+                FROM pairs),
+            cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3),
+            joined AS (
+                SELECT CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END AS t,
+                       CASE WHEN cd.query_id IS NOT NULL THEN 1 ELSE 0 END AS c
+                FROM truth t FULL OUTER JOIN cand cd
+                  ON t.query_id = cd.query_id AND t.neighbor_id = cd.neighbor_id),
+            agg AS (
+                SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+                       CAST(sum(c) AS BIGINT) AS n_cand,
+                       CAST(sum(t * c) AS BIGINT) AS n_hit
+                FROM joined)
+            SELECT n_truth, n_cand, n_hit,
+                   CASE WHEN n_truth > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+                   CASE WHEN n_cand > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_cand END AS precision
+            FROM agg
         """,
     }

@@ -121,3 +121,45 @@ def cohens_kappa(
         "chance_pairs",
         F.when(den != 0, num.cast("double") / den).alias("kappa"),
     )
+
+
+def candidate_recall(
+    truth: DataFrame,
+    candidates: DataFrame,
+    keys: list[str] | tuple[str, ...] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Recall/precision of a candidate-generation stage against an
+    exact ground truth — the honesty metric for every approximate path
+    in this repo (LSH bands vs exact Jaccard, IVF probes vs brute
+    force, SimHash blocking vs full Hamming).
+
+    Both inputs are key sets (extra columns ignored); the report is ONE
+    row: (n_truth, n_cand, n_hit, recall, precision) with recall =
+    hit/truth and precision = hit/cand as single IEEE divisions (NULL
+    when the denominator is 0, rather than a fake 0.0 or 1.0).
+
+    Plan: distinct each side, one full-outer equi-join on the keys,
+    one global aggregate — no collects, linear in the pair counts.
+    """
+    ks = list(keys)
+    t = truth.select(*ks).distinct().withColumn("__t", F.lit(1))
+    c = candidates.select(*ks).distinct().withColumn("__c", F.lit(1))
+    j = t.join(c, ks, "full")
+    agg = j.agg(
+        F.sum(F.coalesce(F.col("__t"), F.lit(0))).cast("long").alias("n_truth"),
+        F.sum(F.coalesce(F.col("__c"), F.lit(0))).cast("long").alias("n_cand"),
+        F.sum(
+            F.when(F.col("__t").isNotNull() & F.col("__c").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_hit"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        F.when(
+            F.col("n_truth") > 0, F.col("n_hit").cast("double") / F.col("n_truth")
+        ).alias("recall"),
+        F.when(
+            F.col("n_cand") > 0, F.col("n_hit").cast("double") / F.col("n_cand")
+        ).alias("precision"),
+    )

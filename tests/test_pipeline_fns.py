@@ -485,3 +485,22 @@ def test_jaccard_histogram_integer_buckets(spark):
     )
     # n_pairs_ge at the lowest bucket covers every candidate pair
     assert hist[min(buckets)].n_pairs_ge == total_pairs
+
+
+def test_candidate_recall_basic(spark):
+    from sutro_spark.operators.metrics import candidate_recall
+
+    truth = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "id_a long, id_b long")
+    cand = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    r = candidate_recall(truth, cand).collect()[0]
+    assert (r.n_truth, r.n_cand, r.n_hit) == (3, 3, 2)
+    assert r.recall == 2 / 3 and r.precision == 2 / 3
+
+
+def test_candidate_recall_empty_sides_null_not_zero(spark):
+    from sutro_spark.operators.metrics import candidate_recall
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = candidate_recall(empty, cand).collect()[0]
+    assert r.n_truth == 0 and r.recall is None and r.precision == 0.0
