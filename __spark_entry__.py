@@ -2040,6 +2040,18 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_recall(truth, cand)
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # train/val/test keyed on the duplicate-cluster id (simhash near-dup
+    # components), so near-copies never straddle splits; singletons
+    # degrade to a plain per-doc hash split.
+    from sutro_spark.operators.cluster import leakage_safe_split
+    from sutro_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, max_hamming=8).select("id_a", "id_b")
+    return leakage_safe_split(docs, pairs)
+
+
 def q_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # honesty metric for the quantized ANN path: recall/precision of
     # int8 scalar-quantized top-3 neighbor sets against exact
@@ -2279,6 +2291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_histogram": q_jaccard_histogram,
         "lsh_recall": q_lsh_recall,
         "sq_recall": q_sq_recall,
+        "leakage_safe_split": q_leakage_safe_split,
     }
 
 
@@ -4704,6 +4717,39 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_cand > 0
                         THEN CAST(n_hit AS DOUBLE) / n_cand END AS precision
             FROM agg
+        """,
+        "leakage_safe_split": f"""
+            WITH RECURSIVE {_SIMHASH_CTE},
+            chunks AS (
+                SELECT id, simhash, cid, (simhash >> (cid * 16)) & 65535 AS chunk
+                FROM fp, (SELECT unnest(range(0, 4)) AS cid) c),
+            p AS (
+                SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                FROM chunks x
+                JOIN chunks y ON x.cid = y.cid AND x.chunk = y.chunk
+                WHERE x.id < y.id
+                  AND bit_count(xor(x.simhash, y.simhash)) <= 8),
+            edges AS (SELECT id_a AS a, id_b AS b FROM p
+                      UNION ALL SELECT id_b, id_a FROM p),
+            reach AS (
+                SELECT doc_id AS node, doc_id AS r FROM documents
+                UNION
+                SELECT reach.node, e.b AS r
+                FROM reach JOIN edges e ON e.a = reach.r),
+            lab AS (SELECT node AS doc_id, min(r) AS cluster_id
+                    FROM reach GROUP BY node),
+            sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                      FROM lab GROUP BY cluster_id),
+            kb AS (SELECT lab.doc_id, lab.cluster_id, sizes.cluster_size,
+                          CAST(concat('0x', substr(sha256(concat('split:',
+                               CAST(lab.cluster_id AS VARCHAR))), 1, 8))
+                               AS UBIGINT) % 100 AS b
+                   FROM lab JOIN sizes USING (cluster_id))
+            SELECT doc_id, cluster_id, cluster_size,
+                   CASE WHEN b < 98 THEN 'train'
+                        WHEN b < 99 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM kb
         """,
         "sq_recall": f"""
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from sutro_spark.functions.sampling import hash_bucket
 
-__all__ = ["kmv_distinct", "hll_distinct", "cms_cells", "cms_counts", "cms_estimate"]
+__all__ = ["kmv_distinct", "hll_distinct", "hll_registers", "hll_from_registers", "cms_cells", "cms_counts", "cms_estimate"]
 
 
 def kmv_distinct(
@@ -103,11 +103,28 @@ def hll_distinct(
 
     Output: (grp, n_zero bigint, s_scaled bigint, est_hll double).
     """
+    regs = hll_registers(df, group_column, key_column, p=p, salt=salt)
+    return hll_from_registers(regs, p=p)
+
+
+def hll_registers(
+    df: DataFrame,
+    group_column: str,
+    key_column: str,
+    *,
+    p: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """The HLL state: (grp, j, M) — register index and max rho rank.
+    A max-aggregate, hence associative AND idempotent: batch partitions,
+    incremental batches, and streaming triggers all merge to the same
+    registers (streaming/sketches.streaming_hll reuses this verbatim).
+    Only occupied registers are emitted; :func:`hll_from_registers`
+    completes the grid."""
     if not 4 <= p <= 12:
         raise ValueError(f"p must be in [4, 12], got {p}")
     m = 1 << p
-    field = 32 - p
-    scale = field + 1
+    scale = (32 - p) + 1
     h = hash_bucket(F.col(key_column), salt=salt, buckets=1 << 32)
     rows = df.select(F.col(group_column).alias("grp"), h.alias("h")).select(
         "grp",
@@ -117,9 +134,16 @@ def hll_distinct(
     rho = F.when(F.col("rem") == 0, F.lit(scale)).otherwise(
         F.lit(scale) - F.length(F.bin(F.col("rem")))
     )
-    regs = rows.groupBy("grp", "j").agg(F.max(rho).alias("M"))
-    js = df.sparkSession.range(m).select(F.col("id").alias("j"))
-    grid = rows.select("grp").distinct().crossJoin(F.broadcast(js))
+    return rows.groupBy("grp", "j").agg(F.max(rho).alias("M"))
+
+
+def hll_from_registers(regs: DataFrame, *, p: int = 6) -> DataFrame:
+    """Finish step: registers → (grp, n_zero, s_scaled, est_hll).
+    Deterministic integer/IEEE math as documented on hll_distinct."""
+    m = 1 << p
+    scale = (32 - p) + 1
+    js = regs.sparkSession.range(m).select(F.col("id").alias("j"))
+    grid = regs.select("grp").distinct().crossJoin(F.broadcast(js))
     full = grid.join(regs, ["grp", "j"], "left").select(
         "grp", F.coalesce(F.col("M"), F.lit(0)).alias("M")
     )

@@ -260,3 +260,33 @@ def keep_best(
             (F.col("cluster_size") - 1).alias("n_dropped"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_column: str = "doc_id",
+    splits=None,
+    *,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment keyed on the duplicate-CLUSTER id, so
+    near-duplicates can never straddle splits — the eval-leakage hole a
+    per-document hash split leaves open (a test doc whose near-copy sits
+    in train is a leaked answer; see the decontamination literature,
+    e.g. Lee et al. 2022 §6).
+
+    Composition of two proven parts: :func:`dedup_clusters` labels every
+    doc with its component id, then ``sampling.hash_split`` hashes the
+    CLUSTER id (not the doc id) into split buckets — every member of a
+    cluster shares the hash key, hence the split. Singletons behave
+    exactly like a plain per-doc split.
+
+    Output: (id_column, cluster_id, cluster_size, split).
+    """
+    from sutro_spark.functions.sampling import hash_split
+
+    labeled = dedup_clusters(docs, pairs, id_column)
+    return hash_split(labeled, "cluster_id", splits, salt=salt).select(
+        id_column, "cluster_id", "cluster_size", "split"
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from sutro_spark.functions.sketches import cms_cells
 
-__all__ = ["streaming_cms"]
+__all__ = ["streaming_cms", "streaming_hll"]
 
 
 def streaming_cms(
@@ -47,3 +47,24 @@ def streaming_cms(
     return cells.groupBy(
         F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def streaming_hll(
+    stream: DataFrame,
+    group_column: str,
+    key_column: str,
+    *,
+    p: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """Incrementally maintained HyperLogLog registers over a stream —
+    the max-aggregate twin of :func:`streaming_cms`. State is bounded
+    at (groups x 2^p) rows; because max is idempotent as well as
+    associative, replayed or duplicated records cannot corrupt the
+    registers (exactly-once not required). Run with
+    ``outputMode("complete")`` and feed the sink through
+    ``functions.sketches.hll_from_registers`` for the estimate.
+    """
+    from sutro_spark.functions.sketches import hll_registers
+
+    return hll_registers(stream, group_column, key_column, p=p, salt=salt)

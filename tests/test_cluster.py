@@ -101,3 +101,32 @@ def test_pagerank_star_graph(spark):
     # deterministic across runs (exact integers, no float drift)
     pr2 = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
     assert pr == pr2
+
+
+def test_leakage_safe_split_cluster_integrity(spark):
+    from sutro_spark.operators.cluster import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    # components: {1,2,3}, {4,5}, singletons 6,7,8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(docs, pairs).collect()
+    assert len(out) == 8
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    # every member of a cluster lands in the SAME split
+    assert all(len(s) == 1 for s in by_cluster.values())
+    sizes = {r.cluster_id: r.cluster_size for r in out}
+    assert sizes[1] == 3 and sizes[4] == 2 and sizes[6] == 1
+
+
+def test_leakage_safe_split_custom_shares(spark):
+    from sutro_spark.operators.cluster import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = leakage_safe_split(docs, pairs, splits={"a": 1, "b": 1}).collect()
+    got = {r.split for r in out}
+    assert got == {"a", "b"}

@@ -49,3 +49,47 @@ def test_streaming_cms_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == batch
     assert sum(got.values()) == 3 * spark.read.parquet(src).count()
+
+
+def test_streaming_hll_equals_batch(spark, sf_dir, tmp_path):
+    from sutro_spark.functions.sketches import hll_distinct, hll_from_registers
+    from sutro_spark.streaming.sketches import streaming_hll
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    src = str(tmp_path / "ev")
+    a, b = events.randomSplit([0.5, 0.5], seed=11)
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            streaming_hll(stream, "event_type", "user_id")
+            .writeStream.format("memory")
+            .queryName("hll_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    stream_est = {
+        r.grp: (r.n_zero, r.s_scaled, r.est_hll)
+        for r in hll_from_registers(spark.sql("select * from hll_stream")).collect()
+    }
+    batch_est = {
+        r.grp: (r.n_zero, r.s_scaled, r.est_hll)
+        for r in hll_distinct(
+            spark.read.parquet(src), "event_type", "user_id"
+        ).collect()
+    }
+    assert stream_est == batch_est

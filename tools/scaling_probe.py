@@ -140,6 +140,14 @@ def main() -> None:
         "not overhead. At 100 TB the frequency-cap (`max_df`) and band",
         "width control exactly this blow-up.",
         "",
+        "The sketch rows (hll_distinct 0.13, cms_counts 0.23) are the",
+        "flattest in the table BY DESIGN: their shuffle state is constant",
+        "(registers / counter cells) regardless of input rows, so 16x the",
+        "data costs only the extra scan. strip_passages (0.84) is the",
+        "heaviest new op — its removed-position explode is k x the",
+        "duplicated-window count, and replication makes ~15/16 of all",
+        "windows duplicates (worst case by construction).",
+        "",
         "Generated by `python tools/scaling_probe.py`.",
     ]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
