@@ -139,18 +139,23 @@ def hll_registers(
 
 def hll_from_registers(regs: DataFrame, *, p: int = 6) -> DataFrame:
     """Finish step: registers → (grp, n_zero, s_scaled, est_hll).
-    Deterministic integer/IEEE math as documented on hll_distinct."""
+    Deterministic integer/IEEE math as documented on hll_distinct.
+
+    Empty registers are counted ALGEBRAICALLY (n_zero = m - occupied;
+    each contributes 2^scale to the harmonic sum) instead of
+    materializing a grid and re-joining the register table — one
+    aggregate, no self-join (which also matters practically: a
+    streaming memory-sink table cannot be self-joined, Spark fails to
+    deduplicate MemoryPlan attribute ids)."""
     m = 1 << p
     scale = (32 - p) + 1
-    js = regs.sparkSession.range(m).select(F.col("id").alias("j"))
-    grid = regs.select("grp").distinct().crossJoin(F.broadcast(js))
-    full = grid.join(regs, ["grp", "j"], "left").select(
-        "grp", F.coalesce(F.col("M"), F.lit(0)).alias("M")
-    )
     alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.709)
-    return full.groupBy("grp").agg(
-        F.sum(F.when(F.col("M") == 0, 1).otherwise(0)).cast("long").alias("n_zero"),
-        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - M)")).alias("s_scaled"),
+    return regs.groupBy("grp").agg(
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("n_zero"),
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - M)"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << scale)
+        ).alias("s_scaled"),
     ).select(
         "grp",
         "n_zero",
