@@ -2040,6 +2040,34 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_recall(truth, cand)
 
 
+def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # data-quality expectations over orders: all row-level checks
+    # compile into ONE aggregate scan; unique = count-vs-distinct;
+    # foreign_key = broadcast anti-join against customer keys.
+    from sutro_spark.operators.validate import expect, validate
+
+    return validate(
+        _t(spark, sf_dir, "orders"),
+        [
+            expect("o_orderkey", "not_null"),
+            expect("o_totalprice", "min", value=0),
+            expect(
+                "o_orderpriority",
+                "in_set",
+                values=["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+            ),
+            expect("o_orderstatus", "regex", pattern="^[A-Z]$"),
+            expect("o_orderkey", "unique"),
+            expect(
+                "o_custkey",
+                "foreign_key",
+                ref=_t(spark, sf_dir, "customer"),
+                ref_column="c_custkey",
+            ),
+        ],
+    )
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # train/val/test keyed on the duplicate-cluster id (simhash near-dup
     # components), so near-copies never straddle splits; singletons
@@ -2292,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "sq_recall": q_sq_recall,
         "leakage_safe_split": q_leakage_safe_split,
+        "validate_orders": q_validate_orders,
     }
 
 
@@ -4750,6 +4779,55 @@ def oracle_sql() -> dict[str, str]:
                         WHEN b < 99 THEN 'val'
                         ELSE 'test' END AS split
             FROM kb
+        """,
+        "validate_orders": """
+            WITH rl AS (
+                SELECT count(*) AS n,
+                       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v0,
+                       sum(CASE WHEN o_totalprice IS NOT NULL
+                                 AND o_totalprice < 0 THEN 1 ELSE 0 END) AS v1,
+                       sum(CASE WHEN o_orderpriority IS NOT NULL
+                                 AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH',
+                                     '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+                                THEN 1 ELSE 0 END) AS v2,
+                       sum(CASE WHEN o_orderstatus IS NOT NULL
+                                 AND NOT regexp_matches(o_orderstatus, '^[A-Z]$')
+                                THEN 1 ELSE 0 END) AS v3
+                FROM orders),
+            uq AS (SELECT count(o_orderkey) AS n,
+                          count(DISTINCT o_orderkey) AS d FROM orders),
+            fk AS (
+                SELECT count(*) AS n,
+                       sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS v
+                FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE o.o_custkey IS NOT NULL),
+            rep AS (
+                SELECT 'o_orderkey' AS column_name, 'not_null' AS check_name,
+                       CAST(n AS BIGINT) AS n_rows, CAST(v0 AS BIGINT) AS n_violations
+                FROM rl
+                UNION ALL
+                SELECT 'o_totalprice', 'min(0)', CAST(n AS BIGINT), CAST(v1 AS BIGINT)
+                FROM rl
+                UNION ALL
+                SELECT 'o_orderpriority',
+                       'in_set(1-URGENT,2-HIGH,3-MEDIUM,4-NOT SPECIFIED,5-LOW)',
+                       CAST(n AS BIGINT), CAST(v2 AS BIGINT)
+                FROM rl
+                UNION ALL
+                SELECT 'o_orderstatus', 'regex(^[A-Z]$)',
+                       CAST(n AS BIGINT), CAST(v3 AS BIGINT)
+                FROM rl
+                UNION ALL
+                SELECT 'o_orderkey', 'unique', CAST(n AS BIGINT),
+                       CAST(n - d AS BIGINT)
+                FROM uq
+                UNION ALL
+                SELECT 'o_custkey', 'foreign_key(c_custkey)', CAST(n AS BIGINT),
+                       CAST(v AS BIGINT)
+                FROM fk)
+            SELECT column_name, check_name, n_rows, n_violations,
+                   CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+            FROM rep
         """,
         "sq_recall": f"""
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -1,0 +1,137 @@
+"""Data-quality expectations: declarative constraint checks compiled
+into ONE Spark aggregate per table (plus one tiny aggregate per
+uniqueness/referential check).
+
+North-star extension (the reference — /root/reference — validates only
+its own payload shapes client-side, sdk.py; it has no relational data
+plane). The shape follows the Great Expectations / Deequ idea: a
+pipeline asserts expectations over each ingested table and gates
+downstream stages on the violation report.
+
+Scale design: every ROW-LEVEL expectation (not_null, min/max bounds,
+set membership, regex) compiles to a conditional-sum column inside a
+single global aggregate — one scan, one 1-row partial-aggregated
+result, regardless of how many expectations are declared. Set-level
+expectations need their own aggregation shape: ``unique`` is a
+count-vs-distinct comparison (one shuffle on the column), and
+``foreign_key`` is a left-anti join against the (usually broadcastable)
+referenced key set. The report unions these tiny frames — each is a
+handful of rows, so the union is free.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["expect", "validate"]
+
+
+def expect(column: str, check: str, **params):
+    """Declare one expectation; see ``validate`` for supported checks."""
+    return {"column": column, "check": check, **params}
+
+
+def _row_violation(e: dict) -> F.Column:
+    c = F.col(e["column"])
+    check = e["check"]
+    if check == "not_null":
+        return c.isNull()
+    if check == "min":
+        return c.isNotNull() & (c < F.lit(e["value"]))
+    if check == "max":
+        return c.isNotNull() & (c > F.lit(e["value"]))
+    if check == "in_set":
+        return c.isNotNull() & ~c.isin(list(e["values"]))
+    if check == "regex":
+        return c.isNotNull() & ~c.rlike(e["pattern"])
+    raise ValueError(f"unknown row-level check {check!r}")
+
+
+def _label(e: dict) -> str:
+    check = e["check"]
+    if check in ("min", "max"):
+        return f"{check}({e['value']})"
+    if check == "in_set":
+        return f"in_set({','.join(str(v) for v in sorted(e['values']))})"
+    if check == "regex":
+        return f"regex({e['pattern']})"
+    return check
+
+
+def validate(df: DataFrame, expectations: list[dict]) -> DataFrame:
+    """Run expectations against ``df``.
+
+    Row-level checks: ``not_null``, ``min``/``max`` (value=), ``in_set``
+    (values=), ``regex`` (pattern=) — NULLs only violate ``not_null``
+    (bounds/sets/regex skip NULLs, mirroring SQL three-valued logic).
+    Set-level: ``unique``; ``foreign_key`` (ref=DataFrame, ref_column=).
+
+    Output: (column_name, check_name, n_rows bigint, n_violations
+    bigint, passed int) — one row per expectation, deterministic
+    content (names avoid the COLUMN/CHECK SQL keywords so the report
+    itself stays oracle-queryable).
+    """
+    if not expectations:
+        raise ValueError("no expectations given")
+    row_level = [e for e in expectations if e["check"] not in ("unique", "foreign_key")]
+    frames = []
+    if row_level:
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, e in enumerate(row_level):
+            aggs.append(
+                F.sum(F.when(_row_violation(e), 1).otherwise(0)).alias(f"__v{i}")
+            )
+        one = df.agg(*aggs)
+        frames.extend(
+            one.select(
+                F.lit(e["column"]).alias("column_name"),
+                F.lit(_label(e)).alias("check_name"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.col(f"__v{i}").cast("long").alias("n_violations"),
+            )
+            for i, e in enumerate(row_level)
+        )
+    for e in expectations:
+        if e["check"] == "unique":
+            c = e["column"]
+            frames.append(
+                df.agg(
+                    F.count(F.col(c)).alias("__n"),
+                    F.count_distinct(F.col(c)).alias("__d"),
+                ).select(
+                    F.lit(c).alias("column_name"),
+                    F.lit("unique").alias("check_name"),
+                    F.col("__n").cast("long").alias("n_rows"),
+                    (F.col("__n") - F.col("__d")).cast("long").alias("n_violations"),
+                )
+            )
+        elif e["check"] == "foreign_key":
+            c = e["column"]
+            ref = e["ref"].select(F.col(e["ref_column"]).alias(c)).distinct()
+            orphans = (
+                df.select(c)
+                .where(F.col(c).isNotNull())
+                .join(F.broadcast(ref), c, "left_anti")
+            )
+            n_rows = df.select(c).where(F.col(c).isNotNull())
+            frames.append(
+                orphans.agg(F.count(F.lit(1)).alias("__v"))
+                .crossJoin(n_rows.agg(F.count(F.lit(1)).alias("__n")))
+                .select(
+                    F.lit(c).alias("column_name"),
+                    F.lit(f"foreign_key({e['ref_column']})").alias("check_name"),
+                    F.col("__n").cast("long").alias("n_rows"),
+                    F.col("__v").cast("long").alias("n_violations"),
+                )
+            )
+    report = reduce(lambda a, b: a.unionAll(b), frames)
+    return report.select(
+        "column_name",
+        "check_name",
+        "n_rows",
+        "n_violations",
+        F.when(F.col("n_violations") == 0, 1).otherwise(0).cast("int").alias("passed"),
+    )

@@ -1,0 +1,78 @@
+"""Data-quality expectations (operators/validate.py)."""
+
+import pytest
+
+from sutro_spark.operators.validate import expect, validate
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "A", 100),
+            (2, -5.0, "B", 100),     # violates min(0)
+            (2, 3.0, "zz", None),    # duplicate id, bad regex, null fk ok
+            (None, 2.0, "C", 999),   # null id, orphan fk
+        ],
+        "id long, price double, status string, cust long",
+    )
+
+
+def test_row_level_checks_one_scan(spark):
+    df = _df(spark)
+    out = {
+        (r.column_name, r.check_name): r
+        for r in validate(
+            df,
+            [
+                expect("id", "not_null"),
+                expect("price", "min", value=0),
+                expect("status", "regex", pattern="^[A-Z]$"),
+            ],
+        ).collect()
+    }
+    assert out[("id", "not_null")].n_violations == 1
+    assert out[("price", "min(0)")].n_violations == 1
+    assert out[("status", "regex(^[A-Z]$)")].n_violations == 1
+    assert all(r.n_rows == 4 for r in out.values())
+    assert out[("id", "not_null")].passed == 0
+
+
+def test_unique_and_foreign_key(spark):
+    df = _df(spark)
+    ref = spark.createDataFrame([(100,), (200,)], "k long")
+    out = {
+        (r.column_name, r.check_name): r
+        for r in validate(
+            df,
+            [
+                expect("id", "unique"),
+                expect("cust", "foreign_key", ref=ref, ref_column="k"),
+            ],
+        ).collect()
+    }
+    # id 2 appears twice -> 1 extra; nulls don't count toward unique
+    assert out[("id", "unique")].n_violations == 1
+    fk = out[("cust", "foreign_key(k)")]
+    assert fk.n_rows == 3 and fk.n_violations == 1  # 999 is an orphan
+
+
+def test_in_set_and_nulls_skip_bounds(spark):
+    df = _df(spark)
+    out = validate(df, [expect("status", "in_set", values=["A", "B", "C"])]).collect()[0]
+    assert out.n_violations == 1  # only 'zz'; NULLs would be skipped
+
+
+def test_all_green_passes(spark):
+    df = _df(spark).where("id = 1")
+    rep = validate(df, [expect("id", "not_null"), expect("id", "unique")])
+    assert all(r.passed == 1 for r in rep.collect())
+
+
+def test_empty_expectations_raise(spark):
+    with pytest.raises(ValueError):
+        validate(_df(spark), [])
+
+
+def test_unknown_check_raises(spark):
+    with pytest.raises(ValueError):
+        validate(_df(spark), [expect("id", "between")])
