@@ -2040,6 +2040,15 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_recall(truth, cand)
 
 
+def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collocations by lift = P(ab)/(P(a)P(b)) — the log-free PMI core
+    # (monotone in PMI, no libm ln); min_count=5 suppresses hapax
+    # pairs. Corpus totals are 1-row broadcast cross joins.
+    from sutro_spark.functions.text import bigram_lift
+
+    return bigram_lift(_t(spark, sf_dir, "documents"), k=20, min_count=5)
+
+
 def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data-quality expectations over orders: all row-level checks
     # compile into ONE aggregate scan; unique = count-vs-distinct;
@@ -2321,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_recall": q_sq_recall,
         "leakage_safe_split": q_leakage_safe_split,
         "validate_orders": q_validate_orders,
+        "bigram_lift": q_bigram_lift,
     }
 
 
@@ -4779,6 +4789,34 @@ def oracle_sql() -> dict[str, str]:
                         WHEN b < 99 THEN 'val'
                         ELSE 'test' END AS split
             FROM kb
+        """,
+        "bigram_lift": """
+            WITH t AS (
+                SELECT list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS toks
+                FROM documents),
+            uni AS (SELECT tok AS w, count(*) AS c
+                    FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+            bg AS (SELECT a, b, count(*) AS c_ab FROM (
+                       SELECT toks[CAST(g.i AS INT)] AS a,
+                              toks[CAST(g.i + 1 AS INT)] AS b
+                       FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+                       WHERE len(toks) >= 2) x
+                   GROUP BY a, b HAVING count(*) >= 5),
+            nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+            nb AS (SELECT CAST(sum(len(toks) - 1) AS BIGINT) AS n_bi
+                   FROM t WHERE len(toks) >= 2),
+            s AS (
+                SELECT bg.a || ' ' || bg.b AS bigram,
+                       CAST(c_ab AS BIGINT) AS c_ab,
+                       CAST(c_ab AS DOUBLE) / nb.n_bi
+                           / (CAST(ua.c AS DOUBLE) / nu.n_uni
+                              * (CAST(ub.c AS DOUBLE) / nu.n_uni)) AS lift
+                FROM bg
+                JOIN uni ua ON bg.a = ua.w
+                JOIN uni ub ON bg.b = ub.w, nu, nb)
+            SELECT bigram, c_ab, lift FROM s
+            ORDER BY lift DESC, bigram ASC LIMIT 20
         """,
         "validate_orders": """
             WITH rl AS (

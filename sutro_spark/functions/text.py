@@ -373,3 +373,74 @@ def reassemble_text(
         (F.max(chunk_id_column) + 1).alias("n_chunks"),
         rebuilt.alias("text"),
     )
+
+
+def bigram_lift(
+    df: DataFrame,
+    text_column: str = "text",
+    *,
+    k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation strength: top-k bigrams by LIFT — P(ab) / (P(a)P(b))
+    — the log-free PMI core (log is monotone, so ranking by lift IS
+    ranking by PMI, without libm ln whose bits differ across engines).
+
+    lift = (c_ab / N_bi) / ((c_a / N_uni) * (c_b / N_uni)); computed in
+    a fixed left-to-right double expression so both engines produce
+    identical bits. ``min_count`` suppresses the unstable tail (a
+    hapax pair has huge lift by construction).
+
+    Scale shape: one scan builds unigram and bigram streams; two
+    map-side-combinable groupBys; corpus totals are 1-row aggregates
+    broadcast via cross join (never a driver collect); final top-k is
+    TakeOrderedAndProject.
+    """
+    t = df.select(tokens(F.lower(F.col(text_column))).alias("toks"))
+    uni = (
+        t.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg = (
+        t.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks)-2),"
+                    " i -> struct(toks[i] AS a, toks[i+1] AS b))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("c").cast("long").alias("n_uni"))
+    n_bi = (
+        t.where(F.size("toks") >= 2)
+        .agg(F.sum(F.size("toks") - 1).cast("long").alias("n_bi"))
+    )
+    ua = uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    scored = (
+        bg.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            F.concat_ws(" ", F.col("a"), F.col("b")).alias("bigram"),
+            F.col("c_ab").cast("long").alias("c_ab"),
+            (
+                F.col("c_ab").cast("double")
+                / F.col("n_bi")
+                / (
+                    F.col("c_a").cast("double")
+                    / F.col("n_uni")
+                    * (F.col("c_b").cast("double") / F.col("n_uni"))
+                )
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), F.asc("bigram")).limit(k)

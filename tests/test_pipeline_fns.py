@@ -504,3 +504,17 @@ def test_candidate_recall_empty_sides_null_not_zero(spark):
     cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     r = candidate_recall(empty, cand).collect()[0]
     assert r.n_truth == 0 and r.recall is None and r.precision == 0.0
+
+
+def test_bigram_lift_ranks_collocations(spark):
+    from sutro_spark.functions.text import bigram_lift
+
+    # "new york" always co-occur; "the cat"/"the dog" share 'the'
+    rows = [("new york",)] * 6 + [("the cat",)] * 6 + [("the dog",)] * 6
+    df = spark.createDataFrame(rows, "text string")
+    out = bigram_lift(df, k=3, min_count=5).collect()
+    by = {r.bigram: r for r in out}
+    assert "new york" in by and by["new york"].c_ab == 6
+    # perfect collocation beats the shared-'the' pairs
+    assert out[0].bigram == "new york"
+    assert by["new york"].lift > by["the cat"].lift
