@@ -141,3 +141,49 @@ def test_shuffled_shards_deterministic_and_complete(spark):
     b = {(r["doc_id"], r["shard"], r["position"])
          for r in shuffled_shards(df.repartition(13), "doc_id", num_shards=8).collect()}
     assert {(r["doc_id"], r["shard"], r["position"]) for r in rows} == b
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_passage_strip_invariants(spark, docs):
+    """ExactSubstr invariants vs a Python model on tiny alphabets
+    (heavy duplication by construction): every duplicated k-window is
+    flagged, exactly one canonical occurrence survives corpus-wide, and
+    n_kept + n_removed == n_tokens for every doc."""
+    from sutro_spark.operators.passages import dup_passage_stats, strip_dup_passages
+
+    k = 3
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    toks = {i: t.split() for i, t in enumerate(docs)}
+    occ: dict = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            occ.setdefault(tuple(ts[p : p + k]), []).append((i, p))
+
+    stats = {r.doc_id: r for r in dup_passage_stats(df, k=k).collect()}
+    for i, ts in toks.items():
+        n_windows = max(len(ts) - k + 1, 0)
+        n_dup = sum(
+            1
+            for p in range(n_windows)
+            if len(occ[tuple(ts[p : p + k])]) > 1
+        )
+        assert stats[i].n_windows == n_windows
+        assert stats[i].n_dup_windows == n_dup
+
+    strip = {r.doc_id: r for r in strip_dup_passages(df, k=k).collect()}
+    removed_model: dict = {i: set() for i in toks}
+    for positions in occ.values():
+        if len(positions) > 1:
+            for (i, p) in sorted(positions)[1:]:
+                removed_model[i].update(range(p, p + k))
+    for i, ts in toks.items():
+        kept = [t for p, t in enumerate(ts) if p not in removed_model[i]]
+        assert strip[i].clean_text == " ".join(kept)
+        assert strip[i].n_kept + strip[i].n_removed == strip[i].n_tokens == len(ts)
