@@ -2077,6 +2077,23 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall trilogy, part 3: IVF-probed top-3 (nprobe=2 of the
+    # every-50th-vector centroids) vs exact brute-force cosine top-3 —
+    # measures what the bucket pruning actually costs in recall.
+    from sutro_spark.operators.metrics import candidate_recall
+    from sutro_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=3)
+    approx = ivf_topk(emb, queries, cents, k=3, nprobe=2)
+    return candidate_recall(exact, approx, keys=("query_id", "neighbor_id"))
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # train/val/test keyed on the duplicate-cluster id (simhash near-dup
     # components), so near-copies never straddle splits; singletons
@@ -2331,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "validate_orders": q_validate_orders,
         "bigram_lift": q_bigram_lift,
+        "ivf_recall": q_ivf_recall,
     }
 
 
@@ -4866,6 +4884,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT column_name, check_name, n_rows, n_violations,
                    CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
             FROM rep
+        """,
+        "ivf_recall": f"""
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings),
+            s AS (
+                SELECT query_id, neighbor_id,
+                       {_COSINE.format(a='qv', b='cv')} AS sim
+                FROM q, c WHERE neighbor_id <> query_id),
+            r AS (SELECT *, row_number() OVER
+                      (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+                  FROM s),
+            truth AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+            v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            vn AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS n FROM v),
+            cents AS (SELECT vec_id AS cid, e AS ce, n AS cn
+                      FROM vn WHERE vec_id % 50 = 0),
+            assigned AS (
+                SELECT vec_id, e, n, cid FROM (
+                    SELECT vn.vec_id, vn.e, vn.n, cents.cid,
+                           row_number() OVER (PARTITION BY vn.vec_id
+                               ORDER BY list_dot_product(vn.e, cents.ce) DESC,
+                                        cents.cid ASC) AS rn
+                    FROM vn, cents) WHERE rn = 1),
+            qprobe AS (
+                SELECT query_id, qv, cid FROM (
+                    SELECT qq.vec_id AS query_id, qq.e AS qv, cents.cid,
+                           row_number() OVER (PARTITION BY qq.vec_id
+                               ORDER BY list_dot_product(qq.e, cents.ce) DESC,
+                                        cents.cid ASC) AS rn
+                    FROM (SELECT * FROM vn WHERE vec_id < 5) qq, cents)
+                WHERE rn <= 2),
+            scored AS (
+                SELECT p.query_id, a.vec_id AS neighbor_id,
+                       round(list_dot_product(p.qv, a.e)
+                             / (sqrt(list_dot_product(p.qv, p.qv)) * a.n), 6) AS sim
+                FROM qprobe p JOIN assigned a USING (cid)
+                WHERE a.vec_id <> p.query_id),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id ASC) AS rank
+                FROM scored),
+            cand AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3),
+            joined AS (
+                SELECT CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END AS t,
+                       CASE WHEN cd.query_id IS NOT NULL THEN 1 ELSE 0 END AS c
+                FROM truth t FULL OUTER JOIN cand cd
+                  ON t.query_id = cd.query_id AND t.neighbor_id = cd.neighbor_id),
+            agg AS (
+                SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+                       CAST(sum(c) AS BIGINT) AS n_cand,
+                       CAST(sum(t * c) AS BIGINT) AS n_hit
+                FROM joined)
+            SELECT n_truth, n_cand, n_hit,
+                   CASE WHEN n_truth > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+                   CASE WHEN n_cand > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_cand END AS precision
+            FROM agg
         """,
         "sq_recall": f"""
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
