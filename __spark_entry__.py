@@ -2077,6 +2077,17 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus concentration diagnostic: exact Gini of document lengths
+    # per source via the sorted-rank identity — integer arithmetic up
+    # to one IEEE division (tie-insensitive, engine-reproducible).
+    from sutro_spark.functions.stats import gini_concentration
+
+    return gini_concentration(
+        _t(spark, sf_dir, "documents"), "n_chars", group_column="source"
+    )
+
+
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall trilogy, part 3: IVF-probed top-3 (nprobe=2 of the
     # every-50th-vector centroids) vs exact brute-force cosine top-3 —
@@ -2349,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_orders": q_validate_orders,
         "bigram_lift": q_bigram_lift,
         "ivf_recall": q_ivf_recall,
+        "length_gini": q_length_gini,
     }
 
 
@@ -4884,6 +4896,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT column_name, check_name, n_rows, n_violations,
                    CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
             FROM rep
+        """,
+        "length_gini": """
+            WITH vals AS (
+                SELECT source AS grp, CAST(n_chars AS BIGINT) AS x
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars >= 0),
+            r AS (SELECT grp, x, row_number() OVER
+                      (PARTITION BY grp ORDER BY x ASC) AS i
+                  FROM vals),
+            a AS (SELECT grp, count(*) AS n, sum(x) AS total,
+                         sum(i * x) AS ix
+                  FROM r GROUP BY grp)
+            SELECT grp, CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total,
+                   CASE WHEN total > 0 THEN
+                       CAST(2 * ix - (n + 1) * total AS DOUBLE)
+                       / (n * total) END AS gini
+            FROM a
         """,
         "ivf_recall": f"""
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

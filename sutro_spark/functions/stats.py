@@ -11,7 +11,7 @@ back onto the fact side: the big table is never shuffled twice.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["winsorize", "zscore_outliers"]
@@ -107,4 +107,51 @@ def zscore_outliers(
         .withColumn("z", F.round(z, decimals))
         .where(F.abs(F.col("z")) > threshold)
         .select("id", F.col("grp").alias("grp"), "cents", "z")
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_column: str,
+    *,
+    group_column: str | None = None,
+) -> DataFrame:
+    """Exact Gini coefficient of a non-negative value column — the
+    corpus-concentration diagnostic ("is my training mix dominated by
+    a few giant documents/sources?").
+
+    Uses the sorted-rank identity  G = (2·Σ i·x_i − (n+1)·Σ x_i)
+    / (n·Σ x_i)  over ascending-sorted values (ties broken stably by
+    value order only — the identity is tie-insensitive). Everything up
+    to the final division is exact integer arithmetic, so the result
+    is one IEEE division — engine-reproducible.
+
+    Plan: one rank window per group (ascending sort bounded per
+    group), one aggregate. With no ``group_column`` a single global
+    group is used — the sort is then a single total order, which is
+    the honest cost of an exact Gini; use groups (e.g. source) at
+    100 TB, or sample first.
+
+    Output: (group, n bigint, total bigint, gini double).
+    """
+    g = F.lit("all").alias("grp") if group_column is None else F.col(group_column).alias("grp")
+    vals = df.select(g, F.col(value_column).cast("long").alias("x")).where(
+        F.col("x").isNotNull() & (F.col("x") >= 0)
+    )
+    w = Window.partitionBy("grp").orderBy(F.asc("x"))
+    ranked = vals.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("total"),
+        F.sum(F.col("i") * F.col("x")).alias("ix"),
+    )
+    return agg.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("long").alias("total"),
+        F.when(
+            F.col("total") > 0,
+            (2 * F.col("ix") - (F.col("n") + 1) * F.col("total")).cast("double")
+            / (F.col("n") * F.col("total")),
+        ).alias("gini"),
     )

@@ -518,3 +518,22 @@ def test_bigram_lift_ranks_collocations(spark):
     # perfect collocation beats the shared-'the' pairs
     assert out[0].bigram == "new york"
     assert by["new york"].lift > by["the cat"].lift
+
+
+def test_gini_concentration_known_values(spark):
+    from sutro_spark.functions.stats import gini_concentration
+
+    # perfectly equal -> 0; fully concentrated -> (n-1)/n
+    eq = spark.createDataFrame([("a", 5)] * 4, "g string, x long")
+    assert gini_concentration(eq, "x", group_column="g").collect()[0].gini == 0.0
+    conc = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("a", 0), ("a", 100)], "g string, x long"
+    )
+    assert gini_concentration(conc, "x", group_column="g").collect()[0].gini == 0.75
+    # tie-insensitive: shuffling duplicates never changes the result
+    dup = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", 3), ("a", 5)], "g string, x long"
+    )
+    g1 = gini_concentration(dup, "x", group_column="g").collect()[0].gini
+    g2 = gini_concentration(dup.repartition(7), "x", group_column="g").collect()[0].gini
+    assert g1 == g2
