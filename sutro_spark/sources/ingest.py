@@ -190,3 +190,21 @@ def prepare_input_data(spark: SparkSession, data, column: str | None = None) -> 
             return read_text(spark, data, column or "prompt")
         raise ValueError(f"unsupported file type: {data}")
     raise ValueError(f"unsupported input data type: {type(data).__name__}")
+
+
+def read_orc(
+    spark: SparkSession, path: str, order_by: Sequence[str] | None = None
+) -> DataFrame:
+    """ORC scan with the repo's __row_id convention — Spark's native
+    columnar alternative when upstream systems (Hive/Trino warehouses)
+    hand over ORC instead of parquet. Same pushdown/pruning behavior
+    as parquet (both are first-class Spark file sources); no oracle
+    query is registered because DuckDB cannot read ORC — covered by a
+    write/read round-trip test instead."""
+    return with_row_id(spark.read.orc(path), order_by=order_by)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """ORC sink (columns only — __row_id is re-mintable on read)."""
+    drop = [c for c in (ROW_ID,) if c in df.columns]
+    df.drop(*drop).write.mode(mode).orc(path)

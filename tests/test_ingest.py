@@ -119,3 +119,36 @@ def test_read_jsonl_roundtrip(spark, tmp_path):
     assert [r["k"] for r in rows] == [1, 2, 3]
     assert rows[2]["s"] is None
     assert [r[ROW_ID] for r in df.orderBy(ROW_ID).collect()] == [0, 1, 2]
+
+
+def test_orc_round_trip(spark, sf_dir, tmp_path):
+    from sutro_spark.sources.ingest import read_orc, write_orc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path)
+    back = read_orc(spark, path, order_by=["doc_id"])
+    assert back.count() == docs.count()
+    assert "__row_id" in back.columns
+    a = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    b = {r.doc_id: r.text for r in back.select("doc_id", "text").collect()}
+    assert a == b
+
+
+def test_orc_scan_pushes_filters(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sutro_spark.sources.ingest import write_orc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "docs_orc2")
+    write_orc(docs, path)
+    plan = (
+        spark.read.orc(path)
+        .where(F.col("doc_id") < 10)
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "LessThan(doc_id,10)" in plan
