@@ -2077,6 +2077,23 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # portable approximate quantiles: integer-binned histogram (1000
+    # bins) over order totals in cents, per priority class — mergeable
+    # by addition (unlike percentile_approx's engine-private KLL
+    # sketch) and bit-identical across engines.
+    from sutro_spark.functions.stats import histogram_quantiles
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    cents = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return histogram_quantiles(
+        cents, "cents", group_column="o_orderpriority", quantiles=(0.5, 0.95, 0.99)
+    )
+
+
 def q_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus concentration diagnostic: exact Gini of document lengths
     # per source via the sorted-rank identity — integer arithmetic up
@@ -2361,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lift": q_bigram_lift,
         "ivf_recall": q_ivf_recall,
         "length_gini": q_length_gini,
+        "price_histogram_quantiles": q_price_histogram_quantiles,
     }
 
 
@@ -4896,6 +4914,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT column_name, check_name, n_rows, n_violations,
                    CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
             FROM rep
+        """,
+        "price_histogram_quantiles": """
+            WITH vals AS (
+                SELECT o_orderpriority AS grp,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS x
+                FROM orders WHERE o_totalprice IS NOT NULL),
+            bounds AS (SELECT grp, min(x) AS lo, max(x) AS hi,
+                              count(*) AS n
+                       FROM vals GROUP BY grp),
+            binned AS (
+                SELECT v.grp, b.n,
+                       CAST(((v.x - b.lo) * 1000) // (b.hi - b.lo + 1) AS INT) AS bb,
+                       b.lo, b.hi, count(*) AS c
+                FROM vals v JOIN bounds b USING (grp)
+                GROUP BY 1, 2, 3, 4, 5),
+            cum AS (SELECT *, sum(c) OVER (PARTITION BY grp ORDER BY bb ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                    FROM binned),
+            ex AS (SELECT cum.*, qq.q
+                   FROM cum, (SELECT unnest([CAST(0.5 AS DOUBLE),
+                                             CAST(0.95 AS DOUBLE),
+                                             CAST(0.99 AS DOUBLE)]) AS q) qq),
+            hit AS (SELECT grp, q, n, bb, lo, hi FROM ex
+                    WHERE cum >= CAST(ceil(q * n) AS BIGINT))
+            SELECT grp, q, CAST(max(n) AS BIGINT) AS n,
+                   CAST(min(lo + (bb * (hi - lo + 1)) // 1000) AS BIGINT)
+                       AS approx_value
+            FROM hit GROUP BY grp, q
         """,
         "length_gini": """
             WITH vals AS (

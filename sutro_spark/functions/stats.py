@@ -11,6 +11,8 @@ back onto the fact side: the big table is never shuffled twice.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -154,4 +156,77 @@ def gini_concentration(
             (2 * F.col("ix") - (F.col("n") + 1) * F.col("total")).cast("double")
             / (F.col("n") * F.col("total")),
         ).alias("gini"),
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_column: str,
+    *,
+    group_column: str | None = None,
+    quantiles: Sequence[float] = (0.5, 0.95, 0.99),
+    bins: int = 1000,
+) -> DataFrame:
+    """Approximate quantiles via fixed integer binning — the
+    100 TB percentile: an exact quantile needs a per-group sort;
+    Spark's ``percentile_approx`` (KLL/GK) is engine-private state.
+    This histogram is PORTABLE: bin = ((x - min) * bins) DIV span is
+    pure integer math, the histogram merges by addition (mergeable
+    across partitions/batches — same property as the sketches), and
+    the reported value is the bin's lower bound — deterministic on any
+    engine, error bounded by span/bins.
+
+    Two passes over the values (min/max then counts), both map-side
+    combinable; the per-group cumsum window runs over at most ``bins``
+    rows. Quantile rule: smallest bin whose cumulative count reaches
+    ceil(q * n).
+
+    Output: (grp, q double, n bigint, approx_value bigint).
+    Integer-valued columns only (cast upstream for decimals — scale to
+    cents first, the repo-wide convention).
+    """
+    if not quantiles or any(not 0 < q <= 1 for q in quantiles):
+        raise ValueError(f"quantiles must be in (0, 1]: {quantiles}")
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    g = F.lit("all").alias("grp") if group_column is None else F.col(group_column).alias("grp")
+    vals = df.select(g, F.col(value_column).cast("long").alias("x")).where(
+        F.col("x").isNotNull()
+    )
+    bounds = vals.groupBy("grp").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    binned = (
+        vals.join(bounds, "grp")
+        .select(
+            "grp",
+            "n",
+            F.expr(f"CAST(((x - lo) * {bins}) DIV (hi - lo + 1) AS INT)").alias("b"),
+            "lo",
+            "hi",
+        )
+        .groupBy("grp", "n", "b", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.asc("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.withColumn("cum", F.sum("c").over(w))
+    qs = F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("q")
+    expanded = cum.select("grp", "n", "b", "lo", "hi", "cum", qs)
+    # smallest bin with cum >= ceil(q * n): keep qualifying bins, take min
+    hit = expanded.where(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("n")).cast("long")
+    )
+    return (
+        hit.groupBy("grp", "q")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.min(
+                F.col("lo") + F.expr(f"CAST(b * (hi - lo + 1) DIV {bins} AS BIGINT)")
+            ).alias("approx_value"),
+        )
+        .select("grp", "q", "n", F.col("approx_value").cast("long").alias("approx_value"))
     )

@@ -537,3 +537,41 @@ def test_gini_concentration_known_values(spark):
     g1 = gini_concentration(dup, "x", group_column="g").collect()[0].gini
     g2 = gini_concentration(dup.repartition(7), "x", group_column="g").collect()[0].gini
     assert g1 == g2
+
+
+def test_histogram_quantiles_accuracy_and_edges(spark):
+    from sutro_spark.functions.stats import histogram_quantiles
+
+    df = spark.createDataFrame([("a", i) for i in range(1, 1001)], "g string, x long")
+    out = {
+        r.q: r.approx_value
+        for r in histogram_quantiles(df, "x", group_column="g", bins=1000).collect()
+    }
+    # 1000 values over 1000 bins: bin width 1 → approx == exact rank value
+    assert out[0.5] == 500 and out[0.95] == 950 and out[0.99] == 990
+    # constant column: single bin, quantile = the value
+    const = spark.createDataFrame([("a", 7)] * 5, "g string, x long")
+    row = histogram_quantiles(const, "x", group_column="g", quantiles=(0.5,)).collect()[0]
+    assert row.approx_value == 7 and row.n == 5
+
+
+def test_histogram_quantiles_merge_bound(spark):
+    from sutro_spark.functions.stats import histogram_quantiles
+
+    # coarse bins: answer within one bin width of the exact quantile
+    df = spark.createDataFrame([("a", i) for i in range(0, 10000, 7)], "g string, x long")
+    row = histogram_quantiles(df, "x", group_column="g", quantiles=(0.5,), bins=100).collect()[0]
+    exact = sorted(range(0, 10000, 7))[len(range(0, 10000, 7)) // 2]
+    assert abs(row.approx_value - exact) <= 10000 // 100 + 7
+
+
+def test_histogram_quantiles_validation(spark):
+    import pytest as _pytest
+
+    from sutro_spark.functions.stats import histogram_quantiles
+
+    df = spark.createDataFrame([("a", 1)], "g string, x long")
+    with _pytest.raises(ValueError):
+        histogram_quantiles(df, "x", quantiles=(0.0,))
+    with _pytest.raises(ValueError):
+        histogram_quantiles(df, "x", bins=1)
