@@ -322,3 +322,22 @@ def test_linear_quality_score_deterministic_and_weighted(spark):
     )
     custom = linear_quality_score(df, weights=wt).collect()[0]
     assert custom["score"] == round(7 / 1000, 6) and custom["label"] == 1
+
+
+def test_compression_signals_orders_by_redundancy(spark):
+    from sutro_spark.operators.quality import compression_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 200),            # highly repetitive
+            (2, "the quick brown fox jumps over the lazy dog " * 5),
+            (3, ""),                        # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in compression_signals(df).collect()}
+    assert out[1].compression_ratio < out[2].compression_ratio < 1.0
+    assert out[3].compression_ratio == 0.0 and out[3].compressed_len > 0
+    # deterministic: same input -> same bytes counts
+    again = {r.doc_id: r.compressed_len for r in compression_signals(df).collect()}
+    assert again == {k: v.compressed_len for k, v in out.items()}
