@@ -47,7 +47,10 @@ def kmv_distinct(
     """
     h = hash_bucket(F.col(key_column), salt=salt, buckets=1 << 32)
     hashes = (
-        df.select(F.col(group_column).alias("grp"), h.alias("h"))
+        # NULL keys → NULL hash, which ascends FIRST in the rank window
+        # and would poison h_k; COUNT DISTINCT ignores NULLs — so do we
+        df.where(F.col(key_column).isNotNull())
+        .select(F.col(group_column).alias("grp"), h.alias("h"))
         .groupBy("grp", "h")
         .agg(F.lit(1))
         .select("grp", "h")
@@ -126,7 +129,12 @@ def hll_registers(
     m = 1 << p
     scale = (32 - p) + 1
     h = hash_bucket(F.col(key_column), salt=salt, buckets=1 << 32)
-    rows = df.select(F.col(group_column).alias("grp"), h.alias("h")).select(
+    # NULL keys hash to NULL and would create a phantom (j=NULL, M=NULL)
+    # register that corrupts n_zero/s_scaled downstream — ignore them
+    # (COUNT DISTINCT semantics ignore NULLs too)
+    rows = df.where(F.col(key_column).isNotNull()).select(
+        F.col(group_column).alias("grp"), h.alias("h")
+    ).select(
         "grp",
         (F.col("h") % m).alias("j"),
         F.shiftright(F.col("h"), p).alias("rem"),
@@ -219,7 +227,10 @@ def cms_counts(
     """
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
-    rows = df.select(cms_cells(key_column, depth=depth, width=width, salt=salt))
+    # NULL keys would address NULL cells; frequency semantics ignore them
+    rows = df.where(F.col(key_column).isNotNull()).select(
+        cms_cells(key_column, depth=depth, width=width, salt=salt)
+    )
     return (
         rows.groupBy(F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -246,7 +257,7 @@ def cms_estimate(
 
     Output: (key string, est_count bigint).
     """
-    probes = candidates.select(
+    probes = candidates.where(F.col(key_column).isNotNull()).select(
         F.col(key_column).cast("string").alias("key"),
         cms_cells(key_column, depth=depth, width=width, salt=salt),
     ).select("key", F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))

@@ -142,19 +142,29 @@ def gini_concentration(
     )
     w = Window.partitionBy("grp").orderBy(F.asc("x"))
     ranked = vals.withColumn("i", F.row_number().over(w))
+    # Σ i·x is summed in DECIMAL(38,0): with i up to n and int64 x the
+    # long sum would silently wrap around n·avg_x ≈ 2^63 (a few billion
+    # rows of kilobyte docs) — decimal keeps the identity exact to
+    # 10^38, mirroring DuckDB's HUGEINT aggregate
     agg = ranked.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("total"),
-        F.sum(F.col("i") * F.col("x")).alias("ix"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+        ).alias("ix"),
     )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("ix")
+        - (F.col("n") + 1).cast("decimal(19,0)")
+        * F.col("total").cast("decimal(19,0)")
+    )
+    den = F.col("n").cast("decimal(19,0)") * F.col("total").cast("decimal(19,0)")
     return agg.select(
         "grp",
         F.col("n").cast("long").alias("n"),
         F.col("total").cast("long").alias("total"),
         F.when(
-            F.col("total") > 0,
-            (2 * F.col("ix") - (F.col("n") + 1) * F.col("total")).cast("double")
-            / (F.col("n") * F.col("total")),
+            F.col("total") > 0, num.cast("double") / den.cast("double")
         ).alias("gini"),
     )
 

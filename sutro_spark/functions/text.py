@@ -396,7 +396,11 @@ def bigram_lift(
     broadcast via cross join (never a driver collect); final top-k is
     TakeOrderedAndProject.
     """
-    t = df.select(tokens(F.lower(F.col(text_column))).alias("toks"))
+    # three consumers (unigram counts, bigram counts, bigram total) —
+    # persist the tokenized pass or Catalyst re-scans and re-tokenizes
+    # the corpus three times (selection.py measured that fan-out at 3x
+    # the whole query). Caller releases via unpersist/clearCache.
+    t = df.select(tokens(F.lower(F.col(text_column))).alias("toks")).persist()
     uni = (
         t.select(F.explode("toks").alias("w"))
         .groupBy("w")

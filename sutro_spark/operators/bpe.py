@@ -60,8 +60,9 @@ def _wrapped_chars(col) -> F.Column:
 
 def _symbols(ws) -> F.Column:
     """wrapped string → array of symbols (strip outer markers, split on
-    the \\x02\\x01 boundary)."""
-    inner = F.expr("substring(ws, 2, length(ws) - 2)")
+    the \\x02\\x01 boundary). Accepts a column name or Column."""
+    c = F.col(ws) if isinstance(ws, str) else ws
+    inner = c.substr(F.lit(2), F.length(c) - 2)
     return F.split(inner, f"{_R}{_L}")
 
 
@@ -93,8 +94,19 @@ def _train(df: DataFrame, text_column: str, rounds: int):
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("weight").alias("cnt"))
         )
+        # sentinel row (cnt=-1, empty symbols): when a round finds NO
+        # pairs (vocabulary fully merged before `rounds` is exhausted),
+        # limit(1) alone would yield an EMPTY frame and the cross join
+        # below would annihilate the whole vocabulary. The sentinel
+        # keeps `top` at exactly one row; its replace pattern
+        # \x01\x02\x01\x02 cannot match (symbols are non-empty) and
+        # sentinel rounds are filtered out of the merge list.
+        sentinel = pairs.sparkSession.createDataFrame(
+            [("", "", -1)], "l string, r string, cnt long"
+        )
         top = (
-            pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            pairs.unionByName(sentinel)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
             .limit(1)
             .select(
                 F.col("l").alias("ml"),
@@ -103,7 +115,7 @@ def _train(df: DataFrame, text_column: str, rounds: int):
             )
         )
         merges.append(
-            top.select(
+            top.where(F.col("mcnt") >= 0).select(
                 F.lit(r).cast("long").alias("round"),
                 F.col("ml").alias("lhs"),
                 F.col("mr").alias("rhs"),

@@ -97,6 +97,9 @@ def dsir_weights(
     # |docs|·|distinct buckets per doc| rows of three integers — orders
     # of magnitude smaller than the text it summarizes.
     pdb_raw = (
+        # persisted for the multi-consumer plan below; caches live until
+        # the caller's unpersist/clearCache (bench clears per query) —
+        # long-lived sessions calling this repeatedly should clear
         raw_tok.groupBy("id", "b").agg(F.count(F.lit(1)).alias("cnt")).persist()
     )
     pdb_tgt = (
@@ -185,6 +188,7 @@ def charlm_score(
     # n(xy), n(x·) and the alphabet are rollups of this small table,
     # never re-scans of the corpus.
     per_doc = (
+        # persisted shared pass — same caller-release note as dsir_weights
         grams.groupBy("id", "shingle").agg(F.count(F.lit(1)).alias("cnt")).persist()
     )
     n_xy = per_doc.groupBy("shingle").agg(F.sum("cnt").alias("nxy"))

@@ -81,3 +81,15 @@ def test_vocab_top_and_tiebreak(spark):
     # lexicographic tie-break puts 'c' before 'd'
     assert (out[0].subword, out[0].occurrences, out[0].n_words) == ("ab", 3, 1)
     assert [r.subword for r in out[1:]] == ["c", "d"]
+
+
+def test_exhausted_vocabulary_survives_extra_rounds(spark):
+    from sutro_spark.operators.bpe import bpe_merges, bpe_segment
+
+    # 'ab' fully merges after 1 round; rounds=3 must not annihilate
+    # the vocabulary (regression: empty argmax × cross join → 0 rows)
+    df = _corpus(spark, "ab ab")
+    seg = bpe_segment(df, rounds=3).collect()
+    assert len(seg) == 1 and seg[0].subwords == ["ab"]
+    merges = bpe_merges(df, rounds=3).collect()
+    assert [(m.round, m.lhs, m.rhs) for m in merges] == [(1, "a", "b")]

@@ -119,3 +119,25 @@ def test_cms_validation(spark):
     df = spark.createDataFrame([("x",)], "k string")
     with _pytest.raises(ValueError):
         cms_counts(df, "k", depth=0)
+
+
+def test_sketches_ignore_null_keys(spark):
+    from sutro_spark.functions.sketches import (
+        cms_counts,
+        hll_distinct,
+        kmv_distinct,
+    )
+
+    clean = spark.createDataFrame([("g", i) for i in range(50)], "grp string, k bigint")
+    dirty = clean.unionAll(
+        spark.createDataFrame([("g", None)] * 7, "grp string, k bigint")
+    )
+    h1 = hll_distinct(clean, "grp", "k").collect()[0]
+    h2 = hll_distinct(dirty, "grp", "k").collect()[0]
+    assert (h1.n_zero, h1.s_scaled, h1.est_hll) == (h2.n_zero, h2.s_scaled, h2.est_hll)
+    k1 = kmv_distinct(clean, "grp", "k").collect()[0]
+    k2 = kmv_distinct(dirty, "grp", "k").collect()[0]
+    assert (k1.n_le_k, k1.est_distinct) == (k2.n_le_k, k2.est_distinct)
+    c1 = {(r.row, r.bucket): r.cnt for r in cms_counts(clean.select(F.col("k").cast("string").alias("k")), "k").collect()}
+    c2 = {(r.row, r.bucket): r.cnt for r in cms_counts(dirty.select(F.col("k").cast("string").alias("k")), "k").collect()}
+    assert c1 == c2
