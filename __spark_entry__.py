@@ -2077,6 +2077,15 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # join/agg-key skew diagnosis: top keys + max/avg skew factor —
+    # the "should I salt this join?" evidence. One combinable groupBy
+    # plus a 1-row broadcast stats cross join.
+    from sutro_spark.functions.skew import skew_report
+
+    return skew_report(_t(spark, sf_dir, "events"), "event_type", top=10)
+
+
 def q_price_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # portable approximate quantiles: integer-binned histogram (1000
     # bins) over order totals in cents, per priority class — mergeable
@@ -2379,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "length_gini": q_length_gini,
         "price_histogram_quantiles": q_price_histogram_quantiles,
+        "skew_report": q_skew_report,
     }
 
 
@@ -4914,6 +4924,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT column_name, check_name, n_rows, n_violations,
                    CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
             FROM rep
+        """,
+        "skew_report": """
+            WITH counts AS (
+                SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS cnt
+                FROM events GROUP BY 1),
+            stats AS (SELECT count(*) AS n_keys, sum(cnt) AS total,
+                             max(cnt) AS max_cnt
+                      FROM counts),
+            ranked AS (
+                SELECT key, cnt, rnk FROM (
+                    SELECT key, cnt, row_number() OVER
+                        (ORDER BY cnt DESC, key ASC) AS rnk
+                    FROM counts) WHERE rnk <= 10)
+            SELECT r.key, CAST(r.cnt AS BIGINT) AS cnt,
+                   CAST(r.rnk AS BIGINT) AS rank,
+                   CAST(s.n_keys AS BIGINT) AS n_keys,
+                   CAST(s.total AS BIGINT) AS total,
+                   CAST(s.max_cnt AS BIGINT) AS max_cnt,
+                   CAST(s.total AS DOUBLE) / s.n_keys AS avg_cnt,
+                   CAST(s.max_cnt AS DOUBLE)
+                       / (CAST(s.total AS DOUBLE) / s.n_keys) AS skew_factor
+            FROM ranked r, stats s
         """,
         "price_histogram_quantiles": """
             WITH vals AS (

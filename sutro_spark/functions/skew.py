@@ -17,7 +17,7 @@ helpers cover the cases AQE can't fix:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SALT = "__salt"
@@ -56,4 +56,58 @@ def two_phase_agg(
     )
     return partial.groupBy(key).agg(
         F.sum("__psum").alias("total"), F.sum("__pcnt").alias("n_rows")
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_column: str,
+    *,
+    top: int = 10,
+) -> DataFrame:
+    """Join/agg-key skew diagnosis: the evidence behind "should I salt
+    this key?". One map-side-combinable groupBy + two tiny aggregates.
+
+    Output: one row per top-``top`` key by count, plus the aggregate
+    context on every row — (key string, cnt bigint, rank bigint,
+    n_keys bigint, total bigint, max_cnt bigint, avg_cnt double,
+    skew_factor double = max_cnt/avg_cnt). A skew_factor near 1 means
+    uniform keys; >> shuffle-partition count means one reducer owns
+    the key and salting/AQE-skew-join is warranted. NULL keys are
+    counted as a key (they hash to one reducer like any other value —
+    that is exactly the skew this diagnoses).
+
+    avg and the factor are single IEEE divisions of exact integers —
+    engine-reproducible.
+    """
+    counts = df.groupBy(
+        F.col(key_column).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    ranked = (
+        counts.orderBy(F.desc("cnt"), F.asc_nulls_first("key"))
+        .limit(top)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc_nulls_first("key"))
+            ),
+        )
+    )
+    return ranked.crossJoin(F.broadcast(stats)).select(
+        "key",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("total").cast("long").alias("total"),
+        F.col("max_cnt").cast("long").alias("max_cnt"),
+        (F.col("total").cast("double") / F.col("n_keys")).alias("avg_cnt"),
+        (
+            F.col("max_cnt").cast("double")
+            / (F.col("total").cast("double") / F.col("n_keys"))
+        ).alias("skew_factor"),
     )

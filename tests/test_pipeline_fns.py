@@ -575,3 +575,15 @@ def test_histogram_quantiles_validation(spark):
         histogram_quantiles(df, "x", quantiles=(0.0,))
     with _pytest.raises(ValueError):
         histogram_quantiles(df, "x", bins=1)
+
+
+def test_skew_report_flags_hot_key(spark):
+    from sutro_spark.functions.skew import skew_report
+
+    rows = [("hot",)] * 90 + [("a",)] * 5 + [("b",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, "k", top=2).collect()
+    assert len(out) == 2 and out[0].key == "hot" and out[0].rank == 1
+    r = out[0]
+    assert r.n_keys == 3 and r.total == 100 and r.max_cnt == 90
+    assert r.skew_factor == 90 / (100 / 3)
