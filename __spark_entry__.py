@@ -2077,6 +2077,44 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # method-agreement matrix for the three near-dup candidate
+    # generators: pairwise |A|, |B|, |A∩B| over the pair sets of exact
+    # n-gram Jaccard (>=0.1), MinHash-LSH bands, and SimHash blocking —
+    # the evidence for choosing (or stacking) dedup passes.
+    from sutro_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+    from sutro_spark.operators.metrics import candidate_recall
+
+    docs = _t(spark, sf_dir, "documents")
+    methods = [
+        ("jaccard", ngram_jaccard_pairs(docs, k=8, threshold=0.1, max_df=100)),
+        (
+            "minhash",
+            minhash_lsh_pairs(docs, k=8, num_hashes=16, bands=8, verify_threshold=None),
+        ),
+        ("simhash", simhash_pairs(docs, max_hamming=8)),
+    ]
+    rows = None
+    for i in range(len(methods)):
+        for j in range(i + 1, len(methods)):
+            (na, da), (nb, db) = methods[i], methods[j]
+            r = candidate_recall(
+                da.select("id_a", "id_b"), db.select("id_a", "id_b")
+            ).select(
+                F.lit(na).alias("method_a"),
+                F.lit(nb).alias("method_b"),
+                F.col("n_truth").alias("n_a"),
+                F.col("n_cand").alias("n_b"),
+                F.col("n_hit").alias("n_both"),
+            )
+            rows = r if rows is None else rows.unionAll(r)
+    return rows
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join/agg-key skew diagnosis: top keys + max/avg skew factor —
     # the "should I salt this join?" evidence. One combinable groupBy
@@ -2389,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_gini": q_length_gini,
         "price_histogram_quantiles": q_price_histogram_quantiles,
         "skew_report": q_skew_report,
+        "dedup_agreement": q_dedup_agreement,
     }
 
 
@@ -4924,6 +4963,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT column_name, check_name, n_rows, n_violations,
                    CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
             FROM rep
+        """,
+        "dedup_agreement": f"""
+            WITH {_SHINGLES_CTE},
+            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+            shf AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+            sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
+            jac AS (
+                SELECT id_a, id_b FROM (
+                    SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+                    FROM shf a JOIN shf b USING (shingle)
+                    WHERE a.id < b.id GROUP BY 1, 2) x
+                JOIN sizes sa ON sa.id = x.id_a
+                JOIN sizes sb ON sb.id = x.id_b
+                WHERE i / (sa.n + sb.n - i) >= 0.1),
+            mins AS (
+                SELECT id, i,
+                       min(substring(sha256('s' || CAST(i // 8 AS VARCHAR) || ':' || shingle),
+                                     (i % 8) * 8 + 1, 8)) AS h
+                FROM sh, (SELECT unnest(range(0, 16)) AS i) seeds
+                GROUP BY id, i),
+            sigs AS (SELECT id, list(h ORDER BY i) AS sig FROM mins GROUP BY id),
+            bands AS (
+                SELECT id, unnest(list_transform(range(0, 8),
+                    b -> sha256('band' || CAST(b AS VARCHAR) || ':'
+                                || sig[2*b + 1] || '|' || sig[2*b + 2]))) AS band_key
+                FROM sigs),
+            mh AS (
+                SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                FROM bands x JOIN bands y USING (band_key)
+                WHERE x.id < y.id),
+            {_SIMHASH_CTE.strip().lstrip()},
+            chunks AS (
+                SELECT id, simhash, cid, (simhash >> (cid * 16)) & 65535 AS chunk
+                FROM fp, (SELECT unnest(range(0, 4)) AS cid) c),
+            shp AS (
+                SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                FROM chunks x
+                JOIN chunks y ON x.cid = y.cid AND x.chunk = y.chunk
+                WHERE x.id < y.id
+                  AND bit_count(xor(x.simhash, y.simhash)) <= 8)
+            SELECT 'jaccard' AS method_a, 'minhash' AS method_b,
+                   CAST((SELECT count(*) FROM jac) AS BIGINT) AS n_a,
+                   CAST((SELECT count(*) FROM mh) AS BIGINT) AS n_b,
+                   CAST((SELECT count(*) FROM jac JOIN mh USING (id_a, id_b))
+                        AS BIGINT) AS n_both
+            UNION ALL
+            SELECT 'jaccard', 'simhash',
+                   CAST((SELECT count(*) FROM jac) AS BIGINT),
+                   CAST((SELECT count(*) FROM shp) AS BIGINT),
+                   CAST((SELECT count(*) FROM jac JOIN shp USING (id_a, id_b))
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'minhash', 'simhash',
+                   CAST((SELECT count(*) FROM mh) AS BIGINT),
+                   CAST((SELECT count(*) FROM shp) AS BIGINT),
+                   CAST((SELECT count(*) FROM mh JOIN shp USING (id_a, id_b))
+                        AS BIGINT)
         """,
         "skew_report": """
             WITH counts AS (
