@@ -2077,6 +2077,30 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the literal-SQL façade: register the tables as temp views and run
+    # ANSI SQL through spark.sql — Catalyst plans it identically to the
+    # DataFrame API (same pushdown/broadcast/AQE), which is the point:
+    # users can bring raw SQL instead of the DataFrame DSL.
+    for t in ["region", "nation", "customer", "orders", "lineitem"]:
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"sql_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM sql_orders o
+        JOIN sql_customer c ON o.o_custkey = c.c_custkey
+        JOIN sql_nation n ON c.c_nationkey = n.n_nationkey
+        JOIN sql_region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA' AND o.o_totalprice IS NOT NULL
+        GROUP BY n.n_name
+        ORDER BY revenue_cents DESC, nation ASC
+        """
+    )
+
+
 def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # method-agreement matrix for the three near-dup candidate
     # generators: pairwise |A|, |B|, |A∩B| over the pair sets of exact
@@ -2428,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram_quantiles": q_price_histogram_quantiles,
         "skew_report": q_skew_report,
         "dedup_agreement": q_dedup_agreement,
+        "sql_interface": q_sql_interface,
     }
 
 
@@ -4963,6 +4988,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT column_name, check_name, n_rows, n_violations,
                    CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
             FROM rep
+        """,
+        "sql_interface": """
+            SELECT n.n_name AS nation,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA' AND o.o_totalprice IS NOT NULL
+            GROUP BY n.n_name
+            ORDER BY revenue_cents DESC, nation ASC
         """,
         "dedup_agreement": f"""
             WITH {_SHINGLES_CTE},
