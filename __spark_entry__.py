@@ -2077,6 +2077,21 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # temporal holdout: last 20% of events by timestamp become the
+    # eval window (a random split would leak the future). Cutoff found
+    # exactly on the distinct-ts spine, broadcast into a projection.
+    from sutro_spark.functions.sampling import time_split
+
+    out = time_split(_t(spark, sf_dir, "events"), "ts", holdout_pct=20)
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_min"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_max"),
+    )
+
+
 def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the literal-SQL façade: register the tables as temp views and run
     # ANSI SQL through spark.sql — Catalyst plans it identically to the
@@ -2453,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "dedup_agreement": q_dedup_agreement,
         "sql_interface": q_sql_interface,
+        "time_split": q_time_split,
     }
 
 
@@ -4988,6 +5004,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT column_name, check_name, n_rows, n_violations,
                    CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
             FROM rep
+        """,
+        "time_split": """
+            WITH nn AS (SELECT count(*) AS n FROM events WHERE ts IS NOT NULL),
+            spine AS (SELECT ts AS t, count(*) AS c FROM events
+                      WHERE ts IS NOT NULL GROUP BY ts),
+            cum AS (SELECT t, sum(c) OVER (ORDER BY t ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                    FROM spine),
+            cutoff AS (
+                SELECT min(t) AS cut FROM cum, nn
+                WHERE cum >= CAST(ceil(n * CAST(0.8 AS DOUBLE)) AS BIGINT)),
+            lab AS (
+                SELECT e.*, CASE WHEN e.ts IS NULL OR e.ts <= c.cut
+                                 THEN 'train' ELSE 'holdout' END AS split
+                FROM events e, cutoff c)
+            SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ts_min,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ts_max
+            FROM lab GROUP BY split
         """,
         "sql_interface": """
             SELECT n.n_name AS nation,

@@ -213,3 +213,63 @@ def weighted_topk_per_group(
         .where(F.col("sample_rank") <= k)
         .drop("__pri")
     )
+
+
+def time_split(
+    df: DataFrame,
+    ts_column: str,
+    *,
+    holdout_pct: int = 20,
+    column: str = "split",
+) -> DataFrame:
+    """Temporal holdout: the chronologically LAST ``holdout_pct`` percent
+    of rows become 'holdout', the rest 'train' — the leakage-safe split
+    for anything with a time axis (a random split would let the model
+    peek at the future).
+
+    The cutoff is the ceil((100-holdout_pct)/100 · n)-th smallest
+    timestamp — computed with one global aggregate (count) broadcast
+    into a rank filter, not a driver collect. Rows ON the cutoff
+    timestamp stay in train (ties resolve chronologically: the split
+    boundary is a point in time, so equal timestamps must land on one
+    side). NULL timestamps go to 'train' (they carry no order
+    information and must never contaminate the eval window).
+
+    Plan: a GLOBAL row rank would collapse to one partition; instead
+    the cutoff VALUE is found exactly in two tiny steps — count n,
+    then the smallest timestamp with at least ceil(frac·n) rows
+    at-or-below it, via a cumulative count over the DISTINCT-timestamp
+    spine (|distinct ts| rows, not |rows| — the only single-partition
+    window runs over that spine). The cutoff then broadcasts into a
+    per-row projection over the full table.
+
+    Output: input columns + ``column`` ('train' | 'holdout').
+    """
+    if not 0 < holdout_pct < 100:
+        raise ValueError(f"holdout_pct must be in (0, 100): {holdout_pct}")
+    ts = F.col(ts_column)
+    n_total = df.where(ts.isNotNull()).agg(F.count(F.lit(1)).alias("__n"))
+    spine = (
+        df.where(ts.isNotNull())
+        .groupBy(ts.alias("__ts"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = (
+        Window.orderBy(F.asc("__ts"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = spine.withColumn("__cum", F.sum("__c").over(w))
+    train_rows = F.ceil(
+        F.col("__n") * F.lit((100 - holdout_pct) / 100.0)
+    ).cast("long")
+    cutoff = (
+        cum.crossJoin(F.broadcast(n_total))
+        .where(F.col("__cum") >= train_rows)
+        .agg(F.min("__ts").alias("__cutoff"))
+    )
+    return df.crossJoin(F.broadcast(cutoff)).withColumn(
+        column,
+        F.when(ts.isNull() | (ts <= F.col("__cutoff")), F.lit("train")).otherwise(
+            F.lit("holdout")
+        ),
+    ).drop("__cutoff")

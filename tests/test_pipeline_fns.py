@@ -587,3 +587,32 @@ def test_skew_report_flags_hot_key(spark):
     r = out[0]
     assert r.n_keys == 3 and r.total == 100 and r.max_cnt == 90
     assert r.skew_factor == 90 / (100 / 3)
+
+
+def test_time_split_boundary_and_nulls(spark):
+    from datetime import datetime
+
+    from sutro_spark.functions.sampling import time_split
+
+    rows = [(i, datetime(2026, 1, 1 + i)) for i in range(10)] + [(99, None)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = {r.id: r.split for r in time_split(df, "ts", holdout_pct=20).collect()}
+    # 10 timestamped rows, 20% holdout -> last 2 days are holdout
+    assert [out[i] for i in range(8)] == ["train"] * 8
+    assert out[8] == out[9] == "holdout"
+    assert out[99] == "train"  # NULL ts never contaminates the eval window
+
+
+def test_time_split_ties_stay_train(spark):
+    from datetime import datetime
+
+    from sutro_spark.functions.sampling import time_split
+
+    # 5 rows share the cutoff timestamp: the boundary is a point in
+    # time, so ALL of them land in train even though that overshoots
+    t0, t1 = datetime(2026, 1, 1), datetime(2026, 1, 2)
+    df = spark.createDataFrame(
+        [(i, t0) for i in range(5)] + [(9, t1)], "id long, ts timestamp"
+    )
+    out = {r.id: r.split for r in time_split(df, "ts", holdout_pct=50).collect()}
+    assert all(out[i] == "train" for i in range(5)) and out[9] == "holdout"
