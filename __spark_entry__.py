@@ -2077,6 +2077,36 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 composition proof: Gopher quality filter → ExactSubstr
+    passage stripping over the survivors → per-source retention
+    report. One lazy DAG; `kept` persists because the strip path reads
+    it on several legs (token spine, window digests, doc roster)."""
+    from sutro_spark.operators.passages import strip_dup_passages
+    from sutro_spark.operators.quality import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    keep_ids = gopher_quality(docs).where("keep = 1").select("doc_id")
+    kept = docs.join(keep_ids, "doc_id").persist()
+    stripped = strip_dup_passages(kept, k=6)
+    return (
+        stripped.join(kept.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_in"),
+            F.sum("n_kept").cast("long").alias("tokens_kept"),
+            F.round(
+                F.when(
+                    F.sum("n_tokens") > 0,
+                    F.sum("n_kept").cast("double") / F.sum("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("keep_ratio"),
+        )
+    )
+
+
 def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # temporal holdout: last 20% of events by timestamp become the
     # eval window (a random split would leak the future). Cutoff found
@@ -2469,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_agreement": q_dedup_agreement,
         "sql_interface": q_sql_interface,
         "time_split": q_time_split,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
     }
 
 
@@ -5004,6 +5035,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT column_name, check_name, n_rows, n_violations,
                    CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
             FROM rep
+        """,
+        "curation_pipeline_v2": f"""
+            WITH kept AS (SELECT doc_id FROM ({_GOPHER_SQL}) gq WHERE keep = 1),
+            kd AS (SELECT d.* FROM documents d JOIN kept USING (doc_id)),
+            {_PASSAGE_CTE.replace("WITH b2", "b2").replace("FROM documents", "FROM kd").strip()},
+            ro AS (SELECT doc_id, pos FROM (
+                       SELECT doc_id, pos, row_number() OVER (
+                           PARTITION BY dig ORDER BY doc_id, pos) AS rn
+                       FROM fo WHERE n_occ > 1) WHERE rn > 1),
+            rp AS (SELECT DISTINCT doc_id, pos + u.i AS p
+                   FROM ro, unnest(range(0, 6)) AS u(i)),
+            tp AS (SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS p
+                   FROM b3, unnest(generate_series(1, CAST(n_tokens AS INT))) AS t(i)),
+            keepp AS (SELECT tp.doc_id, tp.p
+                      FROM tp LEFT JOIN rp
+                        ON tp.doc_id = rp.doc_id AND tp.p = rp.p
+                      WHERE rp.doc_id IS NULL),
+            reb AS (SELECT doc_id, count(*) AS n_kept
+                    FROM keepp GROUP BY doc_id),
+            stripped AS (
+                SELECT b3.doc_id, b3.n_tokens,
+                       coalesce(reb.n_kept, 0) AS n_kept
+                FROM b3 LEFT JOIN reb USING (doc_id))
+            SELECT kd.source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(s.n_tokens) AS BIGINT) AS tokens_in,
+                   CAST(sum(s.n_kept) AS BIGINT) AS tokens_kept,
+                   round(CASE WHEN sum(s.n_tokens) > 0
+                              THEN CAST(sum(s.n_kept) AS DOUBLE)
+                                   / sum(s.n_tokens)
+                              ELSE 0.0 END, 6) AS keep_ratio
+            FROM stripped s JOIN kd USING (doc_id)
+            GROUP BY kd.source
         """,
         "time_split": """
             WITH nn AS (SELECT count(*) AS n FROM events WHERE ts IS NOT NULL),
