@@ -2077,6 +2077,22 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # language ID with a confidence margin (winner hits − runner-up
+    # hits); margin 0 = coin flip → route to an 'und' bucket before
+    # per-language processing.
+    from sutro_spark.functions.text import lang_id_margin
+
+    docs = _t(spark, sf_dir, "documents")
+    s = lang_id_margin(F.col("text"))
+    return docs.select(
+        "doc_id",
+        s["lang_pred"].alias("lang_pred"),
+        s["hits"].alias("hits"),
+        s["margin"].alias("margin"),
+    )
+
+
 def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 composition proof: Gopher quality filter → ExactSubstr
     passage stripping over the survivors → per-source retention
@@ -2500,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interface": q_sql_interface,
         "time_split": q_time_split,
         "curation_pipeline_v2": q_curation_pipeline_v2,
+        "lang_confidence": q_lang_confidence,
     }
 
 
@@ -5035,6 +5052,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT column_name, check_name, n_rows, n_violations,
                    CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
             FROM rep
+        """,
+        "lang_confidence": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                         '\\s+'),
+                                   x -> x <> '') AS ltoks
+                FROM documents),
+            sc AS (
+                SELECT doc_id, list_sort([
+                    {'h': len(list_intersect(ltoks, ['der','die','das','und','ist','ein','zu','mit'])), 'ni': 0, 'lang': 'de'},
+                    {'h': len(list_intersect(ltoks, ['the','a','of','and','to','in','is','it'])), 'ni': -1, 'lang': 'en'},
+                    {'h': len(list_intersect(ltoks, ['el','la','de','que','y','en','un','es'])), 'ni': -2, 'lang': 'es'},
+                    {'h': len(list_intersect(ltoks, ['le','la','de','et','un','est','en','que'])), 'ni': -3, 'lang': 'fr'},
+                    {'h': len(list_intersect(ltoks, ['de','shi','le','zai','you','wo','ta','men'])), 'ni': -4, 'lang': 'zh'}
+                ]) AS arr
+                FROM base)
+            SELECT doc_id,
+                   arr[5].lang AS lang_pred,
+                   CAST(arr[5].h AS BIGINT) AS hits,
+                   CAST(arr[5].h - arr[4].h AS BIGINT) AS margin
+            FROM sc
         """,
         "curation_pipeline_v2": f"""
             WITH kept AS (SELECT doc_id FROM ({_GOPHER_SQL}) gq WHERE keep = 1),

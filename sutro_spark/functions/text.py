@@ -448,3 +448,40 @@ def bigram_lift(
         )
     )
     return scored.orderBy(F.desc("lift"), F.asc("bigram")).limit(k)
+
+
+def lang_id_margin(col, languages: list[str] | None = None) -> Column:
+    """Language ID with a CONFIDENCE margin: struct(lang_pred, hits,
+    margin) where margin = winner's distinct-stopword hits minus the
+    runner-up's — margin 0 means the call is a coin flip and the doc
+    belongs in an "und" (undetermined) bucket, the standard guard
+    before per-language routing.
+
+    Engine-portable tie-break without a custom comparator: elements
+    sort fieldwise ascending as (hits, -lang_index, lang), so the LAST
+    element carries max hits and, among ties, the lexicographically
+    smallest language (same rule as :func:`lang_id`)."""
+    langs = sorted(languages or STOPWORDS)
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(
+                        tokens(F.lower(col)),
+                        F.array(*[F.lit(w) for w in STOPWORDS[lang]]),
+                    )
+                ).alias("h"),
+                F.lit(-i).alias("ni"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    arr = F.array_sort(scored)
+    last = arr[F.size(arr) - 1]
+    second = arr[F.size(arr) - 2]
+    return F.struct(
+        last["lang"].alias("lang_pred"),
+        last["h"].cast("long").alias("hits"),
+        (last["h"] - second["h"]).cast("long").alias("margin"),
+    )

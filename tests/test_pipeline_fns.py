@@ -616,3 +616,22 @@ def test_time_split_ties_stay_train(spark):
     )
     out = {r.id: r.split for r in time_split(df, "ts", holdout_pct=50).collect()}
     assert all(out[i] == "train" for i in range(5)) and out[9] == "holdout"
+
+
+def test_lang_id_margin_confidence(spark):
+    from pyspark.sql import functions as F
+
+    from sutro_spark.functions.text import lang_id_margin
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat of the house is in it"),   # clearly English
+            (2, "xyzzy qwerty plugh"),              # no stopwords at all
+        ],
+        "doc_id long, text string",
+    )
+    s = lang_id_margin(F.col("text"))
+    out = {r.doc_id: r for r in df.select("doc_id", s.alias("s")).select("doc_id", "s.*").collect()}
+    assert out[1].lang_pred == "en" and out[1].margin >= 3
+    # zero hits everywhere -> margin 0, tie broken to smallest lang
+    assert out[2].hits == 0 and out[2].margin == 0 and out[2].lang_pred == "de"
