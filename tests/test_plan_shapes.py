@@ -1,0 +1,89 @@
+"""Physical-plan regression guards: assert the plan SHAPE we designed
+for — broadcasts on dim legs, pushdown reaching the scan, TakeOrdered
+for top-k, no Python nodes outside model/media stages. A refactor that
+silently degrades one of these (e.g. a broadcast falling back to
+sort-merge, a filter stuck above the scan) fails here, not in a
+benchmark three rounds later.
+
+sf0.001 keeps planning fast; the assertions are about operators chosen,
+not timings, so scale factor does not matter.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = entry.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q3_broadcasts_dim_legs(spark):
+    plan = _plan(spark, "tpch_q3")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # no dim leg should degrade
+
+
+def test_tpch_q6_filters_reach_the_scan(spark):
+    plan = _plan(spark, "tpch_q6")
+    assert "PushedFilters: [" in plan
+    # the selective predicates appear as pushed scan filters, not only
+    # as a post-scan Filter node
+    assert "GreaterThanOrEqual(l_discount" in plan or "GreaterThanOrEqual(l_quantity" in plan or "IsNotNull(l_discount)" in plan
+
+
+def test_top_orders_is_takeordered_not_global_sort(spark):
+    plan = _plan(spark, "top_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_exact_dedup_single_aggregate_shuffle(spark):
+    plan = _plan(spark, "exact_dedup")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan or "partial_count" in plan  # map-side combine
+
+
+def test_scan_prunes_columns(spark):
+    plan = _plan(spark, "select_prompt_column")
+    # 2-column projection must not read the whole documents schema
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "n_chars" not in read_schema
+
+
+def test_no_python_nodes_outside_model_stages(spark):
+    # pure-Catalyst operators must stay JVM-side end to end
+    for name in ["tpch_q1", "exact_dedup", "text_profile", "gopher_quality",
+                 "dup_passages", "hll_distinct", "bigram_lift"]:
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
+
+
+def test_model_stage_is_arrow_batched_not_row_python(spark):
+    plan = _plan(spark, "flagship_extract")
+    assert "MapInPandas" in plan          # the one sanctioned Python stage
+    assert "BatchEvalPython" not in plan  # never row-at-a-time UDFs
+
+
+def test_stratified_sample_is_scan_stage_filter(spark):
+    plan = _plan(spark, "stratified_sample")
+    # membership = broadcast-joined rate dim + filter; no data shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_fuzzy_join_never_cartesian(spark):
+    plan = _plan(spark, "fuzzy_join_names")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_global_topk_no_sort_exchange(spark):
+    plan = _plan(spark, "weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
