@@ -2077,6 +2077,21 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ols_tokens_vs_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source closed-form OLS of token count on char count — the
+    # trend-analysis shape (one combinable moments aggregate, two IEEE
+    # divisions at the end; DECIMAL(38,0) moment sums).
+    from sutro_spark.functions.stats import ols_by_group
+    from sutro_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long").alias("y"),
+    )
+    return ols_by_group(docs, "x", "y", group_column="source")
+
+
 def q_lang_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # language ID with a confidence margin (winner hits − runner-up
     # hits); margin 0 = coin flip → route to an 'und' bucket before
@@ -2517,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_split": q_time_split,
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "lang_confidence": q_lang_confidence,
+        "ols_tokens_vs_chars": q_ols_tokens_vs_chars,
     }
 
 
@@ -5052,6 +5068,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT column_name, check_name, n_rows, n_violations,
                    CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
             FROM rep
+        """,
+        "ols_tokens_vs_chars": """
+            WITH vals AS (
+                SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                           t -> t <> '')) AS BIGINT) AS y
+                FROM documents
+                WHERE n_chars IS NOT NULL),
+            a AS (SELECT grp, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x * y) AS sxy, sum(x * x) AS sxx
+                  FROM vals GROUP BY grp)
+            SELECT grp, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE) <> 0.0
+                        THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+                   CASE WHEN n >= 2 AND CAST(n * sxx - sx * sx AS DOUBLE) <> 0.0
+                        THEN (CAST(sy AS DOUBLE)
+                              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                                * CAST(sx AS DOUBLE))
+                             / CAST(n AS DOUBLE) END AS intercept
+            FROM a
         """,
         "lang_confidence": """
             WITH base AS (

@@ -240,3 +240,60 @@ def histogram_quantiles(
         )
         .select("grp", "q", "n", F.col("approx_value").cast("long").alias("approx_value"))
     )
+
+
+def ols_by_group(
+    df: DataFrame,
+    x_column: str,
+    y_column: str,
+    *,
+    group_column: str | None = None,
+) -> DataFrame:
+    """Per-group simple linear regression (closed-form OLS) — the
+    distributed trend analysis ("is quality drifting with length /
+    time / crawl date?") without any iterative fitting.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept =
+    (Σy − slope·Σx)/n. The five sufficient statistics are one
+    map-side-combinable aggregate; inputs are cast to long (integerize
+    upstream — cents/micros convention) and the moment sums accumulate
+    in DECIMAL(38,0) so billion-row groups cannot wrap int64. The two
+    final divisions are the only floating-point ops — with identical
+    exact operands on any engine, the results are bit-identical.
+
+    Degenerate groups (n < 2 or zero x-variance) return NULL slope and
+    intercept rather than a fake zero.
+
+    Output: (grp, n bigint, slope double, intercept double).
+    """
+    g = F.lit("all").alias("grp") if group_column is None else F.col(group_column).alias("grp")
+    d = F.col(x_column).cast("long").isNotNull() & F.col(y_column).cast("long").isNotNull()
+    vals = df.where(d).select(
+        g,
+        F.col(x_column).cast("long").cast("decimal(19,0)").alias("x"),
+        F.col(y_column).cast("long").cast("decimal(19,0)").alias("y"),
+    )
+    agg = vals.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    nn = F.col("n").cast("decimal(19,0)")
+    den = nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = nn * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(
+        (F.col("n") >= 2) & (den.cast("double") != 0.0),
+        num.cast("double") / den.cast("double"),
+    )
+    return agg.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope"),
+        F.when(
+            slope.isNotNull(),
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+        ).alias("intercept"),
+    )

@@ -635,3 +635,27 @@ def test_lang_id_margin_confidence(spark):
     assert out[1].lang_pred == "en" and out[1].margin >= 3
     # zero hits everywhere -> margin 0, tie broken to smallest lang
     assert out[2].hits == 0 and out[2].margin == 0 and out[2].lang_pred == "de"
+
+
+def test_ols_by_group_known_line(spark):
+    from sutro_spark.functions.stats import ols_by_group
+
+    # perfect line y = 3x + 2
+    df = spark.createDataFrame(
+        [("a", x, 3 * x + 2) for x in range(10)], "g string, x long, y long"
+    )
+    r = ols_by_group(df, "x", "y", group_column="g").collect()[0]
+    assert r.slope == 3.0 and r.intercept == 2.0 and r.n == 10
+
+
+def test_ols_degenerate_groups_null(spark):
+    from sutro_spark.functions.stats import ols_by_group
+
+    df = spark.createDataFrame(
+        [("one", 5, 7), ("flat", 4, 1), ("flat", 4, 9)],
+        "g string, x long, y long",
+    )
+    out = {r.grp: r for r in ols_by_group(df, "x", "y", group_column="g").collect()}
+    assert out["one"].slope is None      # n < 2
+    assert out["flat"].slope is None     # zero x-variance
+    assert out["flat"].intercept is None
