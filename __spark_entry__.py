@@ -2077,6 +2077,18 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic per-column profile (the df.summary() shape, but
+    # engine-reproducible): null counts ride one global aggregate;
+    # integer/string columns only so min/max strings match exactly.
+    from sutro_spark.operators.validate import table_profile
+
+    return table_profile(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
 def q_ols_tokens_vs_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-source closed-form OLS of token count on char count — the
     # trend-analysis shape (one combinable moments aggregate, two IEEE
@@ -2533,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "lang_confidence": q_lang_confidence,
         "ols_tokens_vs_chars": q_ols_tokens_vs_chars,
+        "table_profile": q_table_profile,
     }
 
 
@@ -5068,6 +5081,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT column_name, check_name, n_rows, n_violations,
                    CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
             FROM rep
+        """,
+        "table_profile": """
+            WITH b AS (
+                SELECT count(*) AS n,
+                       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS z0,
+                       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS z1,
+                       sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS z2,
+                       sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS z3,
+                       min(CAST(o_orderkey AS VARCHAR)) AS mn0,
+                       max(CAST(o_orderkey AS VARCHAR)) AS mx0,
+                       min(CAST(o_custkey AS VARCHAR)) AS mn1,
+                       max(CAST(o_custkey AS VARCHAR)) AS mx1,
+                       min(o_orderstatus) AS mn2, max(o_orderstatus) AS mx2,
+                       min(o_orderpriority) AS mn3, max(o_orderpriority) AS mx3,
+                       count(DISTINCT o_orderkey) AS d0,
+                       count(DISTINCT o_custkey) AS d1,
+                       count(DISTINCT o_orderstatus) AS d2,
+                       count(DISTINCT o_orderpriority) AS d3
+                FROM orders)
+            SELECT 'o_orderkey' AS column_name, CAST(n AS BIGINT) AS n_rows,
+                   CAST(z0 AS BIGINT) AS n_nulls, CAST(d0 AS BIGINT) AS n_distinct,
+                   coalesce(mn0, '') AS min_value, coalesce(mx0, '') AS max_value
+            FROM b
+            UNION ALL
+            SELECT 'o_custkey', CAST(n AS BIGINT), CAST(z1 AS BIGINT),
+                   CAST(d1 AS BIGINT), coalesce(mn1, ''), coalesce(mx1, '') FROM b
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(n AS BIGINT), CAST(z2 AS BIGINT),
+                   CAST(d2 AS BIGINT), coalesce(mn2, ''), coalesce(mx2, '') FROM b
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(n AS BIGINT), CAST(z3 AS BIGINT),
+                   CAST(d3 AS BIGINT), coalesce(mn3, ''), coalesce(mx3, '') FROM b
         """,
         "ols_tokens_vs_chars": """
             WITH vals AS (

@@ -135,3 +135,57 @@ def validate(df: DataFrame, expectations: list[dict]) -> DataFrame:
         "n_violations",
         F.when(F.col("n_violations") == 0, 1).otherwise(0).cast("int").alias("passed"),
     )
+
+
+def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Deterministic per-column profile — the ``df.summary()`` shape
+    but engine-reproducible (summary()'s approximate percentiles and
+    float formatting are engine-private; this emits exact counts and
+    lexicographic min/max as strings).
+
+    For each column: row count, null count, exact distinct count, and
+    min/max rendered via CAST AS STRING — exactly portable for
+    integer and string columns; float/timestamp rendering is each
+    engine's own, so prefer integer/string columns (or cast upstream)
+    when the profile must match across engines.
+
+    Plan: null counts ride ONE global aggregate (same compilation as
+    validate's row-level checks); each distinct count is its own
+    map-side-combinable aggregate — at 100 TB distinct-per-column is
+    the honest cost, swap in hll_distinct for the sketch version.
+
+    Output: (column_name, n_rows bigint, n_nulls bigint, n_distinct
+    bigint, min_value string, max_value string).
+    """
+    cols = columns or df.columns
+    if not cols:
+        raise ValueError("no columns to profile")
+    base = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{i}")
+            for i, c in enumerate(cols)
+        ],
+        *[
+            F.min(F.col(c).cast("string")).alias(f"__min_{i}")
+            for i, c in enumerate(cols)
+        ],
+        *[
+            F.max(F.col(c).cast("string")).alias(f"__max_{i}")
+            for i, c in enumerate(cols)
+        ],
+    )
+    frames = []
+    for i, c in enumerate(cols):
+        distinct = df.agg(F.count_distinct(F.col(c)).alias("__d"))
+        frames.append(
+            base.crossJoin(distinct).select(
+                F.lit(c).alias("column_name"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.col(f"__null_{i}").cast("long").alias("n_nulls"),
+                F.col("__d").cast("long").alias("n_distinct"),
+                F.coalesce(F.col(f"__min_{i}"), F.lit("")).alias("min_value"),
+                F.coalesce(F.col(f"__max_{i}"), F.lit("")).alias("max_value"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), frames)

@@ -76,3 +76,25 @@ def test_empty_expectations_raise(spark):
 def test_unknown_check_raises(spark):
     with pytest.raises(ValueError):
         validate(_df(spark), [expect("id", "between")])
+
+
+def test_table_profile_exact_counts(spark):
+    from sutro_spark.operators.validate import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (2, None), (None, "c")], "id long, s string"
+    )
+    out = {r.column_name: r for r in table_profile(df).collect()}
+    assert out["id"].n_rows == 4 and out["id"].n_nulls == 1
+    assert out["id"].n_distinct == 2 and out["id"].min_value == "1"
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert out["s"].max_value == "c"
+
+
+def test_table_profile_all_null_column(spark):
+    from sutro_spark.operators.validate import table_profile
+
+    df = spark.createDataFrame([(None,), (None,)], "x string")
+    r = table_profile(df).collect()[0]
+    assert r.n_nulls == 2 and r.n_distinct == 0
+    assert r.min_value == "" and r.max_value == ""
