@@ -187,3 +187,46 @@ def test_passage_strip_invariants(spark, docs):
         kept = [t for p, t in enumerate(ts) if p not in removed_model[i]]
         assert strip[i].clean_text == " ".join(kept)
         assert strip[i].n_kept + strip[i].n_removed == strip[i].n_tokens == len(ts)
+
+
+def _py_hash32(salt: str, key: str) -> int:
+    import hashlib
+
+    return int(hashlib.sha256(f"{salt}:{key}".encode()).hexdigest()[:8], 16)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40))
+def test_cms_matches_python_model(spark, keys):
+    """Third-implementation agreement: the CMS cells must equal a plain
+    Python model of the documented recipe (sha256 prefix mod width)."""
+    from collections import Counter
+
+    from sutro_spark.functions.sketches import cms_counts
+
+    df = spark.createDataFrame([(str(k),) for k in keys], "k string")
+    got = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_counts(df, "k", depth=2, width=32).collect()
+    }
+    model: Counter = Counter()
+    for k in keys:
+        for r in range(2):
+            model[(r, _py_hash32(f"cms{r}", str(k)) % (1 << 32) % 32)] += 1
+    assert got == dict(model)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=10000), min_size=1, max_size=60))
+def test_hll_registers_match_python_model(spark, keys):
+    from sutro_spark.functions.sketches import hll_registers
+
+    df = spark.createDataFrame([("g", str(k)) for k in keys], "g string, k string")
+    got = {(r.j, r.M) for r in hll_registers(df, "g", "k", p=6).collect()}
+    regs: dict = {}
+    for k in keys:
+        h = _py_hash32("hll", str(k)) % (1 << 32)
+        j, rem = h % 64, h >> 6
+        rho = 27 if rem == 0 else 27 - rem.bit_length()
+        regs[j] = max(regs.get(j, 0), rho)
+    assert got == set(regs.items())
