@@ -2077,6 +2077,22 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr_tokens_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source Pearson r over the same exact moments as the OLS —
+    # IEEE sqrt is correctly rounded, so identical exact operands give
+    # bit-identical r on any engine (unlike F.corr's order-dependent
+    # running moments).
+    from sutro_spark.functions.stats import corr_by_group
+    from sutro_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long").alias("y"),
+    )
+    return corr_by_group(docs, "x", "y", group_column="source")
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic per-column profile (the df.summary() shape, but
     # engine-reproducible): null counts ride one global aggregate;
@@ -2546,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confidence": q_lang_confidence,
         "ols_tokens_vs_chars": q_ols_tokens_vs_chars,
         "table_profile": q_table_profile,
+        "corr_tokens_chars": q_corr_tokens_chars,
     }
 
 
@@ -5081,6 +5098,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT column_name, check_name, n_rows, n_violations,
                    CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
             FROM rep
+        """,
+        "corr_tokens_chars": """
+            WITH vals AS (
+                SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                           t -> t <> '')) AS BIGINT) AS y
+                FROM documents
+                WHERE n_chars IS NOT NULL),
+            a AS (SELECT grp, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x * y) AS sxy, sum(x * x) AS sxx,
+                         sum(y * y) AS syy
+                  FROM vals GROUP BY grp)
+            SELECT grp, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n >= 2
+                             AND CAST(n * sxx - sx * sx AS DOUBLE) > 0.0
+                             AND CAST(n * syy - sy * sy AS DOUBLE) > 0.0
+                        THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                   END AS r
+            FROM a
         """,
         "table_profile": """
             WITH b AS (

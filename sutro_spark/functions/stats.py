@@ -297,3 +297,53 @@ def ols_by_group(
             / F.col("n").cast("double"),
         ).alias("intercept"),
     )
+
+
+def corr_by_group(
+    df: DataFrame,
+    x_column: str,
+    y_column: str,
+    *,
+    group_column: str | None = None,
+) -> DataFrame:
+    """Per-group Pearson correlation over the same exact DECIMAL(38,0)
+    sufficient statistics as :func:`ols_by_group`:
+
+        r = (n·Σxy − Σx·Σy) / (√(n·Σxx − Σx²) · √(n·Σyy − Σy²))
+
+    IEEE-754 requires sqrt to be correctly rounded, so with identical
+    exact integer operands on every engine the result is bit-identical
+    — no libm drift (unlike ln/exp, which this repo avoids). Built-in
+    ``F.corr`` computes a running-moment float estimate whose value
+    depends on accumulation order; this one is deterministic.
+
+    Degenerate groups (n < 2 or zero variance on either side) return
+    NULL. Output: (grp, n bigint, r double).
+    """
+    g = F.lit("all").alias("grp") if group_column is None else F.col(group_column).alias("grp")
+    d = F.col(x_column).cast("long").isNotNull() & F.col(y_column).cast("long").isNotNull()
+    vals = df.where(d).select(
+        g,
+        F.col(x_column).cast("long").cast("decimal(19,0)").alias("x"),
+        F.col(y_column).cast("long").cast("decimal(19,0)").alias("y"),
+    )
+    agg = vals.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    nn = F.col("n").cast("decimal(19,0)")
+    vx = (nn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (nn * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cov = (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return agg.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.when(
+            (F.col("n") >= 2) & (vx > 0.0) & (vy > 0.0),
+            cov / (F.sqrt(vx) * F.sqrt(vy)),
+        ).alias("r"),
+    )

@@ -659,3 +659,20 @@ def test_ols_degenerate_groups_null(spark):
     assert out["one"].slope is None      # n < 2
     assert out["flat"].slope is None     # zero x-variance
     assert out["flat"].intercept is None
+
+
+def test_corr_by_group_known_values(spark):
+    from sutro_spark.functions.stats import corr_by_group
+
+    perfect = spark.createDataFrame(
+        [("a", x, 2 * x + 1) for x in range(8)], "g string, x long, y long"
+    )
+    assert corr_by_group(perfect, "x", "y", group_column="g").collect()[0].r == 1.0
+    anti = spark.createDataFrame(
+        [("a", x, -3 * x) for x in range(8)], "g string, x long, y long"
+    )
+    assert corr_by_group(anti, "x", "y", group_column="g").collect()[0].r == -1.0
+    flat = spark.createDataFrame(
+        [("a", x, 5) for x in range(8)], "g string, x long, y long"
+    )
+    assert corr_by_group(flat, "x", "y", group_column="g").collect()[0].r is None
