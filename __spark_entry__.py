@@ -2419,16 +2419,65 @@ def q_weighted_sample_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- first 50: the driver correctness gate checks the first 50
-        # entries in dict order. Round-4 ROTATION: the window now leads
-        # with gap_fill (red in r3, oracle dtype fixed) plus the 49
-        # highest-information queries that were beyond the r3 cap, so
-        # successive CORRECTNESS_r*.json files cumulatively cover the
-        # registry (r3 window + this window = 99 distinct driver-green
-        # rows; the still-deferred entries — simple relational shapes
-        # the r3 window already proved, plus the round-4 additions at
-        # the dict tail — rotate in next round). Everything is equally
-        # oracle-checked by tools/selfcheck.py --strict (ALL GREEN gate
-        # kept locally, 134 queries). ---
+        # entries in dict order. Round-5 ROTATION: the window is the 42
+        # queries never yet driver-checked (all round-4 additions plus
+        # the 12 deferred tpch_*ish shapes) + the 8 least-recently
+        # checked r1/r2 queries — fully disjoint from the r4 window, so
+        # CORRECTNESS_r5 completes 150/150 cumulative driver coverage.
+        # Everything is equally oracle-checked by tools/selfcheck.py
+        # --strict (ALL GREEN gate kept locally, 150 queries). ---
+        "tpch_q18ish": q_tpch_q18ish,
+        "tpch_q22ish": q_tpch_q22ish,
+        "price_quantiles": q_price_quantiles,
+        "tpch_q10ish": q_tpch_q10ish,
+        "tpch_q7ish": q_tpch_q7ish,
+        "tpch_q8ish": q_tpch_q8ish,
+        "tpch_q11ish": q_tpch_q11ish,
+        "tpch_q13ish": q_tpch_q13ish,
+        "tpch_q15ish": q_tpch_q15ish,
+        "tpch_q16ish": q_tpch_q16ish,
+        "tpch_q19ish": q_tpch_q19ish,
+        "tpch_q20ish": q_tpch_q20ish,
+        "dsir_select": q_dsir_select,
+        "charlm_quality": q_charlm_quality,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "sq_topk": q_sq_topk,
+        "dup_passages": q_dup_passages,
+        "strip_passages": q_strip_passages,
+        "hll_distinct": q_hll_distinct,
+        "bpe_merges": q_bpe_merges,
+        "bpe_vocab": q_bpe_vocab,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "source_overlap": q_source_overlap,
+        "jaccard_histogram": q_jaccard_histogram,
+        "lsh_recall": q_lsh_recall,
+        "sq_recall": q_sq_recall,
+        "leakage_safe_split": q_leakage_safe_split,
+        "validate_orders": q_validate_orders,
+        "bigram_lift": q_bigram_lift,
+        "ivf_recall": q_ivf_recall,
+        "length_gini": q_length_gini,
+        "price_histogram_quantiles": q_price_histogram_quantiles,
+        "skew_report": q_skew_report,
+        "dedup_agreement": q_dedup_agreement,
+        "sql_interface": q_sql_interface,
+        "time_split": q_time_split,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
+        "lang_confidence": q_lang_confidence,
+        "ols_tokens_vs_chars": q_ols_tokens_vs_chars,
+        "table_profile": q_table_profile,
+        "corr_tokens_chars": q_corr_tokens_chars,
+        "mixture_drift": q_mixture_drift,
+        "promo_revenue": q_promo_revenue,
+        "set_ops": q_set_ops,
+        "pivot_qty": q_pivot_qty,
+        "rollup_counts": q_rollup_counts,
+        "events_top_per_user": q_events_top_per_user,
+        "part_stats": q_part_stats,
+        "customer_regions": q_customer_regions,
+        "tpch_q4ish": q_tpch_q4ish,
+        # --- beyond the driver cap this round: driver-green in r1-r4;
+        # every registered query now has at least one driver-green row ---
         "gap_fill": q_gap_fill,
         "simhash": q_simhash,
         "term_topk": q_term_topk,
@@ -2479,8 +2528,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "dedup_lines": q_dedup_lines,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
-        # --- beyond the driver cap this round: driver-green in r3 or
-        # selfcheck-verified; rotates into the window next round ---
         "select_prompt_column": q_select_prompt_column,
         "prompt_concat": q_prompt_concat,
         "labeled_concat_nulls": q_labeled_concat_nulls,
@@ -2530,57 +2577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "merge_upsert": q_merge_upsert,
         "funnel": q_funnel,
-        "events_top_per_user": q_events_top_per_user,
-        "part_stats": q_part_stats,
-        "customer_regions": q_customer_regions,
-        "tpch_q4ish": q_tpch_q4ish,
         "tpch_q12ish": q_tpch_q12ish,
-        "tpch_q18ish": q_tpch_q18ish,
-        "tpch_q22ish": q_tpch_q22ish,
-        "price_quantiles": q_price_quantiles,
-        "tpch_q10ish": q_tpch_q10ish,
-        "promo_revenue": q_promo_revenue,
-        "set_ops": q_set_ops,
-        "pivot_qty": q_pivot_qty,
-        "rollup_counts": q_rollup_counts,
-        "tpch_q7ish": q_tpch_q7ish,
-        "tpch_q8ish": q_tpch_q8ish,
-        "tpch_q11ish": q_tpch_q11ish,
-        "tpch_q13ish": q_tpch_q13ish,
-        "tpch_q15ish": q_tpch_q15ish,
-        "tpch_q16ish": q_tpch_q16ish,
-        "tpch_q19ish": q_tpch_q19ish,
-        "tpch_q20ish": q_tpch_q20ish,
-        "dsir_select": q_dsir_select,
-        "charlm_quality": q_charlm_quality,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "sq_topk": q_sq_topk,
-        "dup_passages": q_dup_passages,
-        "strip_passages": q_strip_passages,
-        "hll_distinct": q_hll_distinct,
-        "bpe_merges": q_bpe_merges,
-        "bpe_vocab": q_bpe_vocab,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "source_overlap": q_source_overlap,
-        "jaccard_histogram": q_jaccard_histogram,
-        "lsh_recall": q_lsh_recall,
-        "sq_recall": q_sq_recall,
-        "leakage_safe_split": q_leakage_safe_split,
-        "validate_orders": q_validate_orders,
-        "bigram_lift": q_bigram_lift,
-        "ivf_recall": q_ivf_recall,
-        "length_gini": q_length_gini,
-        "price_histogram_quantiles": q_price_histogram_quantiles,
-        "skew_report": q_skew_report,
-        "dedup_agreement": q_dedup_agreement,
-        "sql_interface": q_sql_interface,
-        "time_split": q_time_split,
-        "curation_pipeline_v2": q_curation_pipeline_v2,
-        "lang_confidence": q_lang_confidence,
-        "ols_tokens_vs_chars": q_ols_tokens_vs_chars,
-        "table_profile": q_table_profile,
-        "corr_tokens_chars": q_corr_tokens_chars,
-        "mixture_drift": q_mixture_drift,
     }
 
 
