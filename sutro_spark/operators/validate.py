@@ -149,10 +149,18 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     engine's own, so prefer integer/string columns (or cast upstream)
     when the profile must match across engines.
 
-    Plan: null counts ride ONE global aggregate (same compilation as
-    validate's row-level checks); each distinct count is its own
-    map-side-combinable aggregate — at 100 TB distinct-per-column is
-    the honest cost, swap in hll_distinct for the sketch version.
+    Plan: everything — row count, per-column null counts, min/max AND
+    every per-column exact distinct count — rides ONE aggregate over
+    ONE scan. Catalyst compiles multiple count(DISTINCT col_i) into a
+    single Expand (one input row fans out to #distinct-groups rows
+    before the partial aggregate), so profiling C columns costs one
+    table pass regardless of C — at 100 TB that is the difference
+    between one pass and C+1. For an approximate one-pass profile at
+    extreme cardinalities swap in functions/sketches.kmv/hll per
+    column instead of the exact distincts.
+
+    The single 1-row aggregate is then exploded into per-column rows
+    driver-free (array-of-structs explode, no crossJoin/unionAll).
 
     Output: (column_name, n_rows bigint, n_nulls bigint, n_distinct
     bigint, min_value string, max_value string).
@@ -174,18 +182,22 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             F.max(F.col(c).cast("string")).alias(f"__max_{i}")
             for i, c in enumerate(cols)
         ],
+        *[
+            F.count_distinct(F.col(c)).alias(f"__d_{i}")
+            for i, c in enumerate(cols)
+        ],
     )
-    frames = []
-    for i, c in enumerate(cols):
-        distinct = df.agg(F.count_distinct(F.col(c)).alias("__d"))
-        frames.append(
-            base.crossJoin(distinct).select(
+    per_col = F.array(
+        *[
+            F.struct(
                 F.lit(c).alias("column_name"),
                 F.col("__n").cast("long").alias("n_rows"),
                 F.col(f"__null_{i}").cast("long").alias("n_nulls"),
-                F.col("__d").cast("long").alias("n_distinct"),
+                F.col(f"__d_{i}").cast("long").alias("n_distinct"),
                 F.coalesce(F.col(f"__min_{i}"), F.lit("")).alias("min_value"),
                 F.coalesce(F.col(f"__max_{i}"), F.lit("")).alias("max_value"),
             )
-        )
-    return reduce(lambda a, b: a.unionAll(b), frames)
+            for i, c in enumerate(cols)
+        ]
+    )
+    return base.select(F.explode(per_col).alias("p")).select("p.*")

@@ -87,3 +87,43 @@ def test_weighted_sample_global_topk_no_sort_exchange(spark):
     plan = _plan(spark, "weighted_sample")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_table_profile_is_one_scan(spark):
+    # C profiled columns must cost ONE table pass: nulls/min/max/exact
+    # distincts all fold into a single aggregate (multi-count_distinct
+    # compiles to one Expand), per-column rows come from an explode —
+    # never a per-column df.agg rescan or a unionAll of frames.
+    plan = _plan(spark, "table_profile")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+    assert "CartesianProduct" not in plan and "Union" not in plan
+
+
+def test_dsir_model_join_is_broadcast(spark):
+    # the per-(doc,bucket) counts join the ≤`buckets`-row model table
+    # via broadcast; sort-merge is allowed ONLY for the bounded
+    # full-outer model build (two ≤4096-row sides) and the final id
+    # carry-join — a third SMJ means the gram join degraded.
+    plan = _plan(spark, "dsir_select")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 2
+
+
+def test_charlm_model_join_is_broadcast(spark):
+    # the (doc, bigram) counts join the |alphabet|^2-row model via
+    # broadcast: no sort-merge join may key on the gram column.
+    plan = _plan(spark, "charlm_quality")
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "shingle" not in line
+
+
+def test_histogram_quantiles_single_shuffle(spark):
+    # integer-binned histogram: one groupBy shuffle on (group, bin);
+    # quantile finish is a broadcast of the tiny histogram — never a
+    # global sort (rangepartitioning) over the data.
+    plan = _plan(spark, "price_histogram_quantiles")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
