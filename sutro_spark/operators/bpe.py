@@ -17,9 +17,16 @@ pair counts; the distributed equivalent:
    (the standard BPE trick, here it is also the 100 TB trick).
 2. Per round: adjacent pairs explode from each word's symbol sequence
    (linear in word length), a map-side-combinable sum shuffles on the
-   pair, and the argmax pair is a 1-ROW BROADCAST cross join (orderBy
-   + limit(1) = TakeOrdered — no driver collect), tie-broken
-   deterministically (max count, then lexicographic pair).
+   pair, and the argmax pair comes back as a BOUNDED 1-ROW COLLECT
+   (TakeOrdered, tie-broken deterministically: max count, then
+   lexicographic pair). Iterative trainers are driver-coordinated in
+   every production system (Spark MLlib's Lloyd loop collects k
+   centroids per iteration the same way); one row per round is the
+   repo's sanctioned bounded-collect shape, and it is what keeps the
+   training plan LINEAR in rounds — the earlier all-lazy formulation
+   (argmax as a broadcast cross join) referenced the previous round's
+   vocabulary twice per round, doubling the logical plan every round
+   (2^rounds nodes — a 30-merge run died in the planner).
 3. The merge applies as a plain string replace over a control-char
    wrapped symbol encoding: symbols render as \\x01sym\\x02 so the
    pattern \\x01a\\x02\\x01b\\x02 can only match at true symbol
@@ -27,14 +34,15 @@ pair counts; the distributed equivalent:
    in both Spark and DuckDB) gives exactly BPE's greedy merge
    semantics — overlapping runs like 'aaa' merge to ('aa','a').
 
-Rounds unroll into one lineage (the ``kmeans.py`` pattern), so the
-whole training plan is a single Catalyst DAG with no Python in the
-hot path.
+Lineage discipline (the ``cluster.py`` localCheckpoint pattern): the
+weighted vocabulary is checkpointed ONCE up front — so per-round jobs
+re-read the small distinct-word table, never the corpus — and again
+every ``_CHECKPOINT_EVERY`` rounds so replay depth stays bounded
+regardless of ``rounds``. Training exhausts early (vocabulary fully
+merged) by breaking when a round finds no pairs.
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,6 +53,12 @@ __all__ = ["bpe_merges", "bpe_segment", "bpe_vocab"]
 
 _L = "\x01"
 _R = "\x02"
+
+# truncate the vocabulary lineage every N merge rounds; ~20 keeps the
+# per-round planning cost flat while paying only rounds/20 checkpoint
+# materializations (each is the small distinct-word table, not the
+# corpus)
+_CHECKPOINT_EVERY = 20
 
 
 def _wrapped_chars(col) -> F.Column:
@@ -67,8 +81,13 @@ def _symbols(ws) -> F.Column:
 
 
 def _train(df: DataFrame, text_column: str, rounds: int):
-    """Shared trainer: returns (list of per-round 1-row merge DFs, the
-    final segmented vocabulary DF (w, weight, ws))."""
+    """Shared trainer: returns (list of (round, lhs, rhs, weight)
+    tuples, the final segmented vocabulary DF (w, weight, ws)).
+
+    Eager by design: each round runs one TakeOrdered job over the
+    checkpointed distinct-word table and collects the single winning
+    pair to the driver (see module docstring for why this is the
+    linear-plan shape)."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     words = (
@@ -76,10 +95,15 @@ def _train(df: DataFrame, text_column: str, rounds: int):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
-    cur = words.select("w", "weight", _wrapped_chars(F.col("w")).alias("ws"))
-    merges = []
+    # materialize the weighted vocabulary ONCE: every later round reads
+    # this small table, never the corpus again (the standard BPE trick
+    # — and at 100 TB the difference between 1 and `rounds` scans)
+    cur = words.select(
+        "w", "weight", _wrapped_chars(F.col("w")).alias("ws")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
-        pairs = (
+        top = (
             cur.select("weight", _symbols("ws").alias("syms"))
             .where(F.size("syms") >= 2)
             .select(
@@ -93,44 +117,28 @@ def _train(df: DataFrame, text_column: str, rounds: int):
             )
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("weight").alias("cnt"))
-        )
-        # sentinel row (cnt=-1, empty symbols): when a round finds NO
-        # pairs (vocabulary fully merged before `rounds` is exhausted),
-        # limit(1) alone would yield an EMPTY frame and the cross join
-        # below would annihilate the whole vocabulary. The sentinel
-        # keeps `top` at exactly one row; its replace pattern
-        # \x01\x02\x01\x02 cannot match (symbols are non-empty) and
-        # sentinel rounds are filtered out of the merge list.
-        sentinel = pairs.sparkSession.createDataFrame(
-            [("", "", -1)], "l string, r string, cnt long"
-        )
-        top = (
-            pairs.unionByName(sentinel)
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
             .limit(1)
-            .select(
-                F.col("l").alias("ml"),
-                F.col("r").alias("mr"),
-                F.col("cnt").alias("mcnt"),
-            )
+            .collect()  # bounded: exactly one (l, r, cnt) row per round
         )
-        merges.append(
-            top.where(F.col("mcnt") >= 0).select(
-                F.lit(r).cast("long").alias("round"),
-                F.col("ml").alias("lhs"),
-                F.col("mr").alias("rhs"),
-                F.col("mcnt").cast("long").alias("weight"),
-            )
-        )
-        cur = cur.crossJoin(F.broadcast(top)).select(
+        if not top:
+            break  # vocabulary fully merged before `rounds` exhausted
+        ml, mr, mcnt = top[0].l, top[0].r, top[0].cnt
+        merges.append((r, ml, mr, int(mcnt)))
+        cur = cur.select(
             "w",
             "weight",
             F.replace(
                 F.col("ws"),
-                F.concat(F.lit(_L), F.col("ml"), F.lit(_R), F.lit(_L), F.col("mr"), F.lit(_R)),
-                F.concat(F.lit(_L), F.col("ml"), F.col("mr"), F.lit(_R)),
+                F.lit(f"{_L}{ml}{_R}{_L}{mr}{_R}"),
+                F.lit(f"{_L}{ml}{mr}{_R}"),
             ).alias("ws"),
         )
+        if r % _CHECKPOINT_EVERY == 0 and r < rounds:
+            # bound replay depth: without this, round r's TakeOrdered
+            # job replays r literal replaces over the vocabulary; with
+            # it, at most _CHECKPOINT_EVERY
+            cur = cur.localCheckpoint(eager=True)
     return merges, cur
 
 
@@ -144,10 +152,14 @@ def bpe_merges(
 
     Output: (round bigint, lhs string, rhs string, weight bigint) — one
     row per learned merge, ``weight`` = corpus frequency of the pair at
-    the time it was merged (weighted by word occurrence count).
+    the time it was merged (weighted by word occurrence count). May
+    return fewer than ``rounds`` rows when the vocabulary is fully
+    merged early (zero rows for an empty/whitespace corpus).
     """
     merges, _ = _train(df, text_column, rounds)
-    return reduce(lambda a, b: a.unionAll(b), merges)
+    return df.sparkSession.createDataFrame(
+        merges, "round long, lhs string, rhs string, weight long"
+    )
 
 
 def bpe_segment(

@@ -93,3 +93,54 @@ def test_exhausted_vocabulary_survives_extra_rounds(spark):
     assert len(seg) == 1 and seg[0].subwords == ["ab"]
     merges = bpe_merges(df, rounds=3).collect()
     assert [(m.round, m.lhs, m.rhs) for m in merges] == [(1, "a", "b")]
+
+
+def test_checkpoint_boundary_preserves_merges(spark):
+    # 26 deterministic merges on one alphabet word: round r merges the
+    # length-r prefix with the next char (all pairs tie at weight 2,
+    # lexicographic tie-break picks the prefix pair). Rounds 21+ cross
+    # the localCheckpoint boundary at r=20 — results must be identical
+    # to the untruncated lineage.
+    word = "abcdefghijklmnopqrstuvwxyz"
+    df = _corpus(spark, f"{word} {word}")
+    out = {r.round: r for r in bpe_merges(df, rounds=25).collect()}
+    assert len(out) == 25
+    for r in range(1, 26):
+        assert (out[r].lhs, out[r].rhs) == (word[:r], word[r]), r
+        assert out[r].weight == 2
+
+
+def test_plan_size_bounded_at_100_rounds(spark):
+    # the lineage-truncation guarantee: with the per-round merge a
+    # literal replace and a localCheckpoint every 20 rounds, the final
+    # vocabulary's physical plan stays bounded by the checkpoint
+    # interval no matter how many rounds ran. A 62-distinct-char word
+    # yields one real merge per round (61 total, then early exhaust) —
+    # so rounds=100 genuinely crosses five checkpoint boundaries. The
+    # pre-fix formulation (lazy broadcast-crossJoin argmax) doubled
+    # the plan every round: 2^100 nodes, dead in the planner.
+    import string
+
+    from sutro_spark.operators.bpe import bpe_segment
+
+    df = _corpus(spark, string.ascii_letters + string.digits)
+
+    def plan_len(rounds):
+        seg = bpe_segment(df, rounds=rounds)
+        return len(seg._jdf.queryExecution().executedPlan().toString())
+
+    p45, p100 = plan_len(45), plan_len(100)
+    assert p100 < 1.3 * p45, (p45, p100)
+
+
+def test_early_exhaust_returns_partial_merges(spark):
+    # 'ab' fully merges after 1 round; rounds=5 must return just that
+    # one merge, not sentinel rows, and segmentation must be the fully
+    # merged single symbol
+    from sutro_spark.operators.bpe import bpe_segment
+
+    df = _corpus(spark, "ab ab")
+    out = bpe_merges(df, rounds=5).collect()
+    assert [(r.round, r.lhs, r.rhs, r.weight) for r in out] == [(1, "a", "b", 2)]
+    seg = bpe_segment(df, rounds=5).collect()
+    assert seg[0].subwords == ["ab"]
