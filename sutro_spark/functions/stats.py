@@ -211,7 +211,14 @@ def histogram_quantiles(
         .select(
             "grp",
             "n",
-            F.expr(f"CAST(((x - lo) * {bins}) DIV (hi - lo + 1) AS INT)").alias("b"),
+            # bin math in DECIMAL(38,0): (x - lo) * bins overflows
+            # BIGINT once the group's value span nears 2^63/bins —
+            # decimal keeps the product exact for any long-valued span
+            # (span < 2^64 and bins ≤ ~1e6 stay well inside 38 digits)
+            F.expr(
+                f"CAST(((CAST(x AS DECIMAL(38,0)) - lo) * {bins})"
+                " DIV (CAST(hi AS DECIMAL(38,0)) - lo + 1) AS INT)"
+            ).alias("b"),
             "lo",
             "hi",
         )
@@ -235,7 +242,11 @@ def histogram_quantiles(
         .agg(
             F.max("n").cast("long").alias("n"),
             F.min(
-                F.col("lo") + F.expr(f"CAST(b * (hi - lo + 1) DIV {bins} AS BIGINT)")
+                F.col("lo")
+                + F.expr(
+                    f"CAST(CAST(b AS DECIMAL(38,0)) * (CAST(hi AS DECIMAL(38,0)) - lo + 1)"
+                    f" DIV {bins} AS BIGINT)"
+                )
             ).alias("approx_value"),
         )
         .select("grp", "q", "n", F.col("approx_value").cast("long").alias("approx_value"))

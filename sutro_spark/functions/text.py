@@ -399,7 +399,9 @@ def bigram_lift(
     # three consumers (unigram counts, bigram counts, bigram total) —
     # persist the tokenized pass or Catalyst re-scans and re-tokenizes
     # the corpus three times (selection.py measured that fan-out at 3x
-    # the whole query). Caller releases via unpersist/clearCache.
+    # the whole query). Released before returning: the result is at
+    # most k rows, so it is materialized eagerly below and the cache
+    # unpersisted — repeated calls in a long-lived session leak nothing.
     t = df.select(tokens(F.lower(F.col(text_column))).alias("toks")).persist()
     uni = (
         t.select(F.explode("toks").alias("w"))
@@ -447,7 +449,10 @@ def bigram_lift(
             ).alias("lift"),
         )
     )
-    return scored.orderBy(F.desc("lift"), F.asc("bigram")).limit(k)
+    result = scored.orderBy(F.desc("lift"), F.asc("bigram")).limit(k)
+    rows = result.collect()  # bounded: ≤ k report rows
+    t.unpersist()
+    return df.sparkSession.createDataFrame(rows, result.schema)
 
 
 def lang_id_margin(col, languages: list[str] | None = None) -> Column:

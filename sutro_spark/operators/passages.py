@@ -7,8 +7,14 @@ stops at per-row transforms, see reference sdk.py). This implements the
 "Deduplicating Training Data Makes Language Models Better" (Lee et al.,
 ACL 2022): find token windows of length ``k`` that occur more than once
 across the corpus, report per-document duplicated-passage coverage, and
-strip every repeated occurrence while keeping exactly one canonical
-copy corpus-wide.
+strip repeated occurrences while designating one canonical keeper
+occurrence per window. Caveat inherent to window-hash ExactSubstr
+approximations: when OVERLAPPING windows are independently duplicated,
+positions removed for a neighboring window can erode tokens inside a
+keeper's span — the keeper designation guarantees at-most-one *retained
+designation* per digest, not that an intact verbatim copy always
+survives (the suffix-array formulation has the same edge at span
+boundaries).
 
 Spark-first shape (the suffix-array of the paper is a single-machine
 structure; the distributed equivalent is a window-hash posting list):

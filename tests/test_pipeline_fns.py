@@ -676,3 +676,34 @@ def test_corr_by_group_known_values(spark):
         [("a", x, 5) for x in range(8)], "g string, x long, y long"
     )
     assert corr_by_group(flat, "x", "y", group_column="g").collect()[0].r is None
+
+
+def test_histogram_quantiles_extreme_span_no_overflow(spark):
+    # (x - lo) * bins in BIGINT overflows once the group's span nears
+    # 2^63/bins; the decimal(38,0) bin math must keep extreme-range
+    # longs in valid, monotone bins (q=1.0 bin start <= true max and
+    # >= the q=0.5 one)
+    from sutro_spark.functions.stats import histogram_quantiles
+
+    df = spark.createDataFrame(
+        [(-(2**62),), (0,), (2**62 - 1,), (2**62,)], "x long"
+    )
+    out = {
+        r.q: r.approx_value
+        for r in histogram_quantiles(df, "x", quantiles=(0.5, 1.0), bins=1000).collect()
+    }
+    assert -(2**62) <= out[0.5] <= 0
+    assert out[0.5] <= out[1.0] <= 2**62
+
+
+def test_bigram_lift_releases_its_cache(spark):
+    # repeated calls in a long-lived session must not leak executor
+    # storage: the tokenized intermediate is unpersisted before return
+    from sutro_spark.functions.text import bigram_lift
+
+    df = spark.createDataFrame([("the cat sat " * 6,)], "text string")
+    before = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+    out = bigram_lift(df, k=5, min_count=5)
+    assert out.count() >= 1
+    after = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+    assert after <= before
