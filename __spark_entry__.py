@@ -901,6 +901,20 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal video path: per-frame luma features via one Arrow
+    # mapInPandas stage, blob column-pruned after extraction. The
+    # deterministic byte-slice stub is the oracle-expressible contract
+    # here; the REAL YUV4MPEG2 container parse behind the same schema
+    # is pytest-verified (tests/test_extensions.py).
+    from sutro_spark.operators.multimodal import attach_fake_media, video_frames
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents")).select("doc_id", "media")
+    return video_frames(media, every_nth=5).select(
+        "doc_id", "frame_id", "mean_luma", "decoder"
+    )
+
+
 def q_list_source_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S1 — list-of-prompts source through the transform, row order kept.
     from sutro_spark.sources.ingest import from_list
@@ -2468,7 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "corr_tokens_chars": q_corr_tokens_chars,
         "mixture_drift": q_mixture_drift,
-        "promo_revenue": q_promo_revenue,
+        "video_frames": q_video_frames,
         "set_ops": q_set_ops,
         "pivot_qty": q_pivot_qty,
         "rollup_counts": q_rollup_counts,
@@ -2477,7 +2491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_regions": q_customer_regions,
         "tpch_q4ish": q_tpch_q4ish,
         # --- beyond the driver cap this round: driver-green in r1-r4;
-        # every registered query now has at least one driver-green row ---
+        # every previously-registered query has at least one
+        # driver-green row ---
+        "promo_revenue": q_promo_revenue,
         "gap_fill": q_gap_fill,
         "simhash": q_simhash,
         "term_topk": q_term_topk,
@@ -3965,6 +3981,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, text,
                          unnest(range(0, length(text) % 30 + 1, 5)) AS f
                   FROM documents)
+        """,
+        "video_frames": """
+            SELECT doc_id,
+                   CAST(f AS INTEGER) AS frame_id,
+                   CAST(list_sum(list_transform(
+                       string_split(substring(text, CAST(f AS INTEGER) * 4 + 1, 4), ''),
+                       c -> unicode(c))) AS DOUBLE) / 4 AS mean_luma,
+                   'stub' AS decoder
+            FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+                 LATERAL unnest(range(0, length(text) // 4, 5)) AS t(f)
         """,
         "audio_features": """
             WITH b AS (

@@ -293,3 +293,153 @@ def sample_frames(
         F.col(media_column).cast("string"), F.col("frame_id") * 4 + 1, 4
     )
     return exploded.withColumn("frame_bytes", F.encode(frame, "UTF-8")).drop(media_column)
+
+
+def _y4m_frames(payload: bytes) -> list[tuple[int, int, int, float]] | None:
+    """REAL video-container parse, stdlib+numpy only: YUV4MPEG2 (Y4M)
+    is the raw-frame interchange format of the ffmpeg ecosystem — an
+    ASCII stream header (``YUV4MPEG2 W<w> H<h> F<fps> C<subsampling>``)
+    followed by ``FRAME`` records of planar YUV bytes. No codec, so a
+    correct parser needs no external library — which makes it the one
+    video path that is REAL in every environment, unlike the PIL/image
+    gate (multimodal.py:71) that degrades to the stub where PIL is
+    absent.
+
+    Returns [(frame_id, width, height, mean_luma)] — mean_luma is the
+    Y-plane mean via exact integer sum and ONE IEEE division (the
+    repo's float-parity discipline) — or None when the payload is not
+    parseable Y4M (caller falls back to the deterministic stub).
+    """
+    if not payload or not payload.startswith(b"YUV4MPEG2"):
+        return None
+    try:
+        nl = payload.index(b"\n")
+    except ValueError:
+        return None
+    width = height = 0
+    subsampling = "420"
+    for tok in payload[:nl].split(b" ")[1:]:
+        try:
+            if tok[:1] == b"W":
+                width = int(tok[1:])
+            elif tok[:1] == b"H":
+                height = int(tok[1:])
+            elif tok[:1] == b"C":
+                subsampling = tok[1:].decode("ascii")
+        except (ValueError, UnicodeDecodeError):
+            return None
+    if width <= 0 or height <= 0:
+        return None
+    y_size = width * height
+    if subsampling.startswith("420"):
+        frame_size = y_size * 3 // 2
+    elif subsampling.startswith("422"):
+        frame_size = y_size * 2
+    elif subsampling.startswith("444"):
+        frame_size = y_size * 3
+    elif subsampling.startswith("mono"):
+        frame_size = y_size
+    else:
+        return None
+
+    import numpy as np
+
+    frames: list[tuple[int, int, int, float]] = []
+    pos = nl + 1
+    while pos < len(payload):
+        try:
+            fnl = payload.index(b"\n", pos)
+        except ValueError:
+            break
+        if not payload[pos : pos + 5] == b"FRAME":
+            break
+        pos = fnl + 1
+        if pos + frame_size > len(payload):
+            break  # truncated trailing frame: keep the complete ones
+        y = np.frombuffer(payload, np.uint8, y_size, pos).astype(np.int64)
+        frames.append((len(frames), width, height, int(y.sum()) / y_size))
+        pos += frame_size
+    return frames or None
+
+
+def video_frames(
+    df: DataFrame,
+    media_column: str = "media",
+    *,
+    every_nth: int = 1,
+    decoder: str = "auto",
+) -> DataFrame:
+    """Per-frame feature extraction from a video payload column.
+
+    ``decoder="auto"`` (default) attempts a REAL YUV4MPEG2 container
+    parse per blob (:func:`_y4m_frames` — pure stdlib+numpy, so the
+    real path works in every environment) and falls back to the
+    deterministic byte-slice stub for non-Y4M payloads: fake frames of
+    4 payload bytes each, width=height=2, mean_luma = exact mean of
+    those bytes. ``decoder="stub"`` forces the fallback. Either way
+    the output schema — and therefore the Spark plan — is identical:
+    every input column except the blob, plus (frame_id int, width int,
+    height int, mean_luma double, decoder string), one row per sampled
+    frame (0, every_nth, 2*every_nth, ...), zero rows for empty/null
+    payloads.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` stage, partition-
+    local (no shuffle); the blob never survives past this stage
+    (column-pruned on output), so downstream stages move features,
+    not video bytes.
+    """
+    if every_nth < 1:
+        raise ValueError(f"every_nth must be >= 1, got {every_nth}")
+    if decoder not in ("auto", "stub"):
+        raise ValueError(f"unknown decoder: {decoder!r}")
+    keep = [f for f in df.schema.fields if f.name != media_column]
+    keep_names = [f.name for f in keep]
+    out_schema = T.StructType(
+        list(keep)
+        + [
+            T.StructField("frame_id", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_luma", T.DoubleType()),
+            T.StructField("decoder", T.StringType()),
+        ]
+    )
+
+    def _stub_frames(payload: bytes) -> list[tuple[int, int, int, float]]:
+        out = []
+        for i in range(len(payload) // 4):
+            chunk = payload[i * 4 : i * 4 + 4]
+            out.append((i, 2, 2, sum(chunk) / 4))
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for _, row in pdf.iterrows():
+                payload = row[media_column]
+                if payload is None or len(payload) == 0:
+                    continue
+                payload = bytes(payload)
+                frames = _y4m_frames(payload) if decoder == "auto" else None
+                used = "y4m" if frames is not None else "stub"
+                if frames is None:
+                    frames = _stub_frames(payload)
+                carry = {k: row[k] for k in keep_names}
+                for fid, w, h, luma in frames:
+                    if fid % every_nth:
+                        continue
+                    rows.append(
+                        {
+                            **carry,
+                            "frame_id": fid,
+                            "width": w,
+                            "height": h,
+                            "mean_luma": luma,
+                            "decoder": used,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[*keep_names, "frame_id", "width", "height", "mean_luma", "decoder"]
+            )
+
+    return df.mapInPandas(run, schema=out_schema)

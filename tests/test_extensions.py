@@ -341,3 +341,84 @@ def test_compression_signals_orders_by_redundancy(spark):
     # deterministic: same input -> same bytes counts
     again = {r.doc_id: r.compressed_len for r in compression_signals(df).collect()}
     assert again == {k: v.compressed_len for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# video_frames: real Y4M container parse + deterministic stub fallback
+# ---------------------------------------------------------------------------
+
+
+def _y4m_payload(width, height, frames, subsampling=b"C420"):
+    """Build a real YUV4MPEG2 stream: header + FRAME records of planar
+    YUV bytes (Y plane per `frames`, chroma zero-filled)."""
+    header = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 %s\n" % (width, height, subsampling)
+    chroma = (width * height) // 2 if subsampling == b"C420" else 0
+    body = b"".join(
+        b"FRAME\n" + bytes(y_plane) + bytes(chroma) for y_plane in frames
+    )
+    return header + body
+
+
+def test_video_frames_parses_real_y4m(spark):
+    from sutro_spark.operators.multimodal import video_frames
+
+    f0 = [10] * 8   # 4x2 Y plane, mean 10
+    f1 = [0, 0, 0, 0, 255, 255, 255, 255]  # mean 127.5
+    payload = _y4m_payload(4, 2, [f0, f1])
+    df = spark.createDataFrame([("v1", bytearray(payload))], "vid string, media binary")
+    out = sorted(video_frames(df).collect(), key=lambda r: r.frame_id)
+    assert [(r.frame_id, r.width, r.height, r.mean_luma, r.decoder) for r in out] == [
+        (0, 4, 2, 10.0, "y4m"),
+        (1, 4, 2, 127.5, "y4m"),
+    ]
+    assert out[0].vid == "v1"
+    assert "media" not in out[0].asDict()  # blob never survives the stage
+
+
+def test_video_frames_every_nth_and_truncated_tail(spark):
+    from sutro_spark.operators.multimodal import video_frames
+
+    frames = [[i] * 8 for i in range(5)]
+    payload = _y4m_payload(4, 2, frames) + b"FRAME\n\x01\x02"  # truncated 6th
+    df = spark.createDataFrame([("v", bytearray(payload))], "vid string, media binary")
+    out = sorted(video_frames(df, every_nth=2).collect(), key=lambda r: r.frame_id)
+    assert [r.frame_id for r in out] == [0, 2, 4]
+    assert [r.mean_luma for r in out] == [0.0, 2.0, 4.0]
+
+
+def test_video_frames_stub_fallback_same_schema(spark):
+    from sutro_spark.operators.multimodal import video_frames
+
+    # non-Y4M payload → deterministic stub, IDENTICAL schema
+    df = spark.createDataFrame(
+        [("s", bytearray(bytes([1, 2, 3, 4, 5, 6, 7, 8, 9])))],
+        "vid string, media binary",
+    )
+    auto = video_frames(df).collect()
+    stub = video_frames(df, decoder="stub").collect()
+    assert [r.asDict() for r in auto] == [r.asDict() for r in stub]
+    assert [(r.frame_id, r.width, r.mean_luma, r.decoder) for r in auto] == [
+        (0, 2, 2.5, "stub"),
+        (1, 2, 6.5, "stub"),
+    ]
+
+
+def test_video_frames_null_and_empty_payloads(spark):
+    from sutro_spark.operators.multimodal import video_frames
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", bytearray(b""))], "vid string, media binary"
+    )
+    assert video_frames(df).count() == 0
+
+
+def test_video_frames_validation(spark):
+    import pytest as _pytest
+
+    from sutro_spark.operators.multimodal import video_frames
+
+    df = spark.createDataFrame([("a", bytearray(b"x"))], "vid string, media binary")
+    with _pytest.raises(ValueError):
+        video_frames(df, every_nth=0)
+    with _pytest.raises(ValueError):
+        video_frames(df, decoder="ffmpeg")
