@@ -624,3 +624,39 @@ def jaccard_histogram(
         F.col("n_pairs").cast("long").alias("n_pairs"),
         F.sum("n_pairs").over(w).cast("long").alias("n_pairs_ge"),
     )
+
+
+def dup_size_histogram(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    normalized: bool = True,
+) -> DataFrame:
+    """Duplicate-cluster SIZE distribution: for each exact-duplicate
+    cluster size s, how many clusters have that size and how many
+    documents they hold — the one-glance dedup diagnostic (a heavy
+    tail at large s means boilerplate; n_docs at s=1 is the unique
+    mass that survives dedup untouched).
+
+    Two map-side-combinable aggregations over shrinking keys: digest →
+    cluster size (|docs| rows in, |clusters| out), then size →
+    histogram (|clusters| in, |distinct sizes| out — dozens). Nothing
+    here grows with corpus size except the first digest shuffle that
+    exact dedup already pays.
+
+    Output: (cluster_size bigint, n_clusters bigint, n_docs bigint),
+    one row per observed size.
+    """
+    clusters = exact_dedup(
+        df, text_column=text_column, id_column=id_column, normalized=normalized
+    )
+    return (
+        clusters.groupBy(F.col("dup_count").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )

@@ -279,3 +279,107 @@ def mixture_drift(
         (F.col("n_old") == 0).cast("int").alias("is_new"),
         (F.col("n_new") == 0).cast("int").alias("is_gone"),
     )
+
+
+def token_budget_allocation(
+    df: DataFrame,
+    budget: int,
+    *,
+    source_column: str = "source",
+    text_column: str = "text",
+    max_epochs_milli: int = 4000,
+) -> DataFrame:
+    """Per-source token allocation for a fixed training budget — the
+    mixture-planning step of a pretraining run (how many tokens, and
+    therefore epochs, to draw from each source).
+
+    Target mixture: sqrt-temperature weights (alpha = 0.5, the same
+    flattening rule as :func:`temperature_rates`) — w_s =
+    floor(1000 * sqrt(avail_s)) milli-units, so tail sources are
+    upweighted relative to the natural mixture. The weights are
+    INTEGER so their corpus total is an exact associative sum (a
+    double total would be row-order-dependent). Allocation:
+
+    1. alloc1_s = min(cap_s, floor(budget * (w_s / W)))  with cap_s =
+       avail_s * max_epochs_milli / 1000 tokens — the diminishing-
+       returns repeat cap of Muennighoff et al. 2023 ("Scaling
+       Data-Constrained Language Models"). Under sqrt flattening the
+       cap binds on SMALL sources first (their target share implies
+       many epochs), which is exactly the real-world case.
+    2. one redistribution pass: tokens freed by capped sources flow to
+       the others proportional to remaining headroom. Exact whenever
+       the pass does not itself push a source past its cap; any
+       remainder left after it means the corpus cannot fill the budget
+       under the epoch cap — report, don't loop.
+
+    Determinism: avail/cap/weights are exact integers; each
+    proportional split is ``floor(x * (a / b))`` with one IEEE
+    division and one multiply — the same literal expression on any
+    engine (sqrt is IEEE-correctly-rounded everywhere).
+
+    Output: (source, avail_tokens, cap_tokens, alloc_tokens,
+    epochs_milli) — epochs_milli = floor(1000 * alloc/avail).
+
+    Scale: one token-count shuffle on source; everything after runs on
+    the per-source table (|sources| rows) with 1-row broadcast totals.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if max_epochs_milli < 1:
+        raise ValueError(f"max_epochs_milli must be >= 1, got {max_epochs_milli}")
+    per_src = df.groupBy(F.col(source_column).alias("source")).agg(
+        F.sum(token_count(F.col(text_column))).alias("avail_tokens")
+    )
+    cap = per_src.select(
+        "source",
+        "avail_tokens",
+        F.expr(f"avail_tokens * {max_epochs_milli} div 1000").alias("cap_tokens"),
+        F.floor(F.sqrt(F.col("avail_tokens").cast("double")) * 1000)
+        .cast("long")
+        .alias("w_milli"),
+    )
+    total = cap.agg(F.sum("w_milli").alias("__w_total"))
+    first = cap.join(F.broadcast(total)).select(
+        "source",
+        "avail_tokens",
+        "cap_tokens",
+        F.least(
+            F.col("cap_tokens"),
+            F.floor(
+                F.lit(float(budget))
+                * (F.col("w_milli").cast("double") / F.col("__w_total"))
+            ).cast("long"),
+        ).alias("alloc1"),
+    )
+    pools = first.agg(
+        (F.lit(budget) - F.sum("alloc1")).alias("__leftover"),
+        F.sum(F.col("cap_tokens") - F.col("alloc1")).alias("__headroom"),
+    )
+    alloc = F.least(
+        F.col("cap_tokens"),
+        F.col("alloc1")
+        + F.when(
+            (F.col("__headroom") > 0) & (F.col("__leftover") > 0),
+            F.floor(
+                F.col("__leftover").cast("double")
+                * (
+                    (F.col("cap_tokens") - F.col("alloc1")).cast("double")
+                    / F.col("__headroom")
+                )
+            ).cast("long"),
+        ).otherwise(F.lit(0)),
+    )
+    return first.join(F.broadcast(pools)).select(
+        "source",
+        "avail_tokens",
+        "cap_tokens",
+        alloc.alias("alloc_tokens"),
+        F.when(
+            F.col("avail_tokens") > 0,
+            F.floor(
+                F.lit(1000.0) * (alloc.cast("double") / F.col("avail_tokens"))
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("epochs_milli"),
+    )

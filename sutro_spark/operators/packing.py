@@ -180,3 +180,63 @@ def shuffled_shards(
         .withColumn("position", F.row_number().over(w).cast("long"))
         .drop("__pos_key")
     )
+
+
+def epoch_plan(
+    manifest: DataFrame,
+    *,
+    group_by: str = "source",
+    shard_column: str = "shard_id",
+    weight_column: str = "n_tokens",
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Deterministic interleaved shard schedule for one training epoch:
+    a global order over shards in which each group (source) recurs with
+    frequency proportional to its total weight — stride scheduling /
+    weighted-fair-queueing virtual time, the classic deterministic
+    alternative to "shuffle shards and hope the mixture averages out".
+
+    Each shard's virtual time is the normalized midpoint of its own
+    group's token mass: ``vt = (2*cum_incl - w_shard) * scale DIV
+    (2 * w_group)`` where cum_incl is the group's running
+    ``weight_column`` total through this shard (in ``shard_column``
+    order) and w_group the group total — i.e., every group traverses
+    (0, scale) through its OWN tokens, so all groups finish the epoch
+    together and any schedule prefix contains each group's tokens in
+    proportion to its share (the WFQ fairness bound; pacing groups by
+    raw weight instead would exhaust heavy groups early and bunch the
+    tail). Pure integer arithmetic — any engine reproduces the
+    schedule bit-for-bit.
+
+    Output: (position bigint — 1-based global order, group, shard_id,
+    vt bigint). The final global rank runs over the MANIFEST (one row
+    per shard, ~corpus_tokens / tokens_per_shard rows — at 100 TB with
+    0.5 GB shards that is ~200k rows), not the corpus; a single-task
+    sort of a manifest is deliberate and cheap.
+    """
+    w_tbl = manifest.groupBy(F.col(group_by).alias("grp")).agg(
+        F.sum(F.col(weight_column)).alias("w")
+    )
+    cum = Window.partitionBy(F.col(group_by)).orderBy(
+        F.col(shard_column).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = manifest.select(
+        F.col(group_by).alias("grp"),
+        F.col(shard_column).alias("shard_id"),
+        F.col(weight_column).alias("tok"),
+        F.sum(F.col(weight_column)).over(cum).alias("cum_incl"),
+    )
+    vt = seq.join(F.broadcast(w_tbl), "grp").select(
+        "grp",
+        "shard_id",
+        F.expr(
+            f"(2 * cum_incl - tok) * CAST({scale} AS BIGINT) div (2 * w)"
+        ).alias("vt"),
+    )
+    order = Window.orderBy(F.col("vt").asc(), F.col("grp").asc(), F.col("shard_id").asc())
+    return vt.select(
+        F.row_number().over(order).cast("long").alias("position"),
+        F.col("grp").alias(group_by),
+        "shard_id",
+        "vt",
+    )

@@ -663,3 +663,48 @@ def label_centroids(
             ),
         )
     )
+
+
+def embedding_norm_stats(
+    df: DataFrame,
+    vector_column: str = "embedding",
+    label_column: str = "label",
+    *,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-group embedding NORM profile — the drift/health check run
+    before any cosine-based dedup or ANN step (a group whose norms
+    collapse or explode poisons cosine thresholds silently).
+
+    Engine-exact by quantization: each component is rounded to
+    ``scale``-ths (HALF-UP — IEEE-identical in any engine), the
+    squared L2 norm of the quantized vector is an exact BIGINT, and
+    the group mean is ONE long/long division rounded to 6 places.
+    Float sums over rows are never taken (they would be
+    order-dependent); every cross-row aggregate is integer.
+
+    Output: (label, n_vecs, mean_norm2 double, min_norm2 bigint,
+    max_norm2 bigint) over milli-unit norms.
+
+    Scale: norm² reduces inside the scan stage (no explode survives);
+    one groupBy(label) shuffle of 3-integer rows.
+    """
+    q = F.transform(
+        F.col(vector_column),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    norm2 = F.aggregate(
+        F.transform(q, lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.select(F.col(label_column).alias("label"), norm2.alias("n2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("n2") / F.count(F.lit(1)), 6).alias("mean_norm2"),
+            F.min("n2").alias("min_norm2"),
+            F.max("n2").alias("max_norm2"),
+        )
+    )
