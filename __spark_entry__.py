@@ -2464,6 +2464,18 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_norm_stats(_t(spark, sf_dir, "embeddings"))
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MOSS-style winnowing fingerprint overlap: local-min sampling of
+    # rolling char-8-gram hashes (window 4), df-capped inverted-index
+    # self-join — any shared substring of length >= 11 guarantees a
+    # shared fingerprint.
+    from sutro_spark.operators.dedup import winnow_overlap
+
+    return winnow_overlap(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), min_shared=2
+    )
+
+
 def q_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicate-cluster size distribution over normalized text — two
     # shrinking map-side-combinable aggregations. The synthetic corpus
@@ -2538,13 +2550,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_plan": q_epoch_plan,
         "embedding_norms": q_embedding_norms,
         "dup_size_histogram": q_dup_size_histogram,
-        "part_stats": q_part_stats,
+        "winnow_overlap": q_winnow_overlap,
         "customer_regions": q_customer_regions,
         "tpch_q4ish": q_tpch_q4ish,
         # --- beyond the driver cap this round: driver-green in r1-r4;
         # every previously-registered query has at least one
         # driver-green row ---
         "promo_revenue": q_promo_revenue,
+        "part_stats": q_part_stats,
         "set_ops": q_set_ops,
         "pivot_qty": q_pivot_qty,
         "rollup_counts": q_rollup_counts,
@@ -4112,6 +4125,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(n2) AS BIGINT) AS min_norm2,
                    CAST(max(n2) AS BIGINT) AS max_norm2
             FROM q GROUP BY label
+        """,
+        "winnow_overlap": """
+            WITH g AS (
+                SELECT doc_id AS id, CAST(p AS INTEGER) AS pos,
+                       substring(text, CAST(p AS INTEGER), 8) AS gram
+                FROM documents,
+                     LATERAL unnest(range(1, greatest(length(text) - 7, 0) + 1))
+                         AS t(p)),
+            h AS (
+                SELECT id, pos,
+                       CAST(('0x' || substring(sha256('winnow:' || gram), 1, 8))
+                            AS BIGINT) AS h
+                FROM g WHERE length(gram) = 8),
+            w AS (
+                SELECT id, pos,
+                       min(h) OVER (PARTITION BY id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                       count(*) OVER (PARTITION BY id) AS n_grams
+                FROM h),
+            f AS (SELECT DISTINCT id, fp FROM w WHERE pos <= n_grams - 3),
+            d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 100),
+            r AS (SELECT f.id, f.fp FROM f JOIN d ON f.fp = d.fp)
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+            FROM r a JOIN r b ON a.fp = b.fp AND a.id < b.id
+            GROUP BY a.id, b.id
+            HAVING count(*) >= 2
         """,
         "dup_size_histogram": """
             WITH u AS (

@@ -660,3 +660,107 @@ def dup_size_histogram(
             (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    k: int = 8,
+    window: int = 4,
+    salt: str = "winnow",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every char ``k``-gram,
+    slide a ``window`` of consecutive gram hashes over the document,
+    keep the minimum hash of each full window, and deduplicate per
+    document. Guarantees: any shared substring of length >=
+    ``k + window - 1`` produces at least one shared fingerprint, and
+    the expected fingerprint density is 2/(window+1) of all grams —
+    position-robust local sampling that plain every-nth sampling
+    can't give.
+
+    Hash = the repo's portable 32-bit sha256-prefix (same
+    construction as functions/sampling.hash_bucket), so any engine
+    reproduces the fingerprint set bit-for-bit.
+
+    Scale shape: grams explode inside the scan stage; the sliding min
+    is ONE bounded per-doc window (sort bounded by document length,
+    parallel across docs); distinct is a map-side-combinable
+    aggregate on (id, fp). No corpus×corpus anything.
+
+    Output: (id, fp bigint) — one row per distinct fingerprint per doc.
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
+    # null/short texts survive via the length(gram) == k filter: their
+    # sequence degenerates and every candidate gram comes up short
+    grams = df.select(
+        F.col(id_column).alias("id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_column}) - {k - 1}, 0)),"
+                f" g -> substring({text_column}, g, {k}))"
+            )
+        ).alias("pos", "gram"),
+    ).where(F.length("gram") == k)
+    hashed = grams.select(
+        "id",
+        "pos",
+        F.conv(
+            F.substring(F.sha2(F.concat(F.lit(f"{salt}:"), F.col("gram")), 256), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    part = Window.partitionBy("id")
+    fwd = part.orderBy(F.col("pos").asc()).rowsBetween(0, window - 1)
+    return (
+        hashed.withColumn("n_grams", F.count(F.lit(1)).over(part))
+        .withColumn("fp", F.min("h").over(fwd))
+        # full windows only: pos is 0-based, last full window starts
+        # at n_grams - window
+        .where(F.col("pos") <= F.col("n_grams") - window)
+        .select("id", "fp")
+        .distinct()
+    )
+
+
+def winnow_overlap(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 100,
+    salt: str = "winnow",
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints — the
+    MOSS similarity report. Same inverted-index shape as
+    :func:`ngram_jaccard`: fingerprints whose document frequency
+    exceeds ``max_df`` are dropped before the self-join (boilerplate
+    fingerprints would otherwise create a df² hot key), so the join
+    fan-out is bounded at max_df² per fingerprint.
+
+    Output: (id_a, id_b, n_shared) with id_a < id_b and n_shared >=
+    ``min_shared``.
+    """
+    fps = winnow_fingerprints(
+        df, text_column, id_column, k=k, window=window, salt=salt
+    )
+    dfreq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    rare = fps.join(dfreq.where(F.col("df") <= max_df), "fp")
+    a = rare.select(F.col("fp"), F.col("id").alias("id_a"))
+    b = rare.select(F.col("fp"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

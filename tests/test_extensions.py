@@ -422,3 +422,63 @@ def test_video_frames_validation(spark):
         video_frames(df, every_nth=0)
     with _pytest.raises(ValueError):
         video_frames(df, decoder="ffmpeg")
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al. 2003)
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    # the winnowing guarantee: any shared substring of length
+    # >= k + window - 1 (= 11 at defaults) yields >= 1 shared
+    # fingerprint, wherever it sits in either document
+    from sutro_spark.operators.dedup import winnow_overlap
+
+    shared = "XYZQWERTYUI"  # 11 chars
+    df = spark.createDataFrame(
+        [(1, "aaaaaaa " + shared + " bbbbbbbb"),
+         (2, "cccccccccccc " + shared),
+         (3, "no common content at all here")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in winnow_overlap(df, min_shared=1).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_density_and_determinism(spark):
+    # expected density 2/(window+1): fingerprints ≪ grams; and the
+    # fingerprint set is a pure function of content (rerun-identical)
+    from sutro_spark.operators.dedup import winnow_fingerprints
+
+    text = "the quick brown fox jumps over the lazy dog " * 5
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n_grams = len(text) - 7
+    a = sorted(r.fp for r in winnow_fingerprints(df).collect())
+    b = sorted(r.fp for r in winnow_fingerprints(df).collect())
+    assert a == b
+    assert 0 < len(a) <= n_grams * 2 // 4  # far below gram count
+
+
+def test_winnow_short_and_null_docs_empty(spark):
+    from sutro_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "tiny"), (4, "elevenchars")],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(df).collect()
+    # only doc 4 has >= k + window - 1 = 11 chars -> exactly 1 full window
+    assert {r.id for r in out} == {4}
+    assert len(out) == 1
+
+
+def test_winnow_validation(spark):
+    import pytest as _pytest
+
+    from sutro_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(df, k=0)
