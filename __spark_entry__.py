@@ -2476,6 +2476,19 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # honesty metric for the winnowing path (same discipline as
+    # lsh_recall / ivf_recall): recall/precision of winnow candidate
+    # pairs against exact n-gram Jaccard >= 0.1 ground truth.
+    from sutro_spark.operators.dedup import ngram_jaccard_pairs, winnow_overlap
+    from sutro_spark.operators.metrics import candidate_recall
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, k=8, threshold=0.1, max_df=100)
+    cand = winnow_overlap(docs.select("doc_id", "text"), min_shared=2)
+    return candidate_recall(truth, cand)
+
+
 def q_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicate-cluster size distribution over normalized text — two
     # shrinking map-side-combinable aggregations. The synthetic corpus
@@ -2551,13 +2564,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "dup_size_histogram": q_dup_size_histogram,
         "winnow_overlap": q_winnow_overlap,
-        "customer_regions": q_customer_regions,
+        "winnow_recall": q_winnow_recall,
         "tpch_q4ish": q_tpch_q4ish,
         # --- beyond the driver cap this round: driver-green in r1-r4;
         # every previously-registered query has at least one
         # driver-green row ---
         "promo_revenue": q_promo_revenue,
         "part_stats": q_part_stats,
+        "customer_regions": q_customer_regions,
         "set_ops": q_set_ops,
         "pivot_qty": q_pivot_qty,
         "rollup_counts": q_rollup_counts,
@@ -4125,6 +4139,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(n2) AS BIGINT) AS min_norm2,
                    CAST(max(n2) AS BIGINT) AS max_norm2
             FROM q GROUP BY label
+        """,
+        "winnow_recall": f"""
+            WITH {_SHINGLES_CTE},
+            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+            shf AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+            sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
+            truth AS (
+                SELECT id_a, id_b FROM (
+                    SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+                    FROM shf a JOIN shf b USING (shingle)
+                    WHERE a.id < b.id GROUP BY 1, 2) x
+                JOIN sizes sa ON sa.id = x.id_a
+                JOIN sizes sb ON sb.id = x.id_b
+                WHERE i / (sa.n + sb.n - i) >= 0.1),
+            g AS (
+                SELECT doc_id AS id, CAST(p AS INTEGER) AS pos,
+                       substring(text, CAST(p AS INTEGER), 8) AS gram
+                FROM documents,
+                     LATERAL unnest(range(1, greatest(length(text) - 7, 0) + 1))
+                         AS t(p)),
+            h AS (
+                SELECT id, pos,
+                       CAST(('0x' || substring(sha256('winnow:' || gram), 1, 8))
+                            AS BIGINT) AS h
+                FROM g WHERE length(gram) = 8),
+            w AS (
+                SELECT id, pos,
+                       min(h) OVER (PARTITION BY id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                       count(*) OVER (PARTITION BY id) AS n_grams
+                FROM h),
+            f AS (SELECT DISTINCT id, fp FROM w WHERE pos <= n_grams - 3),
+            d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 100),
+            r AS (SELECT f.id, f.fp FROM f JOIN d ON f.fp = d.fp),
+            cand AS (
+                SELECT a.id AS id_a, b.id AS id_b
+                FROM r a JOIN r b ON a.fp = b.fp AND a.id < b.id
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+            joined AS (
+                SELECT CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS t,
+                       CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS c
+                FROM truth t FULL OUTER JOIN cand c
+                  ON t.id_a = c.id_a AND t.id_b = c.id_b),
+            agg AS (
+                SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+                       CAST(sum(c) AS BIGINT) AS n_cand,
+                       CAST(sum(t * c) AS BIGINT) AS n_hit
+                FROM joined)
+            SELECT n_truth, n_cand, n_hit,
+                   CASE WHEN n_truth > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+                   CASE WHEN n_cand > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_cand END AS precision
+            FROM agg
         """,
         "winnow_overlap": """
             WITH g AS (
