@@ -2489,6 +2489,61 @@ def q_winnow_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_recall(truth, cand)
 
 
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-engine mergeability proof: Spark builds per-DAY partial HLL
+    # registers and max-merges them into the global registers; the
+    # oracle computes the sketch DIRECTLY over all events. Equal
+    # finished estimates == the associativity/idempotence property
+    # that makes the sketch the 100 TB COUNT-DISTINCT answer.
+    from sutro_spark.functions.sketches import hll_from_registers, hll_registers
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("event_type"), F.lit("|"), F.to_date("ts").cast("string")
+        ).alias("gd"),
+        "user_id",
+    )
+    daily = hll_registers(ev, "gd", "user_id")
+    merged = (
+        daily.select(F.split("grp", r"\|")[0].alias("grp"), "j", "M")
+        .groupBy("grp", "j")
+        .agg(F.max("M").alias("M"))
+    )
+    return hll_from_registers(merged)
+
+
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc sentence segmentation stats (lookbehind-free split so
+    # RE2 and Java regex segment identically).
+    from sutro_spark.functions.text import sentence_stats
+
+    return sentence_stats(_t(spark, sf_dir, "documents")).select(
+        F.col("id").alias("doc_id"), "n_sentences", "mean_sentence_chars"
+    )
+
+
+def q_nfc_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unicode NFC audit (mapInPandas unicodedata vs DuckDB
+    # nfc_normalize — same Unicode standard). The ASCII corpus is
+    # trivially NFC, so the query injects decomposed/composed seed
+    # rows to exercise the normalizer on both engines.
+    from sutro_spark.operators.quality import nfc_report
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = spark.createDataFrame(
+        [
+            (9000001, "cafe\u0301 papers"),  # decomposed: NOT NFC
+            (9000002, "caf\u00e9 papers"),  # composed: already NFC
+            (9000003, "A\u030angstro\u0308m units"),  # decomposed
+            (9000004, None),
+        ],
+        "doc_id long, text string",
+    )
+    return nfc_report(docs.unionByName(seeds)).select(
+        F.col("id").alias("doc_id"), "is_nfc", "raw_len", "nfc_len"
+    )
+
+
 def q_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicate-cluster size distribution over normalized text — two
     # shrinking map-side-combinable aggregations. The synthetic corpus

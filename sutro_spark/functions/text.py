@@ -490,3 +490,37 @@ def lang_id_margin(col, languages: list[str] | None = None) -> Column:
         last["h"].cast("long").alias("hits"),
         (last["h"] - second["h"]).cast("long").alias("margin"),
     )
+
+
+def sentence_stats(
+    df,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+):
+    """Per-document sentence segmentation stats: sentences split on
+    terminal-punctuation runs followed by whitespace ('[.!?]+\\s+' —
+    deliberately lookbehind-free so RE2 engines segment identically
+    to Java regex). Output: (id, n_sentences bigint,
+    mean_sentence_chars double — one exact-int division rounded to 6,
+    0.0 for sentence-less docs).
+
+    Pure Catalyst: split + filter + aggregate inside the scan stage;
+    no explode survives, no shuffle beyond the caller's.
+    """
+    sents = F.filter(
+        F.split(F.coalesce(F.col(text_column), F.lit("")), r"[.!?]+\s+"),
+        lambda s: s != "",
+    )
+    total_chars = F.aggregate(
+        F.transform(sents, lambda s: F.length(s).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(sents).cast("long")
+    return df.select(
+        F.col(id_column).alias("id"),
+        n.alias("n_sentences"),
+        F.when(n > 0, F.round(total_chars / n, 6)).otherwise(F.lit(0.0)).alias(
+            "mean_sentence_chars"
+        ),
+    )

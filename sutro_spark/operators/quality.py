@@ -378,3 +378,55 @@ def compression_signals(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def nfc_report(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Unicode NFC normalization audit per document: is the text
+    already in Normalization Form C, and how long is it before/after
+    normalizing. Multilingual crawls carry decomposed sequences (e.g.
+    'e' + U+0301 instead of 'é') that break exact dedup, tokenizer
+    merges, and fingerprinting — this is the detector you run before
+    deciding to normalize a corpus in place.
+
+    Python is genuinely required (Catalyst has no NFC expression);
+    same honest Arrow ``mapInPandas`` shape as
+    :func:`compression_signals`. The semantics ARE oracle-expressible
+    — DuckDB's ``nfc_normalize`` implements the same Unicode standard
+    as Python's ``unicodedata.normalize('NFC', ...)`` — so unlike the
+    zlib signal this one is driver-checkable end to end.
+
+    Output: (id, is_nfc int 0/1, raw_len bigint, nfc_len bigint) —
+    lengths in code points; null text reports (1, 0, 0).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("is_nfc", T.IntegerType()),
+            T.StructField("raw_len", T.LongType()),
+            T.StructField("nfc_len", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import unicodedata
+
+        for pdf in batches:
+            texts = pdf[text_column].fillna("")
+            nfc = texts.map(lambda s: unicodedata.normalize("NFC", s))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_column].astype("int64"),
+                    "is_nfc": (texts == nfc).astype("int32"),
+                    "raw_len": texts.map(len).astype("int64"),
+                    "nfc_len": nfc.map(len).astype("int64"),
+                }
+            )
+
+    return df.select(id_column, text_column).mapInPandas(run, schema=out_schema)
