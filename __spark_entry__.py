@@ -2571,6 +2571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r5 completes 150/150 cumulative driver coverage.
         # Everything is equally oracle-checked by tools/selfcheck.py
         # --strict (ALL GREEN gate kept locally, 150 queries). ---
+        "hll_merge": q_hll_merge,
+        "sentence_stats": q_sentence_stats,
+        "nfc_check": q_nfc_check,
         "tpch_q18ish": q_tpch_q18ish,
         "tpch_q22ish": q_tpch_q22ish,
         "price_quantiles": q_price_quantiles,
@@ -3096,9 +3099,80 @@ def _rh_lsh_sql() -> str:
     """
 
 
+# Shared by hll_distinct (direct) and hll_merge (per-day registers
+# max-merged back together): because HLL register merge is associative
+# and idempotent, both Spark paths must finish to the SAME estimates as
+# this direct DuckDB computation.
+_HLL_SQL = """
+    WITH h0 AS (
+        SELECT event_type AS grp,
+               CAST(concat('0x', substr(sha256(concat('hll:',
+                    CAST(user_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+                   % 4294967296 AS h
+        FROM events),
+    hh AS (SELECT grp, CAST(h % 64 AS BIGINT) AS j,
+                  CAST(h // 64 AS BIGINT) AS rem FROM h0),
+    rr AS (SELECT grp, j,
+                  CASE WHEN rem = 0 THEN 27
+                       ELSE 27 - length(bin(rem)) END AS rho
+           FROM hh),
+    regs AS (SELECT grp, j, max(rho) AS M FROM rr GROUP BY grp, j),
+    grid AS (SELECT g.grp, gj.j
+             FROM (SELECT DISTINCT grp FROM h0) g,
+                  (SELECT unnest(range(0, 64)) AS j) gj),
+    fl AS (SELECT grid.grp, grid.j, coalesce(regs.M, 0) AS M
+           FROM grid LEFT JOIN regs
+             ON grid.grp = regs.grp AND grid.j = regs.j),
+    ag AS (SELECT grp,
+                  CAST(sum(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_zero,
+                  CAST(sum(CAST(1 AS BIGINT) << (27 - M)) AS BIGINT)
+                      AS s_scaled
+           FROM fl GROUP BY grp)
+    SELECT grp, n_zero, s_scaled,
+           CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+               * CAST(134217728 AS DOUBLE) / s_scaled AS est_hll
+    FROM ag
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "select_prompt_column": "SELECT doc_id, text AS prompt FROM documents",
+        "sentence_stats": """
+            WITH s AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           coalesce(text, ''), '[.!?]+\\s+'),
+                           x -> x <> '') AS sents
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(sents) AS BIGINT) AS n_sentences,
+                   CASE WHEN len(sents) = 0 THEN 0.0
+                        ELSE round(CAST(list_sum(list_transform(
+                                 sents, x -> length(x))) AS DOUBLE)
+                             / len(sents), 6) END AS mean_sentence_chars
+            FROM s
+        """,
+        "nfc_check": """
+            WITH d AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT * FROM (VALUES
+                    (9000001, 'cafe' || chr(769) || ' papers'),
+                    (9000002, 'caf' || chr(233) || ' papers'),
+                    (9000003, 'A' || chr(778) || 'ngstro' || chr(776)
+                        || 'm units'),
+                    (9000004, NULL)) v(doc_id, text))
+            SELECT doc_id,
+                   CAST(CASE WHEN text IS NULL THEN 1
+                             WHEN text = nfc_normalize(text) THEN 1
+                             ELSE 0 END AS INT) AS is_nfc,
+                   CAST(coalesce(length(text), 0) AS BIGINT) AS raw_len,
+                   CAST(coalesce(length(nfc_normalize(text)), 0) AS BIGINT)
+                       AS nfc_len
+            FROM d
+        """,
         "prompt_concat": """
             SELECT doc_id,
                    '[' || coalesce(lang, '') || '|' || coalesce(source, '')
@@ -5180,37 +5254,11 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(reb.clean_text, '') AS clean_text
             FROM b3 LEFT JOIN reb USING (doc_id)
         """,
-        "hll_distinct": """
-            WITH h0 AS (
-                SELECT event_type AS grp,
-                       CAST(concat('0x', substr(sha256(concat('hll:',
-                            CAST(user_id AS VARCHAR))), 1, 8)) AS UBIGINT)
-                           % 4294967296 AS h
-                FROM events),
-            hh AS (SELECT grp, CAST(h % 64 AS BIGINT) AS j,
-                          CAST(h // 64 AS BIGINT) AS rem FROM h0),
-            rr AS (SELECT grp, j,
-                          CASE WHEN rem = 0 THEN 27
-                               ELSE 27 - length(bin(rem)) END AS rho
-                   FROM hh),
-            regs AS (SELECT grp, j, max(rho) AS M FROM rr GROUP BY grp, j),
-            grid AS (SELECT g.grp, gj.j
-                     FROM (SELECT DISTINCT grp FROM h0) g,
-                          (SELECT unnest(range(0, 64)) AS j) gj),
-            fl AS (SELECT grid.grp, grid.j, coalesce(regs.M, 0) AS M
-                   FROM grid LEFT JOIN regs
-                     ON grid.grp = regs.grp AND grid.j = regs.j),
-            ag AS (SELECT grp,
-                          CAST(sum(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS BIGINT)
-                              AS n_zero,
-                          CAST(sum(CAST(1 AS BIGINT) << (27 - M)) AS BIGINT)
-                              AS s_scaled
-                   FROM fl GROUP BY grp)
-            SELECT grp, n_zero, s_scaled,
-                   CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
-                       * CAST(134217728 AS DOUBLE) / s_scaled AS est_hll
-            FROM ag
-        """,
+        "hll_distinct": _HLL_SQL,
+        # merged per-day registers == direct registers (max is
+        # associative + idempotent), so the merge oracle IS the direct
+        # computation — equality proves the mergeability property.
+        "hll_merge": _HLL_SQL,
         "bpe_merges": _BPE_SQL,
         "bpe_vocab": _BPE_VOCAB_SQL,
         "cms_heavy_hitters": """
