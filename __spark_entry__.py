@@ -2245,6 +2245,7 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
         simhash_pairs,
+        winnow_overlap,
     )
     from sutro_spark.operators.metrics import candidate_recall
 
@@ -2256,6 +2257,7 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             minhash_lsh_pairs(docs, k=8, num_hashes=16, bands=8, verify_threshold=None),
         ),
         ("simhash", simhash_pairs(docs, max_hamming=8)),
+        ("winnow", winnow_overlap(docs, min_shared=2)),
     ]
     rows = None
     for i in range(len(methods)):
@@ -2544,6 +2546,29 @@ def q_nfc_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the consumer of winnow_overlap's candidate pairs: transitive
+    # closure (large-star/small-star CC) then highest-quality survivor
+    # per cluster — the same canonical-survivor discipline the
+    # simhash path exercises in dedup_keep_best, now fed by MOSS
+    # fingerprint overlap. Completes the winnow pipeline from
+    # fingerprints to an actionable keep-list.
+    from sutro_spark.functions.text import quality_score
+    from sutro_spark.operators.cluster import keep_best
+    from sutro_spark.operators.dedup import winnow_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    # min_shared=32: the keep-list bar is HEAVY fingerprint overlap
+    # (>=32 shared rare fingerprints ~ a long shared substring), not
+    # the candidate-generation bar (2) winnow_overlap reports — at 2
+    # the synthetic corpus collapses into one giant component and the
+    # survivor policy has nothing to decide.
+    pairs = winnow_overlap(docs, min_shared=32).select("id_a", "id_b")
+    return keep_best(
+        docs, pairs, quality_score(F.coalesce(F.col("text"), F.lit("")))
+    )
+
+
 def q_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicate-cluster size distribution over normalized text — two
     # shrinking map-side-combinable aggregations. The synthetic corpus
@@ -2623,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_size_histogram": q_dup_size_histogram,
         "winnow_overlap": q_winnow_overlap,
         "winnow_recall": q_winnow_recall,
+        "winnow_dedup": q_winnow_dedup,
         "tpch_q4ish": q_tpch_q4ish,
         # --- beyond the driver cap this round: driver-green in r1-r4;
         # every previously-registered query has at least one
@@ -3098,6 +3124,77 @@ def _rh_lsh_sql() -> str:
         WHERE {cos} >= 0.98
     """
 
+
+# Winnowing fingerprint candidate pairs (k=8, window=4, max_df=100,
+# min_shared=2) — shared by winnow_overlap (emits the pairs) and
+# winnow_dedup (clusters them). CTE names are w-prefixed so the block
+# composes into dedup_agreement without colliding with its sh/mh CTEs.
+_WINNOW_PAIRS_CTE = """
+    wg AS (
+        SELECT doc_id AS id, CAST(p AS INTEGER) AS pos,
+               substring(text, CAST(p AS INTEGER), 8) AS gram
+        FROM documents,
+             LATERAL unnest(range(1, greatest(length(text) - 7, 0) + 1))
+                 AS t(p)),
+    wh AS (
+        SELECT id, pos,
+               CAST(('0x' || substring(sha256('winnow:' || gram), 1, 8))
+                    AS BIGINT) AS h
+        FROM wg WHERE length(gram) = 8),
+    ww AS (
+        SELECT id, pos,
+               min(h) OVER (PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               count(*) OVER (PARTITION BY id) AS n_grams
+        FROM wh),
+    wf AS (SELECT DISTINCT id, fp FROM ww WHERE pos <= n_grams - 3),
+    wd AS (SELECT fp FROM wf GROUP BY fp HAVING count(*) <= 100),
+    wr AS (SELECT wf.id, wf.fp FROM wf JOIN wd ON wf.fp = wd.fp),
+    win AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+        FROM wr a JOIN wr b ON a.fp = b.fp AND a.id < b.id
+        GROUP BY a.id, b.id
+        HAVING count(*) >= 2)
+"""
+
+# Transitive closure + canonical-survivor tail shared by
+# dedup_keep_best (simhash pairs) and winnow_dedup (winnow pairs):
+# expects an ``edges(a, b)`` CTE in scope and finishes to
+# (cluster_id, kept_doc_id, kept_score, cluster_size, n_dropped).
+_KEEP_BEST_TAIL = """
+    reach AS (
+        SELECT doc_id AS node, doc_id AS r FROM documents
+        UNION
+        SELECT reach.node, e.b AS r
+        FROM reach JOIN edges e ON e.a = reach.r),
+    lab AS (SELECT node AS doc_id, min(r) AS cluster_id
+            FROM reach GROUP BY node),
+    q AS (
+        SELECT doc_id,
+               round(0.4 * least(CAST(length(COALESCE(text, '')) AS DOUBLE) / 400, 1.0)
+                   + 0.3 * (1.0 - CASE WHEN length(COALESCE(text, '')) = 0 THEN 0.0 ELSE
+                       CAST(length(regexp_replace(COALESCE(text, ''), '[A-Za-z0-9\\s]', '', 'g'))
+                            AS DOUBLE) / length(COALESCE(text, '')) END)
+                   + 0.3 * CASE WHEN length(COALESCE(text, '')) = 0 THEN 0.0 ELSE
+                       CAST(length(regexp_replace(COALESCE(text, ''), '[^A-Za-z]', '', 'g'))
+                            AS DOUBLE) / length(COALESCE(text, '')) END, 6) AS score
+        FROM documents),
+    lj AS (
+        SELECT lab.doc_id, lab.cluster_id, q.score
+        FROM lab JOIN q USING (doc_id)),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM lj GROUP BY cluster_id),
+    ranked AS (
+        SELECT doc_id, cluster_id, score,
+               row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY score DESC, doc_id) AS rk
+        FROM lj)
+    SELECT ranked.cluster_id, ranked.doc_id AS kept_doc_id,
+           ranked.score AS kept_score, sizes.cluster_size,
+           sizes.cluster_size - 1 AS n_dropped
+    FROM ranked JOIN sizes USING (cluster_id)
+    WHERE rk = 1
+"""
 
 # Shared by hll_distinct (direct) and hll_merge (per-day registers
 # max-merged back together): because HLL register merge is associative
@@ -4323,31 +4420,9 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(n_hit AS DOUBLE) / n_cand END AS precision
             FROM agg
         """,
-        "winnow_overlap": """
-            WITH g AS (
-                SELECT doc_id AS id, CAST(p AS INTEGER) AS pos,
-                       substring(text, CAST(p AS INTEGER), 8) AS gram
-                FROM documents,
-                     LATERAL unnest(range(1, greatest(length(text) - 7, 0) + 1))
-                         AS t(p)),
-            h AS (
-                SELECT id, pos,
-                       CAST(('0x' || substring(sha256('winnow:' || gram), 1, 8))
-                            AS BIGINT) AS h
-                FROM g WHERE length(gram) = 8),
-            w AS (
-                SELECT id, pos,
-                       min(h) OVER (PARTITION BY id ORDER BY pos
-                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
-                       count(*) OVER (PARTITION BY id) AS n_grams
-                FROM h),
-            f AS (SELECT DISTINCT id, fp FROM w WHERE pos <= n_grams - 3),
-            d AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 100),
-            r AS (SELECT f.id, f.fp FROM f JOIN d ON f.fp = d.fp)
-            SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
-            FROM r a JOIN r b ON a.fp = b.fp AND a.id < b.id
-            GROUP BY a.id, b.id
-            HAVING count(*) >= 2
+        "winnow_overlap": f"""
+            WITH {_WINNOW_PAIRS_CTE}
+            SELECT id_a, id_b, n_shared FROM win
         """,
         "dup_size_histogram": """
             WITH u AS (
@@ -4573,38 +4648,14 @@ def oracle_sql() -> dict[str, str]:
                   AND bit_count(xor(x.simhash, y.simhash)) <= 8),
             edges AS (SELECT id_a AS a, id_b AS b FROM p
                       UNION ALL SELECT id_b, id_a FROM p),
-            reach AS (
-                SELECT doc_id AS node, doc_id AS r FROM documents
-                UNION
-                SELECT reach.node, e.b AS r
-                FROM reach JOIN edges e ON e.a = reach.r),
-            lab AS (SELECT node AS doc_id, min(r) AS cluster_id
-                    FROM reach GROUP BY node),
-            q AS (
-                SELECT doc_id,
-                       round(0.4 * least(CAST(length(COALESCE(text, '')) AS DOUBLE) / 400, 1.0)
-                           + 0.3 * (1.0 - CASE WHEN length(COALESCE(text, '')) = 0 THEN 0.0 ELSE
-                               CAST(length(regexp_replace(COALESCE(text, ''), '[A-Za-z0-9\\s]', '', 'g'))
-                                    AS DOUBLE) / length(COALESCE(text, '')) END)
-                           + 0.3 * CASE WHEN length(COALESCE(text, '')) = 0 THEN 0.0 ELSE
-                               CAST(length(regexp_replace(COALESCE(text, ''), '[^A-Za-z]', '', 'g'))
-                                    AS DOUBLE) / length(COALESCE(text, '')) END, 6) AS score
-                FROM documents),
-            lj AS (
-                SELECT lab.doc_id, lab.cluster_id, q.score
-                FROM lab JOIN q USING (doc_id)),
-            sizes AS (SELECT cluster_id, count(*) AS cluster_size
-                      FROM lj GROUP BY cluster_id),
-            ranked AS (
-                SELECT doc_id, cluster_id, score,
-                       row_number() OVER (PARTITION BY cluster_id
-                           ORDER BY score DESC, doc_id) AS rk
-                FROM lj)
-            SELECT ranked.cluster_id, ranked.doc_id AS kept_doc_id,
-                   ranked.score AS kept_score, sizes.cluster_size,
-                   sizes.cluster_size - 1 AS n_dropped
-            FROM ranked JOIN sizes USING (cluster_id)
-            WHERE rk = 1
+            {_KEEP_BEST_TAIL}
+        """,
+        "winnow_dedup": f"""
+            WITH RECURSIVE {_WINNOW_PAIRS_CTE},
+            wk AS (SELECT id_a, id_b FROM win WHERE n_shared >= 32),
+            edges AS (SELECT id_a AS a, id_b AS b FROM wk
+                      UNION ALL SELECT id_b, id_a FROM wk),
+            {_KEEP_BEST_TAIL}
         """,
         "tfidf_topk": """
             WITH toks AS (
@@ -5731,7 +5782,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM chunks x
                 JOIN chunks y ON x.cid = y.cid AND x.chunk = y.chunk
                 WHERE x.id < y.id
-                  AND bit_count(xor(x.simhash, y.simhash)) <= 8)
+                  AND bit_count(xor(x.simhash, y.simhash)) <= 8),
+            {_WINNOW_PAIRS_CTE}
             SELECT 'jaccard' AS method_a, 'minhash' AS method_b,
                    CAST((SELECT count(*) FROM jac) AS BIGINT) AS n_a,
                    CAST((SELECT count(*) FROM mh) AS BIGINT) AS n_b,
@@ -5744,10 +5796,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT count(*) FROM jac JOIN shp USING (id_a, id_b))
                         AS BIGINT)
             UNION ALL
+            SELECT 'jaccard', 'winnow',
+                   CAST((SELECT count(*) FROM jac) AS BIGINT),
+                   CAST((SELECT count(*) FROM win) AS BIGINT),
+                   CAST((SELECT count(*) FROM jac JOIN win USING (id_a, id_b))
+                        AS BIGINT)
+            UNION ALL
             SELECT 'minhash', 'simhash',
                    CAST((SELECT count(*) FROM mh) AS BIGINT),
                    CAST((SELECT count(*) FROM shp) AS BIGINT),
                    CAST((SELECT count(*) FROM mh JOIN shp USING (id_a, id_b))
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'minhash', 'winnow',
+                   CAST((SELECT count(*) FROM mh) AS BIGINT),
+                   CAST((SELECT count(*) FROM win) AS BIGINT),
+                   CAST((SELECT count(*) FROM mh JOIN win USING (id_a, id_b))
+                        AS BIGINT)
+            UNION ALL
+            SELECT 'simhash', 'winnow',
+                   CAST((SELECT count(*) FROM shp) AS BIGINT),
+                   CAST((SELECT count(*) FROM win) AS BIGINT),
+                   CAST((SELECT count(*) FROM shp JOIN win USING (id_a, id_b))
                         AS BIGINT)
         """,
         "skew_report": """

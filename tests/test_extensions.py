@@ -482,3 +482,30 @@ def test_winnow_validation(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         winnow_fingerprints(df, k=0)
+
+
+def test_winnow_dedup_keep_list(spark):
+    # the winnow pipeline end-to-end: overlap pairs -> transitive
+    # closure -> highest-score survivor per cluster; non-duplicates
+    # survive as singletons
+    from sutro_spark.operators.cluster import keep_best
+    from sutro_spark.operators.dedup import winnow_overlap
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extended with more content"),  # near-dup of 1
+            (3, "completely unrelated text about spark accumulators"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_overlap(df, min_shared=4).select("id_a", "id_b")
+    kept = keep_best(df, pairs, F.length(F.coalesce("text", F.lit("")))).collect()
+    by_cluster = {r.cluster_id: r for r in kept}
+    assert len(by_cluster) == 2
+    # cluster {1,2}: longer doc 2 wins; doc 3 is its own cluster
+    assert by_cluster[1].kept_doc_id == 2
+    assert by_cluster[1].cluster_size == 2
+    assert by_cluster[3].kept_doc_id == 3
+    assert by_cluster[3].cluster_size == 1
