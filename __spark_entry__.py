@@ -2569,6 +2569,55 @@ def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_train_parts(spark: SparkSession, sf_dir: str):
+    # shared by q_quality_train / q_quality_train_eval: 80/20
+    # doc_id-hash split, teacher label = "is English" (the standard
+    # fastText recipe labels by curated-source membership; lang is
+    # this corpus's stand-in), integer perceptron training on the
+    # train split only.
+    from sutro_spark.functions.sampling import hash_split
+    from sutro_spark.operators.quality import (
+        hashed_token_features,
+        train_linear_scorer,
+    )
+
+    docs = hash_split(
+        _t(spark, sf_dir, "documents"), "doc_id", {"train": 4, "holdout": 1}
+    )
+    label = F.when(F.col("lang") == "en", 1).otherwise(-1)
+    weights = train_linear_scorer(
+        docs.where(F.col("split") == "train"), label, dim=1024, epochs=2
+    )
+    holdout = docs.where(F.col("split") == "holdout")
+    feats_h = hashed_token_features(holdout, dim=1024)
+    labels_h = holdout.select(
+        F.col("doc_id").alias("id"), label.cast("long").alias("y")
+    )
+    return weights, feats_h, labels_h
+
+
+def q_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the TRAINED model itself: integer perceptron weights over hashed
+    # bag-of-words (closed-form init + 2 correction epochs), exactly
+    # reproduced by the DuckDB oracle's unrolled-epoch SQL — proof the
+    # distributed training loop is engine-exact, not approximately so.
+    weights, _, _ = _quality_train_parts(spark, sf_dir)
+    return weights.select("bucket", F.col("w").cast("long").alias("w"))
+
+
+def q_quality_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # held-out accuracy of the trained scorer (operators/metrics.py
+    # accuracy over the 20% holdout split) — the quality-filter loop's
+    # acceptance gate: label -> train -> score -> filter, end to end
+    # in-engine.
+    from sutro_spark.operators.metrics import accuracy
+    from sutro_spark.operators.quality import score_with_weights
+
+    weights, feats_h, labels_h = _quality_train_parts(spark, sf_dir)
+    scored = score_with_weights(feats_h, weights)
+    return accuracy(labels_h.join(scored, "id"), label_column="y")
+
+
 def q_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicate-cluster size distribution over normalized text — two
     # shrinking map-side-combinable aggregations. The synthetic corpus
@@ -2649,6 +2698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": q_winnow_overlap,
         "winnow_recall": q_winnow_recall,
         "winnow_dedup": q_winnow_dedup,
+        "quality_train": q_quality_train,
+        "quality_train_eval": q_quality_train_eval,
         "tpch_q4ish": q_tpch_q4ish,
         # --- beyond the driver cap this round: driver-green in r1-r4;
         # every previously-registered query has at least one
@@ -3123,6 +3174,77 @@ def _rh_lsh_sql() -> str:
         JOIN v vb ON vb.vec_id = id_b
         WHERE {cos} >= 0.98
     """
+
+
+def _quality_train_cte(epochs: int = 2) -> str:
+    """Unrolled-epoch replay of operators/quality.train_linear_scorer:
+    closed-form class-difference init then ``epochs`` perceptron
+    correction passes — all integer arithmetic, so the CTE chain
+    reproduces the distributed training bit-for-bit."""
+    parts = [
+        """
+    lab AS (
+        SELECT doc_id AS id,
+               CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+               CASE WHEN CAST(concat('0x', substr(sha256(concat('split:',
+                        CAST(doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) % 5 < 4
+                    THEN 'train' ELSE 'holdout' END AS split,
+               text
+        FROM documents),
+    tk AS (
+        SELECT id, y, split,
+               unnest(list_filter(regexp_split_to_array(
+                   trim(lower(coalesce(text, ''))), '\\s+'),
+                   t -> t <> '')) AS tok
+        FROM lab),
+    feats AS (
+        SELECT id, y, split,
+               CAST(concat('0x', substr(sha256(tok), 1, 4)) AS BIGINT)
+                   % 1024 AS bucket,
+               count(*) AS cnt
+        FROM tk GROUP BY id, y, split, bucket),
+    w0 AS (SELECT bucket, sum(y * cnt) AS w
+           FROM feats WHERE split = 'train' GROUP BY bucket)"""
+    ]
+    for e in range(1, epochs + 1):
+        parts.append(f"""
+    s{e} AS (SELECT f.id, f.y, sum(f.cnt * coalesce(w{e - 1}.w, 0)) AS s
+             FROM feats f LEFT JOIN w{e - 1} USING (bucket)
+             WHERE f.split = 'train' GROUP BY f.id, f.y),
+    e{e} AS (SELECT id, CASE WHEN y = 1 AND s <= 0 THEN 1
+                             WHEN y = -1 AND s > 0 THEN -1
+                             ELSE 0 END AS err
+             FROM s{e}),
+    g{e} AS (SELECT f.bucket, sum(e{e}.err * f.cnt) AS g
+             FROM feats f JOIN e{e} USING (id)
+             WHERE e{e}.err <> 0 GROUP BY f.bucket),
+    w{e} AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+                    coalesce(a.w, 0) + coalesce(b.g, 0) AS w
+             FROM w{e - 1} a FULL JOIN g{e} b ON a.bucket = b.bucket)""")
+    return "WITH " + ",".join(parts)
+
+
+_QUALITY_TRAIN_SQL = (
+    _quality_train_cte(2)
+    + """
+    SELECT bucket, CAST(w AS BIGINT) AS w FROM w2
+"""
+)
+
+_QUALITY_TRAIN_EVAL_SQL = (
+    _quality_train_cte(2)
+    + """,
+    sh AS (SELECT f.id, f.y, sum(f.cnt * coalesce(w2.w, 0)) AS s
+           FROM feats f LEFT JOIN w2 USING (bucket)
+           WHERE f.split = 'holdout' GROUP BY f.id, f.y)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN (s > 0) = (y = 1) THEN 1 ELSE 0 END)
+                AS BIGINT) AS correct,
+           CAST(sum(CASE WHEN (s > 0) = (y = 1) THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS accuracy
+    FROM sh
+"""
+)
 
 
 # Winnowing fingerprint candidate pairs (k=8, window=4, max_df=100,
@@ -4650,6 +4772,8 @@ def oracle_sql() -> dict[str, str]:
                       UNION ALL SELECT id_b, id_a FROM p),
             {_KEEP_BEST_TAIL}
         """,
+        "quality_train": _QUALITY_TRAIN_SQL,
+        "quality_train_eval": _QUALITY_TRAIN_EVAL_SQL,
         "winnow_dedup": f"""
             WITH RECURSIVE {_WINNOW_PAIRS_CTE},
             wk AS (SELECT id_a, id_b FROM win WHERE n_shared >= 32),

@@ -430,3 +430,145 @@ def nfc_report(
             )
 
     return df.select(id_column, text_column).mapInPandas(run, schema=out_schema)
+
+
+def hashed_token_features(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    dim: int = 1024,
+) -> DataFrame:
+    """Hashed bag-of-words feature table (id, bucket, cnt): lowercased
+    whitespace tokens sha-bucketed into ``dim`` features (same portable
+    bucketing as :func:`hash_bucket`). ONE token shuffle — every
+    downstream training epoch and scoring pass reuses this table
+    without touching the corpus again, which is the whole 100-TB point:
+    the raw text is read once, the model loop runs over (id, bucket,
+    cnt) whose size is bounded by total tokens, not re-tokenized text.
+    """
+    toks = df.select(
+        F.col(id_column).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.trim(F.lower(F.coalesce(F.col(text_column), F.lit("")))),
+                    r"\s+",
+                ),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    )
+    return (
+        toks.withColumn("bucket", hash_bucket(F.col("tok"), dim))
+        .groupBy("id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def train_linear_scorer(
+    df: DataFrame,
+    label,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    dim: int = 1024,
+    epochs: int = 2,
+) -> DataFrame:
+    """Distributed training for the fastText-style linear quality
+    scorer — closes the label → train → score → filter loop in-engine
+    (``linear_quality_score`` only APPLIES weights; this produces them).
+
+    ``label`` is a column expression evaluating to +1 (keep-quality
+    exemplar) / -1 (reject exemplar) per document — e.g. curated-source
+    membership, the standard fastText quality-filter recipe.
+
+    Algorithm: closed-form class-difference initialization
+    ``w0[b] = sum_i y_i * cnt_ib`` (one pass — the nearest-centroid
+    separator over hashed counts), then ``epochs`` full-batch
+    perceptron correction passes: docs the current weights misclassify
+    contribute ``err_i * cnt_ib`` (err in {-1,+1}) to their buckets.
+    Every weight is an exact integer at every step — like
+    operators/kmeans.py's milli-int discipline, any engine (and the
+    DuckDB oracle) replays training bit-for-bit; no learning-rate
+    float, no libm.
+
+    Scale shape: the corpus is tokenized ONCE into the cached
+    (id, bucket, cnt) table; each epoch is one broadcast join of the
+    <= ``dim``-row weight table plus two map-side-combinable groupBys
+    (per-doc score, per-bucket gradient). The model never exceeds
+    ``dim`` rows and is localCheckpoint-ed per epoch so the plan stays
+    linear in ``epochs`` (the BPE lesson, operators/bpe.py). No
+    driver-side collect anywhere — the weights stay a DataFrame.
+
+    Output: (bucket, w) — one row per feature bucket seen in training.
+    """
+    if epochs < 0:
+        raise ValueError(f"epochs must be >= 0, got {epochs}")
+    labels = df.select(F.col(id_column).alias("id"), label.cast("long").alias("y"))
+    feats = hashed_token_features(
+        df, text_column, id_column, dim=dim
+    ).persist()
+    try:
+        fy = feats.join(labels, "id")
+        w = (
+            fy.groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("cnt")).alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(epochs):
+            s = (
+                feats.join(F.broadcast(w), "bucket", "left")
+                .groupBy("id")
+                .agg(
+                    F.sum(F.col("cnt") * F.coalesce(F.col("w"), F.lit(0))).alias("s")
+                )
+            )
+            err = (
+                labels.join(s, "id")
+                .select(
+                    "id",
+                    F.when((F.col("y") == 1) & (F.col("s") <= 0), F.lit(1))
+                    .when((F.col("y") == -1) & (F.col("s") > 0), F.lit(-1))
+                    .otherwise(F.lit(0))
+                    .alias("err"),
+                )
+                .where(F.col("err") != 0)
+            )
+            g = (
+                feats.join(err, "id")
+                .groupBy("bucket")
+                .agg(F.sum(F.col("err") * F.col("cnt")).alias("g"))
+            )
+            w = (
+                w.join(g, "bucket", "full")
+                .select(
+                    "bucket",
+                    (F.coalesce("w", F.lit(0)) + F.coalesce("g", F.lit(0))).alias(
+                        "w"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return w
+    finally:
+        feats.unpersist()
+
+
+def score_with_weights(
+    feats: DataFrame, weights: DataFrame
+) -> DataFrame:
+    """Apply a trained (bucket, w) table to a (id, bucket, cnt) feature
+    table: (id, s, pred) with pred in {+1, -1} (s > 0 keeps). Broadcast
+    model join + one combinable groupBy — the corpus-side plan is
+    identical whether the weights came from training or from disk."""
+    return (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("id")
+        .agg(F.sum(F.col("cnt") * F.coalesce(F.col("w"), F.lit(0))).alias("s"))
+        .select(
+            "id",
+            "s",
+            F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(-1)).alias("pred"),
+        )
+    )

@@ -509,3 +509,64 @@ def test_winnow_dedup_keep_list(spark):
     assert by_cluster[1].cluster_size == 2
     assert by_cluster[3].kept_doc_id == 3
     assert by_cluster[3].cluster_size == 1
+
+
+# ---------------------------------------------------------------------------
+# trainable quality scorer (quality.train_linear_scorer)
+# ---------------------------------------------------------------------------
+
+
+def test_train_linear_scorer_separable(spark):
+    # perfectly separable corpus: positives use one vocabulary,
+    # negatives another -> after closed-form init + corrections the
+    # scorer classifies a held-out doc from each class correctly
+    from sutro_spark.operators.quality import (
+        hashed_token_features,
+        score_with_weights,
+        train_linear_scorer,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "good clean prose with structure and meaning", 1))
+        rows.append((100 + i, "zzz spam spam garbage noise zzz click here", -1))
+    train = spark.createDataFrame(rows, "doc_id long, text string, y long")
+    w = train_linear_scorer(train, F.col("y"), dim=256, epochs=2)
+    held = spark.createDataFrame(
+        [(900, "clean prose and meaning"), (901, "spam garbage click zzz")],
+        "doc_id long, text string",
+    )
+    preds = {
+        r.id: r.pred
+        for r in score_with_weights(hashed_token_features(held, dim=256), w).collect()
+    }
+    assert preds[900] == 1
+    assert preds[901] == -1
+    # weights are exact integers
+    assert all(isinstance(r.w, int) for r in w.collect())
+
+
+def test_train_linear_scorer_epoch_correction(spark):
+    # the correction epochs matter: a class-imbalanced corpus where the
+    # shared token floods the closed-form init gets fixed by epoch 2
+    from sutro_spark.operators.quality import train_linear_scorer
+
+    rows = [(i, "common alpha", 1) for i in range(3)]
+    rows += [(100 + i, "common beta", -1) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y long")
+    w0 = {r.bucket: r.w for r in train_linear_scorer(df, F.col("y"), dim=64, epochs=0).collect()}
+    w2 = {r.bucket: r.w for r in train_linear_scorer(df, F.col("y"), dim=64, epochs=2).collect()}
+    # init: "common" weight = 3 - 9 = -6 < 0; corrections push the
+    # positive-class tokens up
+    assert w0 != w2
+    assert min(w0.values()) < 0
+
+
+def test_train_linear_scorer_validation(spark):
+    import pytest as _pytest
+
+    from sutro_spark.operators.quality import train_linear_scorer
+
+    df = spark.createDataFrame([(1, "x", 1)], "doc_id long, text string, y long")
+    with _pytest.raises(ValueError):
+        train_linear_scorer(df, F.col("y"), epochs=-1)
