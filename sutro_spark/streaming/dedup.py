@@ -55,3 +55,125 @@ def streaming_dedup(
             ["__digest"]
         )
     return keyed.dropDuplicates(["__digest"])
+
+
+def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
+    import os
+
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+def streaming_jaccard_pairs(
+    stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k: int = 8,
+    threshold: float = 0.1,
+    max_df: int | None = 100,
+):
+    """Streaming incremental near-dup: each micro-batch of documents is
+    compared against the PERSISTED shingle-postings index (never against
+    raw corpus text), emits (corpus_id, new_id, jaccard) pairs, then
+    appends its own shingles to the index — the continuous-ingest face
+    of operators/dedup.incremental_jaccard_pairs, and exactly equal to
+    replaying that batch operator over the same micro-batch sequence
+    (pytest-asserted).
+
+    Index layout under ``index_dir`` (both append-only, so no
+    rewrite-while-reading races):
+      - ``postings/``  (shingle, id)        — the inverted index
+      - ``dfs/``       (shingle, df)        — per-batch df increments;
+                        current df = sum over appends
+    Pair output appends to ``pairs_dir``.
+
+    Per-batch cost is bounded by (new-batch shingles × matching
+    postings) for the intersection, plus one scan of the postings of
+    MATCHED corpus docs for their capped sizes — at scale the postings
+    table is bucketed by shingle (and by id for the size lookup), so
+    both joins prune to the touched buckets instead of the full index.
+    The ``max_df`` cap is re-evaluated against the CURRENT total df
+    each batch (boilerplate shingles age out of pair generation as
+    their df crosses the cap), matching the batch operator's semantics
+    on the corpus-so-far.
+
+    Returns a ``DataStreamWriter`` — caller picks trigger/checkpoint
+    and ``.start()``s it.
+    """
+    from sutro_spark.operators.dedup import char_shingles
+
+    post_dir = f"{index_dir}/postings"
+    dfs_dir = f"{index_dir}/dfs"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sh_n = (
+            char_shingles(batch_df, text_column, id_column, k)
+            .persist()
+        )
+        try:
+            postings = _read_or_empty(spark, post_dir, "shingle string, id long")
+            dfs = _read_or_empty(spark, dfs_dir, "shingle string, df long")
+            df_new = sh_n.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+            df_total = (
+                dfs.unionByName(df_new)
+                .groupBy("shingle")
+                .agg(F.sum("df").alias("df"))
+            )
+            valid = (
+                df_total.where(F.col("df") <= max_df).select("shingle")
+                if max_df is not None
+                else df_total.select("shingle")
+            )
+            sh_nv = sh_n.join(valid, "shingle")
+            matched = postings.join(
+                sh_nv.select("shingle").distinct(), "shingle"
+            )
+            inter = (
+                matched.select(F.col("id").alias("corpus_id"), "shingle")
+                .join(
+                    sh_nv.select(F.col("id").alias("new_id"), "shingle"),
+                    "shingle",
+                )
+                .groupBy("corpus_id", "new_id")
+                .agg(F.count(F.lit(1)).alias("inter"))
+            )
+            nc = (
+                postings.join(
+                    inter.select(F.col("corpus_id").alias("id")).distinct(), "id"
+                )
+                .join(valid, "shingle")
+                .groupBy("id")
+                .agg(F.count(F.lit(1)).alias("nc"))
+                .withColumnRenamed("id", "corpus_id")
+            )
+            nn = (
+                sh_nv.groupBy("id")
+                .agg(F.count(F.lit(1)).alias("nn"))
+                .withColumnRenamed("id", "new_id")
+            )
+            pairs = (
+                inter.join(nc, "corpus_id")
+                .join(nn, "new_id")
+                .withColumn(
+                    "jaccard",
+                    F.col("inter") / (F.col("nc") + F.col("nn") - F.col("inter")),
+                )
+                .where(F.col("jaccard") >= threshold)
+                .select("corpus_id", "new_id", "jaccard")
+            )
+            # pairs FIRST (reads the pre-batch index), then the index
+            # appends — foreachBatch runs these actions sequentially
+            pairs.write.mode("append").parquet(pairs_dir)
+            sh_n.select("shingle", "id").write.mode("append").parquet(post_dir)
+            df_new.write.mode("append").parquet(dfs_dir)
+        finally:
+            sh_n.unpersist()
+
+    return stream.writeStream.foreachBatch(process)

@@ -52,3 +52,74 @@ def test_streaming_dedup_unbounded_variant_no_ts(spark):
     )
     out = streaming_dedup(df, ["text"])  # batch df: dropDuplicates path
     assert out.select("text").distinct().count() == out.count() == 2
+
+
+def test_streaming_jaccard_pairs_equals_batch_replay(spark, tmp_path):
+    """stream (persisted-postings foreachBatch) == sequential replay of
+    operators/dedup.incremental_jaccard_pairs over the same batches."""
+    import os
+
+    from sutro_spark.operators.dedup import incremental_jaccard_pairs
+    from sutro_spark.streaming.dedup import streaming_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog tonight again"
+    alt = "completely different content about spark structured streaming"
+    batches = [
+        [(1, base), (2, alt)],
+        [(3, base + " and then some"), (4, "unrelated text body here")],
+        [(5, alt + " with a twist"), (6, base)],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"b{i}"))
+        part = next(
+            p for p in os.listdir(tmp_path / f"b{i}") if p.endswith(".parquet")
+        )
+        dst = src / f"{i}.parquet"
+        os.rename(tmp_path / f"b{i}" / part, dst)
+        # FileStreamSource orders by modification time: force i-ascending
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            streaming_jaccard_pairs(
+                stream, index_dir, pairs_dir, k=8, threshold=0.1
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = {
+        (r.corpus_id, r.new_id, round(r.jaccard, 9))
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+
+    expected = set()
+    for t in range(len(batches)):
+        if t == 0:
+            continue
+        corpus = spark.createDataFrame(
+            [r for b in batches[:t] for r in b], schema
+        )
+        new = spark.createDataFrame(batches[t], schema)
+        for r in incremental_jaccard_pairs(corpus, new, k=8, threshold=0.1).collect():
+            expected.add((r.corpus_id, r.new_id, round(r.jaccard, 9)))
+
+    assert got == expected
+    assert any(j > 0.5 for _, _, j in got)  # the planted near-dups surfaced
