@@ -565,6 +565,44 @@ def q_rank_elo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_elo_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1 at registry scale: 8 ballots per order (sf0.1 -> ~120k
+    # 5-label ballots over 20 models, deterministically synthesized
+    # from sha arithmetic so DuckDB rebuilds the identical ballot
+    # table), then the DISTRIBUTED pairwise-count aggregation —
+    # explode + ballot self-join + groupBy — whose shuffles are the
+    # part of the Elo pipeline that must survive 1000x ballots. The
+    # driver-side BT fit stays on the |labels|^2 counts (rank_elo).
+    from sutro_spark.operators.elo import pairwise_counts
+
+    base = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") * 8).alias("k0")
+    ).crossJoin(spark.range(8).select(F.col("id").alias("c")))
+    key = (F.col("k0") + F.col("c")).cast("string")
+    h = (
+        F.conv(F.substring(F.sha2(F.concat(F.lit("elo:"), key), 256), 1, 8), 16, 10)
+        .cast("long") % 20
+    )
+    s4 = (
+        F.conv(
+            F.substring(F.sha2(F.concat(F.lit("elostep:"), key), 256), 1, 8), 16, 10
+        )
+        .cast("long") % 4
+    )
+    step = F.element_at(F.array(F.lit(1), F.lit(3), F.lit(7), F.lit(9)), (s4 + 1).cast("int"))
+    ballots = base.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda i: F.concat(
+                F.lit("m"), F.lpad(((h + i * step) % 20).cast("string"), 2, "0")
+            ),
+        ).alias("ranking")
+    )
+    return pairwise_counts(ballots, "ranking").select(
+        "winner", "loser", "wins", "ties"
+    )
+
+
 def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact dedup over whitespace/case-normalized text.
     from sutro_spark.operators.dedup import exact_dedup
@@ -2700,6 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dedup": q_winnow_dedup,
         "quality_train": q_quality_train,
         "quality_train_eval": q_quality_train_eval,
+        "rank_elo_large": q_rank_elo_large,
         "tpch_q4ish": q_tpch_q4ish,
         # --- beyond the driver cap this round: driver-green in r1-r4;
         # every previously-registered query has at least one
@@ -3879,6 +3918,33 @@ def oracle_sql() -> dict[str, str]:
         # rank_elo: the elo float itself is an iterative numpy fit
         # (pytest-verified analytically); the oracle reproduces the
         # relational columns of the ratings table. laplace=0.5 adds
+        "rank_elo_large": """
+            WITH b AS (
+                SELECT o_orderkey * 8 + c AS key
+                FROM orders, (SELECT unnest(range(0, 8)) AS c)),
+            h AS (
+                SELECT key,
+                       CAST(concat('0x', substr(sha256(concat('elo:',
+                            CAST(key AS VARCHAR))), 1, 8)) AS UBIGINT)
+                           % 20 AS h,
+                       CAST(concat('0x', substr(sha256(concat('elostep:',
+                            CAST(key AS VARCHAR))), 1, 8)) AS UBIGINT)
+                           % 4 AS s4
+                FROM b),
+            r AS (SELECT key, CAST(h AS BIGINT) AS h,
+                         ([1, 3, 7, 9])[CAST(s4 AS INT) + 1] AS step
+                  FROM h),
+            lab AS (
+                SELECT key, i,
+                       'm' || lpad(CAST((h + i * step) % 20 AS VARCHAR), 2, '0')
+                           AS label
+                FROM r, (SELECT unnest(range(0, 5)) AS i))
+            SELECT a.label AS winner, b.label AS loser,
+                   CAST(count(*) AS BIGINT) AS wins,
+                   CAST(0 AS BIGINT) AS ties
+            FROM lab a JOIN lab b ON a.key = b.key AND a.i < b.i
+            GROUP BY a.label, b.label
+        """,
         # 0.5 per directed edge between distinct labels, so
         # wins = raw_wins + 0.5*(n_labels-1) — exact doubles.
         "rank_elo": f"""

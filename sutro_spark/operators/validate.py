@@ -155,9 +155,16 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     single Expand (one input row fans out to #distinct-groups rows
     before the partial aggregate), so profiling C columns costs one
     table pass regardless of C — at 100 TB that is the difference
-    between one pass and C+1. For an approximate one-pass profile at
-    extreme cardinalities swap in functions/sketches.kmv/hll per
-    column instead of the exact distincts.
+    between one pass and C+1.
+
+    MEASURED TRADE (round 5, do not "fix" backwards): at sf0.1 this
+    one-pass plan is ~3x SLOWER than the previous C+1-scan version
+    (0.65 s -> ~1.9 s idle-host) because locally the scan is cheap and
+    the Expand row fan-out dominates. That is the right trade for the
+    target: at 100 TB the scan dominates and one pass wins. If the
+    local cost matters, or cardinalities are extreme, use the sketch
+    variant below (functions/sketches.kmv/hll per column) instead of
+    the exact distincts — same one-scan shape, constant Expand width.
 
     The single 1-row aggregate is then exploded into per-column rows
     driver-free (array-of-structs explode, no crossJoin/unionAll).

@@ -38,6 +38,14 @@ def main() -> None:
         cms_counts as _cms_counts,
         hll_distinct as _hll_distinct,
     )
+    from sutro_spark.operators.dedup import winnow_overlap as _winnow_overlap
+    from sutro_spark.operators.mixture import (
+        token_budget_allocation as _token_budget,
+    )
+    from sutro_spark.operators.packing import epoch_plan as _epoch_plan
+    from sutro_spark.operators.quality import (
+        train_linear_scorer as _train_linear_scorer,
+    )
     from sutro_spark.session import get_spark
 
     spark = get_spark("scaling")
@@ -74,6 +82,18 @@ def main() -> None:
         "bpe_merges": lambda df: _bpe_merges(df, rounds=4),
         "hll_distinct": lambda df: _hll_distinct(df, "lang", "text"),
         "cms_counts": lambda df: _cms_counts(df, "source"),
+        "winnow_overlap": lambda df: _winnow_overlap(df, min_shared=2),
+        "token_budget": lambda df: _token_budget(
+            df, budget=38_000, max_epochs_milli=1500
+        ),
+        "epoch_plan": lambda df: _epoch_plan(
+            df.groupBy("source", F.expr("doc_id div 50").alias("shard_id")).agg(
+                F.sum("n_chars").alias("n_tokens")
+            )
+        ),
+        "quality_train": lambda df: _train_linear_scorer(
+            df, F.when(F.col("lang") == "en", 1).otherwise(-1), dim=1024, epochs=2
+        ),
     }
     results: dict[str, dict[int, float]] = {name: {} for name in ops}
     tmp = tempfile.mkdtemp(prefix="sutro_scaling_")
