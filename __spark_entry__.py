@@ -2675,17 +2675,70 @@ def q_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+
         # --- first 50: the driver correctness gate checks the first 50
-        # entries in dict order. Round-5 ROTATION: the window is the 42
-        # queries never yet driver-checked (all round-4 additions plus
-        # the 12 deferred tpch_*ish shapes) + the 8 least-recently
-        # checked r1/r2 queries — fully disjoint from the r4 window, so
-        # CORRECTNESS_r5 completes 150/150 cumulative driver coverage.
-        # Everything is equally oracle-checked by tools/selfcheck.py
-        # --strict (ALL GREEN gate kept locally, 150 queries). ---
+        # entries in dict order. Round-6 ROTATION: the 7 round-6
+        # additions (hll_merge/sentence_stats/nfc_check were defined in
+        # the round-5 snapshot but never registered; winnow_dedup,
+        # quality_train[_eval], rank_elo_large are new), then the 8
+        # queries last driver-checked in r1/r2, then the r3 entries
+        # absent from SELFCHECK_r05, then the oldest remaining
+        # r3-checked entries. After this round no registry entry's
+        # last driver check is older than r3. Everything is equally
+        # oracle-checked by tools/selfcheck.py --strict (ALL GREEN
+        # gate kept locally, all registered queries). ---
         "hll_merge": q_hll_merge,
         "sentence_stats": q_sentence_stats,
         "nfc_check": q_nfc_check,
+        "winnow_dedup": q_winnow_dedup,
+        "quality_train": q_quality_train,
+        "quality_train_eval": q_quality_train_eval,
+        "rank_elo_large": q_rank_elo_large,
+        "promo_revenue": q_promo_revenue,
+        "set_ops": q_set_ops,
+        "pivot_qty": q_pivot_qty,
+        "rollup_counts": q_rollup_counts,
+        "part_stats": q_part_stats,
+        "customer_regions": q_customer_regions,
+        "events_top_per_user": q_events_top_per_user,
+        "tpch_q12ish": q_tpch_q12ish,
+        "curation_pipeline": q_curation_pipeline,
+        "hash_sample_split": q_hash_sample_split,
+        "stratified_sample": q_stratified_sample,
+        "cap_per_source": q_cap_per_source,
+        "pack_contexts": q_pack_contexts,
+        "weighted_sample": q_weighted_sample,
+        "kmeans_clusters": q_kmeans_clusters,
+        "merge_upsert": q_merge_upsert,
+        "funnel": q_funnel,
+        "select_prompt_column": q_select_prompt_column,
+        "prompt_concat": q_prompt_concat,
+        "labeled_concat_nulls": q_labeled_concat_nulls,
+        "flagship_extract": q_flagship_extract,
+        "classify": q_classify,
+        "score": q_score,
+        "rank_exploded": q_rank_exploded,
+        "pairwise_counts": q_pairwise_counts,
+        "rank_elo": q_rank_elo,
+        "embed": q_embed,
+        "positional_zip": q_positional_zip,
+        "csv_scan": q_csv_scan,
+        "infer_per_model": q_infer_per_model,
+        "batch_function": q_batch_function,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "top_orders": q_top_orders,
+        "tpch_q5ish": q_tpch_q5ish,
+        "multimodal_decode": q_multimodal_decode,
+        "events_window": q_events_window,
+        "events_sessionize": q_events_sessionize,
+        "events_props_stats": q_events_props_stats,
+        "asof_purchase": q_asof_purchase,
+        "range_join_events": q_range_join_events,
+        "exact_dedup": q_exact_dedup,
+        # --- beyond the driver cap this round: all driver-green in
+        # r3-r5; cumulative coverage stays 100% ---
         "tpch_q18ish": q_tpch_q18ish,
         "tpch_q22ish": q_tpch_q22ish,
         "price_quantiles": q_price_quantiles,
@@ -2735,21 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_size_histogram": q_dup_size_histogram,
         "winnow_overlap": q_winnow_overlap,
         "winnow_recall": q_winnow_recall,
-        "winnow_dedup": q_winnow_dedup,
-        "quality_train": q_quality_train,
-        "quality_train_eval": q_quality_train_eval,
-        "rank_elo_large": q_rank_elo_large,
         "tpch_q4ish": q_tpch_q4ish,
-        # --- beyond the driver cap this round: driver-green in r1-r4;
-        # every previously-registered query has at least one
-        # driver-green row ---
-        "promo_revenue": q_promo_revenue,
-        "part_stats": q_part_stats,
-        "customer_regions": q_customer_regions,
-        "set_ops": q_set_ops,
-        "pivot_qty": q_pivot_qty,
-        "rollup_counts": q_rollup_counts,
-        "events_top_per_user": q_events_top_per_user,
         "gap_fill": q_gap_fill,
         "simhash": q_simhash,
         "term_topk": q_term_topk,
@@ -2800,32 +2839,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "dedup_lines": q_dedup_lines,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
-        "select_prompt_column": q_select_prompt_column,
-        "prompt_concat": q_prompt_concat,
-        "labeled_concat_nulls": q_labeled_concat_nulls,
-        "flagship_extract": q_flagship_extract,
-        "classify": q_classify,
-        "score": q_score,
-        "rank_exploded": q_rank_exploded,
-        "pairwise_counts": q_pairwise_counts,
-        "rank_elo": q_rank_elo,
-        "embed": q_embed,
-        "positional_zip": q_positional_zip,
-        "csv_scan": q_csv_scan,
-        "infer_per_model": q_infer_per_model,
-        "batch_function": q_batch_function,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q6": q_tpch_q6,
-        "top_orders": q_top_orders,
-        "tpch_q5ish": q_tpch_q5ish,
-        "multimodal_decode": q_multimodal_decode,
-        "events_window": q_events_window,
-        "events_sessionize": q_events_sessionize,
-        "events_props_stats": q_events_props_stats,
-        "asof_purchase": q_asof_purchase,
-        "range_join_events": q_range_join_events,
-        "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
@@ -2840,16 +2853,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
-        "curation_pipeline": q_curation_pipeline,
-        "hash_sample_split": q_hash_sample_split,
-        "stratified_sample": q_stratified_sample,
-        "cap_per_source": q_cap_per_source,
-        "pack_contexts": q_pack_contexts,
-        "weighted_sample": q_weighted_sample,
-        "kmeans_clusters": q_kmeans_clusters,
-        "merge_upsert": q_merge_upsert,
-        "funnel": q_funnel,
-        "tpch_q12ish": q_tpch_q12ish,
     }
 
 
