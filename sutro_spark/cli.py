@@ -313,7 +313,14 @@ def main(argv: list[str] | None = None) -> int:
         set_base_url(args.base_url)
         print(f"Base URL set to {args.base_url}.")
     elif args.cmd == "docs":
-        # no browser in this environment; print the launch target
+        # reference click.launch opens the browser (cli.py:384-388);
+        # headless environments fall through to printing the target
+        import webbrowser
+
+        try:
+            webbrowser.get().open(DOCS_URL)
+        except webbrowser.Error:
+            pass
         print(DOCS_URL)
     elif args.cmd == "jobs":
         if args.jobs_cmd == "status":

@@ -169,3 +169,28 @@ def elo(
         [(r["label"], r["elo"], r["strength"], r["wins"], r["losses"], r["matches"]) for r in ratings],
         schema,
     )
+
+
+def ratings_markdown(ratings: DataFrame) -> str:
+    """Render an ``elo()`` ratings table as a pandas-style markdown
+    table over (elo, wins, losses, matches), indexed by label — the
+    format the reference prints after a ``run_elo`` ranking run
+    (evals.py:168-170, ``ratings[["elo","wins","losses","matches"]]
+    .to_markdown()``). Driver-side string building over the
+    |labels|-row ratings table — never big data."""
+    rows = ratings.select("label", "elo", "wins", "losses", "matches").collect()
+    cells = [
+        [r["label"]]
+        + [f"{float(r[c]):g}" for c in ("elo", "wins", "losses", "matches")]
+        for r in rows
+    ]
+    headers = ["", "elo", "wins", "losses", "matches"]
+    widths = [
+        max(len(headers[i]), *(len(c[i]) for c in cells)) if cells else len(headers[i])
+        for i in range(5)
+    ]
+    def fmt(vals):
+        return "| " + " | ".join(v.ljust(w) for v, w in zip(vals, widths)) + " |"
+
+    sep = "|" + "|".join("-" * (w + 2) for w in widths) + "|"
+    return "\n".join([fmt(headers), sep] + [fmt(c) for c in cells])

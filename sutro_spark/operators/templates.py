@@ -158,9 +158,13 @@ def rank(
     if ranking_column != "ranking":
         out = out.withColumnRenamed("ranking", ranking_column)
     if run_elo:
-        from sutro_spark.operators.elo import elo
+        from sutro_spark.operators.elo import elo, ratings_markdown
 
-        return elo(out, ranking_column)
+        ratings = elo(out, ranking_column)
+        # reference prints the ratings as a markdown table before
+        # returning (evals.py:168-170)
+        print(ratings_markdown(ratings))
+        return ratings
     return out
 
 

@@ -65,3 +65,31 @@ def test_run_function_online(tmp_path, monkeypatch):
     save_config(api_key="k", base_url="")
     assert load_config()["api_key"] == "k"
     assert try_authentication() is True
+
+
+def test_ratings_markdown_format(spark, capsys):
+    from sutro_spark.operators.elo import ratings_markdown
+
+    ratings = spark.createDataFrame(
+        [("a", 1520.5, 1.1, 3.0, 1.0, 4.0), ("b", 1479.5, 0.9, 1.0, 3.0, 4.0)],
+        "label string, elo double, strength double, wins double, losses double, matches double",
+    )
+    md = ratings_markdown(ratings)
+    lines = md.splitlines()
+    assert lines[0].startswith("| ") and "elo" in lines[0]
+    assert set(lines[1]) <= {"|", "-"}
+    assert any("1520.5" in ln and ln.startswith("| a") for ln in lines)
+    assert len(lines) == 4
+
+
+def test_rank_run_elo_prints_markdown(spark, capsys):
+    from sutro_spark.operators.templates import rank
+
+    df = spark.createDataFrame(
+        [(1, "alpha text", "beta text")], "id long, x string, y string"
+    )
+    ratings = rank(df, ["x", "y"], "quality", run_elo=True)
+    printed = capsys.readouterr().out
+    assert "| elo" in printed.replace("|  elo", "| elo") or "elo" in printed
+    assert printed.count("|") > 8  # a real table, not a stray word
+    assert {r["label"] for r in ratings.collect()} <= {"x", "y"}
