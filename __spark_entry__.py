@@ -2288,14 +2288,23 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sutro_spark.operators.metrics import candidate_recall
 
     docs = _t(spark, sf_dir, "documents")
+    # persist each pair set: every method appears in 3 of the 6
+    # pairwise comparisons below, and without a cache Spark recomputes
+    # the full candidate-generation subtree per appearance (3x the
+    # shuffles for zero new information)
     methods = [
-        ("jaccard", ngram_jaccard_pairs(docs, k=8, threshold=0.1, max_df=100)),
+        (
+            "jaccard",
+            ngram_jaccard_pairs(docs, k=8, threshold=0.1, max_df=100).persist(),
+        ),
         (
             "minhash",
-            minhash_lsh_pairs(docs, k=8, num_hashes=16, bands=8, verify_threshold=None),
+            minhash_lsh_pairs(
+                docs, k=8, num_hashes=16, bands=8, verify_threshold=None
+            ).persist(),
         ),
-        ("simhash", simhash_pairs(docs, max_hamming=8)),
-        ("winnow", winnow_overlap(docs, min_shared=2)),
+        ("simhash", simhash_pairs(docs, max_hamming=8).persist()),
+        ("winnow", winnow_overlap(docs, min_shared=2).persist()),
     ]
     rows = None
     for i in range(len(methods)):
