@@ -127,3 +127,24 @@ def test_histogram_quantiles_single_shuffle(spark):
     plan = _plan(spark, "price_histogram_quantiles")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_quality_train_model_joins_are_broadcast(spark):
+    # the trained <=dim-row weight table must join the feature table as
+    # a broadcast, never shuffle the corpus-side features to meet it
+    plan = _plan(spark, "quality_train_eval")
+    assert "BroadcastHashJoin" in plan
+    # no cartesian anywhere in the training loop
+    assert "CartesianProduct" not in plan
+
+
+def test_rank_elo_large_no_cartesian_pairwise(spark):
+    # the ballot self-join is an equi-join on the ballot id; the only
+    # acceptable cross join is the 8-row copies range
+    plan = _plan(spark, "rank_elo_large")
+    assert "CartesianProduct" not in plan
+
+
+def test_winnow_dedup_no_cartesian(spark):
+    plan = _plan(spark, "winnow_dedup")
+    assert "CartesianProduct" not in plan

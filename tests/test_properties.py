@@ -230,3 +230,37 @@ def test_hll_registers_match_python_model(spark, keys):
         rho = 27 if rem == 0 else 27 - rem.bit_length()
         regs[j] = max(regs.get(j, 0), rho)
     assert got == set(regs.items())
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab cdef", min_size=1, max_size=20),
+            st.sampled_from([1, -1]),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_train_scorer_init_matches_python_model(spark, rows):
+    # closed-form init (epochs=0): w[b] = sum_i y_i * cnt_ib — checked
+    # against a plain-Python hashed-count model on adversarial strings
+    import hashlib
+
+    from sutro_spark.operators.quality import train_linear_scorer
+
+    df = spark.createDataFrame(
+        [(i, t, y) for i, (t, y) in enumerate(rows)],
+        "doc_id long, text string, y long",
+    )
+    got = {
+        r.bucket: r.w
+        for r in train_linear_scorer(df, F.col("y"), dim=64, epochs=0).collect()
+    }
+    expected: dict[int, int] = {}
+    for t, y in rows:
+        for tok in t.lower().strip().split():
+            b = int(hashlib.sha256(tok.encode()).hexdigest()[:4], 16) % 64
+            expected[b] = expected.get(b, 0) + y
+    assert got == expected

@@ -160,13 +160,20 @@ def main() -> None:
         "not overhead. At 100 TB the frequency-cap (`max_df`) and band",
         "width control exactly this blow-up.",
         "",
-        "The sketch rows (hll_distinct 0.13, cms_counts 0.23) are the",
-        "flattest in the table BY DESIGN: their shuffle state is constant",
-        "(registers / counter cells) regardless of input rows, so 16x the",
-        "data costs only the extra scan. strip_passages (0.84) is the",
-        "heaviest new op — its removed-position explode is k x the",
-        "duplicated-window count, and replication makes ~15/16 of all",
-        "windows duplicates (worst case by construction).",
+        "The sketch rows (hll_distinct, cms_counts) are the flattest in",
+        "the table BY DESIGN: their shuffle state is constant (registers",
+        "/ counter cells) regardless of input rows, so 16x the data costs",
+        "only the extra scan. The mixture-planning rows (token_budget,",
+        "epoch_plan) are similarly flat: their post-shuffle work runs on",
+        "the |sources| / shard-manifest tables, not the corpus.",
+        "strip_passages and winnow_overlap are the heaviest near-linear",
+        "ops: the passage explode is k x the duplicated-window count and",
+        "replication makes ~15/16 of all windows duplicates (worst case",
+        "by construction); winnowing pays the same within-cluster pair",
+        "quadratics as MinHash — the df cap is what bounds both at 100 TB.",
+        "quality_train (two perceptron epochs) scales at ~0.5: the",
+        "corpus-side cost is the one hashed-features shuffle; the",
+        "per-epoch model joins stay <= dim rows at every scale.",
         "",
         "Generated by `python tools/scaling_probe.py`.",
     ]
