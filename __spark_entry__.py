@@ -2288,23 +2288,24 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sutro_spark.operators.metrics import candidate_recall
 
     docs = _t(spark, sf_dir, "documents")
-    # persist each pair set: every method appears in 3 of the 6
-    # pairwise comparisons below, and without a cache Spark recomputes
-    # the full candidate-generation subtree per appearance (3x the
-    # shuffles for zero new information)
+    # each method appears in 3 of the 6 comparisons below — do NOT
+    # .persist() the pair sets to "avoid recomputation": AQE already
+    # dedupes the repeated subtrees via ReusedExchange, and the
+    # InMemoryRelation a persist inserts BLOCKS that reuse (measured
+    # at sf0.1: 13.7 s without persist, 41 s with)
     methods = [
-        (
-            "jaccard",
-            ngram_jaccard_pairs(docs, k=8, threshold=0.1, max_df=100).persist(),
-        ),
+        ("jaccard", ngram_jaccard_pairs(docs, k=8, threshold=0.1, max_df=100)),
         (
             "minhash",
-            minhash_lsh_pairs(
-                docs, k=8, num_hashes=16, bands=8, verify_threshold=None
-            ).persist(),
+            minhash_lsh_pairs(docs, k=8, num_hashes=16, bands=8, verify_threshold=None),
         ),
-        ("simhash", simhash_pairs(docs, max_hamming=8).persist()),
-        ("winnow", winnow_overlap(docs, min_shared=2).persist()),
+        ("simhash", simhash_pairs(docs, max_hamming=8)),
+        # min_shared=16: at the candidate bar (2) the winnow set is
+        # ~100x the other methods' (it contains all of them and the
+        # matrix says nothing); 16 shared rare fingerprints puts its
+        # set size in the same decade as the LSH band set, which is
+        # the comparison the matrix exists to make
+        ("winnow", winnow_overlap(docs, min_shared=16)),
     ]
     rows = None
     for i in range(len(methods)):
@@ -5985,7 +5986,8 @@ def oracle_sql() -> dict[str, str]:
                 JOIN chunks y ON x.cid = y.cid AND x.chunk = y.chunk
                 WHERE x.id < y.id
                   AND bit_count(xor(x.simhash, y.simhash)) <= 8),
-            {_WINNOW_PAIRS_CTE}
+            {_WINNOW_PAIRS_CTE},
+            win16 AS (SELECT id_a, id_b FROM win WHERE n_shared >= 16)
             SELECT 'jaccard' AS method_a, 'minhash' AS method_b,
                    CAST((SELECT count(*) FROM jac) AS BIGINT) AS n_a,
                    CAST((SELECT count(*) FROM mh) AS BIGINT) AS n_b,
@@ -6000,8 +6002,8 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'jaccard', 'winnow',
                    CAST((SELECT count(*) FROM jac) AS BIGINT),
-                   CAST((SELECT count(*) FROM win) AS BIGINT),
-                   CAST((SELECT count(*) FROM jac JOIN win USING (id_a, id_b))
+                   CAST((SELECT count(*) FROM win16) AS BIGINT),
+                   CAST((SELECT count(*) FROM jac JOIN win16 USING (id_a, id_b))
                         AS BIGINT)
             UNION ALL
             SELECT 'minhash', 'simhash',
@@ -6012,14 +6014,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'minhash', 'winnow',
                    CAST((SELECT count(*) FROM mh) AS BIGINT),
-                   CAST((SELECT count(*) FROM win) AS BIGINT),
-                   CAST((SELECT count(*) FROM mh JOIN win USING (id_a, id_b))
+                   CAST((SELECT count(*) FROM win16) AS BIGINT),
+                   CAST((SELECT count(*) FROM mh JOIN win16 USING (id_a, id_b))
                         AS BIGINT)
             UNION ALL
             SELECT 'simhash', 'winnow',
                    CAST((SELECT count(*) FROM shp) AS BIGINT),
-                   CAST((SELECT count(*) FROM win) AS BIGINT),
-                   CAST((SELECT count(*) FROM shp JOIN win USING (id_a, id_b))
+                   CAST((SELECT count(*) FROM win16) AS BIGINT),
+                   CAST((SELECT count(*) FROM shp JOIN win16 USING (id_a, id_b))
                         AS BIGINT)
         """,
         "skew_report": """
