@@ -2404,6 +2404,44 @@ def q_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_recall(exact, approx, keys=("query_id", "neighbor_id"))
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # product quantization (Jegou 2011) train + encode: 8x8-dim
+    # subspace codebooks (k=16, 2 integer Lloyd rounds) and the
+    # compressed (vec_id, sub, code) corpus — the memory-side ANN
+    # scale path (corpus state = m bytes/vector + an m*k codebook).
+    from sutro_spark.operators.pq import pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=8, k=16, iters=2)
+    return pq_encode(emb, cb).select("vec_id", "sub", "code")
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # asymmetric-distance top-3: the query's m*k exact distance table
+    # joins corpus CODES only — raw corpus vectors never touched at
+    # query time.
+    from sutro_spark.operators.pq import pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=8, k=16, iters=2)
+    return pq_topk(emb, emb.where(F.col("vec_id") < 5), cb, k=3)
+
+
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall trilogy, part 4: PQ-ADC top-3 vs exact integer L2 top-3
+    # over the SAME milli quantization — metric and quantization held
+    # constant, so the number isolates the PQ approximation itself.
+    from sutro_spark.operators.metrics import candidate_recall
+    from sutro_spark.operators.pq import exact_l2_topk, pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    cb = pq_train(emb, m=8, k=16, iters=2)
+    exact = exact_l2_topk(emb, queries, k=3)
+    approx = pq_topk(emb, queries, cb, k=3)
+    return candidate_recall(exact, approx, keys=("query_id", "neighbor_id"))
+
+
 def q_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold-sweep evidence for dedup tuning: candidate-pair Jaccard
     # distribution in one pass. Buckets are pure integer division —
@@ -2687,14 +2725,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
 
         # --- first 50: the driver correctness gate checks the first 50
-        # entries in dict order. Round-6 ROTATION: the 7 round-6
+        # entries in dict order. Round-6 ROTATION: the 10 round-6
         # additions (hll_merge/sentence_stats/nfc_check were defined in
         # the round-5 snapshot but never registered; winnow_dedup,
-        # quality_train[_eval], rank_elo_large are new), then the 8
-        # queries last driver-checked in r1/r2, then the r3 entries
-        # absent from SELFCHECK_r05, then the oldest remaining
-        # r3-checked entries. After this round no registry entry's
-        # last driver check is older than r3. Everything is equally
+        # quality_train[_eval], rank_elo_large, pq_codes/topk/recall
+        # are new), then the 8 queries last driver-checked in r1/r2,
+        # then the r3 entries absent from SELFCHECK_r05, then the
+        # oldest remaining r3-checked entries (asof_purchase,
+        # range_join_events, exact_dedup slipped past the cap to make
+        # room for PQ — they rotate in r7). Everything is equally
         # oracle-checked by tools/selfcheck.py --strict (ALL GREEN
         # gate kept locally, all registered queries). ---
         "hll_merge": q_hll_merge,
@@ -2704,6 +2743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_train": q_quality_train,
         "quality_train_eval": q_quality_train_eval,
         "rank_elo_large": q_rank_elo_large,
+        "pq_codes": q_pq_codes,
+        "pq_topk": q_pq_topk,
+        "pq_recall": q_pq_recall,
         "promo_revenue": q_promo_revenue,
         "set_ops": q_set_ops,
         "pivot_qty": q_pivot_qty,
@@ -3144,6 +3186,84 @@ def _kmeans_sql() -> str:
         FROM c1p GROUP BY cluster),
     {assign("2", "c1")}
     """
+
+
+def _pq_sql() -> str:
+    """Product-quantization chain mirroring operators/pq.py: 8
+    subspaces x 8 dims over the milli-quantized embeddings, k=16
+    codewords initialized from the 16 lowest-id vectors, two Lloyd
+    rounds with (dist2, code) argmin tie-break and floor-division
+    means — all exact int64, so training/encoding/ADC replay
+    bit-for-bit. ``pm2`` = final codes, ``pc1`` = final codebook."""
+
+    def assign(tag: str, ctab: str) -> str:
+        return f"""
+    pa{tag} AS (
+        SELECT sv.vec_id, sv.sub, {ctab}.code,
+               CAST(list_sum(list_transform(range(1, 9),
+                   i -> (sv.sqv[CAST(i AS INT)] - {ctab}.cv[CAST(i AS INT)])
+                      * (sv.sqv[CAST(i AS INT)] - {ctab}.cv[CAST(i AS INT)])))
+                   AS BIGINT) AS dist2
+        FROM sv JOIN {ctab} USING (sub)),
+    pm{tag} AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   row_number() OVER (PARTITION BY vec_id, sub
+                       ORDER BY dist2, code) AS rn
+            FROM pa{tag})
+        WHERE rn = 1)"""
+
+    return f"""
+    WITH pqv AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)
+                   AS qv
+        FROM embeddings),
+    sv AS (
+        SELECT vec_id, CAST(s AS INT) AS sub,
+               qv[CAST(s * 8 + 1 AS INT):CAST(s * 8 + 8 AS INT)] AS sqv
+        FROM pqv, unnest(range(0, 8)) AS t(s)),
+    pinit AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+        FROM pqv ORDER BY vec_id LIMIT 16),
+    pc0 AS (SELECT sv.sub, pinit.code, sv.sqv AS cv
+            FROM sv JOIN pinit USING (vec_id)),
+    {assign("1", "pc0")},
+    pe1 AS (
+        SELECT pm1.sub, pm1.code, i AS pos, sv.sqv[CAST(i AS INT)] AS v
+        FROM pm1 JOIN sv USING (vec_id, sub), unnest(range(1, 9)) AS t(i)),
+    pc1p AS (
+        SELECT sub, code, pos, CAST(sum(v) AS BIGINT) // count(*) AS comp
+        FROM pe1 GROUP BY sub, code, pos),
+    pc1 AS (
+        SELECT sub, code, list(comp ORDER BY pos) AS cv
+        FROM pc1p GROUP BY sub, code),
+    {assign("2", "pc1")}
+    """
+
+
+_PQ_TOPK_TAIL = """,
+    qsv AS (SELECT vec_id AS query_id, sub, sqv FROM sv WHERE vec_id < 5),
+    qdt AS (
+        SELECT q.query_id, c.sub, c.code,
+               CAST(list_sum(list_transform(range(1, 9),
+                   i -> (q.sqv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+                      * (q.sqv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])))
+                   AS BIGINT) AS d2
+        FROM qsv q JOIN pc1 c USING (sub)),
+    adist AS (
+        SELECT qdt.query_id, pm2.vec_id AS neighbor_id,
+               CAST(sum(d2) AS BIGINT) AS adist2
+        FROM pm2 JOIN qdt ON pm2.sub = qdt.sub AND pm2.code = qdt.code
+        WHERE pm2.vec_id <> qdt.query_id
+        GROUP BY qdt.query_id, pm2.vec_id),
+    pq_ranked AS (
+        SELECT query_id, neighbor_id, adist2,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adist2, neighbor_id) AS BIGINT) AS rank
+        FROM adist)
+"""
 
 
 #: eval predictions: classify stub (length-keyed) vs doc_id-keyed gold.
@@ -4853,6 +4973,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_train": _QUALITY_TRAIN_SQL,
         "quality_train_eval": _QUALITY_TRAIN_EVAL_SQL,
+        "pq_codes": _pq_sql() + """
+            SELECT vec_id, sub, code FROM pm2
+        """,
+        "pq_topk": _pq_sql() + _PQ_TOPK_TAIL + """
+            SELECT query_id, neighbor_id, adist2, rank
+            FROM pq_ranked WHERE rank <= 3
+        """,
+        "pq_recall": _pq_sql() + _PQ_TOPK_TAIL + """,
+            exq AS (SELECT vec_id AS query_id, qv FROM pqv WHERE vec_id < 5),
+            exd AS (
+                SELECT exq.query_id, p.vec_id AS neighbor_id,
+                       CAST(list_sum(list_transform(range(1, 65),
+                           i -> (exq.qv[CAST(i AS INT)] - p.qv[CAST(i AS INT)])
+                              * (exq.qv[CAST(i AS INT)] - p.qv[CAST(i AS INT)])))
+                           AS BIGINT) AS dist2
+                FROM exq, pqv p WHERE p.vec_id <> exq.query_id),
+            tr AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY dist2, neighbor_id) AS rn
+                FROM exd) WHERE rn <= 3),
+            cd AS (SELECT query_id, neighbor_id FROM pq_ranked
+                   WHERE rank <= 3),
+            joined AS (
+                SELECT CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END AS t,
+                       CASE WHEN cd.query_id IS NOT NULL THEN 1 ELSE 0 END AS c
+                FROM tr FULL OUTER JOIN cd
+                  ON tr.query_id = cd.query_id
+                 AND tr.neighbor_id = cd.neighbor_id),
+            agg AS (
+                SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+                       CAST(sum(c) AS BIGINT) AS n_cand,
+                       CAST(sum(t * c) AS BIGINT) AS n_hit
+                FROM joined)
+            SELECT n_truth, n_cand, n_hit,
+                   CASE WHEN n_truth > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+                   CASE WHEN n_cand > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_cand END AS precision
+            FROM agg
+        """,
         "winnow_dedup": f"""
             WITH RECURSIVE {_WINNOW_PAIRS_CTE},
             wk AS (SELECT id_a, id_b FROM win WHERE n_shared >= 32),

@@ -1,0 +1,234 @@
+"""Product quantization for ANN search (Jégou, Douze & Schmid 2011,
+"Product Quantization for Nearest Neighbor Search", TPAMI).
+
+Completes the repo's ANN family: brute force (exact baseline), IVF
+(bucket pruning), int8-SQ (bandwidth), and now PQ — the memory-side
+scale path: a D-dim vector compresses to ``m`` sub-codes (one byte
+each at k<=256), and query-time distances come from an ``m*k`` lookup
+table instead of touching raw vectors (asymmetric distance
+computation, ADC). At 100 TB of embeddings the corpus-side state is
+|corpus|*m bytes plus an m*k codebook — the raw vectors are only
+needed for an optional exact rescore of the shortlist.
+
+Engine-exactness: reuses operators/kmeans.py's integer-milli
+discipline. Subvector codebooks are trained by the same quantized
+Lloyd loop — squared-L2, argmin with (dist, code) tie-break,
+floor-division means — but over ALL ``m`` subspaces in ONE plan: the
+point key is (vec_id, sub), the cluster key is (sub, code), and the
+codebook join is on ``sub``. Every intermediate is exact int64, so
+the DuckDB oracle replays training, encoding, and ADC bit-for-bit.
+
+Scale shape: training = broadcast m*k-row codebook join + two
+map-side-combinable groupBys per round (same as kmeans; only the
+codebook is collected per round). Encoding = one broadcast join +
+packed-long argmin. ADC = codes equi-join the query distance table on
+(sub, code) then one combinable groupBy — |Q|*|corpus|*m intermediate
+rows, aggregated straight back down; for a large query set compose
+with IVF bucket routing first (the standard IVF-PQ stack) so the
+corpus side prunes before ADC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sutro_spark.operators.kmeans import QVEC, quantize_embeddings
+
+
+def _subvectors(
+    q: DataFrame, m: int, sub_dim: int, id_column: str
+) -> DataFrame:
+    """(id, sub, sqv) — the m per-subspace slices of each quantized
+    vector, exploded in-scan."""
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice(F.col(QVEC), s * sub_dim + 1, sub_dim),
+    )
+    return q.select(
+        F.col(id_column).alias("id"), F.posexplode(slices).alias("sub", "sqv")
+    )
+
+
+def _sub_dist2() -> F.Column:
+    return F.aggregate(
+        F.zip_with("sqv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_codes(sv: DataFrame, cb: DataFrame, k: int) -> DataFrame:
+    """(id, sub, code) nearest-codeword assignment — broadcast codebook
+    join + packed-long argmin (dist2*k + code; ties break to the
+    smaller code, matching the (dist2, code) ordering)."""
+    packed = (
+        sv.join(F.broadcast(cb), "sub")
+        .select("id", "sub", (_sub_dist2() * k + F.col("code")).alias("key"))
+        .groupBy("id", "sub")
+        .agg(F.min("key").alias("key"))
+    )
+    return packed.select(
+        "id", "sub", (F.col("key") % k).alias("code")
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+    offset: int = 1000,
+) -> DataFrame:
+    """Train per-subspace codebooks: (sub, code, cv array<bigint>).
+
+    Deterministic init: the k lowest-id vectors' subvectors (same
+    convention as kmeans). ``iters`` Lloyd rounds over all m subspaces
+    in one plan per round; only the m*k codebook is collected."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    sub_dim = dim // m
+    spark = df.sparkSession
+    q = quantize_embeddings(df, vector_column, scale=scale, offset=offset).select(
+        id_column, QVEC
+    )
+    sv = _subvectors(q, m, sub_dim, id_column)
+    init = q.orderBy(id_column).limit(k).collect()
+    rows = []
+    for code, r in enumerate(init):
+        vec = list(r[QVEC])
+        for sub in range(m):
+            rows.append((sub, code, vec[sub * sub_dim : (sub + 1) * sub_dim]))
+    cb = spark.createDataFrame(rows, "sub int, code bigint, cv array<bigint>")
+    for _ in range(iters - 1):
+        codes = _assign_codes(sv, cb, k)
+        ex = (
+            codes.join(sv, ["id", "sub"])
+            .select("sub", "code", F.posexplode("sqv").alias("pos", "v"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("comp", F.expr("s div n"))  # all values >= 0
+            .groupBy("sub", "code")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "comp"))).alias("pc"))
+            .select("sub", "code", F.col("pc.comp").alias("cv"))
+            .collect()
+        )
+        cb = spark.createDataFrame(
+            [(r["sub"], r["code"], list(r["cv"])) for r in ex],
+            "sub int, code bigint, cv array<bigint>",
+        )
+    return cb
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    *,
+    m: int = 8,
+    k: int = 16,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+    offset: int = 1000,
+) -> DataFrame:
+    """(vec_id, sub, code) — the compressed corpus representation."""
+    q = quantize_embeddings(df, vector_column, scale=scale, offset=offset).select(
+        id_column, QVEC
+    )
+    sv = _subvectors(q, m, dim // m, id_column)
+    return _assign_codes(sv, codebook, k).select(
+        F.col("id").alias(id_column), "sub", "code"
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    *,
+    k: int = 3,
+    m: int = 8,
+    n_codes: int = 16,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+    offset: int = 1000,
+) -> DataFrame:
+    """Asymmetric-distance top-k: (query_id, neighbor_id, adist2, rank).
+
+    The query side builds its m*n_codes distance table EXACTLY (raw
+    quantized query subvectors vs codewords); the corpus side
+    contributes only codes — the PQ promise that raw corpus vectors
+    are never touched at query time. Ties break (adist2, neighbor_id);
+    self-matches are excluded.
+    """
+    codes = pq_encode(
+        df, codebook, m=m, k=n_codes, id_column=id_column,
+        vector_column=vector_column, dim=dim, scale=scale, offset=offset,
+    )
+    qq = quantize_embeddings(
+        queries, vector_column, scale=scale, offset=offset
+    ).select(id_column, QVEC)
+    qsv = _subvectors(qq, m, dim // m, id_column).withColumnRenamed("id", "query_id")
+    qdt = qsv.join(F.broadcast(codebook), "sub").select(
+        "query_id", "sub", "code", _sub_dist2().alias("d2")
+    )
+    agg = (
+        codes.withColumnRenamed(id_column, "neighbor_id")
+        .join(qdt, ["sub", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist2", "neighbor_id")
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def exact_l2_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    scale: int = 1000,
+    offset: int = 1000,
+) -> DataFrame:
+    """Exact integer squared-L2 top-k over the SAME milli quantization:
+    (query_id, neighbor_id, dist2, rank). The ground truth the PQ
+    recall metric compares against — metric and quantization held
+    constant, so the recall number isolates the PQ approximation
+    itself."""
+    q = quantize_embeddings(df, vector_column, scale=scale, offset=offset).select(
+        F.col(id_column).alias("neighbor_id"), F.col(QVEC).alias("nv")
+    )
+    qq = quantize_embeddings(
+        queries, vector_column, scale=scale, offset=offset
+    ).select(F.col(id_column).alias("query_id"), F.col(QVEC).alias("qv"))
+    d2 = F.aggregate(
+        F.zip_with("qv", "nv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        q.crossJoin(F.broadcast(qq))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", d2.alias("dist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

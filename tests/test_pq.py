@@ -1,0 +1,74 @@
+"""Product quantization: codebook training, encoding, ADC search."""
+
+from pyspark.sql import functions as F
+
+from sutro_spark.operators.pq import (
+    exact_l2_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
+
+
+def _vecs(spark, n=24, dim=16):
+    # clustered synthetic: 4 well-separated groups in a corner each
+    rows = []
+    for i in range(n):
+        g = i % 4
+        base = [0.0] * dim
+        for d in range(dim):
+            base[d] = 0.8 if (d % 4) == g else 0.05 * ((i * 7 + d) % 3)
+        rows.append((i, base))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_roundtrip_shapes(spark):
+    df = _vecs(spark)
+    cb = pq_train(df, m=4, k=4, iters=2, dim=16)
+    assert cb.count() == 16  # 4 subs x 4 codes
+    codes = pq_encode(df, cb, m=4, k=4, dim=16)
+    assert codes.count() == 24 * 4
+    assert codes.agg(F.max("code")).first()[0] <= 3
+    assert codes.agg(F.min("code")).first()[0] >= 0
+
+
+def test_pq_identical_vectors_same_codes(spark):
+    # init = the 2 lowest-id vectors, so ids 0/1 seed DISTINCT
+    # codewords; id 2 duplicates id 0 and must share its codes
+    df = spark.createDataFrame(
+        [(0, [0.5] * 16), (1, [-0.5] * 16), (2, [0.5] * 16)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = pq_train(df, m=4, k=2, iters=2, dim=16)
+    codes = pq_encode(df, cb, m=4, k=2, dim=16)
+    by_vec = {}
+    for r in codes.collect():
+        by_vec.setdefault(r.vec_id, {})[r.sub] = r.code
+    assert by_vec[0] == by_vec[2]
+    assert by_vec[0] != by_vec[1]
+
+
+def test_pq_topk_finds_cluster_mates(spark):
+    # on well-separated clusters PQ top-k should agree with exact L2
+    df = _vecs(spark)
+    cb = pq_train(df, m=4, k=4, iters=2, dim=16)
+    queries = df.where(F.col("vec_id") < 2)
+    approx = pq_topk(df, queries, cb, k=3, m=4, n_codes=4, dim=16)
+    exact = exact_l2_topk(df, queries, k=3)
+    # every approx neighbor of query 0 is in query 0's cluster (ids % 4 == 0)
+    for r in approx.collect():
+        assert r.neighbor_id % 4 == r.query_id % 4
+        assert r.neighbor_id != r.query_id
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert len(a & e) >= 4  # high agreement on separable data
+
+
+def test_pq_validation(spark):
+    import pytest as _pytest
+
+    df = _vecs(spark)
+    with _pytest.raises(ValueError):
+        pq_train(df, m=5, dim=16)
+    with _pytest.raises(ValueError):
+        pq_train(df, m=4, dim=16, iters=0)
