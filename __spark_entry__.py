@@ -2442,6 +2442,17 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_recall(exact, approx, keys=("query_id", "neighbor_id"))
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the full billion-scale ANN stack: coarse integer-k-means bucket
+    # routing (nprobe=2 of 8) then PQ-ADC only within probed buckets.
+    # Non-residual IVF-PQ (one codebook serves every bucket). Oracle =
+    # the kmeans chain + the PQ chain + the probe/ADC tail, spliced.
+    from sutro_spark.operators.pq import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, emb.where(F.col("vec_id") < 5), k=3)
+
+
 def q_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold-sweep evidence for dedup tuning: candidate-pair Jaccard
     # distribution in one pass. Buckets are pure integer division —
@@ -2746,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
         "pq_recall": q_pq_recall,
+        "ivfpq_topk": q_ivfpq_topk,
         "promo_revenue": q_promo_revenue,
         "set_ops": q_set_ops,
         "pivot_qty": q_pivot_qty,
@@ -4979,6 +4991,45 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": _pq_sql() + _PQ_TOPK_TAIL + """
             SELECT query_id, neighbor_id, adist2, rank
             FROM pq_ranked WHERE rank <= 3
+        """,
+        "ivfpq_topk": _kmeans_sql() + "," + _pq_sql().replace("WITH ", "", 1) + """,
+            qsv3 AS (SELECT vec_id AS query_id, sub, sqv FROM sv
+                     WHERE vec_id < 5),
+            qdt3 AS (
+                SELECT q3.query_id, c.sub, c.code,
+                       CAST(list_sum(list_transform(range(1, 9),
+                           i -> (q3.sqv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+                              * (q3.sqv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])))
+                           AS BIGINT) AS d2
+                FROM qsv3 q3 JOIN pc1 c USING (sub)),
+            qp0 AS (
+                SELECT p.vec_id AS query_id, c1.cluster,
+                       CAST(list_sum(list_transform(range(1, 65),
+                           i -> (p.qv[CAST(i AS INT)] - c1.cv[CAST(i AS INT)])
+                              * (p.qv[CAST(i AS INT)] - c1.cv[CAST(i AS INT)])))
+                           AS BIGINT) AS d2
+                FROM q p, c1 WHERE p.vec_id < 5),
+            qp AS (SELECT query_id, cluster FROM (
+                    SELECT query_id, cluster,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2, cluster) AS rn
+                    FROM qp0) WHERE rn <= 2),
+            candv AS (SELECT qp.query_id, m2.vec_id AS neighbor_id
+                      FROM qp JOIN m2 USING (cluster)
+                      WHERE m2.vec_id <> qp.query_id),
+            adcd AS (
+                SELECT cv2.query_id, cv2.neighbor_id,
+                       CAST(sum(qdt3.d2) AS BIGINT) AS adist2
+                FROM candv cv2
+                JOIN pm2 ON pm2.vec_id = cv2.neighbor_id
+                JOIN qdt3 ON qdt3.query_id = cv2.query_id
+                         AND qdt3.sub = pm2.sub AND qdt3.code = pm2.code
+                GROUP BY cv2.query_id, cv2.neighbor_id)
+            SELECT query_id, neighbor_id, adist2,
+                   CAST(rank AS BIGINT) AS rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY adist2, neighbor_id) AS rank
+                FROM adcd) WHERE rank <= 3
         """,
         "pq_recall": _pq_sql() + _PQ_TOPK_TAIL + """,
             exq AS (SELECT vec_id AS query_id, qv FROM pqv WHERE vec_id < 5),

@@ -232,3 +232,96 @@ def exact_l2_topk(
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    coarse_k: int = 8,
+    coarse_iters: int = 2,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+    offset: int = 1000,
+) -> DataFrame:
+    """IVF-PQ: coarse integer-k-means bucket routing, then ADC only
+    within the ``nprobe`` probed buckets — the standard billion-scale
+    ANN stack (Jégou 2011 §IV). Non-residual variant (PQ codes the raw
+    vectors, not bucket residuals — Faiss ``by_residual=False``): the
+    codes are bucket-independent, so ONE codebook serves every bucket
+    and re-bucketing never re-encodes.
+
+    Scale shape: the corpus-side state is (vec_id, bucket) + m codes
+    per vector; a query touches |probed buckets| of the corpus instead
+    of all of it, and each touched vector costs an m-row distance-table
+    lookup instead of a D-dim dot product. Partition the codes table by
+    bucket on disk and the probe prunes at the scan.
+
+    Output: (query_id, neighbor_id, adist2, rank) like :func:`pq_topk`.
+    """
+    from sutro_spark.operators.kmeans import kmeans
+
+    spark = df.sparkSession
+    assigned, cents = kmeans(
+        df, k=coarse_k, iters=coarse_iters,
+        id_column=id_column, vector_column=vector_column,
+        scale=scale, offset=offset,
+    )
+    cb = pq_train(
+        df, m=m, k=n_codes, iters=2, id_column=id_column,
+        vector_column=vector_column, dim=dim, scale=scale, offset=offset,
+    )
+    codes = pq_encode(
+        df, cb, m=m, k=n_codes, id_column=id_column,
+        vector_column=vector_column, dim=dim, scale=scale, offset=offset,
+    )
+    qq = quantize_embeddings(
+        queries, vector_column, scale=scale, offset=offset
+    ).select(F.col(id_column).alias("query_id"), QVEC)
+    cdf = spark.createDataFrame(
+        [(int(c), [int(x) for x in v]) for c, v in cents],
+        "cluster bigint, cvec array<bigint>",
+    )
+    cd2 = F.aggregate(
+        F.zip_with(QVEC, "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "cluster")
+    probes = (
+        qq.crossJoin(F.broadcast(cdf))
+        .select("query_id", "cluster", cd2.alias("d2"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= nprobe)
+        .select("query_id", "cluster")
+    )
+    cand = (
+        probes.join(assigned.select(id_column, "cluster"), "cluster")
+        .where(F.col(id_column) != F.col("query_id"))
+        .select("query_id", F.col(id_column).alias("neighbor_id"))
+    )
+    qsv = _subvectors(
+        qq.withColumnRenamed("query_id", "id"), m, dim // m, "id"
+    ).withColumnRenamed("id", "query_id")
+    qdt = qsv.join(F.broadcast(cb), "sub").select(
+        "query_id", "sub", "code", _sub_dist2().alias("d2")
+    )
+    agg = (
+        cand.join(
+            codes.withColumnRenamed(id_column, "neighbor_id"), "neighbor_id"
+        )
+        .join(qdt, ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adist2"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy("adist2", "neighbor_id")
+    return (
+        agg.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -72,3 +72,24 @@ def test_pq_validation(spark):
         pq_train(df, m=5, dim=16)
     with _pytest.raises(ValueError):
         pq_train(df, m=4, dim=16, iters=0)
+
+
+def test_ivfpq_subset_of_full_adc(spark):
+    # bucket pruning can only REMOVE candidates: every IVF-PQ result
+    # pair must appear in the full-ADC candidate set with the same
+    # adist2 (non-residual PQ: codes identical with or without routing)
+    from sutro_spark.operators.pq import ivfpq_topk
+
+    df = _vecs(spark)
+    queries = df.where(F.col("vec_id") < 2)
+    cb = pq_train(df, m=4, k=4, iters=2, dim=16)
+    full = {
+        (r.query_id, r.neighbor_id): r.adist2
+        for r in pq_topk(df, queries, cb, k=24, m=4, n_codes=4, dim=16).collect()
+    }
+    routed = ivfpq_topk(
+        df, queries, k=3, coarse_k=4, nprobe=1, m=4, n_codes=4, dim=16
+    ).collect()
+    assert routed
+    for r in routed:
+        assert full[(r.query_id, r.neighbor_id)] == r.adist2
