@@ -2453,6 +2453,20 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, emb.where(F.col("vec_id") < 5), k=3)
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Morton/Z-order layout key (Delta OPTIMIZE ZORDER's core, absent
+    # from plain Spark): shift/mask bit interleave — pure codegen
+    # integer ops, bit-for-bit reproducible in the oracle. The sort key
+    # that makes parquet min/max stats selective on BOTH columns.
+    from sutro_spark.sources.sinks import zorder_key
+
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        zorder_key(F.col("o_custkey"), F.col("o_orderkey")).alias("zkey"),
+    )
+
+
 def q_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold-sweep evidence for dedup tuning: candidate-pair Jaccard
     # distribution in one pass. Buckets are pure integer division —
@@ -2742,9 +2756,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality_train[_eval], rank_elo_large, pq_codes/topk/recall
         # are new), then the 8 queries last driver-checked in r1/r2,
         # then the r3 entries absent from SELFCHECK_r05, then the
-        # oldest remaining r3-checked entries (asof_purchase,
-        # range_join_events, exact_dedup slipped past the cap to make
-        # room for PQ — they rotate in r7). Everything is equally
+        # oldest remaining r3-checked entries (events_sessionize,
+        # events_props_stats, asof_purchase, range_join_events,
+        # exact_dedup slipped past the cap to make room for the
+        # PQ/IVF-PQ quartet + zorder_key — they rotate in r7; all are
+        # r3-driver-green and stay strict-selfcheck-green).
+        # Everything is equally
         # oracle-checked by tools/selfcheck.py --strict (ALL GREEN
         # gate kept locally, all registered queries). ---
         "hll_merge": q_hll_merge,
@@ -2758,6 +2775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "pq_recall": q_pq_recall,
         "ivfpq_topk": q_ivfpq_topk,
+        "zorder_key": q_zorder_key,
         "promo_revenue": q_promo_revenue,
         "set_ops": q_set_ops,
         "pivot_qty": q_pivot_qty,
@@ -4985,6 +5003,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_train": _QUALITY_TRAIN_SQL,
         "quality_train_eval": _QUALITY_TRAIN_EVAL_SQL,
+        "zorder_key": """
+            WITH z0 AS (SELECT o_orderkey,
+                               o_custkey & 65535 AS xv,
+                               o_orderkey & 65535 AS yv FROM orders),
+            z1 AS (SELECT o_orderkey, ((xv | (xv << 8)) & 16711935) AS xv,
+                          ((yv | (yv << 8)) & 16711935) AS yv FROM z0),
+            z2 AS (SELECT o_orderkey, ((xv | (xv << 4)) & 252645135) AS xv,
+                          ((yv | (yv << 4)) & 252645135) AS yv FROM z1),
+            z3 AS (SELECT o_orderkey, ((xv | (xv << 2)) & 858993459) AS xv,
+                          ((yv | (yv << 2)) & 858993459) AS yv FROM z2),
+            z4 AS (SELECT o_orderkey, ((xv | (xv << 1)) & 1431655765) AS xv,
+                          ((yv | (yv << 1)) & 1431655765) AS yv FROM z3)
+            SELECT o_orderkey, CAST(xv | (yv << 1) AS BIGINT) AS zkey
+            FROM z4
+        """,
         "pq_codes": _pq_sql() + """
             SELECT vec_id, sub, code FROM pm2
         """,

@@ -82,3 +82,50 @@ def test_llm_transform_slim_equals_carry(spark, documents):
     carry = llm_transform(docs, "text").select("doc_id", "outputs")
     slim = llm_transform(docs, "text", slim=True).select("doc_id", "outputs")
     assert {tuple(r) for r in carry.collect()} == {tuple(r) for r in slim.collect()}
+
+
+def test_zorder_key_known_morton_values(spark):
+    from sutro_spark.sources.sinks import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "x long, y long"
+    )
+    got = [r.z for r in df.select(zorder_key(F.col("x"), F.col("y")).alias("z")).collect()]
+
+    def morton(x, y):
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert got == [morton(x, y) for x, y in [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)]]
+
+
+def test_zorder_write_makes_both_columns_selective(spark, tmp_path):
+    # uniform grid: a linear sort on x leaves every file covering y's
+    # FULL range; the z-order layout bounds both ranges per file
+    import itertools
+
+    from sutro_spark.sources.sinks import write_zordered
+
+    rows = [(x, y) for x, y in itertools.product(range(64), range(64))]
+    df = spark.createDataFrame(rows, "x long, y long")
+    zpath = str(tmp_path / "zordered")
+    write_zordered(df, zpath, "x", "y", num_files=16)
+
+    import pyarrow.parquet as pq
+    import os
+
+    spans = []
+    for f in os.listdir(zpath):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(zpath, f))
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        if xs:
+            spans.append(((max(xs) - min(xs)), (max(ys) - min(ys))))
+    assert len(spans) >= 8
+    # every file covers a bounded region in BOTH dims — far below the
+    # full 0..63 span (a linear x-sort would give y-span 63 everywhere)
+    assert all(sx <= 32 and sy <= 32 for sx, sy in spans), spans
