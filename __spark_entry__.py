@@ -1088,6 +1088,20 @@ def q_decontaminate_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bloom-prefiltered decontamination: per-row bitset probe (NO join,
+    # no shuffle on the clean fast path — runs unchanged on a stream),
+    # exact broadcast-join verify on the flagged sliver only. Output
+    # identical to plain decontaminate (no false negatives by
+    # construction), which is exactly what the shared oracle asserts.
+    from sutro_spark.operators.decontaminate import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_decontaminate(docs, _decon_bench(docs), n=_DECON_N).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher quality gate: per-doc surface + repetition metrics, each
     # with the published keep-threshold; one scan + one (doc, 2gram)
@@ -2756,10 +2770,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality_train[_eval], rank_elo_large, pq_codes/topk/recall
         # are new), then the 8 queries last driver-checked in r1/r2,
         # then the r3 entries absent from SELFCHECK_r05, then the
-        # oldest remaining r3-checked entries (events_sessionize,
-        # events_props_stats, asof_purchase, range_join_events,
-        # exact_dedup slipped past the cap to make room for the
-        # PQ/IVF-PQ quartet + zorder_key — they rotate in r7; all are
+        # oldest remaining r3-checked entries (events_window,
+        # events_sessionize, events_props_stats, asof_purchase,
+        # range_join_events, exact_dedup slipped past the cap to make
+        # room for the PQ/IVF-PQ quartet + zorder_key +
+        # bloom_decontaminate — they rotate in r7; all are
         # r3-driver-green and stay strict-selfcheck-green).
         # Everything is equally
         # oracle-checked by tools/selfcheck.py --strict (ALL GREEN
@@ -2776,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": q_pq_recall,
         "ivfpq_topk": q_ivfpq_topk,
         "zorder_key": q_zorder_key,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "promo_revenue": q_promo_revenue,
         "set_ops": q_set_ops,
         "pivot_qty": q_pivot_qty,
@@ -4470,6 +4486,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "decontaminate": _DECON_CTE + "SELECT doc_id, n_hits FROM hits",
         "decontaminate_clean": _DECON_CTE
+        + """
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        """,
+        # the bloom path's false positives are removed by its exact
+        # verify, so its output IS the exact clean set — same oracle.
+        "bloom_decontaminate": _DECON_CTE
         + """
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM hits)

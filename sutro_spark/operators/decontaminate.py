@@ -162,3 +162,125 @@ def fuzzy_contamination(
         .agg(F.count_distinct("__bench_id").alias("n_bench_hits"))
         .select(F.col("id").alias(id_column), "n_bench_hits")
     )
+
+
+def bloom_bitset(
+    benchmark: DataFrame,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 13,
+    bits_log2: int = 17,
+    hashes: int = 3,
+) -> list[int]:
+    """Driver-built Bloom bitset over the benchmark's distinct word
+    n-gram set, packed into 64-bit words. Collecting benchmark grams to
+    the driver is the decontamination premise — eval sets are tiny
+    relative to the corpus (MMLU-scale: ~10^5 grams → a 16 KiB filter
+    at bits_log2=17); the CORPUS side never collects, joins, or
+    shuffles. Probe positions use the repo's portable sha256 bucket
+    (salts ``bloom0..bloom{k-1}``) so any engine reproduces the filter.
+    """
+    size = 1 << bits_log2
+    words = [0] * (size >> 6)
+    grams = (
+        word_shingles(benchmark, text_column, id_column, n)
+        .select("gram").distinct().collect()
+    )
+    import hashlib
+
+    for r in grams:
+        for h in range(hashes):
+            digest = hashlib.sha256(f"bloom{h}:{r['gram']}".encode()).hexdigest()
+            pos = int(digest[:8], 16) % size
+            words[pos >> 6] |= 1 << (pos & 63)
+    # bit 63 makes a word >= 2^63: reinterpret as SIGNED int64 so the
+    # literal array fits Spark's long (the arithmetic-shift bit test
+    # downstream is sign-safe)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_contamination_flags(
+    train: DataFrame,
+    words: list[int],
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 13,
+    bits_log2: int = 17,
+    hashes: int = 3,
+) -> DataFrame:
+    """All train columns + ``__maybe_contaminated`` (1 iff ANY of the
+    doc's word n-grams hits all ``hashes`` Bloom positions). A pure
+    per-row projection against the broadcast-literal bitset — NO join,
+    NO shuffle, NO state: the shape that runs unchanged on a streaming
+    DataFrame and on 100 TB (the corpus is only ever scanned). False
+    positives exist by construction; compose with the exact broadcast
+    join on the flagged subset (:func:`bloom_decontaminate`)."""
+    size = 1 << bits_log2
+    # gram construction MUST byte-match word_shingles (same trim, NO
+    # lowercasing, short docs -> empty array) or bloom false NEGATIVES
+    # appear and the output stops equalling exact decontaminate()
+    toks = f"split(trim(coalesce({text_column}, '')), '\\\\s+')"
+    gram_arr = (
+        f"if(size({toks}) < {n}, array(),"
+        f" transform(sequence(1, size({toks}) - {n - 1}),"
+        f" i -> array_join(slice({toks}, i, {n}), ' ')))"
+    )
+
+    def probe(h: int) -> str:
+        pos = (
+            f"(conv(substring(sha2(concat('bloom{h}:', g), 256), 1, 8), 16, 10)"
+            f" % {size})"
+        )
+        return (
+            f"((shiftright(element_at(__bloom_words, CAST(shiftright({pos}, 6) AS INT) + 1),"
+            f" CAST({pos} % 64 AS INT)) & 1) = 1)"
+        )
+
+    cond = " AND ".join(probe(h) for h in range(hashes))
+    flag = f"exists({gram_arr}, g -> {cond})"
+    return (
+        train.withColumn(
+            "__bloom_words", F.lit(words).cast("array<long>")
+        )
+        .withColumn("__maybe_contaminated", F.expr(flag).cast("int"))
+        .drop("__bloom_words")
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    n: int = 13,
+    bits_log2: int = 17,
+    hashes: int = 3,
+) -> DataFrame:
+    """Bloom-prefiltered exact decontamination — output identical to
+    :func:`decontaminate` (Bloom filters have no false negatives;
+    false positives are removed by the exact verify), but the clean
+    fast path is join-free: only the flagged sliver of the corpus pays
+    the exact broadcast-join check. Candidates-then-verify, again.
+    """
+    words = bloom_bitset(
+        benchmark, text_column=text_column, id_column=id_column,
+        n=n, bits_log2=bits_log2, hashes=hashes,
+    )
+    flagged = bloom_contamination_flags(
+        train, words, text_column=text_column, id_column=id_column,
+        n=n, bits_log2=bits_log2, hashes=hashes,
+    )
+    clean_fast = flagged.where(F.col("__maybe_contaminated") == 0).drop(
+        "__maybe_contaminated"
+    )
+    suspects = flagged.where(F.col("__maybe_contaminated") == 1).drop(
+        "__maybe_contaminated"
+    )
+    bad = contamination_report(
+        suspects, benchmark, text_column=text_column,
+        id_column=id_column, n=n,
+    ).select(id_column)
+    return clean_fast.unionByName(suspects.join(bad, id_column, "left_anti"))

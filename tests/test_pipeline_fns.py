@@ -707,3 +707,58 @@ def test_bigram_lift_releases_its_cache(spark):
     assert out.count() >= 1
     after = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
     assert after <= before
+
+
+def test_bloom_decontaminate_equals_exact_with_forced_collisions(spark):
+    # a deliberately TINY filter (256 bits) forces Bloom false
+    # positives, so the exact-verify stage is load-bearing: output must
+    # still equal plain decontaminate exactly
+    from sutro_spark.operators.decontaminate import (
+        bloom_bitset,
+        bloom_contamination_flags,
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[j % 40] for j in range(i, i + 12))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    bench = docs.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    exact = {r.doc_id for r in decontaminate(docs, bench, n=5).select("doc_id").collect()}
+    got = {
+        r.doc_id
+        for r in bloom_decontaminate(docs, bench, n=5, bits_log2=8, hashes=2)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == exact
+    # with 256 bits the prefilter must actually flag a superset
+    w = bloom_bitset(bench, n=5, bits_log2=8, hashes=2)
+    flagged = {
+        r.doc_id
+        for r in bloom_contamination_flags(docs, w, n=5, bits_log2=8, hashes=2)
+        .where(F.col("__maybe_contaminated") == 1)
+        .collect()
+    }
+    contaminated = {r.doc_id for r in docs.collect()} - exact
+    assert contaminated <= flagged
+
+
+def test_bloom_flags_no_join_in_plan(spark):
+    # the fast path is a pure projection: no Exchange, no Join nodes
+    from sutro_spark.operators.decontaminate import (
+        bloom_bitset,
+        bloom_contamination_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n")], "doc_id long, text string"
+    )
+    w = bloom_bitset(docs.limit(1), n=5)
+    plan = bloom_contamination_flags(docs, w, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
