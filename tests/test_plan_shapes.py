@@ -148,3 +148,10 @@ def test_rank_elo_large_no_cartesian_pairwise(spark):
 def test_winnow_dedup_no_cartesian(spark):
     plan = _plan(spark, "winnow_dedup")
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_key_pure_projection(spark):
+    # the layout key is scan-stage arithmetic: no shuffle, no join
+    plan = _plan(spark, "zorder_key")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
