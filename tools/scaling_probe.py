@@ -130,6 +130,61 @@ def main() -> None:
             results[name][factor] = round(best[name], 2)
         print(f"x{factor} ({rows} rows): " + ", ".join(f"{k}={v[factor]}s" for k, v in results.items()), flush=True)
 
+    # --- second axis: the embeddings table (ANN family). Replication
+    # perturbs one component per copy so vectors stay distinct while
+    # cluster structure is preserved. Queries stay FIXED (5 vectors) —
+    # these rows measure corpus-side scaling of index build + search.
+    from sutro_spark.operators.pq import ivfpq_topk as _ivfpq
+    from sutro_spark.operators.pq import pq_encode as _pq_encode
+    from sutro_spark.operators.pq import pq_train as _pq_train
+    from sutro_spark.operators.similarity import sq_topk as _sq_topk
+
+    ebase = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    e_base = ebase.count()
+
+    def _pq_codes_op(df):
+        cb = _pq_train(df, m=8, k=16, iters=2)
+        return _pq_encode(df, cb)
+
+    emb_ops = {
+        "pq_codes": _pq_codes_op,
+        "ivfpq_topk": lambda df: _ivfpq(
+            df, df.where(F.col("vec_id") < 5), k=3
+        ),
+        "sq_topk": lambda df: _sq_topk(
+            df, df.where(F.col("vec_id") < 5), k=3
+        ),
+    }
+    eresults: dict[str, dict[int, float]] = {name: {} for name in emb_ops}
+    for op in emb_ops.values():
+        op(ebase).write.format("noop").mode("overwrite").save()
+    for factor in factors:
+        path = os.path.join(tmp, f"emb_x{factor}")
+        copies = ebase.crossJoin(
+            spark.range(factor).select(F.col("id").alias("__copy"))
+        ).select(
+            (F.col("vec_id") + F.col("__copy") * e_base).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + F.when(i == 0, F.col("__copy").cast("double") / 10000.0).otherwise(
+                    0.0
+                ),
+            ).alias("embedding"),
+        )
+        copies.write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
+        erows = df.count()
+        best = {}
+        for _ in range(2):
+            for name, op in emb_ops.items():
+                t0 = time.time()
+                op(df).write.format("noop").mode("overwrite").save()
+                best[name] = min(best.get(name, float("inf")), time.time() - t0)
+        for name in emb_ops:
+            eresults[name][factor] = round(best[name], 2)
+        print(f"emb x{factor} ({erows} rows): " + ", ".join(f"{k}={v[factor]}s" for k, v in eresults.items()), flush=True)
+
     lines = [
         "# SCALING — measured operator scaling on replicated documents",
         "",
@@ -144,6 +199,21 @@ def main() -> None:
         "|---|---|---|---|---|",
     ]
     for name, times in results.items():
+        t1, t16 = times[1], times[16]
+        exp = math.log(t16 / t1) / math.log(16) if t1 > 0 else float("nan")
+        lines.append(
+            f"| {name} | {times[1]} | {times[4]} | {times[16]} | {exp:.2f} |"
+        )
+    lines += [
+        "",
+        f"ANN family over replicated embeddings ({e_base} base rows,",
+        "one perturbed component per copy; 5 fixed query vectors —",
+        "corpus-side scaling of index build + search):",
+        "",
+        "| operator | 1x sec | 4x sec | 16x sec | scaling exponent |",
+        "|---|---|---|---|---|",
+    ]
+    for name, times in eresults.items():
         t1, t16 = times[1], times[16]
         exp = math.log(t16 / t1) / math.log(16) if t1 > 0 else float("nan")
         lines.append(
