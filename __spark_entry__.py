@@ -2760,6 +2760,90 @@ def q_dup_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_size_histogram(docs.unionByName(dup7).unionByName(dup21))
 
 
+def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ORDERED honesty metric for the quantized ANN path: MRR@3 and
+    # hit@3 of the int8-SQ ranked list against exact brute-force
+    # cosine truth. candidate_recall scores the SET; this scores how
+    # early the first true neighbor appears — reciprocal ranks summed
+    # as exact lcm-scaled integers, ONE trailing IEEE division.
+    from sutro_spark.operators.metrics import rank_metrics
+    from sutro_spark.operators.similarity import brute_force_topk, sq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries_df, k=3)
+    approx = sq_topk(emb, queries_df, k=3)
+    return rank_metrics(exact, approx, k=3)
+
+
+def _eval_preds_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # eval predictions + deterministic integer-milli confidence
+    # (doc_id * 37 % 1001 spans the full [0, 1000] range) — the
+    # pre-quantized confidence discipline calibration ops require.
+    return _eval_preds(spark, sf_dir).withColumn(
+        "conf_milli", (F.col("doc_id") * 37 % 1001).cast("long")
+    )
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reliability diagram over 10 integer-milli confidence bins: per-bin
+    # accuracy and mean confidence as single exact-integer divisions;
+    # gap_scaled is the exact ECE numerator contribution. One map-side
+    # combinable groupBy on <= 10 keys.
+    from sutro_spark.operators.metrics import calibration_bins
+
+    return calibration_bins(_eval_preds_conf(spark, sf_dir))
+
+
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-row expected calibration error: sum of exact integer bin
+    # gaps, divided ONCE by 1000*N — no per-bin float ratios summed.
+    from sutro_spark.operators.metrics import calibration_ece
+
+    return calibration_ece(_eval_preds_conf(spark, sf_dir))
+
+
+def q_keyword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # blocklist tagging over documents: total/distinct term hits +
+    # threshold flag. Term list is small, so this takes the in-scan
+    # higher-order-function path — zero joins, zero shuffles.
+    from sutro_spark.functions.text import keyword_hits
+
+    return keyword_hits(
+        _t(spark, sf_dir, "documents"),
+        ["slow", "legacy", "spam", "merge", "hash"],
+        threshold=3,
+    )
+
+
+def q_rollup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # materialized-view maintenance: per-priority (n, cents) rollup of
+    # a base snapshot (orders with o_orderkey % 5 != 0), updated by a
+    # CDC delta (inserts: % 5 == 0; deletes: % 7 == 0 of the base)
+    # WITHOUT re-reading the base corpus — work is O(|delta| + |keys|).
+    # The oracle recomputes the merged corpus directly; equality is the
+    # proof the incremental path is exact.
+    from sutro_spark.operators.cdc import incremental_rollup
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.where(F.col("o_orderkey") % 5 != 0)
+    rollup = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("cents"),
+    )
+    inserts = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderpriority", cents.alias("v"), F.lit(1).alias("op")
+    )
+    deletes = base.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderpriority", cents.alias("v"), F.lit(-1).alias("op")
+    )
+    changes = inserts.unionByName(deletes)
+    return incremental_rollup(
+        rollup, changes, ["o_orderpriority"], {"cents": "v"}
+    ).orderBy("o_orderpriority")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
 
@@ -2792,6 +2876,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "zorder_key": q_zorder_key,
         "bloom_decontaminate": q_bloom_decontaminate,
+        # round-6 late additions (never driver-checked before): ranked
+        # ANN honesty, calibration, blocklist tagging, incremental
+        # rollup maintenance. They displace events_window /
+        # events_sessionize / events_props_stats / asof_purchase /
+        # range_join_events past the 50-cap (all r3-driver-green and
+        # strict-selfcheck-green; rotate back in r7).
+        "ann_mrr": q_ann_mrr,
+        "calibration": q_calibration,
+        "ece": q_ece,
+        "keyword_flags": q_keyword_flags,
+        "rollup_incr": q_rollup_incr,
         "promo_revenue": q_promo_revenue,
         "set_ops": q_set_ops,
         "pivot_qty": q_pivot_qty,
@@ -6485,5 +6580,147 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_cand > 0
                         THEN CAST(n_hit AS DOUBLE) / n_cand END AS precision
             FROM agg
+        """,
+        # MRR@3 / hit@3 of the int8-SQ ranked list vs exact cosine
+        # truth: same exact/quantized chains as sq_recall, then
+        # first-hit rank per query; reciprocal ranks summed as
+        # lcm(1..3)=6-scaled exact integers, ONE trailing division.
+        "ann_mrr": f"""
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings),
+            s AS (
+                SELECT query_id, neighbor_id,
+                       {_COSINE.format(a='qv', b='cv')} AS sim
+                FROM q, c WHERE neighbor_id <> query_id),
+            r AS (SELECT *, row_number() OVER
+                      (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+                  FROM s),
+            truth AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+            base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+            mx AS (
+                SELECT vec_id, e,
+                       list_max(list_transform(e, x -> abs(x))) AS ma
+                FROM base),
+            qt AS (
+                SELECT vec_id,
+                       CASE WHEN ma = 0
+                            THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                            ELSE list_transform(e,
+                                x -> CAST(round(x / (ma / 127)) AS BIGINT))
+                       END AS qv
+                FROM mx),
+            qn AS (
+                SELECT vec_id, qv,
+                       CAST(list_sum(list_transform(qv, x -> x * x))
+                            AS BIGINT) AS qn2
+                FROM qt),
+            pairs AS (
+                SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                       CASE WHEN cc.qn2 > 0 AND qq.qn2 > 0 THEN
+                           round(CAST(list_dot_product(
+                                     CAST(cc.qv AS DOUBLE[]),
+                                     CAST(qq.qv AS DOUBLE[])) AS DOUBLE)
+                                 / (sqrt(cc.qn2) * sqrt(qq.qn2)), 6)
+                       ELSE 0.0 END AS sim_q
+                FROM qn cc, (SELECT * FROM qn WHERE vec_id < 5) qq
+                WHERE cc.vec_id <> qq.vec_id),
+            ranked AS (
+                SELECT query_id, neighbor_id, sim_q,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim_q DESC, neighbor_id ASC) AS rank
+                FROM pairs),
+            first AS (
+                SELECT t.query_id, min(rk.rank) AS first_rank
+                FROM truth t
+                JOIN ranked rk ON t.query_id = rk.query_id
+                             AND t.neighbor_id = rk.neighbor_id
+                WHERE rk.rank <= 3
+                GROUP BY t.query_id),
+            per AS (
+                SELECT qs.query_id, f.first_rank
+                FROM (SELECT DISTINCT query_id FROM truth) qs
+                LEFT JOIN first f USING (query_id))
+            SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                   CAST(sum(CASE WHEN first_rank IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hit,
+                   CASE WHEN count(*) > 0 THEN
+                       CAST(sum(CASE WHEN first_rank IS NOT NULL THEN 1 ELSE 0 END)
+                            AS DOUBLE) / count(*) END AS hit_rate,
+                   CASE WHEN count(*) > 0 THEN
+                       CAST(sum(CASE WHEN first_rank IS NOT NULL
+                                     THEN 6 // first_rank ELSE 0 END)
+                            AS DOUBLE) / (6 * count(*)) END AS mrr
+            FROM per
+        """,
+        "calibration": _EVAL_CTE + """
+            , cal AS (
+                SELECT doc_id, pred, label, (doc_id * 37) % 1001 AS conf
+                FROM p),
+            b AS (
+                SELECT least((conf * 10) // 1000, 9) AS bin,
+                       count(*) AS n,
+                       sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS correct,
+                       sum(conf) AS conf_sum
+                FROM cal GROUP BY 1)
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(correct AS BIGINT) AS correct,
+                   CAST(conf_sum AS BIGINT) AS conf_sum,
+                   CAST(correct AS DOUBLE) / n AS accuracy,
+                   CAST(conf_sum AS DOUBLE) / (1000 * n) AS avg_conf,
+                   CAST(abs(1000 * correct - conf_sum) AS BIGINT) AS gap_scaled
+            FROM b
+        """,
+        "ece": _EVAL_CTE + """
+            , cal AS (
+                SELECT doc_id, pred, label, (doc_id * 37) % 1001 AS conf
+                FROM p),
+            b AS (
+                SELECT least((conf * 10) // 1000, 9) AS bin,
+                       count(*) AS n,
+                       sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS correct,
+                       sum(conf) AS conf_sum
+                FROM cal GROUP BY 1)
+            SELECT CAST(sum(n) AS BIGINT) AS n,
+                   CAST(sum(abs(1000 * correct - conf_sum)) AS BIGINT)
+                       AS gap_total,
+                   CASE WHEN sum(n) > 0 THEN
+                       CAST(sum(abs(1000 * correct - conf_sum)) AS DOUBLE)
+                       / (1000 * sum(n)) END AS ece
+            FROM b
+        """,
+        "keyword_flags": """
+            WITH t AS (
+                SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[^a-z0-9]+'),
+                           x -> x <> '')) AS tok
+                FROM documents),
+            h AS (
+                SELECT doc_id, count(*) AS n_hits,
+                       count(DISTINCT tok) AS n_terms
+                FROM t
+                WHERE tok IN ('slow', 'legacy', 'spam', 'merge', 'hash')
+                GROUP BY doc_id)
+            SELECT d.doc_id AS id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(coalesce(h.n_terms, 0) AS BIGINT) AS n_terms,
+                   CAST(CASE WHEN coalesce(h.n_hits, 0) >= 3
+                             THEN 1 ELSE 0 END AS INT) AS flagged
+            FROM documents d LEFT JOIN h USING (doc_id)
+        """,
+        "rollup_incr": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders
+            WHERE o_orderkey % 5 = 0
+               OR (o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
     }

@@ -524,3 +524,81 @@ def sentence_stats(
             "mean_sentence_chars"
         ),
     )
+
+
+def keyword_hits(
+    df: DataFrame,
+    terms: list[str],
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    threshold: int = 1,
+    scan_max_terms: int = 128,
+) -> DataFrame:
+    """Blocklist/keyword tagging: per-document hit counts against a
+    term list (toxicity wordlists, spam markers, license strings) —
+    the cheap lexical filter every corpus-curation pipeline runs
+    before any model-based scoring.
+
+    Output: (id, n_hits bigint — total term occurrences,
+    n_terms bigint — distinct terms hit, flagged int — 1 iff
+    n_hits >= threshold). Tokenization is lowercase split on
+    ``[^a-z0-9]+`` so "Spam!" and "spam" count identically and the
+    DuckDB oracle can mirror it verbatim.
+
+    Two plans, same semantics, chosen by blocklist size:
+
+    - |terms| <= ``scan_max_terms``: pure in-scan higher-order
+      functions (filter/array_intersect against a literal array) —
+      zero joins, zero shuffles, runs unchanged on a stream. The
+      per-token cost is O(|terms|), fine for the small curated lists
+      this path gates on.
+    - larger lists: explode tokens -> broadcast equi-join the terms
+      dim (O(1) hash probe per token regardless of list size) ->
+      groupBy doc over the *surviving hits only* (blocklist hits are
+      sparse, so the shuffle is tiny) -> broadcast join-back onto the
+      id spine so zero-hit docs keep their row.
+    """
+    lowered = [t.lower() for t in terms]
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_column), F.lit(""))), "[^a-z0-9]+"),
+        lambda x: x != "",
+    )
+    if len(lowered) <= scan_max_terms:
+        lit_terms = F.array(*[F.lit(t) for t in lowered])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(lit_terms, t)))
+        distinct_hits = F.size(F.array_intersect(toks, lit_terms))
+        return df.select(
+            F.col(id_column).alias("id"),
+            hits.cast("long").alias("n_hits"),
+            distinct_hits.cast("long").alias("n_terms"),
+        ).withColumn(
+            "flagged",
+            F.when(F.col("n_hits") >= threshold, 1).otherwise(0).cast("int"),
+        )
+    spark = df.sparkSession
+    dim = spark.createDataFrame([(t,) for t in sorted(set(lowered))], "term string")
+    tok_rows = df.select(
+        F.col(id_column).alias("id"), F.explode(toks).alias("term")
+    )
+    agg = (
+        tok_rows.join(F.broadcast(dim), "term")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.countDistinct("term").cast("long").alias("n_terms"),
+        )
+    )
+    spine = df.select(F.col(id_column).alias("id"))
+    return (
+        spine.join(F.broadcast(agg), "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce("n_terms", F.lit(0)).cast("long").alias("n_terms"),
+        )
+        .withColumn(
+            "flagged",
+            F.when(F.col("n_hits") >= threshold, 1).otherwise(0).cast("int"),
+        )
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["latest_changes", "merge_upsert"]
+__all__ = ["latest_changes", "merge_upsert", "incremental_rollup"]
 
 
 def latest_changes(
@@ -109,3 +109,50 @@ def snapshot_diff(
         .where(F.col("change").isNotNull())
         .select(*key_columns, "change")
     )
+
+
+def incremental_rollup(
+    rollup: DataFrame,
+    changes: DataFrame,
+    key_columns: list[str],
+    sums: dict[str, str],
+    *,
+    count_column: str = "n",
+    op_column: str = "op",
+) -> DataFrame:
+    """Maintain a pre-aggregated rollup (count + sums per key) from a
+    CDC delta WITHOUT re-reading the base corpus — the materialized-
+    view maintenance shape: at 100 TB you can afford to re-aggregate
+    the day's changes, never the corpus.
+
+    ``rollup`` holds the current state: key columns + ``count_column``
+    + one column per ``sums`` key. ``changes`` carries the raw value
+    columns (``sums`` values) plus ``op_column`` = +1 (insert) / -1
+    (delete); an update is a -1 old-row and a +1 new-row. Counts and
+    sums are signed-additive, so the new state is just
+
+        groupBy(key)( rollup-partials UNION delta-partials )
+
+    with groups whose count reaches 0 dropped. Work is
+    O(|changes| + |touched keys|): the delta aggregate is map-side
+    combinable, the union's groupBy shuffles only |keys| rows (the
+    rollup is already one row per key). Only additive measures belong
+    here — min/max are not delete-maintainable; pair this with the
+    sketches family (CMS/HLL add the same way) for distincts.
+    """
+    delta = changes.groupBy(*key_columns).agg(
+        F.sum(F.col(op_column)).cast("long").alias(count_column),
+        *[
+            F.sum(F.col(op_column) * F.col(src)).cast("long").alias(dst)
+            for dst, src in sums.items()
+        ],
+    )
+    cols = [count_column, *sums.keys()]
+    merged = (
+        rollup.select(*key_columns, *cols)
+        .unionByName(delta.select(*key_columns, *cols))
+        .groupBy(*key_columns)
+        .agg(*[F.sum(c).cast("long").alias(c) for c in cols])
+        .where(F.col(count_column) > 0)
+    )
+    return merged

@@ -123,6 +123,167 @@ def cohens_kappa(
     )
 
 
+def rank_metrics(
+    truth: DataFrame,
+    ranked: DataFrame,
+    *,
+    query_key: str = "query_id",
+    item_key: str = "neighbor_id",
+    rank_column: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Ranked-retrieval quality of an ANN path: MRR@k and hit@k against
+    an exact ground-truth pair set (brute-force top-k, labeled qrels).
+
+    `candidate_recall` treats the candidate set as unordered; this is
+    the ORDERED complement — it scores how early the first true
+    neighbor appears, which is what a retrieval-augmented training
+    pipeline actually pays for (rank 1 vs rank 10 is a 10x context
+    budget difference even at identical recall).
+
+    Float parity discipline: reciprocal ranks are summed as exact
+    integers scaled by L = lcm(1..k) (L/rank is integral for every
+    rank <= k), so MRR = sum / (L * n_queries) is ONE IEEE division of
+    exact integers — bit-identical across engines. k <= 42 keeps L and
+    the scaled sum inside a BIGINT at any realistic query count.
+
+    Queries come from the TRUTH side: a truth query with no ranked hit
+    contributes 0 to both metrics (never silently dropped).
+
+    Plan: distinct truth pairs -> equi-join on (query, item) against
+    the rank<=k slice -> per-query min-rank groupBy -> right join onto
+    the distinct truth queries -> one global aggregate. Linear in the
+    pair counts, no collects.
+    """
+    if not 1 <= k <= 42:
+        raise ValueError("k must be in [1, 42] to keep lcm(1..k) integral in a BIGINT")
+    lcm = 1
+    for i in range(2, k + 1):
+        g, a = lcm, i
+        while a:
+            g, a = a, g % a
+        lcm = lcm * i // g
+    t = truth.select(query_key, item_key).distinct()
+    r = ranked.select(query_key, item_key, rank_column).where(F.col(rank_column) <= k)
+    first = (
+        t.join(r, [query_key, item_key])
+        .groupBy(query_key)
+        .agg(F.min(rank_column).cast("long").alias("first_rank"))
+    )
+    per_query = t.select(query_key).distinct().join(first, query_key, "left")
+    scaled = per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("first_rank").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit"),
+        F.sum(
+            F.when(
+                F.col("first_rank").isNotNull(),
+                F.expr(f"CAST({lcm} AS BIGINT) div first_rank"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("rr_scaled"),
+    )
+    return scaled.select(
+        "n_queries",
+        "n_hit",
+        F.when(
+            F.col("n_queries") > 0,
+            F.col("n_hit").cast("double") / F.col("n_queries"),
+        ).alias("hit_rate"),
+        F.when(
+            F.col("n_queries") > 0,
+            F.col("rr_scaled").cast("double") / (F.lit(lcm) * F.col("n_queries")),
+        ).alias("mrr"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    *,
+    label_column: str = "label",
+    pred_column: str = "pred",
+    conf_column: str = "conf_milli",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram over integer-milli confidences (0..1000).
+
+    Confidence arrives pre-quantized to integer thousandths (the same
+    discipline as the integer-cents money columns elsewhere in this
+    repo): per-bin accuracy and mean confidence are then each ONE IEEE
+    division of exact integer sums, so independent engines agree
+    bit-for-bit — a float-confidence reliability diagram never does.
+
+    bin = conf_milli * bins div 1000, clamped so conf 1000 lands in the
+    top bin. Output per bin: (bin, n, correct, conf_sum, accuracy,
+    avg_conf, gap_scaled) where gap_scaled = |1000*correct − conf_sum|
+    is the exact integer numerator of n·|acc − conf| — summing it and
+    dividing once by 1000·N is the ECE (see `calibration_ece`).
+
+    One map-side-combinable groupBy on <= `bins` keys — constant
+    state, mergeable across partitions, batches, or days.
+    """
+    hit = F.when(F.col(pred_column) == F.col(label_column), 1).otherwise(0)
+    b = F.least(
+        F.expr(f"({conf_column} * {bins}) div 1000").cast("long"),
+        F.lit(bins - 1).cast("long"),
+    )
+    g = df.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(hit).cast("long").alias("correct"),
+        F.sum(conf_column).cast("long").alias("conf_sum"),
+    )
+    return g.select(
+        "bin",
+        "n",
+        "correct",
+        "conf_sum",
+        (F.col("correct").cast("double") / F.col("n")).alias("accuracy"),
+        (F.col("conf_sum").cast("double") / (F.lit(1000) * F.col("n"))).alias(
+            "avg_conf"
+        ),
+        F.abs(F.lit(1000) * F.col("correct") - F.col("conf_sum"))
+        .cast("long")
+        .alias("gap_scaled"),
+    )
+
+
+def calibration_ece(
+    df: DataFrame,
+    *,
+    label_column: str = "label",
+    pred_column: str = "pred",
+    conf_column: str = "conf_milli",
+    bins: int = 10,
+) -> DataFrame:
+    """One-row expected calibration error over the same integer bins.
+
+    ECE = Σ_b (n_b/N)·|acc_b − conf_b| collapses algebraically to
+    Σ_b |1000·correct_b − conf_sum_b| / (1000·N): the numerator is an
+    exact integer sum over <= `bins` rows, the division happens ONCE —
+    no per-bin float ratios are ever added together.
+    """
+    g = calibration_bins(
+        df,
+        label_column=label_column,
+        pred_column=pred_column,
+        conf_column=conf_column,
+        bins=bins,
+    )
+    return g.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("gap_scaled").cast("long").alias("gap_total"),
+    ).select(
+        "n",
+        "gap_total",
+        F.when(
+            F.col("n") > 0,
+            F.col("gap_total").cast("double") / (F.lit(1000) * F.col("n")),
+        ).alias("ece"),
+    )
+
+
 def candidate_recall(
     truth: DataFrame,
     candidates: DataFrame,

@@ -1,0 +1,148 @@
+"""Ranked-retrieval metrics (MRR/hit@k), calibration (bins + ECE),
+blocklist tagging, and incremental rollup maintenance."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sutro_spark.functions.text import keyword_hits
+from sutro_spark.operators.cdc import incremental_rollup
+from sutro_spark.operators.metrics import (
+    calibration_bins,
+    calibration_ece,
+    rank_metrics,
+)
+
+
+def test_rank_metrics_known_values(spark):
+    # q1: truth {a, b}; ranked hits first at rank 2 -> rr 1/2
+    # q2: truth {c};    ranked hit at rank 1        -> rr 1
+    # q3: truth {d};    never retrieved             -> rr 0
+    truth = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")],
+        "query_id int, neighbor_id string",
+    )
+    ranked = spark.createDataFrame(
+        [(1, "x", 1), (1, "b", 2), (1, "a", 3), (2, "c", 1), (3, "y", 1)],
+        "query_id int, neighbor_id string, rank int",
+    )
+    row = rank_metrics(truth, ranked, k=3).collect()[0]
+    assert row.n_queries == 3 and row.n_hit == 2
+    assert row.hit_rate == pytest.approx(2 / 3)
+    # MRR = (1/2 + 1 + 0) / 3 = 1/2, computed as (3+6+0)/(6*3)
+    assert row.mrr == pytest.approx(0.5)
+
+
+def test_rank_metrics_k_cap_excludes_late_hits(spark):
+    truth = spark.createDataFrame([(1, "a")], "query_id int, neighbor_id string")
+    ranked = spark.createDataFrame(
+        [(1, "a", 5)], "query_id int, neighbor_id string, rank int"
+    )
+    row = rank_metrics(truth, ranked, k=3).collect()[0]
+    assert row.n_hit == 0 and row.mrr == 0.0
+
+
+def test_rank_metrics_k_bounds():
+    with pytest.raises(ValueError):
+        rank_metrics(None, None, k=43)
+
+
+def test_calibration_known_ece(spark):
+    # bin 9 (conf 900, 2 rows, 1 correct): |1000*1 - 1800| = 800
+    # bin 0 (conf 50, 2 rows, 0 correct): |0 - 100| = 100
+    # ECE = (800 + 100) / (1000 * 4) = 0.225
+    df = spark.createDataFrame(
+        [
+            ("x", "x", 900),
+            ("x", "y", 900),
+            ("x", "y", 50),
+            ("x", "y", 50),
+        ],
+        "label string, pred string, conf_milli int",
+    )
+    bins = {r.bin: r for r in calibration_bins(df).collect()}
+    assert set(bins) == {0, 9}
+    assert bins[9].n == 2 and bins[9].correct == 1 and bins[9].gap_scaled == 800
+    assert bins[9].accuracy == pytest.approx(0.5)
+    assert bins[9].avg_conf == pytest.approx(0.9)
+    row = calibration_ece(df).collect()[0]
+    assert row.n == 4 and row.gap_total == 900
+    assert row.ece == pytest.approx(0.225)
+
+
+def test_calibration_conf_1000_lands_in_top_bin(spark):
+    df = spark.createDataFrame(
+        [("x", "x", 1000)], "label string, pred string, conf_milli int"
+    )
+    rows = calibration_bins(df).collect()
+    assert len(rows) == 1 and rows[0].bin == 9
+
+
+def test_keyword_hits_scan_and_join_paths_agree(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Spam! spam and MORE spam today"),
+            (2, "perfectly clean document text"),
+            (3, None),
+        ],
+        "doc_id int, text string",
+    )
+    terms = ["spam", "legacy"]
+    scan = keyword_hits(df, terms, threshold=3)
+    join = keyword_hits(df, terms, threshold=3, scan_max_terms=0)
+    srows = {r.id: r for r in scan.collect()}
+    jrows = {r.id: r for r in join.collect()}
+    assert srows.keys() == jrows.keys() == {1, 2, 3}
+    for k in srows:
+        assert (srows[k].n_hits, srows[k].n_terms, srows[k].flagged) == (
+            jrows[k].n_hits,
+            jrows[k].n_terms,
+            jrows[k].flagged,
+        )
+    assert srows[1].n_hits == 3 and srows[1].n_terms == 1 and srows[1].flagged == 1
+    assert srows[2].n_hits == 0 and srows[2].flagged == 0
+    assert srows[3].n_hits == 0
+
+
+def test_incremental_rollup_matches_recompute(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.where(F.col("o_orderkey") % 5 != 0)
+    rollup = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).cast("long").alias("cents"),
+    )
+    inserts = orders.where(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderpriority", cents.alias("v"), F.lit(1).alias("op")
+    )
+    deletes = base.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderpriority", cents.alias("v"), F.lit(-1).alias("op")
+    )
+    got = {
+        r.o_orderpriority: (r.n, r.cents)
+        for r in incremental_rollup(
+            rollup, inserts.unionByName(deletes), ["o_orderpriority"], {"cents": "v"}
+        ).collect()
+    }
+    expect = {
+        r.o_orderpriority: (r.n, r.cents)
+        for r in orders.where(
+            (F.col("o_orderkey") % 5 == 0)
+            | ((F.col("o_orderkey") % 5 != 0) & (F.col("o_orderkey") % 7 != 0))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("cents"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
+def test_incremental_rollup_drops_emptied_groups(spark):
+    rollup = spark.createDataFrame([("a", 2, 10), ("b", 1, 5)], "k string, n long, s long")
+    changes = spark.createDataFrame(
+        [("a", 4, -1), ("a", 6, -1)], "k string, v long, op int"
+    )
+    rows = incremental_rollup(rollup, changes, ["k"], {"s": "v"}).collect()
+    assert {r.k: (r.n, r.s) for r in rows} == {"b": (1, 5)}

@@ -155,3 +155,30 @@ def test_zorder_key_pure_projection(spark):
     plan = _plan(spark, "zorder_key")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_keyword_flags_scan_path_has_no_shuffle_or_join(spark):
+    # small blocklists take the in-scan higher-order-function path:
+    # a per-row projection — no Exchange, no Join, no Python.
+    plan = _plan(spark, "keyword_flags")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_incremental_rollup_never_scans_the_base_relation(spark):
+    # the incremental path must aggregate rollup-partials + delta only;
+    # q_rollup_incr builds its inputs from `orders`, so the guard here
+    # is the unit-level one: a rollup DataFrame + changes DataFrame
+    # merge plans exactly two aggregates and one union.
+    from sutro_spark.operators.cdc import incremental_rollup
+
+    rollup = spark.createDataFrame([("a", 1, 2)], "k string, n long, s long")
+    changes = spark.createDataFrame([("a", 3, 1)], "k string, v long, op int")
+    plan = (
+        incremental_rollup(rollup, changes, ["k"], {"s": "v"})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Union" in plan and "Join" not in plan
