@@ -446,6 +446,65 @@ def simhash(
     return sums.select("id", fingerprint.alias("simhash"))
 
 
+def hamming_pairs(
+    fp: DataFrame,
+    fingerprint_column: str = "simhash",
+    id_column: str = "id",
+    *,
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Pairs of ids whose <=64-bit fingerprints are within
+    ``max_hamming`` — EXACTLY, via pigeonhole blocking: a pair within
+    Hamming<=3 must agree verbatim on at least one of 4 16-bit chunks,
+    so candidates come from 4 equi-joins, never all-pairs. Shared by
+    every fixed-width-fingerprint family (SimHash text, dHash images).
+
+    The pigeonhole guarantee (no missed pair) holds iff
+    max_hamming <= n_chunks - 1 (<= 3 at the 16-bit default). Larger
+    budgets still work but degrade to LSH-style candidate generation —
+    a pair differing in every chunk can be missed; measure that recall
+    with ``metrics.candidate_recall`` like the other approximate paths.
+    """
+    n_chunks = (64 + block_bits - 1) // block_bits
+    chunks = fp.select(
+        F.col(id_column).alias("id"),
+        F.col(fingerprint_column).alias("fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright(F.col(fingerprint_column), i * block_bits)
+                        .bitwiseAND((1 << block_bits) - 1)
+                        .alias("chunk"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "fp", "c.chunk_id", "c.chunk")
+    cand = (
+        chunks.groupBy("chunk_id", "chunk")
+        .agg(F.collect_list(F.struct("id", "fp")).alias("members"))
+        .select(F.explode("members").alias("x"), "members")
+        .select("x", F.explode("members").alias("y"))
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.fp").alias("fp_a"),
+            F.col("y.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("ham", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .where(F.col("ham") <= max_hamming)
+        .select("id_a", "id_b", "ham")
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_column: str = "text",
@@ -461,41 +520,8 @@ def simhash_pairs(
     pigeonhole), so candidates come from 4 equi-joins, not all-pairs.
     """
     sh = simhash(df, text_column, id_column)
-    chunks = sh.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_id"),
-                        F.shiftright(F.col("simhash"), i * block_bits)
-                        .bitwiseAND((1 << block_bits) - 1)
-                        .alias("chunk"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("c"),
-    ).select("id", "simhash", "c.chunk_id", "c.chunk")
-    cand = (
-        chunks.groupBy("chunk_id", "chunk")
-        .agg(F.collect_list(F.struct("id", "simhash")).alias("members"))
-        .select(F.explode("members").alias("x"), "members")
-        .select("x", F.explode("members").alias("y"))
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.simhash").alias("sh_a"),
-            F.col("y.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn("ham", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .where(F.col("ham") <= max_hamming)
-        .select("id_a", "id_b", "ham")
+    return hamming_pairs(
+        sh, "simhash", "id", max_hamming=max_hamming, block_bits=block_bits
     )
 
 

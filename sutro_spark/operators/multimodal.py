@@ -443,3 +443,113 @@ def video_frames(
             )
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def _stub_cells(payload: bytes) -> "list[int]":
+    """Deterministic 8x9 stand-in grid when no image library is
+    present: byte i of the payload lands in cell i*72//n (the same
+    integer arithmetic the DuckDB oracle runs), cell value = byte sum.
+    Honest PLUMBING, stubbed DECODE — same contract as decode_media.
+    """
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    n = arr.size
+    cells = np.bincount(
+        np.arange(n, dtype=np.int64) * 72 // n, weights=arr, minlength=72
+    )
+    return cells.astype(np.int64).tolist()
+
+
+def _pil_cells(payload: bytes) -> "list[int] | None":
+    """REAL dHash grid, gated on PIL: decode, grayscale, resize to
+    9x8, row-major luma cells. None (→ stub fallback) when PIL is
+    missing or the payload is not a decodable image."""
+    if not payload:
+        return None
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+    try:
+        import numpy as np
+
+        img = Image.open(io.BytesIO(bytes(payload))).convert("L").resize((9, 8))
+        return np.asarray(img, dtype=np.int64).reshape(-1).tolist()
+    except Exception:  # noqa: BLE001 - undecodable blob → honest fallback
+        return None
+
+
+def _cells_to_dhash(cells: "list[int]") -> int:
+    """63-bit gradient hash: bit b (= 8*row + col, b in 0..62) is set
+    iff cell[row*9+col] < cell[row*9+col+1]. Bit 63 stays zero so the
+    value is positive in every signed-64-bit engine."""
+    h = 0
+    for b in range(63):
+        r, c = b // 8, b % 8
+        if cells[r * 9 + c] < cells[r * 9 + c + 1]:
+            h |= 1 << b
+    return h
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_column: str = "media",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: 9x8 grayscale
+    downsample → 63 horizontal-gradient bits. Near-identical images
+    (recompression, small edits) land within a few bits, so image
+    near-dup detection is Hamming distance over these fingerprints —
+    feed the output to ``dedup.hamming_pairs``.
+
+    Arrow-batched ``mapInPandas`` carrying only (id, payload); the
+    blob never travels past this stage. Empty/NULL payloads hash to 0.
+    Real decode behind PIL when available; otherwise the deterministic
+    stub grid (see ``_stub_cells``) keeps schema, batching, and the
+    downstream pair machinery fully exercised — and oracle-checkable.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for pid, payload in zip(pdf[id_column], pdf[payload_column]):
+                if payload is None or len(payload) == 0:
+                    h = 0
+                else:
+                    raw = bytes(payload)
+                    cells = _pil_cells(raw)
+                    if cells is None:
+                        cells = _stub_cells(raw)
+                    h = _cells_to_dhash(cells)
+                ids.append(pid)
+                hashes.append(h)
+            yield pd.DataFrame({"id": ids, "dhash": hashes})
+
+    return df.select(id_column, payload_column).mapInPandas(run, DHASH_SCHEMA)
+
+
+def dhash_pairs(
+    df: DataFrame,
+    payload_column: str = "media",
+    id_column: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup pairs: dHash fingerprints → pigeonhole-blocked
+    Hamming join (4 equi-joins on 16-bit chunks, never all-pairs —
+    EXACT for max_hamming <= 3). Output (id_a, id_b, ham)."""
+    from sutro_spark.operators.dedup import hamming_pairs
+
+    fp = image_dhash(df, payload_column, id_column)
+    return hamming_pairs(fp, "dhash", "id", max_hamming=max_hamming)
