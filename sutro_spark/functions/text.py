@@ -560,6 +560,17 @@ def keyword_hits(
       id spine so zero-hit docs keep their row.
     """
     lowered = [t.lower() for t in terms]
+    if not lowered:
+        # An empty blocklist flags nothing. Guarded explicitly because the
+        # scan path would otherwise build F.array() with zero elements —
+        # an array<void> literal that fails analysis inside
+        # array_contains/array_intersect instead of counting zero hits.
+        return df.select(
+            F.col(id_column).alias("id"),
+            F.lit(0).cast("long").alias("n_hits"),
+            F.lit(0).cast("long").alias("n_terms"),
+            F.lit(1 if 0 >= threshold else 0).cast("int").alias("flagged"),
+        )
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_column), F.lit(""))), "[^a-z0-9]+"),
         lambda x: x != "",

@@ -119,6 +119,7 @@ def incremental_rollup(
     *,
     count_column: str = "n",
     op_column: str = "op",
+    strict: bool = False,
 ) -> DataFrame:
     """Maintain a pre-aggregated rollup (count + sums per key) from a
     CDC delta WITHOUT re-reading the base corpus — the materialized-
@@ -133,7 +134,14 @@ def incremental_rollup(
 
         groupBy(key)( rollup-partials UNION delta-partials )
 
-    with groups whose count reaches 0 dropped. Work is
+    with groups whose count reaches 0 dropped. A group whose merged
+    count goes NEGATIVE (a delete for a key absent from the rollup, or
+    over-delivered deletes — a CDC consistency violation upstream) is
+    by default dropped along with the zeros, i.e. the default mode
+    masks the inconsistency as a clean result; pass ``strict=True`` to
+    keep count < 0 groups in the output so a maintenance job can
+    assert ``count >= 0`` and surface the violation instead of
+    silently absorbing it. Work is
     O(|changes| + |touched keys|): the delta aggregate is map-side
     combinable, the union's groupBy shuffles only |keys| rows (the
     rollup is already one row per key). Only additive measures belong
@@ -153,6 +161,8 @@ def incremental_rollup(
         .unionByName(delta.select(*key_columns, *cols))
         .groupBy(*key_columns)
         .agg(*[F.sum(c).cast("long").alias(c) for c in cols])
-        .where(F.col(count_column) > 0)
+        .where(
+            F.col(count_column) != 0 if strict else F.col(count_column) > 0
+        )
     )
     return merged

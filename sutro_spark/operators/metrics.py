@@ -144,8 +144,14 @@ def rank_metrics(
     Float parity discipline: reciprocal ranks are summed as exact
     integers scaled by L = lcm(1..k) (L/rank is integral for every
     rank <= k), so MRR = sum / (L * n_queries) is ONE IEEE division of
-    exact integers — bit-identical across engines. k <= 42 keeps L and
-    the scaled sum inside a BIGINT at any realistic query count.
+    exact integers — bit-identical across engines. The bound is
+    k <= 25: L = lcm(1..25) ≈ 2.68e10, so the scaled sum stays inside
+    a signed BIGINT up to ~3.4e8 queries all hitting rank 1 (and the
+    mrr denominator L·n_queries up to the same count). k = 42 would
+    keep L itself integral but lets ~43 rank-1 queries silently wrap
+    the sum in non-ANSI Spark — the reason the looser bound was
+    rejected. Need deeper k? Re-derive the safe query count as
+    2^63 / lcm(1..k) before loosening this check.
 
     Queries come from the TRUTH side: a truth query with no ranked hit
     contributes 0 to both metrics (never silently dropped).
@@ -155,8 +161,12 @@ def rank_metrics(
     the distinct truth queries -> one global aggregate. Linear in the
     pair counts, no collects.
     """
-    if not 1 <= k <= 42:
-        raise ValueError("k must be in [1, 42] to keep lcm(1..k) integral in a BIGINT")
+    if not 1 <= k <= 25:
+        raise ValueError(
+            "k must be in [1, 25]: lcm(1..k) scaling keeps the reciprocal-rank "
+            "sum exact only while lcm * n_queries fits a BIGINT (k=25 is safe "
+            "to ~3.4e8 queries; larger k silently wraps at realistic counts)"
+        )
     lcm = 1
     for i in range(2, k + 1):
         g, a = lcm, i
@@ -215,8 +225,16 @@ def calibration_bins(
     division of exact integer sums, so independent engines agree
     bit-for-bit — a float-confidence reliability diagram never does.
 
-    bin = conf_milli * bins div 1000, clamped so conf 1000 lands in the
-    top bin. Output per bin: (bin, n, correct, conf_sum, accuracy,
+    bin = conf_milli * bins div 1000, clamped into [0, bins−1] on BOTH
+    sides (greatest + least) so conf 1000 lands in the top bin and an
+    out-of-range confidence can never mint a phantom negative bin.
+    Rows with a NULL confidence are FILTERED OUT up front rather than
+    binned: Spark's least() skips NULLs, so before this guard a NULL
+    conf landed in the top bin while contributing nothing to conf_sum,
+    silently skewing that bin's avg_conf — per the pre-quantized
+    discipline, a row without a confidence has no place in a
+    reliability diagram (callers who want them counted must impute
+    explicitly). Output per bin: (bin, n, correct, conf_sum, accuracy,
     avg_conf, gap_scaled) where gap_scaled = |1000*correct − conf_sum|
     is the exact integer numerator of n·|acc − conf| — summing it and
     dividing once by 1000·N is the ECE (see `calibration_ece`).
@@ -225,9 +243,13 @@ def calibration_bins(
     state, mergeable across partitions, batches, or days.
     """
     hit = F.when(F.col(pred_column) == F.col(label_column), 1).otherwise(0)
-    b = F.least(
-        F.expr(f"({conf_column} * {bins}) div 1000").cast("long"),
-        F.lit(bins - 1).cast("long"),
+    df = df.where(F.col(conf_column).isNotNull())
+    b = F.greatest(
+        F.least(
+            F.expr(f"({conf_column} * {bins}) div 1000").cast("long"),
+            F.lit(bins - 1).cast("long"),
+        ),
+        F.lit(0).cast("long"),
     )
     g = df.groupBy(b.alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),

@@ -42,8 +42,13 @@ def test_rank_metrics_k_cap_excludes_late_hits(spark):
 
 
 def test_rank_metrics_k_bounds():
+    # k > 25 is rejected: lcm(1..k) scaling would let the reciprocal-rank
+    # sum wrap a BIGINT at realistic query counts (lcm(1..42) ~ 2.19e17
+    # overflows after ~43 rank-1 queries).
     with pytest.raises(ValueError):
-        rank_metrics(None, None, k=43)
+        rank_metrics(None, None, k=26)
+    with pytest.raises(ValueError):
+        rank_metrics(None, None, k=0)
 
 
 def test_calibration_known_ece(spark):
@@ -75,6 +80,38 @@ def test_calibration_conf_1000_lands_in_top_bin(spark):
     )
     rows = calibration_bins(df).collect()
     assert len(rows) == 1 and rows[0].bin == 9
+
+
+def test_calibration_null_and_out_of_range_conf(spark):
+    # NULL confidences are dropped (no phantom top-bin rows skewing
+    # avg_conf); out-of-range confidences clamp into [0, bins-1]
+    # instead of minting a negative bin id.
+    df = spark.createDataFrame(
+        [
+            ("x", "x", 900),
+            ("x", "y", None),   # dropped
+            ("x", "x", -50),    # clamps to bin 0
+            ("x", "y", 1500),   # clamps to bin 9
+        ],
+        "label string, pred string, conf_milli int",
+    )
+    bins = {r.bin: r for r in calibration_bins(df).collect()}
+    assert set(bins) == {0, 9}
+    assert bins[0].n == 1 and bins[9].n == 2
+    row = calibration_ece(df).collect()[0]
+    assert row.n == 3
+
+
+def test_keyword_hits_empty_terms(spark):
+    df = spark.createDataFrame(
+        [(1, "anything at all"), (2, None)], "doc_id int, text string"
+    )
+    rows = {r.id: r for r in keyword_hits(df, []).collect()}
+    assert rows.keys() == {1, 2}
+    for r in rows.values():
+        assert (r.n_hits, r.n_terms, r.flagged) == (0, 0, 0)
+    # threshold 0 means every doc trivially flags, even with no terms
+    assert all(r.flagged == 1 for r in keyword_hits(df, [], threshold=0).collect())
 
 
 def test_keyword_hits_scan_and_join_paths_agree(spark):
@@ -146,3 +183,26 @@ def test_incremental_rollup_drops_emptied_groups(spark):
     )
     rows = incremental_rollup(rollup, changes, ["k"], {"s": "v"}).collect()
     assert {r.k: (r.n, r.s) for r in rows} == {"b": (1, 5)}
+
+
+def test_incremental_rollup_strict_surfaces_negative_counts(spark):
+    # A delete for a key the rollup never saw is a CDC consistency
+    # violation: default mode masks it (dropped with the zeros);
+    # strict mode keeps the negative-count group so a maintenance job
+    # can assert and alert.
+    rollup = spark.createDataFrame([("a", 1, 10)], "k string, n long, s long")
+    changes = spark.createDataFrame(
+        [("ghost", 3, -1), ("a", 10, 1)], "k string, v long, op int"
+    )
+    default = {
+        r.k: (r.n, r.s)
+        for r in incremental_rollup(rollup, changes, ["k"], {"s": "v"}).collect()
+    }
+    assert default == {"a": (2, 20)}
+    strict = {
+        r.k: (r.n, r.s)
+        for r in incremental_rollup(
+            rollup, changes, ["k"], {"s": "v"}, strict=True
+        ).collect()
+    }
+    assert strict == {"a": (2, 20), "ghost": (-1, -3)}
