@@ -2467,6 +2467,33 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(emb, emb.where(F.col("vec_id") < 5), k=3)
 
 
+def q_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # true IVFADC (Jegou 2011 SIII, Faiss by_residual=True): PQ trains
+    # on and encodes v - centroid(bucket) residuals, with a per-probed-
+    # bucket query distance table — the variant whose recall holds up
+    # as nlist grows. Oracle = kmeans chain + residual CTE + the SAME
+    # PQ chain re-sourced from residuals + the bucket-keyed ADC tail.
+    from sutro_spark.operators.pq import ivfpq_residual_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_residual_topk(emb, emb.where(F.col("vec_id") < 5), k=3)
+
+
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall trilogy, part 5: residual IVFADC top-3 vs exact integer
+    # L2 top-3 at the same quantization — the honesty number for the
+    # full billion-scale stack (compare against pq_recall/ivf_recall
+    # to see what routing + residual coding each cost or buy).
+    from sutro_spark.operators.metrics import candidate_recall
+    from sutro_spark.operators.pq import exact_l2_topk, ivfpq_residual_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = exact_l2_topk(emb, queries, k=3)
+    approx = ivfpq_residual_topk(emb, queries, k=3)
+    return candidate_recall(exact, approx, keys=("query_id", "neighbor_id"))
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Morton/Z-order layout key (Delta OPTIMIZE ZORDER's core, absent
     # from plain Spark): shift/mask bit interleave — pure codegen
@@ -2874,6 +2901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "pq_recall": q_pq_recall,
         "ivfpq_topk": q_ivfpq_topk,
+        "ivfpq_residual": q_ivfpq_residual,
+        "ivfpq_recall": q_ivfpq_recall,
         "zorder_key": q_zorder_key,
         "bloom_decontaminate": q_bloom_decontaminate,
         # round-6 late additions (never driver-checked before): ranked
@@ -3329,13 +3358,17 @@ def _kmeans_sql() -> str:
     """
 
 
-def _pq_sql() -> str:
+def _pq_sql(src: str | None = None) -> str:
     """Product-quantization chain mirroring operators/pq.py: 8
     subspaces x 8 dims over the milli-quantized embeddings, k=16
     codewords initialized from the 16 lowest-id vectors, two Lloyd
     rounds with (dist2, code) argmin tie-break and floor-division
     means — all exact int64, so training/encoding/ADC replay
-    bit-for-bit. ``pm2`` = final codes, ``pc1`` = final codebook."""
+    bit-for-bit. ``pm2`` = final codes, ``pc1`` = final codebook.
+
+    ``src``: name of an upstream CTE already holding (vec_id, qv) —
+    used by the residual IVFADC oracle to train/encode over bucket
+    residuals instead of the raw quantized embeddings."""
 
     def assign(tag: str, ctab: str) -> str:
         return f"""
@@ -3354,13 +3387,17 @@ def _pq_sql() -> str:
             FROM pa{tag})
         WHERE rn = 1)"""
 
-    return f"""
-    WITH pqv AS (
-        SELECT vec_id,
+    pqv_body = (
+        f"SELECT vec_id, qv FROM {src}"
+        if src
+        else """SELECT vec_id,
                list_transform(embedding,
                    x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)
                    AS qv
-        FROM embeddings),
+        FROM embeddings"""
+    )
+    return f"""
+    WITH pqv AS ({pqv_body}),
     sv AS (
         SELECT vec_id, CAST(s AS INT) AS sub,
                qv[CAST(s * 8 + 1 AS INT):CAST(s * 8 + 8 AS INT)] AS sqv
@@ -3405,6 +3442,76 @@ _PQ_TOPK_TAIL = """,
                    ORDER BY adist2, neighbor_id) AS BIGINT) AS rank
         FROM adist)
 """
+
+
+def _ivfpq_residual_sql() -> str:
+    """Residual IVFADC chain: the kmeans chain (q/c1/m2), a residual
+    CTE shifting v − centroid into non-negative range (+2000, matching
+    operators/pq.py RESID_OFFSET), the PQ chain re-sourced from those
+    residuals, then routing + a PER-PROBED-BUCKET query distance table
+    (the query's residual differs per centroid) and the bucket-keyed
+    ADC join. ``rranked`` = final ranked output."""
+    return (
+        _kmeans_sql()
+        + """,
+    rqv AS (
+        SELECT q.vec_id,
+               list_transform(range(1, 65),
+                   i -> q.qv[CAST(i AS INT)] - c1.cv[CAST(i AS INT)] + 2000)
+                   AS qv
+        FROM q JOIN m2 USING (vec_id) JOIN c1 USING (cluster)),
+    """
+        + _pq_sql("rqv").replace("WITH ", "", 1)
+        + """,
+    rqp0 AS (
+        SELECT p.vec_id AS query_id, c1.cluster,
+               CAST(list_sum(list_transform(range(1, 65),
+                   i -> (p.qv[CAST(i AS INT)] - c1.cv[CAST(i AS INT)])
+                      * (p.qv[CAST(i AS INT)] - c1.cv[CAST(i AS INT)])))
+                   AS BIGINT) AS d2
+        FROM q p, c1 WHERE p.vec_id < 5),
+    rqp AS (SELECT query_id, cluster FROM (
+            SELECT query_id, cluster,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY d2, cluster) AS rn
+            FROM rqp0) WHERE rn <= 2),
+    rqres AS (
+        SELECT rqp.query_id, rqp.cluster,
+               list_transform(range(1, 65),
+                   i -> q.qv[CAST(i AS INT)] - c1.cv[CAST(i AS INT)] + 2000)
+                   AS qv
+        FROM rqp JOIN q ON q.vec_id = rqp.query_id JOIN c1 USING (cluster)),
+    rqsv AS (
+        SELECT query_id, cluster, CAST(s AS INT) AS sub,
+               qv[CAST(s * 8 + 1 AS INT):CAST(s * 8 + 8 AS INT)] AS sqv
+        FROM rqres, unnest(range(0, 8)) AS t(s)),
+    rqdt AS (
+        SELECT r2.query_id, r2.cluster, c.sub, c.code,
+               CAST(list_sum(list_transform(range(1, 9),
+                   i -> (r2.sqv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+                      * (r2.sqv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])))
+                   AS BIGINT) AS d2
+        FROM rqsv r2 JOIN pc1 c USING (sub)),
+    rcand AS (
+        SELECT rqp.query_id, rqp.cluster, m2.vec_id AS neighbor_id
+        FROM rqp JOIN m2 USING (cluster)
+        WHERE m2.vec_id <> rqp.query_id),
+    radist AS (
+        SELECT rc.query_id, rc.neighbor_id,
+               CAST(sum(rqdt.d2) AS BIGINT) AS adist2
+        FROM rcand rc
+        JOIN pm2 ON pm2.vec_id = rc.neighbor_id
+        JOIN rqdt ON rqdt.query_id = rc.query_id
+                 AND rqdt.cluster = rc.cluster
+                 AND rqdt.sub = pm2.sub AND rqdt.code = pm2.code
+        GROUP BY rc.query_id, rc.neighbor_id),
+    rranked AS (
+        SELECT query_id, neighbor_id, adist2,
+               CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adist2, neighbor_id) AS BIGINT) AS rank
+        FROM radist)
+"""
+    )
 
 
 #: eval predictions: classify stub (length-keyed) vs doc_id-keyed gold.
@@ -5181,6 +5288,44 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, row_number() OVER (PARTITION BY query_id
                     ORDER BY adist2, neighbor_id) AS rank
                 FROM adcd) WHERE rank <= 3
+        """,
+        "ivfpq_residual": _ivfpq_residual_sql() + """
+            SELECT query_id, neighbor_id, adist2, rank
+            FROM rranked WHERE rank <= 3
+        """,
+        "ivfpq_recall": _ivfpq_residual_sql() + """,
+            exq AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 5),
+            exd AS (
+                SELECT exq.query_id, p.vec_id AS neighbor_id,
+                       CAST(list_sum(list_transform(range(1, 65),
+                           i -> (exq.qv[CAST(i AS INT)] - p.qv[CAST(i AS INT)])
+                              * (exq.qv[CAST(i AS INT)] - p.qv[CAST(i AS INT)])))
+                           AS BIGINT) AS dist2
+                FROM exq, q p WHERE p.vec_id <> exq.query_id),
+            tr AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY dist2, neighbor_id) AS rn
+                FROM exd) WHERE rn <= 3),
+            cd AS (SELECT query_id, neighbor_id FROM rranked
+                   WHERE rank <= 3),
+            joined AS (
+                SELECT CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END AS t,
+                       CASE WHEN cd.query_id IS NOT NULL THEN 1 ELSE 0 END AS c
+                FROM tr FULL OUTER JOIN cd
+                  ON tr.query_id = cd.query_id
+                 AND tr.neighbor_id = cd.neighbor_id),
+            agg AS (
+                SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+                       CAST(sum(c) AS BIGINT) AS n_cand,
+                       CAST(sum(t * c) AS BIGINT) AS n_hit
+                FROM joined)
+            SELECT n_truth, n_cand, n_hit,
+                   CASE WHEN n_truth > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+                   CASE WHEN n_cand > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_cand END AS precision
+            FROM agg
         """,
         "pq_recall": _pq_sql() + _PQ_TOPK_TAIL + """,
             exq AS (SELECT vec_id AS query_id, qv FROM pqv WHERE vec_id < 5),

@@ -93,3 +93,49 @@ def test_ivfpq_subset_of_full_adc(spark):
     assert routed
     for r in routed:
         assert full[(r.query_id, r.neighbor_id)] == r.adist2
+
+
+def test_ivfpq_residual_finds_cluster_mates(spark):
+    # residual IVFADC on well-separated clusters: with nprobe covering
+    # the query's own bucket, the top neighbors must be cluster mates
+    # (same construction discipline as test_pq_topk_finds_cluster_mates)
+    from sutro_spark.operators.pq import ivfpq_residual_topk
+
+    df = _vecs(spark)
+    queries = df.where(F.col("vec_id") < 4)
+    rows = ivfpq_residual_topk(
+        df, queries, k=3, coarse_k=4, nprobe=2, m=4, n_codes=4, dim=16
+    ).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    for q, ns in by_q.items():
+        assert len(ns) == 3
+        # cluster id is vec_id % 4; every retrieved neighbor shares it
+        assert all(n % 4 == q % 4 for n in ns), (q, ns)
+
+
+def test_ivfpq_residual_shift_cancels_in_distances(spark):
+    # ranking must be invariant to the RESID_OFFSET shift: with a
+    # single coarse centroid (coarse_k=1, nprobe=1) the residuals are
+    # a pure translation of the raw vectors, so residual IVFADC must
+    # produce exactly the full-ADC (pq_topk) ranking and distances.
+    from sutro_spark.operators.pq import ivfpq_residual_topk
+
+    df = _vecs(spark)
+    queries = df.where(F.col("vec_id") < 2)
+    routed = {
+        (r.query_id, r.neighbor_id): r.adist2
+        for r in ivfpq_residual_topk(
+            df, queries, k=5, coarse_k=1, coarse_iters=1, nprobe=1,
+            m=4, n_codes=4, dim=16,
+        ).collect()
+    }
+    assert len(routed) == 10
+    cb = pq_train(df, m=4, k=4, iters=2, dim=16)
+    full = {
+        (r.query_id, r.neighbor_id): r.adist2
+        for r in pq_topk(df, queries, cb, k=5, m=4, n_codes=4, dim=16).collect()
+    }
+    assert routed == full

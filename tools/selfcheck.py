@@ -85,13 +85,19 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    checked = 0
     orphans = set(oracles) - set(qs)
     if orphans:
         print(f"FAIL contract: oracle keys without queries: {sorted(orphans)}")
         failures += 1
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL contract: requested queries not in registry: {sorted(unknown)}")
+        failures += 1
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -146,7 +152,17 @@ def main() -> int:
                 continue
         print(f"OK   {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
 
-    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    # Completeness gate (closes the round-5/round-6 selfcheck/registry
+    # race): a FULL run that checked fewer queries than the registry
+    # holds is a stale artifact, not a green one — fail loudly so the
+    # artifact can never again claim "complete" while missing entries
+    # registered after generation.
+    expected = len(only) if only else len(qs)
+    print(f"\nCHECKED {checked}/{expected} (registry holds {len(qs)} queries)")
+    if checked != expected:
+        print(f"FAIL contract: checked {checked} != expected {expected}")
+        failures += 1
+    print(f"{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
 
