@@ -67,6 +67,25 @@ def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def _read_table_or_empty(spark, table: str, schema: str) -> DataFrame:
+    if spark.catalog.tableExists(table):
+        return spark.table(table)
+    return spark.createDataFrame([], schema)
+
+
+def _append_bucketed(df: DataFrame, table: str, buckets: int, key: str) -> None:
+    """Append to a managed parquet table bucketed (and sorted) by
+    ``key`` — created on first use; later appends must (and do) carry
+    the identical bucket spec, which Spark enforces."""
+    (
+        df.write.mode("append")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def streaming_jaccard_pairs(
     stream: DataFrame,
     index_dir: str,
@@ -77,6 +96,8 @@ def streaming_jaccard_pairs(
     k: int = 8,
     threshold: float = 0.1,
     max_df: int | None = 100,
+    index_buckets: int | None = None,
+    index_table_prefix: str | None = None,
 ):
     """Streaming incremental near-dup: each micro-batch of documents is
     compared against the PERSISTED shingle-postings index (never against
@@ -95,13 +116,20 @@ def streaming_jaccard_pairs(
 
     Per-batch cost is bounded by (new-batch shingles × matching
     postings) for the intersection, plus one scan of the postings of
-    MATCHED corpus docs for their capped sizes — at scale the postings
-    table is bucketed by shingle (and by id for the size lookup), so
-    both joins prune to the touched buckets instead of the full index.
-    The ``max_df`` cap is re-evaluated against the CURRENT total df
-    each batch (boilerplate shingles age out of pair generation as
-    their df crosses the cap), matching the batch operator's semantics
-    on the corpus-so-far.
+    MATCHED corpus docs for their capped sizes. The ``max_df`` cap is
+    re-evaluated against the CURRENT total df each batch (boilerplate
+    shingles age out of pair generation as their df crosses the cap),
+    matching the batch operator's semantics on the corpus-so-far.
+
+    Scale layout: pass ``index_buckets`` (+ ``index_table_prefix``) to
+    keep postings and dfs as managed parquet tables hash-bucketed by
+    ``shingle`` instead of flat parquet dirs. Every per-batch join on
+    ``shingle`` (the probe, the size lookup's valid filter, the df
+    rollup) then reads the index co-located: ONLY the small batch side
+    shuffles into the index's bucketing — the accumulated index (the
+    100 TB side) is never exchanged, which the plan-shape pytest
+    asserts. Appends carry the same bucket spec, so the layout
+    survives indefinite ingest.
 
     Returns a ``DataStreamWriter`` — caller picks trigger/checkpoint
     and ``.start()``s it.
@@ -110,6 +138,10 @@ def streaming_jaccard_pairs(
 
     post_dir = f"{index_dir}/postings"
     dfs_dir = f"{index_dir}/dfs"
+    if index_buckets is not None and not index_table_prefix:
+        raise ValueError("index_buckets requires index_table_prefix")
+    post_table = f"{index_table_prefix}_postings" if index_table_prefix else None
+    dfs_table = f"{index_table_prefix}_dfs" if index_table_prefix else None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -118,8 +150,18 @@ def streaming_jaccard_pairs(
             .persist()
         )
         try:
-            postings = _read_or_empty(spark, post_dir, "shingle string, id long")
-            dfs = _read_or_empty(spark, dfs_dir, "shingle string, df long")
+            if index_buckets is not None:
+                postings = _read_table_or_empty(
+                    spark, post_table, "shingle string, id long"
+                )
+                dfs = _read_table_or_empty(
+                    spark, dfs_table, "shingle string, df long"
+                )
+            else:
+                postings = _read_or_empty(
+                    spark, post_dir, "shingle string, id long"
+                )
+                dfs = _read_or_empty(spark, dfs_dir, "shingle string, df long")
             df_new = sh_n.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
             df_total = (
                 dfs.unionByName(df_new)
@@ -171,8 +213,17 @@ def streaming_jaccard_pairs(
             # pairs FIRST (reads the pre-batch index), then the index
             # appends — foreachBatch runs these actions sequentially
             pairs.write.mode("append").parquet(pairs_dir)
-            sh_n.select("shingle", "id").write.mode("append").parquet(post_dir)
-            df_new.write.mode("append").parquet(dfs_dir)
+            if index_buckets is not None:
+                _append_bucketed(
+                    sh_n.select("shingle", "id"), post_table, index_buckets,
+                    "shingle",
+                )
+                _append_bucketed(df_new, dfs_table, index_buckets, "shingle")
+            else:
+                sh_n.select("shingle", "id").write.mode("append").parquet(
+                    post_dir
+                )
+                df_new.write.mode("append").parquet(dfs_dir)
         finally:
             sh_n.unpersist()
 

@@ -123,3 +123,113 @@ def test_streaming_jaccard_pairs_equals_batch_replay(spark, tmp_path):
 
     assert got == expected
     assert any(j > 0.5 for _, _, j in got)  # the planted near-dups surfaced
+
+
+def test_streaming_jaccard_pairs_bucketed_equals_flat(spark, tmp_path):
+    """The bucketed-index layout changes WHERE the postings live, not
+    what the operator computes: same batches, identical pair output."""
+    import os
+
+    from sutro_spark.operators.dedup import incremental_jaccard_pairs
+    from sutro_spark.streaming.dedup import streaming_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog tonight again"
+    alt = "completely different content about spark structured streaming"
+    batches = [
+        [(1, base), (2, alt)],
+        [(3, base + " and then some"), (4, "unrelated text body here")],
+        [(5, alt + " with a twist"), (6, base)],
+    ]
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"b{i}"))
+        part = next(
+            p for p in os.listdir(tmp_path / f"b{i}") if p.endswith(".parquet")
+        )
+        dst = src / f"{i}.parquet"
+        os.rename(tmp_path / f"b{i}" / part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    pairs_dir = str(tmp_path / "pairs")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            streaming_jaccard_pairs(
+                stream, str(tmp_path / "index"), pairs_dir, k=8, threshold=0.1,
+                index_buckets=4, index_table_prefix="sjp_bucketed_test",
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.sql("DROP TABLE IF EXISTS sjp_bucketed_test_postings")
+        spark.sql("DROP TABLE IF EXISTS sjp_bucketed_test_dfs")
+
+    got = {
+        (r.corpus_id, r.new_id, round(r.jaccard, 9))
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    expected = set()
+    for t in range(1, len(batches)):
+        corpus = spark.createDataFrame([r for b in batches[:t] for r in b], schema)
+        new = spark.createDataFrame(batches[t], schema)
+        for r in incremental_jaccard_pairs(corpus, new, k=8, threshold=0.1).collect():
+            expected.add((r.corpus_id, r.new_id, round(r.jaccard, 9)))
+    assert got == expected
+    assert any(j > 0.5 for _, _, j in got)
+
+
+def test_bucketed_index_probe_no_exchange_on_index_side(spark):
+    """The 100-TB claim behind the bucketed layout: probing the
+    accumulated postings index shuffles ONLY the small batch side —
+    the index scan reads co-located buckets with no Exchange. Built by
+    two appends (the steady-state layout after many micro-batches)."""
+    from sutro_spark.streaming.dedup import _append_bucketed
+
+    table = "bucket_probe_test_postings"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    rows1 = [(f"sh{i}", i) for i in range(200)]
+    rows2 = [(f"sh{i}", 1000 + i) for i in range(200)]
+    _append_bucketed(
+        spark.createDataFrame(rows1, "shingle string, id long"), table, 4, "shingle"
+    )
+    _append_bucketed(
+        spark.createDataFrame(rows2, "shingle string, id long"), table, 4, "shingle"
+    )
+    batch = spark.createDataFrame(
+        [(f"sh{i}",) for i in range(0, 50)], "shingle string"
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "7",  # != bucket count on purpose
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = spark.table(table).join(batch, "shingle")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        n_shuffle = plan.count("Exchange") - plan.count("BroadcastExchange")
+        # exactly ONE shuffle: the batch side aligning to the index's
+        # 4 buckets; zero on the index side
+        assert n_shuffle == 1, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == 100  # 50 shingles x 2 postings each
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
