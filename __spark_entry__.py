@@ -953,6 +953,35 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal image path: per-image perceptual dHash (9x8 grid ->
+    # 63 gradient bits) through one Arrow mapInPandas stage. The
+    # deterministic stub grid (byte i -> cell i*72//n, cell = byte
+    # sum — multimodal.py _stub_cells) is the oracle-expressible
+    # contract; real PIL decode behind the same schema is
+    # pytest-verified. Completes the oracle-checked modality trio
+    # (audio_features, video_frames, image_dhash).
+    from sutro_spark.operators.multimodal import attach_fake_media, image_dhash
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "media"
+    )
+    return image_dhash(media)
+
+
+def q_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # image near-dup pairs: dHash fingerprints -> pigeonhole-blocked
+    # Hamming join (4 equi-joins on 16-bit chunks, exact for ham<=3,
+    # never all-pairs). Oracle brute-forces all pairs (fine at oracle
+    # scale) — proving the blocked join loses nothing.
+    from sutro_spark.operators.multimodal import attach_fake_media, dhash_pairs
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "media"
+    )
+    return dhash_pairs(media, max_hamming=3)
+
+
 def q_list_source_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S1 — list-of-prompts source through the transform, row order kept.
     from sutro_spark.sources.ingest import from_list
@@ -3004,6 +3033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_tokens_chars": q_corr_tokens_chars,
         "mixture_drift": q_mixture_drift,
         "video_frames": q_video_frames,
+        "image_dhash": q_image_dhash,
+        "dhash_pairs": q_dhash_pairs,
         "token_budget": q_token_budget,
         "epoch_plan": q_epoch_plan,
         "embedding_norms": q_embedding_norms,
@@ -3512,6 +3543,41 @@ def _ivfpq_residual_sql() -> str:
         FROM radist)
 """
     )
+
+
+#: image dHash over the fake-media payload (UTF-8 text bytes): replays
+#: multimodal.py's _stub_cells (byte i of an n-byte payload lands in
+#: cell (i-1)*72//n of an 8x9 grid, cell value = byte sum) and
+#: _cells_to_dhash (bit b in 0..62 set iff cell[r*9+c] < cell[r*9+c+1],
+#: r=b//8, c=b%8) — exact integer shifts, never float powers, so the
+#: 63-bit hash reproduces bit-for-bit. ``b2`` = (doc_id, n, bytes);
+#: ``hashes`` = (doc_id, dhash) for non-empty payloads.
+_DHASH_CTE = """
+    WITH b1 AS (
+        SELECT doc_id, coalesce(text, '') AS txt FROM documents),
+    b2 AS (
+        SELECT doc_id, length(txt) AS n,
+               list_transform(string_split(txt, ''), c -> unicode(c)) AS bytes
+        FROM b1),
+    cells AS (
+        SELECT doc_id,
+               list_transform(range(0, 72), cell ->
+                   CAST(coalesce(list_sum(list_transform(range(1, n + 1),
+                       i -> CASE WHEN (i - 1) * 72 // n = cell
+                                 THEN bytes[CAST(i AS INT)]
+                                 ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT))
+                   AS cv
+        FROM b2 WHERE n > 0),
+    hashes AS (
+        SELECT doc_id,
+               CAST(coalesce(list_sum(list_transform(range(0, 63),
+                   b -> CASE WHEN cv[CAST(b // 8 * 9 + b % 8 + 1 AS INT)]
+                                < cv[CAST(b // 8 * 9 + b % 8 + 2 AS INT)]
+                             THEN CAST(1 AS BIGINT) << b
+                             ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)
+                   AS dhash
+        FROM cells)
+"""
 
 
 #: eval predictions: classify stub (length-keyed) vs doc_id-keyed gold.
@@ -5024,6 +5090,21 @@ def oracle_sql() -> dict[str, str]:
                    'stub' AS decoder
             FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents),
                  LATERAL unnest(range(0, length(text) // 4, 5)) AS t(f)
+        """,
+        "image_dhash": _DHASH_CTE + """
+            SELECT b2.doc_id AS id, coalesce(h.dhash, 0) AS dhash
+            FROM b2 LEFT JOIN hashes h USING (doc_id)
+        """,
+        "dhash_pairs": _DHASH_CTE + """,
+            hp AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS ham
+                FROM (SELECT b2.doc_id, coalesce(h.dhash, 0) AS dhash
+                      FROM b2 LEFT JOIN hashes h USING (doc_id)) a,
+                     (SELECT b2.doc_id, coalesce(h.dhash, 0) AS dhash
+                      FROM b2 LEFT JOIN hashes h USING (doc_id)) b
+                WHERE a.doc_id < b.doc_id)
+            SELECT id_a, id_b, ham FROM hp WHERE ham <= 3
         """,
         "audio_features": """
             WITH b AS (
