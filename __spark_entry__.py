@@ -2859,6 +2859,31 @@ def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_ece(_eval_preds_conf(spark, sf_dir))
 
 
+def q_classify_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the closed loop a training-data pipeline actually runs: classify
+    # (U3) with cumulative_logprobs carried through -> engine-exact
+    # integer-milli confidence (results.confidence_milli harmonic
+    # squash — one multiply, one truncating cast, one integer div; exp
+    # would break oracle bit-parity) -> judged against doc_id-keyed
+    # gold -> reliability diagram. Template confidence finally feeds
+    # the calibration machinery instead of living beside it.
+    from sutro_spark.operators.metrics import calibration_bins
+    from sutro_spark.operators.results import confidence_milli
+
+    docs = _t(spark, sf_dir, "documents")
+    out = confidence_milli(classify(docs, CLASSES, "text", include_logprobs=True))
+    gold = F.element_at(
+        F.array(*[F.lit(c) for c in CLASSES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    preds = out.select(
+        gold.alias("label"),
+        F.col("classification").alias("pred"),
+        "conf_milli",
+    )
+    return calibration_bins(preds)
+
+
 def q_keyword_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocklist tagging over documents: total/distinct term hits +
     # threshold flag. Term list is small, so this takes the in-scan
@@ -2942,6 +2967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # strict-selfcheck-green; rotate back in r7).
         "ann_mrr": q_ann_mrr,
         "calibration": q_calibration,
+        "classify_calibration": q_classify_calibration,
         "ece": q_ece,
         "keyword_flags": q_keyword_flags,
         "rollup_incr": q_rollup_incr,
@@ -6892,6 +6918,31 @@ def oracle_sql() -> dict[str, str]:
                        sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS correct,
                        sum(conf) AS conf_sum
                 FROM cal GROUP BY 1)
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(correct AS BIGINT) AS correct,
+                   CAST(conf_sum AS BIGINT) AS conf_sum,
+                   CAST(correct AS DOUBLE) / n AS accuracy,
+                   CAST(conf_sum AS DOUBLE) / (1000 * n) AS avg_conf,
+                   CAST(abs(1000 * correct - conf_sum) AS BIGINT) AS gap_scaled
+            FROM b
+        """,
+        "classify_calibration": """
+            WITH p AS (
+                SELECT doc_id,
+                       (['news', 'blog', 'code'])[length(coalesce(
+                           CAST(text AS VARCHAR), '')) % 3 + 1] AS pred,
+                       (['news', 'blog', 'code'])[CAST(doc_id % 3 + 1 AS INT)]
+                           AS label,
+                       1000000 // (1000 + 10 * length(coalesce(
+                           CAST(text AS VARCHAR), ''))) AS conf
+                FROM documents),
+            b AS (
+                SELECT least((conf * 10) // 1000, 9) AS bin,
+                       count(*) AS n,
+                       sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS correct,
+                       sum(conf) AS conf_sum
+                FROM p GROUP BY 1)
             SELECT CAST(bin AS BIGINT) AS bin,
                    CAST(n AS BIGINT) AS n,
                    CAST(correct AS BIGINT) AS correct,

@@ -20,6 +20,55 @@ def rename_output(df: DataFrame, output_column: str) -> DataFrame:
     return df.withColumnRenamed("outputs", output_column)
 
 
+def exp_confidence(
+    df: DataFrame,
+    logprob_column: str = "cumulative_logprobs",
+    out: str = "confidence_score",
+) -> DataFrame:
+    """confidence_score = exp(cumulative logprob) — the sequence
+    probability, the probabilistic reading of the column the reference
+    results carry (sdk.py:1255). Double-valued and transcendental, so
+    NOT oracle-hashable; for calibration reports use
+    :func:`confidence_milli` instead."""
+    return df.withColumn(out, F.exp(F.col(logprob_column)))
+
+
+def confidence_milli(
+    df: DataFrame,
+    logprob_column: str = "cumulative_logprobs",
+    out: str = "conf_milli",
+) -> DataFrame:
+    """Integer-milli confidence from a cumulative logprob — the
+    engine-exact bridge between template outputs and the calibration
+    machinery (metrics.calibration_bins / calibration_ece, which
+    require pre-quantized integer confidences).
+
+    conf_milli = 1_000_000 div (1000 + trunc(−logprob·1000)): a
+    harmonic squash onto (0, 1000] — 1000 at logprob 0, monotone
+    decreasing in |logprob| — built from one multiply, one truncating
+    cast, and one integer division, so any engine reproduces it
+    bit-for-bit (exp() would differ in the last ulp across libm
+    implementations and flip truncation boundaries). NOT the sequence
+    probability: calibration only needs a deterministic monotone map
+    from model confidence to bins; use :func:`exp_confidence` when the
+    probabilistic value itself matters. NULL logprob → NULL conf
+    (calibration_bins drops those rows by contract)."""
+    tmp = "__lp_abs_milli"
+    lp_abs = F.greatest(
+        (-F.col(logprob_column) * 1000).cast("long"), F.lit(0).cast("long")
+    )
+    return (
+        df.withColumn(
+            tmp, F.when(F.col(logprob_column).isNotNull(), lp_abs)
+        )
+        .withColumn(
+            out,
+            F.expr(f"CAST(1000000 AS BIGINT) div (CAST(1000 AS BIGINT) + {tmp})"),
+        )
+        .drop(tmp)
+    )
+
+
 def order_results(
     df: DataFrame,
     output_column: str = "outputs",

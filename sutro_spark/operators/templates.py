@@ -48,10 +48,14 @@ def classify(
     output_column: str = "classification",
     keep_scratchpad: bool = False,
     backend: str = "stub",
+    include_logprobs: bool = False,
 ) -> DataFrame:
     """U3 — rubric system prompt + constrained {scratchpad,
     classification} output + scratchpad strip
-    (reference: templates/classification.py:12-117)."""
+    (reference: templates/classification.py:12-117).
+    ``include_logprobs`` carries ``cumulative_logprobs`` through — feed
+    it to results.confidence_milli + metrics.calibration_bins for the
+    label → judge → calibration-report loop."""
     system_prompt = (
         "Classify the input into exactly one of the following classes:\n"
         + _format_classes(classes)
@@ -65,6 +69,7 @@ def classify(
         system_prompt=system_prompt,
         output_schema=schema,
         backend=backend,
+        include_logprobs=include_logprobs,
     )
     if keep_scratchpad:
         return out.withColumnRenamed("outputs", output_column)

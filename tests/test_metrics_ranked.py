@@ -206,3 +206,54 @@ def test_incremental_rollup_strict_surfaces_negative_counts(spark):
         ).collect()
     }
     assert strict == {"a": (2, 20), "ghost": (-1, -3)}
+
+
+def test_confidence_milli_exact_and_null(spark):
+    from sutro_spark.operators.results import confidence_milli, exp_confidence
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, -5.0), (4, None)],
+        "id int, cumulative_logprobs double",
+    )
+    rows = {r.id: r.conf_milli for r in confidence_milli(df).collect()}
+    # 1_000_000 div (1000 + 1000*|lp|): 0 -> 1000, -1 -> 500, -5 -> 166
+    assert rows == {1: 1000, 2: 500, 3: 166, 4: None}
+    e = {r.id: r.confidence_score for r in exp_confidence(df).collect()}
+    assert e[1] == 1.0 and abs(e[2] - 0.36787944117144233) < 1e-15
+    assert e[4] is None
+
+
+def test_classify_calibration_loop_detects_miscalibrated_stub(spark):
+    """label -> judge -> calibration report, closed: a stub whose
+    confidence is always high but whose accuracy is 0 must surface
+    ECE ~= its average confidence."""
+    from sutro_spark.operators.metrics import calibration_ece
+    from sutro_spark.operators.results import confidence_milli
+    from sutro_spark.operators.templates import classify
+
+    # 12 short docs; gold label deliberately NEVER equals the stub's
+    # length-keyed prediction (gold rotated by +1 from the stub rule)
+    classes = ["news", "blog", "code"]
+    rows = [(i, "x" * (10 + i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = confidence_milli(classify(df, classes, "text", include_logprobs=True))
+    from pyspark.sql import functions as FF
+
+    gold = FF.element_at(
+        FF.array(*[FF.lit(c) for c in classes]),
+        ((FF.length("text") + 1) % 3 + 1).cast("int"),
+    )
+    preds = out.select(
+        gold.alias("label"),
+        FF.col("classification").alias("pred"),
+        "conf_milli",
+    )
+    row = calibration_ece(preds).collect()[0]
+    assert row.n == 12
+    # accuracy is 0 everywhere, so ECE == mean confidence; short docs
+    # -> conf_milli ~= 1_000_000/(1000+~150..210) ~ 830+, i.e. badly
+    # miscalibrated and the report says so
+    assert row.ece > 0.8
+    # sanity: the confidences really were high (the miscalibration is
+    # confident-wrong, not unconfident-wrong)
+    assert all(r.conf_milli > 800 for r in out.select("conf_milli").collect())
