@@ -321,6 +321,21 @@ class HttpBackend:
     The transport is injectable so the whole path is mock-testable
     offline (tests/test_http_backend.py), exactly like the reference's
     own suite patches requests.
+
+    Concurrency: by default one synchronous job per Arrow batch — on a
+    cluster that caps per-executor throughput at one in-flight request
+    per core while the task thread blocks on poll sleeps. Set
+    ``max_concurrency > 1`` to split each batch into sub-batches run
+    through a bounded thread pool INSIDE the task: each sub-batch is
+    its own submit→poll→fetch job honoring the full retry contract
+    (submit never retried, polls 524-retried, results under the linear
+    fetch retry), carries a deterministic idempotency name
+    ``{name}#part-{i}/{n}`` so a deduplicating server can drop
+    double-submissions, and outputs reassemble in input order
+    (``ThreadPoolExecutor.map`` preserves order regardless of
+    completion order). The injected transport must be thread-safe —
+    ``RequestsTransport`` is; a failure in ANY sub-batch fails the
+    whole batch (no partial silently-missing rows).
     """
 
     TERMINAL = frozenset({"SUCCEEDED", "FAILED", "CANCELLED"})
@@ -335,6 +350,8 @@ class HttpBackend:
         poll_interval: float = 5.0,
         max_polls: int = 10_000,
         sleep=None,
+        max_concurrency: int = 1,
+        sub_batch_size: int | None = None,
     ):
         self.retry = retry or RetryPolicy(sleep=sleep)
         self.client = HttpClient(
@@ -342,6 +359,10 @@ class HttpBackend:
         )
         self.poll_interval = poll_interval
         self.max_polls = max_polls
+        if max_concurrency < 1:
+            raise ValueError(f"max_concurrency must be >= 1, got {max_concurrency}")
+        self.max_concurrency = max_concurrency
+        self.sub_batch_size = sub_batch_size
         self.name = "http"
 
     # -- wire steps, each independently testable ------------------------
@@ -414,18 +435,19 @@ class HttpBackend:
 
         return self.retry.fetch(one_fetch)["results"]
 
-    # -- Backend protocol ----------------------------------------------
-    def generate(
+    def _run_job(
         self,
-        prompts: pd.Series,
+        inputs: list,
         *,
-        model: str = "gpt-oss-20b",
-        system_prompt: str = "",
-        output_schema: dict | None = None,
-        sampling_params: dict | None = None,
-        random_seed_per_input: bool = False,
-    ) -> pd.DataFrame:
-        inputs = prompts.fillna("").tolist()
+        model: str,
+        system_prompt: str,
+        output_schema: dict | None,
+        sampling_params: dict | None,
+        random_seed_per_input: bool,
+        name: str | None = None,
+    ) -> tuple[list, list]:
+        """One full submit→poll→fetch job; returns (outputs, logprobs)
+        positionally aligned with ``inputs``."""
         payload = self.build_payload(
             inputs,
             model=model,
@@ -433,6 +455,7 @@ class HttpBackend:
             output_schema=output_schema,
             sampling_params=sampling_params,
             random_seed_per_input=random_seed_per_input,
+            name=name,
         )
         job_id = self.submit(payload)
         status = self.poll_until_done(job_id)
@@ -448,6 +471,50 @@ class HttpBackend:
         logprobs = results.get("cumulative_logprobs") or [None] * len(outputs)
         if len(logprobs) != len(outputs):
             raise RuntimeError(f"cumulative_logprobs misaligned (job {job_id})")
+        return outputs, logprobs
+
+    # -- Backend protocol ----------------------------------------------
+    def generate(
+        self,
+        prompts: pd.Series,
+        *,
+        model: str = "gpt-oss-20b",
+        system_prompt: str = "",
+        output_schema: dict | None = None,
+        sampling_params: dict | None = None,
+        random_seed_per_input: bool = False,
+    ) -> pd.DataFrame:
+        inputs = prompts.fillna("").tolist()
+        kwargs = dict(
+            model=model,
+            system_prompt=system_prompt,
+            output_schema=output_schema,
+            sampling_params=sampling_params,
+            random_seed_per_input=random_seed_per_input,
+        )
+        if (self.max_concurrency > 1 or self.sub_batch_size) and len(inputs) > 1:
+            import math
+            from concurrent.futures import ThreadPoolExecutor
+
+            size = self.sub_batch_size or math.ceil(
+                len(inputs) / self.max_concurrency
+            )
+            parts = [inputs[i : i + size] for i in range(0, len(inputs), size)]
+            with ThreadPoolExecutor(self.max_concurrency) as pool:
+                done = list(
+                    pool.map(
+                        lambda ip: self._run_job(
+                            ip[1],
+                            name=f"batch#part-{ip[0]}/{len(parts)}",
+                            **kwargs,
+                        ),
+                        enumerate(parts),
+                    )
+                )
+            outputs = [o for outs, _ in done for o in outs]
+            logprobs = [lp for _, lps in done for lp in lps]
+        else:
+            outputs, logprobs = self._run_job(inputs, **kwargs)
         out = pd.Series(outputs, index=prompts.index, dtype=object)
         lp = pd.Series(logprobs, index=prompts.index, dtype="float64")
         mask = prompts.isna()

@@ -171,3 +171,115 @@ def test_retry_policy_shared_between_client_and_fetch():
     b, _, _ = make_backend({}, retry=RetryPolicy(max_retries=2, fetch_retries=3))
     assert b.retry.max_retries == 2
     assert b.client._sleep.__self__ is b.retry  # one clock for all waits
+
+
+class ConcurrentFakeTransport:
+    """Thread-safe fake serving each submitted job its own inputs back
+    (output = 'OUT:' + input), with real per-request latency so tests
+    can MEASURE overlap, and optionally N injected 524s on each job's
+    first polls to prove the retry contract survives concurrency."""
+
+    def __init__(self, latency: float = 0.03, poll_524s: int = 0):
+        import threading
+
+        self.lock = threading.Lock()
+        self.jobs: dict[str, list] = {}
+        self.names: list = []
+        self.submits = 0
+        self.active = 0
+        self.max_active = 0
+        self.latency = latency
+        self.poll_524s = poll_524s
+        self.poll_fail_left: dict[str, int] = {}
+
+    def request(self, method, url, *, headers, json=None):
+        import time
+
+        with self.lock:
+            self.active += 1
+            self.max_active = max(self.max_active, self.active)
+        try:
+            time.sleep(self.latency)
+            path = url.split("/", 3)[-1]
+            if path == "batch-inference":
+                with self.lock:
+                    jid = f"job-{len(self.jobs)}"
+                    self.jobs[jid] = list(json["inputs"])
+                    self.names.append(json.get("name"))
+                    self.submits += 1
+                    self.poll_fail_left[jid] = self.poll_524s
+                return 200, {"results": jid}
+            if path.startswith("job-status/"):
+                jid = path.split("/")[1]
+                with self.lock:
+                    if self.poll_fail_left.get(jid, 0) > 0:
+                        self.poll_fail_left[jid] -= 1
+                        return 524, {}
+                return 200, {"results": "SUCCEEDED"}
+            if path == "job-results":
+                ins = self.jobs[json["job_id"]]
+                return 200, {
+                    "results": {
+                        "outputs": [f"OUT:{x}" for x in ins],
+                        "cumulative_logprobs": [-float(len(x)) for x in ins],
+                    }
+                }
+            raise AssertionError(f"unexpected endpoint {path}")
+        finally:
+            with self.lock:
+                self.active -= 1
+
+
+def test_concurrent_sub_batches_overlap_and_preserve_order():
+    import time
+
+    prompts = pd.Series([f"p{i:02d}" for i in range(8)])
+    # serial baseline: 1 worker, same sub-batching -> 4 jobs x 3 calls
+    t0 = ConcurrentFakeTransport()
+    b0 = HttpBackend(
+        "https://api.example.test", "k", transport=t0, sleep=lambda s: None,
+        max_concurrency=1, sub_batch_size=2,
+    )
+    start = time.monotonic()
+    r0 = b0.generate(prompts, model="m")
+    serial = time.monotonic() - start
+    assert t0.max_active == 1
+
+    t = ConcurrentFakeTransport()
+    b = HttpBackend(
+        "https://api.example.test", "k", transport=t, sleep=lambda s: None,
+        max_concurrency=4, sub_batch_size=2,
+    )
+    start = time.monotonic()
+    r = b.generate(prompts, model="m")
+    concurrent = time.monotonic() - start
+    # genuine overlap: >=2 requests in flight at once, >=2x faster
+    assert t.max_active >= 2
+    assert concurrent < serial / 2, (serial, concurrent)
+    # ordered reassembly: output i belongs to prompt i, exactly
+    assert list(r["outputs"]) == [f"OUT:p{i:02d}" for i in range(8)]
+    assert list(r["outputs"]) == list(r0["outputs"])
+    assert list(r["cumulative_logprobs"]) == list(r0["cumulative_logprobs"])
+    # one submit per sub-batch with a deterministic idempotency name
+    assert t.submits == 4
+    assert t.names == [f"batch#part-{i}/4" for i in range(4)]
+
+
+def test_concurrent_order_preserved_under_injected_524s():
+    prompts = pd.Series([f"q{i}" for i in range(6)])
+    t = ConcurrentFakeTransport(latency=0.005, poll_524s=2)
+    b = HttpBackend(
+        "https://api.example.test", "k", transport=t, sleep=lambda s: None,
+        max_concurrency=3, sub_batch_size=2,
+    )
+    r = b.generate(prompts, model="m")
+    assert list(r["outputs"]) == [f"OUT:q{i}" for i in range(6)]
+    # every job really absorbed its two 524s through the retry path
+    assert t.poll_fail_left == {f"job-{i}": 0 for i in range(3)}
+    # and submits were never retried: exactly one per sub-batch
+    assert t.submits == 3
+
+
+def test_concurrency_validation():
+    with pytest.raises(ValueError):
+        HttpBackend("https://x", transport=FakeTransport({}), max_concurrency=0)
