@@ -67,6 +67,66 @@ def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def probe_pairs(
+    sh_n: DataFrame,
+    postings: DataFrame,
+    dfs: DataFrame,
+    *,
+    threshold: float,
+    max_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Compare one batch's shingles (``sh_n``: shingle, id) against the
+    persisted postings index; returns (pairs, df_new) where pairs =
+    (corpus_id, new_id, jaccard >= threshold) and df_new is the batch's
+    per-shingle df increment (the caller appends it). The shared probe
+    core of :func:`streaming_jaccard_pairs` and the composed
+    streaming/curation.py pipeline — the ``max_df`` cap is re-evaluated
+    against the CURRENT total df (index + this batch), matching the
+    batch operator's semantics on the corpus-so-far."""
+    df_new = sh_n.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    df_total = (
+        dfs.unionByName(df_new).groupBy("shingle").agg(F.sum("df").alias("df"))
+    )
+    valid = (
+        df_total.where(F.col("df") <= max_df).select("shingle")
+        if max_df is not None
+        else df_total.select("shingle")
+    )
+    sh_nv = sh_n.join(valid, "shingle")
+    matched = postings.join(sh_nv.select("shingle").distinct(), "shingle")
+    inter = (
+        matched.select(F.col("id").alias("corpus_id"), "shingle")
+        .join(sh_nv.select(F.col("id").alias("new_id"), "shingle"), "shingle")
+        .groupBy("corpus_id", "new_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    nc = (
+        postings.join(
+            inter.select(F.col("corpus_id").alias("id")).distinct(), "id"
+        )
+        .join(valid, "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .withColumnRenamed("id", "corpus_id")
+    )
+    nn = (
+        sh_nv.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("nn"))
+        .withColumnRenamed("id", "new_id")
+    )
+    pairs = (
+        inter.join(nc, "corpus_id")
+        .join(nn, "new_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("nc") + F.col("nn") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("corpus_id", "new_id", "jaccard")
+    )
+    return pairs, df_new
+
+
 def _read_table_or_empty(spark, table: str, schema: str) -> DataFrame:
     if spark.catalog.tableExists(table):
         return spark.table(table)
@@ -162,53 +222,8 @@ def streaming_jaccard_pairs(
                     spark, post_dir, "shingle string, id long"
                 )
                 dfs = _read_or_empty(spark, dfs_dir, "shingle string, df long")
-            df_new = sh_n.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-            df_total = (
-                dfs.unionByName(df_new)
-                .groupBy("shingle")
-                .agg(F.sum("df").alias("df"))
-            )
-            valid = (
-                df_total.where(F.col("df") <= max_df).select("shingle")
-                if max_df is not None
-                else df_total.select("shingle")
-            )
-            sh_nv = sh_n.join(valid, "shingle")
-            matched = postings.join(
-                sh_nv.select("shingle").distinct(), "shingle"
-            )
-            inter = (
-                matched.select(F.col("id").alias("corpus_id"), "shingle")
-                .join(
-                    sh_nv.select(F.col("id").alias("new_id"), "shingle"),
-                    "shingle",
-                )
-                .groupBy("corpus_id", "new_id")
-                .agg(F.count(F.lit(1)).alias("inter"))
-            )
-            nc = (
-                postings.join(
-                    inter.select(F.col("corpus_id").alias("id")).distinct(), "id"
-                )
-                .join(valid, "shingle")
-                .groupBy("id")
-                .agg(F.count(F.lit(1)).alias("nc"))
-                .withColumnRenamed("id", "corpus_id")
-            )
-            nn = (
-                sh_nv.groupBy("id")
-                .agg(F.count(F.lit(1)).alias("nn"))
-                .withColumnRenamed("id", "new_id")
-            )
-            pairs = (
-                inter.join(nc, "corpus_id")
-                .join(nn, "new_id")
-                .withColumn(
-                    "jaccard",
-                    F.col("inter") / (F.col("nc") + F.col("nn") - F.col("inter")),
-                )
-                .where(F.col("jaccard") >= threshold)
-                .select("corpus_id", "new_id", "jaccard")
+            pairs, df_new = probe_pairs(
+                sh_n, postings, dfs, threshold=threshold, max_df=max_df
             )
             # pairs FIRST (reads the pre-batch index), then the index
             # appends — foreachBatch runs these actions sequentially
