@@ -393,6 +393,38 @@ def ivfpq_residual_topk(
     oracle replay, not production recall (production: n_codes=256,
     more rounds, and an exact rescore of the shortlist).
     """
+    _, _, adist = _ivfpq_residual_parts(
+        df, queries, coarse_k=coarse_k, coarse_iters=coarse_iters,
+        nprobe=nprobe, m=m, n_codes=n_codes, id_column=id_column,
+        vector_column=vector_column, dim=dim, scale=scale, offset=offset,
+    )
+    w2 = Window.partitionBy("query_id").orderBy("adist2", "neighbor_id")
+    return (
+        adist.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _ivfpq_residual_parts(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    coarse_k: int,
+    coarse_iters: int,
+    nprobe: int,
+    m: int,
+    n_codes: int,
+    id_column: str,
+    vector_column: str,
+    dim: int,
+    scale: int,
+    offset: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The residual-IVFADC plan up to (qdt, cand, adist):
+    qdt = (query_id, cluster, sub, code, d2) per-probed-bucket distance
+    tables, cand = (query_id, cluster, neighbor_id) routed candidates,
+    adist = (query_id, neighbor_id, adist2) ADC distances. Shared by
+    the plain top-k and the bound-pruned variant."""
     from sutro_spark.operators.kmeans import kmeans
 
     if dim % m != 0:
@@ -459,14 +491,138 @@ def ivfpq_residual_topk(
         )
         .where(F.col("neighbor_id") != F.col("query_id"))
     )
-    agg = (
+    adist = (
         cand.join(codes, "neighbor_id")
         .join(qdt, ["query_id", "cluster", "sub", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d2").alias("adist2"))
     )
+    return qdt, cand, adist
+
+
+def _prune_surviving_buckets(
+    qdt: DataFrame, cand: DataFrame, adist: DataFrame, k: int
+) -> DataFrame:
+    """(query_id, cluster) buckets that survive the classic IVF
+    early-abandon (Jégou 2011 §V): per-bucket LOWER bound =
+    Σ_sub min_code d2 (no candidate in the bucket can beat the sum of
+    its per-subspace minima); τ = the k-th ADC distance within the
+    best-bound (primary) bucket; any other bucket with bound > τ
+    cannot contribute to the final top-k — every candidate there has
+    adist2 >= bound > τ >= final k-th distance, STRICTLY above it, so
+    even the (adist2, neighbor_id) tie-break cannot admit one. Queries
+    whose primary bucket yields fewer than k candidates keep all
+    probed buckets (no valid τ). Output therefore preserves the exact
+    unpruned top-k (pytest-asserted), it only shrinks the ADC input.
+    """
+    bound = (
+        qdt.groupBy("query_id", "cluster", "sub")
+        .agg(F.min("d2").alias("md"))
+        .groupBy("query_id", "cluster")
+        .agg(F.sum("md").alias("bound"))
+    )
+    wb = Window.partitionBy("query_id").orderBy("bound", "cluster")
+    prim = (
+        bound.withColumn("__rn", F.row_number().over(wb))
+        .where(F.col("__rn") == 1)
+        .select("query_id", F.col("cluster").alias("prim_cluster"))
+    )
+    pd = cand.join(adist, ["query_id", "neighbor_id"])
+    wp = Window.partitionBy("query_id").orderBy("adist2", "neighbor_id")
+    ptk = (
+        pd.join(
+            prim,
+            (pd.query_id == prim.query_id)
+            & (pd.cluster == F.col("prim_cluster")),
+        )
+        .select(pd.query_id, "adist2", "neighbor_id")
+        .withColumn("__rn", F.row_number().over(wp))
+        .where(F.col("__rn") <= k)
+        .groupBy("query_id")
+        .agg(F.max("adist2").alias("tau"), F.count(F.lit(1)).alias("nk"))
+    )
+    return (
+        bound.join(prim, "query_id")
+        .join(ptk, "query_id", "left")
+        .where(
+            (F.col("cluster") == F.col("prim_cluster"))
+            | F.col("tau").isNull()
+            | (F.col("nk") < k)
+            | (F.col("bound") <= F.col("tau"))
+        )
+        .select("query_id", "cluster")
+    )
+
+
+def ivfpq_pruned_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    coarse_k: int = 8,
+    coarse_iters: int = 2,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+    offset: int = 1000,
+) -> DataFrame:
+    """Residual IVFADC with per-bucket lower-bound pruning: identical
+    output to :func:`ivfpq_residual_topk` (the bound argument is in
+    :func:`_prune_surviving_buckets`'s docstring), smaller ADC input —
+    at scale the saved work is (pruned candidates)·m join rows per
+    query. Use :func:`ivfpq_prune_stats` to measure the reduction."""
+    qdt, cand, adist = _ivfpq_residual_parts(
+        df, queries, coarse_k=coarse_k, coarse_iters=coarse_iters,
+        nprobe=nprobe, m=m, n_codes=n_codes, id_column=id_column,
+        vector_column=vector_column, dim=dim, scale=scale, offset=offset,
+    )
+    surv = _prune_surviving_buckets(qdt, cand, adist, k)
+    kept = cand.join(surv, ["query_id", "cluster"]).select(
+        "query_id", "neighbor_id"
+    )
     w2 = Window.partitionBy("query_id").orderBy("adist2", "neighbor_id")
     return (
-        agg.withColumn("rank", F.row_number().over(w2).cast("long"))
+        adist.join(kept, ["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def ivfpq_prune_stats(
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 3,
+    coarse_k: int = 8,
+    coarse_iters: int = 2,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int = 64,
+    scale: int = 1000,
+    offset: int = 1000,
+) -> DataFrame:
+    """One row: (n_queries, cand_full, cand_pruned) — how many routed
+    candidates the ADC stage would process without vs with the bucket
+    bound, over the same routing. cand_pruned <= cand_full always;
+    equality of the RESULTS at the reduced cost is the pruning theorem
+    (pytest + the pruned/unpruned [Q] pair share one oracle chain)."""
+    qdt, cand, adist = _ivfpq_residual_parts(
+        df, queries, coarse_k=coarse_k, coarse_iters=coarse_iters,
+        nprobe=nprobe, m=m, n_codes=n_codes, id_column=id_column,
+        vector_column=vector_column, dim=dim, scale=scale, offset=offset,
+    )
+    surv = _prune_surviving_buckets(qdt, cand, adist, k)
+    kept = cand.join(surv, ["query_id", "cluster"])
+    full = cand.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("cand_full"),
+    )
+    pruned = kept.agg(F.count(F.lit(1)).cast("long").alias("cand_pruned"))
+    return full.crossJoin(F.broadcast(pruned))

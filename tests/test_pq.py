@@ -139,3 +139,30 @@ def test_ivfpq_residual_shift_cancels_in_distances(spark):
         for r in pq_topk(df, queries, cb, k=5, m=4, n_codes=4, dim=16).collect()
     }
     assert routed == full
+
+
+def test_ivfpq_pruned_equals_unpruned_with_fewer_candidates(spark):
+    # the pruning theorem: identical top-k, strictly smaller ADC input
+    # on well-separated clusters (the secondary probed bucket's lower
+    # bound exceeds the k-th distance inside the primary bucket)
+    from sutro_spark.operators.pq import (
+        ivfpq_pruned_topk,
+        ivfpq_prune_stats,
+        ivfpq_residual_topk,
+    )
+
+    df = _vecs(spark)
+    queries = df.where(F.col("vec_id") < 4)
+    kw = dict(k=3, coarse_k=4, nprobe=2, m=4, n_codes=4, dim=16)
+    plain = {
+        (r.query_id, r.neighbor_id): (r.adist2, r.rank)
+        for r in ivfpq_residual_topk(df, queries, **kw).collect()
+    }
+    pruned = {
+        (r.query_id, r.neighbor_id): (r.adist2, r.rank)
+        for r in ivfpq_pruned_topk(df, queries, **kw).collect()
+    }
+    assert pruned == plain and len(plain) == 12
+    row = ivfpq_prune_stats(df, queries, **kw).collect()[0]
+    assert row.n_queries == 4
+    assert row.cand_pruned < row.cand_full, row
