@@ -178,6 +178,9 @@ def main() -> None:
             "quality_train", "quality_train_eval", "rank_elo_large",
             "pq_codes", "pq_topk", "pq_recall", "ivfpq_topk", "zorder_key", "bloom_decontaminate",
             "bpe_merges", "bpe_vocab", "cms_heavy_hitters", "source_overlap", "jaccard_histogram", "lsh_recall", "sq_recall", "leakage_safe_split", "validate_orders", "bigram_lift", "ivf_recall", "length_gini", "price_histogram_quantiles", "skew_report", "dedup_agreement", "sql_interface", "time_split", "curation_pipeline_v2", "lang_confidence", "ols_tokens_vs_chars", "table_profile", "corr_tokens_chars", "mixture_drift",
+            "ann_mrr", "calibration", "classify_calibration", "ece",
+            "keyword_flags", "rollup_incr", "ivfpq_residual",
+            "ivfpq_recall", "ivfpq_prune", "image_dhash", "dhash_pairs",
             ]
             if name in qs
         ]

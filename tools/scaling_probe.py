@@ -185,6 +185,58 @@ def main() -> None:
             eresults[name][factor] = round(best[name], 2)
         print(f"emb x{factor} ({erows} rows): " + ", ".join(f"{k}={v[factor]}s" for k, v in eresults.items()), flush=True)
 
+    # --- third axis: the round-6 heavy REGISTRY QUERIES, run through
+    # their real [Q] pipelines against a replicated sf-dir (documents +
+    # orders + embeddings all replicated N, so each query sees its own
+    # table scaled). bloom_decontaminate's benchmark is documents
+    # doc_id%10==0 and scales WITH the corpus — at 16x the driver-side
+    # bitset build grows too (documented; at 100 TB the benchmark is
+    # fixed and tiny, so this overstates the cost).
+    import __spark_entry__ as entrymod
+
+    heavies = [
+        "winnow_dedup", "bloom_decontaminate", "rank_elo_large",
+        "pq_topk", "ivfpq_residual",
+    ]
+    qs = entrymod.queries()
+    obase = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    o_base = obase.agg(F.max("o_orderkey")).first()[0] + 1
+    hresults: dict[str, dict[int, float]] = {name: {} for name in heavies}
+    for name in heavies:  # warm-up at 1x, untimed
+        qs[name](spark, "/root/testdata/sf0.1").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    for factor in factors:
+        sfdir = os.path.join(tmp, f"sf_x{factor}")
+        os.makedirs(sfdir, exist_ok=True)
+        spark.read.parquet(os.path.join(tmp, f"docs_x{factor}")).write.mode(
+            "overwrite"
+        ).parquet(f"{sfdir}/documents.parquet")
+        obase.crossJoin(
+            spark.range(factor).select(F.col("id").alias("__copy"))
+        ).select(
+            (F.col("o_orderkey") + F.col("__copy") * o_base).alias("o_orderkey"),
+            *[c for c in obase.columns if c != "o_orderkey"],
+        ).write.mode("overwrite").parquet(f"{sfdir}/orders.parquet")
+        spark.read.parquet(os.path.join(tmp, f"emb_x{factor}")).write.mode(
+            "overwrite"
+        ).parquet(f"{sfdir}/embeddings.parquet")
+        best = {}
+        for _ in range(2):
+            for name in heavies:
+                t0 = time.time()
+                qs[name](spark, sfdir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best[name] = min(best.get(name, float("inf")), time.time() - t0)
+        for name in heavies:
+            hresults[name][factor] = round(best[name], 2)
+        print(
+            f"heavy x{factor}: "
+            + ", ".join(f"{k}={v[factor]}s" for k, v in hresults.items()),
+            flush=True,
+        )
+
     lines = [
         "# SCALING — measured operator scaling on replicated documents",
         "",
@@ -220,6 +272,34 @@ def main() -> None:
             f"| {name} | {times[1]} | {times[4]} | {times[16]} | {exp:.2f} |"
         )
     lines += [
+        "",
+        "Round-6/7 heavy registry queries, run through their real [Q]",
+        "pipelines against a replicated sf-dir (documents + orders +",
+        "embeddings each replicated N; bloom_decontaminate's benchmark",
+        "scales WITH the corpus here — at 100 TB it is fixed and tiny,",
+        "so that row overstates the true cost):",
+        "",
+        "| query | 1x sec | 4x sec | 16x sec | scaling exponent |",
+        "|---|---|---|---|---|",
+    ]
+    for name, times in hresults.items():
+        t1, t16 = times[1], times[16]
+        exp = math.log(t16 / t1) / math.log(16) if t1 > 0 else float("nan")
+        lines.append(
+            f"| {name} | {times[1]} | {times[4]} | {times[16]} | {exp:.2f} |"
+        )
+    lines += [
+        "",
+        "Heavy-query notes: rank_elo_large is linear in ballots by",
+        "design (explode + ballot-id equi-join + combinable counts — the",
+        "shape chosen over the measured-worse HOF rewrite); winnow_dedup",
+        "adds iterative CC on top of winnow_overlap's within-cluster",
+        "pair quadratics (replication worst-cases this; the df cap",
+        "bounds it at 100 TB); bloom_decontaminate is embarrassingly",
+        "parallel in-scan probing, so its exponent tracks the scan;",
+        "pq_topk / ivfpq_residual pay codebook training per call at this",
+        "size (fixed cost, amortized at scale) — their corpus-side ADC",
+        "joins are the part that grows.",
         "",
         "Reading the numbers: sub-linear exponents mean per-query fixed",
         "overhead (session, planning, Python worker reuse) still dominates",
