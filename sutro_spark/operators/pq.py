@@ -393,14 +393,15 @@ def ivfpq_residual_topk(
     oracle replay, not production recall (production: n_codes=256,
     more rounds, and an exact rescore of the shortlist).
     """
-    _, _, adist = _ivfpq_residual_parts(
+    qdt, cand, codes = _ivfpq_residual_parts(
         df, queries, coarse_k=coarse_k, coarse_iters=coarse_iters,
         nprobe=nprobe, m=m, n_codes=n_codes, id_column=id_column,
         vector_column=vector_column, dim=dim, scale=scale, offset=offset,
     )
     w2 = Window.partitionBy("query_id").orderBy("adist2", "neighbor_id")
     return (
-        adist.withColumn("rank", F.row_number().over(w2).cast("long"))
+        _adc(cand, codes, qdt)
+        .withColumn("rank", F.row_number().over(w2).cast("long"))
         .where(F.col("rank") <= k)
     )
 
@@ -420,11 +421,13 @@ def _ivfpq_residual_parts(
     scale: int,
     offset: int,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The residual-IVFADC plan up to (qdt, cand, adist):
+    """The residual-IVFADC plan up to (qdt, cand, codes):
     qdt = (query_id, cluster, sub, code, d2) per-probed-bucket distance
     tables, cand = (query_id, cluster, neighbor_id) routed candidates,
-    adist = (query_id, neighbor_id, adist2) ADC distances. Shared by
-    the plain top-k and the bound-pruned variant."""
+    codes = (neighbor_id, sub, code) PQ codes. Shared by the plain
+    top-k and the bound-pruned variant; ADC itself is :func:`_adc` so
+    the pruned variant can run it over a candidate SUBSET — keeping
+    the saved work out of the executed plan, not just the output."""
     from sutro_spark.operators.kmeans import kmeans
 
     if dim % m != 0:
@@ -491,17 +494,24 @@ def _ivfpq_residual_parts(
         )
         .where(F.col("neighbor_id") != F.col("query_id"))
     )
-    adist = (
+    return qdt, cand, codes
+
+
+def _adc(cand: DataFrame, codes: DataFrame, qdt: DataFrame) -> DataFrame:
+    """ADC over a routed candidate set: (query_id, neighbor_id,
+    adist2). ``cand`` may be any subset of the routed candidates —
+    the pruned variant passes only survivors, so pruned buckets never
+    enter the codes join at all."""
+    return (
         cand.join(codes, "neighbor_id")
         .join(qdt, ["query_id", "cluster", "sub", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d2").alias("adist2"))
     )
-    return qdt, cand, adist
 
 
 def _prune_surviving_buckets(
-    qdt: DataFrame, cand: DataFrame, adist: DataFrame, k: int
+    qdt: DataFrame, cand: DataFrame, codes: DataFrame, k: int
 ) -> DataFrame:
     """(query_id, cluster) buckets that survive the classic IVF
     early-abandon (Jégou 2011 §V): per-bucket LOWER bound =
@@ -514,6 +524,11 @@ def _prune_surviving_buckets(
     whose primary bucket yields fewer than k candidates keep all
     probed buckets (no valid τ). Output therefore preserves the exact
     unpruned top-k (pytest-asserted), it only shrinks the ADC input.
+
+    The τ probe ADCs ONLY the primary bucket's candidates (``cand``
+    pre-joined to the bound winner) — the full candidate set never
+    reaches a codes join here, so the executed plan, not just the
+    output, skips the pruned buckets' ADC work.
     """
     bound = (
         qdt.groupBy("query_id", "cluster", "sub")
@@ -527,15 +542,14 @@ def _prune_surviving_buckets(
         .where(F.col("__rn") == 1)
         .select("query_id", F.col("cluster").alias("prim_cluster"))
     )
-    pd = cand.join(adist, ["query_id", "neighbor_id"])
+    prim_cand = (
+        cand.join(prim, "query_id")
+        .where(F.col("cluster") == F.col("prim_cluster"))
+        .select("query_id", "cluster", "neighbor_id")
+    )
     wp = Window.partitionBy("query_id").orderBy("adist2", "neighbor_id")
     ptk = (
-        pd.join(
-            prim,
-            (pd.query_id == prim.query_id)
-            & (pd.cluster == F.col("prim_cluster")),
-        )
-        .select(pd.query_id, "adist2", "neighbor_id")
+        _adc(prim_cand, codes, qdt)
         .withColumn("__rn", F.row_number().over(wp))
         .where(F.col("__rn") <= k)
         .groupBy("query_id")
@@ -574,19 +588,21 @@ def ivfpq_pruned_topk(
     output to :func:`ivfpq_residual_topk` (the bound argument is in
     :func:`_prune_surviving_buckets`'s docstring), smaller ADC input —
     at scale the saved work is (pruned candidates)·m join rows per
-    query. Use :func:`ivfpq_prune_stats` to measure the reduction."""
-    qdt, cand, adist = _ivfpq_residual_parts(
+    query. The EXECUTED plan reflects the saving: the only ADC joins
+    are the τ probe over primary-bucket candidates and the final pass
+    over survivors — pruned buckets' candidates never reach a codes
+    join (plan-shape pytest asserts the kept-side join feeds the ADC).
+    Use :func:`ivfpq_prune_stats` to measure the reduction."""
+    qdt, cand, codes = _ivfpq_residual_parts(
         df, queries, coarse_k=coarse_k, coarse_iters=coarse_iters,
         nprobe=nprobe, m=m, n_codes=n_codes, id_column=id_column,
         vector_column=vector_column, dim=dim, scale=scale, offset=offset,
     )
-    surv = _prune_surviving_buckets(qdt, cand, adist, k)
-    kept = cand.join(surv, ["query_id", "cluster"]).select(
-        "query_id", "neighbor_id"
-    )
+    surv = _prune_surviving_buckets(qdt, cand, codes, k)
+    kept = cand.join(surv, ["query_id", "cluster"])
     w2 = Window.partitionBy("query_id").orderBy("adist2", "neighbor_id")
     return (
-        adist.join(kept, ["query_id", "neighbor_id"])
+        _adc(kept, codes, qdt)
         .withColumn("rank", F.row_number().over(w2).cast("long"))
         .where(F.col("rank") <= k)
     )
@@ -613,12 +629,12 @@ def ivfpq_prune_stats(
     bound, over the same routing. cand_pruned <= cand_full always;
     equality of the RESULTS at the reduced cost is the pruning theorem
     (pytest + the pruned/unpruned [Q] pair share one oracle chain)."""
-    qdt, cand, adist = _ivfpq_residual_parts(
+    qdt, cand, codes = _ivfpq_residual_parts(
         df, queries, coarse_k=coarse_k, coarse_iters=coarse_iters,
         nprobe=nprobe, m=m, n_codes=n_codes, id_column=id_column,
         vector_column=vector_column, dim=dim, scale=scale, offset=offset,
     )
-    surv = _prune_surviving_buckets(qdt, cand, adist, k)
+    surv = _prune_surviving_buckets(qdt, cand, codes, k)
     kept = cand.join(surv, ["query_id", "cluster"])
     full = cand.agg(
         F.countDistinct("query_id").alias("n_queries"),

@@ -182,3 +182,26 @@ def test_incremental_rollup_never_scans_the_base_relation(spark):
         .toString()
     )
     assert "Union" in plan and "Join" not in plan
+
+
+def test_ivfpq_pruned_adc_runs_only_on_survivors(spark):
+    # round-7 restructure guard: the bucket-pruning join must FEED the
+    # final ADC aggregate (survivors only), not filter its output — in
+    # the executed plan nothing sits between the top rank Window and
+    # the ADC HashAggregate except exchanges/sorts. If a Join reappears
+    # there, the plan has regressed to full-candidate ADC + post-filter
+    # and the pruning no longer saves executed work.
+    from sutro_spark.operators.pq import ivfpq_pruned_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = ivfpq_pruned_topk(emb, emb.where("vec_id < 2"), k=3)
+    lines = (
+        df._jdf.queryExecution().executedPlan().toString().splitlines()
+    )
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    agg = next(
+        i for i, l in enumerate(lines) if i > win and "HashAggregate" in l
+    )
+    assert not any("Join" in l for l in lines[win:agg]), "\n".join(
+        lines[win:agg]
+    )
