@@ -2944,6 +2944,53 @@ def q_rollup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25 ranked retrieval: three fixed term queries over documents,
+    # top-10 each. Query terms are filtered INSIDE the scan (literal-
+    # array HOF, keyword_hits idiom), so the only token-volume shuffle
+    # is the matched-postings groupBy; scoring is exact integer
+    # arithmetic (rational idf surrogate — see bm25_topk docstring).
+    from sutro_spark.functions.text import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        [(1, ["spark", "join"]),
+         (2, ["vector", "hash", "stream"]),
+         (3, ["customer", "window"])],
+        k=10,
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Link-graph centrality: PageRank (17/20 damping, 6 power
+    # iterations, exact BIGINT arithmetic) over a deterministic
+    # synthetic citation graph — doc i links to (31i+7, 17i+3,
+    # 101i+13) mod N, self-loops dropped. The graph is arithmetic so
+    # DuckDB can rebuild it verbatim; the oracle unrolls all six
+    # iterations as chained CTEs, proving the iterative Spark loop
+    # (join + groupBy per iteration, localCheckpoint lineage cuts)
+    # computes exactly the closed-form recurrence.
+    from sutro_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("src")
+    )
+    cnt = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    edges = (
+        docs.crossJoin(F.broadcast(cnt))
+        .select(
+            "src",
+            F.explode(
+                F.expr(
+                    "array((src*31+7) % n, (src*17+3) % n, (src*101+13) % n)"
+                )
+            ).alias("dst"),
+        )
+        .where(F.col("dst") != F.col("src"))
+    )
+    return pagerank(edges, iterations=6).orderBy("node")
+
+
 #: Round-7 driver window: the driver correctness gate checks the FIRST
 #: 50 entries of queries() in dict order; this list IS the rotation
 #: (queries() reorders the full literal dict by it — future rounds edit
@@ -2957,6 +3004,7 @@ _R7_WINDOW = [
     # new in r7, never driver-checked
     "ivfpq_residual", "ivfpq_recall", "ivfpq_prune",
     "classify_calibration", "image_dhash", "dhash_pairs",
+    "bm25_topk", "pagerank",
     # r6 late registrations (verdict-named leads)
     "ann_mrr", "calibration", "ece", "keyword_flags", "rollup_incr",
     # the full r3-stale cohort (25)
@@ -2971,7 +3019,10 @@ _R7_WINDOW = [
     "gap_fill", "simhash", "term_topk", "source_mix", "reassemble_chunks",
     "label_centroids", "bucketed_dedup", "dedup_normalized", "rh_lsh_dedup",
     "incremental_dedup", "frame_sample", "audio_features",
-    "list_source_infer", "decontaminate_clean",
+    # (list_source_infer and decontaminate_clean rotate out to make
+    # room for the two newest r7 queries — both stay r4-driver-green
+    # and strict-selfcheck-checked, preserving the "no entry older
+    # than r4" invariant.)
 ]
 
 
@@ -3002,6 +3053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mrr": q_ann_mrr,
         "calibration": q_calibration,
         "classify_calibration": q_classify_calibration,
+        "bm25_topk": q_bm25_topk,
+        "pagerank": q_pagerank,
         "ece": q_ece,
         "keyword_flags": q_keyword_flags,
         "rollup_incr": q_rollup_incr,
@@ -3907,8 +3960,94 @@ _HLL_SQL = """
 """
 
 
+def _pagerank_oracle(iterations: int = 6) -> str:
+    """Unrolled power-iteration oracle: r{i} CTEs chained to the
+    requested depth, each mirroring operators/graph.py's integer
+    update rule (teleport (3*scale) // (20*N), contrib rank // odeg,
+    damped (17*m) // 20) with the defaults scale=1e12, damping 17/20."""
+    cte = [
+        "WITH cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),",
+        "raw AS (SELECT CAST(doc_id AS BIGINT) AS src FROM documents),",
+        # three UNION ALL arms instead of unnest-over-a-list: DuckDB
+        # 1.x has an internal binder error referencing an unnest alias
+        # from a downstream CTE's WHERE clause.
+        "tri AS (SELECT src, (src*31+7) % n AS dst FROM raw, cnt"
+        " UNION ALL SELECT src, (src*17+3) % n FROM raw, cnt"
+        " UNION ALL SELECT src, (src*101+13) % n FROM raw, cnt),",
+        "edges AS (SELECT src, dst FROM tri WHERE dst <> src),",
+        "nodes AS (SELECT DISTINCT node FROM"
+        " (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),",
+        "odeg AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg"
+        " FROM edges GROUP BY src),",
+        "ed AS (SELECT e.src, e.dst, o.odeg FROM edges e JOIN odeg o USING (src)),",
+        "r0 AS (SELECT node, (1000000000000 // nn.nn) AS rank FROM nodes, nn)",
+    ]
+    for i in range(1, iterations + 1):
+        cte.append(
+            f", r{i} AS (SELECT nd.node,"
+            f" (3 * 1000000000000) // (20 * nn.nn)"
+            f" + (17 * coalesce(s.m, CAST(0 AS BIGINT))) // 20 AS rank"
+            f" FROM nodes nd CROSS JOIN nn"
+            f" LEFT JOIN (SELECT e.dst AS node,"
+            f" CAST(sum(r.rank // e.odeg) AS BIGINT) AS m"
+            f" FROM r{i - 1} r JOIN ed e ON r.node = e.src"
+            f" GROUP BY e.dst) s ON nd.node = s.node)"
+        )
+    cte.append(
+        f" SELECT node, CAST(rank AS BIGINT) AS rank_scaled"
+        f" FROM r{iterations} ORDER BY node"
+    )
+    return "\n".join(cte)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "pagerank": _pagerank_oracle(6),
+        "bm25_topk": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            b2 AS (
+                SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                       list_filter(toks, t -> list_contains(
+                           ['customer','hash','join','spark','stream',
+                            'vector','window'], t)) AS hits
+                FROM base),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                             CAST(sum(dl) AS BIGINT) AS total_tokens
+                      FROM b2),
+            tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM (SELECT doc_id, dl, unnest(hits) AS term FROM b2)
+                   GROUP BY doc_id, dl, term),
+            dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS term_df
+                      FROM tf GROUP BY term),
+            qd AS (SELECT * FROM (VALUES
+                       (1,'spark'),(1,'join'),
+                       (2,'vector'),(2,'hash'),(2,'stream'),
+                       (3,'customer'),(3,'window')) AS t(query_id, term)),
+            scored AS (
+                SELECT qd.query_id, tf.doc_id,
+                       ((2*n_docs - 2*term_df + 1)
+                        * ((22000 * tf * CAST(1000000 AS BIGINT))
+                           // (10000*tf + 3000
+                               + 9*((1000*dl*n_docs) // total_tokens))))
+                       // (2*term_df + 1) AS term_score
+                FROM tf JOIN dfreq USING (term) JOIN qd USING (term)
+                CROSS JOIN stats),
+            agg AS (SELECT query_id, doc_id,
+                           CAST(sum(term_score) AS BIGINT) AS score_scaled
+                    FROM scored GROUP BY query_id, doc_id),
+            r AS (SELECT query_id, doc_id, score_scaled,
+                         row_number() OVER (PARTITION BY query_id
+                             ORDER BY score_scaled DESC, doc_id) AS rnk
+                  FROM agg)
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                   score_scaled, CAST(rnk AS BIGINT) AS rank
+            FROM r WHERE rnk <= 10 ORDER BY query_id, rank
+        """,
         "select_prompt_column": "SELECT doc_id, text AS prompt FROM documents",
         "sentence_stats": """
             WITH s AS (

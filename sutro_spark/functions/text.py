@@ -613,3 +613,120 @@ def keyword_hits(
             F.when(F.col("n_hits") >= threshold, 1).otherwise(0).cast("int"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """BM25 ranked retrieval over an in-scan inverted index: for each
+    (query_id, [terms]) return the top-k documents by an Okapi-BM25
+    score computed in exact integer arithmetic — the lexical-retrieval
+    primitive for curation workflows (find the training docs most
+    relevant to an eval topic, route docs to domain buckets, audit
+    what a benchmark question would retrieve).
+
+    Okapi parameters k1=1.2, b=0.75 are folded into integer rationals;
+    with dl the doc token count, N docs, T total tokens:
+
+        dln         = (1000 * dl * N) div T          (dl/avgdl, per-mille)
+        sat_scaled  = (22000 * tf * scale)
+                      div (10000 * tf + 3000 + 9 * dln)
+        term_score  = ((2N - 2df + 1) * sat_scaled) div (2df + 1)
+        score       = sum(term_score) over matched query terms
+
+    The idf factor (2N-2df+1)/(2df+1) is a rational surrogate for the
+    classic ln((N-df+.5)/(df+.5)) — same sign and monotonicity, no
+    transcendentals, so Spark and DuckDB agree bit-for-bit (same
+    discipline as :func:`tfidf_topk`; cross-libm ``ln`` would make the
+    value-hash correctness gate flaky). Relative to log-idf BM25 this
+    weights rare terms more aggressively when a query mixes very rare
+    and very common terms; the retrieval structure (inverted index,
+    tf saturation, length normalization) is identical. All sums are
+    over BIGINTs, so aggregation order cannot perturb the result the
+    way a floating-point sum across partitions would.
+
+    Overflow bounds (documented, not just asserted): 22000*tf*scale
+    needs tf < 4e8; (2N)*sat_scaled <= 4.4*N*scale needs N < 2e12
+    docs; 1000*dl*N needs dl*N < 9e15. All comfortably beyond any
+    real corpus; ``scale`` can be lowered if a larger N is ever needed.
+
+    Scale shape: query terms are filtered INSIDE the scan stage with a
+    literal-array higher-order filter (same small-list idiom as
+    :func:`keyword_hits`), so the only shuffle is a map-side-combinable
+    groupBy over *matched postings* — corpus tokens that match no query
+    term never leave the scan. Corpus stats (N, T) are a 1-row
+    broadcast; df comes from the matched-postings aggregate (exact: a
+    doc either holds a query term or contributes nothing to that
+    term's df); the per-query top-k is a rank window over candidates
+    only, bounded by a deterministic (score desc, doc_id asc)
+    tie-break. For query-term sets larger than ~128 terms, route
+    through a broadcast terms-dim join instead (see keyword_hits's
+    large-list path) — the semantics here are unchanged.
+    """
+    if not queries or any(not ts for _, ts in queries):
+        raise ValueError("bm25_topk requires >=1 query, each with >=1 term")
+    from pyspark.sql import Window
+
+    qmap = sorted({(int(qid), t.lower()) for qid, ts in queries for t in ts})
+    all_terms = sorted({t for _, t in qmap})
+    lit_terms = F.array(*[F.lit(t) for t in all_terms])
+
+    base = df.select(
+        F.col(id_column).alias("__id"),
+        tokens(F.lower(F.col(text_column))).alias("toks"),
+    ).select(
+        "__id",
+        F.size("toks").cast("long").alias("dl"),
+        F.filter("toks", lambda t: F.array_contains(lit_terms, t)).alias("hits"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_tokens"),
+    )
+    tf = (
+        base.select("__id", "dl", F.explode("hits").alias("term"))
+        .groupBy("__id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("term_df")
+    )
+    spark = df.sparkSession
+    qdim = spark.createDataFrame(qmap, "query_id long, term string")
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qdim), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            F.expr(
+                f"((2*n_docs - 2*term_df + 1)"
+                f" * ((22000 * tf * CAST({scale} AS BIGINT))"
+                f"    DIV (10000*tf + 3000 + 9*((1000*dl*n_docs) DIV total_tokens))))"
+                f" DIV (2*term_df + 1)"
+            ),
+        )
+    )
+    agg = scored.groupBy("query_id", "__id").agg(
+        F.sum("term_score").cast("long").alias("score_scaled")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_scaled"), F.asc("__id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("__id").alias(id_column),
+            "score_scaled",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
