@@ -2962,15 +2962,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Link-graph centrality: PageRank (17/20 damping, 6 power
-    # iterations, exact BIGINT arithmetic) over a deterministic
-    # synthetic citation graph — doc i links to (31i+7, 17i+3,
-    # 101i+13) mod N, self-loops dropped. The graph is arithmetic so
-    # DuckDB can rebuild it verbatim; the oracle unrolls all six
-    # iterations as chained CTEs, proving the iterative Spark loop
-    # (join + groupBy per iteration, localCheckpoint lineage cuts)
-    # computes exactly the closed-form recurrence.
-    from sutro_spark.operators.graph import pagerank
+    # Link-graph centrality at depth: the SAME integer pagerank
+    # operator pagerank_suppliers proves at 2 rounds, driven 6 power
+    # iterations deep with per-round localCheckpoint lineage cuts —
+    # over a deterministic synthetic citation graph (doc i links to
+    # (31i+7, 17i+3, 101i+13) mod N, self-loops dropped). The graph
+    # is arithmetic so DuckDB rebuilds it verbatim; the oracle unrolls
+    # all six iterations as chained CTEs, proving the checkpointed
+    # iterative loop computes exactly the closed-form recurrence.
+    from sutro_spark.operators.cluster import pagerank
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("src")
@@ -2988,7 +2988,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dst") != F.col("src"))
     )
-    return pagerank(edges, iterations=6).orderBy("node")
+    return (
+        pagerank(edges, iters=6, checkpoint=True)
+        .select("node", F.col("rank").alias("rank_scaled"))
+        .orderBy("node")
+    )
 
 
 #: Round-7 driver window: the driver correctness gate checks the FIRST
@@ -3962,9 +3966,10 @@ _HLL_SQL = """
 
 def _pagerank_oracle(iterations: int = 6) -> str:
     """Unrolled power-iteration oracle: r{i} CTEs chained to the
-    requested depth, each mirroring operators/graph.py's integer
-    update rule (teleport (3*scale) // (20*N), contrib rank // odeg,
-    damped (17*m) // 20) with the defaults scale=1e12, damping 17/20."""
+    requested depth, each mirroring operators/cluster.py pagerank's
+    integer update rule (base (15*scale) // (100*N), contrib
+    rank // odeg, damped (85*m) // 100) with the defaults scale=1e12,
+    damping_pct=85."""
     cte = [
         "WITH cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),",
         "raw AS (SELECT CAST(doc_id AS BIGINT) AS src FROM documents),",
@@ -3986,8 +3991,8 @@ def _pagerank_oracle(iterations: int = 6) -> str:
     for i in range(1, iterations + 1):
         cte.append(
             f", r{i} AS (SELECT nd.node,"
-            f" (3 * 1000000000000) // (20 * nn.nn)"
-            f" + (17 * coalesce(s.m, CAST(0 AS BIGINT))) // 20 AS rank"
+            f" (15 * 1000000000000) // (100 * nn.nn)"
+            f" + (85 * coalesce(s.m, CAST(0 AS BIGINT))) // 100 AS rank"
             f" FROM nodes nd CROSS JOIN nn"
             f" LEFT JOIN (SELECT e.dst AS node,"
             f" CAST(sum(r.rank // e.odeg) AS BIGINT) AS m"

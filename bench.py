@@ -181,6 +181,7 @@ def main() -> None:
             "ann_mrr", "calibration", "classify_calibration", "ece",
             "keyword_flags", "rollup_incr", "ivfpq_residual",
             "ivfpq_recall", "ivfpq_prune", "image_dhash", "dhash_pairs",
+            "bm25_topk", "pagerank",
             ]
             if name in qs
         ]

@@ -1,6 +1,7 @@
-"""BM25 ranked retrieval (functions/text.py bm25_topk) and PageRank
-(operators/graph.py pagerank): exact-arithmetic checks against pure-
-Python replays of the same integer recurrences, plus contract guards.
+"""BM25 ranked retrieval (functions/text.py bm25_topk) and the
+deep-iteration/checkpointed use of operators/cluster.py pagerank:
+exact-arithmetic checks against pure-Python replays of the same
+integer recurrences, plus contract guards.
 """
 
 import pytest
@@ -68,54 +69,50 @@ def test_bm25_requires_terms(spark):
         bm25_topk(df, [(1, [])])
 
 
-def _py_pagerank(edges, iterations, scale=10**12, num=17, den=20):
+def _py_pagerank(edges, iters, scale=10**12, damping_pct=85):
+    """Replay of operators/cluster.py pagerank's integer update."""
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     n = len(nodes)
-    outdeg = {}
+    deg = {}
     for s, _ in edges:
-        outdeg[s] = outdeg.get(s, 0) + 1
-    teleport = ((den - num) * scale) // (den * n)
+        deg[s] = deg.get(s, 0) + 1
+    base = (100 - damping_pct) * scale // (100 * n)
     rank = {u: scale // n for u in nodes}
-    for _ in range(iterations):
+    for _ in range(iters):
         sums = {}
         for s, d in edges:
-            sums[d] = sums.get(d, 0) + rank[s] // outdeg[s]
-        rank = {u: teleport + (num * sums.get(u, 0)) // den for u in nodes}
+            sums[d] = sums.get(d, 0) + rank[s] // deg[s]
+        rank = {
+            u: base + (damping_pct * sums.get(u, 0)) // 100 for u in nodes
+        }
     return rank
 
 
-def test_pagerank_matches_python_replay(spark):
+def test_pagerank_deep_checkpointed_matches_replay(spark):
     # a hub (0), a cycle (1->2->3->1), a dangling sink (4), and a
     # duplicate (parallel) edge 1->2 to pin multi-edge semantics.
+    # checkpoint=True exercises the lineage-cut path q_pagerank uses
+    # at 6+ iterations.
     edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 2), (2, 3), (3, 1), (3, 4)]
-    from sutro_spark.operators.graph import pagerank
+    from sutro_spark.operators.cluster import pagerank
 
     e = spark.createDataFrame(edges, "src long, dst long")
     got = {
-        r.node: r.rank_scaled for r in pagerank(e, iterations=7).collect()
+        r.node: r["rank"]
+        for r in pagerank(e, iters=7, checkpoint=True).collect()
     }
     assert got == _py_pagerank(edges, 7)
 
 
-def test_pagerank_sink_gets_teleport_only_in_star(spark):
+def test_pagerank_leaf_holds_base_only_in_star(spark):
     # star: everyone points at 0; leaves have no in-edges, so after
-    # iteration 1 each leaf holds exactly the teleport term.
-    from sutro_spark.operators.graph import pagerank
+    # iteration 1 each leaf holds exactly the teleport/base term.
+    from sutro_spark.operators.cluster import pagerank
 
     edges = [(i, 0) for i in range(1, 6)]
     e = spark.createDataFrame(edges, "src long, dst long")
-    got = {r.node: r.rank_scaled for r in pagerank(e, iterations=4).collect()}
-    teleport = (3 * 10**12) // (20 * 6)
+    got = {r.node: r["rank"] for r in pagerank(e, iters=4).collect()}
+    base = (15 * 10**12) // (100 * 6)
     for leaf in range(1, 6):
-        assert got[leaf] == teleport
+        assert got[leaf] == base
     assert got[0] > got[1]
-
-
-def test_pagerank_validates_args(spark):
-    from sutro_spark.operators.graph import pagerank
-
-    e = spark.createDataFrame([(0, 1)], "src long, dst long")
-    with pytest.raises(ValueError):
-        pagerank(e, iterations=0)
-    with pytest.raises(ValueError):
-        pagerank(e, damping_num=21)
