@@ -660,14 +660,21 @@ def bm25_topk(
     literal-array higher-order filter (same small-list idiom as
     :func:`keyword_hits`), so the only shuffle is a map-side-combinable
     groupBy over *matched postings* — corpus tokens that match no query
-    term never leave the scan. Corpus stats (N, T) are a 1-row
+    term never leave the scan. The per-doc (dl, matched-hits) frame is
+    materialized ONCE with an eager localCheckpoint: three consumers
+    need it (corpus stats, the tf index, and term df), and without the
+    checkpoint Spark plans three separate scans that each re-tokenize
+    the corpus (measured at sf0.1: 1.26 s -> 0.92 s; at 100 TB, one
+    tokenize pass + a checkpoint of (id, long, tiny-array) rows vs
+    three full tokenize passes). Corpus stats (N, T) are a 1-row
     broadcast; df comes from the matched-postings aggregate (exact: a
     doc either holds a query term or contributes nothing to that
     term's df); the per-query top-k is a rank window over candidates
-    only, bounded by a deterministic (score desc, doc_id asc)
-    tie-break. For query-term sets larger than ~128 terms, route
-    through a broadcast terms-dim join instead (see keyword_hits's
-    large-list path) — the semantics here are unchanged.
+    only (WindowGroupLimit prunes to k per partition before the
+    query_id exchange), bounded by a deterministic (score desc,
+    doc_id asc) tie-break. For query-term sets larger than ~128 terms,
+    route through a broadcast terms-dim join instead (see
+    keyword_hits's large-list path) — the semantics are unchanged.
     """
     if not queries or any(not ts for _, ts in queries):
         raise ValueError("bm25_topk requires >=1 query, each with >=1 term")
@@ -684,7 +691,7 @@ def bm25_topk(
         "__id",
         F.size("toks").cast("long").alias("dl"),
         F.filter("toks", lambda t: F.array_contains(lit_terms, t)).alias("hits"),
-    )
+    ).localCheckpoint(eager=True)
     stats = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_tokens"),

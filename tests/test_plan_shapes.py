@@ -205,3 +205,14 @@ def test_ivfpq_pruned_adc_runs_only_on_survivors(spark):
     assert not any("Join" in l for l in lines[win:agg]), "\n".join(
         lines[win:agg]
     )
+
+
+def test_bm25_single_corpus_scan_and_topk_pushdown(spark):
+    # bm25_topk materializes the per-doc (dl, hits) frame once
+    # (localCheckpoint): the executed plan downstream must contain NO
+    # parquet scans (three legs would otherwise each re-tokenize the
+    # corpus) and must push the per-query top-k below the exchange
+    # (WindowGroupLimit) instead of ranking the full candidate set.
+    plan = _plan(spark, "bm25_topk")
+    assert "Scan parquet" not in plan
+    assert "WindowGroupLimit" in plan
