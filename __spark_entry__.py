@@ -2998,10 +2998,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Round-7 driver window: the driver correctness gate checks the FIRST
 #: 50 entries of queries() in dict order; this list IS the rotation
 #: (queries() reorders the full literal dict by it — future rounds edit
-#: this list, not the dict). Composition per the round-6 verdict:
-#: 5 never-driver-checked r7 additions, the 5 r6 late registrations the
+#: this list, not the dict). Composition per the round-6 verdict —
+#: the invariant is that the list totals EXACTLY 50:
+#: 8 never-driver-checked r7 additions, the 5 r6 late registrations the
 #: verdict named, all 25 entries whose last driver green was r3, and
-#: the 15 oldest r4-cohort entries — after r7 no entry's last driver
+#: the 12 oldest r4-cohort entries — after r7 no entry's last driver
 #: check is older than r4. Everything is equally oracle-checked by
 #: tools/selfcheck.py --strict (ALL GREEN gate, completeness-enforced).
 _R7_WINDOW = [

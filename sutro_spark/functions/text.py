@@ -623,6 +623,7 @@ def bm25_topk(
     id_column: str = "doc_id",
     k: int = 10,
     scale: int = 1_000_000,
+    scan_max_terms: int = 128,
 ) -> DataFrame:
     """BM25 ranked retrieval over an in-scan inverted index: for each
     (query_id, [terms]) return the top-k documents by an Okapi-BM25
@@ -656,25 +657,46 @@ def bm25_topk(
     docs; 1000*dl*N needs dl*N < 9e15. All comfortably beyond any
     real corpus; ``scale`` can be lowered if a larger N is ever needed.
 
-    Scale shape: query terms are filtered INSIDE the scan stage with a
-    literal-array higher-order filter (same small-list idiom as
-    :func:`keyword_hits`), so the only shuffle is a map-side-combinable
-    groupBy over *matched postings* — corpus tokens that match no query
-    term never leave the scan. The per-doc (dl, matched-hits) frame is
-    materialized ONCE with an eager localCheckpoint: three consumers
-    need it (corpus stats, the tf index, and term df), and without the
-    checkpoint Spark plans three separate scans that each re-tokenize
-    the corpus (measured at sf0.1: 1.26 s -> 0.92 s; at 100 TB, one
-    tokenize pass + a checkpoint of (id, long, tiny-array) rows vs
-    three full tokenize passes). Corpus stats (N, T) are a 1-row
-    broadcast; df comes from the matched-postings aggregate (exact: a
-    doc either holds a query term or contributes nothing to that
-    term's df); the per-query top-k is a rank window over candidates
-    only (WindowGroupLimit prunes to k per partition before the
-    query_id exchange), bounded by a deterministic (score desc,
-    doc_id asc) tie-break. For query-term sets larger than ~128 terms,
-    route through a broadcast terms-dim join instead (see
-    keyword_hits's large-list path) — the semantics are unchanged.
+    Tokenization is whitespace split (:func:`tokens` over the lowered
+    text) — NOT keyword_hits's ``[^a-z0-9]+`` split — so punctuation
+    stays attached ("spark," does not match the term "spark"). That is
+    deliberate: BM25's dl/avgdl length normalization counts the same
+    whitespace tokens as :func:`token_count`, and the DuckDB oracle
+    mirrors the whitespace split verbatim. Pre-strip punctuation (or
+    lower :func:`keyword_hits`'s split onto the text first) if
+    blocklist-style matching semantics are wanted.
+
+    Scale shape — two plans, same semantics, chosen by the size of the
+    union of query-term sets (path-equality pytest-asserted):
+
+    - <= ``scan_max_terms`` distinct terms: terms are filtered INSIDE
+      the scan stage with a literal-array higher-order filter (same
+      small-list idiom as :func:`keyword_hits`), so the only shuffle is
+      a map-side-combinable groupBy over *matched postings* — corpus
+      tokens that match no query term never leave the scan. The
+      per-doc (dl, matched-hits) frame is materialized ONCE with an
+      eager localCheckpoint: three consumers need it (corpus stats, the
+      tf index, and term df), and without the checkpoint Spark plans
+      three separate scans that each re-tokenize the corpus (measured
+      at sf0.1: 1.26 s -> 0.92 s; at 100 TB, one tokenize pass + a
+      checkpoint of (id, long, tiny-array) rows vs three full tokenize
+      passes).
+    - larger term sets: the literal-array filter's O(|terms|)-per-token
+      linear probe would dominate the scan, so tokens explode and
+      broadcast-equi-join a distinct-terms dim instead (O(1) hash probe
+      per token regardless of term-set size — keyword_hits's large-list
+      path). Corpus stats (N, T) come from a second, aggregate-only
+      tokenize pass: two scans total, traded for never checkpointing
+      full token arrays (the small path's checkpoint holds only tiny
+      matched-hit arrays; the large path would have to persist the
+      whole tokenized corpus to avoid the second scan).
+
+    Either way corpus stats (N, T) are a 1-row broadcast; df comes from
+    the matched-postings aggregate (exact: a doc either holds a query
+    term or contributes nothing to that term's df); the per-query top-k
+    is a rank window over candidates only (WindowGroupLimit prunes to k
+    per partition before the query_id exchange), bounded by a
+    deterministic (score desc, doc_id asc) tie-break.
     """
     if not queries or any(not ts for _, ts in queries):
         raise ValueError("bm25_topk requires >=1 query, each with >=1 term")
@@ -682,29 +704,49 @@ def bm25_topk(
 
     qmap = sorted({(int(qid), t.lower()) for qid, ts in queries for t in ts})
     all_terms = sorted({t for _, t in qmap})
-    lit_terms = F.array(*[F.lit(t) for t in all_terms])
+    spark = df.sparkSession
 
-    base = df.select(
-        F.col(id_column).alias("__id"),
-        tokens(F.lower(F.col(text_column))).alias("toks"),
-    ).select(
-        "__id",
-        F.size("toks").cast("long").alias("dl"),
-        F.filter("toks", lambda t: F.array_contains(lit_terms, t)).alias("hits"),
-    ).localCheckpoint(eager=True)
-    stats = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_tokens"),
-    )
-    tf = (
-        base.select("__id", "dl", F.explode("hits").alias("term"))
-        .groupBy("__id", "dl", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
+    toks_col = tokens(F.lower(F.col(text_column)))
+    if len(all_terms) <= scan_max_terms:
+        lit_terms = F.array(*[F.lit(t) for t in all_terms])
+        base = df.select(
+            F.col(id_column).alias("__id"),
+            toks_col.alias("toks"),
+        ).select(
+            "__id",
+            F.size("toks").cast("long").alias("dl"),
+            F.filter("toks", lambda t: F.array_contains(lit_terms, t)).alias(
+                "hits"
+            ),
+        ).localCheckpoint(eager=True)
+        stats = base.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_tokens"),
+        )
+        tf = (
+            base.select("__id", "dl", F.explode("hits").alias("term"))
+            .groupBy("__id", "dl", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+    else:
+        tdim = spark.createDataFrame([(t,) for t in all_terms], "term string")
+        tokenized = df.select(
+            F.col(id_column).alias("__id"),
+            toks_col.alias("toks"),
+        ).select("__id", F.size("toks").cast("long").alias("dl"), "toks")
+        stats = tokenized.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_tokens"),
+        )
+        tf = (
+            tokenized.select("__id", "dl", F.explode("toks").alias("term"))
+            .join(F.broadcast(tdim), "term")
+            .groupBy("__id", "dl", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("term_df")
     )
-    spark = df.sparkSession
     qdim = spark.createDataFrame(qmap, "query_id long, term string")
     scored = (
         tf.join(F.broadcast(dfreq), "term")

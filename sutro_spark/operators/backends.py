@@ -330,8 +330,11 @@ class HttpBackend:
     its own submit→poll→fetch job honoring the full retry contract
     (submit never retried, polls 524-retried, results under the linear
     fetch retry), carries a deterministic idempotency name
-    ``{name}#part-{i}/{n}`` so a deduplicating server can drop
-    double-submissions, and outputs reassemble in input order
+    ``batch-{digest}#part-{i}/{n}`` — the digest is a sha256 over this
+    call's input texts, so a deduplicating server can drop
+    double-submissions of the SAME sub-batch without ever colliding
+    with a different batch's parts — and outputs reassemble in input
+    order
     (``ThreadPoolExecutor.map`` preserves order regardless of
     completion order). The injected transport must be thread-safe —
     ``RequestsTransport`` is; a failure in ANY sub-batch fails the
@@ -361,6 +364,10 @@ class HttpBackend:
         self.max_polls = max_polls
         if max_concurrency < 1:
             raise ValueError(f"max_concurrency must be >= 1, got {max_concurrency}")
+        if sub_batch_size is not None and sub_batch_size < 1:
+            raise ValueError(
+                f"sub_batch_size must be >= 1 or None, got {sub_batch_size}"
+            )
         self.max_concurrency = max_concurrency
         self.sub_batch_size = sub_batch_size
         self.name = "http"
@@ -493,6 +500,7 @@ class HttpBackend:
             random_seed_per_input=random_seed_per_input,
         )
         if (self.max_concurrency > 1 or self.sub_batch_size) and len(inputs) > 1:
+            import hashlib
             import math
             from concurrent.futures import ThreadPoolExecutor
 
@@ -500,12 +508,18 @@ class HttpBackend:
                 len(inputs) / self.max_concurrency
             )
             parts = [inputs[i : i + size] for i in range(0, len(inputs), size)]
+            # per-call content digest: identical names mark retries of the
+            # SAME sub-batch only — distinct batches (other Arrow batches,
+            # other executors) never share a name
+            digest = hashlib.sha256(
+                "\x1f".join(str(x) for x in inputs).encode()
+            ).hexdigest()[:16]
             with ThreadPoolExecutor(self.max_concurrency) as pool:
                 done = list(
                     pool.map(
                         lambda ip: self._run_job(
                             ip[1],
-                            name=f"batch#part-{ip[0]}/{len(parts)}",
+                            name=f"batch-{digest}#part-{ip[0]}/{len(parts)}",
                             **kwargs,
                         ),
                         enumerate(parts),

@@ -260,9 +260,24 @@ def test_concurrent_sub_batches_overlap_and_preserve_order():
     assert list(r["outputs"]) == [f"OUT:p{i:02d}" for i in range(8)]
     assert list(r["outputs"]) == list(r0["outputs"])
     assert list(r["cumulative_logprobs"]) == list(r0["cumulative_logprobs"])
-    # one submit per sub-batch with a deterministic idempotency name
+    # one submit per sub-batch with a deterministic idempotency name:
+    # same call (same inputs) -> identical names both runs, and the
+    # digest base distinguishes this batch from any other batch's parts
     assert t.submits == 4
-    assert t.names == [f"batch#part-{i}/4" for i in range(4)]
+    import re
+
+    assert all(
+        re.fullmatch(rf"batch-[0-9a-f]{{16}}#part-{i}/4", n)
+        for i, n in enumerate(t.names)
+    ), t.names
+    assert t.names == t0.names  # deterministic: retry of same inputs dedups
+    t_other = ConcurrentFakeTransport()
+    b_other = HttpBackend(
+        "https://api.example.test", "k", transport=t_other,
+        sleep=lambda s: None, max_concurrency=4, sub_batch_size=2,
+    )
+    b_other.generate(pd.Series([f"z{i:02d}" for i in range(8)]), model="m")
+    assert set(t_other.names).isdisjoint(t.names)  # distinct batches never collide
 
 
 def test_concurrent_order_preserved_under_injected_524s():
@@ -283,3 +298,10 @@ def test_concurrent_order_preserved_under_injected_524s():
 def test_concurrency_validation():
     with pytest.raises(ValueError):
         HttpBackend("https://x", transport=FakeTransport({}), max_concurrency=0)
+    # sub_batch_size=0 must not silently disable sub-batching, and
+    # negatives must not surface as a confusing pandas length error
+    for bad in (0, -2):
+        with pytest.raises(ValueError):
+            HttpBackend(
+                "https://x", transport=FakeTransport({}), sub_batch_size=bad
+            )

@@ -59,6 +59,39 @@ def test_bm25_matches_python_replay(spark):
     assert got == _py_bm25(docs, queries, k=3)
 
 
+def test_bm25_large_term_set_path_equals_scan_path(spark):
+    """scan_max_terms routes >threshold term sets through the broadcast
+    terms-dim join; same inputs must produce the identical ranking —
+    including when the query set carries terms absent from the corpus
+    (they contribute nothing to either path)."""
+    from sutro_spark.functions.text import bm25_topk
+
+    docs = [
+        (1, "spark join spark window"),
+        (2, "join join join hash"),
+        (3, "window scan filter"),
+        (4, "spark"),
+        (5, "hash hash window spark join agg scan"),
+    ]
+    queries = [
+        (1, ["spark", "join", "absentterm"]),
+        (2, ["window", "scan"]),
+        (3, ["hash"]),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def run(threshold):
+        return [
+            (r.query_id, r.doc_id, r.score_scaled, r.rank)
+            for r in bm25_topk(df, queries, k=4, scan_max_terms=threshold).collect()
+        ]
+
+    small = run(128)   # literal-array in-scan filter
+    large = run(1)     # broadcast terms-dim join
+    assert small == large
+    assert small == _py_bm25(docs, queries, k=4)
+
+
 def test_bm25_requires_terms(spark):
     from sutro_spark.functions.text import bm25_topk
 
