@@ -565,44 +565,6 @@ def q_rank_elo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_rank_elo_large(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A1 at registry scale: 8 ballots per order (sf0.1 -> ~120k
-    # 5-label ballots over 20 models, deterministically synthesized
-    # from sha arithmetic so DuckDB rebuilds the identical ballot
-    # table), then the DISTRIBUTED pairwise-count aggregation —
-    # explode + ballot self-join + groupBy — whose shuffles are the
-    # part of the Elo pipeline that must survive 1000x ballots. The
-    # driver-side BT fit stays on the |labels|^2 counts (rank_elo).
-    from sutro_spark.operators.elo import pairwise_counts
-
-    base = _t(spark, sf_dir, "orders").select(
-        (F.col("o_orderkey") * 8).alias("k0")
-    ).crossJoin(spark.range(8).select(F.col("id").alias("c")))
-    key = (F.col("k0") + F.col("c")).cast("string")
-    h = (
-        F.conv(F.substring(F.sha2(F.concat(F.lit("elo:"), key), 256), 1, 8), 16, 10)
-        .cast("long") % 20
-    )
-    s4 = (
-        F.conv(
-            F.substring(F.sha2(F.concat(F.lit("elostep:"), key), 256), 1, 8), 16, 10
-        )
-        .cast("long") % 4
-    )
-    step = F.element_at(F.array(F.lit(1), F.lit(3), F.lit(7), F.lit(9)), (s4 + 1).cast("int"))
-    ballots = base.select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(4)),
-            lambda i: F.concat(
-                F.lit("m"), F.lpad(((h + i * step) % 20).cast("string"), 2, "0")
-            ),
-        ).alias("ranking")
-    )
-    return pairwise_counts(ballots, "ranking").select(
-        "winner", "loser", "wins", "ties"
-    )
-
-
 def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact dedup over whitespace/case-normalized text.
     from sutro_spark.operators.dedup import exact_dedup
@@ -2995,39 +2957,34 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Round-7 driver window: the driver correctness gate checks the FIRST
+#: Round-8 driver window: the driver correctness gate checks the FIRST
 #: 50 entries of queries() in dict order; this list IS the rotation
 #: (queries() reorders the full literal dict by it — future rounds edit
-#: this list, not the dict). Composition per the round-6 verdict —
+#: this list, not the dict). Composition per the round-7 verdict —
 #: the invariant is that the list totals EXACTLY 50:
-#: 8 never-driver-checked r7 additions, the 5 r6 late registrations the
-#: verdict named, all 25 entries whose last driver green was r3, and
-#: the 12 oldest r4-cohort entries — after r7 no entry's last driver
-#: check is older than r4. Everything is equally oracle-checked by
-#: tools/selfcheck.py --strict (ALL GREEN gate, completeness-enforced).
-_R7_WINDOW = [
-    # new in r7, never driver-checked
-    "ivfpq_residual", "ivfpq_recall", "ivfpq_prune",
-    "classify_calibration", "image_dhash", "dhash_pairs",
-    "bm25_topk", "pagerank",
-    # r6 late registrations (verdict-named leads)
-    "ann_mrr", "calibration", "ece", "keyword_flags", "rollup_incr",
-    # the full r3-stale cohort (25)
-    "tpch_q3", "tpch_q6", "top_orders", "tpch_q5ish", "multimodal_decode",
-    "events_window", "events_sessionize", "events_props_stats",
-    "asof_purchase", "range_join_events", "exact_dedup", "ngram_jaccard",
-    "minhash_lsh", "simhash_pairs", "dup_clusters", "embedding_dedup",
-    "ivf_dedup", "similarity_topk", "semdedup", "dedup_keep_best",
-    "text_profile", "chunk_docs", "redact_pii", "gopher_quality",
-    "decontaminate",
-    # oldest r4 cohort (15)
-    "gap_fill", "simhash", "term_topk", "source_mix", "reassemble_chunks",
-    "label_centroids", "bucketed_dedup", "dedup_normalized", "rh_lsh_dedup",
-    "incremental_dedup", "frame_sample", "audio_features",
-    # (list_source_infer and decontaminate_clean rotate out to make
-    # room for the two newest r7 queries — both stay r4-driver-green
-    # and strict-selfcheck-checked, preserving the "no entry older
-    # than r4" invariant.)
+#: the FULL 38-entry cohort whose last driver green is r4 (the current
+#: floor, computed from CORRECTNESS_r01–r07), topped up with the 12
+#: oldest r5-cohort entries (dict order) — after r8 no entry's last
+#: driver check is older than r5. Everything is equally oracle-checked
+#: by tools/selfcheck.py --strict (ALL GREEN gate,
+#: completeness-enforced).
+_R8_WINDOW = [
+    # the full r4-stale cohort (38)
+    "list_source_infer", "decontaminate_clean", "quality_scorer",
+    "pack_chunks", "quality_percentile", "tpch_q2ish", "tpch_q9ish",
+    "tpch_q17ish", "tpch_q21ish", "events_rolling", "length_histogram",
+    "tfidf_topk", "word_bigrams", "domain_split", "pagerank_suppliers",
+    "repetition_profile", "eval_report", "eval_confusion", "eval_kappa",
+    "shard_manifest", "strip_boilerplate", "url_profile", "retention",
+    "bloom_semi_revenue", "fuzzy_join_names", "winsorize_prices",
+    "zscore_outliers", "cube_counts", "kmv_distinct",
+    "weighted_sample_group", "jsonl_scan", "shuffled_shards",
+    "asof_forward", "event_transitions", "temperature_mix",
+    "snapshot_diff", "dedup_lines", "fuzzy_decontaminate",
+    # the 12 oldest r5-cohort entries (dict order)
+    "tpch_q18ish", "tpch_q22ish", "price_quantiles", "tpch_q10ish",
+    "tpch_q7ish", "tpch_q8ish", "tpch_q11ish", "tpch_q13ish",
+    "tpch_q15ish", "tpch_q16ish", "tpch_q19ish", "tpch_q20ish",
 ]
 
 
@@ -3039,7 +2996,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dedup": q_winnow_dedup,
         "quality_train": q_quality_train,
         "quality_train_eval": q_quality_train_eval,
-        "rank_elo_large": q_rank_elo_large,
         "pq_codes": q_pq_codes,
         "pq_topk": q_pq_topk,
         "pq_recall": q_pq_recall,
@@ -3225,10 +3181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
     }
-    missing = [q for q in _R7_WINDOW if q not in all_qs]
+    missing = [q for q in _R8_WINDOW if q not in all_qs]
     if missing:  # a typo in the rotation list must fail loudly, not 404
-        raise KeyError(f"_R7_WINDOW names not in registry: {missing}")
-    head = {k: all_qs[k] for k in _R7_WINDOW}
+        raise KeyError(f"_R8_WINDOW names not in registry: {missing}")
+    head = {k: all_qs[k] for k in _R8_WINDOW}
     head.update(all_qs)  # dict keeps first-insertion order: window leads
     return head
 
@@ -4576,33 +4532,6 @@ def oracle_sql() -> dict[str, str]:
         # rank_elo: the elo float itself is an iterative numpy fit
         # (pytest-verified analytically); the oracle reproduces the
         # relational columns of the ratings table. laplace=0.5 adds
-        "rank_elo_large": """
-            WITH b AS (
-                SELECT o_orderkey * 8 + c AS key
-                FROM orders, (SELECT unnest(range(0, 8)) AS c)),
-            h AS (
-                SELECT key,
-                       CAST(concat('0x', substr(sha256(concat('elo:',
-                            CAST(key AS VARCHAR))), 1, 8)) AS UBIGINT)
-                           % 20 AS h,
-                       CAST(concat('0x', substr(sha256(concat('elostep:',
-                            CAST(key AS VARCHAR))), 1, 8)) AS UBIGINT)
-                           % 4 AS s4
-                FROM b),
-            r AS (SELECT key, CAST(h AS BIGINT) AS h,
-                         ([1, 3, 7, 9])[CAST(s4 AS INT) + 1] AS step
-                  FROM h),
-            lab AS (
-                SELECT key, i,
-                       'm' || lpad(CAST((h + i * step) % 20 AS VARCHAR), 2, '0')
-                           AS label
-                FROM r, (SELECT unnest(range(0, 5)) AS i))
-            SELECT a.label AS winner, b.label AS loser,
-                   CAST(count(*) AS BIGINT) AS wins,
-                   CAST(0 AS BIGINT) AS ties
-            FROM lab a JOIN lab b ON a.key = b.key AND a.i < b.i
-            GROUP BY a.label, b.label
-        """,
         # 0.5 per directed edge between distinct labels, so
         # wins = raw_wins + 0.5*(n_labels-1) — exact doubles.
         "rank_elo": f"""

@@ -115,27 +115,54 @@ def main() -> None:
         spark.catalog.clearCache()
         return time.time() - t0
 
-    def timed_set(names: list[str], passes: int = 2) -> dict[str, float]:
+    def timed_set(
+        names: list[str], passes: int = 2
+    ) -> tuple[dict[str, float], list[dict[str, float]], list[float | None]]:
         """min over ``passes`` INTERLEAVED passes: the host VM sees
         multi-minute CPU-steal bursts (round 4 measured ~17% steal in
         /proc/stat with 5x spread between repeat runs of the same
         query) that would cover both runs of a back-to-back min-of-2;
         running the whole set repeatedly spaces each query's runs
         minutes apart so at least one usually lands outside the burst.
-        The min is the honest engine cost."""
+        The min is the honest engine cost.
+
+        Also returns every pass's raw per-query timings plus each
+        pass's measured steal%: a uniform cross-round shift (like r7's
+        +19%) is then adjudicable from the artifact alone — uniform
+        spread across passes + elevated steal = host noise; a
+        consistent per-query delta across LOW-steal passes = a real
+        regression."""
         best: dict[str, float] = {}
+        per_pass: list[dict[str, float]] = []
+        pass_steal: list[float | None] = []
         for _ in range(passes):
+            j0 = _cpu_jiffies()
+            cur: dict[str, float] = {}
             for name in names:
                 if name in errors:
                     continue
                 t = run_once(name)
                 if t is not None:
+                    cur[name] = round(t, 3)
                     best[name] = min(best.get(name, float("inf")), t)
-        return {k: round(v, 3) for k, v in best.items() if k not in errors}
+            j1 = _cpu_jiffies()
+            per_pass.append(cur)
+            pass_steal.append(
+                round(100.0 * (j1[0] - j0[0]) / (j1[1] - j0[1]), 2)
+                if j0 and j1 and j1[1] > j0[1]
+                else None
+            )
+        return (
+            {k: round(v, 3) for k, v in best.items() if k not in errors},
+            per_pass,
+            pass_steal,
+        )
 
     # the headline total is the cross-round comparison number — worth a
     # third pass for steal robustness (~25 s extra)
-    timings = timed_set([n for n in HEADLINE if n in qs], passes=3)
+    timings, headline_passes, headline_steal = timed_set(
+        [n for n in HEADLINE if n in qs], passes=3
+    )
     # a red headline query invalidates the total — a partial sum would
     # make the run look FASTER than a complete one; null it instead so
     # consumers comparing `value` across rounds can't be misled
@@ -144,7 +171,12 @@ def main() -> None:
 
     # Round-2+ additions, timed separately so `value` stays comparable
     # with BENCH_r01's 20-query headline total.
-    extra = timed_set(
+    # Retired r8 (COVERAGE.md decision log): rank_elo_large (21.5 s/run
+    # scale probe; evidence recorded in SCALING.md, operators proven by
+    # pairwise_counts + rank_elo) and dedup_agreement (9.8 s/run
+    # agreement probe; the three dedup families stay individually
+    # benched via ngram_jaccard / minhash_lsh / simhash).
+    extra, extra_passes, extra_steal = timed_set(
         [
             name
             for name in [
@@ -175,9 +207,9 @@ def main() -> None:
             "dsir_select", "charlm_quality", "dedup_paragraphs", "sq_topk",
             "dup_passages", "strip_passages", "hll_distinct",
             "hll_merge", "sentence_stats", "nfc_check", "winnow_dedup",
-            "quality_train", "quality_train_eval", "rank_elo_large",
+            "quality_train", "quality_train_eval",
             "pq_codes", "pq_topk", "pq_recall", "ivfpq_topk", "zorder_key", "bloom_decontaminate",
-            "bpe_merges", "bpe_vocab", "cms_heavy_hitters", "source_overlap", "jaccard_histogram", "lsh_recall", "sq_recall", "leakage_safe_split", "validate_orders", "bigram_lift", "ivf_recall", "length_gini", "price_histogram_quantiles", "skew_report", "dedup_agreement", "sql_interface", "time_split", "curation_pipeline_v2", "lang_confidence", "ols_tokens_vs_chars", "table_profile", "corr_tokens_chars", "mixture_drift",
+            "bpe_merges", "bpe_vocab", "cms_heavy_hitters", "source_overlap", "jaccard_histogram", "lsh_recall", "sq_recall", "leakage_safe_split", "validate_orders", "bigram_lift", "ivf_recall", "length_gini", "price_histogram_quantiles", "skew_report", "sql_interface", "time_split", "curation_pipeline_v2", "lang_confidence", "ols_tokens_vs_chars", "table_profile", "corr_tokens_chars", "mixture_drift",
             "ann_mrr", "calibration", "classify_calibration", "ece",
             "keyword_flags", "rollup_incr", "ivfpq_residual",
             "ivfpq_recall", "ivfpq_prune", "image_dhash", "dhash_pairs",
@@ -186,6 +218,81 @@ def main() -> None:
             if name in qs
         ]
     )
+
+    # ANN evidence probes (bench extras, not [Q]s — VERDICT r7 #7/#9):
+    # (a) production-shaped IVFADC recall: the oracle-sized [Q] runs
+    #     n_codes=16 (recall 0.16, honest but unconvincing); this probe
+    #     reports recall@10 at n_codes=256 + 4 coarse rounds on the
+    #     real sf embeddings table — the number a capability claim can
+    #     carry.
+    # (b) pruning saving on CLUSTERED data: the uniform synthetic table
+    #     never lets the per-bucket lower bound beat tau, so the [Q]
+    #     proves only the arithmetic; this probe measures the actual
+    #     ADC-candidate reduction (cand_pruned < cand_full) at equal
+    #     top-k output on separable vectors (test_pq.py fixture shape).
+    ann_probes: dict = {}
+    try:
+        from sutro_spark.operators.metrics import candidate_recall
+        from sutro_spark.operators.pq import exact_l2_topk, ivfpq_residual_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        nq = 50
+        queries = emb.where(F.col("vec_id") < nq)
+        t0 = time.time()
+        exact = exact_l2_topk(emb, queries, k=10)
+        approx = ivfpq_residual_topk(
+            emb, queries, k=10, n_codes=256, coarse_iters=4
+        )
+        row = candidate_recall(
+            exact, approx, keys=("query_id", "neighbor_id")
+        ).first()
+        ann_probes["ivfpq_recall_prod"] = {
+            "recall_at_10": round(row["recall"], 4) if row["recall"] is not None else None,
+            "n_codes": 256, "coarse_iters": 4, "nprobe": 2,
+            "n_queries": nq, "sec": round(time.time() - t0, 3),
+        }
+    except Exception as exc:  # noqa: BLE001
+        errors["ivfpq_recall_prod"] = f"{type(exc).__name__}: {exc}"[:400]
+    try:
+        from sutro_spark.operators.pq import (
+            ivfpq_prune_stats,
+            ivfpq_pruned_topk,
+            ivfpq_residual_topk,
+        )
+
+        n, dim, g = 4096, 64, 8
+        rows = []
+        for i in range(n):
+            c = i % g
+            rows.append(
+                (i, [0.9 if (d % g) == c else 0.05 * ((i * 7 + d) % 3)
+                     for d in range(dim)])
+            )
+        clustered = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        cqueries = clustered.where(F.col("vec_id") < 8)
+        t0 = time.time()
+        st = ivfpq_prune_stats(clustered, cqueries, k=3).first()
+        full_res = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in ivfpq_residual_topk(clustered, cqueries, k=3).collect()
+        )
+        pruned_res = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in ivfpq_pruned_topk(clustered, cqueries, k=3).collect()
+        )
+        ann_probes["ivfpq_prune_clustered"] = {
+            "cand_full": st["cand_full"],
+            "cand_pruned": st["cand_pruned"],
+            "reduction_pct": round(
+                100.0 * (1 - st["cand_pruned"] / st["cand_full"]), 1
+            ) if st["cand_full"] else None,
+            "equal_topk": full_res == pruned_res,
+            "n_vectors": n, "sec": round(time.time() - t0, 3),
+        }
+    except Exception as exc:  # noqa: BLE001
+        errors["ivfpq_prune_clustered"] = f"{type(exc).__name__}: {exc}"[:400]
 
     # BASELINE.md-promised metric: prefix-sample cost-estimate accuracy.
     # Ratio of the C6 sampled-prefix input-token estimate to the exact
@@ -230,7 +337,17 @@ def main() -> None:
                 "runs_per_query": 2,
                 "runs_per_query_detail": {"headline": 3, "extra": 2},
                 "agg": "min_interleaved",
+                # per-pass raw data FIRST (most expendable under the
+                # driver's tail truncation): full per-query timings of
+                # every pass + per-pass steal%, so a cross-round shift
+                # is adjudicable (uniform spread + high steal = host
+                # noise; consistent delta at low steal = regression).
+                "extra_passes": extra_passes,
+                "extra_pass_steal_pct": extra_steal,
                 "extra_queries": extra,
+                "headline_passes": headline_passes,
+                "headline_pass_steal_pct": headline_steal,
+                "ann_probes": ann_probes,
                 "queries": timings,
                 # adjudication fields AFTER the big dicts: the driver
                 # archives only the TAIL of stdout, and r5's truncation

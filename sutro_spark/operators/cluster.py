@@ -113,6 +113,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 10**12,
     checkpoint: bool = False,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Integer-arithmetic PageRank — the iterative-propagation graph
     primitive next to connected_components (e.g. rank documents by
@@ -120,15 +121,28 @@ def pagerank(
     connectivity).
 
     ``edges`` is directed (src, dst); pass both directions for an
-    undirected graph. All probability mass is integer (``scale`` units
+    undirected graph. All mass bookkeeping is integer (``scale`` units
     split across nodes; contributions use floor division on
     non-negative values, identical in every engine) so ranks are
     engine-exact and order-independent — a float PageRank's sums would
     be shuffle-order-dependent and unreproducible.
 
+    Dangling-node mass: by default, nodes with no out-edges contribute
+    NOTHING to the next round — their damped mass drains, so the total
+    is NOT conserved across iterations (the standard simplification;
+    relative ranking is what matters, and floor division already sheds
+    remainder units anyway). Pass ``redistribute_dangling=True`` for
+    the textbook treatment: each round, the summed mass held by
+    dangling nodes is split uniformly across all nodes (an integer
+    ``div n_nodes`` share added to every node's incoming sum before
+    damping — only the sub-``n_nodes``-unit division remainder still
+    drains). That variant costs one scalar aggregate per iteration (a
+    bounded 1-row collect, same class as the node count).
+
     Per iteration: one join (contrib = p div out-degree onto edges) +
     one groupBy(dst) sum — both map-side-combinable, shuffle keyed on
-    node id. No collect (only the node count, a scalar). With
+    node id. No collect (only the node count, a scalar — plus the
+    per-round dangling sum when redistributing). With
     ``checkpoint=True`` lineage is truncated per round
     (localCheckpoint) so deep iteration counts don't grow the plan —
     the same discipline connected_components uses.
@@ -145,6 +159,14 @@ def pagerank(
     base = (100 - damping_pct) * scale // (100 * n_nodes)
     p = nodes.withColumn("p", F.lit(scale // n_nodes))
     for _ in range(iters):
+        share = 0
+        if redistribute_dangling:
+            dangling = (
+                p.join(deg, p.node == deg.src, "left_anti")
+                .agg(F.sum("p").alias("d"))
+                .first()["d"]
+            )
+            share = int(dangling or 0) // n_nodes
         contrib = (
             p.join(deg, p.node == deg.src, "inner")
             .select(F.col("src"), F.expr("p div deg").alias("c"))
@@ -158,7 +180,9 @@ def pagerank(
                 "node",
                 (
                     F.lit(base)
-                    + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(s, 0) + {share})) div 100"
+                    )
                 ).alias("p"),
             )
         )

@@ -57,14 +57,34 @@ def streaming_dedup(
     return keyed.dropDuplicates(["__digest"])
 
 
-def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
+def _schema_columns(schema: str) -> list[str]:
+    return [part.strip().split()[0] for part in schema.split(",")]
+
+
+def _read_or_empty(
+    spark, path: str, schema: str, *, before_batch: int | None = None
+) -> DataFrame:
+    """Read a flat or ``__batch_id=N/``-partitioned parquet dir, or an
+    empty frame if nothing is there yet. ``schema`` lists the DATA
+    columns only; a discovered ``__batch_id`` partition column is used
+    for the ``before_batch`` pruning filter (replay isolation: a
+    re-delivered micro-batch must not see its own earlier partial
+    append) and then dropped, so callers see the same shape under
+    either layout."""
     import os
 
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
-        return spark.read.schema(schema).parquet(path)
-    return spark.createDataFrame([], schema)
+    found = False
+    if os.path.isdir(path):
+        for _root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                found = True
+                break
+    if not found:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(path)
+    if before_batch is not None and "__batch_id" in df.columns:
+        df = df.where(F.col("__batch_id") < F.lit(int(before_batch)))
+    return df.select(*_schema_columns(schema))
 
 
 def probe_pairs(
@@ -82,10 +102,28 @@ def probe_pairs(
     core of :func:`streaming_jaccard_pairs` and the composed
     streaming/curation.py pipeline — the ``max_df`` cap is re-evaluated
     against the CURRENT total df (index + this batch), matching the
-    batch operator's semantics on the corpus-so-far."""
+    batch operator's semantics on the corpus-so-far.
+
+    The df rollup merges the persisted per-batch increments with this
+    batch's via aggregate-then-FULL-OUTER-join rather than
+    union-then-groupBy: a union would erase the dfs table's bucketed
+    distribution and re-Exchange the accumulated index on ``shingle``
+    every micro-batch, while the join (and the dfs-side pre-aggregate,
+    both keyed on the bucket column) reads the bucketed layout
+    co-located — only the small batch side shuffles (plan-shape
+    pytest). Same result either way: per-shingle sum over index + batch
+    with full key coverage."""
     df_new = sh_n.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     df_total = (
-        dfs.unionByName(df_new).groupBy("shingle").agg(F.sum("df").alias("df"))
+        dfs.groupBy("shingle")
+        .agg(F.sum("df").alias("df_idx"))
+        .join(df_new.withColumnRenamed("df", "df_batch"), "shingle", "full_outer")
+        .select(
+            "shingle",
+            (
+                F.coalesce("df_idx", F.lit(0)) + F.coalesce("df_batch", F.lit(0))
+            ).alias("df"),
+        )
     )
     valid = (
         df_total.where(F.col("df") <= max_df).select("shingle")
@@ -127,22 +165,117 @@ def probe_pairs(
     return pairs, df_new
 
 
-def _read_table_or_empty(spark, table: str, schema: str) -> DataFrame:
+def _read_table_or_empty(
+    spark, table: str, schema: str, *, before_batch: int | None = None
+) -> DataFrame:
+    """Managed-table twin of :func:`_read_or_empty`: same
+    ``before_batch`` replay-isolation pruning (free — ``__batch_id`` is
+    the table's partition column), same data-columns-only shape."""
     if spark.catalog.tableExists(table):
-        return spark.table(table)
+        df = spark.table(table)
+        if before_batch is not None and "__batch_id" in df.columns:
+            df = df.where(F.col("__batch_id") < F.lit(int(before_batch)))
+        return df.select(*_schema_columns(schema))
     return spark.createDataFrame([], schema)
 
 
-def _append_bucketed(df: DataFrame, table: str, buckets: int, key: str) -> None:
+def _append_bucketed(
+    df: DataFrame, table: str, buckets: int, key: str,
+    *, batch_id: int | None = None,
+) -> None:
     """Append to a managed parquet table bucketed (and sorted) by
     ``key`` — created on first use; later appends must (and do) carry
-    the identical bucket spec, which Spark enforces."""
-    (
-        df.write.mode("append")
-        .bucketBy(buckets, key)
-        .sortBy(key)
-        .format("parquet")
-        .saveAsTable(table)
+    the identical bucket spec, which Spark enforces.
+
+    With ``batch_id`` the table is ALSO partitioned by ``__batch_id``
+    and the write is a dynamic-mode partition OVERWRITE of that batch's
+    partition: replaying a micro-batch replaces its own earlier
+    (possibly partial) rows instead of double-appending. Bucketing is
+    table-level, so scans still coalesce same-numbered bucket files
+    across every batch partition — the co-located, no-Exchange probe
+    property survives the partitioning (plan-shape pytest).
+    ``insertInto`` matches positionally: ``df``'s column order must
+    equal the table's data-column order (it does for every caller —
+    they all build the frame the same way every batch)."""
+    if batch_id is None:
+        (
+            df.write.mode("append")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+        return
+    spark = df.sparkSession
+    dfb = df.withColumn("__batch_id", F.lit(int(batch_id)))
+    if not spark.catalog.tableExists(table):
+        (
+            dfb.write.partitionBy("__batch_id")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(table)
+        )
+        return
+    _with_dynamic_overwrite(
+        spark, lambda: dfb.write.insertInto(table, overwrite=True)
+    )
+
+
+class _bucket_parallelism:
+    """Context manager enforcing the bucket-co-location contract: the
+    probe query's shuffles run at the index's bucket count. Spark only
+    reuses a bucketed layout when the join's partition count equals the
+    bucket count — with a mismatched ``spark.sql.shuffle.partitions``,
+    batch-side aggregates land at the session parallelism and the
+    planner re-exchanges the ACCUMULATED INDEX to meet them (measured:
+    'Bucketed: false (disabled by query planner)' + a full index
+    shuffle), which is precisely the scale-killer the bucketed layout
+    exists to remove. At production scale choose ``index_buckets`` as
+    the target shuffle parallelism for the ingest job (thousands for a
+    100 TB index), so this override IS the right parallelism, not a
+    constraint."""
+
+    def __init__(self, spark, buckets: int):
+        self.spark = spark
+        self.buckets = buckets
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.buckets))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
+def _with_dynamic_overwrite(spark, write_fn) -> None:
+    """Run ``write_fn`` under partitionOverwriteMode=dynamic, restoring
+    the previous mode after. Session-global conf: concurrent writers on
+    the SAME SparkSession could observe the temporary mode — fine for
+    foreachBatch (one driver thread per query), documented for anyone
+    sharing a session across streams."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        write_fn()
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent flat-dir append: rows land under
+    ``__batch_id={batch_id}/`` via dynamic partition overwrite, so a
+    replayed micro-batch replaces exactly its own earlier partition and
+    every other batch's rows are untouched."""
+    spark = df.sparkSession
+    dfb = df.withColumn("__batch_id", F.lit(int(batch_id)))
+    _with_dynamic_overwrite(
+        spark,
+        lambda: dfb.write.mode("overwrite")
+        .partitionBy("__batch_id")
+        .parquet(path),
     )
 
 
@@ -191,55 +324,109 @@ def streaming_jaccard_pairs(
     asserts. Appends carry the same bucket spec, so the layout
     survives indefinite ingest.
 
+    Replay idempotency: foreachBatch is at-least-once, so every write
+    is keyed by ``__batch_id`` — pair output and index appends land as
+    a dynamic-mode OVERWRITE of that batch's partition, and the probe
+    reads only index partitions with ``__batch_id`` strictly below the
+    current batch (partition-pruned, so the filter costs nothing). A
+    re-delivered micro-batch therefore replaces its own earlier
+    (possibly partial) writes and recomputes against exactly the
+    pre-batch index — byte-identical to the first delivery, instead of
+    duplicated pairs and inflated dfs (see
+    tests/test_streaming_dedup.py replay test).
+
     Returns a ``DataStreamWriter`` — caller picks trigger/checkpoint
     and ``.start()``s it.
     """
-    from sutro_spark.operators.dedup import char_shingles
-
-    post_dir = f"{index_dir}/postings"
-    dfs_dir = f"{index_dir}/dfs"
     if index_buckets is not None and not index_table_prefix:
         raise ValueError("index_buckets requires index_table_prefix")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        jaccard_batch(
+            batch_df, batch_id, index_dir, pairs_dir,
+            text_column=text_column, id_column=id_column, k=k,
+            threshold=threshold, max_df=max_df,
+            index_buckets=index_buckets,
+            index_table_prefix=index_table_prefix,
+        )
+
+    return stream.writeStream.foreachBatch(process)
+
+
+def jaccard_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    pairs_dir: str,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k: int = 8,
+    threshold: float = 0.1,
+    max_df: int | None = 100,
+    index_buckets: int | None = None,
+    index_table_prefix: str | None = None,
+) -> None:
+    """One micro-batch of :func:`streaming_jaccard_pairs`, exposed at
+    module level so the at-least-once replay contract is directly
+    testable: calling this twice with the same ``(batch_df, batch_id)``
+    leaves outputs and index byte-identical to calling it once."""
+    from sutro_spark.operators.dedup import char_shingles
+
+    spark = batch_df.sparkSession
+    post_dir = f"{index_dir}/postings"
+    dfs_dir = f"{index_dir}/dfs"
     post_table = f"{index_table_prefix}_postings" if index_table_prefix else None
     dfs_table = f"{index_table_prefix}_dfs" if index_table_prefix else None
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        sh_n = (
-            char_shingles(batch_df, text_column, id_column, k)
-            .persist()
-        )
-        try:
-            if index_buckets is not None:
-                postings = _read_table_or_empty(
-                    spark, post_table, "shingle string, id long"
-                )
-                dfs = _read_table_or_empty(
-                    spark, dfs_table, "shingle string, df long"
-                )
-            else:
-                postings = _read_or_empty(
-                    spark, post_dir, "shingle string, id long"
-                )
-                dfs = _read_or_empty(spark, dfs_dir, "shingle string, df long")
-            pairs, df_new = probe_pairs(
-                sh_n, postings, dfs, threshold=threshold, max_df=max_df
+    ctx = (
+        _bucket_parallelism(spark, index_buckets)
+        if index_buckets is not None
+        else None
+    )
+    if ctx is not None:
+        ctx.__enter__()
+    sh_n = char_shingles(batch_df, text_column, id_column, k).persist()
+    try:
+        if index_buckets is not None:
+            postings = _read_table_or_empty(
+                spark, post_table, "shingle string, id long",
+                before_batch=batch_id,
             )
-            # pairs FIRST (reads the pre-batch index), then the index
-            # appends — foreachBatch runs these actions sequentially
-            pairs.write.mode("append").parquet(pairs_dir)
-            if index_buckets is not None:
-                _append_bucketed(
-                    sh_n.select("shingle", "id"), post_table, index_buckets,
-                    "shingle",
-                )
-                _append_bucketed(df_new, dfs_table, index_buckets, "shingle")
-            else:
-                sh_n.select("shingle", "id").write.mode("append").parquet(
-                    post_dir
-                )
-                df_new.write.mode("append").parquet(dfs_dir)
-        finally:
-            sh_n.unpersist()
-
-    return stream.writeStream.foreachBatch(process)
+            dfs = _read_table_or_empty(
+                spark, dfs_table, "shingle string, df long",
+                before_batch=batch_id,
+            )
+        else:
+            postings = _read_or_empty(
+                spark, post_dir, "shingle string, id long",
+                before_batch=batch_id,
+            )
+            dfs = _read_or_empty(
+                spark, dfs_dir, "shingle string, df long",
+                before_batch=batch_id,
+            )
+        pairs, df_new = probe_pairs(
+            sh_n, postings, dfs, threshold=threshold, max_df=max_df
+        )
+        # pairs FIRST (reads the pre-batch index), then the index
+        # appends — foreachBatch runs these actions sequentially
+        _write_batch_partition(pairs, pairs_dir, batch_id)
+        if index_buckets is not None:
+            _append_bucketed(
+                sh_n.select("shingle", "id"), post_table, index_buckets,
+                "shingle", batch_id=batch_id,
+            )
+            _append_bucketed(
+                df_new, dfs_table, index_buckets, "shingle",
+                batch_id=batch_id,
+            )
+        else:
+            _write_batch_partition(
+                sh_n.select("shingle", "id"), post_dir, batch_id
+            )
+            _write_batch_partition(df_new, dfs_dir, batch_id)
+    finally:
+        sh_n.unpersist()
+        if ctx is not None:
+            ctx.__exit__(None, None, None)

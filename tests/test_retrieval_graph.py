@@ -102,7 +102,8 @@ def test_bm25_requires_terms(spark):
         bm25_topk(df, [(1, [])])
 
 
-def _py_pagerank(edges, iters, scale=10**12, damping_pct=85):
+def _py_pagerank(edges, iters, scale=10**12, damping_pct=85,
+                 redistribute_dangling=False):
     """Replay of operators/cluster.py pagerank's integer update."""
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     n = len(nodes)
@@ -112,11 +113,15 @@ def _py_pagerank(edges, iters, scale=10**12, damping_pct=85):
     base = (100 - damping_pct) * scale // (100 * n)
     rank = {u: scale // n for u in nodes}
     for _ in range(iters):
+        share = 0
+        if redistribute_dangling:
+            share = sum(rank[u] for u in nodes if u not in deg) // n
         sums = {}
         for s, d in edges:
             sums[d] = sums.get(d, 0) + rank[s] // deg[s]
         rank = {
-            u: base + (damping_pct * sums.get(u, 0)) // 100 for u in nodes
+            u: base + (damping_pct * (sums.get(u, 0) + share)) // 100
+            for u in nodes
         }
     return rank
 
@@ -135,6 +140,26 @@ def test_pagerank_deep_checkpointed_matches_replay(spark):
         for r in pagerank(e, iters=7, checkpoint=True).collect()
     }
     assert got == _py_pagerank(edges, 7)
+
+
+def test_pagerank_dangling_redistribution_matches_replay(spark):
+    # node 4 is a dangling sink: with redistribution its held mass is
+    # split uniformly each round instead of draining; exact integer
+    # match against the python replay, and total mass strictly higher
+    # than the draining default.
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4)]
+    from sutro_spark.operators.cluster import pagerank
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r["rank"]
+        for r in pagerank(e, iters=5, redistribute_dangling=True).collect()
+    }
+    assert got == _py_pagerank(edges, 5, redistribute_dangling=True)
+    drained = {
+        r.node: r["rank"] for r in pagerank(e, iters=5).collect()
+    }
+    assert sum(got.values()) > sum(drained.values())
 
 
 def test_pagerank_leaf_holds_base_only_in_star(spark):

@@ -191,6 +191,48 @@ def test_streaming_jaccard_pairs_bucketed_equals_flat(spark, tmp_path):
     assert any(j > 0.5 for _, _, j in got)
 
 
+def test_jaccard_batch_replay_is_idempotent(spark, tmp_path):
+    """At-least-once replay: re-running a committed micro-batch leaves
+    pairs and both index sinks byte-identical — the replayed probe
+    reads only partitions below its own batch_id, so it never pairs a
+    batch against its own earlier partial append."""
+    from sutro_spark.streaming.dedup import jaccard_batch
+
+    base = "the quick brown fox jumps over the lazy dog tonight again"
+    alt = "completely different content about spark structured streaming"
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame([(1, base), (2, alt)], schema)
+    b1 = spark.createDataFrame(
+        [(3, base + " and then some"), (4, "unrelated text body here")], schema
+    )
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+
+    def snapshot():
+        pairs = sorted(
+            (r["corpus_id"], r["new_id"], round(r["jaccard"], 9))
+            for r in spark.read.parquet(pairs_dir).collect()
+        )
+        postings = sorted(
+            (r["shingle"], r["id"])
+            for r in spark.read.parquet(f"{index_dir}/postings")
+            .select("shingle", "id").collect()
+        )
+        dfs = sorted(
+            (r["shingle"], r["df"])
+            for r in spark.read.parquet(f"{index_dir}/dfs")
+            .groupBy("shingle").agg(F.sum("df").alias("df")).collect()
+        )
+        return pairs, postings, dfs
+
+    jaccard_batch(b0, 0, index_dir, pairs_dir, k=8, threshold=0.1)
+    jaccard_batch(b1, 1, index_dir, pairs_dir, k=8, threshold=0.1)
+    once = snapshot()
+    assert once[0], "the planted near-dup must pair"
+    jaccard_batch(b1, 1, index_dir, pairs_dir, k=8, threshold=0.1)  # retry
+    assert snapshot() == once
+
+
 def test_bucketed_index_probe_no_exchange_on_index_side(spark):
     """The 100-TB claim behind the bucketed layout: probing the
     accumulated postings index shuffles ONLY the small batch side —

@@ -195,8 +195,8 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     heavies = [
-        "winnow_dedup", "bloom_decontaminate", "rank_elo_large",
-        "pq_topk", "ivfpq_residual",
+        "winnow_dedup", "bloom_decontaminate",
+        "pq_topk", "ivfpq_residual", "bm25_topk", "pagerank",
     ]
     qs = entrymod.queries()
     obase = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
@@ -273,7 +273,7 @@ def main() -> None:
         )
     lines += [
         "",
-        "Round-6/7 heavy registry queries, run through their real [Q]",
+        "Round-6..8 heavy registry queries, run through their real [Q]",
         "pipelines against a replicated sf-dir (documents + orders +",
         "embeddings each replicated N; bloom_decontaminate's benchmark",
         "scales WITH the corpus here — at 100 TB it is fixed and tiny,",
@@ -290,16 +290,25 @@ def main() -> None:
         )
     lines += [
         "",
-        "Heavy-query notes: rank_elo_large is linear in ballots by",
-        "design (explode + ballot-id equi-join + combinable counts — the",
-        "shape chosen over the measured-worse HOF rewrite); winnow_dedup",
+        "Heavy-query notes: winnow_dedup",
         "adds iterative CC on top of winnow_overlap's within-cluster",
         "pair quadratics (replication worst-cases this; the df cap",
         "bounds it at 100 TB); bloom_decontaminate is embarrassingly",
         "parallel in-scan probing, so its exponent tracks the scan;",
         "pq_topk / ivfpq_residual pay codebook training per call at this",
         "size (fixed cost, amortized at scale) — their corpus-side ADC",
-        "joins are the part that grows.",
+        "joins are the part that grows; bm25_topk's one tokenize pass +",
+        "matched-postings groupBy should track the scan (term count is",
+        "fixed, so matched-posting volume grows linearly); pagerank runs",
+        "6 (join + combinable groupBy) rounds, each linear in edges =",
+        "3x docs, with localCheckpoint materialization per round.",
+        "",
+        "Retired-probe evidence kept for the record (r6 measurement,",
+        "query retired from the registry in r8 — COVERAGE.md decision",
+        "log): rank_elo_large (A1 explode + ballot self-join + groupBy",
+        "at ~1.2M ballots) measured 22.45 / 99.23 / 374.8 s at 1x/4x/16x,",
+        "exponent 1.02 — linear in ballots by design, the shape chosen",
+        "over the measured-worse HOF rewrite.",
         "",
         "Reading the numbers: sub-linear exponents mean per-query fixed",
         "overhead (session, planning, Python worker reuse) still dominates",
