@@ -944,6 +944,56 @@ def q_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_pairs(media, max_hamming=3)
 
 
+def q_image_whash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frequency-domain perceptual hash: 8x8 grid -> 2-D Walsh-Hadamard
+    # transform -> sign bits of the 63 non-DC coefficients. The pHash
+    # idea with DCT swapped for the +/-1 WHT basis so every coefficient
+    # is an exact integer sum (a DCT's cosines would flip sign bits at
+    # near-zero coefficients across libms). Complementary to
+    # image_dhash's local-gradient bits; same mapInPandas plumbing,
+    # same oracle-expressible stub grid (byte i -> cell i*64//n).
+    from sutro_spark.operators.multimodal import attach_fake_media, image_whash
+
+    media = attach_fake_media(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "media"
+    )
+    return image_whash(media)
+
+
+def q_pagerank_redistribute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Dangling-mass redistribution: docs with doc_id % 5 == 0 emit NO
+    # out-edges (genuine dangling sinks — the default variant would
+    # drain their damped mass every round); redistribute_dangling=True
+    # splits the summed dangling mass uniformly (integer div share per
+    # node, added to each incoming sum before damping). 2 iterations;
+    # the oracle unrolls both rounds with the scalar dangling-sum CTE
+    # per round, proving the redistribution recurrence exactly.
+    from sutro_spark.operators.cluster import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    cnt = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    emitters = docs.crossJoin(F.broadcast(cnt)).where(F.col("id") % 5 != 0)
+    edges = (
+        emitters.select(
+            "id", ((F.col("id") * 31 + 7) % F.col("n")).alias("dst")
+        )
+        .unionAll(
+            emitters.select(
+                "id", ((F.col("id") * 17 + 3) % F.col("n")).alias("dst")
+            )
+        )
+        .where(F.col("dst") != F.col("id"))
+        .select(F.col("id").alias("src"), "dst")
+    )
+    return (
+        pagerank(edges, iters=2, redistribute_dangling=True)
+        .select("node", F.col("rank").alias("rank_scaled"))
+        .orderBy("node")
+    )
+
+
 def q_list_source_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S1 — list-of-prompts source through the transform, row order kept.
     from sutro_spark.sources.ingest import from_list
@@ -2981,10 +3031,15 @@ _R8_WINDOW = [
     "weighted_sample_group", "jsonl_scan", "shuffled_shards",
     "asof_forward", "event_transitions", "temperature_mix",
     "snapshot_diff", "dedup_lines", "fuzzy_decontaminate",
-    # the 12 oldest r5-cohort entries (dict order)
+    # the 10 oldest r5-cohort entries (dict order); the last two
+    # top-up slots go to the never-driver-checked r8 additions instead
+    # (new > r5-stale — the r5 floor is unaffected either way, since
+    # 40 other r5-cohort entries remain at r5 regardless)
     "tpch_q18ish", "tpch_q22ish", "price_quantiles", "tpch_q10ish",
     "tpch_q7ish", "tpch_q8ish", "tpch_q11ish", "tpch_q13ish",
-    "tpch_q15ish", "tpch_q16ish", "tpch_q19ish", "tpch_q20ish",
+    "tpch_q15ish", "tpch_q16ish",
+    # new in r8, never driver-checked
+    "image_whash", "pagerank_redistribute",
 ]
 
 
@@ -3109,6 +3164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "image_dhash": q_image_dhash,
         "dhash_pairs": q_dhash_pairs,
+        "image_whash": q_image_whash,
+        "pagerank_redistribute": q_pagerank_redistribute,
         "token_budget": q_token_budget,
         "epoch_plan": q_epoch_plan,
         "embedding_norms": q_embedding_norms,
@@ -3657,6 +3714,46 @@ _DHASH_CTE = """
                              ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)
                    AS dhash
         FROM cells)
+"""
+
+
+#: whash: 8x8 stub grid -> 2-D Walsh-Hadamard (natural order, sign =
+#: parity of popcount(x&u)+popcount(y&v)) -> sign bits of the 63
+#: non-DC coefficients. Mirrors multimodal._cells_to_whash exactly.
+_WHASH_CTE = """
+    WITH b1 AS (
+        SELECT doc_id, coalesce(text, '') AS txt FROM documents),
+    b2 AS (
+        SELECT doc_id, length(txt) AS n,
+               list_transform(string_split(txt, ''), c -> unicode(c)) AS bytes
+        FROM b1),
+    cells AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), cell ->
+                   CAST(coalesce(list_sum(list_transform(range(1, n + 1),
+                       i -> CASE WHEN (i - 1) * 64 // n = cell
+                                 THEN bytes[CAST(i AS INT)]
+                                 ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT))
+                   AS cv
+        FROM b2 WHERE n > 0),
+    coeffs AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), uv ->
+                   CAST(list_sum(list_transform(range(0, 64), xy ->
+                       CASE WHEN (bit_count(CAST((uv // 8) & (xy // 8) AS BIGINT))
+                                  + bit_count(CAST((uv % 8) & (xy % 8) AS BIGINT))) % 2 = 0
+                            THEN cv[CAST(xy + 1 AS INT)]
+                            ELSE -cv[CAST(xy + 1 AS INT)] END)) AS BIGINT))
+                   AS co
+        FROM cells),
+    whashes AS (
+        SELECT doc_id,
+               CAST(coalesce(list_sum(list_transform(range(1, 64),
+                   b -> CASE WHEN co[CAST(b + 1 AS INT)] > 0
+                             THEN CAST(1 AS BIGINT) << (b - 1)
+                             ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT)
+                   AS whash
+        FROM coeffs)
 """
 
 
@@ -5234,6 +5331,49 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash": _DHASH_CTE + """
             SELECT b2.doc_id AS id, coalesce(h.dhash, 0) AS dhash
             FROM b2 LEFT JOIN hashes h USING (doc_id)
+        """,
+        "image_whash": _WHASH_CTE + """
+            SELECT b2.doc_id AS id, coalesce(w.whash, 0) AS whash
+            FROM b2 LEFT JOIN whashes w USING (doc_id)
+        """,
+        "pagerank_redistribute": """
+            WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+            n0 AS (SELECT count(*) AS n FROM docs),
+            e0 AS (
+                SELECT id AS src, (id * 31 + 7) % (SELECT n FROM n0) AS dst
+                FROM docs WHERE id % 5 != 0
+                UNION ALL
+                SELECT id, (id * 17 + 3) % (SELECT n FROM n0)
+                FROM docs WHERE id % 5 != 0),
+            e AS (SELECT src, dst FROM e0 WHERE dst != src),
+            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            p0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS p
+                   FROM nodes),
+            d1 AS (SELECT COALESCE(sum(p), 0) // (SELECT n FROM nn) AS share
+                   FROM p0 WHERE node NOT IN (SELECT src FROM deg)),
+            c1 AS (SELECT e.dst, CAST(sum(p0.p // deg.deg) AS BIGINT) AS s
+                   FROM p0 JOIN deg ON p0.node = deg.src
+                           JOIN e ON e.src = deg.src
+                   GROUP BY e.dst),
+            p1 AS (SELECT node,
+                          (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+                          + (85 * (COALESCE(s, 0) + (SELECT share FROM d1)))
+                            // 100 AS p
+                   FROM nodes LEFT JOIN c1 ON node = dst),
+            d2 AS (SELECT COALESCE(sum(p), 0) // (SELECT n FROM nn) AS share
+                   FROM p1 WHERE node NOT IN (SELECT src FROM deg)),
+            c2 AS (SELECT e.dst, CAST(sum(p1.p // deg.deg) AS BIGINT) AS s
+                   FROM p1 JOIN deg ON p1.node = deg.src
+                           JOIN e ON e.src = deg.src
+                   GROUP BY e.dst),
+            p2 AS (SELECT node,
+                          (15 * 1000000000000) // (100 * (SELECT n FROM nn))
+                          + (85 * (COALESCE(s, 0) + (SELECT share FROM d2)))
+                            // 100 AS p
+                   FROM nodes LEFT JOIN c2 ON node = dst)
+            SELECT node, p AS rank_scaled FROM p2 ORDER BY node
         """,
         "dhash_pairs": _DHASH_CTE + """,
             hp AS (

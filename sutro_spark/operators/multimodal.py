@@ -453,26 +453,31 @@ DHASH_SCHEMA = T.StructType(
 )
 
 
-def _stub_cells(payload: bytes) -> "list[int]":
-    """Deterministic 8x9 stand-in grid when no image library is
-    present: byte i of the payload lands in cell i*72//n (the same
-    integer arithmetic the DuckDB oracle runs), cell value = byte sum.
+def _stub_cells(payload: bytes, n_cells: int = 72) -> "list[int]":
+    """Deterministic stand-in grid when no image library is present:
+    byte i of the payload lands in cell i*n_cells//n (the same integer
+    arithmetic the DuckDB oracle runs), cell value = byte sum.
     Honest PLUMBING, stubbed DECODE — same contract as decode_media.
+    Default 72 cells = dHash's 9x8 grid; whash uses 64 (8x8).
     """
     import numpy as np
 
     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
     n = arr.size
     cells = np.bincount(
-        np.arange(n, dtype=np.int64) * 72 // n, weights=arr, minlength=72
+        np.arange(n, dtype=np.int64) * n_cells // n, weights=arr,
+        minlength=n_cells,
     )
     return cells.astype(np.int64).tolist()
 
 
-def _pil_cells(payload: bytes) -> "list[int] | None":
-    """REAL dHash grid, gated on PIL: decode, grayscale, resize to
-    9x8, row-major luma cells. None (→ stub fallback) when PIL is
-    missing or the payload is not a decodable image."""
+def _pil_cells(
+    payload: bytes, size: "tuple[int, int]" = (9, 8)
+) -> "list[int] | None":
+    """REAL perceptual-hash grid, gated on PIL: decode, grayscale,
+    resize to ``size`` (width, height), row-major luma cells. None
+    (→ stub fallback) when PIL is missing or the payload is not a
+    decodable image."""
     if not payload:
         return None
     try:
@@ -484,7 +489,7 @@ def _pil_cells(payload: bytes) -> "list[int] | None":
     try:
         import numpy as np
 
-        img = Image.open(io.BytesIO(bytes(payload))).convert("L").resize((9, 8))
+        img = Image.open(io.BytesIO(bytes(payload))).convert("L").resize(size)
         return np.asarray(img, dtype=np.int64).reshape(-1).tolist()
     except Exception:  # noqa: BLE001 - undecodable blob → honest fallback
         return None
@@ -553,3 +558,93 @@ def dhash_pairs(
 
     fp = image_dhash(df, payload_column, id_column)
     return hamming_pairs(fp, "dhash", "id", max_hamming=max_hamming)
+
+
+WHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("whash", T.LongType()),
+    ]
+)
+
+
+def _cells_to_whash(cells: "list[int]") -> int:
+    """63-bit Walsh–Hadamard sign hash over an 8x8 grid: coefficient
+    (u,v) = Σ_{x,y} cell[x][y]·(−1)^(popcount(x&u)+popcount(y&v)) (the
+    2-D WHT in natural/Hadamard order — H·C·H with H the 8x8 ±1
+    Hadamard matrix), bit (8u+v−1) set iff the NON-DC coefficient is
+    strictly positive. All-integer, so engines agree bit-for-bit."""
+    import numpy as np
+
+    c = np.asarray(cells, dtype=np.int64).reshape(8, 8)
+    idx = np.arange(8)
+    pop = np.array(
+        [[bin(u & x).count("1") for x in idx] for u in idx], dtype=np.int64
+    )
+    h8 = np.where(pop % 2 == 0, 1, -1).astype(np.int64)
+    co = h8 @ c @ h8
+    h = 0
+    for b in range(1, 64):
+        if co[b // 8][b % 8] > 0:
+            h |= 1 << (b - 1)
+    return h
+
+
+def image_whash(
+    df: DataFrame,
+    payload_column: str = "media",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Perceptual frequency hash: 8x8 grayscale downsample → 2-D
+    Walsh–Hadamard transform → sign bits of the 63 non-DC
+    coefficients. The pHash idea (hash the image's coarse frequency
+    content, which survives recompression/resize/brightness shifts far
+    better than raw pixels) with the DCT swapped for the WHT: the WHT
+    basis is ±1, so every coefficient is an exact integer sum and the
+    hash is engine-reproducible — a DCT's cosines would drift in the
+    last ulp across libms and flip sign bits at near-zero coefficients
+    (the same reproducibility discipline as BM25's rational idf).
+
+    Complementary to :func:`image_dhash`: dHash fingerprints LOCAL
+    horizontal gradients, the WHT sign hash fingerprints GLOBAL
+    frequency structure — stacking both (same fingerprint → pair →
+    connected-components machinery) catches distortion classes either
+    one alone misses. Same mapInPandas plumbing and PIL-gated real
+    decode with the deterministic stub-grid fallback (64 cells,
+    byte i → cell i*64//n) that keeps the path oracle-checkable.
+    Output (id, whash) — feed ``dedup.hamming_pairs``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for pid, payload in zip(pdf[id_column], pdf[payload_column]):
+                if payload is None or len(payload) == 0:
+                    h = 0
+                else:
+                    raw = bytes(payload)
+                    cells = _pil_cells(raw, size=(8, 8))
+                    if cells is None:
+                        cells = _stub_cells(raw, n_cells=64)
+                    h = _cells_to_whash(cells)
+                ids.append(pid)
+                hashes.append(h)
+            yield pd.DataFrame({"id": ids, "whash": hashes})
+
+    return df.select(id_column, payload_column).mapInPandas(run, WHASH_SCHEMA)
+
+
+def whash_pairs(
+    df: DataFrame,
+    payload_column: str = "media",
+    id_column: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Image near-dup pairs over the WHT sign hash — the frequency-
+    domain twin of :func:`dhash_pairs`, same pigeonhole-blocked
+    Hamming join. Output (id_a, id_b, ham)."""
+    from sutro_spark.operators.dedup import hamming_pairs
+
+    fp = image_whash(df, payload_column, id_column)
+    return hamming_pairs(fp, "whash", "id", max_hamming=max_hamming)

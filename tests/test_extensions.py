@@ -570,3 +570,87 @@ def test_train_linear_scorer_validation(spark):
     df = spark.createDataFrame([(1, "x", 1)], "doc_id long, text string, y long")
     with _pytest.raises(ValueError):
         train_linear_scorer(df, F.col("y"), epochs=-1)
+
+
+# ---- Walsh-Hadamard perceptual hash (image_whash) -------------------
+
+
+def _py_whash_from_bytes(payload: bytes) -> int:
+    """Independent replay: stub grid (byte i -> cell i*64//n, byte sum)
+    then the 2-D WHT sign hash by direct double loop (no numpy matrix
+    multiply — genuinely different arithmetic path)."""
+    n = len(payload)
+    cells = [0] * 64
+    for i, b in enumerate(payload):
+        cells[i * 64 // n] += b
+    h = 0
+    for bit in range(1, 64):
+        u, v = bit // 8, bit % 8
+        co = 0
+        for x in range(8):
+            for y in range(8):
+                sign = -1 if (bin(x & u).count("1") + bin(y & v).count("1")) % 2 else 1
+                co += sign * cells[x * 8 + y]
+        if co > 0:
+            h |= 1 << (bit - 1)
+    return h
+
+
+def test_image_whash_matches_python_replay(spark):
+    from sutro_spark.operators.multimodal import image_whash
+
+    payloads = [b"spark walsh hadamard " * 7, b"a" * 100, b"\x01\xff" * 64]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "doc_id long, media binary",
+    )
+    got = {r["id"]: r["whash"] for r in image_whash(df).collect()}
+    assert got == {i: _py_whash_from_bytes(p) for i, p in enumerate(payloads)}
+    assert all(v >= 0 for v in got.values())  # bit 63 never set
+
+
+def test_image_whash_brightness_invariant_on_aligned_grid(spark):
+    """The frequency-hash property dHash doesn't have: a uniform
+    brightness shift moves only the DC coefficient, so the 63 non-DC
+    sign bits are unchanged. Exact under the stub grid when the
+    payload length divides evenly into the 64 cells."""
+    from sutro_spark.operators.multimodal import image_whash
+
+    base = bytes((i * 37) % 200 for i in range(128))  # 2 bytes per cell
+    brighter = bytes(b + 50 for b in base)
+    df = spark.createDataFrame(
+        [(0, bytearray(base)), (1, bytearray(brighter))],
+        "doc_id long, media binary",
+    )
+    got = {r["id"]: r["whash"] for r in image_whash(df).collect()}
+    assert got[0] == got[1] != 0
+
+
+def test_image_whash_real_png_gated_on_pil(spark):
+    """With PIL: a constant-luma real image has zero non-DC energy, so
+    the sign hash is exactly 0. Without PIL: the stub grid hashes the
+    PNG container bytes instead (same schema, honest fallback)."""
+    from sutro_spark.operators.multimodal import image_whash
+
+    png = _tiny_png(gray=180)
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, media binary")
+    got = image_whash(df).first()["whash"]
+    try:
+        import PIL  # noqa: F401
+
+        assert got == 0
+    except ImportError:
+        assert got == _py_whash_from_bytes(png)
+
+
+def test_whash_pairs_identical_images_pair_at_zero(spark):
+    from sutro_spark.operators.multimodal import whash_pairs
+
+    p = b"identical payload bytes " * 9
+    df = spark.createDataFrame(
+        [(1, bytearray(p)), (2, bytearray(p)), (3, bytearray(b"\x07" * 333))],
+        "doc_id long, media binary",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["ham"] for r in whash_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs

@@ -138,10 +138,25 @@ def test_quality_train_model_joins_are_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_rank_elo_large_no_cartesian_pairwise(spark):
-    # the ballot self-join is an equi-join on the ballot id; the only
-    # acceptable cross join is the 8-row copies range
-    plan = _plan(spark, "rank_elo_large")
+def test_pairwise_counts_no_cartesian_self_join(spark):
+    # the ballot self-join must be an equi-join on the ballot id, never
+    # a cartesian pairing (was guarded via the rank_elo_large [Q] until
+    # its r8 retirement — the property belongs to the operator, so the
+    # guard now drives pairwise_counts directly at probe scale)
+    from pyspark.sql import functions as F
+
+    from sutro_spark.operators.elo import pairwise_counts
+
+    ballots = spark.range(1000).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda i: F.concat(F.lit("m"), ((F.col("id") + i) % 20).cast("string")),
+        ).alias("ranking")
+    )
+    plan = (
+        pairwise_counts(ballots, "ranking")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "CartesianProduct" not in plan
 
 
