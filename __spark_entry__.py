@@ -960,6 +960,33 @@ def q_image_whash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_whash(media)
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # manual skew mitigation for the joins AQE can't re-plan (stream-
+    # static joins run without AQE): lineitem salted on xxhash64 of the
+    # whole row mod 8, the supplier dim replicated 8x, equi-join on
+    # (key, salt). The oracle is the PLAIN join aggregated per nation —
+    # the salt must cancel exactly or the operator is wrong. Quantity
+    # sums as BIGINT (TPC-H quantities are integral) so aggregation
+    # order can't perturb a float sum.
+    from sutro_spark.functions.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    dim = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, dim, "l_suppkey", buckets=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_li"),
+            F.sum("qty").alias("sum_qty"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 def q_pagerank_redistribute(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dangling-mass redistribution: docs with doc_id % 5 == 0 emit NO
     # out-edges (genuine dangling sinks — the default variant would
@@ -3031,15 +3058,15 @@ _R8_WINDOW = [
     "weighted_sample_group", "jsonl_scan", "shuffled_shards",
     "asof_forward", "event_transitions", "temperature_mix",
     "snapshot_diff", "dedup_lines", "fuzzy_decontaminate",
-    # the 10 oldest r5-cohort entries (dict order); the last two
+    # the 9 oldest r5-cohort entries (dict order); the last three
     # top-up slots go to the never-driver-checked r8 additions instead
     # (new > r5-stale — the r5 floor is unaffected either way, since
-    # 40 other r5-cohort entries remain at r5 regardless)
+    # 40+ other r5-cohort entries remain at r5 regardless)
     "tpch_q18ish", "tpch_q22ish", "price_quantiles", "tpch_q10ish",
     "tpch_q7ish", "tpch_q8ish", "tpch_q11ish", "tpch_q13ish",
-    "tpch_q15ish", "tpch_q16ish",
+    "tpch_q15ish",
     # new in r8, never driver-checked
-    "image_whash", "pagerank_redistribute",
+    "image_whash", "pagerank_redistribute", "salted_join",
 ]
 
 
@@ -3166,6 +3193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dhash_pairs": q_dhash_pairs,
         "image_whash": q_image_whash,
         "pagerank_redistribute": q_pagerank_redistribute,
+        "salted_join": q_salted_join,
         "token_budget": q_token_budget,
         "epoch_plan": q_epoch_plan,
         "embedding_norms": q_embedding_norms,
@@ -5374,6 +5402,14 @@ def oracle_sql() -> dict[str, str]:
                             // 100 AS p
                    FROM nodes LEFT JOIN c2 ON node = dst)
             SELECT node, p AS rank_scaled FROM p2 ORDER BY node
+        """,
+        "salted_join": """
+            SELECT s_nationkey,
+                   count(*) AS n_li,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey
+            ORDER BY s_nationkey
         """,
         "dhash_pairs": _DHASH_CTE + """,
             hp AS (

@@ -98,6 +98,10 @@ def main() -> None:
 
     errors: dict[str, str] = {}
     jiffies_start = _cpu_jiffies()
+    try:
+        load_at_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load_at_start = None
 
     def run_once(name: str) -> float | None:
         """One end-to-end run. clearCache afterwards drops intermediates
@@ -158,10 +162,14 @@ def main() -> None:
             pass_steal,
         )
 
-    # the headline total is the cross-round comparison number — worth a
-    # third pass for steal robustness (~25 s extra)
+    # the headline total is the cross-round comparison number — worth
+    # extra passes: r8's per-pass instrumentation showed pass totals
+    # still declining monotonically at pass 3 (30.0 -> 24.3 -> 19.4 s
+    # at <0.2% steal — JIT/page-cache warm-up, not host noise), so
+    # min-of-3 had not converged; a 4th pass costs ~20 s and lets the
+    # min come from a genuinely warm pass.
     timings, headline_passes, headline_steal = timed_set(
-        [n for n in HEADLINE if n in qs], passes=3
+        [n for n in HEADLINE if n in qs], passes=4
     )
     # a red headline query invalidates the total — a partial sum would
     # make the run look FASTER than a complete one; null it instead so
@@ -213,7 +221,7 @@ def main() -> None:
             "ann_mrr", "calibration", "classify_calibration", "ece",
             "keyword_flags", "rollup_incr", "ivfpq_residual",
             "ivfpq_recall", "ivfpq_prune", "image_dhash", "dhash_pairs",
-            "bm25_topk", "pagerank",
+            "bm25_topk", "pagerank", "image_whash", "pagerank_redistribute",
             ]
             if name in qs
         ]
@@ -359,8 +367,12 @@ def main() -> None:
                 "headline_complete": headline_complete,
                 # measured hypervisor CPU steal over the whole run (%),
                 # from /proc/stat — if this is high, per-query swings vs
-                # other rounds are noise until proven otherwise
+                # other rounds are noise until proven otherwise. The
+                # 1/5/15-min load averages at start catch the OTHER
+                # noise source steal can't: co-resident processes on
+                # the same VM competing for the 32 cores.
                 "steal_pct": steal_pct,
+                "loadavg_at_start": load_at_start,
                 "value": total,
             }
         )
