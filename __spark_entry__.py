@@ -987,6 +987,23 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # skew-proof aggregation: partial agg on (key, salt) then final on
+    # key — for the pathological case where one key's share overflows a
+    # single reducer even after map-side combine. Oracle is the plain
+    # one-shot groupBy: salting must be invisible in the result.
+    # Quantities cast to BIGINT pre-agg (integral in TPC-H) so the
+    # two-phase sum is exact regardless of aggregation order.
+    from sutro_spark.functions.skew import two_phase_agg
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return two_phase_agg(li, "l_returnflag", "qty", buckets=8).orderBy(
+        "l_returnflag"
+    )
+
+
 def q_pagerank_redistribute(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dangling-mass redistribution: docs with doc_id % 5 == 0 emit NO
     # out-edges (genuine dangling sinks — the default variant would
@@ -3058,15 +3075,15 @@ _R8_WINDOW = [
     "weighted_sample_group", "jsonl_scan", "shuffled_shards",
     "asof_forward", "event_transitions", "temperature_mix",
     "snapshot_diff", "dedup_lines", "fuzzy_decontaminate",
-    # the 9 oldest r5-cohort entries (dict order); the last three
+    # the 8 oldest r5-cohort entries (dict order); the last four
     # top-up slots go to the never-driver-checked r8 additions instead
     # (new > r5-stale — the r5 floor is unaffected either way, since
     # 40+ other r5-cohort entries remain at r5 regardless)
     "tpch_q18ish", "tpch_q22ish", "price_quantiles", "tpch_q10ish",
     "tpch_q7ish", "tpch_q8ish", "tpch_q11ish", "tpch_q13ish",
-    "tpch_q15ish",
     # new in r8, never driver-checked
     "image_whash", "pagerank_redistribute", "salted_join",
+    "two_phase_agg",
 ]
 
 
@@ -3194,6 +3211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_whash": q_image_whash,
         "pagerank_redistribute": q_pagerank_redistribute,
         "salted_join": q_salted_join,
+        "two_phase_agg": q_two_phase_agg,
         "token_budget": q_token_budget,
         "epoch_plan": q_epoch_plan,
         "embedding_norms": q_embedding_norms,
@@ -5401,15 +5419,23 @@ def oracle_sql() -> dict[str, str]:
                           + (85 * (COALESCE(s, 0) + (SELECT share FROM d2)))
                             // 100 AS p
                    FROM nodes LEFT JOIN c2 ON node = dst)
-            SELECT node, p AS rank_scaled FROM p2 ORDER BY node
+            SELECT node, CAST(p AS BIGINT) AS rank_scaled FROM p2 ORDER BY node
         """,
         "salted_join": """
             SELECT s_nationkey,
                    count(*) AS n_li,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_nationkey
             ORDER BY s_nationkey
+        """,
+        "two_phase_agg": """
+            SELECT l_returnflag,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "dhash_pairs": _DHASH_CTE + """,
             hp AS (
