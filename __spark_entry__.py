@@ -3017,6 +3017,33 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hybrid lexical+semantic retrieval: the SAME three BM25 term
+    # queries as q_bm25_topk fused (reciprocal-rank, Cormack 2009)
+    # with each query id's exact cosine top-10 over the embeddings
+    # table — the standard two-tower curation composition. Fusion is
+    # exact-integer (lcm(61..70) scaling), touches only the two
+    # top-10 lists, and its shuffle is O(queries x k) regardless of
+    # corpus size; the oracle replays BOTH retrievers and the fusion
+    # arithmetic verbatim in SQL.
+    from sutro_spark.functions.text import bm25_topk
+    from sutro_spark.operators.retrieval import rrf_fuse
+    from sutro_spark.operators.similarity import brute_force_topk
+
+    lex = bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        [(1, ["spark", "join"]),
+         (2, ["vector", "hash", "stream"]),
+         (3, ["customer", "window"])],
+        k=10,
+    ).select("query_id", "doc_id", "rank")
+    emb = _t(spark, sf_dir, "embeddings")
+    sem = brute_force_topk(
+        emb, emb.where(F.col("vec_id").isin(1, 2, 3)), k=10
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, sem], k_const=60, rank_cap=10, k=10)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Link-graph centrality at depth: the SAME integer pagerank
     # operator pagerank_suppliers proves at 2 rounds, driven 6 power
@@ -3114,6 +3141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "classify_calibration": q_classify_calibration,
         "bm25_topk": q_bm25_topk,
+        "hybrid_retrieval": q_hybrid_retrieval,
         "pagerank": q_pagerank,
         "ece": q_ece,
         "keyword_flags": q_keyword_flags,
@@ -3399,6 +3427,58 @@ _COSINE = (
     "round(list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
+
+# Okapi-BM25 scoring chain (integer rationals — mirrors functions/
+# text.py bm25_topk's documented arithmetic verbatim), ending at CTE
+# `bm25r` = (query_id, doc_id, score_scaled, rnk). Shared by the
+# bm25_topk oracle and the hybrid_retrieval fusion oracle.
+_BM25_CTE = """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            b2 AS (
+                SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                       list_filter(toks, t -> list_contains(
+                           ['customer','hash','join','spark','stream',
+                            'vector','window'], t)) AS hits
+                FROM base),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                             CAST(sum(dl) AS BIGINT) AS total_tokens
+                      FROM b2),
+            tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM (SELECT doc_id, dl, unnest(hits) AS term FROM b2)
+                   GROUP BY doc_id, dl, term),
+            dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS term_df
+                      FROM tf GROUP BY term),
+            qd AS (SELECT * FROM (VALUES
+                       (1,'spark'),(1,'join'),
+                       (2,'vector'),(2,'hash'),(2,'stream'),
+                       (3,'customer'),(3,'window')) AS t(query_id, term)),
+            scored AS (
+                SELECT qd.query_id, tf.doc_id,
+                       ((2*n_docs - 2*term_df + 1)
+                        * ((22000 * tf * CAST(1000000 AS BIGINT))
+                           // (10000*tf + 3000
+                               + 9*((1000*dl*n_docs) // total_tokens))))
+                       // (2*term_df + 1) AS term_score
+                FROM tf JOIN dfreq USING (term) JOIN qd USING (term)
+                CROSS JOIN stats),
+            agg AS (SELECT query_id, doc_id,
+                           CAST(sum(term_score) AS BIGINT) AS score_scaled
+                    FROM scored GROUP BY query_id, doc_id),
+            bm25r AS (SELECT query_id, doc_id, score_scaled,
+                         row_number() OVER (PARTITION BY query_id
+                             ORDER BY score_scaled DESC, doc_id) AS rnk
+                  FROM agg)
+"""
+
+# lcm(61..70): the exact-integer RRF scale for k_const=60, rank_cap=10
+# (see operators/retrieval.py rrf_fuse).
+from sutro_spark.operators.retrieval import rrf_lcm as _rrf_lcm
+
+_RRF_L = _rrf_lcm(60, 10)
 
 # word-8-gram contamination hits vs the planted benchmark slice
 # (mirrors operators/decontaminate.py with n=_DECON_N=8: benchmark =
@@ -4109,49 +4189,47 @@ def _pagerank_oracle(iterations: int = 6) -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": _pagerank_oracle(6),
-        "bm25_topk": """
-            WITH base AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                   x -> x <> '') AS toks
-                FROM documents),
-            b2 AS (
-                SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-                       list_filter(toks, t -> list_contains(
-                           ['customer','hash','join','spark','stream',
-                            'vector','window'], t)) AS hits
-                FROM base),
-            stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                             CAST(sum(dl) AS BIGINT) AS total_tokens
-                      FROM b2),
-            tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-                   FROM (SELECT doc_id, dl, unnest(hits) AS term FROM b2)
-                   GROUP BY doc_id, dl, term),
-            dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS term_df
-                      FROM tf GROUP BY term),
-            qd AS (SELECT * FROM (VALUES
-                       (1,'spark'),(1,'join'),
-                       (2,'vector'),(2,'hash'),(2,'stream'),
-                       (3,'customer'),(3,'window')) AS t(query_id, term)),
-            scored AS (
-                SELECT qd.query_id, tf.doc_id,
-                       ((2*n_docs - 2*term_df + 1)
-                        * ((22000 * tf * CAST(1000000 AS BIGINT))
-                           // (10000*tf + 3000
-                               + 9*((1000*dl*n_docs) // total_tokens))))
-                       // (2*term_df + 1) AS term_score
-                FROM tf JOIN dfreq USING (term) JOIN qd USING (term)
-                CROSS JOIN stats),
-            agg AS (SELECT query_id, doc_id,
-                           CAST(sum(term_score) AS BIGINT) AS score_scaled
-                    FROM scored GROUP BY query_id, doc_id),
-            r AS (SELECT query_id, doc_id, score_scaled,
-                         row_number() OVER (PARTITION BY query_id
-                             ORDER BY score_scaled DESC, doc_id) AS rnk
-                  FROM agg)
+        "bm25_topk": _BM25_CTE + """
             SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
                    score_scaled, CAST(rnk AS BIGINT) AS rank
-            FROM r WHERE rnk <= 10 ORDER BY query_id, rank
+            FROM bm25r WHERE rnk <= 10 ORDER BY query_id, rank
+        """,
+        "hybrid_retrieval": _BM25_CTE + f""",
+            lex AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+                           CAST(doc_id AS BIGINT) AS doc_id,
+                           CAST(rnk AS BIGINT) AS r
+                    FROM bm25r WHERE rnk <= 10),
+            semq AS (SELECT vec_id AS query_id,
+                            CAST(embedding AS DOUBLE[]) AS qv
+                     FROM embeddings WHERE vec_id IN (1, 2, 3)),
+            semc AS (SELECT vec_id AS neighbor_id,
+                            CAST(embedding AS DOUBLE[]) AS cv
+                     FROM embeddings),
+            sems AS (
+                SELECT query_id, neighbor_id,
+                       {_COSINE.format(a='qv', b='cv')} AS sim
+                FROM semq, semc WHERE neighbor_id <> query_id),
+            semr AS (SELECT query_id, neighbor_id, row_number() OVER
+                         (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id ASC) AS rank
+                     FROM sems),
+            sem AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+                           CAST(neighbor_id AS BIGINT) AS doc_id,
+                           CAST(rank AS BIGINT) AS r
+                    FROM semr WHERE rank <= 10),
+            fused AS (
+                SELECT query_id, doc_id,
+                       CAST(sum({_RRF_L} // (r + 60)) AS BIGINT)
+                           AS rrf_scaled,
+                       CAST(count(*) AS BIGINT) AS n_systems
+                FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+                GROUP BY query_id, doc_id),
+            fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY rrf_scaled DESC, doc_id ASC) AS rank
+                   FROM fused)
+            SELECT query_id, doc_id, rrf_scaled, n_systems,
+                   CAST(rank AS BIGINT) AS rank
+            FROM fr WHERE rank <= 10 ORDER BY query_id, rank
         """,
         "select_prompt_column": "SELECT doc_id, text AS prompt FROM documents",
         "sentence_stats": """
