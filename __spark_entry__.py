@@ -3044,6 +3044,27 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex, sem], k_const=60, rank_cap=10, k=10)
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MMR diversification of a retrieval list: cosine top-8 candidates
+    # per query (vec_ids 1-3), then 4 greedy picks trading relevance
+    # (linear rank decay, integer micro-units) against max similarity
+    # to the already-picked set at lambda=1/2. The oracle unrolls all
+    # four greedy steps as chained CTEs over the same integer
+    # arithmetic — proving the checkpointed selection loop computes
+    # exactly the greedy recurrence (pagerank's unrolled-CTE
+    # discipline applied to subset selection).
+    from sutro_spark.operators.retrieval import mmr_rerank
+    from sutro_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = brute_force_topk(
+        emb, emb.where(F.col("vec_id").isin(1, 2, 3)), k=8
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return mmr_rerank(
+        cand, emb, k=4, rank_cap=8, lam=(1, 2)
+    ).orderBy("query_id", "mmr_rank")
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Link-graph centrality at depth: the SAME integer pagerank
     # operator pagerank_suppliers proves at 2 rounds, driven 6 power
@@ -3102,15 +3123,15 @@ _R8_WINDOW = [
     "weighted_sample_group", "jsonl_scan", "shuffled_shards",
     "asof_forward", "event_transitions", "temperature_mix",
     "snapshot_diff", "dedup_lines", "fuzzy_decontaminate",
-    # the 8 oldest r5-cohort entries (dict order); the last four
+    # the 6 oldest r5-cohort entries (dict order); the last six
     # top-up slots go to the never-driver-checked r8 additions instead
     # (new > r5-stale — the r5 floor is unaffected either way, since
     # 40+ other r5-cohort entries remain at r5 regardless)
     "tpch_q18ish", "tpch_q22ish", "price_quantiles", "tpch_q10ish",
-    "tpch_q7ish", "tpch_q8ish", "tpch_q11ish", "tpch_q13ish",
+    "tpch_q7ish", "tpch_q8ish",
     # new in r8, never driver-checked
     "image_whash", "pagerank_redistribute", "salted_join",
-    "two_phase_agg",
+    "two_phase_agg", "hybrid_retrieval", "mmr_rerank",
 ]
 
 
@@ -3142,6 +3163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_calibration": q_classify_calibration,
         "bm25_topk": q_bm25_topk,
         "hybrid_retrieval": q_hybrid_retrieval,
+        "mmr_rerank": q_mmr_rerank,
         "pagerank": q_pagerank,
         "ece": q_ece,
         "keyword_flags": q_keyword_flags,
@@ -4193,6 +4215,95 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
                    score_scaled, CAST(rnk AS BIGINT) AS rank
             FROM bm25r WHERE rnk <= 10 ORDER BY query_id, rank
+        """,
+        "mmr_rerank": f"""
+            WITH mq AS (SELECT vec_id AS query_id,
+                               CAST(embedding AS DOUBLE[]) AS qv
+                        FROM embeddings WHERE vec_id IN (1, 2, 3)),
+            mc AS (SELECT vec_id AS neighbor_id,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings),
+            ms AS (SELECT query_id, neighbor_id,
+                          {_COSINE.format(a='qv', b='cv')} AS sim
+                   FROM mq, mc WHERE neighbor_id <> query_id),
+            mr AS (SELECT query_id, neighbor_id, row_number() OVER
+                       (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+                   FROM ms),
+            cand AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+                            CAST(neighbor_id AS BIGINT) AS doc_id,
+                            CAST((1000000 * (9 - rank)) // 8 AS BIGINT) AS rel
+                     FROM mr WHERE rank <= 8),
+            v AS (SELECT CAST(vec_id AS BIGINT) AS vid,
+                         CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings),
+            simt AS (
+                SELECT c1.query_id, c1.doc_id AS a, c2.doc_id AS b,
+                       CAST(round({_COSINE.format(a='va.e', b='vb.e')}
+                                  * 1000000, 0) AS BIGINT) AS sim
+                FROM cand c1
+                JOIN cand c2 ON c1.query_id = c2.query_id
+                            AND c1.doc_id <> c2.doc_id
+                JOIN v va ON va.vid = c1.doc_id
+                JOIN v vb ON vb.vid = c2.doc_id),
+            s1 AS (SELECT query_id, doc_id, rel, rel AS score
+                   FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY rel DESC, doc_id) AS rn FROM cand)
+                   WHERE rn = 1),
+            p2 AS (SELECT c.query_id, c.doc_id, c.rel,
+                          c.rel - CAST(max(t.sim) AS BIGINT) AS score
+                   FROM cand c
+                   JOIN s1 ON s1.query_id = c.query_id
+                          AND c.doc_id <> s1.doc_id
+                   JOIN simt t ON t.query_id = c.query_id
+                              AND t.a = c.doc_id AND t.b = s1.doc_id
+                   GROUP BY c.query_id, c.doc_id, c.rel),
+            s2 AS (SELECT query_id, doc_id, rel, score
+                   FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, doc_id) AS rn FROM p2)
+                   WHERE rn = 1),
+            sel2 AS (SELECT query_id, doc_id FROM s1
+                     UNION ALL SELECT query_id, doc_id FROM s2),
+            p3 AS (SELECT c.query_id, c.doc_id, c.rel,
+                          c.rel - CAST(max(t.sim) AS BIGINT) AS score
+                   FROM cand c
+                   LEFT JOIN sel2 x ON x.query_id = c.query_id
+                                   AND x.doc_id = c.doc_id
+                   JOIN simt t ON t.query_id = c.query_id
+                              AND t.a = c.doc_id
+                   JOIN sel2 s ON s.query_id = t.query_id
+                              AND s.doc_id = t.b
+                   WHERE x.doc_id IS NULL
+                   GROUP BY c.query_id, c.doc_id, c.rel),
+            s3 AS (SELECT query_id, doc_id, rel, score
+                   FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, doc_id) AS rn FROM p3)
+                   WHERE rn = 1),
+            sel3 AS (SELECT query_id, doc_id FROM sel2
+                     UNION ALL SELECT query_id, doc_id FROM s3),
+            p4 AS (SELECT c.query_id, c.doc_id, c.rel,
+                          c.rel - CAST(max(t.sim) AS BIGINT) AS score
+                   FROM cand c
+                   LEFT JOIN sel3 x ON x.query_id = c.query_id
+                                   AND x.doc_id = c.doc_id
+                   JOIN simt t ON t.query_id = c.query_id
+                              AND t.a = c.doc_id
+                   JOIN sel3 s ON s.query_id = t.query_id
+                              AND s.doc_id = t.b
+                   WHERE x.doc_id IS NULL
+                   GROUP BY c.query_id, c.doc_id, c.rel),
+            s4 AS (SELECT query_id, doc_id, rel, score
+                   FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, doc_id) AS rn FROM p4)
+                   WHERE rn = 1),
+            allsel AS (
+                SELECT query_id, doc_id, 1 AS mmr_rank, rel, score FROM s1
+                UNION ALL SELECT query_id, doc_id, 2, rel, score FROM s2
+                UNION ALL SELECT query_id, doc_id, 3, rel, score FROM s3
+                UNION ALL SELECT query_id, doc_id, 4, rel, score FROM s4)
+            SELECT query_id, doc_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,
+                   rel AS relevance_scaled, score AS score_scaled
+            FROM allsel ORDER BY query_id, mmr_rank
         """,
         "hybrid_retrieval": _BM25_CTE + f""",
             lex AS (SELECT CAST(query_id AS BIGINT) AS query_id,

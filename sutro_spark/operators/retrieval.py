@@ -25,7 +25,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rrf_fuse", "rrf_lcm"]
+__all__ = ["rrf_fuse", "rrf_lcm", "mmr_rerank"]
 
 
 def rrf_lcm(k_const: int, rank_cap: int) -> int:
@@ -113,4 +113,131 @@ def rrf_fuse(
             "n_systems",
             "rank",
         )
+    )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    *,
+    query_column: str = "query_id",
+    id_column: str = "doc_id",
+    rank_column: str = "rank",
+    vector_id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    k: int = 5,
+    rank_cap: int = 10,
+    lam: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification of per-query
+    candidate lists (Carbonell & Goldstein, SIGIR 1998): greedily pick
+    the candidate maximizing
+
+        lam * relevance - (1 - lam) * max_sim_to_already_selected
+
+    so near-duplicate hits stop crowding the top of a retrieval list —
+    the rerank stage a curation pipeline runs AFTER rrf_fuse and
+    BEFORE spending LLM context budget on the survivors.
+
+    Exact-integer scoring (same discipline as rrf_fuse): relevance is
+    the linear rank decay 1_000_000*(cap+1-rank) div cap (rank 1 ->
+    1e6, rank cap -> ~1e6/cap, commensurate with cosine micro-units);
+    redundancy is the candidate-pair cosine rounded to micro-units
+    (round-6 doubles are cross-engine bit-stable — similarity_topk's
+    proven parity — so scaling them to integers is too); the traded
+    score lam_num*rel - (lam_den-lam_num)*red is a BIGINT, ties broken
+    by id. lam=(num, den) as a rational: (1,2) is the classic 0.5.
+
+    Scale shape: everything after the one vectors join is per-query
+    O(rank_cap^2) — the pairwise-sim table and each greedy step touch
+    only candidate lists, never the corpus. The k-step loop runs on a
+    localCheckpointed frame of <= queries*rank_cap rows, so lineage
+    stays flat and no step re-reads upstream retrievers.
+
+    Output: (query, id, mmr_rank, relevance_scaled, score_scaled) —
+    mmr_rank is the greedy pick order; score_scaled is the traded
+    score at pick time (pick 1 has no selected set: redundancy 0).
+    """
+    if k < 1 or rank_cap < 1:
+        raise ValueError("k and rank_cap must be >= 1")
+    lam_num, lam_den = lam
+    if not 0 < lam_num <= lam_den:
+        raise ValueError("lam must be a rational in (0, 1] as (num, den)")
+    cand = candidates.where(F.col(rank_column) <= rank_cap).select(
+        F.col(query_column).cast("long").alias("__q"),
+        F.col(id_column).cast("long").alias("__id"),
+        F.expr(
+            f"CAST((1000000 * ({rank_cap + 1} - CAST({rank_column} AS BIGINT)))"
+            f" div {rank_cap} AS BIGINT)"
+        ).alias("__rel"),
+    )
+    from sutro_spark.operators.similarity import _prepared, _sim
+
+    v = _prepared(vectors, vector_id_column, vector_column, "v_")
+    cv = cand.join(v, cand["__id"] == v["v_id"]).select("__q", "__id", "__rel", "v_v", "v_n")
+    a = cv.select(
+        F.col("__q"), F.col("__id").alias("__a"),
+        F.col("v_v").alias("a_v"), F.col("v_n").alias("a_n"),
+    )
+    b = cv.select(
+        F.col("__q"), F.col("__id").alias("__b"),
+        F.col("v_v").alias("b_v"), F.col("v_n").alias("b_n"),
+    )
+    simt = (
+        a.join(b, "__q")
+        .where(F.col("__a") != F.col("__b"))
+        .select(
+            F.col("__q").alias("__sq"),
+            "__a",
+            "__b",
+            F.round(_sim("a_", "b_") * 1_000_000, 0).cast("long").alias("__sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pool = cand.localCheckpoint(eager=True)
+    w_pick = Window.partitionBy("__q").orderBy(
+        F.desc("__score"), F.asc("__id")
+    )
+    selected = (
+        pool.withColumn("__score", F.lit(lam_num) * F.col("__rel"))
+        .withColumn("__rn", F.row_number().over(w_pick))
+        .where(F.col("__rn") == 1)
+        .select("__q", "__id", F.lit(1).alias("mmr_rank"), "__rel", "__score")
+        .localCheckpoint(eager=True)
+    )
+    remaining = pool.join(selected.select("__q", "__id"), ["__q", "__id"], "left_anti")
+    for step in range(2, k + 1):
+        red = (
+            remaining.join(
+                selected.select("__q", F.col("__id").alias("__sel")), "__q"
+            )
+            .join(
+                simt,
+                (F.col("__q") == F.col("__sq"))
+                & (F.col("__id") == F.col("__a"))
+                & (F.col("__sel") == F.col("__b")),
+            )
+            .groupBy("__q", "__id", "__rel")
+            .agg(F.max("__sim").alias("__red"))
+        )
+        pick = (
+            red.withColumn(
+                "__score",
+                F.lit(lam_num) * F.col("__rel")
+                - F.lit(lam_den - lam_num) * F.col("__red"),
+            )
+            .withColumn("__rn", F.row_number().over(w_pick))
+            .where(F.col("__rn") == 1)
+            .select("__q", "__id", F.lit(step).alias("mmr_rank"), "__rel", "__score")
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+        remaining = remaining.join(
+            pick.select("__q", "__id"), ["__q", "__id"], "left_anti"
+        )
+    return selected.select(
+        F.col("__q").alias(query_column),
+        F.col("__id").alias(id_column),
+        F.col("mmr_rank").cast("long").alias("mmr_rank"),
+        F.col("__rel").alias("relevance_scaled"),
+        F.col("__score").alias("score_scaled"),
     )

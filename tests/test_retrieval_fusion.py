@@ -81,3 +81,59 @@ def test_rrf_exactness_vs_float():
     L = rrf_lcm(60, 10)
     for r in range(1, 11):
         assert L % (60 + r) == 0
+
+
+def test_mmr_defers_near_duplicate(spark):
+    from sutro_spark.operators.retrieval import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 2), (1, 3, 3), (1, 4, 4)],
+        ["query_id", "doc_id", "rank"],
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.04, 0.0]),  # near-dup of doc 1
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    order = [
+        r["doc_id"]
+        for r in mmr_rerank(cand, vecs, k=4, rank_cap=4, lam=(1, 2))
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    # doc 2 is 2nd most relevant but nearly identical to the first
+    # pick: MMR defers it behind the two orthogonal docs.
+    assert order == [1, 3, 4, 2]
+
+
+def test_mmr_pure_relevance_at_lam_one(spark):
+    from sutro_spark.operators.retrieval import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 2), (1, 3, 3)], ["query_id", "doc_id", "rank"]
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.14]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    # lam=(1,1): zero redundancy penalty -> original rank order.
+    order = [
+        r["doc_id"]
+        for r in mmr_rerank(cand, vecs, k=3, rank_cap=3, lam=(1, 1))
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert order == [1, 2, 3]
+
+
+def test_mmr_validation(spark):
+    from sutro_spark.operators.retrieval import mmr_rerank
+
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(None, None, lam=(0, 2))
+    with pytest.raises(ValueError, match=">= 1"):
+        mmr_rerank(None, None, k=0)
