@@ -3065,6 +3065,32 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "mmr_rank")
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hard-negative mining (DPR-style): each anchor's cosine top-10,
+    # minus its labeled positives (arithmetic: anchor q's positives
+    # are vec_ids 2q+1 and 3q+2 — rebuilt verbatim by the oracle),
+    # renumbered 1..3 hardest-first. One anti-join of two
+    # O(queries x k) lists — corpus cost stays in the upstream ANN.
+    from sutro_spark.operators.retrieval import hard_negatives
+    from sutro_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 5)
+    nb = brute_force_topk(emb, anchors, k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    pos = anchors.select(F.col("vec_id").alias("query_id")).select(
+        "query_id",
+        F.explode(
+            F.array(
+                (F.col("query_id") * 2 + 1).cast("long"),
+                (F.col("query_id") * 3 + 2).cast("long"),
+            )
+        ).alias("doc_id"),
+    )
+    return hard_negatives(nb, pos, n=3).orderBy("query_id", "neg_rank")
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Link-graph centrality at depth: the SAME integer pagerank
     # operator pagerank_suppliers proves at 2 rounds, driven 6 power
@@ -3123,15 +3149,15 @@ _R8_WINDOW = [
     "weighted_sample_group", "jsonl_scan", "shuffled_shards",
     "asof_forward", "event_transitions", "temperature_mix",
     "snapshot_diff", "dedup_lines", "fuzzy_decontaminate",
-    # the 6 oldest r5-cohort entries (dict order); the last six
+    # the 5 oldest r5-cohort entries (dict order); the last seven
     # top-up slots go to the never-driver-checked r8 additions instead
     # (new > r5-stale — the r5 floor is unaffected either way, since
     # 40+ other r5-cohort entries remain at r5 regardless)
     "tpch_q18ish", "tpch_q22ish", "price_quantiles", "tpch_q10ish",
-    "tpch_q7ish", "tpch_q8ish",
+    "tpch_q7ish",
     # new in r8, never driver-checked
     "image_whash", "pagerank_redistribute", "salted_join",
-    "two_phase_agg", "hybrid_retrieval", "mmr_rerank",
+    "two_phase_agg", "hybrid_retrieval", "mmr_rerank", "hard_negatives",
 ]
 
 
@@ -3164,6 +3190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "hybrid_retrieval": q_hybrid_retrieval,
         "mmr_rerank": q_mmr_rerank,
+        "hard_negatives": q_hard_negatives,
         "pagerank": q_pagerank,
         "ece": q_ece,
         "keyword_flags": q_keyword_flags,
@@ -4215,6 +4242,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
                    score_scaled, CAST(rnk AS BIGINT) AS rank
             FROM bm25r WHERE rnk <= 10 ORDER BY query_id, rank
+        """,
+        "hard_negatives": f"""
+            WITH hq AS (SELECT vec_id AS query_id,
+                               CAST(embedding AS DOUBLE[]) AS qv
+                        FROM embeddings WHERE vec_id < 5),
+            hc AS (SELECT vec_id AS neighbor_id,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings),
+            hs AS (SELECT query_id, neighbor_id,
+                          {_COSINE.format(a='qv', b='cv')} AS sim
+                   FROM hq, hc WHERE neighbor_id <> query_id),
+            hr AS (SELECT query_id, neighbor_id, row_number() OVER
+                       (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+                   FROM hs),
+            nb AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+                          CAST(neighbor_id AS BIGINT) AS doc_id,
+                          CAST(rank AS BIGINT) AS orig_rank
+                   FROM hr WHERE rank <= 10),
+            pos AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+                           CAST(d AS BIGINT) AS doc_id
+                    FROM (SELECT vec_id AS query_id FROM embeddings
+                          WHERE vec_id < 5),
+                         LATERAL unnest([query_id * 2 + 1,
+                                         query_id * 3 + 2]) AS t(d)),
+            neg AS (SELECT nb.query_id, nb.doc_id, nb.orig_rank
+                    FROM nb LEFT JOIN pos
+                      ON pos.query_id = nb.query_id
+                     AND pos.doc_id = nb.doc_id
+                    WHERE pos.doc_id IS NULL),
+            rn AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY orig_rank ASC, doc_id ASC) AS neg_rank
+                   FROM neg)
+            SELECT query_id, doc_id, orig_rank,
+                   CAST(neg_rank AS BIGINT) AS neg_rank
+            FROM rn WHERE neg_rank <= 3 ORDER BY query_id, neg_rank
         """,
         "mmr_rerank": f"""
             WITH mq AS (SELECT vec_id AS query_id,

@@ -25,7 +25,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rrf_fuse", "rrf_lcm", "mmr_rerank"]
+__all__ = ["rrf_fuse", "rrf_lcm", "mmr_rerank", "hard_negatives"]
 
 
 def rrf_lcm(k_const: int, rank_cap: int) -> int:
@@ -240,4 +240,59 @@ def mmr_rerank(
         F.col("mmr_rank").cast("long").alias("mmr_rank"),
         F.col("__rel").alias("relevance_scaled"),
         F.col("__score").alias("score_scaled"),
+    )
+
+
+def hard_negatives(
+    neighbors: DataFrame,
+    positives: DataFrame,
+    *,
+    query_column: str = "query_id",
+    id_column: str = "doc_id",
+    rank_column: str = "rank",
+    n: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training
+    (the in-batch-negatives upgrade used by DPR-style pipelines): from
+    each anchor's nearest-neighbor list, keep the top-``n`` entries
+    that are NOT labeled positives — the semantically-close,
+    label-negative examples that carry most of the training signal.
+
+    Inputs: ``neighbors`` = (query, id, rank) from any retriever
+    (brute_force_topk, ivfpq variants, rrf_fuse's fused ranking);
+    ``positives`` = (query, id) labeled positive pairs. An anchor
+    whose whole list is positive yields no rows (nothing to mine).
+
+    Plan shape: one left-anti join of two O(queries x k) lists, then a
+    per-query row_number — no corpus access, no skew surface (every
+    query contributes <= k rows to the shuffle). At 100 TB the cost
+    lives in the upstream ANN, exactly where it should.
+
+    Output: (query, id, orig_rank, neg_rank) — neg_rank renumbers the
+    survivors 1..n in original rank order, so downstream samplers can
+    take "the hardest m" without knowing how many positives were
+    filtered out.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    nb = neighbors.select(
+        F.col(query_column).cast("long").alias("__q"),
+        F.col(id_column).cast("long").alias("__id"),
+        F.col(rank_column).cast("long").alias("orig_rank"),
+    )
+    pos = positives.select(
+        F.col(query_column).cast("long").alias("__q"),
+        F.col(id_column).cast("long").alias("__id"),
+    )
+    w = Window.partitionBy("__q").orderBy(F.asc("orig_rank"), F.asc("__id"))
+    return (
+        nb.join(pos, ["__q", "__id"], "left_anti")
+        .withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("neg_rank") <= n)
+        .select(
+            F.col("__q").alias(query_column),
+            F.col("__id").alias(id_column),
+            "orig_rank",
+            "neg_rank",
+        )
     )

@@ -137,3 +137,27 @@ def test_mmr_validation(spark):
         mmr_rerank(None, None, lam=(0, 2))
     with pytest.raises(ValueError, match=">= 1"):
         mmr_rerank(None, None, k=0)
+
+
+def test_hard_negatives_filters_and_renumbers(spark):
+    from sutro_spark.operators.retrieval import hard_negatives
+
+    nb = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4), (2, 20, 1)],
+        ["query_id", "doc_id", "rank"],
+    )
+    pos = spark.createDataFrame([(1, 10), (1, 12)], ["query_id", "doc_id"])
+    out = {
+        (r["query_id"], r["doc_id"]): (r["orig_rank"], r["neg_rank"])
+        for r in hard_negatives(nb, pos, n=5).collect()
+    }
+    # positives 10 and 12 filtered; survivors renumbered densely
+    assert out == {(1, 11): (2, 1), (1, 13): (4, 2), (2, 20): (1, 1)}
+
+
+def test_hard_negatives_all_positive_anchor_is_empty(spark):
+    from sutro_spark.operators.retrieval import hard_negatives
+
+    nb = spark.createDataFrame([(1, 10, 1)], ["query_id", "doc_id", "rank"])
+    pos = spark.createDataFrame([(1, 10)], ["query_id", "doc_id"])
+    assert hard_negatives(nb, pos, n=2).count() == 0
