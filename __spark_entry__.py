@@ -3065,6 +3065,24 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "mmr_rank")
 
 
+def q_kmv_join_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Join-cardinality estimation from constant-state KMV sketches
+    # (Beyer 2007 set resemblance + uniform-multiplicity factors),
+    # all-integer milli-unit arithmetic, with the exact join count as
+    # the in-row honesty column — the pre-join planner evidence
+    # (pairs with skew_report: size from here, shape from there).
+    from sutro_spark.functions.sketches import kmv_join_estimate
+
+    return kmv_join_estimate(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        "l_orderkey",
+        "o_orderkey",
+        k=128,
+        exact=True,
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hard-negative mining (DPR-style): each anchor's cosine top-10,
     # minus its labeled positives (arithmetic: anchor q's positives
@@ -3149,15 +3167,15 @@ _R8_WINDOW = [
     "weighted_sample_group", "jsonl_scan", "shuffled_shards",
     "asof_forward", "event_transitions", "temperature_mix",
     "snapshot_diff", "dedup_lines", "fuzzy_decontaminate",
-    # the 5 oldest r5-cohort entries (dict order); the last seven
+    # the 4 oldest r5-cohort entries (dict order); the last eight
     # top-up slots go to the never-driver-checked r8 additions instead
     # (new > r5-stale — the r5 floor is unaffected either way, since
     # 40+ other r5-cohort entries remain at r5 regardless)
     "tpch_q18ish", "tpch_q22ish", "price_quantiles", "tpch_q10ish",
-    "tpch_q7ish",
     # new in r8, never driver-checked
     "image_whash", "pagerank_redistribute", "salted_join",
     "two_phase_agg", "hybrid_retrieval", "mmr_rerank", "hard_negatives",
+    "kmv_join_est",
 ]
 
 
@@ -3191,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval": q_hybrid_retrieval,
         "mmr_rerank": q_mmr_rerank,
         "hard_negatives": q_hard_negatives,
+        "kmv_join_est": q_kmv_join_est,
         "pagerank": q_pagerank,
         "ece": q_ece,
         "keyword_flags": q_keyword_flags,
@@ -4242,6 +4261,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
                    score_scaled, CAST(rnk AS BIGINT) AS rank
             FROM bm25r WHERE rnk <= 10 ORDER BY query_id, rank
+        """,
+        "kmv_join_est": """
+            WITH la AS (SELECT l_orderkey AS key FROM lineitem
+                        WHERE l_orderkey IS NOT NULL),
+            ra AS (SELECT o_orderkey AS key FROM orders
+                   WHERE o_orderkey IS NOT NULL),
+            nl AS (SELECT CAST(count(*) AS BIGINT) AS n_l FROM la),
+            nr AS (SELECT CAST(count(*) AS BIGINT) AS n_r FROM ra),
+            hl AS (SELECT DISTINCT CAST(CAST(concat('0x', substr(sha256(
+                       concat('kmv:', CAST(key AS VARCHAR))), 1, 8))
+                       AS UBIGINT) % 4294967296 AS BIGINT) AS h FROM la),
+            hr AS (SELECT DISTINCT CAST(CAST(concat('0x', substr(sha256(
+                       concat('kmv:', CAST(key AS VARCHAR))), 1, 8))
+                       AS UBIGINT) % 4294967296 AS BIGINT) AS h FROM ra),
+            skl AS (SELECT h FROM hl ORDER BY h LIMIT 128),
+            skr AS (SELECT h FROM hr ORDER BY h LIMIT 128),
+            stl AS (SELECT CAST(count(*) AS BIGINT) AS cnt_l,
+                           CAST(CASE WHEN count(*) < 128 THEN 4294967296
+                                ELSE max(h) END AS BIGINT) AS tau_l
+                    FROM skl),
+            str_ AS (SELECT CAST(count(*) AS BIGINT) AS cnt_r,
+                            CAST(CASE WHEN count(*) < 128 THEN 4294967296
+                                 ELSE max(h) END AS BIGINT) AS tau_r
+                     FROM skr),
+            tt AS (SELECT least(tau_l, tau_r) AS tau FROM stl, str_),
+            ki AS (SELECT CAST(count(*) AS BIGINT) AS k_int
+                   FROM skl JOIN skr USING (h), tt WHERE h < tau),
+            ku AS (SELECT CAST(count(*) AS BIGINT) AS k_union
+                   FROM (SELECT h FROM skl UNION SELECT h FROM skr), tt
+                   WHERE h < tau),
+            mids AS (
+                SELECT n_l, n_r, k_int, k_union,
+                       CAST(CASE WHEN tau_l >= 4294967296 THEN cnt_l * 1000
+                            ELSE (127 * 4294967296 * 1000) // tau_l
+                            END AS BIGINT) AS d_l_milli,
+                       CAST(CASE WHEN tau_r >= 4294967296 THEN cnt_r * 1000
+                            ELSE (127 * 4294967296 * 1000) // tau_r
+                            END AS BIGINT) AS d_r_milli,
+                       CAST(CASE WHEN tau >= 4294967296 THEN k_union * 1000
+                            ELSE ((k_union - 1) * 4294967296 * 1000) // tau
+                            END AS BIGINT) AS d_union_milli
+                FROM nl, nr, stl, str_, tt, ki, ku),
+            m2 AS (
+                SELECT *, CAST(CASE WHEN k_union = 0 THEN 0
+                          ELSE (k_int * d_union_milli) // k_union
+                          END AS BIGINT) AS d_int_milli
+                FROM mids),
+            exact AS (
+                SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT)
+                           AS exact_join_rows
+                FROM (SELECT key, count(*) AS ca FROM la GROUP BY key) x
+                JOIN (SELECT key, count(*) AS cb FROM ra GROUP BY key) y
+                  USING (key))
+            SELECT n_l AS n_left, n_r AS n_right, k_int, k_union,
+                   d_l_milli AS est_distinct_left_milli,
+                   d_r_milli AS est_distinct_right_milli,
+                   d_int_milli AS est_intersection_milli,
+                   CAST(CASE WHEN d_l_milli = 0 OR d_r_milli = 0 THEN 0
+                        ELSE (((d_int_milli * ((n_l * 1000000) // d_l_milli))
+                               // 1000)
+                              * ((n_r * 1000000) // d_r_milli)) // 1000000
+                        END AS BIGINT) AS est_join_rows,
+                   exact_join_rows
+            FROM m2, exact
         """,
         "hard_negatives": f"""
             WITH hq AS (SELECT vec_id AS query_id,

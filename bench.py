@@ -222,6 +222,8 @@ def main() -> None:
             "keyword_flags", "rollup_incr", "ivfpq_residual",
             "ivfpq_recall", "ivfpq_prune", "image_dhash", "dhash_pairs",
             "bm25_topk", "pagerank", "image_whash", "pagerank_redistribute",
+            "salted_join", "two_phase_agg", "hybrid_retrieval",
+            "mmr_rerank", "hard_negatives",
             ]
             if name in qs
         ]

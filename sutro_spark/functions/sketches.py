@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from sutro_spark.functions.sampling import hash_bucket
 
-__all__ = ["kmv_distinct", "hll_distinct", "hll_registers", "hll_from_registers", "cms_cells", "cms_counts", "cms_estimate"]
+__all__ = ["kmv_distinct", "kmv_join_estimate", "hll_distinct", "hll_registers", "hll_from_registers", "cms_cells", "cms_counts", "cms_estimate"]
 
 
 def kmv_distinct(
@@ -266,3 +266,158 @@ def cms_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count"))
     )
+
+
+def kmv_join_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str | None = None,
+    *,
+    k: int = 256,
+    salt: str = "kmv",
+    exact: bool = False,
+) -> DataFrame:
+    """Sketch-based inner-equi-join cardinality estimate: the planner
+    evidence for "should I broadcast / pre-aggregate / salt this
+    join?" before paying for it. Two KMV sketches (k smallest distinct
+    key hashes per side — constant state regardless of input size) +
+    the two row counts estimate
+
+        |A join B| ~ D_int * (nA / DA) * (nB / DB)
+
+    where D_int is the estimated distinct-key overlap (KMV
+    set-resemblance: sketches truncated to the smaller threshold tau,
+    Jaccard = K_int/K_union, D_union = (K_union-1)*2^32/tau — Beyer et
+    al. SIGMOD 2007) and nX/DX is each side's mean key multiplicity.
+    The multiplicity factors assume uniform key frequencies — the
+    estimate degrades on skewed keys (that is `skew_report`'s job to
+    flag; the two tools together are the pre-join checklist).
+
+    EVERYTHING is integer arithmetic in milli-units (floor div, exact
+    BIGINTs cross-engine): each div truncates <= 0.1% relative — noise
+    against the estimator's own sampling error at any practical k.
+    Overflow bound: D_int_milli (<= 1000*D) times avg-multiplicity
+    milli terms must stay < 2^63 — safe while D * multA * multB <
+    9e12, i.e. any join whose TRUE size is below ~9 trillion rows;
+    beyond that you did not need an estimator to know it is huge.
+
+    A side with fewer than k distinct keys contributes its sketch as
+    the complete key set (tau = 2^32, estimate exact). ``exact=True``
+    adds the true join row count (sum over keys of cA*cB computed
+    WITHOUT materializing the join) — the honesty column the [Q]
+    checks; leave it off at scale.
+
+    Output: one row — (n_left, n_right, k_int, k_union,
+    est_distinct_left_milli, est_distinct_right_milli,
+    est_intersection_milli, est_join_rows [, exact_join_rows]).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (the estimator divides by k-1)")
+    right_key = right_key or left_key
+    M = 1 << 32
+
+    def side(df: DataFrame, key: str, tag: str):
+        nn = df.where(F.col(key).isNotNull())
+        n = nn.agg(F.count(F.lit(1)).cast("long").alias(f"n_{tag}"))
+        hashes = (
+            nn.select(hash_bucket(F.col(key), salt=salt, buckets=M).alias("h"))
+            .distinct()
+        )
+        sk = hashes.orderBy("h").limit(k)
+        stats = sk.agg(
+            F.count(F.lit(1)).cast("long").alias(f"cnt_{tag}"),
+            F.max("h").cast("long").alias(f"max_{tag}"),
+        ).select(
+            f"cnt_{tag}",
+            # full-set sketch (cnt < k) -> tau = 2^32, estimate exact
+            F.when(F.col(f"cnt_{tag}") < k, F.lit(M))
+            .otherwise(F.col(f"max_{tag}"))
+            .cast("long")
+            .alias(f"tau_{tag}"),
+        )
+        return n, sk, stats
+
+    nA, skA, stA = side(left, left_key, "l")
+    nB, skB, stB = side(right, right_key, "r")
+    both = stA.crossJoin(stB).select(
+        "cnt_l", "cnt_r",
+        F.least("tau_l", "tau_r").alias("tau"),
+        F.col("tau_l"), F.col("tau_r"),
+    )
+    a = skA.select(F.col("h").alias("ha"))
+    b = skB.select(F.col("h").alias("hb"))
+    inter = (
+        a.join(b, a["ha"] == b["hb"])
+        .crossJoin(F.broadcast(both.select("tau")))
+        .where(F.col("ha") < F.col("tau"))
+        .agg(F.count(F.lit(1)).cast("long").alias("k_int"))
+    )
+    union = (
+        a.select(F.col("ha").alias("h"))
+        .unionByName(b.select(F.col("hb").alias("h")))
+        .distinct()
+        .crossJoin(F.broadcast(both.select(F.col("tau").alias("__tau"))))
+        .where(F.col("h") < F.col("__tau"))
+        .agg(F.count(F.lit(1)).cast("long").alias("k_union"))
+    )
+    row = (
+        nA.crossJoin(nB).crossJoin(both).crossJoin(inter).crossJoin(union)
+    )
+    d_milli = lambda cnt, tau: (  # noqa: E731 — local expression macro
+        F.when(F.col(tau) >= M, F.col(cnt) * 1000)
+        .otherwise(
+            F.expr(f"CAST(({k - 1} * CAST({M} AS BIGINT) * 1000) div {tau} AS BIGINT)")
+        )
+        .cast("long")
+    )
+    est = row.select(
+        "n_l", "n_r", "k_int", "k_union",
+        d_milli("cnt_l", "tau_l").alias("d_l_milli"),
+        d_milli("cnt_r", "tau_r").alias("d_r_milli"),
+        F.when(F.col("tau") >= M, F.col("k_union") * 1000)
+        .otherwise(
+            F.expr(
+                f"CAST(((k_union - 1) * CAST({M} AS BIGINT) * 1000) div tau AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("d_union_milli"),
+    ).select(
+        "n_l", "n_r", "k_int", "k_union", "d_l_milli", "d_r_milli",
+        F.expr(
+            "CAST(CASE WHEN k_union = 0 THEN 0 "
+            "ELSE (k_int * d_union_milli) div k_union END AS BIGINT)"
+        ).alias("d_int_milli"),
+    ).select(
+        F.col("n_l").alias("n_left"),
+        F.col("n_r").alias("n_right"),
+        "k_int", "k_union",
+        F.col("d_l_milli").alias("est_distinct_left_milli"),
+        F.col("d_r_milli").alias("est_distinct_right_milli"),
+        F.col("d_int_milli").alias("est_intersection_milli"),
+        F.expr(
+            "CAST(CASE WHEN d_l_milli = 0 OR d_r_milli = 0 THEN 0 ELSE "
+            "((d_int_milli * ((n_l * 1000000) div d_l_milli)) div 1000)"
+            " * ((n_r * 1000000) div d_r_milli) div 1000000 "
+            "END AS BIGINT)"
+        ).alias("est_join_rows"),
+    )
+    if exact:
+        lc = (
+            left.where(F.col(left_key).isNotNull())
+            .groupBy(F.col(left_key).alias("__k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__ca"))
+        )
+        rc = (
+            right.where(F.col(right_key).isNotNull())
+            .groupBy(F.col(right_key).alias("__k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("__cb"))
+        )
+        ex = lc.join(rc, "__k").agg(
+            F.coalesce(F.sum(F.col("__ca") * F.col("__cb")), F.lit(0))
+            .cast("long")
+            .alias("exact_join_rows")
+        )
+        est = est.crossJoin(ex)
+    return est

@@ -141,3 +141,38 @@ def test_sketches_ignore_null_keys(spark):
     c1 = {(r.row, r.bucket): r.cnt for r in cms_counts(clean.select(F.col("k").cast("string").alias("k")), "k").collect()}
     c2 = {(r.row, r.bucket): r.cnt for r in cms_counts(dirty.select(F.col("k").cast("string").alias("k")), "k").collect()}
     assert c1 == c2
+
+
+def test_kmv_join_estimate_accuracy(spark, sf_dir):
+    from sutro_spark.functions.sketches import kmv_join_estimate
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    row = kmv_join_estimate(
+        li, o, "l_orderkey", "o_orderkey", k=128, exact=True
+    ).first()
+    assert row["exact_join_rows"] == li.count()  # every lineitem matches
+    # sketch estimate within 15% of truth at k=128
+    assert abs(row["est_join_rows"] - row["exact_join_rows"]) <= (
+        0.15 * row["exact_join_rows"]
+    )
+
+
+def test_kmv_join_estimate_disjoint_keys(spark):
+    from sutro_spark.functions.sketches import kmv_join_estimate
+
+    a = spark.range(0, 500).selectExpr("id AS k")
+    b = spark.range(10_000, 10_500).selectExpr("id AS k")
+    row = kmv_join_estimate(a, b, "k", exact=True).first()
+    assert row["exact_join_rows"] == 0
+    # sub-k sides carry complete sketches: the overlap estimate is exact
+    assert row["k_int"] == 0 and row["est_join_rows"] == 0
+
+
+def test_kmv_join_estimate_validation(spark):
+    import pytest
+
+    from sutro_spark.functions.sketches import kmv_join_estimate
+
+    with pytest.raises(ValueError, match=">= 2"):
+        kmv_join_estimate(None, None, "k", k=1)
