@@ -231,3 +231,23 @@ def test_bm25_single_corpus_scan_and_topk_pushdown(spark):
     plan = _plan(spark, "bm25_topk")
     assert "Scan parquet" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_rrf_fusion_plan_is_jvm_side_with_grouplimit(spark):
+    # the fusion stage: no Python nodes, top-k via WindowGroupLimit
+    # (rank filter pushed into the sort), partial aggregation before
+    # the fused-score exchange (map-side combine on (query, doc)).
+    plan = _plan(spark, "hybrid_retrieval")
+    assert "PythonUDF" not in plan and "MapInPandas" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_hard_negatives_no_corpus_side_shuffle(spark):
+    # positives land on the anti-join's broadcast side: the miner adds
+    # ZERO extra Exchange beyond what the upstream ANN already does.
+    plan = _plan(spark, "hard_negatives")
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti, BuildRight" in plan
+    )
+    assert "PythonUDF" not in plan
