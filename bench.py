@@ -345,7 +345,7 @@ def main() -> None:
                 # for r1-r3 artifact compatibility; the per-set detail
                 # lives under runs_per_query_detail.
                 "runs_per_query": 2,
-                "runs_per_query_detail": {"headline": 3, "extra": 2},
+                "runs_per_query_detail": {"headline": 4, "extra": 2},
                 "agg": "min_interleaved",
                 # per-pass raw data FIRST (most expendable under the
                 # driver's tail truncation): full per-query timings of
