@@ -3065,6 +3065,19 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "mmr_rank")
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Content-defined chunking: boundaries where the (prev, word)
+    # pair-hash % 8 == 0 — chunk identity survives prefix/infix edits
+    # (unlike fixed-offset chunk_text), making chunk_hash equality a
+    # shift-robust near-dup signal. max_words=16 exercises the
+    # relational post-split (sub_seq) that bounds worst-case chunks.
+    from sutro_spark.functions.text import content_chunks
+
+    return content_chunks(
+        _t(spark, sf_dir, "documents"), divisor=8, max_words=16
+    )
+
+
 def q_kmv_join_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Join-cardinality estimation from constant-state KMV sketches
     # (Beyer 2007 set resemblance + uniform-multiplicity factors),
@@ -3167,15 +3180,15 @@ _R8_WINDOW = [
     "weighted_sample_group", "jsonl_scan", "shuffled_shards",
     "asof_forward", "event_transitions", "temperature_mix",
     "snapshot_diff", "dedup_lines", "fuzzy_decontaminate",
-    # the 4 oldest r5-cohort entries (dict order); the last eight
+    # the 3 oldest r5-cohort entries (dict order); the last nine
     # top-up slots go to the never-driver-checked r8 additions instead
     # (new > r5-stale — the r5 floor is unaffected either way, since
     # 40+ other r5-cohort entries remain at r5 regardless)
-    "tpch_q18ish", "tpch_q22ish", "price_quantiles", "tpch_q10ish",
+    "tpch_q18ish", "tpch_q22ish", "price_quantiles",
     # new in r8, never driver-checked
     "image_whash", "pagerank_redistribute", "salted_join",
     "two_phase_agg", "hybrid_retrieval", "mmr_rerank", "hard_negatives",
-    "kmv_join_est",
+    "kmv_join_est", "cdc_chunks",
 ]
 
 
@@ -3210,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "hard_negatives": q_hard_negatives,
         "kmv_join_est": q_kmv_join_est,
+        "cdc_chunks": q_cdc_chunks,
         "pagerank": q_pagerank,
         "ece": q_ece,
         "keyword_flags": q_keyword_flags,
@@ -4261,6 +4275,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
                    score_scaled, CAST(rnk AS BIGINT) AS rank
             FROM bm25r WHERE rnk <= 10 ORDER BY query_id, rank
+        """,
+        "cdc_chunks": """
+            WITH cb AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents WHERE text IS NOT NULL),
+            cw AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+                          toks[CAST(p AS INTEGER)] AS w,
+                          CASE WHEN p > 1
+                               THEN toks[CAST(p - 1 AS INTEGER)] END AS prev
+                   FROM cb, LATERAL unnest(range(1, len(toks) + 1)) AS t(p)),
+            ch AS (SELECT doc_id, pos, w,
+                          CASE WHEN pos > 0 AND
+                               CAST(CAST(concat('0x', substr(sha256(
+                                   concat_ws(':', 'cdc', prev, w)), 1, 8))
+                                   AS UBIGINT) % 8 AS BIGINT) = 0
+                          THEN 1 ELSE 0 END AS bnd
+                   FROM cw),
+            cc AS (SELECT doc_id, pos, w,
+                          CAST(sum(bnd) OVER (PARTITION BY doc_id
+                              ORDER BY pos) AS BIGINT) AS chunk_seq
+                   FROM ch),
+            cs AS (SELECT doc_id, pos, w, chunk_seq,
+                          CAST((pos - min(pos) OVER (PARTITION BY doc_id,
+                              chunk_seq)) // 16 AS BIGINT) AS sub_seq
+                   FROM cc),
+            cg AS (SELECT doc_id AS id, chunk_seq, sub_seq,
+                          CAST(min(pos) AS BIGINT) AS start_word,
+                          CAST(count(*) AS BIGINT) AS n_words,
+                          string_agg(w, ' ' ORDER BY pos) AS ct
+                   FROM cs GROUP BY doc_id, chunk_seq, sub_seq)
+            SELECT id, chunk_seq, sub_seq, start_word, n_words,
+                   CAST(CAST(concat('0x', substr(sha256(
+                       concat('cdc#:', ct)), 1, 8)) AS UBIGINT) AS BIGINT)
+                       AS chunk_hash
+            FROM cg
         """,
         "kmv_join_est": """
             WITH la AS (SELECT l_orderkey AS key FROM lineitem

@@ -779,3 +779,120 @@ def bm25_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def content_chunks(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    divisor: int = 8,
+    max_words: int | None = None,
+    salt: str = "cdc",
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync boundary idea at
+    word granularity): a chunk boundary opens wherever the hash of the
+    (previous word, word) pair is divisible by ``divisor`` — so chunk
+    boundaries are a function of LOCAL CONTENT, not byte offsets, and
+    inserting or deleting a prefix shifts only the chunks up to the
+    first surviving boundary. Fixed-size chunking (:func:`chunk_text`)
+    re-cuts the entire document after any edit; content-defined chunks
+    make chunk-hash equality a shift-robust near-dup signal
+    (pytest asserts a prefix-edited copy shares all but the first
+    chunk hashes).
+
+    Expected chunk length is ``divisor`` words (geometric); real CDC
+    adds min/max size bounds, but a MIN bound makes the boundary
+    decision sequential (each boundary depends on where the previous
+    chunk ended) and would force the whole document through a
+    single-pass UDF. This variant keeps the pure content rule — fully
+    relational — and offers ``max_words`` as a relational post-split:
+    within a content chunk, words re-split every ``max_words``
+    (sub_seq), bounding the worst-case chunk without breaking the
+    shift-robustness of the boundaries themselves.
+
+    Hash = the repo's portable 32-bit sha256-prefix over
+    ``salt:prev:word`` (winnow_fingerprints' construction), so any
+    engine reproduces boundaries and chunk hashes bit-for-bit.
+
+    Scale shape: words explode inside the scan; the boundary lag and
+    the chunk-id running count are bounded per-document windows
+    (parallel across docs, same discipline as winnowing); one groupBy
+    (id, chunk) rebuilds chunk text order-deterministically. No
+    corpus x corpus anything.
+
+    Output: (id, chunk_seq, sub_seq, start_word, n_words, chunk_hash)
+    — chunk_seq numbers content chunks from 0 in document order,
+    sub_seq the max_words re-splits within one (always 0 when
+    ``max_words`` is None).
+    """
+    if divisor < 1:
+        raise ValueError("divisor must be >= 1")
+    if max_words is not None and max_words < 1:
+        raise ValueError("max_words must be >= 1 when set")
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_column).alias("id"),
+        F.posexplode(tokens(F.lower(F.col(text_column)))).alias("pos", "w"),
+    )
+    part = Window.partitionBy("id").orderBy(F.col("pos").asc())
+    h = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat_ws(":", F.lit(salt), F.lag("w", 1).over(part), F.col("w")),
+                256,
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    flagged = words.withColumn(
+        "bnd",
+        F.when(
+            (F.col("pos") > 0) & (h % divisor == 0), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "chunk_seq",
+        F.sum("bnd").over(part.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    if max_words is not None:
+        cw = Window.partitionBy("id", "chunk_seq")
+        flagged = flagged.withColumn(
+            "sub_seq",
+            ((F.col("pos") - F.min("pos").over(cw)) / max_words)
+            .cast("long"),
+        )
+    else:
+        flagged = flagged.withColumn("sub_seq", F.lit(0).cast("long"))
+    grouped = flagged.groupBy("id", "chunk_seq", "sub_seq").agg(
+        F.min("pos").cast("long").alias("start_word"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("__chunk_text"),
+    )
+    return grouped.select(
+        "id",
+        "chunk_seq",
+        "sub_seq",
+        "start_word",
+        "n_words",
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit(f"{salt}#:"), F.col("__chunk_text")), 256),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("chunk_hash"),
+    )

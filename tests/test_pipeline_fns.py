@@ -762,3 +762,51 @@ def test_bloom_flags_no_join_in_plan(spark):
     plan = bloom_contamination_flags(docs, w, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_content_chunks_shift_robust(spark):
+    from sutro_spark.functions.text import content_chunks
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    docs = spark.createDataFrame(
+        [(1, base), (2, "inserted prefix " + base)], ["doc_id", "text"]
+    )
+    out = content_chunks(docs, divisor=4)
+    a = {r["chunk_hash"] for r in out.where("id = 1").collect()}
+    b = {r["chunk_hash"] for r in out.where("id = 2").collect()}
+    # fixed-size chunking would share ~nothing after a prefix edit;
+    # content-defined boundaries re-align after the first boundary.
+    assert len(a & b) >= len(a) - 1
+
+
+def test_content_chunks_partition_is_exact(spark):
+    from pyspark.sql import functions as F
+
+    from sutro_spark.functions.text import content_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p")], ["doc_id", "text"]
+    )
+    out = content_chunks(docs, divisor=3, max_words=4)
+    rows = out.orderBy("chunk_seq", "sub_seq").collect()
+    # chunks tile the word sequence exactly: starts follow counts
+    total = sum(r["n_words"] for r in rows)
+    assert total == 16
+    nxt = 0
+    for r in rows:
+        assert r["start_word"] == nxt
+        nxt += r["n_words"]
+    # max_words bound honored
+    assert all(r["n_words"] <= 4 for r in rows)
+
+
+def test_content_chunks_validation(spark):
+    import pytest
+
+    from sutro_spark.functions.text import content_chunks
+
+    with pytest.raises(ValueError, match="divisor"):
+        content_chunks(None, divisor=0)
+    with pytest.raises(ValueError, match="max_words"):
+        content_chunks(None, max_words=0)
