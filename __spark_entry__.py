@@ -3078,6 +3078,30 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The purpose of content-defined chunks: shift-robust duplicate
+    # passages. Chunks of >= 3 words shared by >= 2 docs, grouped by
+    # chunk hash — unlike fixed-offset chunks, a doc that gained a
+    # prefix still collides with its original here.
+    from sutro_spark.functions.text import content_chunks
+
+    chunks = content_chunks(
+        _t(spark, sf_dir, "documents"), divisor=8, max_words=16
+    )
+    return (
+        chunks.where(F.col("n_words") >= 3)
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("id").cast("long").alias("min_doc"),
+            F.max("id").cast("long").alias("max_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "chunk_hash")
+    )
+
+
 def q_kmv_join_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Join-cardinality estimation from constant-state KMV sketches
     # (Beyer 2007 set resemblance + uniform-multiplicity factors),
@@ -3180,15 +3204,15 @@ _R8_WINDOW = [
     "weighted_sample_group", "jsonl_scan", "shuffled_shards",
     "asof_forward", "event_transitions", "temperature_mix",
     "snapshot_diff", "dedup_lines", "fuzzy_decontaminate",
-    # the 3 oldest r5-cohort entries (dict order); the last nine
+    # the 2 oldest r5-cohort entries (dict order); the last ten
     # top-up slots go to the never-driver-checked r8 additions instead
     # (new > r5-stale — the r5 floor is unaffected either way, since
     # 40+ other r5-cohort entries remain at r5 regardless)
-    "tpch_q18ish", "tpch_q22ish", "price_quantiles",
+    "tpch_q18ish", "tpch_q22ish",
     # new in r8, never driver-checked
     "image_whash", "pagerank_redistribute", "salted_join",
     "two_phase_agg", "hybrid_retrieval", "mmr_rerank", "hard_negatives",
-    "kmv_join_est", "cdc_chunks",
+    "kmv_join_est", "cdc_chunks", "cdc_dedup",
 ]
 
 
@@ -3224,6 +3248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "kmv_join_est": q_kmv_join_est,
         "cdc_chunks": q_cdc_chunks,
+        "cdc_dedup": q_cdc_dedup,
         "pagerank": q_pagerank,
         "ece": q_ece,
         "keyword_flags": q_keyword_flags,
@@ -3561,6 +3586,49 @@ _BM25_CTE = """
 from sutro_spark.operators.retrieval import rrf_lcm as _rrf_lcm
 
 _RRF_L = _rrf_lcm(60, 10)
+
+# Content-defined chunking chain (mirrors functions/text.py
+# content_chunks with divisor=8, max_words=16), ending at CTE
+# `cdc_chunks_cte` = (id, chunk_seq, sub_seq, start_word, n_words,
+# chunk_hash). Shared by the cdc_chunks and cdc_dedup oracles.
+_CDC_CTE = """
+            WITH cb AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents WHERE text IS NOT NULL),
+            cw AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+                          toks[CAST(p AS INTEGER)] AS w,
+                          CASE WHEN p > 1
+                               THEN toks[CAST(p - 1 AS INTEGER)] END AS prev
+                   FROM cb, LATERAL unnest(range(1, len(toks) + 1)) AS t(p)),
+            ch AS (SELECT doc_id, pos, w,
+                          CASE WHEN pos > 0 AND
+                               CAST(CAST(concat('0x', substr(sha256(
+                                   concat_ws(':', 'cdc', prev, w)), 1, 8))
+                                   AS UBIGINT) % 8 AS BIGINT) = 0
+                          THEN 1 ELSE 0 END AS bnd
+                   FROM cw),
+            cc AS (SELECT doc_id, pos, w,
+                          CAST(sum(bnd) OVER (PARTITION BY doc_id
+                              ORDER BY pos) AS BIGINT) AS chunk_seq
+                   FROM ch),
+            cs AS (SELECT doc_id, pos, w, chunk_seq,
+                          CAST((pos - min(pos) OVER (PARTITION BY doc_id,
+                              chunk_seq)) // 16 AS BIGINT) AS sub_seq
+                   FROM cc),
+            cg AS (SELECT doc_id AS id, chunk_seq, sub_seq,
+                          CAST(min(pos) AS BIGINT) AS start_word,
+                          CAST(count(*) AS BIGINT) AS n_words,
+                          string_agg(w, ' ' ORDER BY pos) AS ct
+                   FROM cs GROUP BY doc_id, chunk_seq, sub_seq),
+            cdc_chunks_cte AS (
+                SELECT id, chunk_seq, sub_seq, start_word, n_words,
+                       CAST(CAST(concat('0x', substr(sha256(
+                           concat('cdc#:', ct)), 1, 8)) AS UBIGINT)
+                           AS BIGINT) AS chunk_hash
+                FROM cg)
+"""
 
 # word-8-gram contamination hits vs the planted benchmark slice
 # (mirrors operators/decontaminate.py with n=_DECON_N=8: benchmark =
@@ -4276,42 +4344,22 @@ def oracle_sql() -> dict[str, str]:
                    score_scaled, CAST(rnk AS BIGINT) AS rank
             FROM bm25r WHERE rnk <= 10 ORDER BY query_id, rank
         """,
-        "cdc_chunks": """
-            WITH cb AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                   x -> x <> '') AS toks
-                FROM documents WHERE text IS NOT NULL),
-            cw AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
-                          toks[CAST(p AS INTEGER)] AS w,
-                          CASE WHEN p > 1
-                               THEN toks[CAST(p - 1 AS INTEGER)] END AS prev
-                   FROM cb, LATERAL unnest(range(1, len(toks) + 1)) AS t(p)),
-            ch AS (SELECT doc_id, pos, w,
-                          CASE WHEN pos > 0 AND
-                               CAST(CAST(concat('0x', substr(sha256(
-                                   concat_ws(':', 'cdc', prev, w)), 1, 8))
-                                   AS UBIGINT) % 8 AS BIGINT) = 0
-                          THEN 1 ELSE 0 END AS bnd
-                   FROM cw),
-            cc AS (SELECT doc_id, pos, w,
-                          CAST(sum(bnd) OVER (PARTITION BY doc_id
-                              ORDER BY pos) AS BIGINT) AS chunk_seq
-                   FROM ch),
-            cs AS (SELECT doc_id, pos, w, chunk_seq,
-                          CAST((pos - min(pos) OVER (PARTITION BY doc_id,
-                              chunk_seq)) // 16 AS BIGINT) AS sub_seq
-                   FROM cc),
-            cg AS (SELECT doc_id AS id, chunk_seq, sub_seq,
-                          CAST(min(pos) AS BIGINT) AS start_word,
-                          CAST(count(*) AS BIGINT) AS n_words,
-                          string_agg(w, ' ' ORDER BY pos) AS ct
-                   FROM cs GROUP BY doc_id, chunk_seq, sub_seq)
+        "cdc_chunks": _CDC_CTE + """
             SELECT id, chunk_seq, sub_seq, start_word, n_words,
-                   CAST(CAST(concat('0x', substr(sha256(
-                       concat('cdc#:', ct)), 1, 8)) AS UBIGINT) AS BIGINT)
-                       AS chunk_hash
-            FROM cg
+                   chunk_hash
+            FROM cdc_chunks_cte
+        """,
+        "cdc_dedup": _CDC_CTE + """
+            SELECT chunk_hash,
+                   CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(min(id) AS BIGINT) AS min_doc,
+                   CAST(max(id) AS BIGINT) AS max_doc
+            FROM cdc_chunks_cte
+            WHERE n_words >= 3
+            GROUP BY chunk_hash
+            HAVING count(DISTINCT id) >= 2
+            ORDER BY n_docs DESC, chunk_hash
         """,
         "kmv_join_est": """
             WITH la AS (SELECT l_orderkey AS key FROM lineitem
