@@ -3078,6 +3078,25 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Robust outliers: order totals beyond 2 MADs of their
+    # priority-group median (k=2 flags a real tail — 178 rows at
+    # sf0.01 — where the conventional 3.5 flags none on TPC-H's
+    # near-uniform totals; the arithmetic is identical). Exact-integer order statistics via the
+    # 2x-median trick (doubled medians are always integers), flag rule
+    # multiplied out to a pure BIGINT comparison — zscore_outliers'
+    # robust sibling (breakdown point 50% vs 0%).
+    from sutro_spark.functions.stats import mad_outliers
+
+    return mad_outliers(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "o_orderpriority",
+        "o_orderkey",
+        k=(2, 1),
+    ).orderBy("grp", "id")
+
+
 def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The purpose of content-defined chunks: shift-robust duplicate
     # passages. Chunks of >= 3 words shared by >= 2 docs, grouped by
@@ -3204,15 +3223,15 @@ _R8_WINDOW = [
     "weighted_sample_group", "jsonl_scan", "shuffled_shards",
     "asof_forward", "event_transitions", "temperature_mix",
     "snapshot_diff", "dedup_lines", "fuzzy_decontaminate",
-    # the 2 oldest r5-cohort entries (dict order); the last ten
+    # the oldest r5-cohort entry (dict order); the last eleven
     # top-up slots go to the never-driver-checked r8 additions instead
     # (new > r5-stale — the r5 floor is unaffected either way, since
     # 40+ other r5-cohort entries remain at r5 regardless)
-    "tpch_q18ish", "tpch_q22ish",
+    "tpch_q18ish",
     # new in r8, never driver-checked
     "image_whash", "pagerank_redistribute", "salted_join",
     "two_phase_agg", "hybrid_retrieval", "mmr_rerank", "hard_negatives",
-    "kmv_join_est", "cdc_chunks", "cdc_dedup",
+    "kmv_join_est", "cdc_chunks", "cdc_dedup", "mad_outliers",
 ]
 
 
@@ -3249,6 +3268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_join_est": q_kmv_join_est,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dedup": q_cdc_dedup,
+        "mad_outliers": q_mad_outliers,
         "pagerank": q_pagerank,
         "ece": q_ece,
         "keyword_flags": q_keyword_flags,
@@ -4348,6 +4368,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, chunk_seq, sub_seq, start_word, n_words,
                    chunk_hash
             FROM cdc_chunks_cte
+        """,
+        "mad_outliers": """
+            WITH msc AS (SELECT o_orderkey AS id, o_orderpriority AS grp,
+                                CAST(round(o_totalprice * 100) AS BIGINT)
+                                    AS cents
+                         FROM orders),
+            mcn AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+                    FROM msc GROUP BY grp),
+            mrk AS (SELECT *, row_number() OVER (PARTITION BY grp
+                        ORDER BY cents, id) AS rn FROM msc),
+            mm2 AS (SELECT grp,
+                           CAST(sum(CASE WHEN rn = (n + 1) // 2
+                                    THEN cents ELSE 0 END)
+                              + sum(CASE WHEN rn = (n + 2) // 2
+                                    THEN cents ELSE 0 END) AS BIGINT)
+                               AS med2
+                    FROM mrk JOIN mcn USING (grp) GROUP BY grp),
+            mdv AS (SELECT msc.id, msc.grp, msc.cents, n, med2,
+                           abs(2 * cents - med2) AS dev2
+                    FROM msc JOIN mcn USING (grp) JOIN mm2 USING (grp)
+                    WHERE n >= 2),
+            mdr AS (SELECT *, row_number() OVER (PARTITION BY grp
+                        ORDER BY dev2, id) AS dn FROM mdv),
+            mmd AS (SELECT grp,
+                           CAST(sum(CASE WHEN dn = (n + 1) // 2
+                                    THEN dev2 ELSE 0 END)
+                              + sum(CASE WHEN dn = (n + 2) // 2
+                                    THEN dev2 ELSE 0 END) AS BIGINT)
+                               AS mad_med2
+                    FROM mdr GROUP BY grp)
+            SELECT id, grp, cents, CAST(dev2 AS BIGINT) AS dev2,
+                   med2, mad_med2
+            FROM mdv JOIN mmd USING (grp)
+            WHERE 2 * 1 * dev2 > 2 * mad_med2
+            ORDER BY grp, id
         """,
         "cdc_dedup": _CDC_CTE + """
             SELECT chunk_hash,

@@ -358,3 +358,111 @@ def corr_by_group(
             cov / (F.sqrt(vx) * F.sqrt(vy)),
         ).alias("r"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_column: str,
+    group_column: str,
+    id_column: str,
+    *,
+    k: tuple[int, int] = (7, 2),
+) -> DataFrame:
+    """Rows beyond ``k`` median-absolute-deviations from their group
+    median — the ROBUST complement to :func:`zscore_outliers`: one
+    colossal value inflates a z-score denominator until nothing else
+    looks anomalous, while the median/MAD pair ignores up to half the
+    group being garbage (breakdown point 50% vs the z-score's 0%).
+
+    Exact-integer throughout, via the 2x-median trick: for sorted
+    cents the doubled median med2 = v[(n+1) div 2] + v[(n+2) div 2] is
+    an INTEGER for every n (odd: 2x the middle; even: the sum of the
+    two middles) — no interpolation doubles to drift cross-engine.
+    Doubled deviations dev2 = |2*cents - med2| are integers; their
+    doubled median mad_med2 likewise. The flag rule
+
+        |x - med| > (k_num/k_den) * MAD
+
+    multiplies out to the pure-integer comparison
+
+        2 * k_den * dev2 > k_num * mad_med2        (MAD = mad_med2/4)
+
+    ``k`` is that rational: (7, 2) is the conventional 3.5.
+
+    Degenerate groups (mad_med2 = 0: more than half the values equal
+    the median) flag EVERY value off the median, per the standard MAD
+    rule — filter on mad_med2 > 0 downstream if that is too eager.
+    Groups need n >= 2 (a singleton is its own median; never flagged).
+
+    Scale note: exact medians sort within each group (two bounded
+    window ranks) — same cost class as `winsorize(exact=True)`; at
+    100 TB swap to percentile_approx like winsorize's documented
+    approx path if group sizes are extreme.
+
+    Output: (id, grp, cents, dev2, med2, mad_med2) for flagged rows.
+    """
+    k_num, k_den = k
+    if k_num < 1 or k_den < 1:
+        raise ValueError("k must be a positive rational (num, den)")
+    from pyspark.sql import Window
+
+    cents = F.round(F.col(value_column) * 100).cast("long")
+    scoped = df.select(
+        F.col(id_column).alias("id"),
+        F.col(group_column).alias("grp"),
+        cents.alias("cents"),
+    )
+    wv = Window.partitionBy("grp").orderBy(F.asc("cents"), F.asc("id"))
+    ranked = scoped.withColumn("rn", F.row_number().over(wv))
+    counts = scoped.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    med2 = (
+        ranked.join(F.broadcast(counts), "grp")
+        .groupBy("grp")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents")
+                    ).otherwise(F.lit(0))
+                )
+                + F.sum(
+                    F.when(
+                        F.col("rn") == F.expr("(n + 2) div 2"), F.col("cents")
+                    ).otherwise(F.lit(0))
+                )
+            )
+            .cast("long")
+            .alias("med2")
+        )
+    )
+    dev = (
+        scoped.join(F.broadcast(counts), "grp")
+        .where(F.col("n") >= 2)
+        .join(F.broadcast(med2), "grp")
+        .withColumn("dev2", F.abs(F.lit(2) * F.col("cents") - F.col("med2")))
+    )
+    wd = Window.partitionBy("grp").orderBy(F.asc("dev2"), F.asc("id"))
+    dranked = dev.withColumn("dn", F.row_number().over(wd))
+    mad2 = dranked.groupBy("grp").agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("dn") == F.expr("(n + 1) div 2"), F.col("dev2")
+                ).otherwise(F.lit(0))
+            )
+            + F.sum(
+                F.when(
+                    F.col("dn") == F.expr("(n + 2) div 2"), F.col("dev2")
+                ).otherwise(F.lit(0))
+            )
+        )
+        .cast("long")
+        .alias("mad_med2")
+    )
+    return (
+        dev.join(F.broadcast(mad2), "grp")
+        .where(
+            F.lit(2 * k_den) * F.col("dev2") > F.lit(k_num) * F.col("mad_med2")
+        )
+        .select("id", "grp", "cents", "dev2", "med2", "mad_med2")
+    )

@@ -810,3 +810,37 @@ def test_content_chunks_validation(spark):
         content_chunks(None, divisor=0)
     with pytest.raises(ValueError, match="max_words"):
         content_chunks(None, max_words=0)
+
+
+def test_mad_outliers_robust_to_extreme_value(spark):
+    from sutro_spark.functions.stats import mad_outliers
+
+    # one colossal value: z-score's stddev blows up and hides the
+    # moderate outlier; MAD flags both.
+    rows = [(i, "g", 10.0 + i * 0.01) for i in range(20)]
+    rows += [(100, "g", 25.0), (101, "g", 100000.0)]
+    df = spark.createDataFrame(rows, ["id", "grp", "v"])
+    flagged = {
+        r["id"] for r in mad_outliers(df, "v", "grp", "id", k=(7, 2)).collect()
+    }
+    assert flagged == {100, 101}
+
+
+def test_mad_outliers_median_math_is_exact(spark):
+    from sutro_spark.functions.stats import mad_outliers
+
+    # even-count group: med2 must be the SUM of the two middles
+    df = spark.createDataFrame(
+        [(1, "g", 1.0), (2, "g", 2.0), (3, "g", 3.0), (4, "g", 40.0)],
+        ["id", "grp", "v"],
+    )
+    out = mad_outliers(df, "v", "grp", "id", k=(7, 2)).collect()
+    assert len(out) == 1 and out[0]["id"] == 4
+    assert out[0]["med2"] == 200 + 300  # cents of 2.0 + 3.0
+
+
+def test_mad_outliers_singleton_never_flagged(spark):
+    from sutro_spark.functions.stats import mad_outliers
+
+    df = spark.createDataFrame([(1, "g", 99999.0)], ["id", "grp", "v"])
+    assert mad_outliers(df, "v", "grp", "id").count() == 0
