@@ -3078,6 +3078,22 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sorted-neighborhood ER: customers ranked by name string, each
+    # paired with its 3 successors, kept when levenshtein <= 2 —
+    # the blocking-free candidate generator (composition of the
+    # scale-safe global rank and the rank-bucketed range join).
+    from sutro_spark.operators.joins import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "customer"),
+        "c_name",
+        "c_custkey",
+        window=3,
+        max_edit=2,
+    ).orderBy("id_a", "id_b")
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Robust outliers: order totals beyond 2 MADs of their
     # priority-group median (k=2 flags a real tail — 178 rows at
@@ -3223,15 +3239,14 @@ _R8_WINDOW = [
     "weighted_sample_group", "jsonl_scan", "shuffled_shards",
     "asof_forward", "event_transitions", "temperature_mix",
     "snapshot_diff", "dedup_lines", "fuzzy_decontaminate",
-    # the oldest r5-cohort entry (dict order); the last eleven
-    # top-up slots go to the never-driver-checked r8 additions instead
-    # (new > r5-stale — the r5 floor is unaffected either way, since
-    # 40+ other r5-cohort entries remain at r5 regardless)
-    "tpch_q18ish",
+    # every top-up slot now goes to the never-driver-checked r8
+    # additions (new > r5-stale — the r5 floor is unaffected, since
+    # 40+ r5-cohort entries remain at r5 regardless)
     # new in r8, never driver-checked
     "image_whash", "pagerank_redistribute", "salted_join",
     "two_phase_agg", "hybrid_retrieval", "mmr_rerank", "hard_negatives",
     "kmv_join_est", "cdc_chunks", "cdc_dedup", "mad_outliers",
+    "sorted_neighborhood",
 ]
 
 
@@ -3269,6 +3284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "cdc_dedup": q_cdc_dedup,
         "mad_outliers": q_mad_outliers,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "pagerank": q_pagerank,
         "ece": q_ece,
         "keyword_flags": q_keyword_flags,
@@ -4368,6 +4384,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, chunk_seq, sub_seq, start_word, n_words,
                    chunk_hash
             FROM cdc_chunks_cte
+        """,
+        "sorted_neighborhood": """
+            WITH snc AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+                                CAST(c_name AS VARCHAR) AS key
+                         FROM customer),
+            snr AS (SELECT id, key,
+                           CAST(row_number() OVER (ORDER BY key, id)
+                                AS BIGINT) AS rank
+                    FROM snc),
+            snp AS (SELECT a.id AS id_a, b.id AS id_b,
+                           a.key AS key_a, b.key AS key_b,
+                           CAST(b.rank - a.rank AS BIGINT) AS rank_gap
+                    FROM snr a JOIN snr b
+                      ON b.rank > a.rank AND b.rank <= a.rank + 3)
+            SELECT id_a, id_b, key_a, key_b, rank_gap,
+                   CAST(levenshtein(key_a, key_b) AS BIGINT)
+                       AS edit_distance
+            FROM snp WHERE levenshtein(key_a, key_b) <= 2
+            ORDER BY id_a, id_b
         """,
         "mad_outliers": """
             WITH msc AS (SELECT o_orderkey AS id, o_orderpriority AS grp,

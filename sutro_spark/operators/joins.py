@@ -215,3 +215,89 @@ def fuzzy_join(
     joined = lk.join(rk, "__key")
     dist = F.levenshtein(F.col(left_text), F.col(right_text))
     return joined.where(dist <= max_distance).drop("__key").withColumn("distance", dist)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_column: str,
+    id_column: str,
+    *,
+    window: int = 3,
+    max_edit: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood entity-resolution candidates (Hernandez &
+    Stolfo, SIGMOD 1995): rank all records by a sort key, pair each
+    record with its ``window`` successors, optionally verify with an
+    edit-distance bound. The classic alternative to hash blocking
+    (:func:`fuzzy_join` in spirit): blocking misses matches that land
+    in different blocks; a sort key puts near-identical strings
+    adjacent even when their block keys differ.
+
+    Composition of two existing scale-safe primitives:
+
+    - the global rank is ``with_row_id(order_by=...)`` — range
+      partition + per-partition row_number + tiny offset aggregate,
+      NEVER a single-partition global window (sources/ingest.py:34);
+      (sort_column, id) is unique, so ranks are deterministic and
+      match any engine's ``row_number() OVER (ORDER BY key, id)``.
+    - the neighborhood is a rank-bucketed range join (each row probes
+      its own and the next rank bucket — operators/joins.py
+      range_join's idiom), so candidate generation is an equi-join,
+      not an unbounded inequality join.
+
+    Candidates are O(n * window); the verify (levenshtein <=
+    ``max_edit``) runs only on candidates.
+
+    Output: (id_a, id_b, key_a, key_b, rank_gap [, edit_distance]) —
+    pairs ordered a-before-b in sort order, rank_gap in [1, window].
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if max_edit is not None and max_edit < 0:
+        raise ValueError("max_edit must be >= 0 when set")
+    from sutro_spark.sources.ingest import ROW_ID, with_row_id
+
+    slim = df.select(
+        F.col(id_column).cast("long").alias("id"),
+        F.col(sort_column).cast("string").alias("key"),
+    )
+    ranked = with_row_id(slim, order_by=["key", "id"]).withColumnRenamed(
+        ROW_ID, "rank"
+    )
+    a = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("key").alias("key_a"),
+        F.col("rank").alias("rank_a"),
+        F.explode(
+            F.array(
+                F.floor(F.col("rank") / (window + 1)),
+                F.floor(F.col("rank") / (window + 1)) + 1,
+            )
+        ).alias("__probe"),
+    )
+    b = ranked.select(
+        F.col("id").alias("id_b"),
+        F.col("key").alias("key_b"),
+        F.col("rank").alias("rank_b"),
+        F.floor(F.col("rank") / (window + 1)).alias("__probe"),
+    )
+    pairs = (
+        a.join(b, "__probe")
+        .where(
+            (F.col("rank_b") > F.col("rank_a"))
+            & (F.col("rank_b") <= F.col("rank_a") + window)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "key_a",
+            "key_b",
+            (F.col("rank_b") - F.col("rank_a")).cast("long").alias("rank_gap"),
+        )
+    )
+    if max_edit is not None:
+        pairs = pairs.withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("key_a"), F.col("key_b")).cast("long"),
+        ).where(F.col("edit_distance") <= max_edit)
+    return pairs

@@ -131,3 +131,46 @@ def test_asof_nullable_value_columns_come_from_matched_row(spark):
         value_columns=["v", "lbl"],
     ).collect()
     assert both[0]["v"] is None and both[0]["lbl"] == "new"
+
+
+def test_sorted_neighborhood_finds_cross_block_match(spark):
+    from sutro_spark.operators.joins import sorted_neighborhood_pairs
+
+    # "smith jon"/"smith john" sort adjacent though a first-letter
+    # blocking key would separate neither — and "smyth john" would be
+    # MISSED by blocking on the first 3 chars ("smi" vs "smy") but is
+    # within the sorted window here.
+    df = spark.createDataFrame(
+        [(1, "smith john"), (2, "smith jon"), (3, "smyth john"),
+         (4, "zzz abc"), (5, "aaa")],
+        ["rid", "name"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in sorted_neighborhood_pairs(
+            df, "name", "rid", window=2, max_edit=2
+        ).collect()
+    }
+    assert pairs == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+
+
+def test_sorted_neighborhood_window_bounds_candidates(spark):
+    from sutro_spark.operators.joins import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"k{i:03d}") for i in range(10)], ["rid", "name"]
+    )
+    out = sorted_neighborhood_pairs(df, "name", "rid", window=3)
+    # exactly sum over gaps 1..3 of (n - gap) pairs, all gaps <= 3
+    rows = out.collect()
+    assert len(rows) == (10 - 1) + (10 - 2) + (10 - 3)
+    assert all(1 <= r["rank_gap"] <= 3 for r in rows)
+
+
+def test_sorted_neighborhood_validation(spark):
+    import pytest
+
+    from sutro_spark.operators.joins import sorted_neighborhood_pairs
+
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(None, "k", "id", window=0)
