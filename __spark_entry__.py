@@ -3078,6 +3078,20 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distribution drift between snapshots: all orders vs the
+    # < 100k-totalprice slice (a truncated tail = real shape change).
+    # Exact-integer L1 over equi-width cent histograms on the combined
+    # range; drift_milli = 1000 x L1 in [0, 2000] — the ln()-free PSI
+    # stand-in that can't cross-libm flake.
+    from sutro_spark.functions.stats import histogram_drift
+
+    o = _t(spark, sf_dir, "orders")
+    return histogram_drift(
+        o, o.where(F.col("o_totalprice") < 100000), "o_totalprice", bins=20
+    )
+
+
 def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sorted-neighborhood ER: customers ranked by name string, each
     # paired with its 3 successors, kept when levenshtein <= 2 —
@@ -3227,8 +3241,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: by tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
 _R8_WINDOW = [
-    # the full r4-stale cohort (38)
-    "list_source_infer", "decontaminate_clean", "quality_scorer",
+    # the r4-stale cohort minus list_source_infer (37 — bumped for the
+    # 13th r8 addition; it stays r4-green and leads the r9 rotation)
+    "decontaminate_clean", "quality_scorer",
     "pack_chunks", "quality_percentile", "tpch_q2ish", "tpch_q9ish",
     "tpch_q17ish", "tpch_q21ish", "events_rolling", "length_histogram",
     "tfidf_topk", "word_bigrams", "domain_split", "pagerank_suppliers",
@@ -3246,7 +3261,7 @@ _R8_WINDOW = [
     "image_whash", "pagerank_redistribute", "salted_join",
     "two_phase_agg", "hybrid_retrieval", "mmr_rerank", "hard_negatives",
     "kmv_join_est", "cdc_chunks", "cdc_dedup", "mad_outliers",
-    "sorted_neighborhood",
+    "sorted_neighborhood", "histogram_drift",
 ]
 
 
@@ -3285,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         "mad_outliers": q_mad_outliers,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "histogram_drift": q_histogram_drift,
         "pagerank": q_pagerank,
         "ece": q_ece,
         "keyword_flags": q_keyword_flags,
@@ -4384,6 +4400,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, chunk_seq, sub_seq, start_word, n_words,
                    chunk_hash
             FROM cdc_chunks_cte
+        """,
+        "histogram_drift": """
+            WITH hoc AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                                    AS c
+                         FROM orders WHERE o_totalprice IS NOT NULL),
+            hnc AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders
+                    WHERE o_totalprice IS NOT NULL
+                      AND o_totalprice < 100000),
+            hrg AS (SELECT min(c) AS lo,
+                           CAST((max(c) - min(c) + 20) // 20 AS BIGINT) AS w
+                    FROM (SELECT c FROM hoc UNION ALL SELECT c FROM hnc)),
+            hbo AS (SELECT CAST((c - lo) // w AS BIGINT) AS bin,
+                           CAST(count(*) AS BIGINT) AS c_old
+                    FROM hoc, hrg GROUP BY 1),
+            hbn AS (SELECT CAST((c - lo) // w AS BIGINT) AS bin,
+                           CAST(count(*) AS BIGINT) AS c_new
+                    FROM hnc, hrg GROUP BY 1),
+            hcn AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM hoc)
+                               AS n_old,
+                           (SELECT CAST(count(*) AS BIGINT) FROM hnc)
+                               AS n_new),
+            hpb AS (SELECT CAST(sum(abs(coalesce(c_old, 0) * n_new
+                                 - coalesce(c_new, 0) * n_old)) AS BIGINT)
+                               AS l1_scaled
+                    FROM (SELECT c_old, c_new
+                          FROM hbo FULL OUTER JOIN hbn USING (bin)), hcn)
+            SELECT n_old, n_new, CAST(20 AS BIGINT) AS n_bins, l1_scaled,
+                   CAST(CASE WHEN n_old = 0 OR n_new = 0 THEN NULL
+                        ELSE (1000 * l1_scaled) // (n_old * n_new)
+                        END AS BIGINT) AS drift_milli
+            FROM hcn, hpb
         """,
         "sorted_neighborhood": """
             WITH snc AS (SELECT CAST(c_custkey AS BIGINT) AS id,

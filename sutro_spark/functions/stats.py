@@ -466,3 +466,97 @@ def mad_outliers(
         )
         .select("id", "grp", "cents", "dev2", "med2", "mad_med2")
     )
+
+
+def histogram_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_column: str,
+    *,
+    bins: int = 20,
+) -> DataFrame:
+    """Distribution drift between two snapshots of a numeric column:
+    total-variation distance between their equi-width histograms —
+    the train/serve (or batch-over-batch) skew check a pipeline runs
+    before concluding "same data, safe to reuse the mixture / the
+    thresholds". The PSI variant needs ln() (cross-libm flake); L1 on
+    proportions carries the same signal and stays exact.
+
+    Integer-exact: values are binned in cents over the COMBINED
+    [min, max] range (bin width ceil(range/bins), so every value maps
+    in-range); per-bin proportions are compared over the common
+    denominator n_old * n_new:
+
+        l1_scaled   = sum_b | c_old_b * n_new - c_new_b * n_old |
+        drift_milli = (1000 * l1_scaled) div (n_old * n_new)
+
+    drift_milli is 1000 * the L1 distance in [0, 2000]: 0 = identical
+    binned distributions, 2000 = disjoint. Total variation distance =
+    half that. Overflow: c * n <= n_old * n_new must stay < 2^63 —
+    fine below ~3e9 rows per side; sketch/sample first beyond that.
+
+    Plan: two single-pass bin-count aggregates (map-side combinable)
+    + a 1-row min/max broadcast; the bin join is |bins| rows. NULLs
+    are excluded (they are a missing-RATE question, not a shape one).
+
+    Output: one row (n_old, n_new, n_bins, l1_scaled, drift_milli).
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+
+    def cents(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.round(F.col(value_column) * 100).cast("long").alias("c")
+        ).where(F.col("c").isNotNull())
+
+    o, n = cents(old), cents(new)
+    u = o.unionByName(n)
+    rng = u.agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi")
+    ).select(
+        "lo",
+        # ceil width so (hi - lo) div width <= bins - 1 always
+        F.expr(f"CAST((hi - lo + {bins}) div {bins} AS BIGINT)").alias("w"),
+    )
+
+    def binned(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(rng))
+            .select(
+                F.expr("CAST((c - lo) div w AS BIGINT)").alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"c_{tag}"))
+        )
+
+    bo, bn = binned(o, "old"), binned(n, "new")
+    counts = o.agg(F.count(F.lit(1)).cast("long").alias("n_old")).crossJoin(
+        n.agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    per_bin = (
+        bo.join(bn, "bin", "full_outer")
+        .select(
+            F.coalesce(F.col("c_old"), F.lit(0)).alias("c_old"),
+            F.coalesce(F.col("c_new"), F.lit(0)).alias("c_new"),
+        )
+        .crossJoin(F.broadcast(counts))
+        .select(
+            F.abs(
+                F.col("c_old") * F.col("n_new") - F.col("c_new") * F.col("n_old")
+            ).alias("term")
+        )
+        .agg(F.sum("term").cast("long").alias("l1_scaled"))
+    )
+    return (
+        counts.crossJoin(per_bin)
+        .select(
+            "n_old",
+            "n_new",
+            F.lit(bins).cast("long").alias("n_bins"),
+            "l1_scaled",
+            F.expr(
+                "CAST(CASE WHEN n_old = 0 OR n_new = 0 THEN NULL "
+                "ELSE (1000 * l1_scaled) div (n_old * n_new) END AS BIGINT)"
+            ).alias("drift_milli"),
+        )
+    )

@@ -844,3 +844,32 @@ def test_mad_outliers_singleton_never_flagged(spark):
 
     df = spark.createDataFrame([(1, "g", 99999.0)], ["id", "grp", "v"])
     assert mad_outliers(df, "v", "grp", "id").count() == 0
+
+
+def test_histogram_drift_zero_on_identical(spark):
+    from sutro_spark.functions.stats import histogram_drift
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    row = histogram_drift(df, df, "v").first()
+    assert row["drift_milli"] == 0 and row["l1_scaled"] == 0
+
+
+def test_histogram_drift_disjoint_is_max(spark):
+    from sutro_spark.functions.stats import histogram_drift
+
+    a = spark.createDataFrame([(float(i),) for i in range(50)], ["v"])
+    b = spark.createDataFrame([(float(i),) for i in range(1000, 1050)], ["v"])
+    row = histogram_drift(a, b, "v", bins=2).first()
+    assert row["drift_milli"] == 2000  # disjoint supports -> L1 = 2
+
+
+def test_histogram_drift_detects_truncation(spark):
+    from pyspark.sql import functions as F
+
+    from sutro_spark.functions.stats import histogram_drift
+
+    df = spark.createDataFrame([(float(i),) for i in range(1000)], ["v"])
+    half = df.where(F.col("v") < 500)
+    row = histogram_drift(df, half, "v").first()
+    # half the mass gone from the tail: L1 = 2 * 0.5 -> ~1000 milli
+    assert 900 <= row["drift_milli"] <= 1100
