@@ -3078,6 +3078,27 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cheap supervision over clusters: docs grouped in arithmetic
+    # clusters of 10, langs known only for doc_id % 3 == 0; every
+    # other member inherits the cluster majority (ties -> smallest
+    # label), clusters with no labeled member stay NULL. The operator
+    # is the post-dup_clusters labeling step; the arithmetic clusters
+    # keep the oracle independent of the CC chain (which dup_clusters
+    # already proves).
+    from sutro_spark.operators.cluster import propagate_cluster_labels
+
+    docs = _t(spark, sf_dir, "documents")
+    assignments = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") / 10).cast("long").alias("cluster"),
+    )
+    labels = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("label")
+    )
+    return propagate_cluster_labels(assignments, labels).orderBy("id")
+
+
 def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Distribution drift between snapshots: all orders vs the
     # < 100k-totalprice slice (a truncated tail = real shape change).
@@ -3241,9 +3262,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: by tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
 _R8_WINDOW = [
-    # the r4-stale cohort minus list_source_infer (37 — bumped for the
-    # 13th r8 addition; it stays r4-green and leads the r9 rotation)
-    "decontaminate_clean", "quality_scorer",
+    # the r4-stale cohort minus its two oldest (36 — bumped for the
+    # 13th/14th r8 additions; they stay r4-green and lead the r9
+    # rotation)
+    "quality_scorer",
     "pack_chunks", "quality_percentile", "tpch_q2ish", "tpch_q9ish",
     "tpch_q17ish", "tpch_q21ish", "events_rolling", "length_histogram",
     "tfidf_topk", "word_bigrams", "domain_split", "pagerank_suppliers",
@@ -3261,7 +3283,7 @@ _R8_WINDOW = [
     "image_whash", "pagerank_redistribute", "salted_join",
     "two_phase_agg", "hybrid_retrieval", "mmr_rerank", "hard_negatives",
     "kmv_join_est", "cdc_chunks", "cdc_dedup", "mad_outliers",
-    "sorted_neighborhood", "histogram_drift",
+    "sorted_neighborhood", "histogram_drift", "label_propagate",
 ]
 
 
@@ -3301,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "sorted_neighborhood": q_sorted_neighborhood,
         "histogram_drift": q_histogram_drift,
+        "label_propagate": q_label_propagate,
         "pagerank": q_pagerank,
         "ece": q_ece,
         "keyword_flags": q_keyword_flags,
@@ -4400,6 +4423,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, chunk_seq, sub_seq, start_word, n_words,
                    chunk_hash
             FROM cdc_chunks_cte
+        """,
+        "label_propagate": """
+            WITH lpa AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                                CAST(doc_id // 10 AS BIGINT) AS cluster
+                         FROM documents),
+            lpl AS (SELECT CAST(doc_id AS BIGINT) AS id,
+                           CAST(lang AS VARCHAR) AS direct
+                    FROM documents WHERE doc_id % 3 = 0),
+            lpv AS (SELECT cluster, direct, count(*) AS n
+                    FROM lpa JOIN lpl USING (id)
+                    GROUP BY cluster, direct),
+            lpm AS (SELECT cluster, direct AS majority
+                    FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+                              ORDER BY n DESC, direct ASC) AS rn FROM lpv)
+                    WHERE rn = 1)
+            SELECT lpa.id, lpa.cluster,
+                   coalesce(lpl.direct, lpm.majority) AS label,
+                   CASE WHEN lpl.direct IS NOT NULL THEN 'direct'
+                        WHEN lpm.majority IS NOT NULL THEN 'propagated'
+                        ELSE 'none' END AS provenance
+            FROM lpa
+            LEFT JOIN lpl USING (id)
+            LEFT JOIN lpm USING (cluster)
+            ORDER BY id
         """,
         "histogram_drift": """
             WITH hoc AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)

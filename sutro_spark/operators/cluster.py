@@ -31,7 +31,7 @@ training-data pipeline needs at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -313,4 +313,64 @@ def leakage_safe_split(
     labeled = dedup_clusters(docs, pairs, id_column)
     return hash_split(labeled, "cluster_id", splits, salt=salt).select(
         id_column, "cluster_id", "cluster_size", "split"
+    )
+
+
+def propagate_cluster_labels(
+    assignments: DataFrame,
+    labels: DataFrame,
+    *,
+    id_column: str = "id",
+    cluster_column: str = "cluster",
+    label_column: str = "label",
+) -> DataFrame:
+    """Spread sparse labels across cluster members by majority vote —
+    the cheap-supervision step after duplicate clustering: label ONE
+    member of each near-dup cluster (human, LLM judge, or a rule) and
+    every other member inherits it. Directly labeled rows always keep
+    their own label (provenance 'direct'); unlabeled rows in a
+    cluster with any labeled member get the cluster majority
+    ('propagated', ties broken by smallest label string); members of
+    fully-unlabeled clusters stay NULL ('none').
+
+    Plan: one (cluster, label) count aggregate (map-side combinable,
+    at most |labels| rows in the shuffle), a WindowGroupLimit argmax
+    per cluster, then one broadcast-or-shuffle join back onto the
+    assignment table. Cost scales with |assignments|, never pairs.
+
+    Output: (id, cluster, label, provenance).
+    """
+    a = assignments.select(
+        F.col(id_column).cast("long").alias("id"),
+        F.col(cluster_column).cast("long").alias("cluster"),
+    )
+    l = labels.select(
+        F.col(id_column).cast("long").alias("id"),
+        F.col(label_column).cast("string").alias("__direct"),
+    )
+    votes = (
+        a.join(l, "id")
+        .groupBy("cluster", "__direct")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("__n"), F.asc("__direct")
+    )
+    majority = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("cluster", F.col("__direct").alias("__majority"))
+    )
+    return (
+        a.join(l, "id", "left")
+        .join(majority, "cluster", "left")
+        .select(
+            "id",
+            "cluster",
+            F.coalesce(F.col("__direct"), F.col("__majority")).alias("label"),
+            F.when(F.col("__direct").isNotNull(), F.lit("direct"))
+            .when(F.col("__majority").isNotNull(), F.lit("propagated"))
+            .otherwise(F.lit("none"))
+            .alias("provenance"),
+        )
     )

@@ -130,3 +130,38 @@ def test_leakage_safe_split_custom_shares(spark):
     out = leakage_safe_split(docs, pairs, splits={"a": 1, "b": 1}).collect()
     got = {r.split for r in out}
     assert got == {"a", "b"}
+
+
+def test_propagate_cluster_labels_semantics(spark):
+    from sutro_spark.operators.cluster import propagate_cluster_labels
+
+    assignments = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 30), (6, 30)],
+        ["id", "cluster"],
+    )
+    labels = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, "en"), (5, "fr")], ["id", "label"]
+    )
+    out = {
+        r["id"]: (r["label"], r["provenance"])
+        for r in propagate_cluster_labels(assignments, labels).collect()
+    }
+    assert out[1] == ("en", "direct")
+    assert out[2] == ("de", "direct")  # direct label survives majority
+    assert out[4] == (None, "none")  # fully unlabeled cluster
+    assert out[5] == ("fr", "direct")
+    assert out[6] == ("fr", "propagated")
+
+
+def test_propagate_cluster_labels_tie_breaks_smallest(spark):
+    from sutro_spark.operators.cluster import propagate_cluster_labels
+
+    assignments = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10)], ["id", "cluster"]
+    )
+    labels = spark.createDataFrame([(1, "zz"), (2, "aa")], ["id", "label"])
+    out = {
+        r["id"]: r["label"]
+        for r in propagate_cluster_labels(assignments, labels).collect()
+    }
+    assert out[3] == "aa"  # 1-1 tie -> lexicographically smallest
