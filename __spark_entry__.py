@@ -3078,6 +3078,23 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_precision_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Curation-gate tuning: the least-strict token-count cutoff whose
+    # keep-set is >= 90% long documents (label = chars > 200). The
+    # qualifying test is the pure-integer 1000*cum_tp >= 900*cum_n —
+    # no division until the reported precision_milli.
+    from sutro_spark.functions.text import token_count
+    from sutro_spark.operators.metrics import precision_threshold
+
+    docs = _t(spark, sf_dir, "documents").select(
+        token_count(F.coalesce(F.col("text"), F.lit(""))).alias("score"),
+        (F.length(F.coalesce(F.col("text"), F.lit(""))) > 200)
+        .cast("long")
+        .alias("label"),
+    )
+    return precision_threshold(docs, target_milli=900)
+
+
 def q_label_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cheap supervision over clusters: docs grouped in arithmetic
     # clusters of 10, langs known only for doc_id % 3 == 0; every
@@ -3262,10 +3279,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: by tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
 _R8_WINDOW = [
-    # the r4-stale cohort minus its two oldest (36 — bumped for the
-    # 13th/14th r8 additions; they stay r4-green and lead the r9
+    # the r4-stale cohort minus its three oldest (35 — bumped for the
+    # 13th-15th r8 additions; they stay r4-green and lead the r9
     # rotation)
-    "quality_scorer",
     "pack_chunks", "quality_percentile", "tpch_q2ish", "tpch_q9ish",
     "tpch_q17ish", "tpch_q21ish", "events_rolling", "length_histogram",
     "tfidf_topk", "word_bigrams", "domain_split", "pagerank_suppliers",
@@ -3284,6 +3300,7 @@ _R8_WINDOW = [
     "two_phase_agg", "hybrid_retrieval", "mmr_rerank", "hard_negatives",
     "kmv_join_est", "cdc_chunks", "cdc_dedup", "mad_outliers",
     "sorted_neighborhood", "histogram_drift", "label_propagate",
+    "precision_threshold",
 ]
 
 
@@ -3324,6 +3341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "histogram_drift": q_histogram_drift,
         "label_propagate": q_label_propagate,
+        "precision_threshold": q_precision_threshold,
         "pagerank": q_pagerank,
         "ece": q_ece,
         "keyword_flags": q_keyword_flags,
@@ -4423,6 +4441,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, chunk_seq, sub_seq, start_word, n_words,
                    chunk_hash
             FROM cdc_chunks_cte
+        """,
+        "precision_threshold": """
+            WITH pts AS (
+                SELECT CAST(len(list_filter(regexp_split_to_array(
+                           coalesce(text, ''), '\\s+'), x -> x <> ''))
+                           AS BIGINT) AS s,
+                       CAST(CASE WHEN length(coalesce(text, '')) > 200
+                            THEN 1 ELSE 0 END AS BIGINT) AS y
+                FROM documents),
+            pta AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(y) AS BIGINT) AS tp
+                    FROM pts GROUP BY s),
+            ptc AS (SELECT s,
+                           CAST(sum(n) OVER (ORDER BY s DESC) AS BIGINT)
+                               AS cum_n,
+                           CAST(sum(tp) OVER (ORDER BY s DESC) AS BIGINT)
+                               AS cum_tp
+                    FROM pta),
+            ptt AS (SELECT CAST(sum(n) AS BIGINT) AS total_n,
+                           CAST(sum(tp) AS BIGINT) AS total_tp FROM pta),
+            ptk AS (SELECT * FROM ptc
+                    WHERE 1000 * cum_tp >= 900 * cum_n
+                    ORDER BY s ASC LIMIT 1)
+            SELECT s AS threshold, cum_n AS kept_n, cum_tp AS kept_tp,
+                   CAST((1000 * cum_tp) // cum_n AS BIGINT)
+                       AS precision_milli,
+                   total_n, total_tp
+            FROM ptk, ptt
         """,
         "label_propagate": """
             WITH lpa AS (SELECT CAST(doc_id AS BIGINT) AS id,

@@ -14,7 +14,7 @@ algebraically identical to the harmonic mean but engine-exact).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -345,4 +345,75 @@ def candidate_recall(
         F.when(
             F.col("n_cand") > 0, F.col("n_hit").cast("double") / F.col("n_cand")
         ).alias("precision"),
+    )
+
+
+def precision_threshold(
+    scored: DataFrame,
+    *,
+    score_column: str = "score",
+    label_column: str = "label",
+    target_milli: int = 900,
+) -> DataFrame:
+    """Smallest score cutoff whose keep-set precision meets a target —
+    the tuner for every "keep documents scoring above X" curation
+    gate: run the trainable scorer (or an LLM judge) over a labeled
+    holdout, then pick the least-strict threshold that still
+    delivers, say, 90% precision. Less strict than necessary wastes
+    precision; stricter wastes recall.
+
+    Semantics: candidate cutoffs are the distinct scores; "keep" means
+    score >= cutoff. For each cutoff the keep-set precision is
+    cum_tp / cum_n over the rows at-or-above it; the chosen row is
+    the SMALLEST cutoff with 1000 * cum_tp >= target_milli * cum_n —
+    a pure integer comparison (the division never happens, so there
+    is nothing to drift cross-engine). If no cutoff qualifies, the
+    output is empty (no silent fallback — an unreachable target
+    should fail loudly in the pipeline, not quietly keep nothing).
+
+    Plan: one (score, n, tp) aggregate — map-side combinable, shuffle
+    is |distinct scores| rows — then a running sum over scores
+    descending (single ordered pass over the distinct-score table,
+    NOT the corpus) and a 1-row min. Labels are booleans/0-1 ints.
+
+    Output: one row (threshold, kept_n, kept_tp, precision_milli,
+    total_n, total_tp) — precision_milli = (1000*cum_tp) div cum_n of
+    the chosen cutoff, recall derivable as kept_tp/total_tp.
+    """
+    if not 0 < target_milli <= 1000:
+        raise ValueError("target_milli must be in (0, 1000]")
+    agg = (
+        scored.select(
+            F.col(score_column).cast("long").alias("s"),
+            F.col(label_column).cast("long").alias("y"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("tp"),
+        )
+    )
+    w = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = agg.select(
+        "s",
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+        F.sum("tp").over(w).cast("long").alias("cum_tp"),
+    )
+    totals = agg.agg(
+        F.sum("n").cast("long").alias("total_n"),
+        F.sum("tp").cast("long").alias("total_tp"),
+    )
+    ok = cum.where(
+        F.lit(1000) * F.col("cum_tp") >= F.lit(target_milli) * F.col("cum_n")
+    )
+    best = ok.orderBy(F.asc("s")).limit(1)
+    return best.crossJoin(F.broadcast(totals)).select(
+        F.col("s").alias("threshold"),
+        F.col("cum_n").alias("kept_n"),
+        F.col("cum_tp").alias("kept_tp"),
+        F.expr("CAST((1000 * cum_tp) div cum_n AS BIGINT)").alias(
+            "precision_milli"
+        ),
+        "total_n",
+        "total_tp",
     )

@@ -257,3 +257,35 @@ def test_classify_calibration_loop_detects_miscalibrated_stub(spark):
     # sanity: the confidences really were high (the miscalibration is
     # confident-wrong, not unconfident-wrong)
     assert all(r.conf_milli > 800 for r in out.select("conf_milli").collect())
+
+
+def test_precision_threshold_picks_least_strict(spark):
+    from sutro_spark.operators.metrics import precision_threshold
+
+    # scores 3,2,1: precision at >=3 is 1.0 (2/2), at >=2 is 3/4,
+    # at >=1 is 3/6. target 750 -> least strict qualifying cutoff is 2.
+    rows = [(3, 1), (3, 1), (2, 1), (2, 0), (1, 0), (1, 0)]
+    df = spark.createDataFrame(rows, ["score", "label"])
+    r = precision_threshold(df, target_milli=750).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r["threshold"] == 2
+    assert (r["kept_n"], r["kept_tp"]) == (4, 3)
+    assert r["precision_milli"] == 750
+    assert (r["total_n"], r["total_tp"]) == (6, 3)
+
+
+def test_precision_threshold_unreachable_is_empty(spark):
+    from sutro_spark.operators.metrics import precision_threshold
+
+    df = spark.createDataFrame([(1, 0), (2, 0)], ["score", "label"])
+    assert precision_threshold(df, target_milli=500).count() == 0
+
+
+def test_precision_threshold_validation(spark):
+    import pytest
+
+    from sutro_spark.operators.metrics import precision_threshold
+
+    with pytest.raises(ValueError, match="target_milli"):
+        precision_threshold(None, target_milli=0)
