@@ -3078,6 +3078,25 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KMV mergeability proof (the kmv twin of hll_merge): Spark builds
+    # per-(type, day) partial sketches and merges them; the oracle
+    # computes the sketch DIRECTLY per type. KMV merge is LOSSLESS
+    # (k-smallest of unioned k-smallest == global k-smallest), so the
+    # estimates are equal EXACTLY, not approximately.
+    from sutro_spark.functions.sketches import kmv_from_partials, kmv_partials
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("event_type"), F.lit("|"), F.to_date("ts").cast("string")
+        ).alias("gd"),
+        "user_id",
+    )
+    daily = kmv_partials(ev, "gd", "user_id", k=64)
+    merged = daily.select(F.split("grp", r"\|")[0].alias("grp"), "h")
+    return kmv_from_partials(merged, k=64).orderBy("grp")
+
+
 def q_precision_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Curation-gate tuning: the least-strict token-count cutoff whose
     # keep-set is >= 90% long documents (label = chars > 200). The
@@ -3279,10 +3298,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: by tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
 _R8_WINDOW = [
-    # the r4-stale cohort minus its three oldest (35 — bumped for the
-    # 13th-15th r8 additions; they stay r4-green and lead the r9
+    # the r4-stale cohort minus its four oldest (34 — bumped for the
+    # 13th-16th r8 additions; they stay r4-green and lead the r9
     # rotation)
-    "pack_chunks", "quality_percentile", "tpch_q2ish", "tpch_q9ish",
+    "quality_percentile", "tpch_q2ish", "tpch_q9ish",
     "tpch_q17ish", "tpch_q21ish", "events_rolling", "length_histogram",
     "tfidf_topk", "word_bigrams", "domain_split", "pagerank_suppliers",
     "repetition_profile", "eval_report", "eval_confusion", "eval_kappa",
@@ -3300,7 +3319,7 @@ _R8_WINDOW = [
     "two_phase_agg", "hybrid_retrieval", "mmr_rerank", "hard_negatives",
     "kmv_join_est", "cdc_chunks", "cdc_dedup", "mad_outliers",
     "sorted_neighborhood", "histogram_drift", "label_propagate",
-    "precision_threshold",
+    "precision_threshold", "kmv_merge",
 ]
 
 
@@ -3342,6 +3361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_drift": q_histogram_drift,
         "label_propagate": q_label_propagate,
         "precision_threshold": q_precision_threshold,
+        "kmv_merge": q_kmv_merge,
         "pagerank": q_pagerank,
         "ece": q_ece,
         "keyword_flags": q_keyword_flags,
@@ -4441,6 +4461,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, chunk_seq, sub_seq, start_word, n_words,
                    chunk_hash
             FROM cdc_chunks_cte
+        """,
+        "kmv_merge": """
+            WITH kmh AS (
+                SELECT DISTINCT event_type AS grp,
+                       CAST(concat('0x', substr(sha256(concat('kmv:',
+                            CAST(user_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+                           % 4294967296 AS h
+                FROM events WHERE user_id IS NOT NULL),
+            kmr AS (
+                SELECT grp, h,
+                       row_number() OVER (PARTITION BY grp
+                           ORDER BY h ASC) AS rn
+                FROM kmh)
+            SELECT grp, count(*) AS n_le_k,
+                   CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                        ELSE (63.0 * 4294967296.0) / max(h)
+                   END AS est_distinct
+            FROM kmr WHERE rn <= 64 GROUP BY grp ORDER BY grp
         """,
         "precision_threshold": """
             WITH pts AS (

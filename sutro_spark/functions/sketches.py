@@ -421,3 +421,62 @@ def kmv_join_estimate(
         )
         est = est.crossJoin(ex)
     return est
+
+
+def kmv_partials(
+    df: DataFrame,
+    group_column: str,
+    key_column: str,
+    *,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV partial sketch: the k smallest distinct key
+    hashes — the mergeable state behind :func:`kmv_distinct`. Build
+    partials per shard/day/partition, union them, and
+    :func:`kmv_from_partials` finishes the estimate; the merge is
+    LOSSLESS (any hash among a union's k smallest is among its own
+    partial's k smallest), so merged == direct, exactly — the KMV
+    analog of hll_registers/hll_from_registers.
+
+    Output: (grp, h) — up to k rows per group.
+    """
+    h = hash_bucket(F.col(key_column), salt=salt, buckets=1 << 32)
+    hashes = (
+        df.where(F.col(key_column).isNotNull())
+        .select(F.col(group_column).alias("grp"), h.alias("h"))
+        .groupBy("grp", "h")
+        .agg(F.lit(1))
+        .select("grp", "h")
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    return (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("grp", "h")
+    )
+
+
+def kmv_from_partials(partials: DataFrame, *, k: int = 64) -> DataFrame:
+    """Finish a KMV estimate from unioned partial sketches (see
+    :func:`kmv_partials`): distinct the hashes, keep the k smallest
+    per group, apply the (k-1)*2^32/h_k estimator (exact count when a
+    group holds fewer than k distinct hashes). Same output columns as
+    :func:`kmv_distinct` — the mergeability proof is their equality.
+    """
+    hashes = partials.select("grp", "h").distinct()
+    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    topk = hashes.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    return (
+        topk.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_le_k"), F.max("h").alias("hk"))
+        .select(
+            "grp",
+            "n_le_k",
+            F.when(F.col("n_le_k") < k, F.col("n_le_k").cast("double"))
+            .otherwise(
+                (F.lit(float(k - 1)) * F.lit(float(1 << 32))) / F.col("hk")
+            )
+            .alias("est_distinct"),
+        )
+    )

@@ -176,3 +176,38 @@ def test_kmv_join_estimate_validation(spark):
 
     with pytest.raises(ValueError, match=">= 2"):
         kmv_join_estimate(None, None, "k", k=1)
+
+
+def test_kmv_merge_is_lossless(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sutro_spark.functions.sketches import (
+        kmv_distinct,
+        kmv_from_partials,
+        kmv_partials,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    direct = {
+        r["grp"]: (r["n_le_k"], r["est_distinct"])
+        for r in kmv_distinct(ev, "event_type", "user_id", k=32).collect()
+    }
+    daily = kmv_partials(
+        ev.select(
+            F.concat(
+                F.col("event_type"), F.lit("|"), F.to_date("ts").cast("string")
+            ).alias("gd"),
+            "user_id",
+        ),
+        "gd",
+        "user_id",
+        k=32,
+    )
+    merged = {
+        r["grp"]: (r["n_le_k"], r["est_distinct"])
+        for r in kmv_from_partials(
+            daily.select(F.split("grp", r"\|")[0].alias("grp"), "h"), k=32
+        ).collect()
+    }
+    # merge is LOSSLESS: per-day partials merged == direct, exactly
+    assert merged == direct
