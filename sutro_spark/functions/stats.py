@@ -474,6 +474,7 @@ def histogram_drift(
     value_column: str,
     *,
     bins: int = 20,
+    range_on: str = "union",
 ) -> DataFrame:
     """Distribution drift between two snapshots of a numeric column:
     total-variation distance between their equi-width histograms —
@@ -499,10 +500,20 @@ def histogram_drift(
     + a 1-row min/max broadcast; the bin join is |bins| rows. NULLs
     are excluded (they are a missing-RATE question, not a shape one).
 
+    ``range_on``: "union" (default) bins over the combined range —
+    right for a symmetric two-snapshot compare; "old" freezes bins on
+    the reference alone — the streaming-monitor convention
+    (streaming/drift.py), where the reference is fixed before the new
+    data exists. New values outside a frozen range land in their own
+    out-of-range bins (integer div extends naturally) and count
+    toward L1 like any other mass difference.
+
     Output: one row (n_old, n_new, n_bins, l1_scaled, drift_milli).
     """
     if bins < 1:
         raise ValueError("bins must be >= 1")
+    if range_on not in ("union", "old"):
+        raise ValueError("range_on must be 'union' or 'old'")
 
     def cents(df: DataFrame) -> DataFrame:
         return df.select(
@@ -510,7 +521,7 @@ def histogram_drift(
         ).where(F.col("c").isNotNull())
 
     o, n = cents(old), cents(new)
-    u = o.unionByName(n)
+    u = o.unionByName(n) if range_on == "union" else o
     rng = u.agg(
         F.min("c").alias("lo"), F.max("c").alias("hi")
     ).select(
