@@ -3078,6 +3078,21 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch-inference padding plan: token-length buckets (32/64/128)
+    # with exact padded-token totals under bucketed vs naive global
+    # batching — the serving-cost lever for the reference's batch-LLM
+    # workload. padded_bucket <= padded_global row by row; the gap is
+    # the (lower-bound) saving.
+    from sutro_spark.operators.packing import length_buckets
+
+    return length_buckets(
+        _t(spark, sf_dir, "documents"),
+        boundaries=[32, 64, 128],
+        batch_size=16,
+    )
+
+
 def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # KMV mergeability proof (the kmv twin of hll_merge): Spark builds
     # per-(type, day) partial sketches and merges them; the oracle
@@ -3298,10 +3313,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: by tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
 _R8_WINDOW = [
-    # the r4-stale cohort minus its four oldest (34 — bumped for the
-    # 13th-16th r8 additions; they stay r4-green and lead the r9
+    # the r4-stale cohort minus its five oldest (33 — bumped for the
+    # 13th-17th r8 additions; they stay r4-green and lead the r9
     # rotation)
-    "quality_percentile", "tpch_q2ish", "tpch_q9ish",
+    "tpch_q2ish", "tpch_q9ish",
     "tpch_q17ish", "tpch_q21ish", "events_rolling", "length_histogram",
     "tfidf_topk", "word_bigrams", "domain_split", "pagerank_suppliers",
     "repetition_profile", "eval_report", "eval_confusion", "eval_kappa",
@@ -3319,7 +3334,7 @@ _R8_WINDOW = [
     "two_phase_agg", "hybrid_retrieval", "mmr_rerank", "hard_negatives",
     "kmv_join_est", "cdc_chunks", "cdc_dedup", "mad_outliers",
     "sorted_neighborhood", "histogram_drift", "label_propagate",
-    "precision_threshold", "kmv_merge",
+    "precision_threshold", "kmv_merge", "length_buckets",
 ]
 
 
@@ -3362,6 +3377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagate": q_label_propagate,
         "precision_threshold": q_precision_threshold,
         "kmv_merge": q_kmv_merge,
+        "length_buckets": q_length_buckets,
         "pagerank": q_pagerank,
         "ece": q_ece,
         "keyword_flags": q_keyword_flags,
@@ -4461,6 +4477,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, chunk_seq, sub_seq, start_word, n_words,
                    chunk_hash
             FROM cdc_chunks_cte
+        """,
+        "length_buckets": """
+            WITH lbl AS (
+                SELECT doc_id AS id,
+                       CAST(len(list_filter(regexp_split_to_array(
+                           coalesce(text, ''), '\\s+'), x -> x <> ''))
+                           AS BIGINT) AS l
+                FROM documents),
+            lbb AS (SELECT id, l,
+                           CAST(CASE WHEN l <= 32 THEN 0
+                                     WHEN l <= 64 THEN 1
+                                     WHEN l <= 128 THEN 2
+                                     ELSE 3 END AS BIGINT) AS bucket
+                    FROM lbl),
+            lbg AS (SELECT CAST(max(l) AS BIGINT) AS gmax FROM lbl)
+            SELECT bucket,
+                   CAST(CASE bucket WHEN 0 THEN 32 WHEN 1 THEN 64
+                        WHEN 2 THEN 128 END AS BIGINT) AS upper_bound,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST((count(*) + 15) // 16 AS BIGINT) AS n_batches,
+                   CAST(max(l) AS BIGINT) AS max_len,
+                   CAST(sum(l) AS BIGINT) AS sum_len,
+                   CAST(count(*) * max(l) AS BIGINT) AS padded_bucket,
+                   CAST(count(*) * gmax AS BIGINT) AS padded_global
+            FROM lbb, lbg
+            GROUP BY bucket, gmax ORDER BY bucket
         """,
         "kmv_merge": """
             WITH kmh AS (

@@ -240,3 +240,81 @@ def epoch_plan(
         "shard_id",
         "vt",
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    boundaries: list[int] | None = None,
+    batch_size: int = 32,
+) -> DataFrame:
+    """Length-bucketed batch planning for model inference: group rows
+    into token-length buckets so fixed-size inference batches pad to
+    the BUCKET maximum instead of the global maximum — the classic
+    serving optimization for the reference's batch-LLM workload
+    (sutro-sh/sutro ships whole column batches to the API; a
+    length-sorted batch plan cuts padded-token volume, which is what
+    the provider bills and the GPU executes).
+
+    ``boundaries`` are bucket upper bounds in tokens (ascending;
+    lengths above the last bound share a final open bucket).
+    Per bucket, the report gives the batch count at ``batch_size``
+    and two exact-integer padded-token totals:
+
+        padded_bucket = n * max_len_in_bucket      (bucketed batches)
+        padded_global = n * global_max_len         (naive batching)
+
+    Their difference over the whole table is the padding the bucket
+    plan saves. Real serving pads per BATCH, not per bucket; bucket
+    max is the worst batch in the bucket, so the saving reported here
+    is a LOWER bound on the true saving — documented conservatism,
+    not optimism.
+
+    Plan: one token-count projection, one combinable per-bucket
+    aggregate, a 1-row global-max broadcast. Output: (bucket,
+    upper_bound, n_rows, n_batches, max_len, sum_len, padded_bucket,
+    padded_global) — one row per non-empty bucket.
+    """
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")
+    bounds = sorted(boundaries or [64, 128, 256, 512, 1024])
+    if any(b < 1 for b in bounds):
+        raise ValueError("boundaries must be positive")
+    from sutro_spark.functions.text import token_count
+
+    lens = df.select(
+        F.col(id_column).alias("id"),
+        token_count(F.coalesce(F.col(text_column), F.lit(""))).alias("len"),
+    )
+    bucket = F.lit(len(bounds))
+    for i, b in reversed(list(enumerate(bounds))):
+        bucket = F.when(F.col("len") <= b, F.lit(i)).otherwise(bucket)
+    gmax = lens.agg(F.max("len").cast("long").alias("gmax"))
+    upper = F.element_at(
+        F.array(*[F.lit(b).cast("long") for b in bounds], F.lit(None).cast("long")),
+        F.col("bucket").cast("int") + 1,
+    )
+    return (
+        lens.withColumn("bucket", bucket.cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.max("len").cast("long").alias("max_len"),
+            F.sum("len").cast("long").alias("sum_len"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "bucket",
+            upper.alias("upper_bound"),
+            "n_rows",
+            F.expr(f"CAST((n_rows + {batch_size - 1}) div {batch_size} AS BIGINT)")
+            .alias("n_batches"),
+            "max_len",
+            "sum_len",
+            (F.col("n_rows") * F.col("max_len")).cast("long").alias("padded_bucket"),
+            (F.col("n_rows") * F.col("gmax")).cast("long").alias("padded_global"),
+        )
+        .orderBy("bucket")
+    )

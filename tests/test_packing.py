@@ -91,3 +91,40 @@ def test_empty_doc_occupies_no_chunk(spark):
     assert rows[1]["chunk_start"] == 0 and rows[1]["chunk_end"] == 1
     # doc 3 starts right after doc 1's 3 tokens despite the empty doc
     assert rows[3]["start_offset"] == 3 and rows[3]["chunk_start"] == 1
+
+
+def test_length_buckets_padding_accounting(spark):
+    from sutro_spark.operators.packing import length_buckets
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e"), (3, " ".join(["w"] * 50)),
+         (4, " ".join(["w"] * 200))],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["bucket"]: r
+        for r in length_buckets(
+            docs, boundaries=[10, 100], batch_size=2
+        ).collect()
+    }
+    # bucket 0: lens 3,5 -> max 5; bucket 1: len 50; open bucket: 200
+    assert rows[0]["n_rows"] == 2 and rows[0]["max_len"] == 5
+    assert rows[0]["padded_bucket"] == 2 * 5
+    assert rows[0]["padded_global"] == 2 * 200
+    assert rows[1]["upper_bound"] == 100 and rows[1]["padded_bucket"] == 50
+    assert rows[2]["upper_bound"] is None  # open top bucket
+    # bucketed padding never exceeds naive padding
+    for r in rows.values():
+        assert r["padded_bucket"] <= r["padded_global"]
+    assert rows[0]["n_batches"] == 1  # ceil(2/2)
+
+
+def test_length_buckets_validation(spark):
+    import pytest
+
+    from sutro_spark.operators.packing import length_buckets
+
+    with pytest.raises(ValueError, match="batch_size"):
+        length_buckets(None, batch_size=0)
+    with pytest.raises(ValueError, match="boundaries"):
+        length_buckets(None, boundaries=[0, 5])
