@@ -3078,6 +3078,19 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Novelty vs a reference corpus (every 10th doc): fraction of each
+    # document's word trigrams absent from the reference — the
+    # memorization/novelty diagnostic. Sub-3-token docs report NULL
+    # (no basis), integer-milli rational otherwise.
+    from sutro_spark.functions.text import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(
+        docs, docs.where(F.col("doc_id") % 10 == 0), n=3
+    ).orderBy("id")
+
+
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Batch-inference padding plan: token-length buckets (32/64/128)
     # with exact padded-token totals under bucketed vs naive global
@@ -3378,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "precision_threshold": q_precision_threshold,
         "kmv_merge": q_kmv_merge,
         "length_buckets": q_length_buckets,
+        "ngram_novelty": q_ngram_novelty,
         "pagerank": q_pagerank,
         "ece": q_ece,
         "keyword_flags": q_keyword_flags,
@@ -4477,6 +4491,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, chunk_seq, sub_seq, start_word, n_words,
                    chunk_hash
             FROM cdc_chunks_cte
+        """,
+        "ngram_novelty": """
+            WITH nvt AS (
+                SELECT doc_id AS id,
+                       list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '\\s+'),
+                           x -> x <> '') AS toks
+                FROM documents),
+            nvg AS (SELECT id,
+                           CASE WHEN len(toks) >= 3 THEN
+                               list_transform(range(1, len(toks) - 1),
+                                   i -> concat_ws(' ',
+                                        toks[CAST(i AS INTEGER)],
+                                        toks[CAST(i + 1 AS INTEGER)],
+                                        toks[CAST(i + 2 AS INTEGER)]))
+                           ELSE [] END AS grams
+                    FROM nvt),
+            nvr AS (SELECT DISTINCT g
+                    FROM (SELECT unnest(grams) AS g FROM nvg
+                          WHERE id % 10 = 0)),
+            nvp AS (SELECT id, unnest(grams) AS g FROM nvg),
+            nva AS (SELECT p.id,
+                           CAST(count(*) AS BIGINT) AS n_grams,
+                           CAST(sum(CASE WHEN r.g IS NULL THEN 1
+                                    ELSE 0 END) AS BIGINT) AS n_unseen
+                    FROM nvp p LEFT JOIN nvr r ON p.g = r.g
+                    GROUP BY p.id)
+            SELECT d.id,
+                   coalesce(n_grams, 0) AS n_grams,
+                   coalesce(n_unseen, 0) AS n_unseen,
+                   CASE WHEN coalesce(n_grams, 0) = 0 THEN NULL
+                        ELSE CAST((1000 * n_unseen) // n_grams AS BIGINT)
+                   END AS novelty_milli
+            FROM (SELECT CAST(doc_id AS BIGINT) AS id FROM documents) d
+            LEFT JOIN nva ON d.id = nva.id
+            ORDER BY d.id
         """,
         "length_buckets": """
             WITH lbl AS (

@@ -896,3 +896,89 @@ def content_chunks(
         .cast("long")
         .alias("chunk_hash"),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    reference: DataFrame,
+    *,
+    n: int = 3,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty against a reference corpus: the fraction
+    of the document's word n-grams that appear NOWHERE in the
+    reference — the standard memorization/novelty diagnostic for
+    training-data work (how much of a candidate set is genuinely new
+    text vs recombinations of what the model already saw; the
+    document-level complement of decontamination's benchmark-level
+    question).
+
+    novelty_milli = (1000 * n_unseen) div n_grams — integer rational,
+    0 (all n-grams known) to 1000 (fully novel). Documents with fewer
+    than ``n`` tokens have no n-grams and report NULL (no basis for a
+    claim, not "novel by vacuity").
+
+    Plan: both sides explode n-grams inside their scan; the reference
+    set is DISTINCT n-grams (one combinable aggregate); the probe is
+    a left-anti-shaped join counted per doc — an equi-join on the
+    gram string, never pairs of docs. At 100 TB persist the distinct
+    reference grams bucketed by gram (streaming/dedup.py's layout) so
+    only the probe side shuffles; a bloom prefilter
+    (operators/decontaminate.py's idiom) can skip the join for
+    clearly-novel grams.
+
+    Output: (id, n_grams, n_unseen, novelty_milli).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def grams(frame: DataFrame, with_id: bool) -> DataFrame:
+        toks = tokens(F.lower(F.coalesce(F.col(text_column), F.lit(""))))
+        # guard: sequence(1, 0) DESCENDS in Spark, so short docs must
+        # take the empty-array branch, not a degenerate sequence
+        g = F.expr(
+            f"CASE WHEN size(__toks) >= {n} THEN "
+            f"transform(sequence(1, size(__toks) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(__toks, i, {n}))) "
+            f"ELSE array() END"
+        )
+        base = frame.select(
+            *([F.col(id_column).alias("id")] if with_id else []),
+            toks.alias("__toks"),
+        ).select(
+            *(["id"] if with_id else []),
+            F.explode_outer(g).alias("gram"),
+        )
+        return base
+
+    ref = (
+        grams(reference, with_id=False)
+        .where(F.col("gram").isNotNull())
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    probe = grams(df, with_id=True)
+    return (
+        probe.join(ref, "gram", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.col("gram")).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(
+                    F.col("gram").isNotNull() & F.col("__hit").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_unseen"),
+        )
+        .select(
+            "id",
+            "n_grams",
+            "n_unseen",
+            F.expr(
+                "CAST(CASE WHEN n_grams = 0 THEN NULL "
+                "ELSE (1000 * n_unseen) div n_grams END AS BIGINT)"
+            ).alias("novelty_milli"),
+        )
+    )

@@ -873,3 +873,35 @@ def test_histogram_drift_detects_truncation(spark):
     row = histogram_drift(df, half, "v").first()
     # half the mass gone from the tail: L1 = 2 * 0.5 -> ~1000 milli
     assert 900 <= row["drift_milli"] <= 1100
+
+
+def test_ngram_novelty_semantics(spark):
+    from sutro_spark.functions.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "totally new words here now"),
+         (3, "ab"), (4, None)],
+        ["doc_id", "text"],
+    )
+    ref = spark.createDataFrame(
+        [(10, "the quick brown fox sleeps")], ["doc_id", "text"]
+    )
+    out = {
+        r["id"]: (r["n_grams"], r["n_unseen"], r["novelty_milli"])
+        for r in ngram_novelty(docs, ref, n=3).collect()
+    }
+    # doc 1 shares 2 of its 3 trigrams with the reference
+    assert out[1] == (3, 1, 333)
+    assert out[2] == (3, 3, 1000)  # fully novel
+    assert out[3] == (0, 0, None)  # too short: no basis, not "novel"
+    assert out[4] == (0, 0, None)
+
+
+def test_ngram_novelty_self_reference_is_zero(spark):
+    from sutro_spark.functions.text import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    row = ngram_novelty(docs, docs, n=3).first()
+    assert row["novelty_milli"] == 0
