@@ -3326,10 +3326,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: by tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
 _R8_WINDOW = [
-    # the r4-stale cohort minus its five oldest (33 — bumped for the
-    # 13th-17th r8 additions; they stay r4-green and lead the r9
+    # the r4-stale cohort minus its six oldest (32 — bumped for the
+    # 13th-18th r8 additions; they stay r4-green and lead the r9
     # rotation)
-    "tpch_q2ish", "tpch_q9ish",
+    "tpch_q9ish",
     "tpch_q17ish", "tpch_q21ish", "events_rolling", "length_histogram",
     "tfidf_topk", "word_bigrams", "domain_split", "pagerank_suppliers",
     "repetition_profile", "eval_report", "eval_confusion", "eval_kappa",
@@ -3348,6 +3348,7 @@ _R8_WINDOW = [
     "kmv_join_est", "cdc_chunks", "cdc_dedup", "mad_outliers",
     "sorted_neighborhood", "histogram_drift", "label_propagate",
     "precision_threshold", "kmv_merge", "length_buckets",
+    "ngram_novelty",
 ]
 
 
