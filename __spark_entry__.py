@@ -3078,6 +3078,18 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Asymmetric near-dup: the smaller doc's shingles >= 60% inside
+    # the larger's — catches subset duplicates (quotes, wrapped
+    # copies) that the union-normalized Jaccard threshold misses.
+    # Same inverted-index plan as ngram_jaccard; raw-division parity.
+    from sutro_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.6
+    ).orderBy("id_a", "id_b")
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Novelty vs a reference corpus (every 10th doc): fraction of each
     # document's word trigrams absent from the reference — the
@@ -3326,10 +3338,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: by tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
 _R8_WINDOW = [
-    # the r4-stale cohort minus its six oldest (32 — bumped for the
-    # 13th-18th r8 additions; they stay r4-green and lead the r9
+    # the r4-stale cohort minus its seven oldest (31 — bumped for the
+    # 13th-19th r8 additions; they stay r4-green and lead the r9
     # rotation)
-    "tpch_q9ish",
+
     "tpch_q17ish", "tpch_q21ish", "events_rolling", "length_histogram",
     "tfidf_topk", "word_bigrams", "domain_split", "pagerank_suppliers",
     "repetition_profile", "eval_report", "eval_confusion", "eval_kappa",
@@ -3348,7 +3360,7 @@ _R8_WINDOW = [
     "kmv_join_est", "cdc_chunks", "cdc_dedup", "mad_outliers",
     "sorted_neighborhood", "histogram_drift", "label_propagate",
     "precision_threshold", "kmv_merge", "length_buckets",
-    "ngram_novelty",
+    "ngram_novelty", "containment",
 ]
 
 
@@ -3393,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_merge": q_kmv_merge,
         "length_buckets": q_length_buckets,
         "ngram_novelty": q_ngram_novelty,
+        "containment": q_containment,
         "pagerank": q_pagerank,
         "ece": q_ece,
         "keyword_flags": q_keyword_flags,
@@ -4492,6 +4505,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, chunk_seq, sub_seq, start_word, n_words,
                    chunk_hash
             FROM cdc_chunks_cte
+        """,
+        "containment": f"""
+            WITH {_SHINGLES_CTE},
+            crare AS (SELECT shingle FROM sh GROUP BY shingle
+                      HAVING count(*) <= 100),
+            cshf AS (SELECT sh.id, sh.shingle
+                     FROM sh JOIN crare USING (shingle)),
+            csizes AS (SELECT id, count(*) AS n FROM cshf GROUP BY id),
+            cinter AS (
+                SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+                FROM cshf a JOIN cshf b USING (shingle)
+                WHERE a.id < b.id GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END
+                       AS contained_id,
+                   i / least(sa.n, sb.n) AS containment
+            FROM cinter
+            JOIN csizes sa ON sa.id = id_a
+            JOIN csizes sb ON sb.id = id_b
+            WHERE i / least(sa.n, sb.n) >= 0.6
+            ORDER BY id_a, id_b
         """,
         "ngram_novelty": """
             WITH nvt AS (

@@ -790,3 +790,48 @@ def winnow_overlap(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    k: int = 8,
+    threshold: float = 0.8,
+    max_df: int | None = 100,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by shingle CONTAINMENT: the
+    smaller document's shingle set mostly inside the larger's —
+    c = |A intersect B| / min(|A|, |B|). Jaccard divides by the UNION,
+    so a short document quoted verbatim inside a long one scores near
+    |short|/|long| and slips under any Jaccard threshold; containment
+    scores it ~1. This is the subset-duplicate detector (quotes,
+    concatenated corpora, boilerplate-wrapped copies) complementing
+    symmetric Jaccard — same Broder (1997) resemblance-vs-containment
+    distinction the shingling literature draws.
+
+    Same inverted-index plan and exact integer evidence as
+    ngram_jaccard_pairs (shared `_pair_intersections`; the df cap is
+    REQUIRED at scale); the score is the raw division of exact ints
+    (bit-identical cross-engine — the rounding note there applies).
+
+    Output: (id_a, id_b, contained_id, containment) with id_a < id_b;
+    contained_id is the smaller-set side (ties -> id_a), the document
+    a dedup policy would drop or annotate.
+    """
+    return (
+        _pair_intersections(df, text_column, id_column, k=k, max_df=max_df)
+        .withColumn(
+            "containment", F.col("inter") / F.least(F.col("na"), F.col("nb"))
+        )
+        .where(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.when(F.col("na") <= F.col("nb"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained_id"),
+            "containment",
+        )
+    )

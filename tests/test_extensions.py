@@ -654,3 +654,28 @@ def test_whash_pairs_identical_images_pair_at_zero(spark):
     pairs = {(r["id_a"], r["id_b"]): r["ham"] for r in whash_pairs(df).collect()}
     assert pairs.get((1, 2)) == 0
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from sutro_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    short = "the quick brown fox jumps over the lazy dog again and again"
+    long = short + " " + " ".join(f"filler{i:04d} words" for i in range(60))
+    df = spark.createDataFrame([(1, short), (2, long)], ["doc_id", "text"])
+    cont = containment_pairs(df, threshold=0.8, max_df=None).collect()
+    assert len(cont) == 1
+    assert cont[0]["contained_id"] == 1  # the short doc is the subset
+    assert cont[0]["containment"] >= 0.9
+    # symmetric Jaccard scores the same pair far lower (union-normalized)
+    jac = ngram_jaccard_pairs(df, threshold=0.0, max_df=None).collect()
+    assert jac[0]["jaccard"] < 0.2
+
+
+def test_containment_disjoint_texts_empty(spark):
+    from sutro_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc dddd eeee"), (2, "zzzz yyyy xxxx wwww vvvv")],
+        ["doc_id", "text"],
+    )
+    assert containment_pairs(df, threshold=0.3, max_df=None).count() == 0
