@@ -3078,6 +3078,30 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-rater chance-corrected agreement: three synthetic raters
+    # per document (category = (doc_id * (rater+2)) % 3, rebuilt
+    # verbatim by the oracle), Fleiss' kappa as one IEEE division of
+    # exact BIGINT rationals — the >2-rater complement of eval_kappa.
+    from sutro_spark.operators.metrics import fleiss_kappa
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("item")
+    )
+    rated = docs.select(
+        "item",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("rater"),
+    ).select(
+        "item",
+        "rater",
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            ((F.col("item") * (F.col("rater") + 2)) % 3 + 1).cast("int"),
+        ).alias("category"),
+    )
+    return fleiss_kappa(rated)
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Asymmetric near-dup: the smaller doc's shingles >= 60% inside
     # the larger's — catches subset duplicates (quotes, wrapped
@@ -3338,11 +3362,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: by tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
 _R8_WINDOW = [
-    # the r4-stale cohort minus its seven oldest (31 — bumped for the
-    # 13th-19th r8 additions; they stay r4-green and lead the r9
+    # the r4-stale cohort minus its eight oldest (30 — bumped for the
+    # 13th-20th r8 additions; they stay r4-green and lead the r9
     # rotation)
-
-    "tpch_q17ish", "tpch_q21ish", "events_rolling", "length_histogram",
+    "tpch_q21ish", "events_rolling", "length_histogram",
     "tfidf_topk", "word_bigrams", "domain_split", "pagerank_suppliers",
     "repetition_profile", "eval_report", "eval_confusion", "eval_kappa",
     "shard_manifest", "strip_boilerplate", "url_profile", "retention",
@@ -3360,7 +3383,7 @@ _R8_WINDOW = [
     "kmv_join_est", "cdc_chunks", "cdc_dedup", "mad_outliers",
     "sorted_neighborhood", "histogram_drift", "label_propagate",
     "precision_threshold", "kmv_merge", "length_buckets",
-    "ngram_novelty", "containment",
+    "ngram_novelty", "containment", "fleiss_kappa",
 ]
 
 
@@ -3406,6 +3429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "ngram_novelty": q_ngram_novelty,
         "containment": q_containment,
+        "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
         "ece": q_ece,
         "keyword_flags": q_keyword_flags,
@@ -4505,6 +4529,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, chunk_seq, sub_seq, start_word, n_words,
                    chunk_hash
             FROM cdc_chunks_cte
+        """,
+        "fleiss_kappa": """
+            WITH fkr AS (
+                SELECT CAST(doc_id AS BIGINT) AS item, r.rater,
+                       ['a', 'b', 'c'][CAST((doc_id * (r.rater + 2)) % 3
+                           AS INTEGER) + 1] AS category
+                FROM documents,
+                     (SELECT unnest([0, 1, 2]) AS rater) r),
+            fkc AS (SELECT item, category,
+                           CAST(count(*) AS BIGINT) AS nic
+                    FROM fkr GROUP BY item, category),
+            fki AS (SELECT item, CAST(sum(nic) AS BIGINT) AS n_i,
+                           CAST(sum(nic * nic) AS BIGINT) AS s2_i
+                    FROM fkc GROUP BY item),
+            fka AS (SELECT CAST(count(*) AS BIGINT) AS ni_,
+                           CAST(sum(s2_i) AS BIGINT) AS s2,
+                           CAST(max(n_i) AS BIGINT) AS nr_
+                    FROM fki),
+            fkt AS (SELECT category, CAST(sum(nic) AS BIGINT) AS tc
+                    FROM fkc GROUP BY category),
+            fkb AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+                           CAST(sum(tc * tc) AS BIGINT) AS c FROM fkt)
+            SELECT ni_ AS n_items, nr_ AS n_raters, n_categories,
+                   CAST(0 AS BIGINT) AS n_items_excluded,
+                   CASE WHEN ni_ = 0 OR nr_ < 2
+                        OR (ni_*nr_)*(ni_*nr_) = c THEN NULL ELSE
+                        CAST((s2 - ni_*nr_) * (ni_*nr_)*(ni_*nr_)
+                             - c * (ni_*nr_*(nr_-1)) AS DOUBLE)
+                        / CAST((ni_*nr_*(nr_-1))
+                               * ((ni_*nr_)*(ni_*nr_) - c) AS DOUBLE)
+                   END AS kappa
+            FROM fka, fkb
         """,
         "containment": f"""
             WITH {_SHINGLES_CTE},

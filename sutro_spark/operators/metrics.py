@@ -417,3 +417,103 @@ def precision_threshold(
         "total_n",
         "total_tp",
     )
+
+
+def fleiss_kappa(
+    labels: DataFrame,
+    *,
+    item_column: str = "item",
+    rater_column: str = "rater",
+    category_column: str = "category",
+) -> DataFrame:
+    """Fleiss' kappa: chance-corrected agreement for ANY number of
+    raters (Cohen's kappa — `cohens_kappa` — handles exactly two).
+    The multi-annotator eval staple: three LLM judges labeling the
+    same docs, crowdworker triplets, model ensembles.
+
+    Exact-rational construction: with N conforming items, n raters
+    per item, n_ic the raters assigning item i to category c, and
+    T_c the per-category totals,
+
+        P_bar  = (S2 - N*n) / (N*n*(n-1)),  S2 = sum n_ic^2
+        P_e    = sum T_c^2 / (N*n)^2
+        kappa  = (P_bar - P_e) / (1 - P_e)
+               = (a*d - c*b) / (b * (d - c))          -- ONE division
+          with a = S2 - N*n, b = N*n*(n-1), c = sum T_c^2, d = (N*n)^2
+
+    every term an exact BIGINT, so the sole IEEE division is
+    engine-reproducible. Overflow bound: d = (N*n)^2 and a*d must
+    stay < 2^63 — safe while N*n < ~3e9 rater-item pairs, i.e. any
+    human-annotated set and most judge ensembles; sample first
+    beyond that.
+
+    Fleiss requires a COMMON n: n is taken as the most frequent
+    per-item rater count (ties -> larger n), items with any other
+    count are excluded and reported in ``n_items_excluded`` rather
+    than silently skewing the statistic. Duplicate (item, rater)
+    votes count as distinct ratings (last-write-wins dedup is the
+    caller's policy decision, not this metric's).
+
+    Plan: one (item, category) count -> per-item sum-of-squares
+    (combinable aggregates), category totals over conforming items,
+    three 1-row frames crossed at the end. Output: one row (n_items,
+    n_raters, n_categories, n_items_excluded, kappa double).
+    """
+    cells = (
+        labels.select(
+            F.col(item_column).alias("__i"),
+            F.col(rater_column).alias("__r"),
+            F.col(category_column).cast("string").alias("__c"),
+        )
+        .groupBy("__i", "__c")
+        .agg(F.count(F.lit(1)).cast("long").alias("nic"))
+    )
+    per_item = cells.groupBy("__i").agg(
+        F.sum("nic").cast("long").alias("n_i"),
+        F.sum(F.col("nic") * F.col("nic")).cast("long").alias("s2_i"),
+    )
+    # modal rater count = the common n (ties -> larger n)
+    mode = (
+        per_item.groupBy("n_i")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.desc("n_i"))
+        .limit(1)
+        .select(F.col("n_i").alias("n"))
+    )
+    conforming = per_item.join(F.broadcast(mode), per_item["n_i"] == F.col("n"))
+    excluded = per_item.join(F.broadcast(mode), per_item["n_i"] == F.col("n"), "left_anti")
+    agg1 = conforming.agg(
+        F.count(F.lit(1)).cast("long").alias("ni_"),
+        F.sum("s2_i").cast("long").alias("S2"),
+        F.max("n_i").cast("long").alias("nr_"),
+    )
+    tot = (
+        cells.join(
+            F.broadcast(conforming.select(F.col("__i"))), "__i"
+        )
+        .groupBy("__c")
+        .agg(F.sum("nic").cast("long").alias("Tc"))
+    )
+    agg2 = tot.agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum(F.col("Tc") * F.col("Tc")).cast("long").alias("C"),
+    )
+    nex = excluded.agg(F.count(F.lit(1)).cast("long").alias("n_items_excluded"))
+    return (
+        agg1.crossJoin(agg2)
+        .crossJoin(nex)
+        .select(
+            F.col("ni_").alias("n_items"),
+            F.col("nr_").alias("n_raters"),
+            "n_categories",
+            "n_items_excluded",
+            F.expr(
+                "CASE WHEN ni_ = 0 OR nr_ < 2"
+                " OR (ni_*nr_)*(ni_*nr_) = C THEN NULL ELSE "
+                "CAST((S2 - ni_*nr_) * (ni_*nr_)*(ni_*nr_)"
+                " - C * (ni_*nr_*(nr_-1)) AS DOUBLE)"
+                " / CAST((ni_*nr_*(nr_-1))"
+                " * ((ni_*nr_)*(ni_*nr_) - C) AS DOUBLE) END"
+            ).alias("kappa"),
+        )
+    )

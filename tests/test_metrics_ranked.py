@@ -289,3 +289,44 @@ def test_precision_threshold_validation(spark):
 
     with pytest.raises(ValueError, match="target_milli"):
         precision_threshold(None, target_milli=0)
+
+
+def test_fleiss_kappa_matches_closed_form(spark):
+    from collections import Counter
+
+    from sutro_spark.operators.metrics import fleiss_kappa
+
+    labels = {
+        1: ["a", "a", "b"], 2: ["a", "a", "a"], 3: ["b", "b", "b"],
+        4: ["a", "b", "c"], 5: ["c", "c", "b"], 6: ["a", "a", "b"],
+        7: ["b", "b", "b"], 8: ["c", "c", "c"],
+    }
+    rows = [(i, j, c) for i, ls in labels.items() for j, c in enumerate(ls)]
+    df = spark.createDataFrame(rows, ["item", "rater", "category"])
+    got = fleiss_kappa(df).first()
+    N, n = len(labels), 3
+    S2 = sum(sum(v * v for v in Counter(ls).values()) for ls in labels.values())
+    C = sum(
+        v * v
+        for v in Counter(c for ls in labels.values() for c in ls).values()
+    )
+    a, b, d = S2 - N * n, N * n * (n - 1), (N * n) ** 2
+    assert got["kappa"] == (a * d - C * b) / (b * (d - C))
+    assert got["n_items_excluded"] == 0
+
+
+def test_fleiss_kappa_excludes_nonconforming_items(spark):
+    from sutro_spark.operators.metrics import fleiss_kappa
+
+    rows = [(1, 0, "a"), (1, 1, "a"), (2, 0, "a"), (2, 1, "b"),
+            (3, 0, "a")]  # item 3 has only one rater
+    got = fleiss_kappa(spark.createDataFrame(rows, ["item", "rater", "category"])).first()
+    assert got["n_items"] == 2 and got["n_items_excluded"] == 1
+
+
+def test_fleiss_kappa_perfect_agreement_single_category_null(spark):
+    from sutro_spark.operators.metrics import fleiss_kappa
+
+    rows = [(i, j, "a") for i in range(4) for j in range(3)]
+    got = fleiss_kappa(spark.createDataFrame(rows, ["item", "rater", "category"])).first()
+    assert got["kappa"] is None  # P_e = 1: chance correction undefined
