@@ -3127,6 +3127,16 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus vocabulary saturation: Chao1 species estimate +
+    # Good-Turing unseen mass over the documents table — the
+    # "is more crawl from this source worth it?" statistic. Both
+    # doubles are single IEEE divisions of exact BIGINTs.
+    from sutro_spark.functions.text import vocab_richness
+
+    return vocab_richness(_t(spark, sf_dir, "documents"))
+
+
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Batch-inference padding plan: token-length buckets (32/64/128)
     # with exact padded-token totals under bucketed vs naive global
@@ -3362,9 +3372,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: by tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
 _R8_WINDOW = [
-    # the r4-stale cohort minus its eight oldest (30 — bumped for the
-    # 13th-20th r8 additions; they stay r4-green and lead the r9
-    # rotation)
+    # the r4-stale cohort minus its nine oldest (29 — bumped once more
+    # for the 21st r8 addition vocab_richness; the bumped entries stay
+    # r4-green and lead the r9 rotation)
     "tpch_q21ish", "events_rolling", "length_histogram",
     "tfidf_topk", "word_bigrams", "domain_split", "pagerank_suppliers",
     "repetition_profile", "eval_report", "eval_confusion", "eval_kappa",
@@ -3373,7 +3383,7 @@ _R8_WINDOW = [
     "zscore_outliers", "cube_counts", "kmv_distinct",
     "weighted_sample_group", "jsonl_scan", "shuffled_shards",
     "asof_forward", "event_transitions", "temperature_mix",
-    "snapshot_diff", "dedup_lines", "fuzzy_decontaminate",
+    "snapshot_diff", "dedup_lines",
     # every top-up slot now goes to the never-driver-checked r8
     # additions (new > r5-stale — the r5 floor is unaffected, since
     # 40+ r5-cohort entries remain at r5 regardless)
@@ -3383,7 +3393,7 @@ _R8_WINDOW = [
     "kmv_join_est", "cdc_chunks", "cdc_dedup", "mad_outliers",
     "sorted_neighborhood", "histogram_drift", "label_propagate",
     "precision_threshold", "kmv_merge", "length_buckets",
-    "ngram_novelty", "containment", "fleiss_kappa",
+    "ngram_novelty", "containment", "fleiss_kappa", "vocab_richness",
 ]
 
 
@@ -3428,6 +3438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_merge": q_kmv_merge,
         "length_buckets": q_length_buckets,
         "ngram_novelty": q_ngram_novelty,
+        "vocab_richness": q_vocab_richness,
         "containment": q_containment,
         "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
@@ -4582,6 +4593,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN csizes sb ON sb.id = id_b
             WHERE i / least(sa.n, sb.n) >= 0.6
             ORDER BY id_a, id_b
+        """,
+        "vocab_richness": """
+            WITH vrt AS (
+                SELECT unnest(list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[^a-z0-9]+'),
+                           x -> x <> '')) AS tok
+                FROM documents),
+            vrc AS (SELECT tok, count(*) AS c FROM vrt GROUP BY tok),
+            vra AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tokens,
+                           CAST(count(*) AS BIGINT) AS n_types,
+                           CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0
+                                END), 0) AS BIGINT) AS f1,
+                           CAST(coalesce(sum(CASE WHEN c = 2 THEN 1 ELSE 0
+                                END), 0) AS BIGINT) AS f2
+                    FROM vrc)
+            SELECT n_tokens, n_types, f1, f2,
+                   CAST(2*(f2+1)*n_types + f1*(f1-1) AS DOUBLE)
+                       / CAST(2*(f2+1) AS DOUBLE) AS chao1,
+                   CASE WHEN n_tokens > 0 THEN
+                       CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                   END AS gt_unseen_mass
+            FROM vra
         """,
         "ngram_novelty": """
             WITH nvt AS (

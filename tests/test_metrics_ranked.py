@@ -330,3 +330,37 @@ def test_fleiss_kappa_perfect_agreement_single_category_null(spark):
     rows = [(i, j, "a") for i in range(4) for j in range(3)]
     got = fleiss_kappa(spark.createDataFrame(rows, ["item", "rater", "category"])).first()
     assert got["kappa"] is None  # P_e = 1: chance correction undefined
+
+
+def test_vocab_richness_closed_form(spark):
+    from sutro_spark.functions.text import vocab_richness
+
+    # tokens: a a b b c -> N=5 D=3 f1=1 f2=2
+    # chao1 = 3 + 1*0/(2*3) = 3.0 ; gt = 1/5 = 0.2
+    docs = spark.createDataFrame([("a a b b",), ("c!",)], "text string")
+    row = vocab_richness(docs).collect()[0]
+    assert (row.n_tokens, row.n_types, row.f1, row.f2) == (5, 3, 1, 2)
+    assert row.chao1 == 3.0
+    assert row.gt_unseen_mass == 0.2
+
+
+def test_vocab_richness_no_doubletons(spark):
+    from sutro_spark.functions.text import vocab_richness
+
+    # all singletons: f2=0 must not blow up (bias-corrected form)
+    # D=3 f1=3 -> chao1 = 3 + 3*2/2 = 6.0 ; gt mass = 1.0
+    docs = spark.createDataFrame([("a b c",)], "text string")
+    row = vocab_richness(docs).collect()[0]
+    assert (row.n_tokens, row.n_types, row.f1, row.f2) == (3, 3, 3, 0)
+    assert row.chao1 == 6.0
+    assert row.gt_unseen_mass == 1.0
+
+
+def test_vocab_richness_empty_corpus(spark):
+    from sutro_spark.functions.text import vocab_richness
+
+    docs = spark.createDataFrame([("",), (None,)], "text string")
+    row = vocab_richness(docs).collect()[0]
+    assert (row.n_tokens, row.n_types, row.f1, row.f2) == (0, 0, 0, 0)
+    assert row.chao1 == 0.0
+    assert row.gt_unseen_mass is None
