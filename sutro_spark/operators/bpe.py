@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sutro_spark.functions.text import tokens
+from sutro_spark.session import release_local_checkpoint
 
 __all__ = ["bpe_merges", "bpe_segment", "bpe_vocab"]
 
@@ -102,6 +103,7 @@ def _train(df: DataFrame, text_column: str, rounds: int):
         "w", "weight", _wrapped_chars(F.col("w")).alias("ws")
     ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
+    prev_ckpt = cur
     for r in range(1, rounds + 1):
         top = (
             cur.select("weight", _symbols("ws").alias("syms"))
@@ -139,6 +141,9 @@ def _train(df: DataFrame, text_column: str, rounds: int):
             # job replays r literal replaces over the vocabulary; with
             # it, at most _CHECKPOINT_EVERY
             cur = cur.localCheckpoint(eager=True)
+            # the superseded checkpoint's blocks are unreachable now
+            release_local_checkpoint(prev_ckpt)
+            prev_ckpt = cur
     return merges, cur
 
 

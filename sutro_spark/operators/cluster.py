@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sutro_spark.session import release_local_checkpoint
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """Emit (v, m) for every neighbor v > u, where m = min(N(u) ∪ {u})."""
@@ -90,8 +92,15 @@ def connected_components(
         .distinct()
     )
     prev_sig = None
+    prev_ckpt = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).distinct().localCheckpoint(eager=True)
+        # the new eager checkpoint is materialized; the superseded
+        # round's blocks can never be read again — free them so a
+        # long-lived session doesn't pin O(iterations) partitions
+        if prev_ckpt is not None:
+            release_local_checkpoint(prev_ckpt)
+        prev_ckpt = e
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal accumulator: a long sum of 2^63-range hashes
@@ -158,6 +167,7 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0).cast("bigint"))
     base = (100 - damping_pct) * scale // (100 * n_nodes)
     p = nodes.withColumn("p", F.lit(scale // n_nodes))
+    prev_ckpt = None
     for _ in range(iters):
         share = 0
         if redistribute_dangling:
@@ -188,6 +198,9 @@ def pagerank(
         )
         if checkpoint:
             p = p.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                release_local_checkpoint(prev_ckpt)
+            prev_ckpt = p
     return p.withColumnRenamed("p", "rank")
 
 

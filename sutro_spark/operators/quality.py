@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from sutro_spark.functions.text import STOPWORDS
 from sutro_spark.operators.decontaminate import word_shingles
+from sutro_spark.session import release_local_checkpoint
 
 #: Gopher Table A1 keep-thresholds.
 GOPHER_RULES = {
@@ -516,6 +517,7 @@ def train_linear_scorer(
             .agg(F.sum(F.col("y") * F.col("cnt")).alias("w"))
             .localCheckpoint(eager=True)
         )
+        prev_ckpt = w
         for _ in range(epochs):
             s = (
                 feats.join(F.broadcast(w), "bucket", "left")
@@ -550,6 +552,9 @@ def train_linear_scorer(
                 )
                 .localCheckpoint(eager=True)
             )
+            # superseded epoch's weight blocks are unreachable — free
+            release_local_checkpoint(prev_ckpt)
+            prev_ckpt = w
         return w
     finally:
         feats.unpersist()

@@ -25,6 +25,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sutro_spark.session import release_local_checkpoint
+
 __all__ = ["rrf_fuse", "rrf_lcm", "mmr_rerank", "hard_negatives"]
 
 
@@ -205,7 +207,14 @@ def mmr_rerank(
         .select("__q", "__id", F.lit(1).alias("mmr_rank"), "__rel", "__score")
         .localCheckpoint(eager=True)
     )
-    remaining = pool.join(selected.select("__q", "__id"), ["__q", "__id"], "left_anti")
+    # remaining is checkpointed per step too: its lineage otherwise
+    # chains every prior pick (which references every prior selected
+    # checkpoint), so the plan would grow per step AND superseded
+    # selected blocks could never be freed safely.
+    remaining = pool.join(
+        selected.select("__q", "__id"), ["__q", "__id"], "left_anti"
+    ).localCheckpoint(eager=True)
+    prev_sel, prev_rem = selected, remaining
     for step in range(2, k + 1):
         red = (
             remaining.join(
@@ -233,7 +242,17 @@ def mmr_rerank(
         selected = selected.unionByName(pick).localCheckpoint(eager=True)
         remaining = remaining.join(
             pick.select("__q", "__id"), ["__q", "__id"], "left_anti"
-        )
+        ).localCheckpoint(eager=True)
+        # both step-`step` checkpoints are materialized; the previous
+        # step's frames are unreachable — free their blocks
+        release_local_checkpoint(prev_sel)
+        release_local_checkpoint(prev_rem)
+        prev_sel, prev_rem = selected, remaining
+    # the returned frame derives only from the final selected
+    # checkpoint; the working frames can all go
+    release_local_checkpoint(remaining)
+    release_local_checkpoint(simt)
+    release_local_checkpoint(pool)
     return selected.select(
         F.col("__q").alias(query_column),
         F.col("__id").alias(id_column),

@@ -75,3 +75,36 @@ def ensure_reader_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def release_local_checkpoint(df) -> None:
+    """Free the storage blocks behind a SUPERSEDED ``localCheckpoint``.
+
+    Iterative operators (connected components, PageRank, BPE merge
+    rounds, scorer epochs, MMR greedy steps) truncate lineage each
+    round with ``localCheckpoint(eager=True)``; Spark never releases
+    the superseded round's blocks until the session dies, so a
+    long-lived session (streaming driver, many-query benchmark) pins
+    O(queries x iterations) partitions of storage memory and slowly
+    evicts useful cache. Call this on iteration i's frame AFTER
+    iteration i+1's eager checkpoint has materialized — at that point
+    nothing can reference it again.
+
+    NEVER call it on a frame that will still be read: localCheckpoint
+    truncates lineage, so once the blocks are gone the data is
+    unrecoverable (recompute is impossible by design).
+
+    Implementation: a localCheckpointed Dataset's analyzed plan is a
+    ``LogicalRDD`` wrapping the checkpointed RDD; unpersist that RDD
+    directly (non-blocking). Best-effort by construction — any
+    py4j/plan-shape surprise leaves the blocks for session-end cleanup
+    rather than failing the query. Spark logs a one-line WARN
+    ("was locally checkpointed ... cannot be recomputed") per release;
+    that is the point — the frame is superseded and must never be
+    recomputed.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        plan.rdd().unpersist(False)
+    except Exception:
+        pass

@@ -165,3 +165,46 @@ def test_propagate_cluster_labels_tie_breaks_smallest(spark):
         for r in propagate_cluster_labels(assignments, labels).collect()
     }
     assert out[3] == "aa"  # 1-1 tie -> lexicographically smallest
+
+
+def _n_persistent(spark):
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_connected_components_releases_superseded_checkpoints(spark):
+    from sutro_spark.operators.cluster import connected_components
+
+    # a 64-node chain needs several large-star/small-star rounds;
+    # without per-round release, every round leaves one pinned RDD
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    before = _n_persistent(spark)
+    cc = connected_components(edges)
+    rows = cc.collect()
+    after = _n_persistent(spark)
+    # exactly the final converged frame may remain pinned
+    assert after - before <= 1, (before, after)
+    assert {r.component for r in rows} == {0}
+    from sutro_spark.session import release_local_checkpoint
+
+    release_local_checkpoint(cc)
+
+
+def test_mmr_releases_working_checkpoints(spark):
+    from sutro_spark.operators.retrieval import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(1, i, i) for i in range(1, 7)],
+        "query_id long, doc_id long, rank long",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 7)],
+        "vec_id long, embedding array<double>",
+    )
+    before = _n_persistent(spark)
+    out = mmr_rerank(cand, vecs, k=4)
+    assert out.count() == 4
+    after = _n_persistent(spark)
+    # only the final selected frame survives the greedy loop
+    assert after - before <= 1, (before, after)
