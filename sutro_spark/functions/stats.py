@@ -505,8 +505,10 @@ def histogram_drift(
     the reference alone — the streaming-monitor convention
     (streaming/drift.py), where the reference is fixed before the new
     data exists. New values outside a frozen range land in their own
-    out-of-range bins (integer div extends naturally) and count
-    toward L1 like any other mass difference.
+    out-of-range bins (floor-division semantics: above-range extends
+    past bins-1, each below-range width gets its own negative bin,
+    never merged with bin 0) and count toward L1 like any other mass
+    difference.
 
     Output: one row (n_old, n_new, n_bins, l1_scaled, drift_milli).
     """
@@ -531,10 +533,18 @@ def histogram_drift(
     )
 
     def binned(df: DataFrame, tag: str) -> DataFrame:
+        # Floor-division binning: Spark's `div` truncates toward zero,
+        # which (under range_on="old") would merge below-range values
+        # in (lo - w, lo) into bin 0 and shift deeper ones a bin high.
+        # Floor gives each below-range width its own negative bin and
+        # matches DuckDB's `//` (the oracle's operator, which floors).
         return (
             df.crossJoin(F.broadcast(rng))
             .select(
-                F.expr("CAST((c - lo) div w AS BIGINT)").alias("bin")
+                F.expr(
+                    "CAST(CASE WHEN c >= lo THEN (c - lo) div w "
+                    "ELSE -(((lo - c) + w - 1) div w) END AS BIGINT)"
+                ).alias("bin")
             )
             .groupBy("bin")
             .agg(F.count(F.lit(1)).cast("long").alias(f"c_{tag}"))

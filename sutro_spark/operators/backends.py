@@ -510,9 +510,22 @@ class HttpBackend:
             parts = [inputs[i : i + size] for i in range(0, len(inputs), size)]
             # per-call content digest: identical names mark retries of the
             # SAME sub-batch only — distinct batches (other Arrow batches,
-            # other executors) never share a name
+            # other executors) never share a name. The digest covers the
+            # full request identity (texts AND model/system_prompt/schema/
+            # sampling), not texts alone: a server deduping on job name
+            # must never coalesce two jobs that share inputs but differ
+            # in parameters — they have different outputs.
             digest = hashlib.sha256(
-                "\x1f".join(str(x) for x in inputs).encode()
+                "\x1f".join(
+                    [
+                        model,
+                        system_prompt,
+                        repr(sorted((output_schema or {}).items())),
+                        repr(sorted((sampling_params or {}).items())),
+                        repr(random_seed_per_input),
+                    ]
+                    + [str(x) for x in inputs]
+                ).encode()
             ).hexdigest()[:16]
             with ThreadPoolExecutor(self.max_concurrency) as pool:
                 done = list(

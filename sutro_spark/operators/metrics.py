@@ -376,15 +376,33 @@ def precision_threshold(
     descending (single ordered pass over the distinct-score table,
     NOT the corpus) and a 1-row min. Labels are booleans/0-1 ints.
 
+    ``score_column`` must hold INTEGRAL scores (the repo's
+    milli-scaled convention — scale 0-1 float probabilities to e.g.
+    round(p*1000) first). A fractional score raises at execution
+    rather than silently truncating every probability to 0.
+
     Output: one row (threshold, kept_n, kept_tp, precision_milli,
     total_n, total_tp) — precision_milli = (1000*cum_tp) div cum_n of
     the chosen cutoff, recall derivable as kept_tp/total_tp.
     """
     if not 0 < target_milli <= 1000:
         raise ValueError("target_milli must be in (0, 1000]")
+    # Scores must already be integral (the repo's milli-scaled-integer
+    # convention, e.g. quality_scorer's score_milli): a raw 0-1 float
+    # probability would silently truncate to 0 under cast("long"),
+    # collapsing every cutoff into one. Guard in-plan via raise_error —
+    # no extra validation job, fails loudly at execution time.
+    integral_s = F.expr(
+        f"CASE WHEN {score_column} IS NULL THEN CAST(NULL AS BIGINT) "
+        f"WHEN {score_column} = CAST({score_column} AS BIGINT) "
+        f"THEN CAST({score_column} AS BIGINT) "
+        "ELSE CAST(raise_error('precision_threshold: score_column must "
+        "hold integral (milli-scaled) scores; got a fractional value — "
+        "scale float probabilities to integers first') AS BIGINT) END"
+    )
     agg = (
         scored.select(
-            F.col(score_column).cast("long").alias("s"),
+            integral_s.alias("s"),
             F.col(label_column).cast("long").alias("y"),
         )
         .groupBy("s")

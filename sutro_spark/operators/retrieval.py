@@ -159,6 +159,11 @@ def mmr_rerank(
     Output: (query, id, mmr_rank, relevance_scaled, score_scaled) —
     mmr_rank is the greedy pick order; score_scaled is the traded
     score at pick time (pick 1 has no selected set: redundancy 0).
+
+    Candidates with no row in ``vectors`` are excluded before the
+    greedy loop: their redundancy to anything is unknowable, so they
+    never occupy a pick slot (rather than silently vanishing mid-loop
+    and truncating a pick list below k).
     """
     if k < 1 or rank_cap < 1:
         raise ValueError("k and rank_cap must be >= 1")
@@ -196,7 +201,14 @@ def mmr_rerank(
         )
         .localCheckpoint(eager=True)
     )
-    pool = cand.localCheckpoint(eager=True)
+    # pool from cv, NOT cand: a candidate with no vector row has no
+    # simt rows, so the per-step redundancy inner join would silently
+    # drop it (truncating pick lists below k) if it survived to the
+    # pool. Excluding it up front keeps simt complete over the pool
+    # and makes the exclusion a documented contract instead of a
+    # join artifact: MMR cannot score redundancy for a vectorless
+    # candidate, so it never occupies a pick slot.
+    pool = cv.select("__q", "__id", "__rel").localCheckpoint(eager=True)
     w_pick = Window.partitionBy("__q").orderBy(
         F.desc("__score"), F.asc("__id")
     )

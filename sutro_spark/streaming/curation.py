@@ -137,8 +137,12 @@ def curate_batch(
     )
     if ctx is not None:
         ctx.__enter__()
-    sh_n = char_shingles(batch_df, text_column, id_column, k).persist()
+    # persist INSIDE the try: a failure here must still restore the
+    # shuffle-partitions conf in finally, or the override leaks into
+    # the whole session
+    sh_n = None
     try:
+        sh_n = char_shingles(batch_df, text_column, id_column, k).persist()
         if index_buckets is not None:
             postings = _read_table_or_empty(
                 spark, post_table, "shingle string, id long",
@@ -224,7 +228,8 @@ def curate_batch(
                 df_new.write.mode("append").parquet(dfs_dir)
         return docs_out, pairs, mixture_delta
     finally:
-        sh_n.unpersist()
+        if sh_n is not None:
+            sh_n.unpersist()
         if ctx is not None:
             ctx.__exit__(None, None, None)
 

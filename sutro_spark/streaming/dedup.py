@@ -386,8 +386,12 @@ def jaccard_batch(
     )
     if ctx is not None:
         ctx.__enter__()
-    sh_n = char_shingles(batch_df, text_column, id_column, k).persist()
+    # persist INSIDE the try: a failure here must still restore the
+    # shuffle-partitions conf in finally, or the override leaks into
+    # the whole session
+    sh_n = None
     try:
+        sh_n = char_shingles(batch_df, text_column, id_column, k).persist()
         if index_buckets is not None:
             postings = _read_table_or_empty(
                 spark, post_table, "shingle string, id long",
@@ -427,6 +431,7 @@ def jaccard_batch(
             )
             _write_batch_partition(df_new, dfs_dir, batch_id)
     finally:
-        sh_n.unpersist()
+        if sh_n is not None:
+            sh_n.unpersist()
         if ctx is not None:
             ctx.__exit__(None, None, None)

@@ -19,8 +19,9 @@ static reference table and broadcast into the stream projection; bins
 are therefore fixed before any new data exists, which is exactly the
 monitor's semantics (the batch op's range_on="old" convention). New
 values outside the reference range fall into out-of-range bin ids
-(integer div extends naturally) and count toward drift like any other
-mass difference.
+(FLOOR-division semantics — above-range extends past bins-1, each
+below-range width lands in its own negative bin, never merged with
+bin 0) and count toward drift like any other mass difference.
 """
 
 from __future__ import annotations
@@ -29,6 +30,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["reference_histogram", "streaming_bin_counts", "drift_from_counts"]
+
+# Floor-division binning. Spark's `div` truncates toward zero, so a
+# below-range value in (lo - w, lo) would collapse into bin 0 (the
+# reference's first bin) and deeper below-range values would land one
+# bin high. Floor semantics give every below-range value its own
+# negative bin id, matching the docstring contract (and DuckDB's `//`,
+# which already floors — keeping the oracle comparable).
+_FLOOR_BIN = (
+    "CAST(CASE WHEN c >= lo THEN (c - lo) div w "
+    "ELSE -(((lo - c) + w - 1) div w) END AS BIGINT)"
+)
 
 
 def _cents(df: DataFrame, value_column: str) -> DataFrame:
@@ -53,7 +65,7 @@ def reference_histogram(
     )
     counts = (
         o.crossJoin(F.broadcast(rng))
-        .select(F.expr("CAST((c - lo) div w AS BIGINT)").alias("bin"))
+        .select(F.expr(_FLOOR_BIN).alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).cast("long").alias("c_ref"))
     )
@@ -69,7 +81,7 @@ def streaming_bin_counts(
     return (
         _cents(stream, value_column)
         .crossJoin(F.broadcast(rng))
-        .select(F.expr("CAST((c - lo) div w AS BIGINT)").alias("bin"))
+        .select(F.expr(_FLOOR_BIN).alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).cast("long").alias("c_new"))
     )

@@ -278,6 +278,20 @@ def test_concurrent_sub_batches_overlap_and_preserve_order():
     )
     b_other.generate(pd.Series([f"z{i:02d}" for i in range(8)]), model="m")
     assert set(t_other.names).isdisjoint(t.names)  # distinct batches never collide
+    # same TEXTS but different parameters are a different request
+    # identity: a name-deduping server must not coalesce them
+    t_model = ConcurrentFakeTransport()
+    HttpBackend(
+        "https://api.example.test", "k", transport=t_model,
+        sleep=lambda s: None, max_concurrency=4, sub_batch_size=2,
+    ).generate(prompts, model="m2")
+    assert set(t_model.names).isdisjoint(t.names)
+    t_samp = ConcurrentFakeTransport()
+    HttpBackend(
+        "https://api.example.test", "k", transport=t_samp,
+        sleep=lambda s: None, max_concurrency=4, sub_batch_size=2,
+    ).generate(prompts, model="m", sampling_params={"temperature": 0.7})
+    assert set(t_samp.names).isdisjoint(t.names)
 
 
 def test_concurrent_order_preserved_under_injected_524s():

@@ -291,6 +291,25 @@ def test_precision_threshold_validation(spark):
         precision_threshold(None, target_milli=0)
 
 
+def test_precision_threshold_rejects_fractional_scores(spark):
+    """Raw 0-1 float probabilities must raise, not silently truncate
+    to 0 and collapse every cutoff into one."""
+    import pytest
+
+    from sutro_spark.operators.metrics import precision_threshold
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.7, 1), (0.2, 0)], ["score", "label"]
+    )
+    with pytest.raises(Exception, match="milli-scaled"):
+        precision_threshold(df, target_milli=750).collect()
+    # integral doubles are fine (5.0 == 5): same answer as longs
+    ok = spark.createDataFrame(
+        [(3.0, 1), (2.0, 1), (1.0, 0)], ["score", "label"]
+    )
+    assert precision_threshold(ok, target_milli=900).first()["threshold"] == 2
+
+
 def test_fleiss_kappa_matches_closed_form(spark):
     from collections import Counter
 

@@ -130,6 +130,31 @@ def test_mmr_pure_relevance_at_lam_one(spark):
     assert order == [1, 2, 3]
 
 
+def test_mmr_vectorless_candidate_excluded_not_truncating(spark):
+    from sutro_spark.operators.retrieval import mmr_rerank
+
+    # doc 2 (the would-be step-1 pick by relevance after doc 1? no —
+    # doc 1 is rank 1 and HAS no vector) never joins a vector row:
+    # it must be excluded up front, NOT picked at step 1 and then
+    # poison the redundancy join into truncating the list below k.
+    cand = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 2), (1, 3, 3), (1, 4, 4)],
+        ["query_id", "doc_id", "rank"],
+    )
+    vecs = spark.createDataFrame(
+        [(2, [1.0, 0.0]), (3, [0.9, 0.44]), (4, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = (
+        mmr_rerank(cand, vecs, k=3, rank_cap=4, lam=(1, 2))
+        .orderBy("mmr_rank")
+        .collect()
+    )
+    # full k picks from the vectored candidates; doc 1 absent
+    assert [r["doc_id"] for r in rows] == [2, 4, 3]
+    assert [r["mmr_rank"] for r in rows] == [1, 2, 3]
+
+
 def test_mmr_validation(spark):
     from sutro_spark.operators.retrieval import mmr_rerank
 

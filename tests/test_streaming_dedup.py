@@ -275,3 +275,41 @@ def test_bucketed_index_probe_no_exchange_on_index_side(spark):
             if v is not None:
                 spark.conf.set(k, v)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bucket_parallelism_restored_when_batch_body_raises(spark, tmp_path):
+    """A failure anywhere in the batch body (here: missing text column
+    -> AnalysisException building the shingle plan) must still restore
+    spark.sql.shuffle.partitions — the override may never leak into
+    the session."""
+    import pytest
+
+    from sutro_spark.streaming.dedup import jaccard_batch
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    bad = spark.createDataFrame([(1, "a")], ["doc_id", "not_text"])
+    with pytest.raises(Exception):
+        jaccard_batch(
+            bad, 0, str(tmp_path / "idx"), str(tmp_path / "pairs"),
+            text_column="text", index_buckets=4,
+            index_table_prefix="t_leak_check",
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_curation_parallelism_restored_when_batch_body_raises(spark, tmp_path):
+    import pytest
+
+    from sutro_spark.streaming.curation import curate_batch
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    bad = spark.createDataFrame(
+        [(1, "a", "web", "en")], ["doc_id", "not_text", "source", "lang"]
+    )
+    with pytest.raises(Exception):
+        curate_batch(
+            bad, [0] * 4, str(tmp_path / "cidx"),
+            text_column="text", index_buckets=4,
+            index_table_prefix="t_leak_check_c",
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev

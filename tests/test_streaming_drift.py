@@ -70,6 +70,47 @@ def test_streaming_drift_equals_batch(spark, tmp_path):
     assert got["drift_milli"] > 0  # the shifted stream is visibly off
 
 
+def test_below_range_mass_floor_bins(spark):
+    """Below-range values get their own NEGATIVE bins (floor
+    semantics): a stream shifted wholly below the frozen reference
+    range must NOT collapse into the reference's bin 0 — trunc-toward-
+    zero would map (lo-w, lo) onto bin 0 and underestimate drift."""
+    from sutro_spark.functions.stats import histogram_drift
+    from sutro_spark.streaming.drift import (
+        drift_from_counts,
+        reference_histogram,
+        streaming_bin_counts,
+    )
+
+    # reference occupies [100, 199] cents-scale; 10 bins of width 10
+    reference = spark.createDataFrame(
+        [(v / 100.0,) for v in range(100, 200)], ["v"]
+    )
+    rng, ref_counts = reference_histogram(reference, "v", bins=10)
+    row = rng.first()
+    assert (row["lo"], row["w"]) == (100, 10)
+
+    # new data wholly below range: cents 95 (in (lo-w, lo) -> bin -1)
+    # and cents 75 (-> bin -3, floor(-25/10) = -3, NOT trunc's -2)
+    new = spark.createDataFrame([(0.95,), (0.75,)], ["v"])
+    bins = {
+        r["bin"]: r["c_new"]
+        for r in streaming_bin_counts(new, rng, "v").collect()
+    }
+    assert bins == {-1: 1, -3: 1}
+
+    # disjoint histograms -> maximal drift (2000 milli-L1), and the
+    # batch op under range_on="old" agrees exactly
+    got = drift_from_counts(
+        streaming_bin_counts(new, rng, "v"), ref_counts
+    ).first()
+    want = histogram_drift(
+        reference, new, "v", bins=10, range_on="old"
+    ).first()
+    assert got["drift_milli"] == want["drift_milli"] == 2000
+    assert got["l1_scaled"] == want["l1_scaled"]
+
+
 def test_drift_from_counts_identical_histograms(spark):
     from sutro_spark.streaming.drift import drift_from_counts
 
