@@ -3137,6 +3137,28 @@ def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_richness(_t(spark, sf_dir, "documents"))
 
 
+def q_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corpus lexical-repetitiveness: Yule's K over the documents
+    # table — size-invariant "same page over and over" detector,
+    # the cross-document complement of repetition_profile. One IEEE
+    # division of exact BIGINTs (10^4*(S2-N))/N^2.
+    from sutro_spark.functions.text import yule_k
+
+    return yule_k(_t(spark, sf_dir, "documents"))
+
+
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-doc unigram-LM surprisal in floor-log2 bits: the ln()-free
+    # perplexity-filter stand-in (CCNet/Gopher role). Exact integer
+    # bits via length(bin(N div c)) - 1 == floor(log2(N/c)); output
+    # ordered by doc for the hash compare.
+    from sutro_spark.functions.text import unigram_surprisal
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
 def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Batch-inference padding plan: token-length buckets (32/64/128)
     # with exact padded-token totals under bucketed vs naive global
@@ -3439,6 +3461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "ngram_novelty": q_ngram_novelty,
         "vocab_richness": q_vocab_richness,
+        "yule_k": q_yule_k,
+        "unigram_surprisal": q_unigram_surprisal,
         "containment": q_containment,
         "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
@@ -4615,6 +4639,46 @@ def oracle_sql() -> dict[str, str]:
                        CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                    END AS gt_unseen_mass
             FROM vra
+        """,
+        "yule_k": """
+            WITH ykt AS (
+                SELECT unnest(list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[^a-z0-9]+'),
+                           x -> x <> '')) AS tok
+                FROM documents),
+            ykc AS (SELECT tok, count(*) AS c FROM ykt GROUP BY tok),
+            yka AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tokens,
+                           CAST(count(*) AS BIGINT) AS n_types,
+                           CAST(coalesce(sum(c * c), 0) AS BIGINT) AS s2
+                    FROM ykc)
+            SELECT n_tokens, n_types, s2,
+                   CASE WHEN n_tokens > 0 THEN
+                       CAST(10000 * (s2 - n_tokens) AS DOUBLE)
+                           / CAST(n_tokens * n_tokens AS DOUBLE)
+                   END AS yule_k
+            FROM yka
+        """,
+        "unigram_surprisal": """
+            WITH ust AS (
+                SELECT doc_id AS id,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[^a-z0-9]+'),
+                           x -> x <> '')) AS tok
+                FROM documents),
+            usc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                    FROM ust GROUP BY tok),
+            usn AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_total
+                    FROM usc),
+            usb AS (SELECT id,
+                           CAST(length(bin(n_total // c)) - 1 AS BIGINT)
+                               AS bits
+                    FROM ust JOIN usc USING (tok), usn)
+            SELECT id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(bits) AS BIGINT) AS surprisal_bits,
+                   CAST((1000 * sum(bits)) // count(*) AS BIGINT)
+                       AS bpt_milli
+            FROM usb GROUP BY id ORDER BY doc_id
         """,
         "ngram_novelty": """
             WITH nvt AS (

@@ -1060,3 +1060,152 @@ def vocab_richness(
             " CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) END"
         ).alias("gt_unseen_mass"),
     )
+
+
+def yule_k(
+    df: DataFrame,
+    *,
+    text_column: str = "text",
+) -> DataFrame:
+    """Corpus lexical-repetitiveness: Yule's characteristic K
+    (Yule 1944), the length-invariant repetition constant
+
+        K = 10^4 * (sum_c c^2 * f_c - N) / N^2
+          = 10^4 * (S2 - N) / N^2
+
+    over the type-frequency spectrum (S2 = sum of squared type
+    counts, N = token count). Why a training-data pipeline wants it:
+    K is ~stable under corpus growth for natural text (~60-180 for
+    English prose) and blows up on template/boilerplate-heavy
+    sources — a single scalar that flags "this crawl slice is mostly
+    the same page over and over" where per-doc repetition profiles
+    (`repetition_profile`) can't see cross-document sameness. The
+    complement of `vocab_richness`: Chao1 asks "how much NEW
+    vocabulary is left", K asks "how hard does the old vocabulary
+    repeat".
+
+    Exact arithmetic: S2 and N are BIGINTs; K is ONE IEEE division
+    of exact integers (10^4*(S2-N)) / N^2 — engine-reproducible, the
+    `vocab_richness`/`fleiss_kappa` idiom. Overflow: S2 <= N^2 needs
+    10^4*N^2 < 2^63 — fine below ~30M tokens per *corpus slice*;
+    shard bigger corpora and K per shard (K is the point: it is
+    size-invariant, so per-shard values are comparable).
+
+    Tokenization matches `vocab_richness`: ``[^a-z0-9]+`` split on
+    lowered text, empties dropped.
+
+    Plan: scan -> explode -> ONE map-side-combinable token groupBy
+    (the only shuffle, vocabulary-sized) -> 1-row agg.
+    """
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.coalesce(F.col(text_column), F.lit(""))),
+                    "[^a-z0-9]+",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.coalesce(F.sum(F.col("c") * F.col("c")), F.lit(0))
+        .cast("long")
+        .alias("s2"),
+    ).select(
+        "n_tokens",
+        "n_types",
+        "s2",
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN"
+            " CAST(10000 * (s2 - n_tokens) AS DOUBLE)"
+            " / CAST(n_tokens * n_tokens AS DOUBLE) END"
+        ).alias("yule_k"),
+    )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram-LM surprisal in floor-log2 bits — the
+    ln()-free cross-entropy quality signal: score each document by
+    how surprising its tokens are under the corpus's own unigram
+    distribution. Boilerplate scores low (its tokens are everywhere),
+    lexically unusual documents score high; both tails are curation
+    candidates (dedup the low tail, inspect the high tail for junk /
+    non-language), the same role perplexity filters play in published
+    pipelines (CCNet, Gopher) without shipping an LM.
+
+    Exactness: a token with corpus count c out of N total has
+    surprisal floor(log2(N/c)) bits, computed EXACTLY in integer
+    arithmetic as length(bin(N div c)) - 1 — for any integers
+    N >= c >= 1, floor(log2(N/c)) equals the bit-length of
+    floor(N/c) minus one (2^k <= N/c < 2^(k+1) iff the integer
+    quotient lies in [2^k, 2^(k+1))). `bin()` renders identically in
+    Spark and DuckDB, so the quantized cross-entropy is
+    oracle-checkable with zero float drift; quantization to whole
+    bits costs resolution but none of the ordering signal a filter
+    gate needs.
+
+    Tokenization matches `vocab_richness`/`yule_k`: ``[^a-z0-9]+``
+    on lowered text, empties dropped. Documents with no tokens are
+    absent from the output (no tokens -> no distribution to score).
+
+    Plan: ONE tokenize pass feeds both sides — a map-side-combinable
+    token groupBy (vocabulary-sized shuffle) and the per-token rows;
+    they rejoin ON TOKEN (shuffle join; at 100 TB both sides are
+    token-partitioned so the join co-locates), then one per-doc sum.
+    N is a 1-row broadcast. No floats anywhere until none are needed.
+
+    Output: (id, n_tokens, surprisal_bits, bpt_milli) — bpt_milli =
+    (1000 * surprisal_bits) div n_tokens, milli-scaled bits/token.
+    """
+    toks = df.select(
+        F.col(id_column).cast("long").alias("__id"),
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.coalesce(F.col(text_column), F.lit(""))),
+                    "[^a-z0-9]+",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    total = counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_total")
+    )
+    per_tok = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "__id",
+            F.expr(
+                "CAST(length(bin(n_total div c)) - 1 AS BIGINT)"
+            ).alias("bits"),
+        )
+    )
+    return (
+        per_tok.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("bits").cast("long").alias("surprisal_bits"),
+        )
+        .select(
+            F.col("__id").alias(id_column),
+            "n_tokens",
+            "surprisal_bits",
+            F.expr(
+                "CAST((1000 * surprisal_bits) div n_tokens AS BIGINT)"
+            ).alias("bpt_milli"),
+        )
+    )

@@ -383,3 +383,71 @@ def test_vocab_richness_empty_corpus(spark):
     assert (row.n_tokens, row.n_types, row.f1, row.f2) == (0, 0, 0, 0)
     assert row.chao1 == 0.0
     assert row.gt_unseen_mass is None
+
+
+def test_yule_k_closed_form(spark):
+    from sutro_spark.functions.text import yule_k
+
+    # tokens: a a a b b c -> counts 3,2,1; N=6, S2=9+4+1=14
+    # K = 1e4*(14-6)/36 = 2222.22...
+    docs = spark.createDataFrame([("a a a b,b c",)], ["text"])
+    row = yule_k(docs).first()
+    assert (row["n_tokens"], row["n_types"], row["s2"]) == (6, 3, 14)
+    assert row["yule_k"] == 10000.0 * 8 / 36
+
+
+def test_yule_k_all_distinct_is_zero(spark):
+    from sutro_spark.functions.text import yule_k
+
+    # every token unique: S2 = N -> K = 0 (no repetition)
+    docs = spark.createDataFrame([("one two three four",)], ["text"])
+    row = yule_k(docs).first()
+    assert row["s2"] == row["n_tokens"] == 4
+    assert row["yule_k"] == 0.0
+
+
+def test_yule_k_empty_corpus(spark):
+    from sutro_spark.functions.text import yule_k
+
+    docs = spark.createDataFrame([("",), (None,)], ["text"])
+    row = yule_k(docs).first()
+    assert (row["n_tokens"], row["n_types"], row["s2"]) == (0, 0, 0)
+    assert row["yule_k"] is None
+
+
+def test_unigram_surprisal_closed_form(spark):
+    from sutro_spark.functions.text import unigram_surprisal
+
+    # corpus: doc1 = "a a b", doc2 = "a c"; counts a:3, b:1, c:1, N=5
+    # bits: a -> floor(log2(5/3)) = 0; b,c -> floor(log2 5) = 2
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in unigram_surprisal(docs).collect()
+    }
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["surprisal_bits"] == 0 + 0 + 2
+    assert rows[1]["bpt_milli"] == 2000 // 3
+    assert rows[2]["n_tokens"] == 2
+    assert rows[2]["surprisal_bits"] == 0 + 2
+    assert rows[2]["bpt_milli"] == 1000
+
+
+def test_unigram_surprisal_boilerplate_scores_low(spark):
+    from sutro_spark.functions.text import unigram_surprisal
+
+    # 9 copies of boilerplate + 1 unique doc: the unique doc's
+    # bits/token must dominate every boilerplate copy's
+    docs = spark.createDataFrame(
+        [(i, "the same page text again") for i in range(9)]
+        + [(99, "zyx qwv unique jargon")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["bpt_milli"] for r in unigram_surprisal(docs).collect()}
+    assert all(rows[99] > rows[i] for i in range(9))
+    # tokenless docs are absent, not zero-rowed
+    empty = spark.createDataFrame([(1, "..."), (2, "ok")], ["doc_id", "text"])
+    got = unigram_surprisal(empty).collect()
+    assert [r["doc_id"] for r in got] == [2]
