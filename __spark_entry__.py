@@ -3102,6 +3102,33 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(rated)
 
 
+def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Missing-data agreement: VARIABLE rater counts per item (2..4,
+    # m = 2 + doc_id % 3 — the shape Fleiss excludes and alpha is
+    # built for), category = (item * (rater+2)) % 3 rebuilt verbatim
+    # by the oracle. Alpha as one IEEE division of exact BIGINTs,
+    # per-item fractions made exact by the fixed lcm(1..9) scaling.
+    from sutro_spark.operators.metrics import krippendorff_alpha
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("item")
+    )
+    rated = docs.select(
+        "item",
+        F.explode(
+            F.sequence(F.lit(0), (F.lit(1) + F.col("item") % 3).cast("int"))
+        ).alias("rater"),
+    ).select(
+        "item",
+        "rater",
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            ((F.col("item") * (F.col("rater") + 2)) % 3 + 1).cast("int"),
+        ).alias("category"),
+    )
+    return krippendorff_alpha(rated)
+
+
 def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Asymmetric near-dup: the smaller doc's shingles >= 60% inside
     # the larger's — catches subset duplicates (quotes, wrapped
@@ -3463,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_richness": q_vocab_richness,
         "yule_k": q_yule_k,
         "unigram_surprisal": q_unigram_surprisal,
+        "krippendorff_alpha": q_krippendorff_alpha,
         "containment": q_containment,
         "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
@@ -4639,6 +4667,45 @@ def oracle_sql() -> dict[str, str]:
                        CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                    END AS gt_unseen_mass
             FROM vra
+        """,
+        "krippendorff_alpha": """
+            WITH kad AS (
+                SELECT doc_id AS item,
+                       unnest(range(0, CAST(2 + doc_id % 3 AS BIGINT)))
+                           AS r
+                FROM documents),
+            kar AS (SELECT item, r,
+                           (['a','b','c'])[CAST((item * (r + 2)) % 3 + 1
+                                                AS INT)] AS cat
+                    FROM kad),
+            kac AS (SELECT item, cat, CAST(count(*) AS BIGINT) AS nic
+                    FROM kar GROUP BY item, cat),
+            kam AS (SELECT item, CAST(sum(nic) AS BIGINT) AS m_i,
+                           CAST(sum(nic * nic) AS BIGINT) AS s2_i
+                    FROM kac GROUP BY item),
+            kap AS (SELECT item, m_i, m_i * m_i - s2_i AS a_i
+                    FROM kam WHERE m_i >= 2),
+            ka1 AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                           CAST(coalesce(sum(m_i), 0) AS BIGINT)
+                               AS n_values,
+                           CAST(coalesce(sum(a_i * (2520 // (m_i - 1))),
+                                0) AS BIGINT) AS s_scaled
+                    FROM kap),
+            kat AS (SELECT cat, CAST(sum(nic) AS BIGINT) AS tc
+                    FROM kac JOIN kap USING (item) GROUP BY cat),
+            ka2 AS (SELECT CAST(count(*) AS BIGINT) AS n_categories,
+                           CAST(coalesce(sum(tc * (n_values - tc)), 0)
+                                AS BIGINT) AS e_sum
+                    FROM kat, ka1),
+            kax AS (SELECT CAST(count(*) AS BIGINT) AS n_items_excluded
+                    FROM kam WHERE m_i < 2)
+            SELECT n_items, n_values, n_categories, n_items_excluded,
+                   s_scaled, e_sum,
+                   CASE WHEN n_values < 2 OR e_sum = 0 THEN NULL ELSE
+                       CAST(2520 * e_sum - s_scaled * (n_values - 1)
+                            AS DOUBLE) / CAST(2520 * e_sum AS DOUBLE)
+                   END AS alpha
+            FROM ka1, ka2, kax
         """,
         "yule_k": """
             WITH ykt AS (

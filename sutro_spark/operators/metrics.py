@@ -535,3 +535,124 @@ def fleiss_kappa(
             ).alias("kappa"),
         )
     )
+
+
+def krippendorff_alpha(
+    labels: DataFrame,
+    *,
+    item_column: str = "item",
+    rater_column: str = "rater",
+    category_column: str = "category",
+    max_raters: int = 10,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal data): chance-corrected
+    agreement that — unlike Fleiss' kappa (`fleiss_kappa`), which
+    excludes items off the modal rater count — USES every item with
+    >= 2 ratings, whatever its rater count. That is the realistic
+    annotation shape: crowdworkers drop out, judge ensembles time
+    out, some docs get 2 votes and some get 5. Alpha is the standard
+    reliability statistic for exactly that missing-data case
+    (Krippendorff 2004, ch. 11).
+
+    Construction (nominal distance): with n_ic raters placing item i
+    in category c, m_i = sum_c n_ic (items with m_i < 2 are
+    unpairable — excluded and counted), n = sum m_i, T_c the
+    category totals over pairable items:
+
+        D_o = (1/n) * sum_i [ sum_c n_ic*(m_i - n_ic) / (m_i - 1) ]
+        D_e = sum_c T_c*(n - T_c) / (n*(n-1))
+        alpha = 1 - D_o / D_e = 1 - S*(n-1) / (L*E)
+
+    where the per-item fractions are made EXACT by scaling with the
+    fixed L = lcm(1..9) = 2520 (covers m_i <= 10):
+    S = sum_i A_i * (L div (m_i-1)), A_i = sum_c n_ic*(m_i - n_ic),
+    E = sum_c T_c*(n - T_c). The sole IEEE division
+    (L*E - S*(n-1)) / (L*E) is over exact BIGINTs —
+    engine-reproducible, the `fleiss_kappa` idiom.
+
+    An item with more than ``max_raters`` ratings raises in-plan
+    (raise_error — no silent wrong L); raise the parameter only up
+    to 10 (L is fixed at lcm(1..9)). Overflow: S*(n-1) <~
+    2520*max_raters*n^2 must stay < 2^63 — safe to ~10M rater-votes;
+    alpha is an item-sampled statistic, so sample items beyond that.
+
+    Plan: one (item, category) count, two combinable per-item aggs,
+    category totals over pairable items, 1-row frames crossed at the
+    end — no shuffle larger than |items| x |categories|.
+
+    Output: one row (n_items, n_values, n_categories,
+    n_items_excluded, s_scaled, e_sum, alpha) — alpha NULL when
+    degenerate (n < 2 pairable values, or every value in one
+    category: D_e = 0).
+    """
+    if not 2 <= max_raters <= 10:
+        raise ValueError("max_raters must be in [2, 10] (L is lcm(1..9))")
+    lcm = 2520  # lcm(1..9): exact per-item scaling for m_i - 1 <= 9
+    cells = (
+        labels.select(
+            F.col(item_column).alias("__i"),
+            F.col(rater_column).alias("__r"),
+            F.col(category_column).cast("string").alias("__c"),
+        )
+        .groupBy("__i", "__c")
+        .agg(F.count(F.lit(1)).cast("long").alias("nic"))
+    )
+    per_item = cells.groupBy("__i").agg(
+        F.sum("nic").cast("long").alias("m_i"),
+        F.sum(F.col("nic") * F.col("nic")).cast("long").alias("s2_i"),
+    )
+    guarded = per_item.select(
+        "__i",
+        F.expr(
+            f"CASE WHEN m_i <= {max_raters} THEN m_i ELSE "
+            "CAST(raise_error('krippendorff_alpha: an item has more "
+            f"ratings than max_raters={max_raters}; dedupe votes or "
+            "raise max_raters (<= 10)') AS BIGINT) END"
+        ).alias("m_i"),
+        # A_i = sum_c n_ic*(m_i - n_ic) = m_i^2 - sum_c n_ic^2
+        (F.col("m_i") * F.col("m_i") - F.col("s2_i")).alias("a_i"),
+    )
+    pairable = guarded.where(F.col("m_i") >= 2)
+    nex = guarded.where(F.col("m_i") < 2).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items_excluded")
+    )
+    agg1 = pairable.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.coalesce(F.sum("m_i"), F.lit(0)).cast("long").alias("n_values"),
+        F.coalesce(
+            F.sum(F.col("a_i") * F.expr(f"CAST({lcm} div (m_i - 1) AS BIGINT)")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("s_scaled"),
+    )
+    tot = (
+        cells.join(F.broadcast(pairable.select("__i")), "__i")
+        .groupBy("__c")
+        .agg(F.sum("nic").cast("long").alias("tc"))
+    )
+    agg2 = tot.crossJoin(F.broadcast(agg1.select("n_values"))).agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.coalesce(
+            F.sum(F.col("tc") * (F.col("n_values") - F.col("tc"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("e_sum"),
+    )
+    return (
+        agg1.crossJoin(agg2)
+        .crossJoin(nex)
+        .select(
+            "n_items",
+            "n_values",
+            "n_categories",
+            "n_items_excluded",
+            "s_scaled",
+            "e_sum",
+            F.expr(
+                "CASE WHEN n_values < 2 OR e_sum = 0 THEN NULL ELSE "
+                f"CAST({lcm} * e_sum - s_scaled * (n_values - 1) AS DOUBLE)"
+                f" / CAST({lcm} * e_sum AS DOUBLE) END"
+            ).alias("alpha"),
+        )
+    )

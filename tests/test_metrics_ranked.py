@@ -451,3 +451,59 @@ def test_unigram_surprisal_boilerplate_scores_low(spark):
     empty = spark.createDataFrame([(1, "..."), (2, "ok")], ["doc_id", "text"])
     got = unigram_surprisal(empty).collect()
     assert [r["doc_id"] for r in got] == [2]
+
+
+def test_krippendorff_alpha_closed_form(spark):
+    from fractions import Fraction
+
+    from sutro_spark.operators.metrics import krippendorff_alpha
+
+    # item 1: x,x,y (m=3, A=4); item 2: x,x (m=2, A=0);
+    # item 3: y,y,y,z (m=4, A=6); item 4: one vote -> excluded
+    rows = [
+        (1, "a", "x"), (1, "b", "x"), (1, "c", "y"),
+        (2, "a", "x"), (2, "b", "x"),
+        (3, "a", "y"), (3, "b", "y"), (3, "c", "y"), (3, "d", "z"),
+        (4, "a", "x"),
+    ]
+    df = spark.createDataFrame(rows, ["item", "rater", "category"])
+    r = krippendorff_alpha(df).first()
+    assert (r["n_items"], r["n_values"], r["n_items_excluded"]) == (3, 9, 1)
+    assert r["n_categories"] == 3
+    # closed form: D_o = (4/2 + 0/1 + 6/3)/9 = 4/9
+    # T = {x:4, y:4, z:1}; D_e = (4*5+4*5+1*8)/(9*8) = 48/72 = 2/3
+    # alpha = 1 - (4/9)/(2/3) = 1/3
+    want = 1 - Fraction(4, 9) / Fraction(2, 3)
+    assert r["alpha"] == float(want) == pytest.approx(1 / 3)
+    assert r["s_scaled"] == 4 * 1260 + 0 + 6 * 840
+    assert r["e_sum"] == 48
+
+
+def test_krippendorff_alpha_perfect_and_degenerate(spark):
+    from sutro_spark.operators.metrics import krippendorff_alpha
+
+    # perfect agreement at varying rater counts -> alpha = 1
+    perfect = spark.createDataFrame(
+        [(1, "a", "x"), (1, "b", "x"), (2, "a", "y"), (2, "b", "y"), (2, "c", "y")],
+        ["item", "rater", "category"],
+    )
+    assert krippendorff_alpha(perfect).first()["alpha"] == 1.0
+    # single category everywhere -> D_e = 0 -> NULL
+    degen = spark.createDataFrame(
+        [(1, "a", "x"), (1, "b", "x")], ["item", "rater", "category"]
+    )
+    assert krippendorff_alpha(degen).first()["alpha"] is None
+
+
+def test_krippendorff_alpha_guards(spark):
+    from sutro_spark.operators.metrics import krippendorff_alpha
+
+    with pytest.raises(ValueError, match="max_raters"):
+        krippendorff_alpha(None, max_raters=11)
+    # an item with > max_raters votes raises in-plan, not silently
+    crowd = spark.createDataFrame(
+        [(1, f"r{i}", "x" if i else "y") for i in range(4)],
+        ["item", "rater", "category"],
+    )
+    with pytest.raises(Exception, match="max_raters=3"):
+        krippendorff_alpha(crowd, max_raters=3).collect()
