@@ -3102,6 +3102,34 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(rated)
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Type-2 SCD build over the events log: per-user event_type
+    # episodes with half-open [valid_from, valid_to) validity chains,
+    # consecutive re-assertions compressed, version-numbered, single
+    # is_current row per user. One Exchange on user_id (all windows
+    # share the partitioning).
+    from sutro_spark.operators.cdc import scd2_history
+
+    # epoch-seconds longs in and out (repo ts idiom — the hash compare
+    # must not see pandas ns-vs-us timestamp resolution); the operator
+    # is agnostic over any orderable ts type
+    from sutro_spark.streaming.progress import epoch_seconds
+
+    raw = _t(spark, sf_dir, "events")
+    ev = raw.select(
+        F.col("user_id").alias("entity"),
+        epoch_seconds(raw, "ts").cast("long").alias("ts"),
+        F.col("event_type").alias("state"),
+    )
+    return (
+        scd2_history(ev)
+        .withColumnsRenamed(
+            {"valid_from": "valid_from_s", "valid_to": "valid_to_s"}
+        )
+        .orderBy("entity", "version")
+    )
+
+
 def q_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Missing-data agreement: VARIABLE rater counts per item (2..4,
     # m = 2 + doc_id % 3 — the shape Fleiss excludes and alpha is
@@ -3491,6 +3519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yule_k": q_yule_k,
         "unigram_surprisal": q_unigram_surprisal,
         "krippendorff_alpha": q_krippendorff_alpha,
+        "scd2_history": q_scd2_history,
         "containment": q_containment,
         "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
@@ -4667,6 +4696,29 @@ def oracle_sql() -> dict[str, str]:
                        CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                    END AS gt_unseen_mass
             FROM vra
+        """,
+        "scd2_history": """
+            WITH slog AS (
+                SELECT DISTINCT user_id AS entity,
+                       CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts,
+                       event_type AS state
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+            sepi AS (
+                SELECT entity, ts, state
+                FROM (SELECT entity, ts, state,
+                             lag(state) OVER (PARTITION BY entity
+                                              ORDER BY ts, state) AS prev
+                      FROM slog)
+                WHERE prev IS NULL OR prev <> state)
+            SELECT entity, state,
+                   ts AS valid_from_s,
+                   lead(ts) OVER w AS valid_to_s,
+                   CAST(row_number() OVER w AS BIGINT) AS version,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM sepi
+            WINDOW w AS (PARTITION BY entity ORDER BY ts, state)
+            ORDER BY entity, version
         """,
         "krippendorff_alpha": """
             WITH kad AS (

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["latest_changes", "merge_upsert", "incremental_rollup"]
+__all__ = ["latest_changes", "merge_upsert", "incremental_rollup", "scd2_history"]
 
 
 def latest_changes(
@@ -166,3 +166,69 @@ def incremental_rollup(
         )
     )
     return merged
+
+
+def scd2_history(
+    changes: DataFrame,
+    *,
+    entity_column: str = "entity",
+    state_column: str = "state",
+    ts_column: str = "ts",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: turn an append-only
+    change log (entity, ts, state) into validity intervals — one row
+    per state EPISODE with [valid_from, valid_to) bounds, a version
+    number, and an is_current flag. The standard warehouse history
+    shape (Kimball SCD type 2), and for an LLM-data pipeline the
+    "what labels/quality tier did this document hold WHEN we
+    snapshotted the training mix" time-travel table.
+
+    Semantics:
+    - consecutive identical states COMPRESS into one episode (a
+      change log that re-asserts the same value records no change);
+    - ``valid_to`` is the next episode's ``valid_from`` (half-open
+      intervals chain with no gaps or overlaps); NULL on the last
+      episode, which alone has ``is_current`` = true;
+    - ``version`` numbers episodes 1..k per entity in time order.
+
+    Determinism: rows are ordered by (ts, state) within an entity, so
+    two CONFLICTING states at the same timestamp yield a zero-length
+    episode plus the surviving one in lexical order — deterministic,
+    but fix your upstream if you see it (a change log should not
+    contradict itself at one instant). Exact duplicates (same entity,
+    ts, state) are deduped first.
+
+    Plan: one shuffle on entity — all three windows (dedup is a
+    groupBy on the same key prefix) share the partitioning, so
+    Catalyst plans a single Exchange; state per entity is its episode
+    list, never the log. At 100 TB the log shuffles once on the
+    dimension key, which is the floor for any history build.
+
+    Output: (entity, state, valid_from, valid_to, version,
+    is_current), NULL-state rows dropped (a NULL observation is a
+    missing read, not a state).
+    """
+    log = (
+        changes.select(
+            F.col(entity_column).alias("__e"),
+            F.col(ts_column).alias("__ts"),
+            F.col(state_column).alias("__s"),
+        )
+        .where(F.col("__s").isNotNull() & F.col("__ts").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("__e").orderBy("__ts", "__s")
+    episodes = (
+        log.withColumn("__prev", F.lag("__s").over(w))
+        .where(F.col("__prev").isNull() | (F.col("__prev") != F.col("__s")))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy("__e").orderBy("__ts", "__s")
+    return episodes.select(
+        F.col("__e").alias(entity_column),
+        F.col("__s").alias(state_column),
+        F.col("__ts").alias("valid_from"),
+        F.lead("__ts").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead("__ts").over(w2).isNull().alias("is_current"),
+    )

@@ -174,3 +174,53 @@ def test_snapshot_diff_classifies(spark):
     )
     got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
     assert got == {2: "changed", 3: "removed", 4: "added"}  # 1 unchanged → absent
+
+
+def test_scd2_history_compresses_and_chains(spark):
+    from datetime import datetime
+
+    from sutro_spark.operators.cdc import scd2_history
+
+    t = lambda d: datetime(2024, 1, d)  # noqa: E731
+    rows = [
+        (1, t(1), "bronze"),
+        (1, t(2), "bronze"),   # re-assertion: compresses away
+        (1, t(3), "silver"),
+        (1, t(5), "gold"),
+        (2, t(4), "gold"),
+        (1, t(3), "silver"),   # exact duplicate: deduped
+    ]
+    df = spark.createDataFrame(rows, ["entity", "ts", "state"])
+    got = {
+        (r["entity"], r["version"]): r
+        for r in scd2_history(df).collect()
+    }
+    assert len(got) == 4  # 3 episodes for entity 1, 1 for entity 2
+    e11, e12, e13 = got[(1, 1)], got[(1, 2)], got[(1, 3)]
+    assert [e11["state"], e12["state"], e13["state"]] == [
+        "bronze", "silver", "gold"
+    ]
+    # half-open chain: each valid_to is the next valid_from, no gaps
+    assert e11["valid_from"] == t(1) and e11["valid_to"] == t(3)
+    assert e12["valid_from"] == t(3) and e12["valid_to"] == t(5)
+    assert e13["valid_to"] is None and e13["is_current"]
+    assert not e11["is_current"] and not e12["is_current"]
+    assert got[(2, 1)]["is_current"]
+
+
+def test_scd2_history_null_observations_dropped(spark):
+    from datetime import datetime
+
+    from sutro_spark.operators.cdc import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), None),
+            (1, datetime(2024, 1, 2), "a"),
+            (1, None, "ghost"),
+        ],
+        ["entity", "ts", "state"],
+    )
+    rows = scd2_history(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["state"] == "a" and rows[0]["version"] == 1
