@@ -3102,6 +3102,28 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(rated)
 
 
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Triangle census of the part co-purchase graph (parts sharing an
+    # order, every-5th-order slice): degree-ordered orientation keeps
+    # the wedge join sum(outdeg^2)-sized — hub parts can't blow it up.
+    # Clustering coefficient = one IEEE division of exact BIGINTs.
+    from sutro_spark.operators.cluster import triangle_count
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2")
+    )
+    edges = a.join(b, "o").where(F.col("p1") < F.col("p2"))
+    return triangle_count(edges, src_column="p1", dst_column="p2")
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Type-2 SCD build over the events log: per-user event_type
     # episodes with half-open [valid_from, valid_to) validity chains,
@@ -3520,6 +3542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal": q_unigram_surprisal,
         "krippendorff_alpha": q_krippendorff_alpha,
         "scd2_history": q_scd2_history,
+        "copurchase_triangles": q_copurchase_triangles,
         "containment": q_containment,
         "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
@@ -4696,6 +4719,42 @@ def oracle_sql() -> dict[str, str]:
                        CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                    END AS gt_unseen_mass
             FROM vra
+        """,
+        "copurchase_triangles": """
+            WITH tcl AS (SELECT l_orderkey AS o, l_partkey AS p
+                         FROM lineitem WHERE l_orderkey % 5 = 0),
+            tce AS (SELECT DISTINCT a.p AS a, b.p AS b
+                    FROM tcl a JOIN tcl b
+                      ON a.o = b.o AND a.p < b.p),
+            tcd AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+                    FROM (SELECT a AS n FROM tce
+                          UNION ALL SELECT b FROM tce)
+                    GROUP BY n),
+            tcr AS (SELECT n, d * 1099511627776 + n AS r FROM tcd),
+            tco AS (SELECT CASE WHEN ra.r < rb.r THEN e.a ELSE e.b END
+                               AS u,
+                           CASE WHEN ra.r < rb.r THEN e.b ELSE e.a END
+                               AS v,
+                           greatest(ra.r, rb.r) AS rv
+                    FROM tce e
+                    JOIN tcr ra ON e.a = ra.n
+                    JOIN tcr rb ON e.b = rb.n),
+            tct AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                    FROM (SELECT w1.v AS x, w2.v AS y
+                          FROM tco w1 JOIN tco w2
+                            ON w1.u = w2.u AND w1.rv < w2.rv) w
+                    JOIN tco c ON w.x = c.u AND w.y = c.v),
+            tcs AS (SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM tce) AS n_edges,
+                (SELECT CAST(count(*) AS BIGINT) FROM tcd) AS n_nodes,
+                (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0)
+                        AS BIGINT) FROM tcd) AS n_wedges)
+            SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                   CASE WHEN n_wedges > 0 THEN
+                       CAST(3 * n_triangles AS DOUBLE)
+                           / CAST(n_wedges AS DOUBLE) END
+                       AS clustering_coeff
+            FROM tcs, tct
         """,
         "scd2_history": """
             WITH slog AS (

@@ -387,3 +387,105 @@ def propagate_cluster_labels(
             .alias("provenance"),
         )
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    *,
+    src_column: str = "src",
+    dst_column: str = "dst",
+) -> DataFrame:
+    """Global triangle census of an undirected graph — the classic
+    graph-health statistic behind clustering coefficients and
+    community density. In a curation pipeline the triangle rate of a
+    similarity graph (co-purchase, co-citation, near-dup) separates
+    genuine cliques/communities (triangle-rich) from hub-and-spoke
+    artifacts of a too-loose threshold (triangle-poor stars).
+
+    Degree-ordered orientation (Latapy 2008 / "compact-forward"; same
+    family as Suri & Vassilvitskii's MapReduce formulation, WWW 2011):
+    after canonicalizing (self-loops dropped, both directions deduped
+    to a<b), each edge is oriented from its lower-(degree, id)
+    endpoint to the higher. Every triangle then has exactly ONE node
+    with two out-edges, so counting (u->v, u->w, v->w with v before w
+    in the same order) sees each triangle once — and the orientation
+    bounds any node's out-degree by O(sqrt(m)), which is the whole
+    trick: the wedge join is sized by sum(outdeg^2) <= m^1.5, never
+    by a hub's full degree^2. At 100 TB the three joins shuffle on
+    node/edge keys only; no adjacency list is ever materialized.
+
+    Also emits the exact wedge (open-triad) count sum(d*(d-1)/2) and
+    the global clustering coefficient 3*T/wedges as ONE IEEE division
+    of exact BIGINTs (engine-reproducible, NULL when wedge-free).
+
+    Output: one row (n_nodes, n_edges, n_wedges, n_triangles,
+    clustering_coeff).
+    """
+    raw = edges.select(
+        F.col(src_column).cast("long").alias("a"),
+        F.col(dst_column).cast("long").alias("b"),
+    ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    canon = (
+        raw.where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("n"))
+        .unionAll(canon.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    # orient low (deg, id) -> high (deg, id); rank = d * 2^40 + id is a
+    # single BIGINT key embedding the lexicographic order (ids and
+    # degrees both < 2^40 — beyond that switch to a struct comparison)
+    ranked = deg.select(
+        "n", (F.col("d") * F.lit(1 << 40) + F.col("n")).alias("r")
+    )
+    da = ranked.select(F.col("n").alias("a"), F.col("r").alias("ra"))
+    db = ranked.select(F.col("n").alias("b"), F.col("r").alias("rb"))
+    oriented = (
+        canon.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(F.col("ra") < F.col("rb"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("u"),
+            F.when(F.col("ra") < F.col("rb"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("v"),
+            F.greatest("ra", "rb").alias("rv"),
+        )
+    )
+    e1 = oriented.select("u", F.col("v").alias("x"), F.col("rv").alias("rx"))
+    e2 = oriented.select("u", F.col("v").alias("y"), F.col("rv").alias("ry"))
+    wedges = e1.join(e2, "u").where(F.col("rx") < F.col("ry"))
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    stats = canon.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    ).crossJoin(
+        deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.coalesce(F.sum(F.expr("d * (d - 1) div 2")), F.lit(0))
+            .cast("long")
+            .alias("n_wedges"),
+        )
+    )
+    return stats.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CASE WHEN n_wedges > 0 THEN"
+            " CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)"
+            " END"
+        ).alias("clustering_coeff"),
+    )

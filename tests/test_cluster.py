@@ -208,3 +208,46 @@ def test_mmr_releases_working_checkpoints(spark):
     after = _n_persistent(spark)
     # only the final selected frame survives the greedy loop
     assert after - before <= 1, (before, after)
+
+
+def test_triangle_count_known_graphs(spark):
+    from sutro_spark.operators.cluster import triangle_count
+
+    # K4: 4 triangles, 6 edges, wedges = 4 * C(3,2) = 12, coeff = 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = triangle_count(spark.createDataFrame(k4, ["src", "dst"])).first()
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (
+        4, 6, 12, 4,
+    )
+    assert r["clustering_coeff"] == 1.0
+    # path graph 0-1-2-3: no triangles, 2 wedges
+    path = [(0, 1), (1, 2), (2, 3)]
+    r = triangle_count(spark.createDataFrame(path, ["src", "dst"])).first()
+    assert (r["n_triangles"], r["n_wedges"]) == (0, 2)
+    assert r["clustering_coeff"] == 0.0
+    # star K1,5: hub degree 5, no triangles; orientation must not blow up
+    star = [(0, i) for i in range(1, 6)]
+    r = triangle_count(spark.createDataFrame(star, ["src", "dst"])).first()
+    assert (r["n_triangles"], r["n_wedges"]) == (0, 10)
+
+
+def test_triangle_count_canonicalization(spark):
+    from sutro_spark.operators.cluster import triangle_count
+
+    # duplicates, reversed copies, and self-loops collapse: the graph
+    # is one triangle
+    messy = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (1, 2)]
+    r = triangle_count(spark.createDataFrame(messy, ["src", "dst"])).first()
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (3, 3, 1)
+    assert r["clustering_coeff"] == 1.0
+
+
+def test_triangle_count_empty(spark):
+    from sutro_spark.operators.cluster import triangle_count
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    r = triangle_count(empty).first()
+    assert (r["n_nodes"], r["n_edges"], r["n_wedges"], r["n_triangles"]) == (
+        0, 0, 0, 0,
+    )
+    assert r["clustering_coeff"] is None
