@@ -3102,6 +3102,21 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(rated)
 
 
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sketch-level set algebra: click-users vs purchase-users overlap
+    # from KMV sketches (k=64) — union via lossless sketch merge,
+    # intersection/differences by inclusion-exclusion, clamped at 0.
+    # Each base estimate is one IEEE division of exact integers.
+    from sutro_spark.functions.sketches import kmv_set_estimates
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id"
+    )
+    return kmv_set_estimates(clicks, purchases, "user_id", k=64)
+
+
 def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Triangle census of the part co-purchase graph (parts sharing an
     # order, every-5th-order slice): degree-ordered orientation keeps
@@ -3543,6 +3558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "krippendorff_alpha": q_krippendorff_alpha,
         "scd2_history": q_scd2_history,
         "copurchase_triangles": q_copurchase_triangles,
+        "kmv_set_ops": q_kmv_set_ops,
         "containment": q_containment,
         "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
@@ -4719,6 +4735,54 @@ def oracle_sql() -> dict[str, str]:
                        CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                    END AS gt_unseen_mass
             FROM vra
+        """,
+        "kmv_set_ops": """
+            WITH kse AS (
+                SELECT DISTINCT event_type,
+                       CAST(concat('0x', substr(sha256(concat('kmv:',
+                            CAST(user_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+                           % 4294967296 AS h
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                  AND user_id IS NOT NULL),
+            ksl AS (SELECT h FROM (
+                        SELECT h, row_number() OVER (ORDER BY h ASC) rn
+                        FROM kse WHERE event_type = 'click')
+                    WHERE rn <= 64),
+            ksr AS (SELECT h FROM (
+                        SELECT h, row_number() OVER (ORDER BY h ASC) rn
+                        FROM kse WHERE event_type = 'purchase')
+                    WHERE rn <= 64),
+            ksu AS (SELECT h FROM (
+                        SELECT h, row_number() OVER (ORDER BY h ASC) rn
+                        FROM (SELECT DISTINCT h FROM
+                              (SELECT h FROM ksl
+                               UNION ALL SELECT h FROM ksr)))
+                    WHERE rn <= 64),
+            fl AS (SELECT CAST(count(*) AS BIGINT) AS n_left_le_k,
+                          CASE WHEN count(*) < 64
+                               THEN CAST(count(*) AS DOUBLE)
+                               ELSE (63.0 * 4294967296.0) / max(h) END
+                              AS est_left
+                   FROM ksl),
+            fr AS (SELECT CAST(count(*) AS BIGINT) AS n_right_le_k,
+                          CASE WHEN count(*) < 64
+                               THEN CAST(count(*) AS DOUBLE)
+                               ELSE (63.0 * 4294967296.0) / max(h) END
+                              AS est_right
+                   FROM ksr),
+            fu AS (SELECT CASE WHEN count(*) < 64
+                               THEN CAST(count(*) AS DOUBLE)
+                               ELSE (63.0 * 4294967296.0) / max(h) END
+                              AS est_union
+                   FROM ksu)
+            SELECT n_left_le_k, n_right_le_k, est_left, est_right,
+                   est_union,
+                   greatest(0.0, est_left + est_right - est_union)
+                       AS est_intersection,
+                   greatest(0.0, est_union - est_right) AS est_left_only,
+                   greatest(0.0, est_union - est_left) AS est_right_only
+            FROM fl, fr, fu
         """,
         "copurchase_triangles": """
             WITH tcl AS (SELECT l_orderkey AS o, l_partkey AS p

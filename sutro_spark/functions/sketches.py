@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from sutro_spark.functions.sampling import hash_bucket
 
-__all__ = ["kmv_distinct", "kmv_join_estimate", "hll_distinct", "hll_registers", "hll_from_registers", "cms_cells", "cms_counts", "cms_estimate"]
+__all__ = ["kmv_distinct", "kmv_join_estimate", "hll_distinct", "hll_registers", "hll_from_registers", "cms_cells", "cms_counts", "cms_estimate", "kmv_set_estimates"]
 
 
 def kmv_distinct(
@@ -478,5 +478,107 @@ def kmv_from_partials(partials: DataFrame, *, k: int = 64) -> DataFrame:
                 (F.lit(float(k - 1)) * F.lit(float(1 << 32))) / F.col("hk")
             )
             .alias("est_distinct"),
+        )
+    )
+
+
+def kmv_set_estimates(
+    left: DataFrame,
+    right: DataFrame,
+    key_column: str,
+    *,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Sketch-level set algebra between two key populations: distinct
+    counts of each side, their union, and — by inclusion-exclusion —
+    intersection and one-sided differences, all from KMV sketches
+    (Bar-Yossef et al. 2002) that never materialize either key set.
+
+    The pipeline question this answers at 100 TB: "how many users /
+    documents / n-grams do these two sources share?" without a
+    distinct-join. The union sketch is EXACT sketch algebra (any hash
+    among the union's k smallest is among its own side's k smallest —
+    the `kmv_partials` lossless-merge property), so est_union has
+    plain KMV error; intersection inherits additive error from
+    inclusion-exclusion (poor for tiny overlaps — the estimates say
+    so themselves: values are clamped at 0, and each side's
+    ``n_le_k < k`` means that side is EXACT).
+
+    Float discipline: each base estimate is ONE IEEE division of
+    exact integers ((k-1) * 2^32 / h_k); the derived estimates are a
+    fixed-order add/subtract chain of those doubles — deterministic
+    on any IEEE-754 engine, hence oracle-checkable.
+
+    Plan: per side, one dedupe shuffle of (hash) + a k-row window;
+    the union sketch merges two <= k-row frames. Nothing downstream
+    of the dedupe exceeds 2k rows.
+
+    Output: one row (n_left_le_k, n_right_le_k, est_left, est_right,
+    est_union, est_intersection, est_left_only, est_right_only).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def sketch(df: DataFrame) -> DataFrame:
+        h = hash_bucket(F.col(key_column), salt=salt, buckets=1 << 32)
+        hashes = (
+            df.where(F.col(key_column).isNotNull())
+            .select(h.alias("h"))
+            .distinct()
+        )
+        w = Window.orderBy(F.col("h").asc())
+        return (
+            hashes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("h")
+        )
+
+    def finish(sk: DataFrame, tag: str) -> DataFrame:
+        return sk.agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}_le_k"),
+            F.max("h").alias("__hk"),
+        ).select(
+            f"n_{tag}_le_k",
+            F.when(
+                F.col(f"n_{tag}_le_k") < k,
+                F.col(f"n_{tag}_le_k").cast("double"),
+            )
+            .otherwise(
+                (F.lit(float(k - 1)) * F.lit(float(1 << 32))) / F.col("__hk")
+            )
+            .alias(f"est_{tag}"),
+        )
+
+    sl, sr = sketch(left), sketch(right)
+    union_sk = sl.unionAll(sr).distinct()
+    w = Window.orderBy(F.col("h").asc())
+    union_topk = (
+        union_sk.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("h")
+    )
+    return (
+        finish(sl, "left")
+        .crossJoin(finish(sr, "right"))
+        .crossJoin(
+            finish(union_topk, "union").select("est_union")
+        )
+        .select(
+            "n_left_le_k",
+            "n_right_le_k",
+            "est_left",
+            "est_right",
+            "est_union",
+            F.greatest(
+                F.lit(0.0),
+                F.col("est_left") + F.col("est_right") - F.col("est_union"),
+            ).alias("est_intersection"),
+            F.greatest(
+                F.lit(0.0), F.col("est_union") - F.col("est_right")
+            ).alias("est_left_only"),
+            F.greatest(
+                F.lit(0.0), F.col("est_union") - F.col("est_left")
+            ).alias("est_right_only"),
         )
     )

@@ -211,3 +211,44 @@ def test_kmv_merge_is_lossless(spark, sf_dir):
     }
     # merge is LOSSLESS: per-day partials merged == direct, exactly
     assert merged == direct
+
+
+def test_kmv_set_estimates_exact_below_k(spark):
+    from sutro_spark.functions.sketches import kmv_set_estimates
+
+    # both sides < k distinct: every estimate is EXACT
+    left = spark.createDataFrame([(i,) for i in range(30)], ["id"])
+    right = spark.createDataFrame([(i,) for i in range(20, 50)], ["id"])
+    r = kmv_set_estimates(left, right, "id", k=64).first()
+    assert (r["n_left_le_k"], r["n_right_le_k"]) == (30, 30)
+    assert r["est_left"] == 30.0 and r["est_right"] == 30.0
+    assert r["est_union"] == 50.0
+    assert r["est_intersection"] == 10.0
+    assert r["est_left_only"] == 20.0 and r["est_right_only"] == 20.0
+
+
+def test_kmv_set_estimates_sketched_accuracy(spark):
+    from sutro_spark.functions.sketches import kmv_set_estimates
+
+    # 2000 vs 2000 with 1000 shared, k=256: KMV error ~1/sqrt(k-2) ~ 6%;
+    # inclusion-exclusion roughly doubles it — accept 25% on overlap
+    left = spark.createDataFrame([(i,) for i in range(2000)], ["id"])
+    right = spark.createDataFrame([(i,) for i in range(1000, 3000)], ["id"])
+    r = kmv_set_estimates(left, right, "id", k=256).first()
+    assert abs(r["est_left"] - 2000) / 2000 < 0.15
+    assert abs(r["est_union"] - 3000) / 3000 < 0.15
+    assert abs(r["est_intersection"] - 1000) / 1000 < 0.25
+    # disjoint sets clamp at zero, never negative
+    lo = spark.createDataFrame([(i,) for i in range(500)], ["id"])
+    hi = spark.createDataFrame([(i,) for i in range(10_000, 10_500)], ["id"])
+    d = kmv_set_estimates(lo, hi, "id", k=64).first()
+    assert d["est_intersection"] >= 0.0
+
+
+def test_kmv_set_estimates_validation(spark):
+    import pytest
+
+    from sutro_spark.functions.sketches import kmv_set_estimates
+
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_set_estimates(None, None, "id", k=1)
