@@ -3102,6 +3102,21 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(rated)
 
 
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Johnson-Lindenstrauss 64->16 reduction on every 10th embedding:
+    # deterministic sha-derived Rademacher matrix, integer-quantized
+    # matmul (associative int64 sums — numpy blocked == DuckDB
+    # left-to-right, zero float hazard). Output exploded to
+    # (id, j, p) rows for the hash compare.
+    from sutro_spark.operators.similarity import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 10 == 0)
+    proj = jl_project(emb, out_dim=16)
+    return proj.select(
+        "id", F.posexplode("projected").alias("j", "p")
+    ).orderBy("id", "j")
+
+
 def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sketch-level set algebra: click-users vs purchase-users overlap
     # from KMV sketches (k=64) — union via lossless sketch merge,
@@ -3559,6 +3574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "copurchase_triangles": q_copurchase_triangles,
         "kmv_set_ops": q_kmv_set_ops,
+        "jl_project": q_jl_project,
         "containment": q_containment,
         "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
@@ -4735,6 +4751,26 @@ def oracle_sql() -> dict[str, str]:
                        CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                    END AS gt_unseen_mass
             FROM vra
+        """,
+        "jl_project": """
+            WITH jlj AS (SELECT unnest(range(0, 16)) AS j),
+            jlc AS (SELECT unnest(range(0, 64)) AS d),
+            jls AS (SELECT j, d,
+                           CASE WHEN CAST(concat('0x', substr(sha256(
+                                concat('jl', CAST(j AS VARCHAR), ':',
+                                       CAST(d AS VARCHAR))), 1, 2))
+                                AS UBIGINT) % 2 = 0
+                                THEN 1 ELSE -1 END AS s
+                    FROM jlj, jlc),
+            jlq AS (SELECT vec_id AS id, d,
+                           CAST(floor(CAST(embedding[CAST(d + 1 AS INT)]
+                                AS DOUBLE) * 1048576) AS BIGINT) AS q
+                    FROM embeddings, jlc
+                    WHERE vec_id % 10 = 0)
+            SELECT id, CAST(j AS INT) AS j,
+                   CAST(sum(q * s) AS BIGINT) AS p
+            FROM jlq JOIN jls USING (d)
+            GROUP BY id, j ORDER BY id, j
         """,
         "kmv_set_ops": """
             WITH kse AS (

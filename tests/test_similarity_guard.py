@@ -176,3 +176,45 @@ def test_rh_lsh_validates_banding():
     # narrow bands (tiny key alphabet) degenerate to all-pairs — rejected
     with pytest.raises(ValueError, match="band width"):
         rh_lsh_dedup_pairs(None, planes=16, bands=8)
+
+
+def test_jl_project_matches_closed_form_and_preserves_distance(spark):
+    import numpy as np
+
+    from sutro_spark.operators.similarity import RH_SCALE, jl_project, jl_signs
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 64).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["id"]: np.array(r["projected"], dtype=np.int64)
+        for r in jl_project(df, out_dim=16).collect()
+    }
+    # exact closed form: floor(v*scale) @ S.T — integer, no tolerance
+    S = np.asarray(jl_signs(16, 64), dtype=np.int64)
+    Q = np.floor(vecs * RH_SCALE).astype(np.int64)
+    P = Q @ S.T
+    for i in range(len(vecs)):
+        assert (out[i] == P[i]).all()
+    # JL lemma: squared distances preserved in expectation up to the
+    # factor out_dim * scale^2; with r=16 the per-pair std is ~35%,
+    # but the MEAN ratio over 39 pairs concentrates much tighter
+    ratios = []
+    for i in range(1, len(vecs)):
+        d2_orig = float(((vecs[0] - vecs[i]) ** 2).sum())
+        d2_proj = float(((P[0] - P[i]).astype(np.float64) ** 2).sum())
+        ratios.append(d2_proj / (16 * RH_SCALE**2 * d2_orig))
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2, mean
+
+
+def test_jl_project_validation(spark):
+    import pytest
+
+    from sutro_spark.operators.similarity import jl_project
+
+    with pytest.raises(ValueError, match="out_dim"):
+        jl_project(None, out_dim=0)
