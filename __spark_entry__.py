@@ -3102,6 +3102,31 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(rated)
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 12-core of the part co-purchase graph: 5 bounded peel rounds
+    # (round 5 is the fixed point at sf0.01, so converged = true and
+    # the result IS the core, which the unrolled 5-round oracle
+    # reproduces exactly). Honesty: converged=false would mean budget
+    # exhausted mid-peel.
+    from sutro_spark.operators.cluster import kcore
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2")
+    )
+    edges = a.join(b, "o").where(F.col("p1") < F.col("p2"))
+    return kcore(
+        edges, k=12, rounds=5, src_column="p1", dst_column="p2"
+    ).orderBy("node")
+
+
 def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Johnson-Lindenstrauss 64->16 reduction on every 10th embedding:
     # deterministic sha-derived Rademacher matrix, integer-quantized
@@ -3575,6 +3600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_triangles": q_copurchase_triangles,
         "kmv_set_ops": q_kmv_set_ops,
         "jl_project": q_jl_project,
+        "kcore": q_kcore,
         "containment": q_containment,
         "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
@@ -4589,6 +4615,34 @@ _KEEP_BEST_TAIL = """
 # max-merged back together): because HLL register merge is associative
 # and idempotent, both Spark paths must finish to the SAME estimates as
 # this direct DuckDB computation.
+# 12-core by 5 unrolled peel rounds over the co-purchase graph; each
+# round = degree count -> keep(d >= 12) -> both-endpoint semi-filter.
+# Peeling is monotone, so converged <=> round 5 deleted nothing.
+_KCORE_SQL = (
+    """
+            WITH tcl AS (SELECT l_orderkey AS o, l_partkey AS p
+                         FROM lineitem WHERE l_orderkey % 5 = 0),
+            e0 AS MATERIALIZED (SELECT DISTINCT a.p AS a, b.p AS b
+                   FROM tcl a JOIN tcl b ON a.o = b.o AND a.p < b.p)"""
+    + "".join(
+        f""",
+            d{r} AS (SELECT n, count(*) AS d
+                   FROM (SELECT a AS n FROM e{r}
+                         UNION ALL SELECT b FROM e{r}) GROUP BY n),
+            k{r} AS (SELECT n FROM d{r} WHERE d >= 12),
+            e{r + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{r} e
+                   JOIN k{r} x ON e.a = x.n
+                   JOIN k{r} y ON e.b = y.n)"""
+        for r in range(5)
+    )
+    + """
+            SELECT n AS node, CAST(count(*) AS BIGINT) AS degree,
+                   (SELECT count(*) FROM e5) = (SELECT count(*) FROM e4)
+                       AS converged
+            FROM (SELECT a AS n FROM e5 UNION ALL SELECT b FROM e5)
+            GROUP BY n ORDER BY node"""
+)
+
 _HLL_SQL = """
     WITH h0 AS (
         SELECT event_type AS grp,
@@ -4752,6 +4806,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS gt_unseen_mass
             FROM vra
         """,
+        "kcore": _KCORE_SQL,
         "jl_project": """
             WITH jlj AS (SELECT unnest(range(0, 16)) AS j),
             jlc AS (SELECT unnest(range(0, 64)) AS d),

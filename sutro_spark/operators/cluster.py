@@ -489,3 +489,90 @@ def triangle_count(
             " END"
         ).alias("clustering_coeff"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    *,
+    k: int = 3,
+    rounds: int = 4,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Bounded k-core peel: repeatedly delete nodes of degree < k
+    (with their edges) from an undirected graph, ``rounds`` times.
+    The k-core — the maximal subgraph where everyone keeps >= k
+    neighbors — is the standard "dense part" extractor: in a near-dup
+    or co-occurrence graph it separates genuine communities from the
+    long tail of incidental pairs that triangle counts flag in
+    aggregate and this op extracts in the particular.
+
+    BOUNDED, deterministic semantics (the `pagerank` convention):
+    exactly ``rounds`` peels — except that peeling is idempotent once
+    converged, so the loop exits early IFF a round deletes nothing
+    (the result is then identical to running all rounds, and an
+    unrolled fixed-round oracle still matches). ``converged`` on
+    every row reports whether the LAST executed round was a no-op;
+    false means the peel was still shrinking when the budget ran out
+    — rerun with more rounds, the answer is an honest upper bound on
+    the true core, not the core itself.
+
+    Per round: one degree groupBy + two semi-joins — all keyed on
+    node id, map-side combinable, no collect except the bounded
+    1-row change count. localCheckpoint truncates lineage per round
+    and the superseded round's blocks are released (the repo's
+    iterative-loop discipline).
+
+    Output: (node, degree, converged) — the surviving subgraph's
+    nodes with their within-subgraph degree.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+    raw = edges.select(
+        F.col(src_column).cast("long").alias("a"),
+        F.col(dst_column).cast("long").alias("b"),
+    ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    cur = (
+        raw.where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    if checkpoint:
+        cur = cur.localCheckpoint(eager=True)
+    prev_ckpt = cur if checkpoint else None
+    converged = False
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("a").alias("n"))
+            .unionAll(cur.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("n")
+        nxt = cur.join(
+            keep.withColumnRenamed("n", "a"), "a", "left_semi"
+        ).join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        # bounded scalar: did this round delete anything?
+        before, after = cur.count(), nxt.count()
+        if checkpoint and prev_ckpt is not None and nxt is not prev_ckpt:
+            release_local_checkpoint(prev_ckpt)
+        cur, prev_ckpt = nxt, (nxt if checkpoint else None)
+        if after == before:
+            converged = True
+            break
+    deg = (
+        cur.select(F.col("a").alias("n"))
+        .unionAll(cur.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    return deg.select(
+        F.col("n").alias("node"),
+        F.col("d").alias("degree"),
+        F.lit(converged).alias("converged"),
+    )

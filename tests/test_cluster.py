@@ -251,3 +251,40 @@ def test_triangle_count_empty(spark):
         0, 0, 0, 0,
     )
     assert r["clustering_coeff"] is None
+
+
+def test_kcore_extracts_dense_part(spark):
+    from sutro_spark.operators.cluster import kcore
+
+    # K4 (every node degree 3) + a pendant chain hanging off node 0:
+    # the 3-core is exactly the K4
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(0, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(k4 + chain, ["src", "dst"])
+    rows = {r["node"]: r for r in kcore(df, k=3, rounds=4).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert all(r["degree"] == 3 for r in rows.values())
+    assert all(r["converged"] for r in rows.values())
+
+
+def test_kcore_budget_honesty(spark):
+    from sutro_spark.operators.cluster import kcore
+
+    # path 0-1-2-3-4-5 has an empty 2-core, but peeling takes 3
+    # rounds; with rounds=2 the op must admit non-convergence
+    path = [(i, i + 1) for i in range(5)]
+    df = spark.createDataFrame(path, ["src", "dst"])
+    partial = kcore(df, k=2, rounds=2).collect()
+    assert len(partial) == 2  # nodes 2,3 still standing
+    assert all(not r["converged"] for r in partial)
+    full = kcore(df, k=2, rounds=4).collect()
+    assert full == []  # empty core, loop converged and emptied
+
+
+def test_kcore_validation(spark):
+    import pytest
+
+    from sutro_spark.operators.cluster import kcore
+
+    with pytest.raises(ValueError):
+        kcore(None, k=0)
