@@ -3102,6 +3102,18 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(rated)
 
 
+def q_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LOSSLESS Jaccard join at 850 milli by AllPairs prefix filtering:
+    # unlike minhash_lsh/ngram_jaccard (recall < 1 by design), every
+    # qualifying pair is guaranteed found — the certifiably-complete
+    # dedup path. All arithmetic integer-exact.
+    from sutro_spark.operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(
+        _t(spark, sf_dir, "documents"), threshold_milli=850
+    ).orderBy("id_a", "id_b")
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 12-core of the part co-purchase graph: 5 bounded peel rounds
     # (round 5 is the fixed point at sf0.01, so converged = true and
@@ -3601,6 +3613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_ops": q_kmv_set_ops,
         "jl_project": q_jl_project,
         "kcore": q_kcore,
+        "prefix_filter": q_prefix_filter,
         "containment": q_containment,
         "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
@@ -4807,6 +4820,42 @@ def oracle_sql() -> dict[str, str]:
             FROM vra
         """,
         "kcore": _KCORE_SQL,
+        "prefix_filter": """
+            WITH pft AS (
+                SELECT DISTINCT doc_id AS id,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[^a-z0-9]+'),
+                           x -> x <> '')) AS t
+                FROM documents),
+            pfd AS (SELECT t, CAST(count(*) AS BIGINT) AS dfq
+                    FROM pft GROUP BY t),
+            pfr AS (SELECT id, t,
+                           row_number() OVER (PARTITION BY id
+                                              ORDER BY dfq, t) AS pos,
+                           count(*) OVER (PARTITION BY id) AS sz
+                    FROM pft JOIN pfd USING (t)),
+            pfp AS (SELECT id, t FROM pfr
+                    WHERE pos <= sz - ((850 * sz + 999) // 1000) + 1),
+            pfc AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                    FROM pfp a JOIN pfp b
+                      ON a.t = b.t AND a.id < b.id),
+            pfi AS (SELECT c.id_a, c.id_b,
+                           CAST(count(*) AS BIGINT) AS inter
+                    FROM pfc c
+                    JOIN pft ta ON ta.id = c.id_a
+                    JOIN pft tb ON tb.id = c.id_b AND tb.t = ta.t
+                    GROUP BY c.id_a, c.id_b),
+            pfs AS (SELECT id, CAST(count(*) AS BIGINT) AS n
+                    FROM pft GROUP BY id)
+            SELECT id_a, id_b, inter, sa.n AS na, sb.n AS nb,
+                   CAST((1000 * inter) // (sa.n + sb.n - inter)
+                        AS BIGINT) AS jaccard_milli
+            FROM pfi
+            JOIN pfs sa ON sa.id = id_a
+            JOIN pfs sb ON sb.id = id_b
+            WHERE 1000 * inter >= 850 * (sa.n + sb.n - inter)
+            ORDER BY id_a, id_b
+        """,
         "jl_project": """
             WITH jlj AS (SELECT unnest(range(0, 16)) AS j),
             jlc AS (SELECT unnest(range(0, 64)) AS d),

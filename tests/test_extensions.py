@@ -679,3 +679,47 @@ def test_containment_disjoint_texts_empty(spark):
         ["doc_id", "text"],
     )
     assert containment_pairs(df, threshold=0.3, max_df=None).count() == 0
+
+
+def test_prefix_filter_is_lossless_vs_brute_force(spark):
+    """The prefix-filter THEOREM: pair sets equal brute force exactly
+    at the threshold — no probabilistic misses."""
+    from sutro_spark.operators.dedup import prefix_filter_pairs
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),        # J=4/6 vs 1
+        (3, "alpha beta gamma delta epsilon"),     # exact dup of 1
+        (4, "one two three four five six"),
+        (5, "one two three four five seven"),      # J=5/7 vs 4
+        (6, "totally different words here now"),
+        (7, "beta unrelated mixture nothing xyz"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_milli"]
+        for r in prefix_filter_pairs(df, threshold_milli=600).collect()
+    }
+    # brute force over all 21 pairs
+    import itertools
+
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if 1000 * inter >= 600 * union:
+            want[(a, b)] = 1000 * inter // union
+    assert got == want
+    assert (1, 3) in got and got[(1, 3)] == 1000
+    assert (1, 2) in got and got[(1, 2)] == 666
+    assert (4, 5) in got
+
+
+def test_prefix_filter_validation(spark):
+    import pytest
+
+    from sutro_spark.operators.dedup import prefix_filter_pairs
+
+    with pytest.raises(ValueError, match="threshold_milli"):
+        prefix_filter_pairs(None, threshold_milli=0)
