@@ -3102,6 +3102,19 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(rated)
 
 
+def q_hamilton_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-size proportional eval-set draw: 137 documents allocated
+    # across sources by largest-remainder (Hamilton), picks ranked by
+    # the sha content hash — stratified_sample's binomial size made
+    # exact. Pure integer allocation, fully deterministic.
+    from sutro_spark.functions.sampling import hamilton_allocation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return hamilton_allocation(docs, "source", "doc_id", 137).orderBy(
+        "doc_id"
+    )
+
+
 def q_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LOSSLESS Jaccard join at 850 milli by AllPairs prefix filtering:
     # unlike minhash_lsh/ngram_jaccard (recall < 1 by design), every
@@ -3614,6 +3627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jl_project": q_jl_project,
         "kcore": q_kcore,
         "prefix_filter": q_prefix_filter,
+        "hamilton_sample": q_hamilton_sample,
         "containment": q_containment,
         "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
@@ -4820,6 +4834,39 @@ def oracle_sql() -> dict[str, str]:
             FROM vra
         """,
         "kcore": _KCORE_SQL,
+        "hamilton_sample": """
+            WITH hsz AS (SELECT source AS s,
+                                CAST(count(*) AS BIGINT) AS g
+                         FROM documents GROUP BY source),
+            htot AS (SELECT CAST(coalesce(sum(g), 0) AS BIGINT) AS N
+                     FROM hsz),
+            hq AS (SELECT s, g,
+                          CAST((137 * g) // N AS BIGINT) AS base,
+                          CAST((137 * g) % N AS BIGINT) AS rem
+                   FROM hsz, htot),
+            hsp AS (SELECT CAST(137 - coalesce(sum(base), 0) AS BIGINT)
+                               AS leftover
+                    FROM hq),
+            hal AS (SELECT s,
+                           least(base + CASE WHEN
+                               row_number() OVER (ORDER BY rem DESC,
+                                                  g DESC, s ASC)
+                               <= leftover THEN 1 ELSE 0 END, g)
+                               AS alloc
+                    FROM hq, hsp),
+            hrk AS (SELECT d.doc_id, d.source,
+                           row_number() OVER (
+                               PARTITION BY d.source
+                               ORDER BY CAST(concat('0x', substr(sha256(
+                                   concat('hamilton:',
+                                          CAST(d.doc_id AS VARCHAR))),
+                                   1, 8)) AS UBIGINT) % 4294967296 ASC,
+                                   d.doc_id ASC) AS rn,
+                           a.alloc
+                    FROM documents d JOIN hal a ON d.source = a.s)
+            SELECT doc_id, source FROM hrk
+            WHERE rn <= alloc ORDER BY doc_id
+        """,
         "prefix_filter": """
             WITH pft AS (
                 SELECT DISTINCT doc_id AS id,

@@ -273,3 +273,95 @@ def time_split(
             F.lit("holdout")
         ),
     ).drop("__cutoff")
+
+
+def hamilton_allocation(
+    df: DataFrame,
+    stratum_column: str,
+    key_column: str,
+    total_n: int,
+    *,
+    salt: str = "hamilton",
+) -> DataFrame:
+    """Exact-size proportional stratified sample: allocate EXACTLY
+    ``total_n`` rows across strata by the largest-remainder (Hamilton)
+    method, then pick each stratum's quota deterministically by
+    content hash. The eval-set constructor: "give me a 10,000-doc
+    holdout with every source represented in proportion" — where
+    :func:`stratified_sample`'s per-row rates give a BINOMIAL sample
+    size (right share in expectation, never exactly n).
+
+    Allocation is pure integer arithmetic: base_g = (n*size_g) div N,
+    and the ``n - sum(base_g)`` leftover units go to the strata with
+    the largest remainders ``n*size_g mod N`` (ties: larger stratum,
+    then stratum value — fully deterministic). Hamilton is the unique
+    divisor-free method that never violates quota by more than one
+    unit; with ``total_n <= N`` no stratum is ever allocated more
+    rows than it has (floor(n*size/N) + 1 <= size whenever the
+    remainder is nonzero). Row picks rank by the repo's sha-derived
+    content hash (ties by key), so membership is stable across runs,
+    engines, and cluster sizes, and adding documents to OTHER strata
+    never changes a stratum's picks.
+
+    Plan: one stratum-size aggregate (map-side combinable), the
+    allocation math on a |strata|-row frame, a broadcast join of the
+    quota table back onto the corpus, and one rank window per
+    stratum. The corpus shuffles once, on the stratum key.
+
+    Output: the sampled rows (original columns), exactly ``total_n``
+    of them when ``total_n <= N`` (else every row).
+    """
+    if total_n < 0:
+        raise ValueError("total_n must be >= 0")
+    sizes = df.groupBy(F.col(stratum_column).alias("__s")).agg(
+        F.count(F.lit(1)).cast("long").alias("__g")
+    )
+    tot = sizes.agg(
+        F.coalesce(F.sum("__g"), F.lit(0)).cast("long").alias("__N")
+    )
+    quotas = (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            "__s",
+            "__g",
+            F.expr(f"CAST(({total_n} * __g) div __N AS BIGINT)").alias(
+                "__base"
+            ),
+            F.expr(f"CAST(({total_n} * __g) % __N AS BIGINT)").alias(
+                "__rem"
+            ),
+        )
+    )
+    spill = quotas.agg(
+        (F.lit(total_n) - F.coalesce(F.sum("__base"), F.lit(0)))
+        .cast("long")
+        .alias("__left")
+    )
+    w_rem = Window.orderBy(
+        F.desc("__rem"), F.desc("__g"), F.asc("__s")
+    )
+    alloc = (
+        quotas.withColumn("__rk", F.row_number().over(w_rem))
+        .crossJoin(F.broadcast(spill))
+        .select(
+            "__s",
+            F.least(
+                F.col("__base")
+                + F.when(F.col("__rk") <= F.col("__left"), 1).otherwise(0),
+                F.col("__g"),
+            ).alias("__alloc"),
+        )
+    )
+    h = hash_bucket(F.col(key_column), salt=salt, buckets=1 << 32)
+    w_pick = Window.partitionBy(stratum_column).orderBy(
+        h.asc(), F.col(key_column).asc()
+    )
+    return (
+        df.join(
+            F.broadcast(alloc),
+            F.col(stratum_column) == F.col("__s"),
+        )
+        .withColumn("__rn", F.row_number().over(w_pick))
+        .where(F.col("__rn") <= F.col("__alloc"))
+        .drop("__s", "__alloc", "__rn")
+    )

@@ -905,3 +905,55 @@ def test_ngram_novelty_self_reference_is_zero(spark):
     )
     row = ngram_novelty(docs, docs, n=3).first()
     assert row["novelty_milli"] == 0
+
+
+def test_hamilton_allocation_exact_total_and_proportionality(spark):
+    from sutro_spark.functions.sampling import hamilton_allocation
+
+    # 600 a / 300 b / 100 c, total_n = 137 -> quotas 82.2 / 41.1 / 13.7
+    # Hamilton: bases 82/41/13 (sum 136), largest remainder (c, .7) +1
+    rows = (
+        [(i, "a") for i in range(600)]
+        + [(1000 + i, "b") for i in range(300)]
+        + [(2000 + i, "c") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = hamilton_allocation(df, "source", "doc_id", 137).collect()
+    assert len(got) == 137
+    by = {}
+    for r in got:
+        by[r["source"]] = by.get(r["source"], 0) + 1
+    assert by == {"a": 82, "b": 41, "c": 14}
+    # deterministic: same picks on a rerun
+    again = {r["doc_id"] for r in hamilton_allocation(df, "source", "doc_id", 137).collect()}
+    assert again == {r["doc_id"] for r in got}
+    # stability: adding docs to OTHER strata never changes c's picks
+    more = spark.createDataFrame(
+        rows + [(3000 + i, "a") for i in range(100)], ["doc_id", "source"]
+    )
+    c_before = {r["doc_id"] for r in got if r["source"] == "c"}
+    c_after = {
+        r["doc_id"]
+        for r in hamilton_allocation(more, "source", "doc_id", 137).collect()
+        if r["source"] == "c"
+    }
+    # c's quota may shrink (shares shift) but picks must be a prefix
+    # of the same hash order: after ⊆ before when quota shrank
+    assert c_after <= c_before or c_before <= c_after
+
+
+def test_hamilton_allocation_edge_cases(spark):
+    import pytest
+
+    from sutro_spark.functions.sampling import hamilton_allocation
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["doc_id", "source"]
+    )
+    # total_n == N: everything, every stratum full
+    assert len(hamilton_allocation(df, "source", "doc_id", 3).collect()) == 3
+    # total_n > N: capped at stratum sizes, never errors
+    assert len(hamilton_allocation(df, "source", "doc_id", 10).collect()) == 3
+    assert hamilton_allocation(df, "source", "doc_id", 0).count() == 0
+    with pytest.raises(ValueError):
+        hamilton_allocation(df, "source", "doc_id", -1)
