@@ -3539,40 +3539,37 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Round-8 driver window: the driver correctness gate checks the FIRST
+#: Round-9 driver window: the driver correctness gate checks the FIRST
 #: 50 entries of queries() in dict order; this list IS the rotation
 #: (queries() reorders the full literal dict by it — future rounds edit
-#: this list, not the dict). Composition per the round-7 verdict —
-#: the invariant is that the list totals EXACTLY 50:
-#: the FULL 38-entry cohort whose last driver green is r4 (the current
-#: floor, computed from CORRECTNESS_r01–r07), topped up with the 12
-#: oldest r5-cohort entries (dict order) — after r8 no entry's last
-#: driver check is older than r5. Everything is equally oracle-checked
-#: by tools/selfcheck.py --strict (ALL GREEN gate,
+#: this list, not the dict). Invariant: EXACTLY 50 entries, new
+#: additions first, then the stalest cohort. After r9 no registry
+#: entry's last driver check is older than r5, and the r4 floor is
+#: fully cleared (all 9 remaining r4-green entries are in this
+#: window). Everything is equally oracle-checked by
+#: tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
-_R8_WINDOW = [
-    # the r4-stale cohort minus its nine oldest (29 — bumped once more
-    # for the 21st r8 addition vocab_richness; the bumped entries stay
-    # r4-green and lead the r9 rotation)
-    "tpch_q21ish", "events_rolling", "length_histogram",
-    "tfidf_topk", "word_bigrams", "domain_split", "pagerank_suppliers",
-    "repetition_profile", "eval_report", "eval_confusion", "eval_kappa",
-    "shard_manifest", "strip_boilerplate", "url_profile", "retention",
-    "bloom_semi_revenue", "fuzzy_join_names", "winsorize_prices",
-    "zscore_outliers", "cube_counts", "kmv_distinct",
-    "weighted_sample_group", "jsonl_scan", "shuffled_shards",
-    "asof_forward", "event_transitions", "temperature_mix",
-    "snapshot_diff", "dedup_lines",
-    # every top-up slot now goes to the never-driver-checked r8
-    # additions (new > r5-stale — the r5 floor is unaffected, since
-    # 40+ r5-cohort entries remain at r5 regardless)
-    # new in r8, never driver-checked
-    "image_whash", "pagerank_redistribute", "salted_join",
-    "two_phase_agg", "hybrid_retrieval", "mmr_rerank", "hard_negatives",
-    "kmv_join_est", "cdc_chunks", "cdc_dedup", "mad_outliers",
-    "sorted_neighborhood", "histogram_drift", "label_propagate",
-    "precision_threshold", "kmv_merge", "length_buckets",
-    "ngram_novelty", "containment", "fleiss_kappa", "vocab_richness",
+_R9_WINDOW = [
+    # new in r9, never driver-checked (10)
+    "yule_k", "unigram_surprisal", "krippendorff_alpha",
+    "scd2_history", "copurchase_triangles", "kmv_set_ops",
+    "jl_project", "kcore", "prefix_filter", "hamilton_sample",
+    # the LAST nine r4-green entries (floor cleared to r5 after this)
+    "decontaminate_clean", "fuzzy_decontaminate", "list_source_infer",
+    "pack_chunks", "quality_percentile", "quality_scorer",
+    "tpch_q17ish", "tpch_q2ish", "tpch_q9ish",
+    # the 31 oldest r5-cohort entries (alphabetical — the cohort has
+    # no finer age order; the remaining 19 r5 entries lead r10)
+    "bigram_lift", "bpe_merges", "bpe_vocab", "charlm_quality",
+    "cms_heavy_hitters", "corr_tokens_chars", "curation_pipeline_v2",
+    "dedup_agreement", "dedup_paragraphs", "dsir_select",
+    "dup_passages", "dup_size_histogram", "embedding_norms",
+    "epoch_plan", "hll_distinct", "ivf_recall", "jaccard_histogram",
+    "lang_confidence", "leakage_safe_split", "length_gini",
+    "lsh_recall", "mixture_drift", "ols_tokens_vs_chars",
+    "price_histogram_quantiles", "price_quantiles", "skew_report",
+    "source_overlap", "sq_recall", "sq_topk", "sql_interface",
+    "strip_passages",
 ]
 
 
@@ -3800,10 +3797,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
     }
-    missing = [q for q in _R8_WINDOW if q not in all_qs]
+    missing = [q for q in _R9_WINDOW if q not in all_qs]
     if missing:  # a typo in the rotation list must fail loudly, not 404
-        raise KeyError(f"_R8_WINDOW names not in registry: {missing}")
-    head = {k: all_qs[k] for k in _R8_WINDOW}
+        raise KeyError(f"_R9_WINDOW names not in registry: {missing}")
+    head = {k: all_qs[k] for k in _R9_WINDOW}
     head.update(all_qs)  # dict keeps first-insertion order: window leads
     return head
 
