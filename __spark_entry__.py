@@ -3119,12 +3119,16 @@ def q_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LOSSLESS Jaccard join at 850 milli by AllPairs prefix filtering:
     # unlike minhash_lsh/ngram_jaccard (recall < 1 by design), every
     # qualifying pair is guaranteed found — the certifiably-complete
-    # dedup path. All arithmetic integer-exact.
+    # dedup path. All arithmetic integer-exact. Every-10th-doc slice:
+    # the synthetic corpus is dup-group-dense, and qualifying pairs
+    # (real output, not overhead) grow quadratically within groups —
+    # the slice keeps the [Q]/bench cost pair-bounded.
     from sutro_spark.operators.dedup import prefix_filter_pairs
 
-    return prefix_filter_pairs(
-        _t(spark, sf_dir, "documents"), threshold_milli=850
-    ).orderBy("id_a", "id_b")
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return prefix_filter_pairs(docs, threshold_milli=850).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4870,7 +4874,7 @@ def oracle_sql() -> dict[str, str]:
                        unnest(list_filter(regexp_split_to_array(
                            lower(coalesce(text, '')), '[^a-z0-9]+'),
                            x -> x <> '')) AS t
-                FROM documents),
+                FROM documents WHERE doc_id % 10 = 0),
             pfd AS (SELECT t, CAST(count(*) AS BIGINT) AS dfq
                     FROM pft GROUP BY t),
             pfr AS (SELECT id, t,
