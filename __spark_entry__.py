@@ -3102,6 +3102,17 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(rated)
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Quantized Flesch reading-ease per doc: word/sentence/vowel-group
+    # counts as in-scan expressions, two milli floor-divisions — the
+    # C4/Gopher-style readability gate, map-only at any scale.
+    from sutro_spark.functions.text import readability_profile
+
+    return readability_profile(_t(spark, sf_dir, "documents")).orderBy(
+        "id"
+    )
+
+
 def q_hamilton_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact-size proportional eval-set draw: 137 documents allocated
     # across sources by largest-remainder (Hamilton), picks ranked by
@@ -3554,16 +3565,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
 _R9_WINDOW = [
-    # new in r9, never driver-checked (10)
+    # new in r9, never driver-checked (11)
     "yule_k", "unigram_surprisal", "krippendorff_alpha",
     "scd2_history", "copurchase_triangles", "kmv_set_ops",
     "jl_project", "kcore", "prefix_filter", "hamilton_sample",
+    "readability",
     # the LAST nine r4-green entries (floor cleared to r5 after this)
     "decontaminate_clean", "fuzzy_decontaminate", "list_source_infer",
     "pack_chunks", "quality_percentile", "quality_scorer",
     "tpch_q17ish", "tpch_q2ish", "tpch_q9ish",
-    # the 31 oldest r5-cohort entries (alphabetical — the cohort has
-    # no finer age order; the remaining 19 r5 entries lead r10)
+    # the 30 oldest r5-cohort entries (alphabetical — the cohort has
+    # no finer age order; the remaining 20 r5 entries lead r10)
     "bigram_lift", "bpe_merges", "bpe_vocab", "charlm_quality",
     "cms_heavy_hitters", "corr_tokens_chars", "curation_pipeline_v2",
     "dedup_agreement", "dedup_paragraphs", "dsir_select",
@@ -3573,7 +3585,6 @@ _R9_WINDOW = [
     "lsh_recall", "mixture_drift", "ols_tokens_vs_chars",
     "price_histogram_quantiles", "price_quantiles", "skew_report",
     "source_overlap", "sq_recall", "sq_topk", "sql_interface",
-    "strip_passages",
 ]
 
 
@@ -3629,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "prefix_filter": q_prefix_filter,
         "hamilton_sample": q_hamilton_sample,
+        "readability": q_readability,
         "containment": q_containment,
         "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
@@ -4835,6 +4847,26 @@ def oracle_sql() -> dict[str, str]:
             FROM vra
         """,
         "kcore": _KCORE_SQL,
+        "readability": """
+            WITH rdb AS (
+                SELECT doc_id AS id,
+                       CAST(len(list_filter(regexp_split_to_array(
+                           coalesce(text, ''), '[.!?]+\\s+'),
+                           s -> s <> '')) AS BIGINT) AS n_sentences,
+                       CAST(len(list_filter(regexp_split_to_array(
+                           lower(coalesce(text, '')), '[^a-z0-9]+'),
+                           x -> x <> '')) AS BIGINT) AS n_words,
+                       CAST(len(regexp_extract_all(
+                           lower(coalesce(text, '')), '[aeiouy]+'))
+                           AS BIGINT) AS n_syllables
+                FROM documents)
+            SELECT id, n_sentences, n_words, n_syllables,
+                   CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+                       CAST(206835 - (1015 * n_words) // n_sentences
+                            - (84600 * n_syllables) // n_words
+                            AS BIGINT) END AS flesch_milli
+            FROM rdb ORDER BY id
+        """,
         "hamilton_sample": """
             WITH hsz AS (SELECT source AS s,
                                 CAST(count(*) AS BIGINT) AS g

@@ -1209,3 +1209,61 @@ def unigram_surprisal(
             ).alias("bpt_milli"),
         )
     )
+
+
+def readability_profile(
+    df: DataFrame,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Per-document readability: word/sentence/syllable counts and a
+    quantized Flesch reading-ease score — the classic text-quality
+    heuristic family (C4/Gopher-style gates use exactly these
+    statistics) as pure in-scan Catalyst expressions.
+
+    Flesch = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/
+    words), computed in MILLI units with floor divisions:
+
+        flesch_milli = 206835 - (1015*W) div S - (84600*Y) div W
+
+    The two floor divisions quantize each term to a milli unit —
+    deterministic on any engine, and a gate thresholding on "reading
+    ease < X" cannot feel sub-milli error. Syllables are the standard
+    vowel-group proxy (runs of [aeiouy] in the lowered text): exact
+    syllabification needs a dictionary; the proxy is what every
+    scalable readability implementation actually ships. Sentences
+    split on terminal-punctuation runs (the `sentence_stats` pattern,
+    lookbehind-free so RE2 == Java regex); words on the repo's
+    ``[^a-z0-9]+`` tokenization, occurrences NOT deduped.
+
+    Docs with no sentences or no words report NULL flesch_milli
+    (undefined, not fake-zero). No explode, no shuffle: every count
+    is an in-scan expression — at 100 TB this is a map-only pass.
+
+    Output: (id, n_sentences, n_words, n_syllables, flesch_milli).
+    """
+    low = F.lower(F.coalesce(F.col(text_column), F.lit("")))
+    n_sent = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_column), F.lit("")), r"[.!?]+\s+"),
+            lambda s: s != "",
+        )
+    ).cast("long")
+    n_words = F.size(
+        F.filter(F.split(low, "[^a-z0-9]+"), lambda x: x != "")
+    ).cast("long")
+    n_syll = F.regexp_count(low, F.lit("[aeiouy]+")).cast("long")
+    return df.select(
+        F.col(id_column).alias("id"),
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+    ).withColumn(
+        "flesch_milli",
+        F.expr(
+            "CASE WHEN n_sentences > 0 AND n_words > 0 THEN "
+            "CAST(206835 - (1015 * n_words) div n_sentences "
+            "- (84600 * n_syllables) div n_words AS BIGINT) END"
+        ),
+    )

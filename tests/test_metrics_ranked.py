@@ -507,3 +507,29 @@ def test_krippendorff_alpha_guards(spark):
     )
     with pytest.raises(Exception, match="max_raters=3"):
         krippendorff_alpha(crowd, max_raters=3).collect()
+
+
+def test_readability_profile_closed_form(spark):
+    from sutro_spark.functions.text import readability_profile
+
+    # "The cat sat. It ran away!" -> 2 sentences, 6 words,
+    # syllables (vowel groups): e,a,a,i,a,a+ay -> the=1 cat=1 sat=1
+    # it=1 ran=1 away=2 -> 7
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It ran away!")], ["doc_id", "text"]
+    )
+    r = readability_profile(df).first()
+    assert (r["n_sentences"], r["n_words"], r["n_syllables"]) == (2, 6, 7)
+    # 206835 - (1015*6) div 2 - (84600*7) div 6 = 206835 - 3045 - 98700
+    assert r["flesch_milli"] == 206835 - 3045 - 98700
+
+
+def test_readability_profile_degenerate(spark):
+    from sutro_spark.functions.text import readability_profile
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "...")], ["doc_id", "text"]
+    )
+    for r in readability_profile(df).collect():
+        assert r["flesch_milli"] is None
+        assert r["n_words"] == 0
