@@ -2907,6 +2907,21 @@ def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_metrics(exact, approx, k=3)
 
 
+def q_ann_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WHOLE-LIST honesty for the quantized ANN path: MAP@3 of int8-SQ
+    # rankings vs exact brute-force truth — ann_mrr scores only the
+    # first hit; AP rewards every true neighbor by how early it lands.
+    # Per-query AP as lcm-scaled integers, milli-quantized MAP.
+    from sutro_spark.operators.metrics import average_precision
+    from sutro_spark.operators.similarity import brute_force_topk, sq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries_df, k=3)
+    approx = sq_topk(emb, queries_df, k=3)
+    return average_precision(exact, approx, k=3)
+
+
 def _eval_preds_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eval predictions + deterministic integer-milli confidence
     # (doc_id * 37 % 1001 spans the full [0, 1000] range) — the
@@ -3565,17 +3580,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
 _R9_WINDOW = [
-    # new in r9, never driver-checked (11)
+    # new in r9, never driver-checked (12)
     "yule_k", "unigram_surprisal", "krippendorff_alpha",
     "scd2_history", "copurchase_triangles", "kmv_set_ops",
     "jl_project", "kcore", "prefix_filter", "hamilton_sample",
-    "readability",
+    "readability", "ann_map",
     # the LAST nine r4-green entries (floor cleared to r5 after this)
     "decontaminate_clean", "fuzzy_decontaminate", "list_source_infer",
     "pack_chunks", "quality_percentile", "quality_scorer",
     "tpch_q17ish", "tpch_q2ish", "tpch_q9ish",
-    # the 30 oldest r5-cohort entries (alphabetical — the cohort has
-    # no finer age order; the remaining 20 r5 entries lead r10)
+    # the 29 oldest r5-cohort entries (alphabetical — the cohort has
+    # no finer age order; the remaining 21 r5 entries lead r10)
     "bigram_lift", "bpe_merges", "bpe_vocab", "charlm_quality",
     "cms_heavy_hitters", "corr_tokens_chars", "curation_pipeline_v2",
     "dedup_agreement", "dedup_paragraphs", "dsir_select",
@@ -3584,7 +3599,7 @@ _R9_WINDOW = [
     "lang_confidence", "leakage_safe_split", "length_gini",
     "lsh_recall", "mixture_drift", "ols_tokens_vs_chars",
     "price_histogram_quantiles", "price_quantiles", "skew_report",
-    "source_overlap", "sq_recall", "sq_topk", "sql_interface",
+    "source_overlap", "sq_recall", "sq_topk",
 ]
 
 
@@ -3641,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_filter": q_prefix_filter,
         "hamilton_sample": q_hamilton_sample,
         "readability": q_readability,
+        "ann_map": q_ann_map,
         "containment": q_containment,
         "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
@@ -8709,6 +8725,89 @@ def oracle_sql() -> dict[str, str]:
                        CAST(sum(CASE WHEN first_rank IS NOT NULL
                                      THEN 6 // first_rank ELSE 0 END)
                             AS DOUBLE) / (6 * count(*)) END AS mrr
+            FROM per
+        """,
+        "ann_map": f"""
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings),
+            s AS (
+                SELECT query_id, neighbor_id,
+                       {_COSINE.format(a='qv', b='cv')} AS sim
+                FROM q, c WHERE neighbor_id <> query_id),
+            r AS (SELECT *, row_number() OVER
+                      (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+                  FROM s),
+            truth AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+            base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+            mx AS (
+                SELECT vec_id, e,
+                       list_max(list_transform(e, x -> abs(x))) AS ma
+                FROM base),
+            qt AS (
+                SELECT vec_id,
+                       CASE WHEN ma = 0
+                            THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                            ELSE list_transform(e,
+                                x -> CAST(round(x / (ma / 127)) AS BIGINT))
+                       END AS qv
+                FROM mx),
+            qn AS (
+                SELECT vec_id, qv,
+                       CAST(list_sum(list_transform(qv, x -> x * x))
+                            AS BIGINT) AS qn2
+                FROM qt),
+            pairs AS (
+                SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                       CASE WHEN cc.qn2 > 0 AND qq.qn2 > 0 THEN
+                           round(CAST(list_dot_product(
+                                     CAST(cc.qv AS DOUBLE[]),
+                                     CAST(qq.qv AS DOUBLE[])) AS DOUBLE)
+                                 / (sqrt(cc.qn2) * sqrt(qq.qn2)), 6)
+                       ELSE 0.0 END AS sim_q
+                FROM qn cc, (SELECT * FROM qn WHERE vec_id < 5) qq
+                WHERE cc.vec_id <> qq.vec_id),
+            ranked AS (
+                SELECT query_id, neighbor_id, sim_q,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY sim_q DESC, neighbor_id ASC) AS rank
+                FROM pairs),
+            rel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS R
+                    FROM truth GROUP BY query_id),
+            hits AS (
+                SELECT t.query_id, rk.rank AS p
+                FROM truth t
+                JOIN ranked rk ON t.query_id = rk.query_id
+                             AND t.neighbor_id = rk.neighbor_id
+                WHERE rk.rank <= 3),
+            contrib AS (
+                SELECT query_id,
+                       CAST(sum(h * (6 // p)) AS BIGINT) AS ap_scaled
+                FROM (SELECT query_id, p,
+                             row_number() OVER (PARTITION BY query_id
+                                                ORDER BY p) AS h
+                      FROM hits)
+                GROUP BY query_id),
+            per AS (
+                SELECT CAST((1000000 * coalesce(c.ap_scaled, 0))
+                            // (6 * least(rel.R, 3)) AS BIGINT)
+                           AS ap_micro,
+                       CASE WHEN coalesce(c.ap_scaled, 0) > 0
+                            THEN 1 ELSE 0 END AS hit
+                FROM rel LEFT JOIN contrib c USING (query_id))
+            SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                   CAST(sum(hit) AS BIGINT) AS n_hit_queries,
+                   CASE WHEN count(*) > 0 THEN
+                       CAST(coalesce(sum(ap_micro), 0)
+                            // (1000 * count(*)) AS BIGINT) END
+                       AS map_milli,
+                   CASE WHEN count(*) > 0 THEN
+                       CAST(coalesce(sum(ap_micro), 0) AS DOUBLE)
+                           / CAST(1000000 * count(*) AS DOUBLE) END
+                       AS mean_ap
             FROM per
         """,
         "calibration": _EVAL_CTE + """

@@ -656,3 +656,100 @@ def krippendorff_alpha(
             ).alias("alpha"),
         )
     )
+
+
+def average_precision(
+    truth: DataFrame,
+    ranked: DataFrame,
+    *,
+    query_key: str = "query_id",
+    item_key: str = "neighbor_id",
+    rank_column: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """MAP@k — mean average precision of ranked lists against exact
+    truth sets, the whole-list complement of `rank_metrics` (MRR sees
+    only the FIRST hit; AP rewards every relevant item by how early
+    it appears, which is what a retrieval stage feeding multiple
+    context slots actually buys).
+
+    Exact-integer discipline (the `rank_metrics` lcm idiom): at each
+    hit position p, precision@p = hits_so_far/p is accumulated as
+    hits_so_far * (L div p) with L = lcm(1..k) — integral for every
+    p <= k — so per-query AP = ap_scaled / (L * min(R, k)) needs ONE
+    floor division, quantized to micro units; MAP quantizes the
+    per-query micros to milli with one more floor division. Each
+    quantization is a documented <=1-unit truncation — a gate
+    thresholding on MAP cannot feel it, and both engines floor
+    identically. Bound: k <= 25 keeps 10^6 * k * lcm(1..k) < 2^63.
+
+    Ranks must be unique per query (ranked lists, not scores); ties
+    would double-count hits_so_far. Queries come from the TRUTH side;
+    a query with no ranked hits contributes AP = 0, never silently
+    drops.
+
+    Plan: one (query, item) equi-join, one bounded window over <= k
+    hit rows per query, two combinable aggregates. No collects.
+
+    Output: one row (n_queries, n_hit_queries, map_milli bigint,
+    mean_ap double — sum(ap_micro)/(1e6*n), a single IEEE division).
+    """
+    if not 1 <= k <= 25:
+        raise ValueError(
+            "k must be in [1, 25]: the lcm(1..k) scaling overflows a BIGINT "
+            "at realistic query counts beyond that (same bound as rank_metrics)"
+        )
+    lcm = 1
+    for i in range(2, k + 1):
+        g, a = lcm, i
+        while a:
+            g, a = a, g % a
+        lcm = lcm * i // g
+    t = truth.select(query_key, item_key).distinct()
+    rel = t.groupBy(query_key).agg(F.count(F.lit(1)).cast("long").alias("__R"))
+    r = ranked.select(query_key, item_key, rank_column).where(
+        F.col(rank_column) <= k
+    )
+    hits = t.join(r, [query_key, item_key]).select(
+        query_key, F.col(rank_column).cast("long").alias("__p")
+    )
+    w = (
+        Window.partitionBy(query_key)
+        .orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    contrib = hits.withColumn(
+        "__h", F.count(F.lit(1)).over(w).cast("long")
+    ).groupBy(query_key).agg(
+        F.sum(F.expr(f"__h * ({lcm} div __p)")).cast("long").alias("__ap_scaled")
+    )
+    per_q = (
+        rel.join(contrib, query_key, "left")
+        .select(
+            F.col("__R"),
+            F.coalesce(F.col("__ap_scaled"), F.lit(0)).alias("__s"),
+        )
+        .select(
+            F.expr(
+                f"CAST((1000000 * __s) div ({lcm} * least(__R, {k})) AS BIGINT)"
+            ).alias("__ap_micro"),
+            (F.col("__s") > 0).cast("int").alias("__hit"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("__hit").cast("long").alias("n_hit_queries"),
+        F.coalesce(F.sum("__ap_micro"), F.lit(0)).alias("__sum_micro"),
+    ).select(
+        "n_queries",
+        "n_hit_queries",
+        F.expr(
+            "CASE WHEN n_queries > 0 THEN"
+            " CAST(__sum_micro div (1000 * n_queries) AS BIGINT) END"
+        ).alias("map_milli"),
+        F.expr(
+            "CASE WHEN n_queries > 0 THEN"
+            " CAST(__sum_micro AS DOUBLE)"
+            " / CAST(1000000 * n_queries AS DOUBLE) END"
+        ).alias("mean_ap"),
+    )

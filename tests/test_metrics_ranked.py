@@ -533,3 +533,35 @@ def test_readability_profile_degenerate(spark):
     for r in readability_profile(df).collect():
         assert r["flesch_milli"] is None
         assert r["n_words"] == 0
+
+
+def test_average_precision_closed_form(spark):
+    from sutro_spark.operators.metrics import average_precision
+
+    truth = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")],
+        "query_id int, neighbor_id string",
+    )
+    ranked = spark.createDataFrame(
+        [(1, "x", 1), (1, "b", 2), (1, "a", 3), (2, "c", 1), (3, "y", 1)],
+        "query_id int, neighbor_id string, rank int",
+    )
+    r = average_precision(truth, ranked, k=3).first()
+    # q1: hits at p=2 (prec 1/2) and p=3 (prec 2/3) -> AP = 7/12
+    # q2: AP = 1; q3: AP = 0 -> MAP = 19/36 = 0.52777...
+    assert (r["n_queries"], r["n_hit_queries"]) == (3, 2)
+    assert r["map_milli"] == 527
+    assert abs(r["mean_ap"] - 19 / 36) < 1e-5
+
+
+def test_average_precision_bounds_and_empty(spark):
+    import pytest
+
+    from sutro_spark.operators.metrics import average_precision
+
+    with pytest.raises(ValueError):
+        average_precision(None, None, k=26)
+    truth = spark.createDataFrame([(1, "a")], "query_id int, neighbor_id string")
+    ranked = spark.createDataFrame([], "query_id int, neighbor_id string, rank int")
+    r = average_precision(truth, ranked, k=5).first()
+    assert (r["n_queries"], r["n_hit_queries"], r["map_milli"]) == (1, 0, 0)
