@@ -2907,6 +2907,21 @@ def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_metrics(exact, approx, k=3)
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-source score calibration: each source's n_chars
+    # distribution mapped onto the pooled one (right-continuous
+    # empirical quantile, ceil(rn*N/ng) — all integer), so one global
+    # threshold means the same thing in every source.
+    from sutro_spark.functions.stats import quantile_normalize
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return quantile_normalize(docs, "source", "n_chars", "doc_id").orderBy(
+        "doc_id"
+    )
+
+
 def q_ann_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     # WHOLE-LIST honesty for the quantized ANN path: MAP@3 of int8-SQ
     # rankings vs exact brute-force truth — ann_mrr scores only the
@@ -3580,17 +3595,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
 _R9_WINDOW = [
-    # new in r9, never driver-checked (12)
+    # new in r9, never driver-checked (13)
     "yule_k", "unigram_surprisal", "krippendorff_alpha",
     "scd2_history", "copurchase_triangles", "kmv_set_ops",
     "jl_project", "kcore", "prefix_filter", "hamilton_sample",
-    "readability", "ann_map",
+    "readability", "ann_map", "quantile_normalize",
     # the LAST nine r4-green entries (floor cleared to r5 after this)
     "decontaminate_clean", "fuzzy_decontaminate", "list_source_infer",
     "pack_chunks", "quality_percentile", "quality_scorer",
     "tpch_q17ish", "tpch_q2ish", "tpch_q9ish",
-    # the 29 oldest r5-cohort entries (alphabetical — the cohort has
-    # no finer age order; the remaining 21 r5 entries lead r10)
+    # the 28 oldest r5-cohort entries (alphabetical — the cohort has
+    # no finer age order; the remaining 22 r5 entries lead r10)
     "bigram_lift", "bpe_merges", "bpe_vocab", "charlm_quality",
     "cms_heavy_hitters", "corr_tokens_chars", "curation_pipeline_v2",
     "dedup_agreement", "dedup_paragraphs", "dsir_select",
@@ -3599,7 +3614,7 @@ _R9_WINDOW = [
     "lang_confidence", "leakage_safe_split", "length_gini",
     "lsh_recall", "mixture_drift", "ols_tokens_vs_chars",
     "price_histogram_quantiles", "price_quantiles", "skew_report",
-    "source_overlap", "sq_recall", "sq_topk",
+    "source_overlap", "sq_recall",
 ]
 
 
@@ -3657,6 +3672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamilton_sample": q_hamilton_sample,
         "readability": q_readability,
         "ann_map": q_ann_map,
+        "quantile_normalize": q_quantile_normalize,
         "containment": q_containment,
         "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
@@ -8726,6 +8742,25 @@ def oracle_sql() -> dict[str, str]:
                                      THEN 6 // first_rank ELSE 0 END)
                             AS DOUBLE) / (6 * count(*)) END AS mrr
             FROM per
+        """,
+        "quantile_normalize": """
+            WITH qns AS (SELECT doc_id AS id, source AS grp,
+                                CAST(n_chars AS BIGINT) AS v
+                         FROM documents WHERE n_chars IS NOT NULL),
+            qng AS (SELECT v AS norm_value,
+                           row_number() OVER (ORDER BY v, id) AS gr
+                    FROM qns),
+            qnn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM qns),
+            qnr AS (SELECT id, grp, v,
+                           row_number() OVER (PARTITION BY grp
+                                              ORDER BY v, id) AS rn,
+                           count(*) OVER (PARTITION BY grp) AS ng
+                    FROM qns)
+            SELECT r.id AS doc_id, r.grp AS source, r.v AS n_chars,
+                   g.norm_value
+            FROM qnr r, qnn
+            JOIN qng g ON g.gr = (r.rn * qnn.N + r.ng - 1) // r.ng
+            ORDER BY doc_id
         """,
         "ann_map": f"""
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -581,3 +581,64 @@ def histogram_drift(
             ).alias("drift_milli"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_column: str,
+    value_column: str,
+    id_column: str,
+) -> DataFrame:
+    """Cross-group quantile normalization: replace each row's value
+    with the GLOBAL value at the same relative rank, so every group's
+    distribution maps onto the pooled one. The curation use: quality
+    scores from different sources (or different judge models) are not
+    comparable — source A's 0.7 may mean source B's 0.9 — but a
+    single keep-threshold is what the pipeline wants. Normalizing
+    each source onto the pooled distribution makes one threshold
+    mean the same thing everywhere (the microarray-analysis trick,
+    Bolstad 2003, applied to data curation).
+
+    Exact-integer semantics: rows rank within their group by
+    (value, id) — deterministic, tie-broken — and row rn of a
+    ``n_g``-row group maps to pooled rank ceil(rn * N / n_g)
+    (= (rn*N + n_g - 1) div n_g), i.e. the right-continuous empirical
+    quantile. The last row of every group maps to the pooled max; no
+    interpolation, no floats. Values are cast to long (integerize
+    upstream — the repo's cents/milli convention).
+
+    Plan: the pooled rank is `with_row_id` (range partition +
+    per-partition row_number + offset aggregate — NEVER a
+    single-partition global window); the group rank is one keyed
+    window; the mapping is an equi-join on the computed pooled rank.
+    Two shuffles + the range partition, all on bounded keys.
+
+    Output: (id, group, value, norm_value) — norm_value is the
+    pooled-distribution value at the row's relative rank.
+    """
+    from sutro_spark.sources.ingest import ROW_ID, with_row_id
+
+    slim = df.select(
+        F.col(id_column).cast("long").alias("id"),
+        F.col(group_column).alias("grp"),
+        F.col(value_column).cast("long").alias("v"),
+    ).where(F.col("v").isNotNull())
+    pooled = with_row_id(
+        slim.select("v", "id"), order_by=["v", "id"]
+    ).select((F.col(ROW_ID) + 1).alias("gr"), F.col("v").alias("norm_value"))
+    n_total = pooled.agg(F.count(F.lit(1)).cast("long").alias("N"))
+    w = Window.partitionBy("grp").orderBy("v", "id")
+    ranked = (
+        slim.withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "ng", F.count(F.lit(1)).over(Window.partitionBy("grp")).cast("long")
+        )
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("gr", F.expr("(rn * N + ng - 1) div ng"))
+    )
+    return ranked.join(pooled, "gr").select(
+        F.col("id").alias(id_column),
+        F.col("grp").alias(group_column),
+        F.col("v").alias(value_column),
+        "norm_value",
+    )

@@ -957,3 +957,41 @@ def test_hamilton_allocation_edge_cases(spark):
     assert hamilton_allocation(df, "source", "doc_id", 0).count() == 0
     with pytest.raises(ValueError):
         hamilton_allocation(df, "source", "doc_id", -1)
+
+
+def test_quantile_normalize_maps_onto_pooled_distribution(spark):
+    from sutro_spark.functions.stats import quantile_normalize
+
+    # group a: 1..8 (ids 0..7); group b: 101..104 (ids 10..13)
+    rows = [(i, "a", i + 1) for i in range(8)] + [
+        (10 + i, "b", 101 + i) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    out = {
+        r["doc_id"]: r["norm_value"]
+        for r in quantile_normalize(df, "source", "score", "doc_id").collect()
+    }
+    assert len(out) == 12
+    # pooled sorted values: 1..8 then 101..104 (N=12)
+    pooled = list(range(1, 9)) + [101, 102, 103, 104]
+    # group b rank rn of 4 -> pooled rank ceil(rn*12/4) = 3,6,9,12
+    assert [out[10 + i] for i in range(4)] == [
+        pooled[2], pooled[5], pooled[8], pooled[11]
+    ]
+    # both groups' max map to the pooled max
+    assert out[7] == out[13] == 104
+    # monotone within each group
+    a_vals = [out[i] for i in range(8)]
+    assert a_vals == sorted(a_vals)
+
+
+def test_quantile_normalize_single_group_is_identity(spark):
+    from sutro_spark.functions.stats import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(i, "a", v) for i, v in enumerate([5, 1, 9, 3])],
+        ["doc_id", "source", "score"],
+    )
+    out = quantile_normalize(df, "source", "score", "doc_id").collect()
+    # one group: every row maps to its own value
+    assert all(r["norm_value"] == r["score"] for r in out)
