@@ -2907,6 +2907,65 @@ def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_metrics(exact, approx, k=3)
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Last-touch marketing attribution: each purchase joins its
+    # user's most recent prior click (asof backward), campaign =
+    # click's props.k % 4; conversions + revenue cents per campaign,
+    # unattributed purchases reported as campaign -1 (never dropped).
+    # Pure composition of shipped primitives: asof_join + one groupBy.
+    from sutro_spark.operators.joins import asof_join
+    from sutro_spark.streaming.progress import epoch_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        "props",
+        epoch_seconds(ev, "ts").alias("sec"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("sec").alias("p_sec"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("sec").alias("c_sec"),
+        (F.get_json_object("props", "$.k").cast("long") % 4).alias(
+            "campaign"
+        ),
+    )
+    # deterministic: one click per (user, sec) — keep the max campaign
+    w = Window.partitionBy("user_id", "c_sec").orderBy(F.desc("campaign"))
+    clicks = (
+        clicks.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    attributed = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="p_sec",
+        right_ts="c_sec",
+        value_columns=["campaign"],
+        direction="backward",
+    )
+    return (
+        attributed.groupBy(
+            F.coalesce(F.col("campaign"), F.lit(-1)).alias("campaign")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("conversions"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("campaign")
+    )
+
+
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cross-source score calibration: each source's n_chars
     # distribution mapped onto the pooled one (right-continuous
@@ -3595,17 +3654,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
 _R9_WINDOW = [
-    # new in r9, never driver-checked (13)
+    # new in r9, never driver-checked (14)
     "yule_k", "unigram_surprisal", "krippendorff_alpha",
     "scd2_history", "copurchase_triangles", "kmv_set_ops",
     "jl_project", "kcore", "prefix_filter", "hamilton_sample",
-    "readability", "ann_map", "quantile_normalize",
+    "readability", "ann_map", "quantile_normalize", "attribution",
     # the LAST nine r4-green entries (floor cleared to r5 after this)
     "decontaminate_clean", "fuzzy_decontaminate", "list_source_infer",
     "pack_chunks", "quality_percentile", "quality_scorer",
     "tpch_q17ish", "tpch_q2ish", "tpch_q9ish",
-    # the 28 oldest r5-cohort entries (alphabetical — the cohort has
-    # no finer age order; the remaining 22 r5 entries lead r10)
+    # the 27 oldest r5-cohort entries (alphabetical — the cohort has
+    # no finer age order; the remaining 23 r5 entries lead r10)
     "bigram_lift", "bpe_merges", "bpe_vocab", "charlm_quality",
     "cms_heavy_hitters", "corr_tokens_chars", "curation_pipeline_v2",
     "dedup_agreement", "dedup_paragraphs", "dsir_select",
@@ -3614,7 +3673,7 @@ _R9_WINDOW = [
     "lang_confidence", "leakage_safe_split", "length_gini",
     "lsh_recall", "mixture_drift", "ols_tokens_vs_chars",
     "price_histogram_quantiles", "price_quantiles", "skew_report",
-    "source_overlap", "sq_recall",
+    "source_overlap",
 ]
 
 
@@ -3673,6 +3732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "ann_map": q_ann_map,
         "quantile_normalize": q_quantile_normalize,
+        "attribution": q_attribution,
         "containment": q_containment,
         "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
@@ -8742,6 +8802,40 @@ def oracle_sql() -> dict[str, str]:
                                      THEN 6 // first_rank ELSE 0 END)
                             AS DOUBLE) / (6 * count(*)) END AS mrr
             FROM per
+        """,
+        "attribution": """
+            WITH ate AS (
+                SELECT user_id, event_id, event_type, value,
+                       CAST(epoch_us(ts) // 1000000 AS BIGINT) AS sec,
+                       props
+                FROM events),
+            atp AS (SELECT user_id, event_id AS purchase_id, sec AS p_sec,
+                           CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM ate WHERE event_type = 'purchase'),
+            atc0 AS (SELECT user_id, sec AS c_sec,
+                            CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT) % 4 AS campaign
+                     FROM ate WHERE event_type = 'click'),
+            atc AS (SELECT user_id, c_sec, campaign FROM (
+                        SELECT user_id, c_sec, campaign,
+                               row_number() OVER (
+                                   PARTITION BY user_id, c_sec
+                                   ORDER BY campaign DESC) AS rn
+                        FROM atc0) WHERE rn = 1),
+            atm AS (SELECT p.purchase_id, p.cents, c.campaign,
+                           row_number() OVER (
+                               PARTITION BY p.purchase_id
+                               ORDER BY c.c_sec DESC) AS rn
+                    FROM atp p JOIN atc c
+                      ON p.user_id = c.user_id AND c.c_sec <= p.p_sec),
+            ata AS (SELECT p.purchase_id, p.cents, m.campaign
+                    FROM atp p LEFT JOIN
+                         (SELECT * FROM atm WHERE rn = 1) m
+                      USING (purchase_id))
+            SELECT coalesce(campaign, -1) AS campaign,
+                   CAST(count(*) AS BIGINT) AS conversions,
+                   CAST(sum(cents) AS BIGINT) AS revenue_cents
+            FROM ata GROUP BY 1 ORDER BY campaign
         """,
         "quantile_normalize": """
             WITH qns AS (SELECT doc_id AS id, source AS grp,
