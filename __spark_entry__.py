@@ -2907,6 +2907,16 @@ def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_metrics(exact, approx, k=3)
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benford first-digit audit of order totals: observed milli shares
+    # vs the FIXED log10(1+1/d) milli literals (no engine evaluates a
+    # log) — the fabricated-data / unit-mangling detector a pipeline
+    # runs on every new numeric source.
+    from sutro_spark.functions.stats import benford_profile
+
+    return benford_profile(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Last-touch marketing attribution: each purchase joins its
     # user's most recent prior click (asof backward), campaign =
@@ -3654,17 +3664,18 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
 _R9_WINDOW = [
-    # new in r9, never driver-checked (14)
+    # new in r9, never driver-checked (15)
     "yule_k", "unigram_surprisal", "krippendorff_alpha",
     "scd2_history", "copurchase_triangles", "kmv_set_ops",
     "jl_project", "kcore", "prefix_filter", "hamilton_sample",
     "readability", "ann_map", "quantile_normalize", "attribution",
+    "benford",
     # the LAST nine r4-green entries (floor cleared to r5 after this)
     "decontaminate_clean", "fuzzy_decontaminate", "list_source_infer",
     "pack_chunks", "quality_percentile", "quality_scorer",
     "tpch_q17ish", "tpch_q2ish", "tpch_q9ish",
-    # the 27 oldest r5-cohort entries (alphabetical — the cohort has
-    # no finer age order; the remaining 23 r5 entries lead r10)
+    # the 26 oldest r5-cohort entries (alphabetical — the cohort has
+    # no finer age order; the remaining 24 r5 entries lead r10)
     "bigram_lift", "bpe_merges", "bpe_vocab", "charlm_quality",
     "cms_heavy_hitters", "corr_tokens_chars", "curation_pipeline_v2",
     "dedup_agreement", "dedup_paragraphs", "dsir_select",
@@ -3673,7 +3684,6 @@ _R9_WINDOW = [
     "lang_confidence", "leakage_safe_split", "length_gini",
     "lsh_recall", "mixture_drift", "ols_tokens_vs_chars",
     "price_histogram_quantiles", "price_quantiles", "skew_report",
-    "source_overlap",
 ]
 
 
@@ -3733,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_map": q_ann_map,
         "quantile_normalize": q_quantile_normalize,
         "attribution": q_attribution,
+        "benford": q_benford,
         "containment": q_containment,
         "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
@@ -8802,6 +8813,33 @@ def oracle_sql() -> dict[str, str]:
                                      THEN 6 // first_rank ELSE 0 END)
                             AS DOUBLE) / (6 * count(*)) END AS mrr
             FROM per
+        """,
+        "benford": """
+            WITH bfd AS (
+                SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+                           AS digit,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT CAST(round(abs(o_totalprice) * 100)
+                             AS BIGINT) AS c
+                      FROM orders)
+                WHERE c IS NOT NULL AND c > 0
+                GROUP BY 1),
+            bfs AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+                           unnest([301,176,125,97,79,67,58,51,46])
+                               AS exp_milli),
+            bft AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total
+                    FROM bfd)
+            SELECT s.digit, CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+                   CASE WHEN t.total > 0 THEN
+                       CAST((1000 * coalesce(d.n, 0)) // t.total
+                            AS BIGINT) ELSE 0 END AS obs_milli,
+                   CAST(s.exp_milli AS BIGINT) AS exp_milli,
+                   abs(CASE WHEN t.total > 0 THEN
+                       CAST((1000 * coalesce(d.n, 0)) // t.total
+                            AS BIGINT) ELSE 0 END
+                       - CAST(s.exp_milli AS BIGINT)) AS dev_milli
+            FROM bfs s LEFT JOIN bfd d USING (digit), bft t
+            ORDER BY s.digit
         """,
         "attribution": """
             WITH ate AS (

@@ -642,3 +642,74 @@ def quantile_normalize(
         F.col("v").alias(value_column),
         "norm_value",
     )
+
+
+# log10(1 + 1/d) in milli units for d = 1..9 — FIXED literals, so no
+# engine ever evaluates a logarithm (the repo's no-libm rule)
+_BENFORD_MILLI = (301, 176, 125, 97, 79, 67, 58, 51, 46)
+
+
+def benford_profile(
+    df: DataFrame,
+    value_column: str,
+) -> DataFrame:
+    """First-significant-digit profile vs Benford's law — the classic
+    fabricated-data / broken-ETL detector: naturally occurring
+    multi-scale numeric columns (prices, populations, file sizes)
+    follow P(d) = log10(1 + 1/d); synthetic, truncated, or
+    unit-mangled data does not. Run it on a new source's numeric
+    columns before trusting them.
+
+    Exact arithmetic: values go to cents (the repo convention), the
+    first digit is the leading character of the BIGINT's decimal
+    rendering (identical in every engine; zeros and NULLs excluded —
+    they have no first significant digit), observed shares are
+    floor-div milli integers, and the Benford expectations are FIXED
+    milli literals — no engine evaluates a log. dev_milli is the
+    per-digit |observed - expected|; sum it (<= ~2000) for an L1
+    statistic, or eyeball the worst digit.
+
+    Plan: one map-side-combinable 9-group aggregate over the scan;
+    the digit spine is a 9-row literal so missing digits report 0
+    rather than vanishing.
+
+    Output: 9 rows (digit, n, obs_milli, exp_milli, dev_milli).
+    """
+    cents = F.round(F.abs(F.col(value_column)) * 100).cast("long")
+    digits = (
+        df.select(cents.alias("c"))
+        .where(F.col("c").isNotNull() & (F.col("c") > 0))
+        .select(
+            F.substring(F.col("c").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(d + 1, e) for d, e in enumerate(_BENFORD_MILLI)],
+        "digit long, exp_milli long",
+    )
+    total = digits.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("total")
+    )
+    return (
+        spine.join(digits, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.expr(
+                "CASE WHEN total > 0 THEN"
+                " CAST((1000 * coalesce(n, 0)) div total AS BIGINT)"
+                " ELSE 0 END"
+            ).alias("obs_milli"),
+            "exp_milli",
+        )
+        .withColumn(
+            "dev_milli", F.abs(F.col("obs_milli") - F.col("exp_milli"))
+        )
+        .orderBy("digit")
+    )

@@ -995,3 +995,35 @@ def test_quantile_normalize_single_group_is_identity(spark):
     out = quantile_normalize(df, "source", "score", "doc_id").collect()
     # one group: every row maps to its own value
     assert all(r["norm_value"] == r["score"] for r in out)
+
+
+def test_benford_profile_detects_uniform_fabrication(spark):
+    from sutro_spark.functions.stats import benford_profile
+
+    # Benford-ish data: powers spread across scales (2^k spans digits
+    # with the right long-run bias) vs uniform [100, 999] fabrication
+    natural = spark.createDataFrame(
+        [(float(2**k) / 100,) for k in range(1, 60)], ["v"]
+    )
+    fabricated = spark.createDataFrame(
+        [(float(v) / 100,) for v in range(100, 1000)], ["v"]
+    )
+    nat = {r["digit"]: r for r in benford_profile(natural, "v").collect()}
+    fab = {r["digit"]: r for r in benford_profile(fabricated, "v").collect()}
+    assert set(nat) == set(range(1, 10))
+    nat_l1 = sum(r["dev_milli"] for r in nat.values())
+    fab_l1 = sum(r["dev_milli"] for r in fab.values())
+    # uniform data has flat 111-milli shares: far off Benford; the
+    # power sequence tracks it closely
+    assert fab_l1 > 1.5 * nat_l1, (fab_l1, nat_l1)
+    # digit 1 must dominate natural data (~301 milli)
+    assert nat[1]["obs_milli"] > nat[9]["obs_milli"]
+
+
+def test_benford_profile_empty_and_zeros(spark):
+    from sutro_spark.functions.stats import benford_profile
+
+    df = spark.createDataFrame([(0.0,), (None,)], ["v"])
+    rows = benford_profile(df, "v").collect()
+    assert len(rows) == 9  # full digit spine, zero counts
+    assert all(r["n"] == 0 and r["obs_milli"] == 0 for r in rows)
