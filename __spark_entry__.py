@@ -2907,6 +2907,30 @@ def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_metrics(exact, approx, k=3)
 
 
+def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Incremental cluster maintenance: CC labels from the even-order
+    # "old" edge batch + the odd-order "new" batch re-clustered FROM
+    # THE LABEL TABLE (one row per node, never the accumulated pair
+    # set) — provably equal to from-scratch CC on the union, which is
+    # exactly what the recursive-CTE oracle computes.
+    from sutro_spark.operators.cluster import (
+        connected_components,
+        incremental_components,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    old = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("id_a"),
+        (F.col("o_orderkey") - F.col("o_orderkey") % 64).alias("id_b"),
+    )
+    new = o.where(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("id_a"),
+        (F.col("o_orderkey") - F.col("o_orderkey") % 128).alias("id_b"),
+    )
+    labels = connected_components(old)
+    return incremental_components(labels, new).orderBy("node")
+
+
 def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Benford first-digit audit of order totals: observed milli shares
     # vs the FIXED log10(1+1/d) milli literals (no engine evaluates a
@@ -3664,18 +3688,18 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
 _R9_WINDOW = [
-    # new in r9, never driver-checked (15)
+    # new in r9, never driver-checked (16)
     "yule_k", "unigram_surprisal", "krippendorff_alpha",
     "scd2_history", "copurchase_triangles", "kmv_set_ops",
     "jl_project", "kcore", "prefix_filter", "hamilton_sample",
     "readability", "ann_map", "quantile_normalize", "attribution",
-    "benford",
+    "benford", "incremental_cc",
     # the LAST nine r4-green entries (floor cleared to r5 after this)
     "decontaminate_clean", "fuzzy_decontaminate", "list_source_infer",
     "pack_chunks", "quality_percentile", "quality_scorer",
     "tpch_q17ish", "tpch_q2ish", "tpch_q9ish",
-    # the 26 oldest r5-cohort entries (alphabetical — the cohort has
-    # no finer age order; the remaining 24 r5 entries lead r10)
+    # the 25 oldest r5-cohort entries (alphabetical — the cohort has
+    # no finer age order; the remaining 25 r5 entries lead r10)
     "bigram_lift", "bpe_merges", "bpe_vocab", "charlm_quality",
     "cms_heavy_hitters", "corr_tokens_chars", "curation_pipeline_v2",
     "dedup_agreement", "dedup_paragraphs", "dsir_select",
@@ -3683,7 +3707,7 @@ _R9_WINDOW = [
     "epoch_plan", "hll_distinct", "ivf_recall", "jaccard_histogram",
     "lang_confidence", "leakage_safe_split", "length_gini",
     "lsh_recall", "mixture_drift", "ols_tokens_vs_chars",
-    "price_histogram_quantiles", "price_quantiles", "skew_report",
+    "price_histogram_quantiles", "price_quantiles",
 ]
 
 
@@ -3744,6 +3768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "attribution": q_attribution,
         "benford": q_benford,
+        "incremental_cc": q_incremental_cc,
         "containment": q_containment,
         "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
@@ -8813,6 +8838,28 @@ def oracle_sql() -> dict[str, str]:
                                      THEN 6 // first_rank ELSE 0 END)
                             AS DOUBLE) / (6 * count(*)) END AS mrr
             FROM per
+        """,
+        "incremental_cc": """
+            WITH RECURSIVE
+            icp AS (
+                SELECT o_orderkey AS a,
+                       o_orderkey - o_orderkey % 64 AS b
+                FROM orders WHERE o_orderkey % 2 = 0
+                UNION
+                SELECT o_orderkey,
+                       o_orderkey - o_orderkey % 128
+                FROM orders WHERE o_orderkey % 2 = 1),
+            ice AS (SELECT a, b FROM icp WHERE a <> b
+                    UNION SELECT b, a FROM icp WHERE a <> b),
+            icr AS (
+                SELECT a AS node, b AS r FROM ice
+                UNION
+                SELECT e.a, r.r
+                FROM ice e JOIN icr r ON e.b = r.node)
+            SELECT node, CAST(least(min(r), node) AS BIGINT) AS component
+            FROM icr GROUP BY node
+            HAVING least(min(r), node) <> node
+            ORDER BY node
         """,
         "benford": """
             WITH bfd AS (

@@ -576,3 +576,49 @@ def kcore(
         F.col("d").alias("degree"),
         F.lit(converged).alias("converged"),
     )
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    node_column: str = "node",
+    component_column: str = "component",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Maintain connected components as new edges arrive WITHOUT
+    re-reading the accumulated pair set: a prior run's (node,
+    component) label table is itself a star graph with identical
+    connectivity (every node connected to its component root), so
+    unioning it with the new batch's edges and re-running CC yields
+    exactly the components of (all old pairs + new pairs) — the
+    incremental-dedup cluster step that pairs with
+    `incremental_jaccard_pairs`.
+
+    Why this is the 100 TB shape: the accumulated candidate-pair set
+    grows without bound (every batch appends), but the label table is
+    ONE ROW PER CLUSTERED NODE — re-clustering from labels reads
+    O(nodes) + O(new batch) instead of O(all pairs ever). And because
+    the label part is already star-shaped, large-star/small-star
+    converges in ~2 rounds regardless of how many batches built it.
+
+    Component ids stay canonical (min node id), so they are STABLE
+    under growth except when a new edge genuinely merges two old
+    components — the merged cluster takes the smaller root, exactly
+    as a from-scratch run would.
+
+    Output: (node, component) — same contract as
+    :func:`connected_components` (nodes with at least one neighbor).
+    """
+    star = labels.select(
+        F.col(node_column).alias("id_a"),
+        F.col(component_column).alias("id_b"),
+    ).where(F.col(node_column) != F.col(component_column))
+    fresh = new_edges.select(
+        F.col(src).alias("id_a"), F.col(dst).alias("id_b")
+    )
+    return connected_components(
+        star.unionByName(fresh), "id_a", "id_b", max_iter=max_iter
+    )

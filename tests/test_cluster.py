@@ -288,3 +288,48 @@ def test_kcore_validation(spark):
 
     with pytest.raises(ValueError):
         kcore(None, k=0)
+
+
+def test_incremental_components_equals_from_scratch(spark):
+    from sutro_spark.operators.cluster import (
+        connected_components,
+        incremental_components,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], ["id_a", "id_b"]
+    )
+    # new batch: grows a component, MERGES two old ones, adds a new one
+    new = spark.createDataFrame(
+        [(3, 4), (11, 20), (30, 31)], ["id_a", "id_b"]
+    )
+    labels = connected_components(old)
+    inc = {
+        (r["node"], r["component"])
+        for r in incremental_components(labels, new).collect()
+    }
+    full = {
+        (r["node"], r["component"])
+        for r in connected_components(old.unionByName(new)).collect()
+    }
+    assert inc == full
+    # the merge took the smaller root: 10 <- {10, 11, 20, 21}
+    assert (21, 10) in inc and (20, 10) in inc
+
+
+def test_incremental_components_idempotent_on_empty_batch(spark):
+    from sutro_spark.operators.cluster import (
+        connected_components,
+        incremental_components,
+    )
+
+    old = spark.createDataFrame([(1, 2), (5, 6)], ["id_a", "id_b"])
+    labels = connected_components(old)
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    again = {
+        (r["node"], r["component"])
+        for r in incremental_components(labels, empty).collect()
+    }
+    assert again == {
+        (r["node"], r["component"]) for r in labels.collect()
+    }
