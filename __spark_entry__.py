@@ -2907,6 +2907,16 @@ def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_metrics(exact, approx, k=3)
 
 
+def q_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Nested-JSON schema profile of events.props: per top-level key,
+    # presence (over ALL rows, broken JSON included) and numeric
+    # share — the producer-drift alarm table_profile can't see inside
+    # a string column.
+    from sutro_spark.operators.validate import json_key_profile
+
+    return json_key_profile(_t(spark, sf_dir, "events"), "props")
+
+
 def q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Incremental cluster maintenance: CC labels from the even-order
     # "old" edge batch + the odd-order "new" batch re-clustered FROM
@@ -3688,18 +3698,18 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
 _R9_WINDOW = [
-    # new in r9, never driver-checked (16)
+    # new in r9, never driver-checked (17)
     "yule_k", "unigram_surprisal", "krippendorff_alpha",
     "scd2_history", "copurchase_triangles", "kmv_set_ops",
     "jl_project", "kcore", "prefix_filter", "hamilton_sample",
     "readability", "ann_map", "quantile_normalize", "attribution",
-    "benford", "incremental_cc",
+    "benford", "incremental_cc", "json_keys",
     # the LAST nine r4-green entries (floor cleared to r5 after this)
     "decontaminate_clean", "fuzzy_decontaminate", "list_source_infer",
     "pack_chunks", "quality_percentile", "quality_scorer",
     "tpch_q17ish", "tpch_q2ish", "tpch_q9ish",
-    # the 25 oldest r5-cohort entries (alphabetical — the cohort has
-    # no finer age order; the remaining 25 r5 entries lead r10)
+    # the 24 oldest r5-cohort entries (alphabetical — the cohort has
+    # no finer age order; the remaining 26 r5 entries lead r10)
     "bigram_lift", "bpe_merges", "bpe_vocab", "charlm_quality",
     "cms_heavy_hitters", "corr_tokens_chars", "curation_pipeline_v2",
     "dedup_agreement", "dedup_paragraphs", "dsir_select",
@@ -3707,7 +3717,7 @@ _R9_WINDOW = [
     "epoch_plan", "hll_distinct", "ivf_recall", "jaccard_histogram",
     "lang_confidence", "leakage_safe_split", "length_gini",
     "lsh_recall", "mixture_drift", "ols_tokens_vs_chars",
-    "price_histogram_quantiles", "price_quantiles",
+    "price_histogram_quantiles",
 ]
 
 
@@ -3769,6 +3779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "benford": q_benford,
         "incremental_cc": q_incremental_cc,
+        "json_keys": q_json_keys,
         "containment": q_containment,
         "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
@@ -8838,6 +8849,28 @@ def oracle_sql() -> dict[str, str]:
                                      THEN 6 // first_rank ELSE 0 END)
                             AS DOUBLE) / (6 * count(*)) END AS mrr
             FROM per
+        """,
+        "json_keys": """
+            WITH jkt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows
+                         FROM events),
+            jkk AS (SELECT props,
+                           unnest(json_keys(props)) AS key
+                    FROM events WHERE json_valid(props)),
+            jkv AS (SELECT key,
+                           json_extract_string(props, '$.' || key)
+                               AS value
+                    FROM jkk),
+            jkp AS (SELECT key,
+                           CAST(count(*) AS BIGINT) AS n_present,
+                           CAST(sum(CASE WHEN regexp_full_match(value,
+                                '-?[0-9]+(\\.[0-9]+)?') THEN 1 ELSE 0
+                                END) AS BIGINT) AS n_numeric
+                    FROM jkv GROUP BY key)
+            SELECT key, n_present, n_numeric,
+                   CASE WHEN n_rows > 0 THEN
+                       CAST((1000 * n_present) // n_rows AS BIGINT)
+                   ELSE 0 END AS presence_milli
+            FROM jkp, jkt ORDER BY key
         """,
         "incremental_cc": """
             WITH RECURSIVE

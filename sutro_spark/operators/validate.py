@@ -208,3 +208,59 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ]
     )
     return base.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def json_key_profile(
+    df: DataFrame,
+    json_column: str,
+) -> DataFrame:
+    """Schema profile of a nested JSON string column — the drift alarm
+    `table_profile` cannot give you: event ``props``, API payloads,
+    and scraped metadata carry their real schema INSIDE a string
+    column, where upstream producers silently add, drop, or re-type
+    keys. Run per batch/day and diff: a key whose presence_milli
+    moves, or whose numeric share collapses, is a producer change
+    worth catching before it poisons a feature.
+
+    Semantics: every top-level key of every row is counted
+    (``from_json`` to ``map<string,string>`` — JSON scalars arrive as
+    their unquoted token text); ``n_numeric`` counts values matching
+    the integer/decimal token pattern, presence_milli =
+    (1000 * n_present) div n_rows (rows with unparseable/NULL JSON
+    count in the denominator — silent producer breakage should LOWER
+    presence, not hide).
+
+    Plan: one scan with a per-row map explode (top-level keys only —
+    bounded by payload width, never corpus size), one
+    map-side-combinable groupBy(key), a 1-row total broadcast.
+
+    Output: (key, n_present, n_numeric, presence_milli), one row per
+    key ever seen.
+    """
+    m = F.from_json(F.col(json_column), "map<string,string>")
+    total = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    kv = df.select(F.explode(m).alias("key", "value"))
+    per_key = kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.sum(
+            F.when(
+                F.col("value").rlike(r"^-?[0-9]+(\.[0-9]+)?$"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_numeric"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_present",
+            "n_numeric",
+            F.expr(
+                "CASE WHEN n_rows > 0 THEN"
+                " CAST((1000 * n_present) div n_rows AS BIGINT)"
+                " ELSE 0 END"
+            ).alias("presence_milli"),
+        )
+        .orderBy("key")
+    )

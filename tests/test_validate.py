@@ -98,3 +98,26 @@ def test_table_profile_all_null_column(spark):
     r = table_profile(df).collect()[0]
     assert r.n_nulls == 2 and r.n_distinct == 0
     assert r.min_value == "" and r.max_value == ""
+
+
+def test_json_key_profile_counts_and_presence(spark):
+    from sutro_spark.operators.validate import json_key_profile
+
+    df = spark.createDataFrame(
+        [
+            ('{"a": 1, "b": "x"}',),
+            ('{"a": 2.5, "c": -3}',),
+            ('{"a": "not a number"}',),
+            (None,),               # counts in the denominator
+            ("not json at all",),  # ditto
+        ],
+        ["props"],
+    )
+    rows = {r["key"]: r for r in json_key_profile(df, "props").collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert (rows["a"]["n_present"], rows["a"]["n_numeric"]) == (3, 2)
+    assert (rows["b"]["n_present"], rows["b"]["n_numeric"]) == (1, 0)
+    assert (rows["c"]["n_present"], rows["c"]["n_numeric"]) == (1, 1)
+    # presence over ALL rows (5), including the broken ones
+    assert rows["a"]["presence_milli"] == 600
+    assert rows["b"]["presence_milli"] == 200
