@@ -90,3 +90,72 @@ def test_components_batch_replay_idempotent(spark, tmp_path):
         (r["node"], r["component"])
         for r in read_labels(spark, labels_dir).collect()
     } == once
+
+
+def test_composed_pairs_then_clusters_pipeline(spark, tmp_path):
+    """The composed shape a real ingest runs: per micro-batch, near-dup
+    pairs against the persisted index (jaccard_batch), then the label
+    snapshot updated from those pairs (components_batch). Final labels
+    must equal from-scratch CC over every pair the stream emitted."""
+    from pyspark.sql import functions as F
+
+    from sutro_spark.operators.cluster import connected_components
+    from sutro_spark.streaming.clusters import components_batch, read_labels
+    from sutro_spark.streaming.dedup import jaccard_batch
+
+    docs = [
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "an entirely different document about spark plans")],
+        [(3, "the quick brown fox jumps over the lazy dog today!"),
+         (4, "yet another unrelated piece of text entirely")],
+        [(5, "the quick brown fox jumps over the lazy dog")],
+    ]
+    index_dir = str(tmp_path / "idx")
+    pairs_dir = str(tmp_path / "pairs")
+    labels_dir = str(tmp_path / "labels")
+    for bid, rows in enumerate(docs):
+        bdf = spark.createDataFrame(rows, "doc_id long, text string")
+        jaccard_batch(
+            bdf, bid, index_dir, pairs_dir, threshold=0.3, max_df=None
+        )
+        # _read_or_empty: batch 0 writes an empty pairs partition
+        # (no files), which a plain schema-inferring read rejects.
+        # before_batch=bid+1 reads pairs-so-far — a superset of the
+        # batch's own pairs; incremental_components is idempotent
+        # over already-clustered edges, so the label result is
+        # identical and the composition stays replay-safe
+        from sutro_spark.streaming.dedup import _read_or_empty
+
+        bpairs = (
+            _read_or_empty(
+                spark, pairs_dir,
+                "corpus_id long, new_id long, jaccard double",
+                before_batch=bid + 1,
+            )
+            .select(
+                F.col("corpus_id").alias("id_a"),
+                F.col("new_id").alias("id_b"),
+            )
+        )
+        components_batch(bpairs, bid, labels_dir)
+
+    got = {
+        (r["node"], r["component"])
+        for r in read_labels(spark, labels_dir).collect()
+    }
+    from sutro_spark.streaming.dedup import _read_or_empty
+
+    all_pairs = _read_or_empty(
+        spark, pairs_dir, "corpus_id long, new_id long, jaccard double"
+    ).select(
+        F.col("corpus_id").alias("id_a"), F.col("new_id").alias("id_b")
+    )
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(all_pairs).collect()
+    }
+    assert got == want
+    # docs 1, 3, 5 are near-dups across three different batches: one
+    # cluster rooted at 1; unrelated docs never clustered
+    assert (3, 1) in got and (5, 1) in got
+    assert not any(n in (2, 4) for n, _ in got)
