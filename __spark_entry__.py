@@ -2907,6 +2907,22 @@ def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_metrics(exact, approx, k=3)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Frozen-merge BPE tokenization: the 4 merges learned on the
+    # documents corpus (bounded driver collect — a tokenizer's merge
+    # table is a plan constant) applied back as a literal replace
+    # chain; per-doc subword counts are the REAL token budget the
+    # whitespace/BPE-ish proxies approximate.
+    from sutro_spark.operators.bpe import bpe_apply, bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merges(docs, rounds=4).orderBy("round").collect()
+    ]
+    return bpe_apply(docs, merges).orderBy("doc_id")
+
+
 def q_json_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Nested-JSON schema profile of events.props: per top-level key,
     # presence (over ALL rows, broken JSON included) and numeric
@@ -3698,18 +3714,18 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
 _R9_WINDOW = [
-    # new in r9, never driver-checked (17)
+    # new in r9, never driver-checked (18)
     "yule_k", "unigram_surprisal", "krippendorff_alpha",
     "scd2_history", "copurchase_triangles", "kmv_set_ops",
     "jl_project", "kcore", "prefix_filter", "hamilton_sample",
     "readability", "ann_map", "quantile_normalize", "attribution",
-    "benford", "incremental_cc", "json_keys",
+    "benford", "incremental_cc", "json_keys", "bpe_encode",
     # the LAST nine r4-green entries (floor cleared to r5 after this)
     "decontaminate_clean", "fuzzy_decontaminate", "list_source_infer",
     "pack_chunks", "quality_percentile", "quality_scorer",
     "tpch_q17ish", "tpch_q2ish", "tpch_q9ish",
-    # the 24 oldest r5-cohort entries (alphabetical — the cohort has
-    # no finer age order; the remaining 26 r5 entries lead r10)
+    # the 23 oldest r5-cohort entries (alphabetical — the cohort has
+    # no finer age order; the remaining 27 r5 entries lead r10)
     "bigram_lift", "bpe_merges", "bpe_vocab", "charlm_quality",
     "cms_heavy_hitters", "corr_tokens_chars", "curation_pipeline_v2",
     "dedup_agreement", "dedup_paragraphs", "dsir_select",
@@ -3717,7 +3733,6 @@ _R9_WINDOW = [
     "epoch_plan", "hll_distinct", "ivf_recall", "jaccard_histogram",
     "lang_confidence", "leakage_safe_split", "length_gini",
     "lsh_recall", "mixture_drift", "ols_tokens_vs_chars",
-    "price_histogram_quantiles",
 ]
 
 
@@ -3780,6 +3795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "incremental_cc": q_incremental_cc,
         "json_keys": q_json_keys,
+        "bpe_encode": q_bpe_encode,
         "containment": q_containment,
         "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
@@ -4224,6 +4240,30 @@ _BPE_SQL = (
         f" cnt AS weight FROM t{r}"
         for r in range(1, 5)
     )
+)
+
+_BPE_ENCODE_SQL = (
+    _BPE_CTES
+    + """,
+            bseg AS (SELECT w,
+                            CAST(len(string_split(
+                                substr(ws, 2, length(ws) - 2),
+                                chr(2) || chr(1))) AS BIGINT) AS n_sub
+                     FROM w4),
+            bdw AS (SELECT doc_id, tok AS w FROM (
+                        SELECT doc_id,
+                               unnest(list_filter(regexp_split_to_array(
+                                   coalesce(text, ''), '\\s+'),
+                                   t -> t <> '')) AS tok
+                        FROM documents)),
+            bper AS (SELECT doc_id,
+                            CAST(count(*) AS BIGINT) AS n_words,
+                            CAST(sum(n_sub) AS BIGINT) AS n_subwords
+                     FROM bdw JOIN bseg USING (w) GROUP BY doc_id)
+            SELECT doc_id, n_words, n_subwords,
+                   CAST((1000 * n_subwords) // n_words AS BIGINT)
+                       AS tokens_per_word_milli
+            FROM bper ORDER BY doc_id"""
 )
 
 _BPE_VOCAB_SQL = (
@@ -8850,6 +8890,7 @@ def oracle_sql() -> dict[str, str]:
                             AS DOUBLE) / (6 * count(*)) END AS mrr
             FROM per
         """,
+        "bpe_encode": _BPE_ENCODE_SQL,
         "json_keys": """
             WITH jkt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows
                          FROM events),

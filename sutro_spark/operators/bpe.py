@@ -204,3 +204,70 @@ def bpe_vocab(
         .orderBy(F.desc("occurrences"), F.asc("subword"))
         .limit(top)
     )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Tokenize NEW text under a FROZEN merge table — the deployment
+    half of BPE that `bpe_segment` (which trains and applies on the
+    same corpus) does not cover: train merges on corpus A once, then
+    count real subword tokens over corpus B / every future batch.
+    Token counts under the ACTUAL tokenizer are what packing, budget
+    allocation, and serving-cost estimates should consume; the
+    whitespace and BPE-ish regex counters are proxies.
+
+    ``merges`` is the driver-side (lhs, rhs) list in rank order —
+    vocabulary-scale by definition (a tokenizer ships 32k-100k
+    merges; this engine's exact path is built for the bounded-rounds
+    regime where the merge list is a literal plan constant). Each
+    merge is ONE codegen'd `replace` over the wrapped-symbol string —
+    the same application `_train` uses — folded left to right, so
+    unseen words segment exactly as the reference BPE would: fully
+    merged where merges apply, character-split elsewhere.
+
+    Plan: distinct words (one map-side-combinable groupBy — the only
+    corpus-wide shuffle), the merge chain over the vocabulary-sized
+    table, one join back onto per-doc word rows, one per-doc sum.
+
+    Output: (id, n_words, n_subwords, tokens_per_word_milli) —
+    wordless documents are absent (no tokens to count).
+    """
+    wd = df.select(
+        F.col(id_column).cast("long").alias("__id"),
+        F.explode(
+            tokens(F.coalesce(F.col(text_column), F.lit("")))
+        ).alias("w"),
+    )
+    ws = _wrapped_chars(F.col("w"))
+    for lhs, rhs in merges:
+        ws = F.replace(
+            ws,
+            F.lit(f"{_L}{lhs}{_R}{_L}{rhs}{_R}"),
+            F.lit(f"{_L}{lhs}{rhs}{_R}"),
+        )
+    seg = (
+        wd.select("w")
+        .distinct()
+        .select("w", F.size(_symbols(ws)).cast("long").alias("__nsub"))
+    )
+    return (
+        wd.join(seg, "w")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__nsub").cast("long").alias("n_subwords"),
+        )
+        .select(
+            F.col("__id").alias(id_column),
+            "n_words",
+            "n_subwords",
+            F.expr(
+                "CAST((1000 * n_subwords) div n_words AS BIGINT)"
+            ).alias("tokens_per_word_milli"),
+        )
+    )

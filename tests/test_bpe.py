@@ -144,3 +144,36 @@ def test_early_exhaust_returns_partial_merges(spark):
     assert [(r.round, r.lhs, r.rhs, r.weight) for r in out] == [(1, "a", "b", 2)]
     seg = bpe_segment(df, rounds=5).collect()
     assert seg[0].subwords == ["ab"]
+
+
+def test_bpe_apply_frozen_merges_on_unseen_text(spark):
+    """The deployment shape: merges trained on corpus A tokenize
+    corpus B — merged pairs collapse wherever they appear, including
+    inside words A never saw; everything else stays char-split."""
+    from sutro_spark.operators.bpe import bpe_apply, bpe_merges
+
+    train = spark.createDataFrame(
+        [("low low low lower lowest",)], ["text"]
+    )
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merges(train, rounds=2).orderBy("round").collect()
+    ]
+    # corpus dominated by 'low': merges are ('l','o') then ('lo','w')
+    assert merges == [("l", "o"), ("lo", "w")]
+    new = spark.createDataFrame(
+        [
+            (1, "low lower"),     # seen words: low->1, lower->3
+            (2, "slow glow"),     # UNSEEN: s+low -> 2, g+low -> 2
+            (3, "cat"),           # no merge applies: 3 chars
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in bpe_apply(new, merges).collect()}
+    assert (rows[1]["n_words"], rows[1]["n_subwords"]) == (2, 4)
+    assert (rows[2]["n_words"], rows[2]["n_subwords"]) == (2, 4)
+    assert (rows[3]["n_words"], rows[3]["n_subwords"]) == (1, 3)
+    assert rows[3]["tokens_per_word_milli"] == 3000
+    # empty merge list degrades to character counting
+    none = {r["doc_id"]: r for r in bpe_apply(new, []).collect()}
+    assert none[3]["n_subwords"] == 3 and none[1]["n_subwords"] == 8
