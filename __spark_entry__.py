@@ -2907,6 +2907,20 @@ def q_ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_metrics(exact, approx, k=3)
 
 
+def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HLL twin of kmv_set_ops on the same populations: constant-state
+    # (64-register) sketches, register-max union, inclusion-exclusion
+    # intersection/differences — the streaming-friendly set algebra.
+    from sutro_spark.functions.sketches import hll_set_estimates
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id"
+    )
+    return hll_set_estimates(clicks, purchases, "user_id")
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Frozen-merge BPE tokenization: the 4 merges learned on the
     # documents corpus (bounded driver collect — a tokenizer's merge
@@ -3714,25 +3728,26 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
 _R9_WINDOW = [
-    # new in r9, never driver-checked (18)
+    # new in r9, never driver-checked (19)
     "yule_k", "unigram_surprisal", "krippendorff_alpha",
     "scd2_history", "copurchase_triangles", "kmv_set_ops",
     "jl_project", "kcore", "prefix_filter", "hamilton_sample",
     "readability", "ann_map", "quantile_normalize", "attribution",
     "benford", "incremental_cc", "json_keys", "bpe_encode",
+    "hll_set_ops",
     # the LAST nine r4-green entries (floor cleared to r5 after this)
     "decontaminate_clean", "fuzzy_decontaminate", "list_source_infer",
     "pack_chunks", "quality_percentile", "quality_scorer",
     "tpch_q17ish", "tpch_q2ish", "tpch_q9ish",
-    # the 23 oldest r5-cohort entries (alphabetical — the cohort has
-    # no finer age order; the remaining 27 r5 entries lead r10)
+    # the 22 oldest r5-cohort entries (alphabetical — the cohort has
+    # no finer age order; the remaining 28 r5 entries lead r10)
     "bigram_lift", "bpe_merges", "bpe_vocab", "charlm_quality",
     "cms_heavy_hitters", "corr_tokens_chars", "curation_pipeline_v2",
     "dedup_agreement", "dedup_paragraphs", "dsir_select",
     "dup_passages", "dup_size_histogram", "embedding_norms",
     "epoch_plan", "hll_distinct", "ivf_recall", "jaccard_histogram",
     "lang_confidence", "leakage_safe_split", "length_gini",
-    "lsh_recall", "mixture_drift", "ols_tokens_vs_chars",
+    "lsh_recall", "mixture_drift",
 ]
 
 
@@ -3796,6 +3811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc": q_incremental_cc,
         "json_keys": q_json_keys,
         "bpe_encode": q_bpe_encode,
+        "hll_set_ops": q_hll_set_ops,
         "containment": q_containment,
         "fleiss_kappa": q_fleiss_kappa,
         "pagerank": q_pagerank,
@@ -8889,6 +8905,64 @@ def oracle_sql() -> dict[str, str]:
                                      THEN 6 // first_rank ELSE 0 END)
                             AS DOUBLE) / (6 * count(*)) END AS mrr
             FROM per
+        """,
+        "hll_set_ops": """
+            WITH hs0 AS (
+                SELECT event_type AS grp,
+                       CAST(concat('0x', substr(sha256(concat('hll:',
+                            CAST(user_id AS VARCHAR))), 1, 8)) AS UBIGINT)
+                           % 4294967296 AS h
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                  AND user_id IS NOT NULL),
+            hsh AS (SELECT grp, CAST(h % 64 AS BIGINT) AS j,
+                           CAST(h // 64 AS BIGINT) AS rem FROM hs0),
+            hsr AS (SELECT grp, j,
+                           CASE WHEN rem = 0 THEN 27
+                                ELSE 27 - length(bin(rem)) END AS rho
+                    FROM hsh),
+            hsregs AS (SELECT grp, j, max(rho) AS M
+                       FROM hsr GROUP BY grp, j),
+            hsu AS (SELECT 'u' AS grp, j, max(M) AS M
+                    FROM hsregs GROUP BY j),
+            hsall AS (SELECT grp, j, M FROM hsregs
+                      UNION ALL SELECT grp, j, M FROM hsu),
+            hsgrid AS (SELECT g.grp, gj.j
+                       FROM (SELECT unnest(['click', 'purchase', 'u'])
+                                 AS grp) g,
+                            (SELECT unnest(range(0, 64)) AS j) gj),
+            hsfl AS (SELECT hsgrid.grp, hsgrid.j,
+                            coalesce(hsall.M, 0) AS M
+                     FROM hsgrid LEFT JOIN hsall
+                       ON hsgrid.grp = hsall.grp
+                      AND hsgrid.j = hsall.j),
+            hsag AS (SELECT grp,
+                            CAST(sum(CAST(1 AS BIGINT) << (27 - M))
+                                 AS BIGINT) AS s_scaled
+                     FROM hsfl GROUP BY grp),
+            hse AS (SELECT grp,
+                           CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                               * CAST(134217728 AS DOUBLE) / s_scaled
+                               AS est
+                    FROM hsag)
+            SELECT
+                (SELECT est FROM hse WHERE grp = 'click') AS est_left,
+                (SELECT est FROM hse WHERE grp = 'purchase')
+                    AS est_right,
+                (SELECT est FROM hse WHERE grp = 'u') AS est_union,
+                greatest(0.0,
+                    (SELECT est FROM hse WHERE grp = 'click')
+                    + (SELECT est FROM hse WHERE grp = 'purchase')
+                    - (SELECT est FROM hse WHERE grp = 'u'))
+                    AS est_intersection,
+                greatest(0.0,
+                    (SELECT est FROM hse WHERE grp = 'u')
+                    - (SELECT est FROM hse WHERE grp = 'purchase'))
+                    AS est_left_only,
+                greatest(0.0,
+                    (SELECT est FROM hse WHERE grp = 'u')
+                    - (SELECT est FROM hse WHERE grp = 'click'))
+                    AS est_right_only
         """,
         "bpe_encode": _BPE_ENCODE_SQL,
         "json_keys": """

@@ -225,7 +225,7 @@ def main() -> None:
             "salted_join", "two_phase_agg", "hybrid_retrieval",
             "mmr_rerank", "hard_negatives", "kmv_join_est", "cdc_chunks", "cdc_dedup", "mad_outliers", "sorted_neighborhood", "histogram_drift", "label_propagate", "precision_threshold", "kmv_merge", "length_buckets", "ngram_novelty", "containment", "fleiss_kappa", "vocab_richness",
             "yule_k", "unigram_surprisal", "krippendorff_alpha", "scd2_history",
-            "copurchase_triangles", "kmv_set_ops", "jl_project", "kcore", "prefix_filter", "hamilton_sample", "readability", "ann_map", "quantile_normalize", "attribution", "benford", "incremental_cc", "json_keys", "bpe_encode",
+            "copurchase_triangles", "kmv_set_ops", "jl_project", "kcore", "prefix_filter", "hamilton_sample", "readability", "ann_map", "quantile_normalize", "attribution", "benford", "incremental_cc", "json_keys", "bpe_encode", "hll_set_ops",
             ]
             if name in qs
         ]

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from sutro_spark.functions.sampling import hash_bucket
 
-__all__ = ["kmv_distinct", "kmv_join_estimate", "hll_distinct", "hll_registers", "hll_from_registers", "cms_cells", "cms_counts", "cms_estimate", "kmv_set_estimates"]
+__all__ = ["kmv_distinct", "kmv_join_estimate", "hll_distinct", "hll_registers", "hll_from_registers", "cms_cells", "cms_counts", "cms_estimate", "kmv_set_estimates", "hll_set_estimates"]
 
 
 def kmv_distinct(
@@ -567,6 +567,82 @@ def kmv_set_estimates(
         .select(
             "n_left_le_k",
             "n_right_le_k",
+            "est_left",
+            "est_right",
+            "est_union",
+            F.greatest(
+                F.lit(0.0),
+                F.col("est_left") + F.col("est_right") - F.col("est_union"),
+            ).alias("est_intersection"),
+            F.greatest(
+                F.lit(0.0), F.col("est_union") - F.col("est_right")
+            ).alias("est_left_only"),
+            F.greatest(
+                F.lit(0.0), F.col("est_union") - F.col("est_left")
+            ).alias("est_right_only"),
+        )
+    )
+
+
+def hll_set_estimates(
+    left: DataFrame,
+    right: DataFrame,
+    key_column: str,
+    *,
+    p: int = 6,
+    salt: str = "hll",
+) -> DataFrame:
+    """HLL twin of :func:`kmv_set_estimates` — set algebra between two
+    key populations from CONSTANT-STATE sketches: m = 2^p registers
+    per side regardless of cardinality, where KMV keeps k hash rows.
+    The union sketch is exact sketch algebra (register-wise max — the
+    same merge `hll_from_registers` already proves mergeable);
+    intersection and one-sided differences come from
+    inclusion-exclusion over the three base estimates, clamped at 0.
+
+    Why both families ship set ops: KMV's estimate is exact below k
+    and its merge is lossless row algebra — the audit-friendly
+    choice; HLL's state is 64 integers no matter how many keys flow
+    through — the 100 TB streaming choice (hll_registers is already
+    the maintained state in streaming/sketches.py, so this finisher
+    works directly on persisted register tables too).
+
+    Float discipline: each base estimate is `hll_from_registers`'
+    literal-double harmonic form over exact integer register sums;
+    the derived values are a fixed-order add/subtract chain of those
+    doubles — deterministic on any IEEE-754 engine, oracle-checkable.
+
+    Output: one row (est_left, est_right, est_union,
+    est_intersection, est_left_only, est_right_only).
+    """
+
+    def regs(df: DataFrame, tag: str) -> DataFrame:
+        return hll_registers(
+            df.select(F.lit(tag).alias("__g"), F.col(key_column)),
+            "__g",
+            key_column,
+            p=p,
+            salt=salt,
+        )
+
+    rl, rr = regs(left, "l"), regs(right, "r")
+    union = (
+        rl.unionByName(rr)
+        .groupBy("j")
+        .agg(F.max("M").alias("M"))
+        .select(F.lit("u").alias("grp"), "j", "M")
+    )
+
+    def est(r: DataFrame, tag: str) -> DataFrame:
+        return hll_from_registers(r, p=p).select(
+            F.col("est_hll").alias(f"est_{tag}")
+        )
+
+    return (
+        est(rl, "left")
+        .crossJoin(est(rr, "right"))
+        .crossJoin(est(union, "union"))
+        .select(
             "est_left",
             "est_right",
             "est_union",

@@ -252,3 +252,26 @@ def test_kmv_set_estimates_validation(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         kmv_set_estimates(None, None, "id", k=1)
+
+
+def test_hll_set_estimates_accuracy_and_clamp(spark):
+    from sutro_spark.functions.sketches import hll_set_estimates
+
+    # 2000 vs 2000 sharing 1000; p=6 (m=64) -> ~13% std error per
+    # estimate; inclusion-exclusion compounds it — generous bounds,
+    # deterministic values (sha-derived registers, no RNG)
+    left = spark.createDataFrame([(i,) for i in range(2000)], ["id"])
+    right = spark.createDataFrame([(i,) for i in range(1000, 3000)], ["id"])
+    r = hll_set_estimates(left, right, "id").first()
+    assert abs(r["est_left"] - 2000) / 2000 < 0.35
+    assert abs(r["est_union"] - 3000) / 3000 < 0.35
+    assert 0 < r["est_intersection"] < 2500
+    # identical sides: intersection ~ each side, differences clamp ~0
+    same = hll_set_estimates(left, left, "id").first()
+    assert same["est_left_only"] == 0.0 and same["est_right_only"] == 0.0
+    assert same["est_intersection"] == same["est_left"]
+    # disjoint sides never go negative
+    lo = spark.createDataFrame([(i,) for i in range(300)], ["id"])
+    hi = spark.createDataFrame([(i,) for i in range(9000, 9300)], ["id"])
+    d = hll_set_estimates(lo, hi, "id").first()
+    assert d["est_intersection"] >= 0.0
