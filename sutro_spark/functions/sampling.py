@@ -313,6 +313,10 @@ def hamilton_allocation(
     """
     if total_n < 0:
         raise ValueError("total_n must be >= 0")
+    # NULL strata can't survive the equality join below; excluding them
+    # from N as well keeps the exactly-total_n contract honest (rows
+    # with a NULL stratum are unsampleable, not silently under-counted)
+    df = df.where(F.col(stratum_column).isNotNull())
     sizes = df.groupBy(F.col(stratum_column).alias("__s")).agg(
         F.count(F.lit(1)).cast("long").alias("__g")
     )

@@ -44,13 +44,14 @@ merged) by breaking when a round finds no pairs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sutro_spark.functions.text import tokens
 from sutro_spark.session import release_local_checkpoint
 
-__all__ = ["bpe_merges", "bpe_segment", "bpe_vocab"]
+__all__ = ["bpe_apply", "bpe_merges", "bpe_segment", "bpe_vocab"]
 
 _L = "\x01"
 _R = "\x02"
@@ -206,12 +207,73 @@ def bpe_vocab(
     )
 
 
+#: Largest merge table the expression path accepts: each merge is one
+#: `replace` node, and a chain deeper than this risks janino's 64 KB
+#: per-method codegen budget (documented repo-wide) plus quadratic
+#: Catalyst analysis cost. Real tokenizers (32k-100k merges) route to
+#: the Arrow encoder.
+_EXPR_MERGE_LIMIT = 256
+
+
+def _arrow_subword_counts(merges: list[tuple[str, str]]):
+    """Arrow-batched canonical BPE encoder: word -> subword count under
+    a frozen rank-ordered merge table.
+
+    This is the standard tokenizer apply loop (GPT-2 / HuggingFace
+    `bpe()`): repeatedly merge the LOWEST-RANK adjacent pair present in
+    the word (all its occurrences, greedy left-to-right), until no
+    table pair applies. Cost is O(len^2) dict lookups per word —
+    independent of merge-table size, which is exactly why 32k-100k
+    merge tables need this path and not a 32k-deep expression chain.
+
+    Python is justified here by the multimodal precedent: the rank-dict
+    argmin genuinely cannot be expressed in Catalyst without one plan
+    node per merge, and the UDF runs over the DISTINCT-WORD table
+    (vocabulary-sized), never the corpus.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf(LongType())
+    def n_sub(words: pd.Series) -> pd.Series:
+        def encode(w: str) -> int:
+            syms = list(w)
+            while len(syms) >= 2:
+                best = None
+                best_rank = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank = r
+                        best = (syms[i], syms[i + 1])
+                if best is None:
+                    break
+                out = []
+                i = 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+
+        return words.map(encode).astype("int64")
+
+    return n_sub
+
+
 def bpe_apply(
     df: DataFrame,
     merges: list[tuple[str, str]],
     *,
     text_column: str = "text",
     id_column: str = "doc_id",
+    engine: str = "auto",
 ) -> DataFrame:
     """Tokenize NEW text under a FROZEN merge table — the deployment
     half of BPE that `bpe_segment` (which trains and applies on the
@@ -221,39 +283,69 @@ def bpe_apply(
     allocation, and serving-cost estimates should consume; the
     whitespace and BPE-ish regex counters are proxies.
 
-    ``merges`` is the driver-side (lhs, rhs) list in rank order —
-    vocabulary-scale by definition (a tokenizer ships 32k-100k
-    merges; this engine's exact path is built for the bounded-rounds
-    regime where the merge list is a literal plan constant). Each
-    merge is ONE codegen'd `replace` over the wrapped-symbol string —
-    the same application `_train` uses — folded left to right, so
-    unseen words segment exactly as the reference BPE would: fully
-    merged where merges apply, character-split elsewhere.
+    ``merges`` is the driver-side (lhs, rhs) list in rank order. Two
+    application engines:
+
+    - ``expr`` — each merge folds as ONE codegen'd `replace` over the
+      wrapped-symbol string (the `_train` application): a single-pass
+      rank-order fold, oracle-expressible in SQL, and bounded at
+      ``_EXPR_MERGE_LIMIT`` merges (a deeper chain blows janino's
+      64 KB codegen budget — this path does NOT target the 32k-100k
+      regime and raises rather than degrade silently).
+    - ``arrow`` — the canonical tokenizer apply loop (lowest-rank
+      iterative merge, the GPT-2/HF semantics) as an Arrow-batched
+      UDF over the distinct-word table; cost independent of table
+      size, so this IS the 32k-100k-merge production path.
+    - ``auto`` (default) — expr when len(merges) fits its bound, else
+      arrow.
+
+    The two engines agree on every table produced by BPE TRAINING
+    (each merge's operands are symbols created by strictly earlier
+    merges, so the single-pass fold and the iterative loop pick the
+    same merges — path-equality tested in tests/test_bpe.py). A
+    hand-built table where a LATER merge manufactures an occurrence
+    of an EARLIER pair can diverge; the arrow path's iterative
+    semantics is the canonical one.
 
     Plan: distinct words (one map-side-combinable groupBy — the only
-    corpus-wide shuffle), the merge chain over the vocabulary-sized
-    table, one join back onto per-doc word rows, one per-doc sum.
+    corpus-wide shuffle), the merge application over the
+    vocabulary-sized table, one join back onto per-doc word rows, one
+    per-doc sum.
 
     Output: (id, n_words, n_subwords, tokens_per_word_milli) —
     wordless documents are absent (no tokens to count).
     """
+    if engine not in ("auto", "expr", "arrow"):
+        raise ValueError(f"engine must be auto|expr|arrow, got {engine!r}")
+    if engine == "auto":
+        engine = "expr" if len(merges) <= _EXPR_MERGE_LIMIT else "arrow"
+    if engine == "expr" and len(merges) > _EXPR_MERGE_LIMIT:
+        raise ValueError(
+            f"bpe_apply(engine='expr'): {len(merges)} merges exceeds the "
+            f"expression-chain bound ({_EXPR_MERGE_LIMIT}); production-scale "
+            "merge tables must use engine='arrow' (or 'auto')"
+        )
     wd = df.select(
         F.col(id_column).cast("long").alias("__id"),
         F.explode(
             tokens(F.coalesce(F.col(text_column), F.lit("")))
         ).alias("w"),
     )
-    ws = _wrapped_chars(F.col("w"))
-    for lhs, rhs in merges:
-        ws = F.replace(
-            ws,
-            F.lit(f"{_L}{lhs}{_R}{_L}{rhs}{_R}"),
-            F.lit(f"{_L}{lhs}{rhs}{_R}"),
-        )
+    if engine == "expr":
+        ws = _wrapped_chars(F.col("w"))
+        for lhs, rhs in merges:
+            ws = F.replace(
+                ws,
+                F.lit(f"{_L}{lhs}{_R}{_L}{rhs}{_R}"),
+                F.lit(f"{_L}{lhs}{rhs}{_R}"),
+            )
+        nsub = F.size(_symbols(ws)).cast("long")
+    else:
+        nsub = _arrow_subword_counts(merges)(F.col("w"))
     seg = (
         wd.select("w")
         .distinct()
-        .select("w", F.size(_symbols(ws)).cast("long").alias("__nsub"))
+        .select("w", nsub.alias("__nsub"))
     )
     return (
         wd.join(seg, "w")

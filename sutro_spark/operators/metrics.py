@@ -594,6 +594,11 @@ def krippendorff_alpha(
             F.col(rater_column).alias("__r"),
             F.col(category_column).cast("string").alias("__c"),
         )
+        # one vote per rater per item: replayed identical votes count
+        # once (a rater genuinely re-coding an item into a SECOND
+        # category still contributes both rows — that is real
+        # disagreement data, not a duplicate)
+        .distinct()
         .groupBy("__i", "__c")
         .agg(F.count(F.lit(1)).cast("long").alias("nic"))
     )
@@ -684,7 +689,9 @@ def average_precision(
     identically. Bound: k <= 25 keeps 10^6 * k * lcm(1..k) < 2^63.
 
     Ranks must be unique per query (ranked lists, not scores); ties
-    would double-count hits_so_far. Queries come from the TRUTH side;
+    would double-count hits_so_far. A duplicated (query, item) is
+    collapsed to its best rank before the truth join (each relevant
+    item can score at most once). Queries come from the TRUTH side;
     a query with no ranked hits contributes AP = 0, never silently
     drops.
 
@@ -707,8 +714,14 @@ def average_precision(
         lcm = lcm * i // g
     t = truth.select(query_key, item_key).distinct()
     rel = t.groupBy(query_key).agg(F.count(F.lit(1)).cast("long").alias("__R"))
-    r = ranked.select(query_key, item_key, rank_column).where(
-        F.col(rank_column) <= k
+    # one row per (query, item): an item ranked at several positions
+    # <= k scores only its BEST rank (else every occurrence would join
+    # the truth row and double-count hits_so_far)
+    r = (
+        ranked.select(query_key, item_key, rank_column)
+        .where(F.col(rank_column) <= k)
+        .groupBy(query_key, item_key)
+        .agg(F.min(rank_column).alias(rank_column))
     )
     hits = t.join(r, [query_key, item_key]).select(
         query_key, F.col(rank_column).cast("long").alias("__p")

@@ -737,6 +737,7 @@ def jl_project(
     vector_column: str = "embedding",
     out_dim: int = 16,
     scale: int = RH_SCALE,
+    dim: int | None = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction with a
     deterministic Rademacher matrix: project d-dim embeddings to
@@ -767,9 +768,17 @@ def jl_project(
 
     if out_dim < 1:
         raise ValueError("out_dim must be >= 1")
-    dim = len(
-        df.select(vector_column).first()[0]
-    )
+    if dim is None:
+        # dimension probe: explicit errors beat first()'s TypeError on
+        # an empty frame / NULL vector; pass dim= to skip the probe job
+        row = df.select(vector_column).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                f"jl_project: cannot infer the vector dimension from "
+                f"column {vector_column!r} (empty input or NULL first "
+                "vector) — pass dim= explicitly"
+            )
+        dim = len(row[0])
     S = np.asarray(jl_signs(out_dim, dim), dtype=np.int64)  # out_dim × dim
 
     @pandas_udf(ArrayType(LongType()))

@@ -177,3 +177,66 @@ def test_bpe_apply_frozen_merges_on_unseen_text(spark):
     # empty merge list degrades to character counting
     none = {r["doc_id"]: r for r in bpe_apply(new, []).collect()}
     assert none[3]["n_subwords"] == 3 and none[1]["n_subwords"] == 8
+
+
+def test_bpe_apply_engine_equality_on_trained_table(spark):
+    """Path equality: the Arrow canonical encoder and the expression
+    replace-chain agree on tables produced by BPE training (each
+    merge's operands come from strictly earlier merges)."""
+    from sutro_spark.operators.bpe import bpe_apply, bpe_merges
+
+    train = spark.createDataFrame(
+        [("the cat sat on the mat the bat",), ("that hat is that cat",)],
+        ["text"],
+    )
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merges(train, rounds=8).orderBy("round").collect()
+    ]
+    assert len(merges) >= 4
+    new = spark.createDataFrame(
+        [(1, "that that chat"), (2, "thematic bathmat"), (3, "zzz")],
+        ["doc_id", "text"],
+    )
+    key = lambda rows: sorted(
+        (r["doc_id"], r["n_words"], r["n_subwords"], r["tokens_per_word_milli"])
+        for r in rows
+    )
+    expr = key(bpe_apply(new, merges, engine="expr").collect())
+    arrow = key(bpe_apply(new, merges, engine="arrow").collect())
+    assert expr == arrow
+
+
+def test_bpe_apply_production_scale_merge_table(spark):
+    """auto routes a >256-merge table to the Arrow encoder (no 1k-deep
+    expression chain); results match the expr path on the effective
+    merges (the padding pairs reference symbols that never form)."""
+    from sutro_spark.operators.bpe import _EXPR_MERGE_LIMIT, bpe_apply
+
+    real = [("l", "o"), ("lo", "w"), ("w", "e"), ("we", "r")]
+    inert = [(f"q{i}", f"r{i}") for i in range(1200)]  # 2-char symbols never form
+    big = real + inert
+    assert len(big) > _EXPR_MERGE_LIMIT
+    new = spark.createDataFrame(
+        [(1, "low lower"), (2, "slow glow"), (3, "cat")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in bpe_apply(new, big).collect()  # auto -> arrow
+    }
+    want = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in bpe_apply(new, real, engine="expr").collect()
+    }
+    assert got == want
+
+
+def test_bpe_apply_expr_bound_and_engine_validation(spark):
+    from sutro_spark.operators.bpe import _EXPR_MERGE_LIMIT, bpe_apply
+
+    df = spark.createDataFrame([(1, "ab")], ["doc_id", "text"])
+    too_many = [(f"a{i}", f"b{i}") for i in range(_EXPR_MERGE_LIMIT + 1)]
+    with pytest.raises(ValueError, match="expression-chain bound"):
+        bpe_apply(df, too_many, engine="expr")
+    with pytest.raises(ValueError, match="engine must be"):
+        bpe_apply(df, [], engine="nope")

@@ -565,3 +565,43 @@ def test_average_precision_bounds_and_empty(spark):
     ranked = spark.createDataFrame([], "query_id int, neighbor_id string, rank int")
     r = average_precision(truth, ranked, k=5).first()
     assert (r["n_queries"], r["n_hit_queries"], r["map_milli"]) == (1, 0, 0)
+
+
+def test_krippendorff_alpha_dedupes_replayed_votes(spark):
+    """ADVICE r9: a replayed identical (item, rater, category) vote
+    counts once — duplicating every row leaves alpha unchanged."""
+    from sutro_spark.operators.metrics import krippendorff_alpha
+
+    rows = [
+        (1, "r1", "a"), (1, "r2", "a"), (1, "r3", "b"),
+        (2, "r1", "b"), (2, "r2", "b"),
+        (3, "r1", "a"), (3, "r2", "b"), (3, "r3", "a"), (3, "r4", "a"),
+    ]
+    df = spark.createDataFrame(rows, ["item", "rater", "category"])
+    base = krippendorff_alpha(df).collect()[0]
+    doubled = krippendorff_alpha(df.union(df)).collect()[0]
+    assert doubled["n_values"] == base["n_values"]
+    assert doubled["alpha"] == base["alpha"]
+
+
+def test_average_precision_dedupes_repeated_items(spark):
+    """ADVICE r9: the same (query, item) at several ranks <= k scores
+    once, at its best rank."""
+    from sutro_spark.operators.metrics import average_precision
+
+    truth = spark.createDataFrame([(1, 10)], ["query_id", "neighbor_id"])
+    clean = spark.createDataFrame(
+        [(1, 10, 2)], ["query_id", "neighbor_id", "rank"]
+    )
+    dup = spark.createDataFrame(
+        [(1, 10, 2), (1, 10, 3)], ["query_id", "neighbor_id", "rank"]
+    )
+    a = average_precision(truth, clean, k=5).collect()[0]
+    b = average_precision(truth, dup, k=5).collect()[0]
+    assert (a["map_milli"], a["mean_ap"]) == (b["map_milli"], b["mean_ap"])
+    # best rank wins: adding a rank-1 duplicate improves AP to 1.0
+    best = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 4)], ["query_id", "neighbor_id", "rank"]
+    )
+    c = average_precision(truth, best, k=5).collect()[0]
+    assert c["mean_ap"] == 1.0

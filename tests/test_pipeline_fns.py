@@ -1027,3 +1027,15 @@ def test_benford_profile_empty_and_zeros(spark):
     rows = benford_profile(df, "v").collect()
     assert len(rows) == 9  # full digit spine, zero counts
     assert all(r["n"] == 0 and r["obs_milli"] == 0 for r in rows)
+
+
+def test_hamilton_allocation_null_strata_excluded(spark):
+    """ADVICE r9: NULL strata are excluded from N up front, so the
+    exactly-total_n contract holds over the sampleable rows."""
+    from sutro_spark.functions.sampling import hamilton_allocation
+
+    rows = [(i, "a" if i % 2 == 0 else None) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = hamilton_allocation(df, "source", "doc_id", 15).collect()
+    assert len(got) == 15
+    assert all(r["source"] == "a" for r in got)

@@ -218,3 +218,20 @@ def test_jl_project_validation(spark):
 
     with pytest.raises(ValueError, match="out_dim"):
         jl_project(None, out_dim=0)
+
+
+def test_jl_project_empty_and_null_probe_guard(spark):
+    """ADVICE r9: empty input / NULL first vector raise a named error
+    instead of TypeError; explicit dim= skips the probe."""
+    import pytest
+
+    from sutro_spark.operators.similarity import jl_project
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty input or NULL first"):
+        jl_project(empty, out_dim=2)
+    nullv = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty input or NULL first"):
+        jl_project(nullv, out_dim=2)
+    # explicit dim: no probe job, empty in -> empty out
+    assert jl_project(empty, out_dim=2, dim=4).count() == 0
