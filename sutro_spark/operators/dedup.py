@@ -866,10 +866,14 @@ def prefix_filter_pairs(
 
     Plan: tokenize -> df counts (map-side combinable) -> rank window
     per doc -> prefix slice -> token self-join over PREFIX postings
-    only -> distinct candidate pairs -> one exact intersection
-    groupBy. The prefix join is the only quadratic-risk stage and it
-    is bounded by rare-token posting lists; everything downstream is
-    per-candidate.
+    only, pruned in-join by the PPJoin length filter
+    (1000*least(na,nb) >= t_milli*greatest(na,nb)) and positional
+    filter (remaining-token overlap bound) — both lossless by the
+    same AllPairs/PPJoin theorems, both free because sz/pos ride the
+    posting lists -> distinct candidate pairs -> one exact
+    intersection groupBy. The prefix join is the only quadratic-risk
+    stage and it is bounded by rare-token posting lists; everything
+    downstream is per-candidate.
 
     Output: (id_a, id_b, inter, na, nb, jaccard_milli), id_a < id_b.
     """
@@ -903,11 +907,52 @@ def prefix_filter_pairs(
         <= F.col("sz")
         - F.expr(f"({threshold_milli} * sz + 999) div 1000")
         + 1
-    ).select("id", "t")
+    ).select("id", "t", "pos", "sz")
+    # PPJoin pruning (both LOSSLESS, both free — sz/pos already ride
+    # the posting lists, so neither costs a join or a shuffle):
+    #  - length filter: J(A,B) >= t  =>  t*max(|A|,|B|) <= min(|A|,|B|)
+    #  - positional filter: at the FIRST shared prefix token the
+    #    overlap is bounded by 1 + min(na-pos_a, nb-pos_b), which must
+    #    reach the required overlap ceil(t*(na+nb)/(1+t)). A later
+    #    shared token may fail this row-level test, but the
+    #    first-token row of every truly-similar pair always passes, so
+    #    the pair survives the distinct — completeness is preserved
+    #    (the brute-force-equality pytest is the proof obligation).
+    req = F.expr(
+        f"({threshold_milli} * (sz_a + sz_b) + {1000 + threshold_milli} - 1)"
+        f" div {1000 + threshold_milli}"
+    )
     cand = (
-        prefix.select(F.col("id").alias("id_a"), "t")
-        .join(prefix.select(F.col("id").alias("id_b"), "t"), "t")
-        .where(F.col("id_a") < F.col("id_b"))
+        prefix.select(
+            F.col("id").alias("id_a"),
+            "t",
+            F.col("pos").alias("pos_a"),
+            F.col("sz").alias("sz_a"),
+        )
+        .join(
+            prefix.select(
+                F.col("id").alias("id_b"),
+                "t",
+                F.col("pos").alias("pos_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "t",
+        )
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.lit(1000) * F.least("sz_a", "sz_b")
+                >= F.lit(threshold_milli) * F.greatest("sz_a", "sz_b")
+            )
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("sz_a") - F.col("pos_a"),
+                    F.col("sz_b") - F.col("pos_b"),
+                )
+                >= req
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )

@@ -3,12 +3,16 @@ Language Models: ... Gopher", Table A1) — the standard pretraining
 quality gate: cheap surface statistics plus repetition measures, each
 with a published keep-threshold.
 
-Everything except the top-2-gram measure is per-row Catalyst array
-arithmetic — a single scan, no shuffle, no Python. The top-2-gram
-fraction (what share of the document's characters belong to its most
-frequent word bigram) genuinely needs a per-(doc, gram) count: that is
-one map-side-combinable groupBy plus a per-doc window, then one join
-back by doc id — cost scales with corpus size, never corpus².
+EVERYTHING here — including the top-n-gram repetition measures — is
+per-row Catalyst array arithmetic: a single map-only scan, no shuffle,
+no join, no Python. The most-frequent-n-gram of a document is a
+PER-DOCUMENT statistic, so it never needed a corpus-wide
+explode/groupBy/window (the r1–r9 shape, whose exploded gram table
+shuffle-spilled superlinearly at 16× data — measured exponent 1.35 in
+SCALING.md): sort the doc's n-gram array and one `aggregate`
+run-length scan finds (top gram, count) in O(L log L) per row. The
+quality gate every curation pipeline runs over the full corpus is now
+embarrassingly parallel.
 
 Float parity discipline (the oracle contract): every fraction is
 produced by ONE division of exactly-integer operands, rounded to 6
@@ -27,8 +31,55 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sutro_spark.functions.text import STOPWORDS
-from sutro_spark.operators.decontaminate import word_shingles
 from sutro_spark.session import release_local_checkpoint
+
+def _top_gram_struct(toks, n: int) -> F.Column:
+    """(cnt bigint, gram string) of the most frequent word ``n``-gram
+    in the token array ``toks`` — tie-break (cnt desc, gram asc) — as
+    pure per-row array work: build the gram array (same construction
+    as decontaminate.word_shingles), ``sort_array`` it, then ONE
+    ``aggregate`` pass run-length-scans the sorted array with an O(1)
+    struct accumulator. Strictly-greater updates keep the FIRST
+    (lexicographically smallest) gram on count ties, so the result is
+    exactly what a (count desc, gram asc) row_number window over a
+    (doc, gram) groupBy would pick — with zero shuffles instead of two.
+    gram is NULL (cnt 0) when the doc has fewer than ``n`` words.
+    """
+    m = F.size(toks)
+    grams = F.sort_array(
+        F.when(
+            m >= n,
+            F.transform(
+                F.sequence(F.lit(1), m - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("cnt"),
+        F.lit(None).cast("string").alias("gram"),
+    )
+
+    def step(acc, g):
+        run = (
+            F.when(acc["prev"].isNotNull() & (g == acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("bigint")
+        )
+        better = run > acc["cnt"]
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["cnt"]).alias("cnt"),
+            F.when(better, g).otherwise(acc["gram"]).alias("gram"),
+        )
+
+    return F.aggregate(
+        grams, init, step, lambda acc: F.struct(acc["cnt"], acc["gram"])
+    )
+
 
 #: Gopher Table A1 keep-thresholds.
 GOPHER_RULES = {
@@ -100,42 +151,40 @@ def gopher_quality(
         6,
     )
 
-    base = df.select(
+    # top word-2-gram by (count desc, gram asc — deterministic tie);
+    # fraction = chars covered by its occurrences / doc chars. Per-row
+    # run-length scan over the doc's sorted gram array — no shuffle.
+    # The struct materializes in an INNER projection: higher-order
+    # `aggregate` expressions are interpreted (not codegen'd), so
+    # referencing the scan once keeps it evaluated once per row.
+    inner = df.select(
         F.col(id_column).alias("id"),
-        F.length(text).alias("n_chars"),
+        F.length(text).alias("__nc"),
         n.cast("bigint").alias("n_words"),
         mean_word_len.alias("mean_word_len"),
         alpha_word_frac.alias("alpha_word_frac"),
         symbol_word_ratio.alias("symbol_word_ratio"),
         stop_hits.cast("bigint").alias("stop_hits"),
         dup_line_frac.alias("dup_line_frac"),
+        _top_gram_struct(toks, 2).alias("__tg"),
     )
-
-    # top word-2-gram by (count desc, gram asc — deterministic tie);
-    # fraction = chars covered by its occurrences / doc chars. The
-    # groupBy partial-aggregates map-side; the window is per doc id.
-    grams = word_shingles(df, text_column, id_column, n=2, distinct=False)
-    counts = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("gram"))
-    top = (
-        counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", "gram", "cnt")
-    )
-    scored = (
-        base.join(top, "id", "left")
-        .withColumn(
-            "top_2gram_frac",
-            F.round(
-                F.when(
-                    F.col("gram").isNull() | (F.col("n_chars") == 0), F.lit(0.0)
-                ).otherwise(
-                    (F.col("cnt") * F.length("gram")).cast("double") / F.col("n_chars")
-                ),
-                6,
+    scored = inner.select(
+        "id",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        "symbol_word_ratio",
+        "stop_hits",
+        "dup_line_frac",
+        F.round(
+            F.when(
+                F.col("__tg.gram").isNull() | (F.col("__nc") == 0), F.lit(0.0)
+            ).otherwise(
+                (F.col("__tg.cnt") * F.length("__tg.gram")).cast("double")
+                / F.col("__nc")
             ),
-        )
-        .drop("gram", "cnt", "n_chars")
+            6,
+        ).alias("top_2gram_frac"),
     )
 
     keep = (
@@ -154,19 +203,6 @@ def gopher_quality(
     )
 
 
-def _top_gram_frac(df: DataFrame, text_column: str, n: int, alias: str) -> DataFrame:
-    """(id, <alias>): chars covered by the most frequent word n-gram /
-    doc chars — one (doc, gram) groupBy + per-doc window, joined back."""
-    grams = word_shingles(df, text_column, "id", n=n, distinct=False)
-    counts = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("gram"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("id", "gram", "cnt")
-    ).withColumnRenamed("gram", f"__g{n}").withColumnRenamed("cnt", f"__c{n}")
-
-
 def repetition_profile(
     df: DataFrame,
     text_column: str = "text",
@@ -181,11 +217,12 @@ def repetition_profile(
     - top_3gram_frac / top_4gram_frac — chars covered by the most
       frequent word 3-/4-gram
 
-    Paragraph/line measures are per-row array arithmetic in the scan
-    stage (the line-frequency check is O(lines²) per row — lines per
-    doc is small and corpus-size-independent). The n-gram measures are
-    one (doc, gram) groupBy + window each, corpus-linear. Every
-    fraction: one division of exact integers, rounded to 6.
+    ALL measures are per-row array arithmetic in the scan stage (the
+    line-frequency check is O(lines²) per row — lines per doc is small
+    and corpus-size-independent; the n-gram measures are the
+    :func:`_top_gram_struct` sorted run-length scan). Map-only: no
+    shuffle, no join. Every fraction: one division of exact integers,
+    rounded to 6.
     """
     text = F.coalesce(F.col(text_column), F.lit(""))
     paras = F.split(text, "\n\n")
@@ -212,28 +249,38 @@ def repetition_profile(
         ),
         6,
     )
-    base = df.select(
+    toks = F.split(F.trim(text), r"\s+")
+    # inner projection so each interpreted run-length scan evaluates
+    # once per row (the gopher_quality note)
+    inner = df.select(
         F.col(id_column).alias("id"),
         n_chars.alias("__nc"),
         dup_para_frac.alias("dup_para_frac"),
         dup_line_char_frac.alias("dup_line_char_frac"),
+        _top_gram_struct(toks, 3).alias("__tg3"),
+        _top_gram_struct(toks, 4).alias("__tg4"),
     )
-    out = base
+    cols = [
+        F.col("id"),
+        F.col("dup_para_frac"),
+        F.col("dup_line_char_frac"),
+    ]
     for n in (3, 4):
-        out = out.join(_top_gram_frac(df.select(F.col(id_column).alias("id"), text_column), text_column, n, ""), "id", "left")
-        out = out.withColumn(
-            f"top_{n}gram_frac",
+        cols.append(
             F.round(
                 F.when(
-                    F.col(f"__g{n}").isNull() | (F.col("__nc") == 0), F.lit(0.0)
+                    F.col(f"__tg{n}.gram").isNull() | (F.col("__nc") == 0),
+                    F.lit(0.0),
                 ).otherwise(
-                    (F.col(f"__c{n}") * F.length(f"__g{n}")).cast("double")
+                    (F.col(f"__tg{n}.cnt") * F.length(f"__tg{n}.gram")).cast(
+                        "double"
+                    )
                     / F.col("__nc")
                 ),
                 6,
-            ),
-        ).drop(f"__g{n}", f"__c{n}")
-    return out.drop("__nc").withColumnRenamed("id", id_column)
+            ).alias(f"top_{n}gram_frac")
+        )
+    return inner.select(*cols).withColumnRenamed("id", id_column)
 
 
 def percentile_filter(

@@ -723,3 +723,39 @@ def test_prefix_filter_validation(spark):
 
     with pytest.raises(ValueError, match="threshold_milli"):
         prefix_filter_pairs(None, threshold_milli=0)
+
+
+def test_prefix_filter_ppjoin_filters_stay_lossless(spark):
+    """r10: the PPJoin length + positional filters prune candidates,
+    never results — randomized brute-force equality across thresholds,
+    with size-skewed docs (length-filter bait: a short doc sharing its
+    rare prefix token with a long doc) and shared-prefix families
+    (positional-filter bait)."""
+    import itertools
+    import random
+
+    from sutro_spark.operators.dedup import prefix_filter_pairs
+
+    rng = random.Random(10)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(1, 25):
+        n = rng.choice([3, 4, 5, 8, 12, 20])
+        docs.append((i, " ".join(rng.sample(vocab, n))))
+    # explicit bait: tiny doc sharing one rare token with a huge doc
+    docs.append((100, "rareword w0 w1"))
+    docs.append((101, "rareword " + " ".join(vocab[:25])))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sets = {i: set(t.split()) for i, t in docs}
+    for t_milli in (400, 600, 900):
+        got = {
+            (r["id_a"], r["id_b"]): (r["inter"], r["jaccard_milli"])
+            for r in prefix_filter_pairs(df, threshold_milli=t_milli).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and 1000 * inter >= t_milli * union:
+                want[(a, b)] = (inter, 1000 * inter // union)
+        assert got == want, f"threshold {t_milli}"
