@@ -4,25 +4,32 @@ near-dup PAIRS stream (the output of streaming_jaccard_pairs) so the
 cluster assignment is continuously current without ever re-reading
 the accumulated pair set.
 
-Snapshot layout under ``labels_dir``: each micro-batch writes the FULL
-(node, component) table under ``__batch_id=N/`` via dynamic partition
-overwrite — so a replayed batch replaces exactly its own snapshot
+Snapshot layout under ``labels_dir`` (r10 — delta writes): each
+micro-batch writes under ``__batch_id=N/`` via dynamic partition
+overwrite — so a replayed batch replaces exactly its own partition
 (at-least-once -> exactly-once-equivalent, the streaming/dedup.py
-convention), and the current assignment is simply the highest
-surviving partition. Batch N's input is the HIGHEST snapshot strictly
-below N, never a union of snapshots: labels are states, not deltas.
-Old snapshots are retention, not correctness — drop partitions below
-any horizon you like.
+convention). What a batch writes is ONLY the labels that CHANGED
+against the prior state (anti-join on (node, component) — CC merges
+touch few components per batch, so a quiet batch writes O(batch), not
+O(corpus)), except every ``compact_every``-th batch, which writes the
+FULL table flagged ``__full=true`` — the periodic compaction that
+bounds the fold chain. The current assignment is the fold "latest
+full snapshot, then later deltas, newest row per node wins" — one
+bounded ``max_by`` groupBy in :func:`read_labels`.
 
 Why this is the 100 TB shape: the pair set grows without bound
-(every batch appends candidates), but the label table is one row per
-clustered node, and re-clustering FROM LABELS converges in ~2
-large-star/small-star rounds because the carried part is already
-star-shaped. Cost per batch: O(|labels| + |batch pairs|), not
-O(all pairs ever).
+(every batch appends candidates) and the label table is one row per
+corpus document — so writing the full table per trigger would be an
+O(corpus) write per MINUTE. Deltas make the steady-state write
+proportional to what actually merged; re-clustering FROM LABELS
+converges in ~2 large-star/small-star rounds because the carried part
+is already star-shaped. Cost per batch: O(|changed| + |batch pairs|)
+written, O(|labels|) read (states must be read to merge — that part
+is irreducible).
 
-Equality contract (pytest-asserted): the final snapshot equals
-connected_components over the union of every batch's pairs.
+Equality contract (pytest-asserted): the final fold equals
+connected_components over the union of every batch's pairs, and a
+no-merge batch writes O(batch) rows.
 """
 
 from __future__ import annotations
@@ -32,38 +39,58 @@ from pyspark.sql import functions as F
 
 from sutro_spark.streaming.dedup import _write_batch_partition
 
-__all__ = ["components_batch", "streaming_components", "read_labels"]
+__all__ = [
+    "components_batch",
+    "prune_label_history",
+    "read_labels",
+    "streaming_components",
+]
 
 _LABEL_SCHEMA = "node long, component long"
 
 
-def read_labels(spark, labels_dir: str, *, before_batch: int | None = None) -> DataFrame:
-    """The current (node, component) snapshot: the highest
-    ``__batch_id`` partition (strictly below ``before_batch`` when
-    given — what a replayed batch must see, replay isolation). Empty
-    frame when no snapshot exists yet. The max-id probe is a bounded
-    1-row scalar over the partition column (partition-pruned scan);
-    unlike dedup's ``_read_or_empty`` this reader KEEPS the partition
-    column long enough to pick one snapshot — labels are states, so
-    unioning partitions would mix stale assignments in."""
+def _has_parquet(labels_dir: str) -> bool:
     import os
 
-    found = False
-    if os.path.isdir(labels_dir):
-        for _root, _dirs, files in os.walk(labels_dir):
-            if any(f.endswith(".parquet") for f in files):
-                found = True
-                break
-    if not found:
+    if not os.path.isdir(labels_dir):
+        return False
+    for _root, _dirs, files in os.walk(labels_dir):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def read_labels(spark, labels_dir: str, *, before_batch: int | None = None) -> DataFrame:
+    """The current (node, component) assignment: fold of the latest
+    ``__full`` snapshot plus every later delta (strictly below
+    ``before_batch`` when given — what a replayed batch must see,
+    replay isolation), newest row per node winning. Empty frame when
+    no snapshot exists yet.
+
+    Partitions below the latest full snapshot are PRUNED from the
+    scan (``__batch_id >= latest_full`` is a partition filter), so
+    the fold reads O(|labels| + deltas since compaction), regardless
+    of stream age. When no full snapshot exists below the horizon the
+    fold runs over all visible deltas — still correct, because the
+    first batch's "delta" against an empty prior is the full table.
+    """
+    if not _has_parquet(labels_dir):
         return spark.createDataFrame([], _LABEL_SCHEMA)
     snaps = spark.read.parquet(labels_dir)
     if before_batch is not None:
         snaps = snaps.where(F.col("__batch_id") < F.lit(int(before_batch)))
-    latest = snaps.agg(F.max("__batch_id").alias("m")).first()["m"]
-    if latest is None:
+    base = snaps.agg(
+        F.max(F.when(F.col("__full"), F.col("__batch_id"))).alias("f"),
+        F.max("__batch_id").alias("m"),
+    ).first()
+    if base["m"] is None:
         return spark.createDataFrame([], _LABEL_SCHEMA)
-    return snaps.where(F.col("__batch_id") == F.lit(latest)).select(
-        F.col("node").cast("long"), F.col("component").cast("long")
+    if base["f"] is not None:
+        snaps = snaps.where(F.col("__batch_id") >= F.lit(int(base["f"])))
+    return snaps.groupBy(F.col("node").cast("long").alias("node")).agg(
+        F.max_by(F.col("component").cast("long"), F.col("__batch_id")).alias(
+            "component"
+        )
     )
 
 
@@ -74,18 +101,75 @@ def components_batch(
     *,
     src: str = "id_a",
     dst: str = "id_b",
+    compact_every: int = 16,
 ) -> None:
-    """One micro-batch: prior snapshot + this batch's pairs ->
-    incremental CC -> write this batch's full snapshot. Exposed at
-    module level so replay idempotency is directly testable: calling
-    this twice with the same (batch_pairs, batch_id) leaves
-    ``labels_dir`` byte-identical to calling it once."""
+    """One micro-batch: prior state + this batch's pairs ->
+    incremental CC -> write the CHANGED labels (or, every
+    ``compact_every``-th batch, the full table as a compaction
+    point). Exposed at module level so replay idempotency is directly
+    testable: calling this twice with the same (batch_pairs,
+    batch_id) leaves ``labels_dir`` semantically identical to calling
+    it once (the delta is a deterministic function of prior state +
+    batch, and the prior state read excludes the batch's own
+    partition)."""
     from sutro_spark.operators.cluster import incremental_components
 
+    if compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, got {compact_every}")
     spark = batch_pairs.sparkSession
     prior = read_labels(spark, labels_dir, before_batch=batch_id)
     labels = incremental_components(prior, batch_pairs, src, dst)
-    _write_batch_partition(labels, labels_dir, batch_id)
+    full = int(batch_id) % compact_every == 0
+    out = labels if full else labels.join(prior, ["node", "component"], "left_anti")
+    _write_batch_partition(
+        out.withColumn("__full", F.lit(full)), labels_dir, batch_id
+    )
+
+
+def prune_label_history(labels_dir: str) -> int:
+    """Retention: delete ``__batch_id=N`` partitions strictly below
+    the latest FULL snapshot — they are shadowed by the compaction
+    point and can never be read again by :func:`read_labels` without
+    a ``before_batch`` horizon below it. Returns the number of
+    partitions removed.
+
+    Run this only for batches the stream has committed past (in
+    foreachBatch, only the most recent batch can replay; anything
+    below the latest full snapshot is durable history by the time a
+    later compaction lands)."""
+    import os
+    import re
+    import shutil
+
+    if not os.path.isdir(labels_dir):
+        return 0
+    parts: dict[int, str] = {}
+    for name in os.listdir(labels_dir):
+        m = re.fullmatch(r"__batch_id=(\d+)", name)
+        if m:
+            parts[int(m.group(1))] = os.path.join(labels_dir, name)
+    # a partition is a full snapshot iff it was written with
+    # __full=true; the flag is constant per partition, so one
+    # footer-level peek per partition suffices
+    import pyarrow.parquet as pq
+
+    full_ids = []
+    for bid, path in parts.items():
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not files:
+            continue
+        t = pq.read_table(os.path.join(path, files[0]), columns=["__full"])
+        if t.num_rows and t.column("__full")[0].as_py():
+            full_ids.append(bid)
+    if not full_ids:
+        return 0
+    horizon = max(full_ids)
+    pruned = 0
+    for bid, path in parts.items():
+        if bid < horizon:
+            shutil.rmtree(path)
+            pruned += 1
+    return pruned
 
 
 def streaming_components(
@@ -94,12 +178,17 @@ def streaming_components(
     *,
     src: str = "id_a",
     dst: str = "id_b",
+    compact_every: int = 16,
 ):
-    """foreachBatch writer maintaining the cluster label snapshot over
-    a candidate-pairs stream. Returns a ``DataStreamWriter`` — caller
-    picks trigger/checkpoint and ``.start()``s it."""
+    """foreachBatch writer maintaining the cluster label state over a
+    candidate-pairs stream (delta writes + periodic compaction).
+    Returns a ``DataStreamWriter`` — caller picks trigger/checkpoint
+    and ``.start()``s it."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        components_batch(batch_df, batch_id, labels_dir, src=src, dst=dst)
+        components_batch(
+            batch_df, batch_id, labels_dir, src=src, dst=dst,
+            compact_every=compact_every,
+        )
 
     return pairs_stream.writeStream.foreachBatch(process)

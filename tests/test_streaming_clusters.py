@@ -159,3 +159,64 @@ def test_composed_pairs_then_clusters_pipeline(spark, tmp_path):
     # cluster rooted at 1; unrelated docs never clustered
     assert (3, 1) in got and (5, 1) in got
     assert not any(n in (2, 4) for n, _ in got)
+
+
+def test_delta_writes_are_batch_sized_and_compaction_folds(spark, tmp_path):
+    """r10 (verdict #2): a batch that merges nothing new writes O(batch)
+    rows, not the whole label table; a compaction batch writes the full
+    table flagged __full; the fold reads back the same state either way."""
+    from sutro_spark.streaming.clusters import (
+        components_batch,
+        prune_label_history,
+        read_labels,
+    )
+
+    labels_dir = str(tmp_path / "labels")
+    schema = "id_a long, id_b long"
+    # batch 0 (full by construction): a 100-node chain -> 100 labels
+    b0 = spark.createDataFrame([(i, i + 1) for i in range(100)], schema)
+    components_batch(b0, 0, labels_dir, compact_every=4)
+    # batch 1: pairs entirely INSIDE the existing cluster -> no label
+    # changes -> empty delta partition (nothing to write)
+    b1 = spark.createDataFrame([(0, 5), (7, 9)], schema)
+    components_batch(b1, 1, labels_dir, compact_every=4)
+    part1 = tmp_path / "labels" / "__batch_id=1"
+    n1 = (
+        spark.read.parquet(str(part1)).count() if part1.exists() else 0
+    )
+    assert n1 == 0, f"no-merge batch wrote {n1} labels"
+    # batch 2: one new tiny component -> delta is just its nodes
+    b2 = spark.createDataFrame([(500, 501)], schema)
+    components_batch(b2, 2, labels_dir, compact_every=4)
+    n2 = spark.read.parquet(str(tmp_path / "labels" / "__batch_id=2")).count()
+    # labels are star edges (roots carry no row): one row for 501->500
+    assert n2 == 1, f"delta should be 1 row, got {n2}"
+    # batch 3: merge the tiny component into the chain -> delta covers
+    # only the relabeled nodes (the 2 tiny ones), not the 100-chain
+    b3 = spark.createDataFrame([(501, 3)], schema)
+    components_batch(b3, 3, labels_dir, compact_every=4)
+    n3 = spark.read.parquet(str(tmp_path / "labels" / "__batch_id=3")).count()
+    assert 0 < n3 <= 4, f"merge delta should be tiny, got {n3}"
+    state_before = {
+        (r["node"], r["component"])
+        for r in read_labels(spark, labels_dir).collect()
+    }
+    # batch 4: compaction point (4 % 4 == 0) -> full rewrite
+    b4 = spark.createDataFrame([(600, 601)], schema)
+    components_batch(b4, 4, labels_dir, compact_every=4)
+    snap4 = spark.read.parquet(str(tmp_path / "labels" / "__batch_id=4"))
+    assert snap4.count() == len(state_before) + 1
+    assert snap4.select("__full").distinct().collect()[0][0] is True
+    # retention: everything below the full snapshot is prunable, and
+    # the fold is unchanged afterwards
+    state_full = {
+        (r["node"], r["component"])
+        for r in read_labels(spark, labels_dir).collect()
+    }
+    pruned = prune_label_history(labels_dir)
+    # batches 0, 2, 3 (batch 1's empty delta wrote no partition)
+    assert pruned == 3
+    assert {
+        (r["node"], r["component"])
+        for r in read_labels(spark, labels_dir).collect()
+    } == state_full
