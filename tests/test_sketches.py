@@ -275,3 +275,46 @@ def test_hll_set_estimates_accuracy_and_clamp(spark):
     hi = spark.createDataFrame([(i,) for i in range(9000, 9300)], ["id"])
     d = hll_set_estimates(lo, hi, "id").first()
     assert d["est_intersection"] >= 0.0
+
+
+def test_hll_corrected_small_range_beats_raw(spark):
+    """r10 (verdict #7): linear counting from n_zero recovers accuracy
+    in the small-cardinality regime where raw HLL at p=6 is biased
+    high; large-range rows pass through unchanged."""
+    from sutro_spark.functions.sketches import hll_corrected, hll_distinct
+
+    for n in (10, 25, 50):
+        df = spark.createDataFrame(
+            [("g", f"key{i}") for i in range(n)], ["grp", "k"]
+        )
+        row = hll_corrected(hll_distinct(df, "grp", "k")).collect()[0]
+        raw_err = abs(row["est_hll"] - n) / n
+        cor_err = abs(row["est_corrected"] - n) / n
+        assert cor_err <= raw_err, (n, row["est_hll"], row["est_corrected"])
+        assert cor_err < 0.15, (n, row["est_corrected"])
+    # large range (no empty registers / est above 2.5m): passthrough
+    big = spark.createDataFrame(
+        [("g", f"key{i}") for i in range(5000)], ["grp", "k"]
+    )
+    row = hll_corrected(hll_distinct(big, "grp", "k")).collect()[0]
+    assert row["est_corrected"] == row["est_hll"]
+
+
+def test_kmv_set_estimates_plan_topk_is_distributed(spark):
+    """r10 (verdict #8, corrected): InferWindowGroupLimit does NOT
+    fire on an un-partitioned window (probed this round — the r9
+    assumption was wrong), so the global top-k must plan as
+    TakeOrderedAndProject (per-partition top-k merged on the driver),
+    never as a single-partition Window sort over all distinct hashes."""
+    from sutro_spark.functions.sketches import kmv_set_estimates
+
+    left = spark.range(0, 2000).select(
+        (F.col("id") % 700).cast("string").alias("k")
+    )
+    right = spark.range(0, 2000).select(
+        ((F.col("id") % 600) + 400).cast("string").alias("k")
+    )
+    out = kmv_set_estimates(left, right, "k", k=32)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Window" not in plan, plan[:2000]
