@@ -265,18 +265,6 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
 
 
-def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full fuzzy-dedup pipeline: simhash candidate pairs → transitive
-    closure (large-star/small-star connected components) → one
-    representative per duplicate cluster."""
-    from sutro_spark.operators.cluster import dedup_clusters
-    from sutro_spark.operators.dedup import simhash_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    pairs = simhash_pairs(docs, max_hamming=8).select("id_a", "id_b")
-    return dedup_clusters(docs, pairs)
-
-
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sutro_spark.functions.text import text_profile
 
@@ -2373,56 +2361,6 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # method-agreement matrix for the three near-dup candidate
-    # generators: pairwise |A|, |B|, |A∩B| over the pair sets of exact
-    # n-gram Jaccard (>=0.1), MinHash-LSH bands, and SimHash blocking —
-    # the evidence for choosing (or stacking) dedup passes.
-    from sutro_spark.operators.dedup import (
-        minhash_lsh_pairs,
-        ngram_jaccard_pairs,
-        simhash_pairs,
-        winnow_overlap,
-    )
-    from sutro_spark.operators.metrics import candidate_recall
-
-    docs = _t(spark, sf_dir, "documents")
-    # each method appears in 3 of the 6 comparisons below — do NOT
-    # .persist() the pair sets to "avoid recomputation": AQE already
-    # dedupes the repeated subtrees via ReusedExchange, and the
-    # InMemoryRelation a persist inserts BLOCKS that reuse (measured
-    # at sf0.1: 13.7 s without persist, 41 s with)
-    methods = [
-        ("jaccard", ngram_jaccard_pairs(docs, k=8, threshold=0.1, max_df=100)),
-        (
-            "minhash",
-            minhash_lsh_pairs(docs, k=8, num_hashes=16, bands=8, verify_threshold=None),
-        ),
-        ("simhash", simhash_pairs(docs, max_hamming=8)),
-        # min_shared=16: at the candidate bar (2) the winnow set is
-        # ~100x the other methods' (it contains all of them and the
-        # matrix says nothing); 16 shared rare fingerprints puts its
-        # set size in the same decade as the LSH band set, which is
-        # the comparison the matrix exists to make
-        ("winnow", winnow_overlap(docs, min_shared=16)),
-    ]
-    rows = None
-    for i in range(len(methods)):
-        for j in range(i + 1, len(methods)):
-            (na, da), (nb, db) = methods[i], methods[j]
-            r = candidate_recall(
-                da.select("id_a", "id_b"), db.select("id_a", "id_b")
-            ).select(
-                F.lit(na).alias("method_a"),
-                F.lit(nb).alias("method_b"),
-                F.col("n_truth").alias("n_a"),
-                F.col("n_cand").alias("n_b"),
-                F.col("n_hit").alias("n_both"),
-            )
-            rows = r if rows is None else rows.unionAll(r)
-    return rows
-
-
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join/agg-key skew diagnosis: top keys + max/avg skew factor —
     # the "should I salt this join?" evidence. One combinable groupBy
@@ -3721,33 +3659,31 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 50 entries of queries() in dict order; this list IS the rotation
 #: (queries() reorders the full literal dict by it — future rounds edit
 #: this list, not the dict). Invariant: EXACTLY 50 entries, new
-#: additions first, then the stalest cohort. After r9 no registry
-#: entry's last driver check is older than r5, and the r4 floor is
-#: fully cleared (all 9 remaining r4-green entries are in this
-#: window). Everything is equally oracle-checked by
+#: additions first, then the stalest cohort. After r10 no registry
+#: entry's last driver check is older than r6: this window carries
+#: the entire 28-entry r5 cohort plus the 22 oldest r6 entries
+#: (r10 retired dedup_agreement + dup_clusters — COVERAGE.md decision
+#: log — so the registry is 220). Everything is equally oracle-checked by
 #: tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
-_R9_WINDOW = [
-    # new in r9, never driver-checked (19)
-    "yule_k", "unigram_surprisal", "krippendorff_alpha",
-    "scd2_history", "copurchase_triangles", "kmv_set_ops",
-    "jl_project", "kcore", "prefix_filter", "hamilton_sample",
-    "readability", "ann_map", "quantile_normalize", "attribution",
-    "benford", "incremental_cc", "json_keys", "bpe_encode",
-    "hll_set_ops",
-    # the LAST nine r4-green entries (floor cleared to r5 after this)
-    "decontaminate_clean", "fuzzy_decontaminate", "list_source_infer",
-    "pack_chunks", "quality_percentile", "quality_scorer",
-    "tpch_q17ish", "tpch_q2ish", "tpch_q9ish",
-    # the 22 oldest r5-cohort entries (alphabetical — the cohort has
-    # no finer age order; the remaining 28 r5 entries lead r10)
-    "bigram_lift", "bpe_merges", "bpe_vocab", "charlm_quality",
-    "cms_heavy_hitters", "corr_tokens_chars", "curation_pipeline_v2",
-    "dedup_agreement", "dedup_paragraphs", "dsir_select",
-    "dup_passages", "dup_size_histogram", "embedding_norms",
-    "epoch_plan", "hll_distinct", "ivf_recall", "jaccard_histogram",
-    "lang_confidence", "leakage_safe_split", "length_gini",
-    "lsh_recall", "mixture_drift",
+_R10_WINDOW = [
+    # the ENTIRE remaining r5-green cohort (28) — clears the floor to r6
+    "ols_tokens_vs_chars", "price_histogram_quantiles", "price_quantiles",
+    "skew_report", "source_overlap", "sq_recall", "sq_topk",
+    "sql_interface", "strip_passages", "table_profile", "time_split",
+    "token_budget", "tpch_q10ish", "tpch_q11ish", "tpch_q13ish",
+    "tpch_q15ish", "tpch_q16ish", "tpch_q18ish", "tpch_q19ish",
+    "tpch_q20ish", "tpch_q22ish", "tpch_q4ish", "tpch_q7ish",
+    "tpch_q8ish", "validate_orders", "video_frames", "winnow_overlap",
+    "winnow_recall",
+    # the 22 oldest r6-cohort entries (alphabetical; the remaining 22
+    # r6 entries lead r11)
+    "batch_function", "bloom_decontaminate", "cap_per_source",
+    "classify", "csv_scan", "curation_pipeline", "customer_regions",
+    "embed", "events_top_per_user", "flagship_extract", "funnel",
+    "hash_sample_split", "hll_merge", "infer_per_model", "ivfpq_topk",
+    "kmeans_clusters", "labeled_concat_nulls", "merge_upsert",
+    "nfc_check", "pack_contexts", "pairwise_counts", "part_stats",
 ]
 
 
@@ -3896,7 +3832,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_gini": q_length_gini,
         "price_histogram_quantiles": q_price_histogram_quantiles,
         "skew_report": q_skew_report,
-        "dedup_agreement": q_dedup_agreement,
         "sql_interface": q_sql_interface,
         "time_split": q_time_split,
         "curation_pipeline_v2": q_curation_pipeline_v2,
@@ -3972,7 +3907,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
-        "dup_clusters": q_dup_clusters,
         "embedding_dedup": q_embedding_dedup,
         "ivf_dedup": q_ivf_dedup,
         "similarity_topk": q_similarity_topk,
@@ -3984,10 +3918,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
     }
-    missing = [q for q in _R9_WINDOW if q not in all_qs]
+    missing = [q for q in _R10_WINDOW if q not in all_qs]
     if missing:  # a typo in the rotation list must fail loudly, not 404
-        raise KeyError(f"_R9_WINDOW names not in registry: {missing}")
-    head = {k: all_qs[k] for k in _R9_WINDOW}
+        raise KeyError(f"_R10_WINDOW names not in registry: {missing}")
+    head = {k: all_qs[k] for k in _R10_WINDOW}
     head.update(all_qs)  # dict keeps first-insertion order: window leads
     return head
 
@@ -4778,7 +4712,7 @@ _QUALITY_TRAIN_EVAL_SQL = (
 # Winnowing fingerprint candidate pairs (k=8, window=4, max_df=100,
 # min_shared=2) — shared by winnow_overlap (emits the pairs) and
 # winnow_dedup (clusters them). CTE names are w-prefixed so the block
-# composes into dedup_agreement without colliding with its sh/mh CTEs.
+# composes with other pair CTEs without colliding.
 _WINNOW_PAIRS_CTE = """
     wg AS (
         SELECT doc_id AS id, CAST(p AS INTEGER) AS pos,
@@ -5973,37 +5907,6 @@ def oracle_sql() -> dict[str, str]:
                 WHERE x.id < y.id)
             SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS ham
             FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 8
-        """,
-        # transitive closure via recursive min-reachability: reach
-        # enumerates every node reachable from each doc over the
-        # simhash-pair edge set; min(r) is the component representative
-        # (same fixpoint the large-star/small-star rounds converge to)
-        "dup_clusters": f"""
-            WITH RECURSIVE {_SIMHASH_CTE},
-            chunks AS (
-                SELECT id, simhash, cid, (simhash >> (cid * 16)) & 65535 AS chunk
-                FROM fp, (SELECT unnest(range(0, 4)) AS cid) c),
-            p AS (
-                SELECT DISTINCT x.id AS id_a, y.id AS id_b
-                FROM chunks x
-                JOIN chunks y ON x.cid = y.cid AND x.chunk = y.chunk
-                WHERE x.id < y.id
-                  AND bit_count(xor(x.simhash, y.simhash)) <= 8),
-            edges AS (SELECT id_a AS a, id_b AS b FROM p
-                      UNION ALL SELECT id_b, id_a FROM p),
-            reach AS (
-                SELECT doc_id AS node, doc_id AS r FROM documents
-                UNION
-                SELECT reach.node, e.b AS r
-                FROM reach JOIN edges e ON e.a = reach.r),
-            lab AS (SELECT node AS doc_id, min(r) AS cluster_id
-                    FROM reach GROUP BY node),
-            sizes AS (SELECT cluster_id, count(*) AS cluster_size
-                      FROM lab GROUP BY cluster_id)
-            SELECT lab.doc_id, lab.cluster_id, sizes.cluster_size,
-                   CAST(CASE WHEN lab.doc_id = lab.cluster_id THEN 1 ELSE 0 END
-                        AS BIGINT) AS is_representative
-            FROM lab JOIN sizes USING (cluster_id)
         """,
         "events_props_stats": """
             WITH e AS (
@@ -8559,83 +8462,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE r.r_name = 'ASIA' AND o.o_totalprice IS NOT NULL
             GROUP BY n.n_name
             ORDER BY revenue_cents DESC, nation ASC
-        """,
-        "dedup_agreement": f"""
-            WITH {_SHINGLES_CTE},
-            rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
-            shf AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
-            sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
-            jac AS (
-                SELECT id_a, id_b FROM (
-                    SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-                    FROM shf a JOIN shf b USING (shingle)
-                    WHERE a.id < b.id GROUP BY 1, 2) x
-                JOIN sizes sa ON sa.id = x.id_a
-                JOIN sizes sb ON sb.id = x.id_b
-                WHERE i / (sa.n + sb.n - i) >= 0.1),
-            mins AS (
-                SELECT id, i,
-                       min(substring(sha256('s' || CAST(i // 8 AS VARCHAR) || ':' || shingle),
-                                     (i % 8) * 8 + 1, 8)) AS h
-                FROM sh, (SELECT unnest(range(0, 16)) AS i) seeds
-                GROUP BY id, i),
-            sigs AS (SELECT id, list(h ORDER BY i) AS sig FROM mins GROUP BY id),
-            bands AS (
-                SELECT id, unnest(list_transform(range(0, 8),
-                    b -> sha256('band' || CAST(b AS VARCHAR) || ':'
-                                || sig[2*b + 1] || '|' || sig[2*b + 2]))) AS band_key
-                FROM sigs),
-            mh AS (
-                SELECT DISTINCT x.id AS id_a, y.id AS id_b
-                FROM bands x JOIN bands y USING (band_key)
-                WHERE x.id < y.id),
-            {_SIMHASH_CTE.strip().lstrip()},
-            chunks AS (
-                SELECT id, simhash, cid, (simhash >> (cid * 16)) & 65535 AS chunk
-                FROM fp, (SELECT unnest(range(0, 4)) AS cid) c),
-            shp AS (
-                SELECT DISTINCT x.id AS id_a, y.id AS id_b
-                FROM chunks x
-                JOIN chunks y ON x.cid = y.cid AND x.chunk = y.chunk
-                WHERE x.id < y.id
-                  AND bit_count(xor(x.simhash, y.simhash)) <= 8),
-            {_WINNOW_PAIRS_CTE},
-            win16 AS (SELECT id_a, id_b FROM win WHERE n_shared >= 16)
-            SELECT 'jaccard' AS method_a, 'minhash' AS method_b,
-                   CAST((SELECT count(*) FROM jac) AS BIGINT) AS n_a,
-                   CAST((SELECT count(*) FROM mh) AS BIGINT) AS n_b,
-                   CAST((SELECT count(*) FROM jac JOIN mh USING (id_a, id_b))
-                        AS BIGINT) AS n_both
-            UNION ALL
-            SELECT 'jaccard', 'simhash',
-                   CAST((SELECT count(*) FROM jac) AS BIGINT),
-                   CAST((SELECT count(*) FROM shp) AS BIGINT),
-                   CAST((SELECT count(*) FROM jac JOIN shp USING (id_a, id_b))
-                        AS BIGINT)
-            UNION ALL
-            SELECT 'jaccard', 'winnow',
-                   CAST((SELECT count(*) FROM jac) AS BIGINT),
-                   CAST((SELECT count(*) FROM win16) AS BIGINT),
-                   CAST((SELECT count(*) FROM jac JOIN win16 USING (id_a, id_b))
-                        AS BIGINT)
-            UNION ALL
-            SELECT 'minhash', 'simhash',
-                   CAST((SELECT count(*) FROM mh) AS BIGINT),
-                   CAST((SELECT count(*) FROM shp) AS BIGINT),
-                   CAST((SELECT count(*) FROM mh JOIN shp USING (id_a, id_b))
-                        AS BIGINT)
-            UNION ALL
-            SELECT 'minhash', 'winnow',
-                   CAST((SELECT count(*) FROM mh) AS BIGINT),
-                   CAST((SELECT count(*) FROM win16) AS BIGINT),
-                   CAST((SELECT count(*) FROM mh JOIN win16 USING (id_a, id_b))
-                        AS BIGINT)
-            UNION ALL
-            SELECT 'simhash', 'winnow',
-                   CAST((SELECT count(*) FROM shp) AS BIGINT),
-                   CAST((SELECT count(*) FROM win16) AS BIGINT),
-                   CAST((SELECT count(*) FROM shp JOIN win16 USING (id_a, id_b))
-                        AS BIGINT)
         """,
         "skew_report": """
             WITH counts AS (

@@ -184,6 +184,8 @@ def main() -> None:
     # pairwise_counts + rank_elo) and dedup_agreement (9.8 s/run
     # agreement probe; the three dedup families stay individually
     # benched via ngram_jaccard / minhash_lsh / simhash).
+    # Retired r10 (decision log): dup_clusters (winnow_dedup runs the
+    # same pairs→CC→representative composition and stays benched).
     extra, extra_passes, extra_steal = timed_set(
         [
             name
@@ -191,7 +193,7 @@ def main() -> None:
             "rh_lsh_dedup", "chunk_docs", "redact_pii", "hash_sample_split",
             "tpch_q4ish", "tpch_q10ish", "tpch_q12ish", "decontaminate",
             "gopher_quality", "quality_scorer",
-            "dup_clusters", "term_topk", "source_mix", "cap_per_source",
+            "term_topk", "source_mix", "cap_per_source",
             "reassemble_chunks", "label_centroids", "price_quantiles",
             "tpch_q18ish", "tpch_q22ish", "events_props_stats",
             "pack_contexts", "pack_chunks", "shard_manifest",
