@@ -252,18 +252,27 @@ def main() -> None:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         nq = 50
         queries = emb.where(F.col("vec_id") < nq)
-        t0 = time.time()
         exact = exact_l2_topk(emb, queries, k=10)
-        approx = ivfpq_residual_topk(
-            emb, queries, k=10, n_codes=256, coarse_iters=4
-        )
-        row = candidate_recall(
-            exact, approx, keys=("query_id", "neighbor_id")
-        ).first()
+        # nprobe SWEEP (VERDICT r9 #9): record the recall/latency trade,
+        # not one point. coarse_k=8 buckets, so nprobe=8 scans every
+        # bucket — the recall ceiling of THIS index (quantization loss
+        # only); 2 and 4 show what partial probing costs.
+        sweep = {}
+        for nprobe in (2, 4, 8):
+            t0 = time.time()
+            approx = ivfpq_residual_topk(
+                emb, queries, k=10, n_codes=256, coarse_iters=4,
+                nprobe=nprobe,
+            )
+            row = candidate_recall(
+                exact, approx, keys=("query_id", "neighbor_id")
+            ).first()
+            sweep[f"nprobe_{nprobe}"] = {
+                "recall_at_10": round(row["recall"], 4) if row["recall"] is not None else None,
+                "sec": round(time.time() - t0, 3),
+            }
         ann_probes["ivfpq_recall_prod"] = {
-            "recall_at_10": round(row["recall"], 4) if row["recall"] is not None else None,
-            "n_codes": 256, "coarse_iters": 4, "nprobe": 2,
-            "n_queries": nq, "sec": round(time.time() - t0, 3),
+            "n_codes": 256, "coarse_iters": 4, "n_queries": nq, **sweep,
         }
     except Exception as exc:  # noqa: BLE001
         errors["ivfpq_recall_prod"] = f"{type(exc).__name__}: {exc}"[:400]
@@ -307,6 +316,94 @@ def main() -> None:
         }
     except Exception as exc:  # noqa: BLE001
         errors["ivfpq_prune_clustered"] = f"{type(exc).__name__}: {exc}"[:400]
+
+    # Production-scale BPE probe (VERDICT r9 #5): encode the full sf
+    # documents table under a >= 1k-merge FROZEN table via the Arrow
+    # canonical encoder (bpe_apply engine=auto routes there past 256
+    # merges). The merge table is trained driver-side on a bounded
+    # corpus sample — exactly the deployment shape: tokenizer trained
+    # elsewhere, engine applies it at corpus scale.
+    try:
+        import random
+        from collections import Counter, defaultdict
+
+        from sutro_spark.operators.bpe import bpe_apply
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t0 = time.time()
+        # the sf corpus has a ~31-word synthetic vocabulary — far too
+        # small to LEARN 1k merges from. The realistic deployment shape
+        # is a tokenizer trained on a DIFFERENT, richer corpus and
+        # applied frozen, so train on the corpus sample plus a
+        # deterministic Zipf-weighted letter-frequency vocabulary
+        # (seeded — same table every bench run).
+        sample = [
+            r["text"] or ""
+            for r in docs.select("text").where(F.col("doc_id") % 50 == 0).collect()
+        ]
+        wf = Counter(w for t in sample for w in t.split())
+        rng = random.Random(10)
+        letters = "etaoinshrdlucmfwypvbgkjqxz"
+        lweights = list(range(len(letters), 0, -1))
+        for i in range(3000):
+            w = "".join(rng.choices(letters, weights=lweights, k=4 + i % 9))
+            wf[w] += 3000 // (i + 1) + 1
+        # incremental-pair-count BPE trainer (driver-side, bounded
+        # vocab): per round only words containing the merged pair are
+        # touched
+        vocab = {w: list(w) for w in wf}
+        pc: Counter = Counter()
+        occ: defaultdict = defaultdict(set)
+        for w, syms in vocab.items():
+            fq = wf[w]
+            for p in zip(syms, syms[1:]):
+                pc[p] += fq
+                occ[p].add(w)
+        merges = []
+        for _ in range(1024):
+            if not pc:
+                break
+            best = max(pc.items(), key=lambda kv: (kv[1], kv[0]))
+            if best[1] <= 0:
+                break
+            la, lb = best[0]
+            merges.append((la, lb))
+            merged = la + lb
+            for w in list(occ.get((la, lb), ())):
+                syms = vocab[w]
+                fq = wf[w]
+                for p in zip(syms, syms[1:]):
+                    pc[p] -= fq
+                out, i2 = [], 0
+                while i2 < len(syms):
+                    if i2 < len(syms) - 1 and syms[i2] == la and syms[i2 + 1] == lb:
+                        out.append(merged)
+                        i2 += 2
+                    else:
+                        out.append(syms[i2])
+                        i2 += 1
+                vocab[w] = out
+                for p in zip(out, out[1:]):
+                    pc[p] += fq
+                    occ[p].add(w)
+            occ.pop((la, lb), None)
+            pc.pop((la, lb), None)
+        train_sec = round(time.time() - t0, 3)
+        t0 = time.time()
+        enc = bpe_apply(docs, merges).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_subwords").alias("n_subwords"),
+            F.sum("n_words").alias("n_words"),
+        ).first()
+        ann_probes["bpe_encode_1k"] = {
+            "n_merges": len(merges),
+            "n_docs": enc["n_docs"],
+            "subwords_per_word_milli": int(1000 * enc["n_subwords"] / enc["n_words"]) if enc["n_words"] else None,
+            "train_sec_driver_sample": train_sec,
+            "encode_sec": round(time.time() - t0, 3),
+        }
+    except Exception as exc:  # noqa: BLE001
+        errors["bpe_encode_1k"] = f"{type(exc).__name__}: {exc}"[:400]
 
     # BASELINE.md-promised metric: prefix-sample cost-estimate accuracy.
     # Ratio of the C6 sampled-prefix input-token estimate to the exact
