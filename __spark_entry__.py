@@ -2660,6 +2660,15 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_norm_stats(_t(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus anisotropy: expected random-pair dot / mean squared norm,
+    # via ||sum v||^2 - sum||v||^2 on milli-quantized exact integers —
+    # the cosine-threshold sanity check before any embedding dedup/ANN.
+    from sutro_spark.operators.similarity import embedding_anisotropy
+
+    return embedding_anisotropy(_t(spark, sf_dir, "embeddings"))
+
+
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MOSS-style winnowing fingerprint overlap: local-min sampling of
     # rolling char-8-gram hashes (window 4), df-capped inverted-index
@@ -3667,6 +3676,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
 _R10_WINDOW = [
+    # new in r10, never driver-checked
+    "embedding_anisotropy",
     # the ENTIRE remaining r5-green cohort (28) — clears the floor to r6
     "ols_tokens_vs_chars", "price_histogram_quantiles", "price_quantiles",
     "skew_report", "source_overlap", "sq_recall", "sq_topk",
@@ -3683,7 +3694,7 @@ _R10_WINDOW = [
     "embed", "events_top_per_user", "flagship_extract", "funnel",
     "hash_sample_split", "hll_merge", "infer_per_model", "ivfpq_topk",
     "kmeans_clusters", "labeled_concat_nulls", "merge_upsert",
-    "nfc_check", "pack_contexts", "pairwise_counts", "part_stats",
+    "nfc_check", "pack_contexts", "pairwise_counts",
 ]
 
 
@@ -3850,6 +3861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "epoch_plan": q_epoch_plan,
         "embedding_norms": q_embedding_norms,
+        "embedding_anisotropy": q_embedding_anisotropy,
         "dup_size_histogram": q_dup_size_histogram,
         "winnow_overlap": q_winnow_overlap,
         "winnow_recall": q_winnow_recall,
@@ -6819,6 +6831,34 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS position,
                    source, shard_id, vt
             FROM v
+        """,
+        "embedding_anisotropy": """
+            WITH q AS (
+                SELECT list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                       ) AS q
+                FROM embeddings),
+            t AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                       CAST(coalesce(max(len(q)), 0) AS BIGINT) AS dim,
+                       CAST(coalesce(sum(list_sum(
+                           list_transform(q, x -> x * x))), 0) AS BIGINT)
+                           AS t_self
+                FROM q),
+            dims AS (
+                SELECT d, CAST(sum(x) AS BIGINT) AS s
+                FROM (SELECT unnest(q) AS x,
+                             unnest(range(1, len(q) + 1)) AS d
+                      FROM q)
+                GROUP BY d),
+            sn AS (SELECT CAST(coalesce(sum(s * s), 0) AS BIGINT) AS s_norm2
+                   FROM dims)
+            SELECT n_vecs, dim, t_self, s_norm2,
+                   CASE WHEN n_vecs >= 2 AND t_self > 0 THEN
+                       CAST(s_norm2 - t_self AS DOUBLE)
+                       / CAST((n_vecs - 1) * t_self AS DOUBLE) END
+                       AS anisotropy
+            FROM t, sn
         """,
         "embedding_norms": """
             WITH q AS (

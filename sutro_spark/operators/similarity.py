@@ -665,6 +665,82 @@ def label_centroids(
     )
 
 
+def embedding_anisotropy(
+    df: DataFrame,
+    vector_column: str = "embedding",
+    *,
+    scale: int = 1000,
+) -> DataFrame:
+    """Corpus anisotropy diagnostic: the expected dot product between
+    two DISTINCT random embeddings, relative to the mean squared norm
+    (Ethayarajh EMNLP 2019; Mu & Viswanath ICLR 2018 — contextual
+    embedding spaces are anisotropic: random pairs share a large
+    common direction, which silently inflates every cosine threshold
+    downstream). Run this BEFORE fixing a cosine cutoff for
+    embedding_dedup_pairs / semdedup / ANN verify — a corpus with
+    anisotropy 0.4 needs a very different threshold than one at 0.02,
+    and mean-centering (Mu's "all-but-the-top") is the standard fix
+    when it is high.
+
+    Exact arithmetic via the identity
+    sum_{i != j} <v_i, v_j> = ||sum_i v_i||^2 - sum_i ||v_i||^2:
+    components quantize to ``scale``-ths (HALF-UP, the
+    embedding_norm_stats discipline), per-dimension sums and both
+    norms are exact BIGINTs, and
+
+        anisotropy = (||S||^2 - T) / ((n - 1) * T)
+
+    (avg pairwise dot / avg squared norm) is ONE IEEE division of
+    exact integers — engine-reproducible, NULL when degenerate
+    (n < 2 or T = 0). Overflow: |S_d| <= n*scale*|mean_d| keeps
+    ||S||^2 < 2^63 to ~10^8 unit-scale vectors at dim 64; shard and
+    average beyond that.
+
+    Plan: one scan computes the quantized arrays; T reduces in the
+    scan stage; the per-dimension sums are one posexplode +
+    groupBy(dim) — dim keys, map-side combinable, so the shuffle
+    carries dim rows per map task, never the corpus. No collects.
+
+    Output: one row (n_vecs, dim, t_self, s_norm2, anisotropy).
+    """
+    q = F.transform(
+        F.col(vector_column),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    base = df.select(q.alias("q"))
+    self_dot = F.aggregate(
+        F.transform(F.col("q"), lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.coalesce(F.max(F.size("q")), F.lit(0)).cast("long").alias("dim"),
+        F.coalesce(F.sum(self_dot), F.lit(0)).cast("long").alias("t_self"),
+    )
+    dims = (
+        base.select(F.posexplode("q").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.sum("x").cast("long").alias("s"))
+    )
+    sn = dims.agg(
+        F.coalesce(F.sum(F.col("s") * F.col("s")), F.lit(0))
+        .cast("long")
+        .alias("s_norm2")
+    )
+    return tot.crossJoin(sn).select(
+        "n_vecs",
+        "dim",
+        "t_self",
+        "s_norm2",
+        F.expr(
+            "CASE WHEN n_vecs >= 2 AND t_self > 0 THEN"
+            " CAST(s_norm2 - t_self AS DOUBLE)"
+            " / CAST((n_vecs - 1) * t_self AS DOUBLE) END"
+        ).alias("anisotropy"),
+    )
+
+
 def embedding_norm_stats(
     df: DataFrame,
     vector_column: str = "embedding",

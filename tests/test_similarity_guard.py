@@ -235,3 +235,39 @@ def test_jl_project_empty_and_null_probe_guard(spark):
         jl_project(nullv, out_dim=2)
     # explicit dim: no probe job, empty in -> empty out
     assert jl_project(empty, out_dim=2, dim=4).count() == 0
+
+
+def test_embedding_anisotropy_closed_form_and_degenerate(spark):
+    """Closed form: for vectors {e1, e1, e2} at scale, pairwise dots
+    sum = 2*scale^2 (the e1,e1 pair both orders), T = 3*scale^2 ->
+    anisotropy = 2/(2*3) = 1/3. Identical vectors -> exactly 1.
+    Orthogonal set -> 0. Degenerate (n<2, zero vectors) -> NULL."""
+    from sutro_spark.operators.similarity import embedding_anisotropy
+
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_anisotropy(df).collect()[0]
+    assert (r["n_vecs"], r["dim"]) == (3, 2)
+    assert r["t_self"] == 3 * 1000 * 1000
+    assert abs(r["anisotropy"] - 1.0 / 3.0) < 1e-12
+
+    same = spark.createDataFrame(
+        [(i, [0.6, 0.8]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    assert abs(embedding_anisotropy(same).collect()[0]["anisotropy"] - 1.0) < 1e-12
+
+    ortho = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert embedding_anisotropy(ortho).collect()[0]["anisotropy"] == 0.0
+
+    one = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert embedding_anisotropy(one).collect()[0]["anisotropy"] is None
+    zero = spark.createDataFrame(
+        [(0, [0.0]), (1, [0.0])], "vec_id long, embedding array<double>"
+    )
+    assert embedding_anisotropy(zero).collect()[0]["anisotropy"] is None
