@@ -2669,6 +2669,24 @@ def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_anisotropy(_t(spark, sf_dir, "embeddings"))
 
 
+def q_center_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # all-but-the-top step 1: exact mean-centering in (n*scale)-ths —
+    # centered_d = n*q_d - S_d, pure BIGINT, direction-preserving so
+    # cosine consumers read it directly. Sliced to vec_id < 100 to keep
+    # the compare payload bounded (the centering math is row-local).
+    from sutro_spark.operators.similarity import center_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = center_embeddings(emb).where(F.col("vec_id") < 100)
+    # exploded to scalar rows for the driver compare (the jl_project
+    # convention — no [Q] ships array cells to the value-hash)
+    return out.select(
+        "vec_id",
+        "denom",
+        F.posexplode("centered").alias("d", "c"),
+    )
+
+
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MOSS-style winnowing fingerprint overlap: local-min sampling of
     # rolling char-8-gram hashes (window 4), df-capped inverted-index
@@ -3677,7 +3695,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: completeness-enforced).
 _R10_WINDOW = [
     # new in r10, never driver-checked
-    "embedding_anisotropy",
+    "embedding_anisotropy", "center_embeddings",
     # the ENTIRE remaining r5-green cohort (28) — clears the floor to r6
     "ols_tokens_vs_chars", "price_histogram_quantiles", "price_quantiles",
     "skew_report", "source_overlap", "sq_recall", "sq_topk",
@@ -3694,7 +3712,7 @@ _R10_WINDOW = [
     "embed", "events_top_per_user", "flagship_extract", "funnel",
     "hash_sample_split", "hll_merge", "infer_per_model", "ivfpq_topk",
     "kmeans_clusters", "labeled_concat_nulls", "merge_upsert",
-    "nfc_check", "pack_contexts", "pairwise_counts",
+    "nfc_check", "pack_contexts",
 ]
 
 
@@ -3862,6 +3880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_plan": q_epoch_plan,
         "embedding_norms": q_embedding_norms,
         "embedding_anisotropy": q_embedding_anisotropy,
+        "center_embeddings": q_center_embeddings,
         "dup_size_histogram": q_dup_size_histogram,
         "winnow_overlap": q_winnow_overlap,
         "winnow_recall": q_winnow_recall,
@@ -6831,6 +6850,27 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS position,
                    source, shard_id, vt
             FROM v
+        """,
+        "center_embeddings": """
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                       ) AS q
+                FROM embeddings),
+            dims AS (
+                SELECT d, CAST(sum(x) AS BIGINT) AS s
+                FROM (SELECT unnest(q) AS x,
+                             unnest(range(1, len(q) + 1)) AS d
+                      FROM q)
+                GROUP BY d),
+            sums AS (SELECT list(s ORDER BY d) AS ss FROM dims),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM q)
+            SELECT vec_id, nn * 1000 AS denom,
+                   CAST(d - 1 AS INT) AS d,
+                   nn * q[CAST(d AS INT)] - ss[CAST(d AS INT)] AS c
+            FROM (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS d
+                  FROM q WHERE vec_id < 100), sums, n
         """,
         "embedding_anisotropy": """
             WITH q AS (

@@ -741,6 +741,65 @@ def embedding_anisotropy(
     )
 
 
+def center_embeddings(
+    df: DataFrame,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    *,
+    scale: int = 1000,
+) -> DataFrame:
+    """Mean-center a corpus of embeddings EXACTLY — step one of Mu &
+    Viswanath's "all-but-the-top" anisotropy fix (remove the common
+    mean direction; run :func:`embedding_anisotropy` first to decide
+    whether you need it). Centering restores cosine contrast when
+    random pairs share a large common component.
+
+    Exactness trick: the mean S_d/n is not an integer, so instead of
+    dividing, every centered component is reported in (n*scale)-ths:
+
+        centered_d = n * q_d - S_d      (q = HALF-UP scale-quantized)
+
+    — pure BIGINT arithmetic, bit-identical on any engine, and
+    direction-preserving (cosines over centered vectors are unchanged
+    by the positive n*scale factor, so downstream cosine dedup/ANN
+    can consume this table directly). Overflow: |n*q_d| <=
+    n*scale*|v_d| — safe to ~10^12 unit-scale rows at scale 1000.
+
+    Plan: one posexplode + groupBy(dim) builds the dim-row sum table
+    (map-side combinable), which collapses to a single broadcastable
+    row (sorted sums array + n); the centering itself is a map-only
+    zip against that broadcast row. No corpus-width shuffle, no
+    collect.
+
+    Output: (id, centered array<bigint>, denom bigint = n*scale).
+    """
+    q = F.transform(
+        F.col(vector_column),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    base = df.select(F.col(id_column).alias("id"), q.alias("q"))
+    sums = (
+        base.select(F.posexplode("q").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.sum("x").cast("long").alias("s"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "s"))),
+                lambda e: e["s"],
+            ).alias("__sums")
+        )
+    )
+    n = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    return base.crossJoin(F.broadcast(sums)).crossJoin(F.broadcast(n)).select(
+        F.col("id").alias(id_column),
+        F.expr(
+            "transform(sequence(1, size(q)),"
+            " i -> __n * element_at(q, i) - element_at(__sums, i))"
+        ).alias("centered"),
+        (F.col("__n") * F.lit(scale)).alias("denom"),
+    )
+
+
 def embedding_norm_stats(
     df: DataFrame,
     vector_column: str = "embedding",

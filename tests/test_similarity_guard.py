@@ -271,3 +271,28 @@ def test_embedding_anisotropy_closed_form_and_degenerate(spark):
         [(0, [0.0]), (1, [0.0])], "vec_id long, embedding array<double>"
     )
     assert embedding_anisotropy(zero).collect()[0]["anisotropy"] is None
+
+
+def test_center_embeddings_exact_and_kills_mean(spark):
+    """centered_d = n*q_d - S_d in (n*scale)-ths: exact integers,
+    column sums exactly zero (the mean direction is gone), and cosines
+    are preserved up to the positive n*scale factor."""
+    from pyspark.sql import functions as F
+
+    from sutro_spark.operators.similarity import center_embeddings
+
+    rows = [(0, [1.0, 0.5]), (1, [2.0, 0.5]), (2, [3.0, -1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = center_embeddings(df)
+    got = {r["vec_id"]: (list(r["centered"]), r["denom"]) for r in out.collect()}
+    # S = (6000, 0); n = 3 -> centered = 3*q - S
+    assert got[0] == ([3 * 1000 - 6000, 3 * 500 - 0], 3000)
+    assert got[1] == ([3 * 2000 - 6000, 3 * 500 - 0], 3000)
+    assert got[2] == ([3 * 3000 - 6000, 3 * -1000 - 0], 3000)
+    sums = (
+        out.select(F.posexplode("centered").alias("d", "c"))
+        .groupBy("d")
+        .agg(F.sum("c").alias("s"))
+        .collect()
+    )
+    assert all(r["s"] == 0 for r in sums)
