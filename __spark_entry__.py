@@ -2687,6 +2687,18 @@ def q_center_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pca_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed PCA power iteration (all-but-the-top step 2): two
+    # rounds of v <- round(scale * A^T A v / ||A^T A v||) on quantized
+    # BIGINTs — the only floats are dimension-ordered left-folds, one
+    # IEEE sqrt and one division per dim, all re-quantized per round,
+    # so the DuckDB oracle unrolls the identical arithmetic. d = -1
+    # carries the pre-normalization magnitude.
+    from sutro_spark.operators.similarity import pca_top_direction
+
+    return pca_top_direction(_t(spark, sf_dir, "embeddings"), rounds=2)
+
+
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MOSS-style winnowing fingerprint overlap: local-min sampling of
     # rolling char-8-gram hashes (window 4), df-capped inverted-index
@@ -3695,7 +3707,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: completeness-enforced).
 _R10_WINDOW = [
     # new in r10, never driver-checked
-    "embedding_anisotropy", "center_embeddings",
+    "embedding_anisotropy", "center_embeddings", "pca_direction",
     # the ENTIRE remaining r5-green cohort (28) — clears the floor to r6
     "ols_tokens_vs_chars", "price_histogram_quantiles", "price_quantiles",
     "skew_report", "source_overlap", "sq_recall", "sq_topk",
@@ -3712,7 +3724,7 @@ _R10_WINDOW = [
     "embed", "events_top_per_user", "flagship_extract", "funnel",
     "hash_sample_split", "hll_merge", "infer_per_model", "ivfpq_topk",
     "kmeans_clusters", "labeled_concat_nulls", "merge_upsert",
-    "nfc_check", "pack_contexts",
+    "nfc_check",
 ]
 
 
@@ -3881,6 +3893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "embedding_anisotropy": q_embedding_anisotropy,
         "center_embeddings": q_center_embeddings,
+        "pca_direction": q_pca_direction,
         "dup_size_histogram": q_dup_size_histogram,
         "winnow_overlap": q_winnow_overlap,
         "winnow_recall": q_winnow_recall,
@@ -6850,6 +6863,61 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS position,
                    source, shard_id, vt
             FROM v
+        """,
+        "pca_direction": """
+            WITH q AS (
+                SELECT list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                       ) AS q
+                FROM embeddings),
+            dm AS (SELECT coalesce(max(len(q)), 0) AS dim FROM q),
+            v0 AS (SELECT list_transform(range(1, dim + 1),
+                       i -> CAST(1000 AS BIGINT)) AS v FROM dm),
+            s1 AS (SELECT q, CAST(list_sum(list_transform(
+                       range(1, len(q) + 1),
+                       i -> q[CAST(i AS INT)] * v[CAST(i AS INT)]))
+                       AS BIGINT) AS s
+                   FROM q, v0),
+            y1 AS (SELECT d, CAST(sum(s * x) AS BIGINT) AS y
+                   FROM (SELECT s, unnest(q) AS x,
+                                unnest(range(1, len(q) + 1)) AS d
+                         FROM s1)
+                   GROUP BY d),
+            n1 AS (SELECT yarr, sqrt(list_reduce(list_transform(yarr,
+                       t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)),
+                       (a, b) -> a + b)) AS nrm
+                   FROM (SELECT list(y ORDER BY d) AS yarr FROM y1)),
+            v1 AS (SELECT CASE WHEN nrm > 0 THEN list_transform(yarr,
+                       t -> CAST(round(1000 * CAST(t AS DOUBLE) / nrm)
+                                 AS BIGINT))
+                       ELSE list_transform(yarr, t -> CAST(0 AS BIGINT))
+                       END AS v
+                   FROM n1),
+            s2 AS (SELECT q, CAST(list_sum(list_transform(
+                       range(1, len(q) + 1),
+                       i -> q[CAST(i AS INT)] * v[CAST(i AS INT)]))
+                       AS BIGINT) AS s
+                   FROM q, v1),
+            y2 AS (SELECT d, CAST(sum(s * x) AS BIGINT) AS y
+                   FROM (SELECT s, unnest(q) AS x,
+                                unnest(range(1, len(q) + 1)) AS d
+                         FROM s2)
+                   GROUP BY d),
+            n2 AS (SELECT yarr, sqrt(list_reduce(list_transform(yarr,
+                       t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)),
+                       (a, b) -> a + b)) AS nrm
+                   FROM (SELECT list(y ORDER BY d) AS yarr FROM y2)),
+            v2 AS (SELECT CASE WHEN nrm > 0 THEN list_transform(yarr,
+                       t -> CAST(round(1000 * CAST(t AS DOUBLE) / nrm)
+                                 AS BIGINT))
+                       ELSE list_transform(yarr, t -> CAST(0 AS BIGINT))
+                       END AS v
+                   FROM n2)
+            SELECT CAST(d - 1 AS INT) AS d, v[CAST(d AS INT)] AS v_milli
+            FROM (SELECT v, unnest(range(1, len(v) + 1)) AS d FROM v2)
+            UNION ALL
+            SELECT CAST(-1 AS INT) AS d, CAST(round(nrm) AS BIGINT) AS v_milli
+            FROM n2
         """,
         "center_embeddings": """
             WITH q AS (

@@ -800,6 +800,124 @@ def center_embeddings(
     )
 
 
+def pca_top_direction(
+    df: DataFrame,
+    vector_column: str = "embedding",
+    *,
+    rounds: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Top principal direction of an embedding corpus by POWER
+    ITERATION — step two of "all-but-the-top" (Mu & Viswanath 2018:
+    after :func:`center_embeddings`, remove the top principal
+    component(s); this finds the component). Also the standard
+    spectral diagnostic: the dominant direction of an anisotropic
+    corpus IS the common direction :func:`embedding_anisotropy`
+    detects.
+
+    Engine-reproducible iterative float math (the kmeans.py milli-int
+    discipline, extended): the direction vector is RE-QUANTIZED to
+    ``scale``-ths after every round, so each round's inputs are exact
+    BIGINTs; within a round the only float ops are (a) squaring the
+    exact per-dim sums as doubles and left-folding them in dimension
+    order, (b) one IEEE sqrt (correctly rounded by the standard), and
+    (c) one division + HALF-UP round per dimension. Any IEEE-754
+    engine — including the DuckDB oracle, which unrolls the same
+    rounds — reproduces every intermediate bit-for-bit.
+
+    Per round: v_next = round(scale * (A^T A v) / ||A^T A v||) where
+    A is the quantized corpus matrix, computed as s_i = <q_i, v>
+    (map-side exact dot), y_d = sum_i s_i * q_id (posexplode +
+    dim-key groupBy, map-side combinable), then the normalize above
+    on the dim-row table. v starts at the all-ones direction and
+    stays a dim-row DataFrame throughout — localCheckpoint-ed per
+    round (tiny) so the plan stays linear in ``rounds``; the corpus
+    is scanned once per round and never collected. Overflow bound:
+    |y_d| <= n * dim * scale^3 — safe past 10^6 unit-scale rows at
+    dim 64, shard-and-average beyond.
+
+    Convergence note: rounds=2-4 suffices when the spectral gap is
+    real (the anisotropic-common-direction case); this is a
+    direction ESTIMATE with deterministic arithmetic, not an eigen
+    decomposition.
+
+    Output: (d int, v_milli bigint) — the unit direction in
+    ``scale``-ths, plus the pre-normalization magnitude carried as
+    (d = -1, v_milli = round(||y||)) so callers can read the
+    dominant-eigenvalue scale without a second pass.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from sutro_spark.session import release_local_checkpoint
+
+    q = F.transform(
+        F.col(vector_column),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    base = df.select(q.alias("q")).persist()
+    try:
+        dim_row = base.agg(
+            F.coalesce(F.max(F.size("q")), F.lit(0)).cast("int").alias("dim")
+        )
+        v = dim_row.select(
+            F.expr(f"transform(sequence(1, dim), i -> CAST({scale} AS BIGINT))").alias(
+                "v"
+            )
+        ).localCheckpoint(eager=True)
+        prev = v
+        norm_row = None
+        for r in range(rounds):
+            scored = base.crossJoin(F.broadcast(v)).select(
+                "q",
+                F.expr(
+                    "aggregate(zip_with(q, v, (x, y) -> x * y),"
+                    " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+                ).alias("s"),
+            )
+            y = (
+                scored.select(F.col("s"), F.posexplode("q").alias("d", "x"))
+                .groupBy("d")
+                .agg(F.sum(F.col("s") * F.col("x")).cast("long").alias("y"))
+            )
+            # ordered left-fold of double squares + IEEE sqrt: identical
+            # on any IEEE engine (DuckDB oracle uses list_reduce)
+            prev_norm = norm_row
+            # eager: norm_row's lineage crosses the about-to-be-released
+            # v checkpoint (the cluster.py release discipline — a frame
+            # referencing an earlier checkpoint must itself checkpoint
+            # before its ancestor is freed)
+            norm_row = y.agg(
+                F.array_sort(F.collect_list(F.struct("d", "y"))).alias("__ys")
+            ).select(
+                F.expr(
+                    "sqrt(aggregate(transform(__ys, e -> CAST(e.y AS DOUBLE)"
+                    " * CAST(e.y AS DOUBLE)), CAST(0.0 AS DOUBLE),"
+                    " (acc, t) -> acc + t))"
+                ).alias("nrm"),
+                F.expr("transform(__ys, e -> e.y)").alias("yarr"),
+            ).localCheckpoint(eager=True)
+            if prev_norm is not None:
+                release_local_checkpoint(prev_norm)
+            v = norm_row.select(
+                F.expr(
+                    f"CASE WHEN nrm > 0 THEN transform(yarr,"
+                    f" t -> CAST(round({scale} * CAST(t AS DOUBLE) / nrm)"
+                    f" AS BIGINT)) ELSE transform(yarr,"
+                    f" t -> CAST(0 AS BIGINT)) END"
+                ).alias("v")
+            ).localCheckpoint(eager=True)
+            release_local_checkpoint(prev)
+            prev = v
+        out = v.select(F.posexplode("v").alias("d", "v_milli"))
+        mag = norm_row.select(
+            F.lit(-1).alias("d"),
+            F.expr("CAST(round(nrm) AS BIGINT)").alias("v_milli"),
+        )
+        return out.unionAll(mag)
+    finally:
+        base.unpersist()
+
+
 def embedding_norm_stats(
     df: DataFrame,
     vector_column: str = "embedding",

@@ -296,3 +296,39 @@ def test_center_embeddings_exact_and_kills_mean(spark):
         .collect()
     )
     assert all(r["s"] == 0 for r in sums)
+
+
+def test_pca_top_direction_recovers_dominant_axis(spark):
+    """Vectors spread along (3,4): two rounds recover the unit
+    direction (600, 800) in millis; the d=-1 row carries a positive
+    magnitude; checkpoint hygiene leaves only the returned frames."""
+    from sutro_spark.operators.similarity import pca_top_direction
+
+    rows = []
+    for i in range(200):
+        t = (i % 7 - 3) / 3.0
+        rows.append((i, [3.0 * t + 0.01 * (i % 5), 4.0 * t - 0.01 * (i % 3)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["d"]: r["v_milli"] for r in pca_top_direction(df, rounds=3).collect()}
+    assert (out[0], out[1]) == (600, 800)
+    assert out[-1] > 0
+    import pytest
+
+    with pytest.raises(ValueError, match="rounds"):
+        pca_top_direction(df, rounds=0)
+
+
+def test_pca_top_direction_is_deterministic_and_unit(spark):
+    from sutro_spark.operators.similarity import pca_top_direction
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 4), float((i * 3) % 5), 1.0]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted((r["d"], r["v_milli"]) for r in pca_top_direction(df).collect())
+    b = sorted((r["d"], r["v_milli"]) for r in pca_top_direction(df).collect())
+    assert a == b
+    comp = [v for d, v in a if d >= 0]
+    n2 = sum(x * x for x in comp)
+    # quantized unit vector: ||v||^2 within rounding of scale^2
+    assert abs(n2 - 1000 * 1000) < 3000
