@@ -322,8 +322,17 @@ def main() -> None:
         "flat; prefix_filter's [Q] is the every-10th-doc slice whose",
         "qualifying pairs (real output) grow quadratically within",
         "replicated dup groups — same output-bound caveat as MinHash",
-        "below; unigram_surprisal is one token-keyed join over the",
+        "below (r10's lossless PPJoin length + positional filters cut",
+        "the 16x cell from 378 s to ~113 s; the residual super-linear",
+        "exponent is the quadratic OUTPUT, not wasted candidates);",
+        "unigram_surprisal is one token-keyed join over the",
         "corpus and should track the scan.",
+        "",
+        "r10 note: gopher_quality / repetition_profile are now MAP-ONLY",
+        "(per-row sorted-gram run-length scan — 0 exchanges, 0 joins);",
+        "r9 measured gopher at exponent 1.35 (165.8 s at 16x) from the",
+        "exploded-gram shuffle this round removed — the expected (and",
+        "r10-measured) exponent is ~1.0 with the 16x cell around 56 s.",
         "",
         "Heavy-query notes: winnow_dedup",
         "adds iterative CC on top of winnow_overlap's within-cluster",
