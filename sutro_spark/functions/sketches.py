@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from sutro_spark.functions.sampling import hash_bucket
 
-__all__ = ["kmv_distinct", "kmv_join_estimate", "hll_distinct", "hll_registers", "hll_from_registers", "cms_cells", "cms_counts", "cms_estimate", "kmv_set_estimates", "hll_set_estimates"]
+__all__ = ["kmv_distinct", "kmv_join_estimate", "hll_distinct", "hll_registers", "hll_from_registers", "hll_corrected", "cms_cells", "cms_counts", "cms_estimate", "kmv_set_estimates", "hll_set_estimates"]
 
 
 def kmv_distinct(
