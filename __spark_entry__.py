@@ -2699,6 +2699,27 @@ def q_pca_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_top_direction(_t(spark, sf_dir, "embeddings"), rounds=2)
 
 
+def q_remove_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # all-but-the-top composed end-to-end under the oracle: exact
+    # centering -> 2-round power-iteration direction -> pure-BIGINT
+    # projection r_d = c_d*||v||^2 - (c.v)*v_d. Residuals are exactly
+    # orthogonal to the removed direction (integer theorem). Sliced
+    # and exploded to scalar rows for the driver compare.
+    from sutro_spark.operators.similarity import (
+        center_embeddings,
+        pca_top_direction,
+        remove_top_direction,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = remove_top_direction(
+        center_embeddings(emb), pca_top_direction(emb, rounds=2)
+    )
+    return out.where(F.col("vec_id") < 50).select(
+        "vec_id", "denom", F.posexplode("residual").alias("d", "r")
+    )
+
+
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MOSS-style winnowing fingerprint overlap: local-min sampling of
     # rolling char-8-gram hashes (window 4), df-capped inverted-index
@@ -3708,6 +3729,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _R10_WINDOW = [
     # new in r10, never driver-checked
     "embedding_anisotropy", "center_embeddings", "pca_direction",
+    "remove_direction",
     # the ENTIRE remaining r5-green cohort (28) — clears the floor to r6
     "ols_tokens_vs_chars", "price_histogram_quantiles", "price_quantiles",
     "skew_report", "source_overlap", "sq_recall", "sq_topk",
@@ -3724,7 +3746,6 @@ _R10_WINDOW = [
     "embed", "events_top_per_user", "flagship_extract", "funnel",
     "hash_sample_split", "hll_merge", "infer_per_model", "ivfpq_topk",
     "kmeans_clusters", "labeled_concat_nulls", "merge_upsert",
-    "nfc_check",
 ]
 
 
@@ -3894,6 +3915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_anisotropy": q_embedding_anisotropy,
         "center_embeddings": q_center_embeddings,
         "pca_direction": q_pca_direction,
+        "remove_direction": q_remove_direction,
         "dup_size_histogram": q_dup_size_histogram,
         "winnow_overlap": q_winnow_overlap,
         "winnow_recall": q_winnow_recall,
@@ -3995,6 +4017,61 @@ _SHINGLES_CTE = """
             FROM documents)
         WHERE length(shingle) = 8
     )
+"""
+
+# Shared all-but-the-top oracle chain: quantized corpus `q` +
+# 2 unrolled power-iteration rounds ending at direction CTE `v2`
+# (+ its norm CTE n2). Used by the pca_direction and
+# remove_direction oracles.
+_ABTT_CTE = """q AS (
+
+                SELECT list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                       ) AS q
+                FROM embeddings),
+            dm AS (SELECT coalesce(max(len(q)), 0) AS dim FROM q),
+            v0 AS (SELECT list_transform(range(1, dim + 1),
+                       i -> CAST(1000 AS BIGINT)) AS v FROM dm),
+            s1 AS (SELECT q, CAST(list_sum(list_transform(
+                       range(1, len(q) + 1),
+                       i -> q[CAST(i AS INT)] * v[CAST(i AS INT)]))
+                       AS BIGINT) AS s
+                   FROM q, v0),
+            y1 AS (SELECT d, CAST(sum(s * x) AS BIGINT) AS y
+                   FROM (SELECT s, unnest(q) AS x,
+                                unnest(range(1, len(q) + 1)) AS d
+                         FROM s1)
+                   GROUP BY d),
+            n1 AS (SELECT yarr, sqrt(list_reduce(list_transform(yarr,
+                       t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)),
+                       (a, b) -> a + b)) AS nrm
+                   FROM (SELECT list(y ORDER BY d) AS yarr FROM y1)),
+            v1 AS (SELECT CASE WHEN nrm > 0 THEN list_transform(yarr,
+                       t -> CAST(round(1000 * CAST(t AS DOUBLE) / nrm)
+                                 AS BIGINT))
+                       ELSE list_transform(yarr, t -> CAST(0 AS BIGINT))
+                       END AS v
+                   FROM n1),
+            s2 AS (SELECT q, CAST(list_sum(list_transform(
+                       range(1, len(q) + 1),
+                       i -> q[CAST(i AS INT)] * v[CAST(i AS INT)]))
+                       AS BIGINT) AS s
+                   FROM q, v1),
+            y2 AS (SELECT d, CAST(sum(s * x) AS BIGINT) AS y
+                   FROM (SELECT s, unnest(q) AS x,
+                                unnest(range(1, len(q) + 1)) AS d
+                         FROM s2)
+                   GROUP BY d),
+            n2 AS (SELECT yarr, sqrt(list_reduce(list_transform(yarr,
+                       t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)),
+                       (a, b) -> a + b)) AS nrm
+                   FROM (SELECT list(y ORDER BY d) AS yarr FROM y2)),
+            v2 AS (SELECT CASE WHEN nrm > 0 THEN list_transform(yarr,
+                       t -> CAST(round(1000 * CAST(t AS DOUBLE) / nrm)
+                                 AS BIGINT))
+                       ELSE list_transform(yarr, t -> CAST(0 AS BIGINT))
+                       END AS v
+                   FROM n2)
 """
 
 _GOPHER_SQL = """
@@ -6864,55 +6941,47 @@ def oracle_sql() -> dict[str, str]:
                    source, shard_id, vt
             FROM v
         """,
-        "pca_direction": """
-            WITH q AS (
-                SELECT list_transform(embedding,
+        "remove_direction": f"""
+            WITH {_ABTT_CTE},
+            qid AS (
+                SELECT vec_id,
+                       list_transform(embedding,
                            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-                       ) AS q
+                       ) AS qv
                 FROM embeddings),
-            dm AS (SELECT coalesce(max(len(q)), 0) AS dim FROM q),
-            v0 AS (SELECT list_transform(range(1, dim + 1),
-                       i -> CAST(1000 AS BIGINT)) AS v FROM dm),
-            s1 AS (SELECT q, CAST(list_sum(list_transform(
-                       range(1, len(q) + 1),
-                       i -> q[CAST(i AS INT)] * v[CAST(i AS INT)]))
-                       AS BIGINT) AS s
-                   FROM q, v0),
-            y1 AS (SELECT d, CAST(sum(s * x) AS BIGINT) AS y
-                   FROM (SELECT s, unnest(q) AS x,
-                                unnest(range(1, len(q) + 1)) AS d
-                         FROM s1)
-                   GROUP BY d),
-            n1 AS (SELECT yarr, sqrt(list_reduce(list_transform(yarr,
-                       t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)),
-                       (a, b) -> a + b)) AS nrm
-                   FROM (SELECT list(y ORDER BY d) AS yarr FROM y1)),
-            v1 AS (SELECT CASE WHEN nrm > 0 THEN list_transform(yarr,
-                       t -> CAST(round(1000 * CAST(t AS DOUBLE) / nrm)
-                                 AS BIGINT))
-                       ELSE list_transform(yarr, t -> CAST(0 AS BIGINT))
-                       END AS v
-                   FROM n1),
-            s2 AS (SELECT q, CAST(list_sum(list_transform(
-                       range(1, len(q) + 1),
-                       i -> q[CAST(i AS INT)] * v[CAST(i AS INT)]))
-                       AS BIGINT) AS s
-                   FROM q, v1),
-            y2 AS (SELECT d, CAST(sum(s * x) AS BIGINT) AS y
-                   FROM (SELECT s, unnest(q) AS x,
-                                unnest(range(1, len(q) + 1)) AS d
-                         FROM s2)
-                   GROUP BY d),
-            n2 AS (SELECT yarr, sqrt(list_reduce(list_transform(yarr,
-                       t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)),
-                       (a, b) -> a + b)) AS nrm
-                   FROM (SELECT list(y ORDER BY d) AS yarr FROM y2)),
-            v2 AS (SELECT CASE WHEN nrm > 0 THEN list_transform(yarr,
-                       t -> CAST(round(1000 * CAST(t AS DOUBLE) / nrm)
-                                 AS BIGINT))
-                       ELSE list_transform(yarr, t -> CAST(0 AS BIGINT))
-                       END AS v
-                   FROM n2)
+            cdims AS (
+                SELECT d, CAST(sum(x) AS BIGINT) AS s
+                FROM (SELECT unnest(qv) AS x,
+                             unnest(range(1, len(qv) + 1)) AS d
+                      FROM qid)
+                GROUP BY d),
+            csums AS (SELECT list(s ORDER BY d) AS ss FROM cdims),
+            cn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM qid),
+            cenq AS (
+                SELECT vec_id,
+                       list_transform(range(1, len(qv) + 1),
+                           i -> nn * qv[CAST(i AS INT)] - ss[CAST(i AS INT)]
+                       ) AS c,
+                       nn * 1000 AS dc
+                FROM qid, csums, cn
+                WHERE vec_id < 50),
+            dirv AS (SELECT v, CAST(list_sum(list_transform(v, t -> t * t))
+                            AS BIGINT) AS vn2
+                     FROM v2),
+            proj AS (
+                SELECT vec_id, c, dc, v, vn2,
+                       CAST(list_sum(list_transform(range(1, len(c) + 1),
+                           i -> c[CAST(i AS INT)] * v[CAST(i AS INT)]))
+                           AS BIGINT) AS s
+                FROM cenq, dirv)
+            SELECT vec_id, dc * vn2 AS denom, CAST(d - 1 AS INT) AS d,
+                   c[CAST(d AS INT)] * vn2 - s * v[CAST(d AS INT)] AS r
+            FROM (SELECT vec_id, c, dc, v, vn2, s,
+                         unnest(range(1, len(c) + 1)) AS d
+                  FROM proj)
+        """,
+        "pca_direction": f"""
+            WITH {_ABTT_CTE}
             SELECT CAST(d - 1 AS INT) AS d, v[CAST(d AS INT)] AS v_milli
             FROM (SELECT v, unnest(range(1, len(v) + 1)) AS d FROM v2)
             UNION ALL

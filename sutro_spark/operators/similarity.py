@@ -918,6 +918,79 @@ def pca_top_direction(
         base.unpersist()
 
 
+def remove_top_direction(
+    centered: DataFrame,
+    direction: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "centered",
+    denom_column: str = "denom",
+) -> DataFrame:
+    """Project a direction OUT of exactly-centered embeddings — the
+    final step of "all-but-the-top" (compose:
+    :func:`embedding_anisotropy` to detect, :func:`center_embeddings`
+    to remove the mean, :func:`pca_top_direction` to find the common
+    direction, this to remove it). ``centered`` is
+    center_embeddings output (integer vectors + their denom);
+    ``direction`` is pca_top_direction output ((d, v_milli) rows; the
+    d = -1 magnitude row is ignored).
+
+    Pure BIGINT projection: with c the integer vector and v the
+    milli-quantized direction,
+
+        r_d = c_d * ||v||^2  -  (c . v) * v_d
+
+    in units of denom_in * ||v||^2 (emitted as ``denom``), because
+    x_res = x_c - (x_c . u)u with u = v/||v|| expands to exactly that
+    rational. Exactness buys a theorem: r . v == 0 IDENTICALLY (not
+    approximately) — pytest-asserted — so repeated removal is
+    idempotent and downstream cosines never see leftover common
+    direction. Overflow: |c . v| <= dim * max|c| * scale must keep
+    (c . v) * scale below 2^63 — safe to ~10^5 unit-scale rows per
+    centering group at dim 64 / milli scales; renormalize (divide out
+    denoms) before projecting at larger n.
+
+    Plan: the direction collapses to one broadcastable row (sorted
+    array + its exact squared norm); the projection is map-only.
+
+    Output: (id, residual array<bigint>, denom bigint).
+    """
+    dir_row = (
+        direction.where(F.col("d") >= 0)
+        .agg(F.array_sort(F.collect_list(F.struct("d", "v_milli"))).alias("__vs"))
+        .select(
+            F.expr("transform(__vs, e -> e.v_milli)").alias("__v"),
+            F.expr(
+                "aggregate(transform(__vs, e -> e.v_milli * e.v_milli),"
+                " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+            ).alias("__vn2"),
+        )
+    )
+    # s = c . v hoisted into an inner projection: interpreted HOFs
+    # re-evaluate per reference (the gopher_quality lesson), and the
+    # per-index lambda below references it dim times
+    inner = centered.crossJoin(F.broadcast(dir_row)).select(
+        F.col(id_column),
+        F.col(vector_column),
+        F.col(denom_column),
+        F.col("__v"),
+        F.col("__vn2"),
+        F.expr(
+            f"aggregate(zip_with({vector_column}, __v, (x, y) -> x * y),"
+            " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+        ).alias("__s"),
+    )
+    return inner.select(
+        F.col(id_column),
+        F.expr(
+            f"transform(sequence(1, size({vector_column})),"
+            f" i -> element_at({vector_column}, i) * __vn2"
+            f" - __s * element_at(__v, i))"
+        ).alias("residual"),
+        (F.col(denom_column) * F.col("__vn2")).alias("denom"),
+    )
+
+
 def embedding_norm_stats(
     df: DataFrame,
     vector_column: str = "embedding",

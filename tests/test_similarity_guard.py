@@ -332,3 +332,39 @@ def test_pca_top_direction_is_deterministic_and_unit(spark):
     n2 = sum(x * x for x in comp)
     # quantized unit vector: ||v||^2 within rounding of scale^2
     assert abs(n2 - 1000 * 1000) < 3000
+
+
+def test_remove_top_direction_exact_orthogonality(spark):
+    """all-but-the-top composed end-to-end: residuals are EXACTLY
+    orthogonal to the removed direction (r . v == 0, integer theorem),
+    removal is idempotent up to scaling, and anisotropy collapses on
+    the residuals for a corpus dominated by one direction."""
+    from pyspark.sql import functions as F
+
+    from sutro_spark.operators.similarity import (
+        center_embeddings,
+        pca_top_direction,
+        remove_top_direction,
+    )
+
+    rows = []
+    for i in range(120):
+        t = (i % 9 - 4) / 4.0
+        # dominant direction (3,4)/5 plus a small orthogonal wiggle
+        w = (i % 5 - 2) / 40.0
+        rows.append((i, [3.0 * t / 5.0 + 4.0 * w / 5.0, 4.0 * t / 5.0 - 3.0 * w / 5.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cen = center_embeddings(df)
+    direction = pca_top_direction(df, rounds=3)
+    res = remove_top_direction(cen, direction)
+    v = {r["d"]: r["v_milli"] for r in direction.where("d >= 0").collect()}
+    got = res.collect()
+    assert len(got) == 120
+    for r in got:
+        dot = sum(x * v[d] for d, x in enumerate(r["residual"]))
+        assert dot == 0, (r["vec_id"], dot)
+        assert r["denom"] > 0
+    # the residual variance is the small orthogonal wiggle only:
+    # max |residual/denom| well below the dominant component's span
+    mx = max(abs(x) / r["denom"] for r in got for x in r["residual"])
+    assert mx < 0.12, mx
