@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from sutro_spark.functions.sketches import cms_cells
 
-__all__ = ["streaming_cms", "streaming_hll"]
+__all__ = ["anisotropy_from_state", "streaming_anisotropy", "streaming_cms", "streaming_hll"]
 
 
 def streaming_cms(
@@ -68,3 +68,89 @@ def streaming_hll(
     from sutro_spark.functions.sketches import hll_registers
 
     return hll_registers(stream, group_column, key_column, p=p, salt=salt)
+
+
+def _anisotropy_state_rows() -> F.Column:
+    """The exploded state rows for :func:`streaming_anisotropy`, over
+    a projected quantized array column ``__q``: one (d, x) row per
+    dimension (d >= 0, x = quantized component) plus d = -1 carrying 1
+    (vector count) and d = -2 carrying the vector's exact self-dot.
+    Summing x per d is the ENTIRE anisotropy state — dim + 2 integers,
+    associative, so batch partitions, incremental batches, and
+    streaming triggers all merge to the same state."""
+    self_dot = F.expr(
+        "aggregate(transform(__q, v -> v * v),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    return F.concat(
+        F.array(
+            F.struct(
+                F.lit(-1).cast("long").alias("d"),
+                F.lit(1).cast("long").alias("x"),
+            ),
+            F.struct(F.lit(-2).cast("long").alias("d"), self_dot.alias("x")),
+        ),
+        F.expr(
+            "transform(sequence(1, size(__q)),"
+            " i -> struct(CAST(i - 1 AS BIGINT) AS d, element_at(__q, i) AS x))"
+        ),
+    )
+
+
+def streaming_anisotropy(
+    stream: DataFrame,
+    vector_column: str = "embedding",
+    *,
+    scale: int = 1000,
+) -> DataFrame:
+    """Incrementally maintained anisotropy state over an embedding
+    stream — the streaming face of
+    operators/similarity.embedding_anisotropy. The state is dim + 2
+    BIGINTs (per-dim sums, vector count at d = -1, self-dot total at
+    d = -2): constant regardless of stream length, and equal to the
+    batch state over everything ingested (asserted in tests). Finish
+    a snapshot to the scalar diagnostic with
+    :func:`anisotropy_from_state`.
+
+    Output per trigger: (d bigint, s bigint).
+    """
+    q = F.transform(
+        F.col(vector_column),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    return (
+        stream.select(q.alias("__q"))
+        .select(F.explode(_anisotropy_state_rows()).alias("cell"))
+        .groupBy(F.col("cell.d").alias("d"))
+        .agg(F.sum("cell.x").alias("s"))
+    )
+
+
+def anisotropy_from_state(state: DataFrame) -> DataFrame:
+    """Finish an anisotropy state table (d, s) — from
+    :func:`streaming_anisotropy` (persisted snapshot) or the
+    equivalent batch aggregation — to the one-row diagnostic with the
+    SAME arithmetic as embedding_anisotropy: one IEEE division of
+    exact integers. Output: (n_vecs, t_self, s_norm2, anisotropy)."""
+    return state.agg(
+        F.coalesce(F.sum(F.when(F.col("d") == -1, F.col("s"))), F.lit(0))
+        .cast("long")
+        .alias("n_vecs"),
+        F.coalesce(F.sum(F.when(F.col("d") == -2, F.col("s"))), F.lit(0))
+        .cast("long")
+        .alias("t_self"),
+        F.coalesce(
+            F.sum(F.when(F.col("d") >= 0, F.col("s") * F.col("s"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("s_norm2"),
+    ).select(
+        "n_vecs",
+        "t_self",
+        "s_norm2",
+        F.expr(
+            "CASE WHEN n_vecs >= 2 AND t_self > 0 THEN"
+            " CAST(s_norm2 - t_self AS DOUBLE)"
+            " / CAST((n_vecs - 1) * t_self AS DOUBLE) END"
+        ).alias("anisotropy"),
+    )

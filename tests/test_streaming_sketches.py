@@ -93,3 +93,50 @@ def test_streaming_hll_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert stream_est == batch_est
+
+
+def test_streaming_anisotropy_equals_batch(spark, sf_dir, tmp_path):
+    """r10: the anisotropy state (dim+2 integers) maintained over
+    micro-batches finishes to EXACTLY the batch diagnostic over the
+    union of everything ingested."""
+    from sutro_spark.operators.similarity import embedding_anisotropy
+    from sutro_spark.streaming.sketches import (
+        anisotropy_from_state,
+        streaming_anisotropy,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    src = str(tmp_path / "emb")
+    a, b = emb.randomSplit([0.5, 0.5], seed=7)
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            streaming_anisotropy(stream)
+            .writeStream.format("memory")
+            .queryName("aniso_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = anisotropy_from_state(spark.sql("select * from aniso_stream")).collect()[0]
+    want = embedding_anisotropy(spark.read.parquet(src)).collect()[0]
+    assert got["n_vecs"] == want["n_vecs"]
+    assert got["t_self"] == want["t_self"]
+    assert got["s_norm2"] == want["s_norm2"]
+    assert got["anisotropy"] == want["anisotropy"]
