@@ -2720,6 +2720,30 @@ def q_remove_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HITS hubs/authorities over the directed part co-purchase graph
+    # (both directions of parts sharing an order, every-5th-order
+    # slice, deduped): 2 rounds of pure-BIGINT max-normalized power
+    # iteration — no sqrt, no float sum, the oracle unrolls identical
+    # rounds. Catalog-hub vs connector-authority separation.
+    from sutro_spark.operators.cluster import hits_scores
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "o")
+        .where(F.col("p1") != F.col("p2"))
+        .select(F.col("p1").alias("s"), F.col("p2").alias("d"))
+        .distinct()
+    )
+    return hits_scores(edges, src_column="s", dst_column="d", rounds=2)
+
+
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MOSS-style winnowing fingerprint overlap: local-min sampling of
     # rolling char-8-gram hashes (window 4), df-capped inverted-index
@@ -3729,7 +3753,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _R10_WINDOW = [
     # new in r10, never driver-checked
     "embedding_anisotropy", "center_embeddings", "pca_direction",
-    "remove_direction",
+    "remove_direction", "hits",
     # the ENTIRE remaining r5-green cohort (28) — clears the floor to r6
     "ols_tokens_vs_chars", "price_histogram_quantiles", "price_quantiles",
     "skew_report", "source_overlap", "sq_recall", "sq_topk",
@@ -3745,7 +3769,7 @@ _R10_WINDOW = [
     "classify", "csv_scan", "curation_pipeline", "customer_regions",
     "embed", "events_top_per_user", "flagship_extract", "funnel",
     "hash_sample_split", "hll_merge", "infer_per_model", "ivfpq_topk",
-    "kmeans_clusters", "labeled_concat_nulls", "merge_upsert",
+    "kmeans_clusters", "labeled_concat_nulls",
 ]
 
 
@@ -3916,6 +3940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "center_embeddings": q_center_embeddings,
         "pca_direction": q_pca_direction,
         "remove_direction": q_remove_direction,
+        "hits": q_hits,
         "dup_size_histogram": q_dup_size_histogram,
         "winnow_overlap": q_winnow_overlap,
         "winnow_recall": q_winnow_recall,
@@ -6940,6 +6965,51 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS position,
                    source, shard_id, vt
             FROM v
+        """,
+        "hits": """
+            WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem WHERE l_orderkey % 5 = 0),
+            e AS (SELECT DISTINCT a.p AS s, b.p AS d
+                  FROM li a JOIN li b USING (o) WHERE a.p <> b.p),
+            nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+            a1r AS (SELECT d AS node, CAST(1000 * count(*) AS BIGINT) AS a
+                    FROM e GROUP BY d),
+            a1f AS (SELECT node, CAST(coalesce(a, 0) AS BIGINT) AS a
+                    FROM nodes LEFT JOIN a1r USING (node)),
+            a1m AS (SELECT max(a) AS mx FROM a1f),
+            a1 AS (SELECT node, CASE WHEN mx > 0 THEN
+                       CAST((2 * 1000 * a + mx) // (2 * mx) AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS a
+                   FROM a1f, a1m),
+            h1r AS (SELECT e.s AS node, CAST(sum(a1.a) AS BIGINT) AS h
+                    FROM e JOIN a1 ON a1.node = e.d GROUP BY e.s),
+            h1f AS (SELECT node, CAST(coalesce(h, 0) AS BIGINT) AS h
+                    FROM nodes LEFT JOIN h1r USING (node)),
+            h1m AS (SELECT max(h) AS mx FROM h1f),
+            h1 AS (SELECT node, CASE WHEN mx > 0 THEN
+                       CAST((2 * 1000 * h + mx) // (2 * mx) AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS h
+                   FROM h1f, h1m),
+            a2r AS (SELECT e.d AS node, CAST(sum(h1.h) AS BIGINT) AS a
+                    FROM e JOIN h1 ON h1.node = e.s GROUP BY e.d),
+            a2f AS (SELECT node, CAST(coalesce(a, 0) AS BIGINT) AS a
+                    FROM nodes LEFT JOIN a2r USING (node)),
+            a2m AS (SELECT max(a) AS mx FROM a2f),
+            a2 AS (SELECT node, CASE WHEN mx > 0 THEN
+                       CAST((2 * 1000 * a + mx) // (2 * mx) AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS a
+                   FROM a2f, a2m),
+            h2r AS (SELECT e.s AS node, CAST(sum(a2.a) AS BIGINT) AS h
+                    FROM e JOIN a2 ON a2.node = e.d GROUP BY e.s),
+            h2f AS (SELECT node, CAST(coalesce(h, 0) AS BIGINT) AS h
+                    FROM nodes LEFT JOIN h2r USING (node)),
+            h2m AS (SELECT max(h) AS mx FROM h2f),
+            h2 AS (SELECT node, CASE WHEN mx > 0 THEN
+                       CAST((2 * 1000 * h + mx) // (2 * mx) AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS h
+                   FROM h2f, h2m)
+            SELECT node, h2.h AS hub_milli, a2.a AS authority_milli
+            FROM h2 JOIN a2 USING (node)
         """,
         "remove_direction": f"""
             WITH {_ABTT_CTE},

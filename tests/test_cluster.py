@@ -333,3 +333,50 @@ def test_incremental_components_idempotent_on_empty_batch(spark):
     assert again == {
         (r["node"], r["component"]) for r in labels.collect()
     }
+
+
+def test_hits_hub_authority_separation(spark):
+    """Kleinberg's mutual reinforcement on a directed star-fan: the
+    node linking everything is the top hub (1000 milli), the most
+    linked-to node the top authority; pure sources/sinks score 0 on
+    the other side; everything exact integers."""
+    from sutro_spark.operators.cluster import hits_scores
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (3, 10)],
+        ["src", "dst"],
+    )
+    got = {
+        r["node"]: (r["hub_milli"], r["authority_milli"])
+        for r in hits_scores(edges, rounds=2).collect()
+    }
+    assert got[1] == (1000, 0)
+    assert got[10] == (0, 1000)
+    # ranking: hub 1 > 2 > 3; authority 10 > 11 > 12
+    assert got[1][0] > got[2][0] > got[3][0] > 0
+    assert got[10][1] > got[11][1] > got[12][1] > 0
+    # checkpointed variant is identical and leaves no extra blocks
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    got_ck = {
+        r["node"]: (r["hub_milli"], r["authority_milli"])
+        for r in hits_scores(edges, rounds=2, checkpoint=True).collect()
+    }
+    assert got_ck == got
+    import pytest
+
+    with pytest.raises(ValueError, match="rounds"):
+        hits_scores(edges, rounds=0)
+
+
+def test_hits_empty_and_degenerate(spark):
+    from sutro_spark.operators.cluster import hits_scores
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert hits_scores(empty).count() == 0
+    # single edge: both endpoints max out their one role
+    one = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    got = {
+        r["node"]: (r["hub_milli"], r["authority_milli"])
+        for r in hits_scores(one).collect()
+    }
+    assert got == {1: (1000, 0), 2: (0, 1000)}
