@@ -2744,6 +2744,30 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_scores(edges, src_column="s", dst_column="d", rounds=2)
 
 
+def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic synchronous label propagation (3 rounds) over the
+    # co-purchase graph: most-frequent neighbor label, ties to the
+    # smallest — an associative max(struct(cnt, -label)) argmax, all
+    # BIGINT, oracle-replayed round for round. Communities = edge
+    # density, the complement of connected components.
+    from sutro_spark.operators.cluster import label_propagation
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p2"))
+    edges = (
+        a.join(b, "o")
+        .where(F.col("p1") != F.col("p2"))
+        .select(F.col("p1").alias("s"), F.col("p2").alias("d"))
+        .distinct()
+    )
+    return label_propagation(edges, src_column="s", dst_column="d", rounds=3)
+
+
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MOSS-style winnowing fingerprint overlap: local-min sampling of
     # rolling char-8-gram hashes (window 4), df-capped inverted-index
@@ -3753,7 +3777,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _R10_WINDOW = [
     # new in r10, never driver-checked
     "embedding_anisotropy", "center_embeddings", "pca_direction",
-    "remove_direction", "hits",
+    "remove_direction", "hits", "communities",
     # the ENTIRE remaining r5-green cohort (28) — clears the floor to r6
     "ols_tokens_vs_chars", "price_histogram_quantiles", "price_quantiles",
     "skew_report", "source_overlap", "sq_recall", "sq_topk",
@@ -3769,7 +3793,7 @@ _R10_WINDOW = [
     "classify", "csv_scan", "curation_pipeline", "customer_regions",
     "embed", "events_top_per_user", "flagship_extract", "funnel",
     "hash_sample_split", "hll_merge", "infer_per_model", "ivfpq_topk",
-    "kmeans_clusters", "labeled_concat_nulls",
+    "kmeans_clusters",
 ]
 
 
@@ -3941,6 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_direction": q_pca_direction,
         "remove_direction": q_remove_direction,
         "hits": q_hits,
+        "communities": q_communities,
         "dup_size_histogram": q_dup_size_histogram,
         "winnow_overlap": q_winnow_overlap,
         "winnow_recall": q_winnow_recall,
@@ -6965,6 +6990,59 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS position,
                    source, shard_id, vt
             FROM v
+        """,
+        "communities": """
+            WITH li AS (SELECT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem WHERE l_orderkey % 5 = 0),
+            e AS MATERIALIZED (
+                SELECT DISTINCT a.p AS s, b.p AS d
+                FROM li a JOIN li b USING (o) WHERE a.p <> b.p),
+            nodes AS MATERIALIZED (
+                SELECT s AS node FROM e UNION SELECT d FROM e),
+            l0 AS (SELECT node, CAST(node AS BIGINT) AS community FROM nodes),
+            v1 AS MATERIALIZED (
+                SELECT e.d AS node, l.community, count(*) AS cnt
+                FROM e JOIN l0 l ON l.node = e.s GROUP BY e.d, l.community),
+            b1 AS MATERIALIZED (
+                SELECT node, community FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY node ORDER BY cnt DESC, community ASC) AS rn
+                    FROM v1) WHERE rn = 1),
+            l1 AS MATERIALIZED (
+                SELECT n.node,
+                       CAST(coalesce(b.community, l.community) AS BIGINT)
+                           AS community
+                FROM nodes n JOIN l0 l USING (node)
+                LEFT JOIN b1 b USING (node)),
+            v2 AS MATERIALIZED (
+                SELECT e.d AS node, l.community, count(*) AS cnt
+                FROM e JOIN l1 l ON l.node = e.s GROUP BY e.d, l.community),
+            b2 AS MATERIALIZED (
+                SELECT node, community FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY node ORDER BY cnt DESC, community ASC) AS rn
+                    FROM v2) WHERE rn = 1),
+            l2 AS MATERIALIZED (
+                SELECT n.node,
+                       CAST(coalesce(b.community, l.community) AS BIGINT)
+                           AS community
+                FROM nodes n JOIN l1 l USING (node)
+                LEFT JOIN b2 b USING (node)),
+            v3 AS MATERIALIZED (
+                SELECT e.d AS node, l.community, count(*) AS cnt
+                FROM e JOIN l2 l ON l.node = e.s GROUP BY e.d, l.community),
+            b3 AS MATERIALIZED (
+                SELECT node, community FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY node ORDER BY cnt DESC, community ASC) AS rn
+                    FROM v3) WHERE rn = 1),
+            l3 AS MATERIALIZED (
+                SELECT n.node,
+                       CAST(coalesce(b.community, l.community) AS BIGINT)
+                           AS community
+                FROM nodes n JOIN l2 l USING (node)
+                LEFT JOIN b3 b USING (node))
+            SELECT node, community FROM l3
         """,
         "hits": """
             WITH li AS (SELECT l_orderkey AS o, l_partkey AS p

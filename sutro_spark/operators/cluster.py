@@ -591,6 +591,85 @@ def hits_scores(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    *,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    rounds: int = 3,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) — the community complement of
+    :func:`connected_components` (components = reachability;
+    communities = edge DENSITY: a bridge keeps two dense clusters one
+    component but LPA separates them).
+
+    Deterministic variant: labels start as node ids; each round every
+    node adopts the most frequent label among its neighbors, ties
+    broken by SMALLEST label — the argmax is ``max(struct(cnt,
+    -label))``, an associative map-side-combinable aggregate (no rank
+    window over hot nodes), and every value is an exact BIGINT, so
+    any engine replays the rounds identically (classic async LPA is
+    visit-order-dependent and unreproducible by construction —
+    useless under an oracle). Synchronous LPA can oscillate on
+    bipartite-ish structure; ``rounds`` is a bounded budget and the
+    output is the honest state after exactly ``rounds`` updates.
+
+    Pass both directions for an undirected graph. Isolated sides
+    never occur (nodes come from the edge list); a node keeps its
+    current label when it has no in-neighbors under the given
+    direction.
+
+    Per round: one join (labels onto edges) + one (node, label) count
+    + one per-node argmax — all combinable, shuffled on node keys.
+    ``checkpoint=True`` truncates lineage per round.
+
+    Output: (node, community bigint).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = edges.select(
+        F.col(src_column).cast("long").alias("s"),
+        F.col(dst_column).cast("long").alias("d"),
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    lab = nodes.withColumn("community", F.col("node"))
+    prev = None
+    for _ in range(rounds):
+        votes = (
+            e.join(
+                lab.select(F.col("node").alias("s"), F.col("community")),
+                "s",
+            )
+            .groupBy(F.col("d").alias("node"), "community")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = votes.groupBy("node").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("community")).alias("nl"))).alias(
+                "__b"
+            )
+        ).select("node", (-F.col("__b.nl")).alias("__new"))
+        lab = (
+            nodes.join(lab, "node")
+            .join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__new"), F.col("community")).alias("community"),
+            )
+        )
+        if checkpoint:
+            lab = lab.localCheckpoint(eager=True)
+            if prev is not None:
+                release_local_checkpoint(prev)
+            prev = lab
+    return lab
+
+
 def kcore(
     edges: DataFrame,
     *,

@@ -380,3 +380,35 @@ def test_hits_empty_and_degenerate(spark):
         for r in hits_scores(one).collect()
     }
     assert got == {1: (1000, 0), 2: (0, 1000)}
+
+
+def test_label_propagation_separates_bridged_cliques(spark):
+    """Two 4-cliques joined by one bridge: connected_components sees
+    ONE component; LPA separates the two dense communities. Smallest-
+    label tie-break makes each clique's minimum node its community."""
+    from sutro_spark.operators.cluster import (
+        connected_components,
+        label_propagation,
+    )
+
+    cl1 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a != b]
+    edges = spark.createDataFrame(cl1 + cl2 + [(3, 10), (10, 3)], ["src", "dst"])
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10, 13: 10}
+    # one CC component (star edges only -> 7 non-root rows)
+    assert connected_components(edges.select(
+        edges.src.alias("id_a"), edges.dst.alias("id_b"))).count() == 7
+    # checkpointed path identical
+    got_ck = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, rounds=3, checkpoint=True).collect()
+    }
+    assert got_ck == got
+    import pytest
+
+    with pytest.raises(ValueError, match="rounds"):
+        label_propagation(edges, rounds=0)
