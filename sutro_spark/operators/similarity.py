@@ -703,32 +703,42 @@ def embedding_anisotropy(
 
     Output: one row (n_vecs, dim, t_self, s_norm2, anisotropy).
     """
+    # single-scan shape shared with streaming/sketches.py
+    # streaming_anisotropy: every vector explodes into its per-dim
+    # rows plus the d = -1 (count) and d = -2 (self-dot) bookkeeping
+    # rows; ONE groupBy(d) with map-side combine is the whole state
+    # (dim + 2 integers), finished by the same arithmetic the
+    # streaming snapshot uses.
+    from sutro_spark.streaming.sketches import _anisotropy_state_rows
+
     q = F.transform(
         F.col(vector_column),
         lambda x: F.round(x.cast("double") * scale).cast("long"),
     )
-    base = df.select(q.alias("q"))
-    self_dot = F.aggregate(
-        F.transform(F.col("q"), lambda v: v * v),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    state = (
+        df.select(q.alias("__q"))
+        .select(F.explode(_anisotropy_state_rows()).alias("cell"))
+        .groupBy(F.col("cell.d").alias("d"))
+        .agg(F.sum("cell.x").alias("s"))
     )
-    tot = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.coalesce(F.max(F.size("q")), F.lit(0)).cast("long").alias("dim"),
-        F.coalesce(F.sum(self_dot), F.lit(0)).cast("long").alias("t_self"),
-    )
-    dims = (
-        base.select(F.posexplode("q").alias("d", "x"))
-        .groupBy("d")
-        .agg(F.sum("x").cast("long").alias("s"))
-    )
-    sn = dims.agg(
-        F.coalesce(F.sum(F.col("s") * F.col("s")), F.lit(0))
+    return state.agg(
+        F.coalesce(F.sum(F.when(F.col("d") == -1, F.col("s"))), F.lit(0))
         .cast("long")
-        .alias("s_norm2")
-    )
-    return tot.crossJoin(sn).select(
+        .alias("n_vecs"),
+        # every vector contributes one row per dimension: the count on
+        # any d >= 0 key is n, so dim = number of d >= 0 keys
+        F.coalesce(F.sum(F.when(F.col("d") >= 0, F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("dim"),
+        F.coalesce(F.sum(F.when(F.col("d") == -2, F.col("s"))), F.lit(0))
+        .cast("long")
+        .alias("t_self"),
+        F.coalesce(
+            F.sum(F.when(F.col("d") >= 0, F.col("s") * F.col("s"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("s_norm2"),
+    ).select(
         "n_vecs",
         "dim",
         "t_self",

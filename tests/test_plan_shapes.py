@@ -251,3 +251,30 @@ def test_hard_negatives_no_corpus_side_shuffle(spark):
         "LeftAnti, BuildRight" in plan
     )
     assert "PythonUDF" not in plan
+
+
+def test_gopher_and_repetition_are_map_only(spark):
+    # r10: the Gopher gate is a single map-only scan — the per-row
+    # sorted-gram run-length scan must never regress to the exploded
+    # groupBy/window/join shape (the measured 1.35-exponent spill).
+    for name in ("gopher_quality", "repetition_profile"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan[:1500]}"
+        assert "Join" not in plan, f"{name} joins:\n{plan[:1500]}"
+        assert "Scan parquet" in plan
+
+
+def test_embedding_anisotropy_single_scan_dim_agg(spark):
+    # one corpus scan; the per-dim sums shuffle carries dim keys with
+    # map-side partial aggregation; the direction/denominator attach
+    # by broadcast — never a corpus-side SortMergeJoin.
+    plan = _plan(spark, "embedding_anisotropy")
+    assert plan.count("Scan parquet") == 1, plan[:1500]
+    assert "partial" in plan.lower()
+    assert "SortMergeJoin" not in plan
+
+
+def test_center_embeddings_broadcasts_the_sums_row(spark):
+    plan = _plan(spark, "center_embeddings")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan

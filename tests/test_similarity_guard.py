@@ -368,3 +368,43 @@ def test_remove_top_direction_exact_orthogonality(spark):
     # max |residual/denom| well below the dominant component's span
     mx = max(abs(x) / r["denom"] for r in got for x in r["residual"])
     assert mx < 0.12, mx
+
+
+def test_remove_top_direction_orthogonality_property(spark):
+    """Property: for ANY direction table and ANY centered integers,
+    r . v == 0 exactly (hypothesis over random small cases)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sutro_spark.operators.similarity import remove_top_direction
+
+    dim = 3
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        vecs=st.lists(
+            st.lists(
+                st.integers(min_value=-50_000, max_value=50_000),
+                min_size=dim, max_size=dim,
+            ),
+            min_size=1, max_size=6,
+        ),
+        direction=st.lists(
+            st.integers(min_value=-1000, max_value=1000),
+            min_size=dim, max_size=dim,
+        ),
+    )
+    def check(vecs, direction):
+        cen = spark.createDataFrame(
+            [(i, v, 1000) for i, v in enumerate(vecs)],
+            "vec_id long, centered array<bigint>, denom long",
+        )
+        dirn = spark.createDataFrame(
+            [(d, v) for d, v in enumerate(direction)] + [(-1, 0)],
+            "d int, v_milli long",
+        )
+        for r in remove_top_direction(cen, dirn).collect():
+            dot = sum(x * direction[d] for d, x in enumerate(r["residual"]))
+            assert dot == 0, (r["vec_id"], dot)
+
+    check()

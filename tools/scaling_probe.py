@@ -205,6 +205,8 @@ def main() -> None:
         # bigger — wedge work would grow ~N^2 by construction).
         "copurchase_triangles", "kcore", "prefix_filter",
         "unigram_surprisal",
+        # r10: graph rankers over the same structure-preserving copies
+        "hits", "communities",
     ]
     qs = entrymod.queries()
     obase = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
