@@ -2687,21 +2687,44 @@ def q_center_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_pca_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # distributed PCA power iteration (all-but-the-top step 2): two
-    # rounds of v <- round(scale * A^T A v / ||A^T A v||) on quantized
-    # BIGINTs — the only floats are dimension-ordered left-folds, one
-    # IEEE sqrt and one division per dim, all re-quantized per round,
-    # so the DuckDB oracle unrolls the identical arithmetic. d = -1
-    # carries the pre-normalization magnitude.
-    from sutro_spark.operators.similarity import pca_top_direction
+def _centered_as_double(cent: DataFrame) -> DataFrame:
+    # center_embeddings output renormalized to doubles (one IEEE
+    # division per element, engine-reproducible) so pca_top_direction
+    # consumes the CENTERED corpus — Mu & Viswanath prescribe PCA
+    # after mean removal; PCA on the raw corpus finds a direction
+    # dominated by the mean, redundant with the centering step
+    # (ADVICE r10).
+    return cent.select(
+        "vec_id",
+        F.expr(
+            "transform(centered,"
+            " x -> CAST(x AS DOUBLE) / CAST(denom AS DOUBLE))"
+        ).alias("embedding"),
+    )
 
-    return pca_top_direction(_t(spark, sf_dir, "embeddings"), rounds=2)
+
+def q_pca_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed PCA power iteration (all-but-the-top step 2), run on
+    # the exactly-CENTERED corpus (step 1's output, renormalized by
+    # one IEEE division): two rounds of
+    # v <- round(scale * A^T A v / ||A^T A v||) on quantized BIGINTs —
+    # the only floats are dimension-ordered left-folds, one IEEE sqrt
+    # and one division per dim, all re-quantized per round, so the
+    # DuckDB oracle unrolls the identical arithmetic. d = -1 carries
+    # the pre-normalization magnitude.
+    from sutro_spark.operators.similarity import (
+        center_embeddings,
+        pca_top_direction,
+    )
+
+    cent = center_embeddings(_t(spark, sf_dir, "embeddings"))
+    return pca_top_direction(_centered_as_double(cent), rounds=2)
 
 
 def q_remove_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all-but-the-top composed end-to-end under the oracle: exact
-    # centering -> 2-round power-iteration direction -> pure-BIGINT
+    # centering -> 2-round power-iteration direction ON THE CENTERED
+    # corpus (the paper's recipe; ADVICE r10) -> pure-BIGINT
     # projection r_d = c_d*||v||^2 - (c.v)*v_d. Residuals are exactly
     # orthogonal to the removed direction (integer theorem). Sliced
     # and exploded to scalar rows for the driver compare.
@@ -2712,8 +2735,9 @@ def q_remove_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
+    cent = center_embeddings(emb)
     out = remove_top_direction(
-        center_embeddings(emb), pca_top_direction(emb, rounds=2)
+        cent, pca_top_direction(_centered_as_double(cent), rounds=2)
     )
     return out.where(F.col("vec_id") < 50).select(
         "vec_id", "denom", F.posexplode("residual").alias("d", "r")
@@ -4073,12 +4097,31 @@ _SHINGLES_CTE = """
 # 2 unrolled power-iteration rounds ending at direction CTE `v2`
 # (+ its norm CTE n2). Used by the pca_direction and
 # remove_direction oracles.
-_ABTT_CTE = """q AS (
-
+_ABTT_CTE = """q0 AS (
                 SELECT list_transform(embedding,
                            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
                        ) AS q
                 FROM embeddings),
+            cdim AS (
+                SELECT d, CAST(sum(x) AS BIGINT) AS s
+                FROM (SELECT unnest(q) AS x,
+                             unnest(range(1, len(q) + 1)) AS d
+                      FROM q0)
+                GROUP BY d),
+            csum AS (SELECT list(s ORDER BY d) AS ss FROM cdim),
+            cnt0 AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM q0),
+            -- the centered corpus, renormalized by one IEEE division
+            -- and re-quantized exactly as the Spark side does it:
+            -- round((CAST(nn*q_d - S_d AS DOUBLE) / (nn*1000)) * 1000)
+            q AS (
+                SELECT list_transform(range(1, len(q) + 1),
+                           i -> CAST(round(
+                               CAST(nn * q[CAST(i AS INT)]
+                                    - ss[CAST(i AS INT)] AS DOUBLE)
+                               / CAST(nn * 1000 AS DOUBLE) * 1000)
+                               AS BIGINT)
+                       ) AS q
+                FROM q0, csum, cnt0),
             dm AS (SELECT coalesce(max(len(q)), 0) AS dim FROM q),
             v0 AS (SELECT list_transform(range(1, dim + 1),
                        i -> CAST(1000 AS BIGINT)) AS v FROM dm),

@@ -252,17 +252,23 @@ def main() -> None:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         nq = 50
         queries = emb.where(F.col("vec_id") < nq)
-        exact = exact_l2_topk(emb, queries, k=10)
-        # nprobe SWEEP (VERDICT r9 #9): record the recall/latency trade,
-        # not one point. coarse_k=8 buckets, so nprobe=8 scans every
-        # bucket — the recall ceiling of THIS index (quantization loss
-        # only); 2 and 4 show what partial probing costs.
+        # materialize the exact baseline BEFORE the timers (ADVICE r10:
+        # a lazy `exact` was re-evaluated inside every timed probe,
+        # inflating each nprobe's sec by a constant that dwarfed the
+        # small-nprobe differences the sweep exists to record)
+        exact = exact_l2_topk(emb, queries, k=10).persist()
+        exact.count()
+        # nprobe SWEEP to saturation (VERDICT r10 #4): coarse_k=32
+        # buckets, nprobe 2..32 — the 32 point scans every bucket, so
+        # recall there is the ceiling of THIS index (PQ quantization
+        # loss only); where the curve flattens below 32 is the knob a
+        # user sizing an index reads off.
         sweep = {}
-        for nprobe in (2, 4, 8):
+        for nprobe in (2, 4, 8, 16, 32):
             t0 = time.time()
             approx = ivfpq_residual_topk(
-                emb, queries, k=10, n_codes=256, coarse_iters=4,
-                nprobe=nprobe,
+                emb, queries, k=10, n_codes=256, coarse_k=32,
+                coarse_iters=4, nprobe=nprobe,
             )
             row = candidate_recall(
                 exact, approx, keys=("query_id", "neighbor_id")
@@ -271,8 +277,25 @@ def main() -> None:
                 "recall_at_10": round(row["recall"], 4) if row["recall"] is not None else None,
                 "sec": round(time.time() - t0, 3),
             }
+        # one higher-coarse-iters point: same nprobe as the knee, twice
+        # the Lloyd rounds — separates coarse-quantizer quality from
+        # probe breadth as the recall limiter
+        t0 = time.time()
+        approx = ivfpq_residual_topk(
+            emb, queries, k=10, n_codes=256, coarse_k=32,
+            coarse_iters=8, nprobe=8,
+        )
+        row = candidate_recall(
+            exact, approx, keys=("query_id", "neighbor_id")
+        ).first()
+        sweep["nprobe_8_iters_8"] = {
+            "recall_at_10": round(row["recall"], 4) if row["recall"] is not None else None,
+            "sec": round(time.time() - t0, 3),
+        }
+        exact.unpersist()
         ann_probes["ivfpq_recall_prod"] = {
-            "n_codes": 256, "coarse_iters": 4, "n_queries": nq, **sweep,
+            "n_codes": 256, "coarse_k": 32, "coarse_iters": 4,
+            "n_queries": nq, **sweep,
         }
     except Exception as exc:  # noqa: BLE001
         errors["ivfpq_recall_prod"] = f"{type(exc).__name__}: {exc}"[:400]

@@ -802,9 +802,13 @@ def center_embeddings(
     n = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     return base.crossJoin(F.broadcast(sums)).crossJoin(F.broadcast(n)).select(
         F.col("id").alias(id_column),
+        # (x, i) transform form, NOT sequence(1, size(q)): Spark's
+        # sequence(1, 0) descends to [1, 0] for an empty array and the
+        # i=0 iteration would raise in element_at — one empty embedding
+        # must yield an empty centered vector, not fail the job
         F.expr(
-            "transform(sequence(1, size(q)),"
-            " i -> __n * element_at(q, i) - element_at(__sums, i))"
+            "transform(q,"
+            " (x, i) -> __n * x - element_at(__sums, i + 1))"
         ).alias("centered"),
         (F.col("__n") * F.lit(scale)).alias("denom"),
     )
@@ -992,10 +996,10 @@ def remove_top_direction(
     )
     return inner.select(
         F.col(id_column),
+        # (x, i) form: safe on empty arrays (see center_embeddings)
         F.expr(
-            f"transform(sequence(1, size({vector_column})),"
-            f" i -> element_at({vector_column}, i) * __vn2"
-            f" - __s * element_at(__v, i))"
+            f"transform({vector_column},"
+            f" (x, i) -> x * __vn2 - __s * element_at(__v, i + 1))"
         ).alias("residual"),
         (F.col(denom_column) * F.col("__vn2")).alias("denom"),
     )

@@ -76,7 +76,20 @@ def read_labels(spark, labels_dir: str, *, before_batch: int | None = None) -> D
     """
     if not _has_parquet(labels_dir):
         return spark.createDataFrame([], _LABEL_SCHEMA)
-    snaps = spark.read.parquet(labels_dir)
+    # mergeSchema: a labels_dir written by the pre-delta layout has
+    # partitions WITHOUT the __full column; a plain read would infer
+    # the legacy schema from one such file and silently drop the flag
+    # on the post-upgrade partitions. Footer-merge cost is bounded —
+    # retention keeps only partitions at/above the last compaction.
+    snaps = spark.read.option("mergeSchema", "true").parquet(labels_dir)
+    if "__full" not in snaps.columns:
+        # pure-legacy dir: every batch wrote the full table
+        snaps = snaps.withColumn("__full", F.lit(True))
+    else:
+        # mixed dir: legacy rows surface as null __full -> full
+        snaps = snaps.withColumn(
+            "__full", F.coalesce(F.col("__full"), F.lit(True))
+        )
     if before_batch is not None:
         snaps = snaps.where(F.col("__batch_id") < F.lit(int(before_batch)))
     base = snaps.agg(
@@ -126,17 +139,26 @@ def components_batch(
     )
 
 
-def prune_label_history(labels_dir: str) -> int:
+def prune_label_history(
+    labels_dir: str, *, committed_batch: int | None = None
+) -> int:
     """Retention: delete ``__batch_id=N`` partitions strictly below
-    the latest FULL snapshot — they are shadowed by the compaction
+    a COMMITTED full snapshot — they are shadowed by the compaction
     point and can never be read again by :func:`read_labels` without
     a ``before_batch`` horizon below it. Returns the number of
     partitions removed.
 
-    Run this only for batches the stream has committed past (in
-    foreachBatch, only the most recent batch can replay; anything
-    below the latest full snapshot is durable history by the time a
-    later compaction lands)."""
+    Safety is enforced in code, not just documented: in foreachBatch,
+    the MOST RECENT batch is exactly the one that can still replay,
+    and a replay of batch N reads ``read_labels(before_batch=N)`` —
+    so pruning below a full snapshot that IS the newest partition
+    would hand that replay an empty history and let it overwrite the
+    compaction point with only its own pairs, losing all accumulated
+    state. The horizon is therefore the newest full snapshot that
+    already has at least one LATER partition above it (that later
+    write proves the compaction batch committed); pass
+    ``committed_batch`` (e.g. from the sink's commit log) to prune up
+    to the newest full snapshot ``<= committed_batch`` instead."""
     import os
     import re
     import shutil
@@ -158,12 +180,25 @@ def prune_label_history(labels_dir: str) -> int:
         files = [f for f in os.listdir(path) if f.endswith(".parquet")]
         if not files:
             continue
-        t = pq.read_table(os.path.join(path, files[0]), columns=["__full"])
+        fpath = os.path.join(path, files[0])
+        if "__full" not in pq.read_schema(fpath).names:
+            full_ids.append(bid)  # legacy layout: every batch is full
+            continue
+        t = pq.read_table(fpath, columns=["__full"])
         if t.num_rows and t.column("__full")[0].as_py():
             full_ids.append(bid)
     if not full_ids:
         return 0
-    horizon = max(full_ids)
+    if committed_batch is not None:
+        safe = [b for b in full_ids if b <= int(committed_batch)]
+    else:
+        # a full snapshot is provably committed once any later batch
+        # has written above it (foreachBatch replays only the newest)
+        newest = max(parts)
+        safe = [b for b in full_ids if b < newest]
+    if not safe:
+        return 0
+    horizon = max(safe)
     pruned = 0
     for bid, path in parts.items():
         if bid < horizon:

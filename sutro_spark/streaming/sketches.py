@@ -90,9 +90,12 @@ def _anisotropy_state_rows() -> F.Column:
             ),
             F.struct(F.lit(-2).cast("long").alias("d"), self_dot.alias("x")),
         ),
+        # (v, i) form: an empty embedding contributes only the count
+        # and self-dot rows instead of corrupting them via the
+        # descending sequence(1, 0) -> element_at(.., 0) failure
         F.expr(
-            "transform(sequence(1, size(__q)),"
-            " i -> struct(CAST(i - 1 AS BIGINT) AS d, element_at(__q, i) AS x))"
+            "transform(__q,"
+            " (v, i) -> struct(CAST(i AS BIGINT) AS d, v AS x))"
         ),
     )
 

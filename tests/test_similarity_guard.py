@@ -408,3 +408,60 @@ def test_remove_top_direction_orthogonality_property(spark):
             assert dot == 0, (r["vec_id"], dot)
 
     check()
+
+
+def test_empty_embedding_rows_survive_centering_and_removal(spark):
+    """r11 (ADVICE): one empty embedding array must not fail the job.
+    The old sequence(1, size(arr)) construction descended to [1, 0] on
+    an empty array and element_at(.., 0) raised; the (x, i) transform
+    form yields an empty output row instead."""
+    from sutro_spark.operators.similarity import (
+        center_embeddings,
+        remove_top_direction,
+    )
+    from sutro_spark.streaming.sketches import _anisotropy_state_rows
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 3.0]), (2, []), (3, [5.0, 7.0])],
+        "doc_id long, embedding array<double>",
+    )
+    cent = {
+        r["doc_id"]: r["centered"]
+        for r in center_embeddings(df, "doc_id", "embedding").collect()
+    }
+    assert cent[2] == []
+    # non-empty rows still centered exactly: 3 * 1000*x - col_sum
+    assert cent[1] == [3 * 1000 - 6000, 3 * 3000 - 10000]
+    direction = spark.createDataFrame(
+        [(0, 1000), (1, 0)], "d long, v_milli long"
+    )
+    res = {
+        r["doc_id"]: r["residual"]
+        for r in remove_top_direction(
+            df.select(
+                "doc_id",
+                F.expr(
+                    "transform(embedding, x -> CAST(x * 1000 AS BIGINT))"
+                ).alias("vec"),
+                F.lit(1000).cast("long").alias("denom"),
+            ),
+            direction,
+            id_column="doc_id",
+            vector_column="vec",
+        ).collect()
+    }
+    assert res[2] == []
+    # streaming anisotropy state: the empty row contributes exactly the
+    # count row and a zero self-dot row — no corruption, no failure
+    state = (
+        spark.createDataFrame([([],)], "embedding array<double>")
+        .select(
+            F.expr(
+                "transform(embedding, x -> CAST(x * 1000 AS BIGINT))"
+            ).alias("__q")
+        )
+        .select(F.explode(_anisotropy_state_rows()).alias("r"))
+        .select("r.d", "r.x")
+        .collect()
+    )
+    assert {(r["d"], r["x"]) for r in state} == {(-1, 1), (-2, 0)}

@@ -213,10 +213,69 @@ def test_delta_writes_are_batch_sized_and_compaction_folds(spark, tmp_path):
         (r["node"], r["component"])
         for r in read_labels(spark, labels_dir).collect()
     }
-    pruned = prune_label_history(labels_dir)
+    # safety (r11, ADVICE): batch 4's full snapshot is the NEWEST
+    # partition, i.e. exactly the batch that could still replay — an
+    # unqualified prune must refuse (a replay of 4 would otherwise
+    # read an empty history and overwrite the snapshot with only its
+    # own pairs)
+    assert prune_label_history(labels_dir) == 0
+    replay_sees = {
+        (r["node"], r["component"])
+        for r in read_labels(spark, labels_dir, before_batch=4).collect()
+    }
+    assert replay_sees == state_before
+    # with an explicit committed horizon the shadowed history goes:
     # batches 0, 2, 3 (batch 1's empty delta wrote no partition)
+    pruned = prune_label_history(labels_dir, committed_batch=4)
     assert pruned == 3
     assert {
         (r["node"], r["component"])
         for r in read_labels(spark, labels_dir).collect()
     } == state_full
+    # batch 5 lands above the snapshot -> snapshot provably committed
+    # -> unqualified prune is now allowed (nothing below 4 remains)
+    b5 = spark.createDataFrame([(700, 701)], schema)
+    components_batch(b5, 5, labels_dir, compact_every=4)
+    assert prune_label_history(labels_dir) == 0
+    assert {
+        (r["node"], r["component"])
+        for r in read_labels(spark, labels_dir).collect()
+    } == state_full | {(701, 700)}
+
+
+def test_read_labels_tolerates_legacy_full_snapshot_layout(spark, tmp_path):
+    """r11 (ADVICE): a labels_dir written by the pre-r10 format (full
+    table every batch, no __full column) must fold, not fail — every
+    legacy partition is treated as a full snapshot, so the newest one
+    wins and an in-place upgrade keeps running."""
+    from sutro_spark.streaming.clusters import (
+        components_batch,
+        prune_label_history,
+        read_labels,
+    )
+    from sutro_spark.streaming.dedup import _write_batch_partition
+
+    labels_dir = str(tmp_path / "labels")
+    old0 = spark.createDataFrame([(2, 1), (3, 1)], "node long, component long")
+    old1 = spark.createDataFrame(
+        [(2, 1), (3, 1), (5, 4)], "node long, component long"
+    )
+    _write_batch_partition(old0, labels_dir, 0)
+    _write_batch_partition(old1, labels_dir, 1)
+    got = {
+        (r["node"], r["component"])
+        for r in read_labels(spark, labels_dir).collect()
+    }
+    assert got == {(2, 1), (3, 1), (5, 4)}
+    # legacy partitions count as full snapshots for retention too, but
+    # the newest one is never a safe horizon without a committed mark
+    assert prune_label_history(labels_dir) == 0
+    assert prune_label_history(labels_dir, committed_batch=1) == 1
+    # a post-upgrade delta batch folds on top of the legacy snapshot
+    b2 = spark.createDataFrame([(5, 2)], "id_a long, id_b long")
+    components_batch(b2, 2, labels_dir, compact_every=1000)
+    got2 = {
+        (r["node"], r["component"])
+        for r in read_labels(spark, labels_dir).collect()
+    }
+    assert got2 == {(2, 1), (3, 1), (4, 1), (5, 1)}
