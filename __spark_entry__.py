@@ -2792,6 +2792,20 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, src_column="s", dst_column="d", rounds=3)
 
 
+def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT ExactSubstr dedup (Lee et al. 2022 suffix-array semantics,
+    # distributed): maximal character spans covered by any substring of
+    # length >= 60 occurring >= 2 times corpus-wide. Hash-prefilter
+    # (xxhash64 in-stage, 8-byte shuffle rows) + byte-verify + interval
+    # union — the oracle re-derives the spans from raw substrings, so
+    # the hash stage is provably output-invisible.
+    from sutro_spark.operators.exact_substr import exact_substr_spans
+
+    return exact_substr_spans(
+        _t(spark, sf_dir, "documents"), min_length=60, min_count=2
+    )
+
+
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MOSS-style winnowing fingerprint overlap: local-min sampling of
     # rolling char-8-gram hashes (window 4), df-capped inverted-index
@@ -3990,6 +4004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_direction": q_remove_direction,
         "hits": q_hits,
         "communities": q_communities,
+        "exact_substr_spans": q_exact_substr_spans,
         "dup_size_histogram": q_dup_size_histogram,
         "winnow_overlap": q_winnow_overlap,
         "winnow_recall": q_winnow_recall,
@@ -7178,6 +7193,32 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(-1 AS INT) AS d, CAST(round(nrm) AS BIGINT) AS v_milli
             FROM n2
+        """,
+        "exact_substr_spans": """
+            WITH t AS (SELECT doc_id, coalesce(text, '') AS text
+                       FROM documents),
+            pos AS (SELECT doc_id, text,
+                           unnest(range(1, length(text) - 60 + 2)) AS p
+                    FROM t WHERE length(text) >= 60),
+            grams AS (SELECT doc_id, p,
+                             substring(text, CAST(p AS INT), 60) AS g
+                      FROM pos),
+            dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+            dpos AS (SELECT doc_id, p FROM grams JOIN dup USING (g)),
+            isl AS (SELECT doc_id, p,
+                           CASE WHEN p - lag(p) OVER (
+                               PARTITION BY doc_id ORDER BY p) <= 60
+                           THEN 0 ELSE 1 END AS brk
+                    FROM dpos),
+            g2 AS (SELECT doc_id, p,
+                          sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS UNBOUNDED PRECEDING) AS island
+                   FROM isl)
+            SELECT doc_id,
+                   CAST(min(p) AS BIGINT) AS span_start,
+                   CAST(max(p) + 60 AS BIGINT) AS span_end,
+                   CAST(max(p) + 60 - min(p) AS BIGINT) AS span_len
+            FROM g2 GROUP BY doc_id, island
         """,
         "center_embeddings": """
             WITH q AS (

@@ -16,6 +16,14 @@ designation* per digest, not that an intact verbatim copy always
 survives (the suffix-array formulation has the same edge at span
 boundaries).
 
+For the paper's EXACT result — maximal duplicated character spans with
+no fixed window grid and no keeper heuristic — use
+:mod:`sutro_spark.operators.exact_substr` (r11): it proves equality
+with the suffix-array formulation and byte-verifies every hash
+candidate. This module remains the TOKEN-granular variant with the
+keeper policy (keep one canonical copy) that exact_substr deliberately
+does not offer.
+
 Spark-first shape (the suffix-array of the paper is a single-machine
 structure; the distributed equivalent is a window-hash posting list):
 

@@ -1,0 +1,165 @@
+"""Exact ExactSubstr dedup (suffix-array semantics): spans must equal
+the brute-force enumeration of duplicated length-L windows, merged into
+maximal intervals — on fixtures and on Hypothesis-generated corpora."""
+
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sutro_spark.operators.exact_substr import (
+    exact_substr_positions,
+    exact_substr_spans,
+    strip_exact_substr,
+)
+
+
+def _brute_spans(docs: dict[int, str], L: int, min_count: int = 2):
+    """Reference implementation: hash nothing, enumerate every length-L
+    window, count occurrences globally, merge covered intervals."""
+    c = Counter()
+    for t in docs.values():
+        for i in range(len(t) - L + 1):
+            c[t[i : i + L]] += 1
+    spans = set()
+    for did, t in docs.items():
+        ps = [
+            i + 1
+            for i in range(len(t) - L + 1)
+            if c[t[i : i + L]] >= min_count
+        ]
+        start = end = None
+        for p in ps:
+            if start is None:
+                start, end = p, p + L
+            elif p <= end:  # overlap or touch: p <= prev_start + L
+                end = p + L
+            else:
+                spans.add((did, start, end))
+                start, end = p, p + L
+        if start is not None:
+            spans.add((did, start, end))
+    return spans
+
+
+SHARED = "the quick brown fox jumps over the lazy sleeping dog tonight"
+DOCS = {
+    1: f"AAAA unique prefix one {SHARED} unique suffix one ZZZZ",
+    2: f"BBBB different lead-in {SHARED} and a different tail here",
+    3: "totally unique document with no repeats at all whatsoever xyz",
+    4: "short",
+}
+
+
+def _df(spark, docs):
+    return spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+
+
+def test_spans_match_brute_force_on_fixture(spark):
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in exact_substr_spans(_df(spark, DOCS), min_length=20).collect()
+    }
+    assert got == _brute_spans(DOCS, 20)
+    # the shared sentence is found in both docs, nothing in 3/4
+    assert {d for d, _, _ in got} == {1, 2}
+
+
+def test_within_doc_overlapping_self_repeat_counts(spark):
+    # "ab" * 30: window at i and i+2 are identical — the suffix-array
+    # convention counts overlapping self-occurrences, so the whole
+    # document is one duplicated span even with a unique head/tail
+    docs = {1: "HEAD-" + "ab" * 30 + "-TAIL", 2: "nothing in common here at all"}
+    L = 10
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in exact_substr_spans(_df(spark, docs), min_length=L).collect()
+    }
+    assert got == _brute_spans(docs, L)
+    assert len(got) == 1 and next(iter(got))[0] == 1
+
+
+def test_min_count_raises_the_bar(spark):
+    docs = {
+        1: f"one copy here {SHARED} end one",
+        2: f"two copy here {SHARED} end two",
+        3: f"three copy xx {SHARED} end three",
+    }
+    # at min_count=4 the three-way shared sentence is NOT duplicated
+    assert (
+        exact_substr_spans(_df(spark, docs), min_length=20, min_count=4).count()
+        == 0
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in exact_substr_spans(
+            _df(spark, docs), min_length=20, min_count=3
+        ).collect()
+    }
+    assert got == _brute_spans(docs, 20, min_count=3)
+    assert len(got) == 3
+
+
+def test_short_and_null_docs_are_safe(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "tiny")], "doc_id long, text string"
+    )
+    assert exact_substr_spans(df, min_length=10).count() == 0
+    st_rows = {
+        r["doc_id"]: r for r in strip_exact_substr(df, min_length=10).collect()
+    }
+    assert st_rows[1]["clean_text"] == "" and st_rows[1]["n_removed"] == 0
+    assert st_rows[3]["clean_text"] == "tiny"
+
+
+def test_strip_cuts_every_occurrence_and_preserves_rest(spark):
+    got = {
+        r["doc_id"]: r
+        for r in strip_exact_substr(_df(spark, DOCS), min_length=20).collect()
+    }
+    spans = _brute_spans(DOCS, 20)
+    for did, text in DOCS.items():
+        mine = sorted((s, e) for d, s, e in spans if d == did)
+        kept, cur = [], 1
+        for s, e in mine:
+            kept.append(text[cur - 1 : s - 1])
+            cur = e
+        kept.append(text[cur - 1 :])
+        assert got[did]["clean_text"] == "".join(kept)
+        assert got[did]["n_removed"] == sum(e - s for s, e in mine)
+        assert got[did]["n_chars"] == len(text)
+
+
+def test_param_validation(spark):
+    df = _df(spark, {1: "abc"})
+    with pytest.raises(ValueError):
+        exact_substr_spans(df, min_length=1)
+    with pytest.raises(ValueError):
+        exact_substr_spans(df, min_count=1)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=5
+    ),
+    L=st.integers(min_value=2, max_value=6),
+)
+def test_spans_equal_brute_force_property(spark, texts, L):
+    """Tiny alphabet => dense accidental repeats, including overlapping
+    self-repeats and cross-doc repeats at every boundary shape."""
+    docs = {i: t for i, t in enumerate(texts)}
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in exact_substr_spans(
+            spark.createDataFrame(
+                list(docs.items()), "doc_id long, text string"
+            ),
+            min_length=L,
+        ).collect()
+    }
+    assert got == _brute_spans(docs, L)

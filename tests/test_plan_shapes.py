@@ -278,3 +278,16 @@ def test_center_embeddings_broadcasts_the_sums_row(spark):
     plan = _plan(spark, "center_embeddings")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_exact_substr_no_cartesian_and_combinable_counts(spark):
+    # r11: hash-prefilter + byte-verify must stay candidate-generation
+    # shaped — semi-joins on hash/gram keys with partial (map-side
+    # combinable) counts, never an all-pairs product; the span merge is
+    # the only Window and it partitions by doc_id.
+    plan = _plan(spark, "exact_substr_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "partial" in plan.lower()
+    assert "PythonUDF" not in plan
