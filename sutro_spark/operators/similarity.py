@@ -751,6 +751,98 @@ def embedding_anisotropy(
     )
 
 
+def embedding_anisotropy_sharded(
+    df: DataFrame,
+    vector_column: str = "embedding",
+    *,
+    n_shards: int = 16,
+    id_column: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """:func:`embedding_anisotropy` past its overflow bound (r11,
+    VERDICT #7): ``||S||^2`` needs ``(n * scale * |mean_d|)^2 < 2^63``,
+    which caps the exact single-state diagnostic at ~10^8 unit-scale
+    vectors at dim 64. This helper makes the documented
+    shard-and-average escape a code path: vectors hash into
+    ``n_shards`` deterministic shards, the SAME exact integer state is
+    built per shard (per-dim sums bounded by n/K, so the squared term
+    shrinks by K^2), and the shard states combine as the pooled
+    estimator
+
+        anisotropy ~= [sum_k (||S_k||^2 - T_k) / sum_k n_k (n_k - 1)]
+                      / [sum_k T_k / sum_k n_k]
+
+    — mean within-shard pairwise dot over mean squared norm. Within-
+    shard pairs ARE uniform random pairs under hash sharding, so this
+    estimates the same expectation; only the (1 - 1/K) fraction of
+    cross-shard pairs goes unobserved, trading exact-all-pairs for K^2
+    more headroom. All sums stay exact BIGINTs; the estimate is one
+    IEEE division of two exact integer products.
+
+    Plan: identical to the single-state path plus a shard key on the
+    one combinable groupBy — still one scan, no joins, no collects.
+
+    Output: one row (n_shards, n_vecs, dim, t_self, pair_dot_sum,
+    n_pairs, anisotropy); anisotropy NULL when degenerate (no shard
+    has 2 vectors, or T = 0).
+    """
+    from sutro_spark.streaming.sketches import _anisotropy_state_rows
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    q = F.transform(
+        F.col(vector_column),
+        lambda x: F.round(x.cast("double") * scale).cast("long"),
+    )
+    shard = F.pmod(F.xxhash64(F.col(id_column)), F.lit(int(n_shards)))
+    state = (
+        df.select(shard.alias("__shard"), q.alias("__q"))
+        .select("__shard", F.explode(_anisotropy_state_rows()).alias("cell"))
+        .groupBy("__shard", F.col("cell.d").alias("d"))
+        .agg(F.sum("cell.x").alias("s"))
+    )
+    per_shard = state.groupBy("__shard").agg(
+        F.coalesce(F.sum(F.when(F.col("d") == -1, F.col("s"))), F.lit(0))
+        .cast("long")
+        .alias("n_k"),
+        F.coalesce(F.sum(F.when(F.col("d") >= 0, F.lit(1))), F.lit(0))
+        .cast("long")
+        .alias("dim_k"),
+        F.coalesce(F.sum(F.when(F.col("d") == -2, F.col("s"))), F.lit(0))
+        .cast("long")
+        .alias("t_k"),
+        F.coalesce(
+            F.sum(F.when(F.col("d") >= 0, F.col("s") * F.col("s"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("sn2_k"),
+    )
+    return per_shard.agg(
+        F.lit(int(n_shards)).alias("n_shards"),
+        F.coalesce(F.sum("n_k"), F.lit(0)).cast("long").alias("n_vecs"),
+        F.coalesce(F.max("dim_k"), F.lit(0)).cast("long").alias("dim"),
+        F.coalesce(F.sum("t_k"), F.lit(0)).cast("long").alias("t_self"),
+        F.coalesce(F.sum(F.col("sn2_k") - F.col("t_k")), F.lit(0))
+        .cast("long")
+        .alias("pair_dot_sum"),
+        F.coalesce(F.sum(F.col("n_k") * (F.col("n_k") - 1)), F.lit(0))
+        .cast("long")
+        .alias("n_pairs"),
+    ).select(
+        "n_shards",
+        "n_vecs",
+        "dim",
+        "t_self",
+        "pair_dot_sum",
+        "n_pairs",
+        F.expr(
+            "CASE WHEN n_pairs > 0 AND t_self > 0 THEN"
+            " CAST(pair_dot_sum * n_vecs AS DOUBLE)"
+            " / CAST(n_pairs * t_self AS DOUBLE) END"
+        ).alias("anisotropy"),
+    )
+
+
 def center_embeddings(
     df: DataFrame,
     id_column: str = "vec_id",
