@@ -2806,6 +2806,20 @@ def q_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_substr_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the removal half of exact ExactSubstr: every duplicated span cut
+    # from every occurrence, documents rebuilt from the surviving
+    # segments by one Catalyst aggregate fold. The oracle re-derives
+    # the spans from raw substrings and reassembles with an ordered
+    # string_agg over the gap segments — full end-to-end parity
+    # including the reassembled text bytes.
+    from sutro_spark.operators.exact_substr import strip_exact_substr
+
+    return strip_exact_substr(
+        _t(spark, sf_dir, "documents"), min_length=60, min_count=2
+    )
+
+
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MOSS-style winnowing fingerprint overlap: local-min sampling of
     # rolling char-8-gram hashes (window 4), df-capped inverted-index
@@ -3812,26 +3826,27 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: log — so the registry is 220). Everything is equally oracle-checked by
 #: tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
-_R10_WINDOW = [
-    # new in r10, never driver-checked
-    "embedding_anisotropy", "center_embeddings", "pca_direction",
-    "remove_direction", "hits", "communities",
-    # the ENTIRE remaining r5-green cohort (28) — clears the floor to r6
-    "ols_tokens_vs_chars", "price_histogram_quantiles", "price_quantiles",
-    "skew_report", "source_overlap", "sq_recall", "sq_topk",
-    "sql_interface", "strip_passages", "table_profile", "time_split",
-    "token_budget", "tpch_q10ish", "tpch_q11ish", "tpch_q13ish",
-    "tpch_q15ish", "tpch_q16ish", "tpch_q18ish", "tpch_q19ish",
-    "tpch_q20ish", "tpch_q22ish", "tpch_q4ish", "tpch_q7ish",
-    "tpch_q8ish", "validate_orders", "video_frames", "winnow_overlap",
-    "winnow_recall",
-    # the 22 oldest r6-cohort entries (alphabetical; the remaining 22
-    # r6 entries lead r11)
-    "batch_function", "bloom_decontaminate", "cap_per_source",
-    "classify", "csv_scan", "curation_pipeline", "customer_regions",
-    "embed", "events_top_per_user", "flagship_extract", "funnel",
-    "hash_sample_split", "hll_merge", "infer_per_model", "ivfpq_topk",
-    "kmeans_clusters",
+_R11_WINDOW = [
+    # new in r11, never driver-checked
+    "exact_substr_spans", "exact_substr_strip",
+    # the ENTIRE remaining r6-green cohort (28 live; rank_elo_large was
+    # retired r8) — clears the floor to r7
+    "labeled_concat_nulls", "merge_upsert", "nfc_check", "pack_contexts",
+    "pairwise_counts", "part_stats", "pivot_qty", "positional_zip",
+    "pq_codes", "pq_recall", "pq_topk", "promo_revenue", "prompt_concat",
+    "quality_train", "quality_train_eval", "rank_elo",
+    "rank_exploded", "rollup_counts", "score", "select_prompt_column",
+    "sentence_stats", "set_ops", "stratified_sample", "tpch_q1",
+    "tpch_q12ish", "weighted_sample", "winnow_dedup", "zorder_key",
+    # the 20 oldest r7-cohort entries (alphabetical; dup_clusters was
+    # retired in r10 and is skipped; the remaining 30 r7 entries lead
+    # the r12 rotation)
+    "ann_mrr", "asof_purchase", "audio_features", "bm25_topk",
+    "bucketed_dedup", "calibration", "chunk_docs",
+    "classify_calibration", "decontaminate", "dedup_keep_best",
+    "dedup_normalized", "dhash_pairs", "ece", "embedding_dedup",
+    "events_props_stats", "events_sessionize", "events_window",
+    "exact_dedup", "frame_sample", "gap_fill",
 ]
 
 
@@ -4005,6 +4020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "communities": q_communities,
         "exact_substr_spans": q_exact_substr_spans,
+        "exact_substr_strip": q_exact_substr_strip,
         "dup_size_histogram": q_dup_size_histogram,
         "winnow_overlap": q_winnow_overlap,
         "winnow_recall": q_winnow_recall,
@@ -4073,10 +4089,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
     }
-    missing = [q for q in _R10_WINDOW if q not in all_qs]
+    missing = [q for q in _R11_WINDOW if q not in all_qs]
     if missing:  # a typo in the rotation list must fail loudly, not 404
-        raise KeyError(f"_R10_WINDOW names not in registry: {missing}")
-    head = {k: all_qs[k] for k in _R10_WINDOW}
+        raise KeyError(f"_R11_WINDOW names not in registry: {missing}")
+    head = {k: all_qs[k] for k in _R11_WINDOW}
     head.update(all_qs)  # dict keeps first-insertion order: window leads
     return head
 
@@ -4112,6 +4128,31 @@ _SHINGLES_CTE = """
 # 2 unrolled power-iteration rounds ending at direction CTE `v2`
 # (+ its norm CTE n2). Used by the pca_direction and
 # remove_direction oracles.
+# shared by the exact_substr_spans / exact_substr_strip oracles: the
+# duplicated-span derivation straight from raw substrings (no hashing —
+# the Spark side's xxhash64 prefilter must be output-invisible)
+_EXACT_SUBSTR_CTE = """t AS (SELECT doc_id, coalesce(text, '') AS text
+                       FROM documents),
+            pos AS (SELECT doc_id, text,
+                           unnest(range(1, length(text) - 60 + 2)) AS p
+                    FROM t WHERE length(text) >= 60),
+            grams AS (SELECT doc_id, p,
+                             substring(text, CAST(p AS INT), 60) AS g
+                      FROM pos),
+            dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+            dpos AS (SELECT doc_id, p FROM grams JOIN dup USING (g)),
+            isl AS (SELECT doc_id, p,
+                           CASE WHEN p - lag(p) OVER (
+                               PARTITION BY doc_id ORDER BY p) <= 60
+                           THEN 0 ELSE 1 END AS brk
+                    FROM dpos),
+            g2 AS (SELECT doc_id, p,
+                          sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS UNBOUNDED PRECEDING) AS island
+                   FROM isl),
+            spans AS (SELECT doc_id, min(p) AS s, max(p) + 60 AS e
+                      FROM g2 GROUP BY doc_id, island)"""
+
 _ABTT_CTE = """q0 AS (
                 SELECT list_transform(embedding,
                            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
@@ -7194,31 +7235,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(-1 AS INT) AS d, CAST(round(nrm) AS BIGINT) AS v_milli
             FROM n2
         """,
-        "exact_substr_spans": """
-            WITH t AS (SELECT doc_id, coalesce(text, '') AS text
-                       FROM documents),
-            pos AS (SELECT doc_id, text,
-                           unnest(range(1, length(text) - 60 + 2)) AS p
-                    FROM t WHERE length(text) >= 60),
-            grams AS (SELECT doc_id, p,
-                             substring(text, CAST(p AS INT), 60) AS g
-                      FROM pos),
-            dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
-            dpos AS (SELECT doc_id, p FROM grams JOIN dup USING (g)),
-            isl AS (SELECT doc_id, p,
-                           CASE WHEN p - lag(p) OVER (
-                               PARTITION BY doc_id ORDER BY p) <= 60
-                           THEN 0 ELSE 1 END AS brk
-                    FROM dpos),
-            g2 AS (SELECT doc_id, p,
-                          sum(brk) OVER (PARTITION BY doc_id ORDER BY p
-                              ROWS UNBOUNDED PRECEDING) AS island
-                   FROM isl)
+        "exact_substr_spans": f"""
+            WITH {_EXACT_SUBSTR_CTE}
             SELECT doc_id,
-                   CAST(min(p) AS BIGINT) AS span_start,
-                   CAST(max(p) + 60 AS BIGINT) AS span_end,
-                   CAST(max(p) + 60 - min(p) AS BIGINT) AS span_len
-            FROM g2 GROUP BY doc_id, island
+                   CAST(s AS BIGINT) AS span_start,
+                   CAST(e AS BIGINT) AS span_end,
+                   CAST(e - s AS BIGINT) AS span_len
+            FROM spans
+        """,
+        "exact_substr_strip": f"""
+            WITH {_EXACT_SUBSTR_CTE},
+            segs AS (
+                SELECT doc_id,
+                       coalesce(lag(e) OVER (
+                           PARTITION BY doc_id ORDER BY s), 1) AS seg_s,
+                       s AS seg_e
+                FROM spans
+                UNION ALL
+                SELECT doc_id, max(e) AS seg_s, NULL AS seg_e
+                FROM spans GROUP BY doc_id),
+            clean AS (
+                SELECT g.doc_id,
+                       string_agg(
+                           substring(t.text, CAST(g.seg_s AS INT),
+                               CAST(coalesce(g.seg_e, length(t.text) + 1)
+                                    - g.seg_s AS INT)),
+                           '' ORDER BY g.seg_s) AS kept
+                FROM segs g JOIN t USING (doc_id) GROUP BY g.doc_id),
+            cut AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_cut
+                    FROM spans GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(length(t.text) AS BIGINT) AS n_chars,
+                   coalesce(cut.n_cut, 0) AS n_removed,
+                   coalesce(clean.kept, t.text) AS clean_text
+            FROM t
+            LEFT JOIN clean USING (doc_id)
+            LEFT JOIN cut USING (doc_id)
         """,
         "center_embeddings": """
             WITH q AS (

@@ -139,7 +139,12 @@ def main() -> None:
         best: dict[str, float] = {}
         per_pass: list[dict[str, float]] = []
         pass_steal: list[float | None] = []
+        pass_load: list[float | None] = []
         for _ in range(passes):
+            try:
+                pass_load.append(round(os.getloadavg()[0], 2))
+            except OSError:
+                pass_load.append(None)
             j0 = _cpu_jiffies()
             cur: dict[str, float] = {}
             for name in names:
@@ -160,6 +165,7 @@ def main() -> None:
             {k: round(v, 3) for k, v in best.items() if k not in errors},
             per_pass,
             pass_steal,
+            pass_load,
         )
 
     # the headline total is the cross-round comparison number — worth
@@ -168,7 +174,7 @@ def main() -> None:
     # at <0.2% steal — JIT/page-cache warm-up, not host noise), so
     # min-of-3 had not converged; a 4th pass costs ~20 s and lets the
     # min come from a genuinely warm pass.
-    timings, headline_passes, headline_steal = timed_set(
+    timings, headline_passes, headline_steal, headline_load = timed_set(
         [n for n in HEADLINE if n in qs], passes=4
     )
     # a red headline query invalidates the total — a partial sum would
@@ -186,7 +192,7 @@ def main() -> None:
     # benched via ngram_jaccard / minhash_lsh / simhash).
     # Retired r10 (decision log): dup_clusters (winnow_dedup runs the
     # same pairs→CC→representative composition and stays benched).
-    extra, extra_passes, extra_steal = timed_set(
+    extra, extra_passes, extra_steal, extra_load = timed_set(
         [
             name
             for name in [
@@ -214,6 +220,7 @@ def main() -> None:
             "snapshot_diff", "dedup_lines", "fuzzy_decontaminate", "video_frames",
             "token_budget", "epoch_plan", "embedding_norms", "embedding_anisotropy", "center_embeddings", "pca_direction", "remove_direction", "hits", "communities", "dup_size_histogram",
             "winnow_overlap", "winnow_recall", "exact_substr_spans",
+            "exact_substr_strip",
             "dsir_select", "charlm_quality", "dedup_paragraphs", "sq_topk",
             "dup_passages", "strip_passages", "hll_distinct",
             "hll_merge", "sentence_stats", "nfc_check", "winnow_dedup",
@@ -481,6 +488,11 @@ def main() -> None:
                 "extra_queries": extra,
                 "headline_passes": headline_passes,
                 "headline_pass_steal_pct": headline_steal,
+                # 1-min loadavg sampled as each pass STARTS (r11,
+                # VERDICT #5): pins co-resident load per pass, not just
+                # at run start — the noise source steal% can't see
+                "headline_pass_loadavg": headline_load,
+                "extra_pass_loadavg": extra_load,
                 "ann_probes": ann_probes,
                 "queries": timings,
                 # adjudication fields AFTER the big dicts: the driver

@@ -264,3 +264,66 @@ def test_train_scorer_init_matches_python_model(spark, rows):
             b = int(hashlib.sha256(tok.encode()).hexdigest()[:4], 16) % 64
             expected[b] = expected.get(b, 0) + y
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.sets(st.sampled_from("abcdefgh"), min_size=1, max_size=8),
+        min_size=2,
+        max_size=6,
+    ),
+    threshold_milli=st.sampled_from([250, 333, 500, 600, 750, 1000]),
+)
+def test_prefix_filter_lossless_at_threshold_boundary(
+    spark, docs, threshold_milli
+):
+    """r11 (VERDICT #6): the PPJoin length + positional filters must be
+    LOSSLESS exactly at the J == t boundary — token sets drawn from an
+    8-letter alphabet land on 1000*inter == t*union constantly (e.g.
+    inter 1 / union 2 at t=500, inter 3 / union 4 at t=750), pinning
+    the >=-vs-> edge of dedup.py's req/length/positional tests forever."""
+    from sutro_spark.operators.dedup import prefix_filter_pairs
+
+    rows = [(i, " ".join(sorted(s))) for i, s in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_filter_pairs(
+            df, threshold_milli=threshold_milli
+        ).collect()
+    }
+    want = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(docs[i] & docs[j])
+            union = len(docs[i] | docs[j])
+            if 1000 * inter >= threshold_milli * union:
+                want.add((i, j))
+    assert got == want
+
+
+def test_prefix_filter_exact_boundary_fixtures(spark):
+    """Hand-built exact-equality cases (1000*inter == t*union) — each
+    MUST be emitted; the same case one token worse MUST NOT."""
+    from sutro_spark.operators.dedup import prefix_filter_pairs
+
+    # t=500: {a b} vs {b} -> inter 1, union 2, J = 0.500 exactly
+    # t=750: {a b c} vs {a b c d} -> inter 3, union 4, J = 0.750
+    # t=333: {a x} vs {a y} -> inter 1, union 3, J = 0.333... just ABOVE
+    #        333/1000 (1000*1 >= 333*3 = 999) -> kept
+    cases = [
+        (500, ["a b", "b"], True),
+        (500, ["a b c", "b"], False),          # J = 1/3 < 0.5
+        (750, ["a b c", "a b c d"], True),
+        (750, ["a b c", "a b c d e"], False),  # J = 3/5 < 0.75
+        (333, ["a x", "a y"], True),
+        (1000, ["a b", "a b"], True),          # J = 1 at t = 1
+        (1000, ["a b", "a b c"], False),
+    ]
+    for t, texts, expect in cases:
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        n = prefix_filter_pairs(df, threshold_milli=t).count()
+        assert n == (1 if expect else 0), (t, texts, n)

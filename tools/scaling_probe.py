@@ -207,6 +207,11 @@ def main() -> None:
         "unigram_surprisal",
         # r10: graph rankers over the same structure-preserving copies
         "hits", "communities",
+        # r11: exact ExactSubstr — replicated docs get a per-copy text
+        # suffix, so every cross-copy duplicated span from the base
+        # corpus is preserved while rows stay distinct; candidate and
+        # span counts grow ~linearly with the corpus
+        "exact_substr_spans",
     ]
     qs = entrymod.queries()
     obase = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
@@ -335,6 +340,25 @@ def main() -> None:
         "r9 measured gopher at exponent 1.35 (165.8 s at 16x) from the",
         "exploded-gram shuffle this round removed — the expected (and",
         "r10-measured) exponent is ~1.0 with the 16x cell around 56 s.",
+        "",
+        "r11 note (the rows VERDICT r10 ordered measured): hits and",
+        "communities both come in SUB-LINEAR (r11 measured 0.48 and",
+        "0.44 on structure-preserving disjoint graph copies) — the",
+        "per-round two-join/two-groupBy (resp. one-join/one-argmax-agg)",
+        "shape is linear in edges and per-query fixed overhead still",
+        "dominates at these sizes, the same pattern as pagerank (0.24);",
+        "checkpoint stays OFF by default at the 2-3 round depths the",
+        "[Q]s run (lineage is shallow; flip it for deep iteration).",
+        "exact_substr_spans measures ~1.10 overall, but the segment",
+        "exponents tell the real story: 1x->4x ~1.5, 4x->16x ~0.73.",
+        "Replication makes formerly-UNIQUE base text cross-copy",
+        "duplicated, so the duplicated-position fraction jumps from",
+        "the base corpus's partial coverage to ~100% between 1x and",
+        "4x — the verify + span stages see super-linearly MORE true",
+        "work (real output growth, the minhash/prefix_filter caveat",
+        "again), then scale ~linearly once saturation is reached. On",
+        "a real corpus the duplicated fraction is the workload",
+        "parameter; the per-position pipeline cost is flat.",
         "",
         "Heavy-query notes: winnow_dedup",
         "adds iterative CC on top of winnow_overlap's within-cluster",
