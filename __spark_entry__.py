@@ -2820,6 +2820,22 @@ def q_exact_substr_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SPAN-level decontamination (the surgical counterpart to the
+    # whole-doc decontaminate [Q]s): every-7th doc plays the held-out
+    # benchmark; the remaining corpus gets its maximal >=60-char
+    # verbatim-overlap spans marked. Hash-prefilter + byte-verify, so
+    # the oracle's raw-substring derivation must match exactly.
+    from sutro_spark.operators.exact_substr import contaminated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return contaminated_spans(
+        docs.where(F.col("doc_id") % 7 != 0),
+        docs.where(F.col("doc_id") % 7 == 0),
+        min_length=60,
+    )
+
+
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MOSS-style winnowing fingerprint overlap: local-min sampling of
     # rolling char-8-gram hashes (window 4), df-capped inverted-index
@@ -3828,7 +3844,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: completeness-enforced).
 _R11_WINDOW = [
     # new in r11, never driver-checked
-    "exact_substr_spans", "exact_substr_strip",
+    "exact_substr_spans", "exact_substr_strip", "contaminated_spans",
     # the ENTIRE remaining r6-green cohort (28 live; rank_elo_large was
     # retired r8) — clears the floor to r7
     "labeled_concat_nulls", "merge_upsert", "nfc_check", "pack_contexts",
@@ -3838,7 +3854,7 @@ _R11_WINDOW = [
     "rank_exploded", "rollup_counts", "score", "select_prompt_column",
     "sentence_stats", "set_ops", "stratified_sample", "tpch_q1",
     "tpch_q12ish", "weighted_sample", "winnow_dedup", "zorder_key",
-    # the 20 oldest r7-cohort entries (alphabetical; dup_clusters was
+    # the 19 oldest r7-cohort entries (alphabetical; dup_clusters was
     # retired in r10 and is skipped; the remaining 30 r7 entries lead
     # the r12 rotation)
     "ann_mrr", "asof_purchase", "audio_features", "bm25_topk",
@@ -3846,7 +3862,7 @@ _R11_WINDOW = [
     "classify_calibration", "decontaminate", "dedup_keep_best",
     "dedup_normalized", "dhash_pairs", "ece", "embedding_dedup",
     "events_props_stats", "events_sessionize", "events_window",
-    "exact_dedup", "frame_sample", "gap_fill",
+    "exact_dedup", "frame_sample",
 ]
 
 
@@ -4021,6 +4037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "communities": q_communities,
         "exact_substr_spans": q_exact_substr_spans,
         "exact_substr_strip": q_exact_substr_strip,
+        "contaminated_spans": q_contaminated_spans,
         "dup_size_histogram": q_dup_size_histogram,
         "winnow_overlap": q_winnow_overlap,
         "winnow_recall": q_winnow_recall,
@@ -7271,6 +7288,36 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             LEFT JOIN clean USING (doc_id)
             LEFT JOIN cut USING (doc_id)
+        """,
+        "contaminated_spans": """
+            WITH t AS (SELECT doc_id, coalesce(text, '') AS text
+                       FROM documents WHERE doc_id % 7 <> 0),
+            r AS (SELECT coalesce(text, '') AS text
+                  FROM documents WHERE doc_id % 7 = 0),
+            rg AS (SELECT DISTINCT substring(text, CAST(p AS INT), 60) AS g
+                   FROM (SELECT text,
+                                unnest(range(1, length(text) - 60 + 2)) AS p
+                         FROM r WHERE length(text) >= 60)),
+            grams AS (SELECT doc_id, p,
+                             substring(text, CAST(p AS INT), 60) AS g
+                      FROM (SELECT doc_id, text,
+                                   unnest(range(1, length(text) - 60 + 2)) AS p
+                            FROM t WHERE length(text) >= 60)),
+            dpos AS (SELECT doc_id, p FROM grams JOIN rg USING (g)),
+            isl AS (SELECT doc_id, p,
+                           CASE WHEN p - lag(p) OVER (
+                               PARTITION BY doc_id ORDER BY p) <= 60
+                           THEN 0 ELSE 1 END AS brk
+                    FROM dpos),
+            g2 AS (SELECT doc_id, p,
+                          sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS UNBOUNDED PRECEDING) AS island
+                   FROM isl)
+            SELECT doc_id,
+                   CAST(min(p) AS BIGINT) AS span_start,
+                   CAST(max(p) + 60 AS BIGINT) AS span_end,
+                   CAST(max(p) + 60 - min(p) AS BIGINT) AS span_len
+            FROM g2 GROUP BY doc_id, island
         """,
         "center_embeddings": """
             WITH q AS (

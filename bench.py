@@ -220,7 +220,7 @@ def main() -> None:
             "snapshot_diff", "dedup_lines", "fuzzy_decontaminate", "video_frames",
             "token_budget", "epoch_plan", "embedding_norms", "embedding_anisotropy", "center_embeddings", "pca_direction", "remove_direction", "hits", "communities", "dup_size_histogram",
             "winnow_overlap", "winnow_recall", "exact_substr_spans",
-            "exact_substr_strip",
+            "exact_substr_strip", "contaminated_spans",
             "dsir_select", "charlm_quality", "dedup_paragraphs", "sq_topk",
             "dup_passages", "strip_passages", "hll_distinct",
             "hll_merge", "sentence_stats", "nfc_check", "winnow_dedup",

@@ -6,6 +6,12 @@ data cards): a train doc containing any n-gram that also appears in a
 benchmark is "contaminated" and must be excluded so eval numbers stay
 honest.
 
+This module decides at DOCUMENT granularity (flag/drop the whole doc).
+For the surgical variant — cut only the overlapping character spans
+and keep each document's clean remainder — see
+:func:`sutro_spark.operators.exact_substr.contaminated_spans` /
+``strip_contaminated_spans`` (r11).
+
 Scale shape — this is the one dedup-family op with an asymmetry you
 must exploit: the benchmark side is TINY (eval suites are thousands of
 documents; the train side is the 100 TB). So the plan is a **broadcast

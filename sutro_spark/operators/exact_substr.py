@@ -72,48 +72,52 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "contaminated_spans",
     "exact_substr_positions",
     "exact_substr_spans",
+    "strip_contaminated_spans",
     "strip_exact_substr",
 ]
 
 
-def _window_candidates(
-    df: DataFrame, text_column: str, id_column: str, L: int, min_count: int
-) -> DataFrame:
-    """Stage 1+2: (doc_id, pos) of every length-``L`` window whose
-    exact bytes occur >= ``min_count`` times corpus-wide. ``pos`` is
-    1-based (``substring`` convention in both Spark and DuckDB)."""
-    base = df.select(
+def _prepare(df: DataFrame, text_column: str, id_column: str) -> DataFrame:
+    return df.select(
         F.col(id_column).alias("doc_id"),
         F.coalesce(F.col(text_column), F.lit("")).alias("__t"),
     )
-    # per-position window hashes, computed inside the HOF so only the
-    # 8-byte hash reaches the exploded rows; sequence(1, 0) DESCENDS,
-    # hence the explicit short-doc guard
-    hashed = base.select(
-        "doc_id",
-        F.when(
-            F.length("__t") >= L,
-            F.expr(
-                f"transform(sequence(1, length(__t) - {L} + 1),"
-                f" i -> xxhash64(substring(__t, i, {L})))"
-            ),
+
+
+def _window_hashes(base: DataFrame, L: int) -> DataFrame:
+    """(doc_id, pos, h): the xxhash64 of every length-``L`` window,
+    1-based ``pos`` (``substring`` convention in both Spark and
+    DuckDB). Hashes are computed inside the HOF so only 8 bytes per
+    position reach the exploded rows; sequence(1, 0) DESCENDS, hence
+    the explicit short-doc guard."""
+    return (
+        base.select(
+            "doc_id",
+            F.when(
+                F.length("__t") >= L,
+                F.expr(
+                    f"transform(sequence(1, length(__t) - {L} + 1),"
+                    f" i -> xxhash64(substring(__t, i, {L})))"
+                ),
+            )
+            .otherwise(F.array().cast("array<bigint>"))
+            .alias("__hs"),
         )
-        .otherwise(F.array().cast("array<bigint>"))
-        .alias("__hs"),
-    ).select("doc_id", F.posexplode("__hs").alias("__p0", "h"))
-    pos = hashed.select(
-        "doc_id", (F.col("__p0") + 1).alias("pos"), "h"
+        .select("doc_id", F.posexplode("__hs").alias("__p0", "h"))
+        .select("doc_id", (F.col("__p0") + 1).alias("pos"), "h")
     )
-    hot = pos.groupBy("h").agg(F.count(F.lit(1)).alias("__n")).where(
-        F.col("__n") >= min_count
-    )
-    cand = pos.join(hot.select("h"), "h", "left_semi")
-    # regroup candidates per doc and rejoin the text ONCE to re-extract
-    # the real window bytes for exact verification
+
+
+def _candidate_grams(base: DataFrame, cand: DataFrame, L: int) -> DataFrame:
+    """Re-extract the REAL window bytes for candidate positions only:
+    candidates regroup per doc (one array per doc), rejoin the text
+    once, and explode back to (doc_id, pos, g) rows — L bytes travel
+    only for the candidate fraction, never the whole corpus."""
     per_doc = cand.groupBy("doc_id").agg(F.collect_list("pos").alias("__ps"))
-    grams = (
+    return (
         per_doc.join(base, "doc_id")
         .select(
             "doc_id",
@@ -127,6 +131,20 @@ def _window_candidates(
         )
         .select("doc_id", F.col("e.pos").alias("pos"), F.col("e.g").alias("g"))
     )
+
+
+def _window_candidates(
+    df: DataFrame, text_column: str, id_column: str, L: int, min_count: int
+) -> DataFrame:
+    """Stage 1+2: (doc_id, pos) of every length-``L`` window whose
+    exact bytes occur >= ``min_count`` times corpus-wide."""
+    base = _prepare(df, text_column, id_column)
+    pos = _window_hashes(base, L)
+    hot = pos.groupBy("h").agg(F.count(F.lit(1)).alias("__n")).where(
+        F.col("__n") >= min_count
+    )
+    cand = pos.join(hot.select("h"), "h", "left_semi")
+    grams = _candidate_grams(base, cand, L)
     verified = grams.groupBy("g").agg(F.count(F.lit(1)).alias("__n")).where(
         F.col("__n") >= min_count
     )
@@ -173,7 +191,6 @@ def exact_substr_spans(
     Touching-but-distinct repeats merge (the union is contiguous);
     that is the removal semantics — every covered character is inside
     SOME duplicated substring of length >= L."""
-    L = min_length
     dpos = exact_substr_positions(
         df,
         text_column=text_column,
@@ -181,6 +198,12 @@ def exact_substr_spans(
         min_length=min_length,
         min_count=min_count,
     )
+    return _merge_spans(dpos, min_length)
+
+
+def _merge_spans(dpos: DataFrame, L: int) -> DataFrame:
+    """Gaps-and-islands interval merge of covered windows [p, p+L):
+    per-doc sort bounded by document length, never a corpus sort."""
     wd = Window.partitionBy("doc_id").orderBy("pos")
     brk = F.when(
         F.col("pos") - F.lag("pos").over(wd) <= L, F.lit(0)
@@ -233,18 +256,22 @@ def strip_exact_substr(
         min_length=min_length,
         min_count=min_count,
     )
+    return _strip_with_spans(_prepare(df, text_column, id_column), spans)
+
+
+def _strip_with_spans(base: DataFrame, spans: DataFrame) -> DataFrame:
+    """Cut (span_start, span_end) intervals out of ``base`` and
+    reassemble each document from the surviving segments with one
+    Catalyst ``aggregate`` fold — no Python, no per-character
+    explode. Left fold over the sorted spans: acc = (kept-so-far,
+    cursor); each span appends the gap before it and jumps the cursor
+    past it."""
     per_doc = spans.groupBy("doc_id").agg(
         F.array_sort(
             F.collect_list(F.struct("span_start", "span_end"))
         ).alias("__spans"),
         F.sum("span_len").alias("__cut"),
     )
-    base = df.select(
-        F.col(id_column).alias("doc_id"),
-        F.coalesce(F.col(text_column), F.lit("")).alias("__t"),
-    )
-    # left fold over the sorted spans: acc = (kept-so-far, cursor);
-    # each span appends the gap before it and jumps the cursor past it
     clean = F.expr(
         "aggregate(coalesce(__spans, array()),"
         " struct(CAST('' AS STRING) AS o, CAST(1 AS BIGINT) AS c),"
@@ -261,3 +288,89 @@ def strip_exact_substr(
         F.coalesce(F.col("__cut"), F.lit(0)).cast("long").alias("n_removed"),
         clean.alias("clean_text"),
     )
+
+
+def contaminated_spans(
+    df: DataFrame,
+    ref: DataFrame,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    ref_text_column: str | None = None,
+    ref_id_column: str | None = None,
+    min_length: int = 50,
+) -> DataFrame:
+    """SPAN-level decontamination detection: maximal character spans
+    of ``df`` documents whose every character is covered by a
+    length->= ``min_length`` window appearing VERBATIM anywhere in the
+    ``ref`` corpus (a benchmark / eval set). The surgical counterpart
+    to :mod:`sutro_spark.operators.decontaminate`, which flags or
+    drops WHOLE documents by n-gram overlap — here only the
+    overlapping bytes are marked, so a mostly-clean document keeps
+    its clean remainder (the DataComp-LM-style passage scrub).
+
+    Same three-stage shape as :func:`exact_substr_spans`, with
+    "duplicated" replaced by "present in ref": (1) both corpora hash
+    their windows in-stage (8-byte shuffle rows); doc positions
+    semi-join the DISTINCT ref hash set — for a benchmark-sized ref
+    this broadcasts, so the corpus side never shuffles; (2) hash
+    survivors byte-verify against the ref window bytes, re-extracted
+    only for hash-matched ref positions (collisions die; output
+    provably hash-independent); (3) covered positions merge to
+    maximal intervals. Overlapping ref windows count once — presence
+    is the predicate, there is no min_count.
+
+    Output: (doc_id, span_start, span_end, span_len), 1-based
+    inclusive start / exclusive end, like :func:`exact_substr_spans`.
+    """
+    if min_length < 2:
+        raise ValueError(f"min_length must be >= 2, got {min_length}")
+    L = min_length
+    dbase = _prepare(df, text_column, id_column)
+    rbase = _prepare(
+        ref, ref_text_column or text_column, ref_id_column or id_column
+    )
+    dpos = _window_hashes(dbase, L)
+    rpos = _window_hashes(rbase, L)
+    rhash = rpos.select("h").distinct()
+    cand = dpos.join(rhash, "h", "left_semi")
+    # verify bytes: ref grams are extracted ONLY for ref positions
+    # whose hash also occurs on the doc side (cheap even when ref is
+    # large), then distinct'd — the predicate set
+    rcand = rpos.join(dpos.select("h").distinct(), "h", "left_semi")
+    rgrams = _candidate_grams(rbase, rcand.select("doc_id", "pos"), L).select(
+        "g"
+    ).distinct()
+    grams = _candidate_grams(dbase, cand.select("doc_id", "pos"), L)
+    verified = grams.join(rgrams, "g", "left_semi").select(
+        "doc_id", F.col("pos").cast("long").alias("pos")
+    )
+    return _merge_spans(verified, L)
+
+
+def strip_contaminated_spans(
+    df: DataFrame,
+    ref: DataFrame,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    ref_text_column: str | None = None,
+    ref_id_column: str | None = None,
+    min_length: int = 50,
+) -> DataFrame:
+    """Cut every ref-overlapping span out of ``df`` (keeping the clean
+    remainder of each document) — the span-level decontamination
+    action. Output: (doc_id, n_chars, n_removed, clean_text), like
+    :func:`strip_exact_substr`. Note the same edge caveat: cut edges
+    can CREATE new length-L matches against ref; iterate to fixpoint
+    when the guarantee must be absolute."""
+    spans = contaminated_spans(
+        df,
+        ref,
+        text_column=text_column,
+        id_column=id_column,
+        ref_text_column=ref_text_column,
+        ref_id_column=ref_id_column,
+        min_length=min_length,
+    )
+    return _strip_with_spans(_prepare(df, text_column, id_column), spans)

@@ -163,3 +163,94 @@ def test_spans_equal_brute_force_property(spark, texts, L):
         ).collect()
     }
     assert got == _brute_spans(docs, L)
+
+
+def _brute_contaminated(docs, ref, L):
+    refwins = set()
+    for t in ref.values():
+        for i in range(len(t) - L + 1):
+            refwins.add(t[i : i + L])
+    spans = set()
+    for did, t in docs.items():
+        ps = [
+            i + 1
+            for i in range(len(t) - L + 1)
+            if t[i : i + L] in refwins
+        ]
+        start = end = None
+        for p in ps:
+            if start is None:
+                start, end = p, p + L
+            elif p <= end:
+                end = p + L
+            else:
+                spans.add((did, start, end))
+                start, end = p, p + L
+        if start is not None:
+            spans.add((did, start, end))
+    return spans
+
+
+BENCH = "Question: what color is the sky on a clear day? Answer: blue."
+
+
+def test_contaminated_spans_marks_only_benchmark_overlap(spark):
+    from sutro_spark.operators.exact_substr import (
+        contaminated_spans,
+        strip_contaminated_spans,
+    )
+
+    docs = {
+        1: f"Intro text written by a human. {BENCH} And an original outro.",
+        2: "Fully original document with zero overlap with any benchmark.",
+        3: BENCH,  # verbatim benchmark copy -> fully contaminated
+    }
+    ref = {100: BENCH, 101: "another benchmark item entirely unrelated"}
+    L = 30
+    df = _df(spark, docs)
+    rf = _df(spark, ref)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in contaminated_spans(df, rf, min_length=L).collect()
+    }
+    assert got == _brute_contaminated(docs, ref, L)
+    assert {d for d, _, _ in got} == {1, 3}
+    # doc 3 is one wall-to-wall span
+    d3 = next((s, e) for d, s, e in got if d == 3)
+    assert d3 == (1, len(BENCH) + 1)
+    st = {
+        r["doc_id"]: r
+        for r in strip_contaminated_spans(df, rf, min_length=L).collect()
+    }
+    assert st[3]["clean_text"] == "" and st[3]["n_removed"] == len(BENCH)
+    assert st[2]["clean_text"] == docs[2] and st[2]["n_removed"] == 0
+    # doc 1 keeps its original head and tail
+    assert st[1]["clean_text"].startswith("Intro text")
+    assert st[1]["clean_text"].endswith("outro.")
+    assert BENCH[5:-5] not in st[1]["clean_text"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    dtexts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=4
+    ),
+    rtexts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=3
+    ),
+    L=st.integers(min_value=2, max_value=5),
+)
+def test_contaminated_spans_equal_brute_force_property(
+    spark, dtexts, rtexts, L
+):
+    from sutro_spark.operators.exact_substr import contaminated_spans
+
+    docs = {i: t for i, t in enumerate(dtexts)}
+    ref = {i: t for i, t in enumerate(rtexts)}
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in contaminated_spans(
+            _df(spark, docs), _df(spark, ref), min_length=L
+        ).collect()
+    }
+    assert got == _brute_contaminated(docs, ref, L)
