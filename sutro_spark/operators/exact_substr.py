@@ -77,6 +77,7 @@ __all__ = [
     "exact_substr_spans",
     "strip_contaminated_spans",
     "strip_exact_substr",
+    "strip_exact_substr_fixpoint",
 ]
 
 
@@ -374,3 +375,78 @@ def strip_contaminated_spans(
         min_length=min_length,
     )
     return _strip_with_spans(_prepare(df, text_column, id_column), spans)
+
+
+def strip_exact_substr_fixpoint(
+    df: DataFrame,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    min_length: int = 50,
+    min_count: int = 2,
+    max_iters: int = 5,
+) -> DataFrame:
+    """:func:`strip_exact_substr` iterated to a FIXPOINT: cutting a
+    span can CREATE a new length-L repeat at the cut edge (the Lee et
+    al. caveat both strip docstrings carry), so a single pass
+    guarantees only that the ORIGINAL duplicated spans are gone. This
+    re-runs the strip on its own output until a pass finds no
+    duplicated span (or ``max_iters``), after which the corpus
+    provably contains no substring of length >= ``min_length``
+    occurring >= ``min_count`` times.
+
+    Driver loop discipline (the pagerank/BPE pattern): each pass's
+    output is eagerly ``localCheckpoint``-ed — the next pass reads it
+    at least twice (hash side + verify side), and without the cut the
+    plan would double per iteration — and the superseded round's
+    blocks are released once the new one materializes. The only
+    driver-side data is the per-pass span COUNT (one long).
+
+    Convergence is guaranteed: every pass that finds spans strictly
+    shrinks total corpus characters, and a pass that finds none is
+    the fixpoint. Output: (doc_id, n_chars, n_removed, clean_text,
+    n_passes) — n_chars the ORIGINAL length, n_removed the total cut
+    across every pass, n_passes the number of stripping passes run
+    (0 rows changed in the last counted pass when it converged early).
+    """
+    from sutro_spark.session import release_local_checkpoint
+
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    cur = _prepare(df, text_column, id_column).select(
+        "doc_id", "__t", F.length("__t").cast("long").alias("__n0")
+    ).localCheckpoint(eager=True)
+    passes = 0
+    for _ in range(max_iters):
+        spans = exact_substr_spans(
+            cur,
+            text_column="__t",
+            id_column="doc_id",
+            min_length=min_length,
+            min_count=min_count,
+        )
+        stripped = _strip_with_spans(
+            cur.select("doc_id", "__t"), spans
+        ).join(cur.select("doc_id", "__n0"), "doc_id")
+        nxt = stripped.select(
+            "doc_id", F.col("clean_text").alias("__t"), "__n0"
+        ).localCheckpoint(eager=True)
+        changed = (
+            nxt.join(
+                cur.select("doc_id", F.col("__t").alias("__prev")), "doc_id"
+            )
+            .where(F.length("__t") != F.length("__prev"))
+            .count()
+        )
+        release_local_checkpoint(cur)
+        cur = nxt
+        passes += 1
+        if changed == 0:
+            break
+    return cur.select(
+        "doc_id",
+        F.col("__n0").alias("n_chars"),
+        (F.col("__n0") - F.length("__t")).cast("long").alias("n_removed"),
+        F.col("__t").alias("clean_text"),
+        F.lit(passes).cast("long").alias("n_passes"),
+    )

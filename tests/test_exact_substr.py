@@ -254,3 +254,65 @@ def test_contaminated_spans_equal_brute_force_property(
         ).collect()
     }
     assert got == _brute_contaminated(docs, ref, L)
+
+
+def test_fixpoint_strip_leaves_no_duplicated_spans(spark):
+    """One pass can create NEW length-L repeats at cut edges; the
+    fixpoint must end with zero duplicated spans. Construct the edge
+    case deliberately: cutting X from 'aX b' and 'aX c'-style docs
+    splices 'a' against what follows, manufacturing a fresh repeat."""
+    from sutro_spark.operators.exact_substr import (
+        exact_substr_spans,
+        strip_exact_substr_fixpoint,
+    )
+
+    L = 8
+    mid1 = "PAYLOAD-DUPLICATED-BYTES-1234567890"
+    # both docs: identical head, the shared mid, identical tail — after
+    # the mid (and head/tail repeats) are cut, the splice of remnants
+    # can still repeat across docs; fixpoint must clean all of it
+    docs = {
+        1: f"commonhead {mid1} commontail-one-xyzzy",
+        2: f"commonhead {mid1} commontail-two-qwerty",
+        3: "an entirely distinct document with no repeats whatsoever",
+    }
+    out = strip_exact_substr_fixpoint(
+        _df(spark, docs), min_length=L, max_iters=6
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # accounting: original lengths carried, removal totals consistent
+    for did, t in docs.items():
+        assert rows[did]["n_chars"] == len(t)
+        assert rows[did]["n_removed"] == len(t) - len(rows[did]["clean_text"])
+    assert rows[3]["n_removed"] == 0
+    # the fixpoint property itself: NO duplicated span survives
+    clean = spark.createDataFrame(
+        [(d, r["clean_text"]) for d, r in rows.items()],
+        "doc_id long, text string",
+    )
+    assert exact_substr_spans(clean, min_length=L).count() == 0
+    assert rows[1]["n_passes"] >= 1
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=25), min_size=1, max_size=4
+    ),
+    L=st.integers(min_value=3, max_value=5),
+)
+def test_fixpoint_strip_property_no_spans_remain(spark, texts, L):
+    """Dense-repeat alphabet: multi-pass convergence is the norm, and
+    the fixpoint contract (no duplicated span in the result) must hold
+    for every generated corpus."""
+    from sutro_spark.operators.exact_substr import (
+        exact_substr_spans,
+        strip_exact_substr_fixpoint,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = strip_exact_substr_fixpoint(df, min_length=L, max_iters=8)
+    clean = out.select("doc_id", F.col("clean_text").alias("text"))
+    assert exact_substr_spans(clean, min_length=L).count() == 0

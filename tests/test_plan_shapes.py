@@ -291,3 +291,14 @@ def test_exact_substr_no_cartesian_and_combinable_counts(spark):
     assert "LeftSemi" in plan
     assert "partial" in plan.lower()
     assert "PythonUDF" not in plan
+
+
+def test_contaminated_spans_semi_joins_and_no_cartesian(spark):
+    # r11: span-level decontamination must keep the candidate shape —
+    # hash/gram semi-joins (broadcast for a benchmark-sized ref),
+    # combinable aggs, no all-pairs product, no Python.
+    plan = _plan(spark, "contaminated_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "PythonUDF" not in plan
