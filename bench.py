@@ -265,41 +265,63 @@ def main() -> None:
         # small-nprobe differences the sweep exists to record)
         exact = exact_l2_topk(emb, queries, k=10).persist()
         exact.count()
-        # nprobe SWEEP to saturation (VERDICT r10 #4): coarse_k=32
-        # buckets, nprobe 2..32 — the 32 point scans every bucket, so
-        # recall there is the ceiling of THIS index (PQ quantization
-        # loss only); where the curve flattens below 32 is the knob a
-        # user sizing an index reads off.
-        sweep = {}
-        for nprobe in (2, 4, 8, 16, 32):
+        # unpersist in a finally (ADVICE r11): a probe raising mid-sweep
+        # must not leave the exact baseline cached for the rest of the
+        # bench run, where it would skew every later timing
+        try:
+            # nprobe SWEEP to saturation (VERDICT r10 #4): coarse_k=32
+            # buckets, nprobe 2..32 — the 32 point scans every bucket, so
+            # recall there is the ceiling of THIS index (PQ quantization
+            # loss only); where the curve flattens below 32 is the knob a
+            # user sizing an index reads off.
+            sweep = {}
+            for nprobe in (2, 4, 8, 16, 32):
+                t0 = time.time()
+                approx = ivfpq_residual_topk(
+                    emb, queries, k=10, n_codes=256, coarse_k=32,
+                    coarse_iters=4, nprobe=nprobe,
+                )
+                row = candidate_recall(
+                    exact, approx, keys=("query_id", "neighbor_id")
+                ).first()
+                sweep[f"nprobe_{nprobe}"] = {
+                    "recall_at_10": round(row["recall"], 4) if row["recall"] is not None else None,
+                    "sec": round(time.time() - t0, 3),
+                }
+            # one higher-coarse-iters point: same nprobe as the knee,
+            # twice the Lloyd rounds — separates coarse-quantizer quality
+            # from probe breadth as the recall limiter
             t0 = time.time()
             approx = ivfpq_residual_topk(
                 emb, queries, k=10, n_codes=256, coarse_k=32,
-                coarse_iters=4, nprobe=nprobe,
+                coarse_iters=8, nprobe=8,
             )
             row = candidate_recall(
                 exact, approx, keys=("query_id", "neighbor_id")
             ).first()
-            sweep[f"nprobe_{nprobe}"] = {
+            sweep["nprobe_8_iters_8"] = {
                 "recall_at_10": round(row["recall"], 4) if row["recall"] is not None else None,
                 "sec": round(time.time() - t0, 3),
             }
-        # one higher-coarse-iters point: same nprobe as the knee, twice
-        # the Lloyd rounds — separates coarse-quantizer quality from
-        # probe breadth as the recall limiter
-        t0 = time.time()
-        approx = ivfpq_residual_topk(
-            emb, queries, k=10, n_codes=256, coarse_k=32,
-            coarse_iters=8, nprobe=8,
-        )
-        row = candidate_recall(
-            exact, approx, keys=("query_id", "neighbor_id")
-        ).first()
-        sweep["nprobe_8_iters_8"] = {
-            "recall_at_10": round(row["recall"], 4) if row["recall"] is not None else None,
-            "sec": round(time.time() - t0, 3),
-        }
-        exact.unpersist()
+            # r12: exact-rescore refinement — the lever the r11
+            # saturation note named. ADC shortlist (rescore_k=50) joins
+            # back the raw vectors for JUST those ids and re-ranks by
+            # exact L2; recall here vs the nprobe_16 row above is the
+            # quantization loss the rescore buys back, at O(q*c) cost.
+            t0 = time.time()
+            approx = ivfpq_residual_topk(
+                emb, queries, k=10, n_codes=256, coarse_k=32,
+                coarse_iters=4, nprobe=16, rescore_k=50,
+            )
+            row = candidate_recall(
+                exact, approx, keys=("query_id", "neighbor_id")
+            ).first()
+            sweep["nprobe_16_rescore_50"] = {
+                "recall_at_10": round(row["recall"], 4) if row["recall"] is not None else None,
+                "sec": round(time.time() - t0, 3),
+            }
+        finally:
+            exact.unpersist()
         ann_probes["ivfpq_recall_prod"] = {
             "n_codes": 256, "coarse_k": 32, "coarse_iters": 4,
             "n_queries": nq, **sweep,

@@ -253,6 +253,59 @@ def exact_l2_topk(
     )
 
 
+def _exact_rescore(
+    shortlist: DataFrame,
+    df: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    id_column: str,
+    vector_column: str,
+    scale: int,
+    offset: int,
+) -> DataFrame:
+    """Re-rank an ADC shortlist by EXACT integer squared-L2 over the
+    raw vectors of JUST the shortlisted ids — the refinement step that
+    buys back PQ quantization loss (Jégou 2011 §V.A calls it the
+    re-ranking stage; the repo's int8 path does the same in sq_topk).
+
+    Scale shape: the shortlist (|queries| * rescore_k rows, corpus-size
+    INDEPENDENT) broadcasts into one corpus scan — a BroadcastHashJoin
+    that prunes the raw-vector read to the candidate ids; the corpus
+    never shuffles and is never crossed with the query set. The
+    candidate pairs (again |queries| * rescore_k) then equi-join the
+    query vectors. Total exact-distance work is O(|queries| *
+    rescore_k * dim), so recall improves at a cost that does not grow
+    with the corpus.
+
+    Output: (query_id, neighbor_id, dist2, rank) — dist2 is the exact
+    integer squared L2 at the shared milli quantization, directly
+    comparable to :func:`exact_l2_topk`.
+    """
+    q = quantize_embeddings(df, vector_column, scale=scale, offset=offset).select(
+        F.col(id_column).alias("neighbor_id"), F.col(QVEC).alias("nv")
+    )
+    qq = quantize_embeddings(
+        queries, vector_column, scale=scale, offset=offset
+    ).select(F.col(id_column).alias("query_id"), F.col(QVEC).alias("qv"))
+    cand = q.join(
+        F.broadcast(shortlist.select("query_id", "neighbor_id")), "neighbor_id"
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "nv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = cand.join(qq, "query_id").select(
+        "query_id", "neighbor_id", d2.alias("dist2")
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ivfpq_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -263,6 +316,7 @@ def ivfpq_topk(
     nprobe: int = 2,
     m: int = 8,
     n_codes: int = 16,
+    rescore_k: int | None = None,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
     dim: int = 64,
@@ -282,8 +336,18 @@ def ivfpq_topk(
     lookup instead of a D-dim dot product. Partition the codes table by
     bucket on disk and the probe prunes at the scan.
 
+    ``rescore_k``: when set (>= k), the ADC pass keeps a top-
+    ``rescore_k`` shortlist per query and :func:`_exact_rescore`
+    re-ranks it by exact integer L2 on the raw vectors of just those
+    ids — the knob past the PQ-quantization recall ceiling (the r11
+    saturation probe measured ~0.42 recall@10 at full probe breadth;
+    rescoring is the only lever beyond it short of a bigger codebook).
+    Output columns become (query_id, neighbor_id, dist2, rank).
+
     Output: (query_id, neighbor_id, adist2, rank) like :func:`pq_topk`.
     """
+    if rescore_k is not None and rescore_k < k:
+        raise ValueError(f"rescore_k {rescore_k} must be >= k {k}")
     from sutro_spark.operators.kmeans import kmeans
 
     spark = df.sparkSession
@@ -340,9 +404,16 @@ def ivfpq_topk(
         .agg(F.sum("d2").alias("adist2"))
     )
     w2 = Window.partitionBy("query_id").orderBy("adist2", "neighbor_id")
-    return (
+    adc_k = k if rescore_k is None else rescore_k
+    ranked = (
         agg.withColumn("rank", F.row_number().over(w2).cast("long"))
-        .where(F.col("rank") <= k)
+        .where(F.col("rank") <= adc_k)
+    )
+    if rescore_k is None:
+        return ranked
+    return _exact_rescore(
+        ranked, df, queries, k=k, id_column=id_column,
+        vector_column=vector_column, scale=scale, offset=offset,
     )
 
 
@@ -356,6 +427,7 @@ def ivfpq_residual_topk(
     nprobe: int = 2,
     m: int = 8,
     n_codes: int = 16,
+    rescore_k: int | None = None,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
     dim: int = 64,
@@ -391,18 +463,30 @@ def ivfpq_residual_topk(
     0.147 recall@3 — the expected direction; both are low in absolute
     terms because n_codes=16 with two Lloyd rounds is sized for exact
     oracle replay, not production recall (production: n_codes=256,
-    more rounds, and an exact rescore of the shortlist).
+    more rounds, and an exact rescore of the shortlist —
+    ``rescore_k`` IS that rescore, see :func:`_exact_rescore`; it
+    changes the output columns to (query_id, neighbor_id, dist2,
+    rank)).
     """
+    if rescore_k is not None and rescore_k < k:
+        raise ValueError(f"rescore_k {rescore_k} must be >= k {k}")
     qdt, cand, codes = _ivfpq_residual_parts(
         df, queries, coarse_k=coarse_k, coarse_iters=coarse_iters,
         nprobe=nprobe, m=m, n_codes=n_codes, id_column=id_column,
         vector_column=vector_column, dim=dim, scale=scale, offset=offset,
     )
     w2 = Window.partitionBy("query_id").orderBy("adist2", "neighbor_id")
-    return (
+    adc_k = k if rescore_k is None else rescore_k
+    ranked = (
         _adc(cand, codes, qdt)
         .withColumn("rank", F.row_number().over(w2).cast("long"))
-        .where(F.col("rank") <= k)
+        .where(F.col("rank") <= adc_k)
+    )
+    if rescore_k is None:
+        return ranked
+    return _exact_rescore(
+        ranked, df, queries, k=k, id_column=id_column,
+        vector_column=vector_column, scale=scale, offset=offset,
     )
 
 

@@ -775,9 +775,17 @@ def embedding_anisotropy_sharded(
     — mean within-shard pairwise dot over mean squared norm. Within-
     shard pairs ARE uniform random pairs under hash sharding, so this
     estimates the same expectation; only the (1 - 1/K) fraction of
-    cross-shard pairs goes unobserved, trading exact-all-pairs for K^2
-    more headroom. All sums stay exact BIGINTs; the estimate is one
-    IEEE division of two exact integer products.
+    cross-shard pairs goes unobserved. Headroom gained: each SHARD
+    STATE's squared term shrinks by K^2 (per-dim sums are over n/K
+    vectors), but the POOLED sum pair_dot_sum = sum_k (||S_k||^2 - T_k)
+    only shrinks ~K vs the unsharded ||S||^2 bound — size ``n_shards``
+    against the pooled ~K bound, not the per-shard one. All sums stay
+    exact BIGINTs; the finishing ratio is computed in DOUBLE — each
+    factor is cast BEFORE multiplying, because n_pairs * t_self grows
+    ~n^3 * scale^2 / K and would silently wrap int64 (non-ANSI Spark)
+    around 10^6 unit-scale vectors at dim 64. The two products are
+    exact in double up to 2^53, and past that the relative error is
+    ~2^-52 — negligible against the sharding estimator's own variance.
 
     Plan: identical to the single-state path plus a shard key on the
     one combinable groupBy — still one scan, no joins, no collects.
@@ -837,8 +845,8 @@ def embedding_anisotropy_sharded(
         "n_pairs",
         F.expr(
             "CASE WHEN n_pairs > 0 AND t_self > 0 THEN"
-            " CAST(pair_dot_sum * n_vecs AS DOUBLE)"
-            " / CAST(n_pairs * t_self AS DOUBLE) END"
+            " (CAST(pair_dot_sum AS DOUBLE) * CAST(n_vecs AS DOUBLE))"
+            " / (CAST(n_pairs AS DOUBLE) * CAST(t_self AS DOUBLE)) END"
         ).alias("anisotropy"),
     )
 

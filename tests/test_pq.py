@@ -166,3 +166,64 @@ def test_ivfpq_pruned_equals_unpruned_with_fewer_candidates(spark):
     row = ivfpq_prune_stats(df, queries, **kw).collect()[0]
     assert row.n_queries == 4
     assert row.cand_pruned < row.cand_full, row
+
+
+def test_ivfpq_rescore_equals_exact_when_routing_is_total(spark):
+    # r12 (VERDICT #1): with coarse_k=1/nprobe=1 every vector is a
+    # routed candidate, so an exact rescore over a shortlist covering
+    # all of them must reproduce exact_l2_topk BIT-FOR-BIT (same dist2,
+    # same ranks) — ADC only ordered the shortlist, the rescore decides
+    from sutro_spark.operators.pq import ivfpq_residual_topk, ivfpq_topk
+
+    df = _vecs(spark)
+    queries = df.where(F.col("vec_id") < 2)
+    exact = {
+        (r.query_id, r.neighbor_id): (r.dist2, r.rank)
+        for r in exact_l2_topk(df, queries, k=3).collect()
+    }
+    for fn in (ivfpq_topk, ivfpq_residual_topk):
+        out = fn(
+            df, queries, k=3, coarse_k=1, coarse_iters=1, nprobe=1,
+            m=4, n_codes=4, dim=16, rescore_k=23,
+        )
+        assert out.columns == ["query_id", "neighbor_id", "dist2", "rank"]
+        got = {
+            (r.query_id, r.neighbor_id): (r.dist2, r.rank)
+            for r in out.collect()
+        }
+        assert got == exact, fn.__name__
+
+
+def test_ivfpq_rescore_never_hurts_recall(spark):
+    # the rescore re-orders a SUPERSET of the unrescored top-k by the
+    # exact metric, so its agreement with exact_l2_topk can only rise
+    from sutro_spark.operators.pq import ivfpq_residual_topk
+
+    df = _vecs(spark, n=32)
+    queries = df.where(F.col("vec_id") < 4)
+    kw = dict(k=3, coarse_k=4, nprobe=2, m=4, n_codes=4, dim=16)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in exact_l2_topk(df, queries, k=3).collect()
+    }
+    plain = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_residual_topk(df, queries, **kw).collect()
+    }
+    rescored = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_residual_topk(df, queries, rescore_k=8, **kw).collect()
+    }
+    assert len(rescored & exact) >= len(plain & exact)
+
+
+def test_ivfpq_rescore_validation(spark):
+    import pytest as _pytest
+
+    from sutro_spark.operators.pq import ivfpq_residual_topk, ivfpq_topk
+
+    df = _vecs(spark)
+    queries = df.where(F.col("vec_id") < 2)
+    for fn in (ivfpq_topk, ivfpq_residual_topk):
+        with _pytest.raises(ValueError):
+            fn(df, queries, k=3, rescore_k=2, m=4, n_codes=4, dim=16)

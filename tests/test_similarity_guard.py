@@ -524,3 +524,30 @@ def test_anisotropy_sharded_matches_single_shard_and_pools_exactly(spark):
 
     with pytest.raises(ValueError):
         embedding_anisotropy_sharded(df, n_shards=0)
+
+
+def test_anisotropy_sharded_finish_survives_int64_product_overflow(spark):
+    """r12 ADVICE: the finishing ratio must cast each factor to DOUBLE
+    BEFORE multiplying — n_pairs * t_self and pair_dot_sum * n_vecs
+    overflow int64 well below the shard-state bound. 100 identical
+    vectors at component 2000.0 give n_pairs * t_self ~ 2.5e20 (> 2^63
+    — the old BIGINT product wrapped and returned a silently wrong
+    anisotropy); the true anisotropy of an all-identical corpus is
+    exactly 1."""
+    import math
+
+    from sutro_spark.operators.similarity import embedding_anisotropy_sharded
+
+    df = spark.createDataFrame(
+        [(i, [2000.0] * 64) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    r = embedding_anisotropy_sharded(df, n_shards=1).collect()[0]
+    # the integer state itself stays exact (it is within bounds)...
+    assert r["t_self"] == 100 * 64 * (2000 * 1000) ** 2
+    assert r["n_pairs"] == 100 * 99
+    assert r["pair_dot_sum"] == 100 * 99 * 64 * (2000 * 1000) ** 2
+    # ...and the products each exceed int64, so only the double-cast
+    # finish gets the ratio right
+    assert r["n_pairs"] * r["t_self"] > 2**63
+    assert math.isclose(r["anisotropy"], 1.0, rel_tol=1e-12)
