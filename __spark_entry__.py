@@ -2536,6 +2536,39 @@ def q_ivfpq_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_prune_stats(emb, emb.where(F.col("vec_id") < 5), k=3)
 
 
+def q_ivfpq_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-rescore refinement (r12, VERDICT #1): residual IVFADC keeps
+    # a top-10 ADC shortlist per query, then the raw vectors of JUST
+    # those ids re-rank by exact integer L2 (broadcast shortlist into
+    # one corpus scan — O(queries x 10), corpus-size independent). The
+    # oracle replays the residual chain, cuts the same shortlist, and
+    # recomputes the exact distances — so both the ADC tie-breaks and
+    # the rescore arithmetic are pinned end-to-end.
+    from sutro_spark.operators.pq import ivfpq_residual_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_residual_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=3, rescore_k=10
+    )
+
+
+def q_ivfpq_rescore_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # recall trilogy, part 6 — the honesty number for the rescore knob:
+    # rescored residual IVFADC top-3 vs exact integer L2 top-3. Compare
+    # against ivfpq_recall (same routing, no rescore) to read off what
+    # the exact re-rank buys back of the PQ quantization loss; the
+    # production-scale sweep point lives in bench.py ann_probes
+    # (nprobe_16_rescore_50 vs nprobe_16).
+    from sutro_spark.operators.metrics import candidate_recall
+    from sutro_spark.operators.pq import exact_l2_topk, ivfpq_residual_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = exact_l2_topk(emb, queries, k=3)
+    approx = ivfpq_residual_topk(emb, queries, k=3, rescore_k=10)
+    return candidate_recall(exact, approx, keys=("query_id", "neighbor_id"))
+
+
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Morton/Z-order layout key (Delta OPTIMIZE ZORDER's core, absent
     # from plain Spark): shift/mask bit interleave — pure codegen
@@ -3881,6 +3914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_residual": q_ivfpq_residual,
         "ivfpq_recall": q_ivfpq_recall,
         "ivfpq_prune": q_ivfpq_prune,
+        "ivfpq_rescore": q_ivfpq_rescore,
+        "ivfpq_rescore_recall": q_ivfpq_rescore_recall,
         "zorder_key": q_zorder_key,
         "bloom_decontaminate": q_bloom_decontaminate,
         # round-6 late additions (never driver-checked before): ranked
@@ -7848,6 +7883,72 @@ def oracle_sql() -> dict[str, str]:
                 FROM rcand rc JOIN srv ON srv.query_id = rc.query_id
                                       AND srv.cluster = rc.cluster)
             SELECT n_queries, cand_full, cand_pruned FROM fullc, prc
+        """,
+        "ivfpq_rescore": _ivfpq_residual_sql() + """,
+            shortl AS (SELECT query_id, neighbor_id FROM rranked
+                       WHERE rank <= 10),
+            rsd AS (
+                SELECT s.query_id, s.neighbor_id,
+                       CAST(list_sum(list_transform(range(1, 65),
+                           i -> (qq.qv[CAST(i AS INT)] - nn.qv[CAST(i AS INT)])
+                              * (qq.qv[CAST(i AS INT)] - nn.qv[CAST(i AS INT)])))
+                           AS BIGINT) AS dist2
+                FROM shortl s
+                JOIN q nn ON nn.vec_id = s.neighbor_id
+                JOIN q qq ON qq.vec_id = s.query_id)
+            SELECT query_id, neighbor_id, dist2,
+                   CAST(rank AS BIGINT) AS rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY dist2, neighbor_id) AS rank
+                FROM rsd) WHERE rank <= 3
+        """,
+        "ivfpq_rescore_recall": _ivfpq_residual_sql() + """,
+            shortl AS (SELECT query_id, neighbor_id FROM rranked
+                       WHERE rank <= 10),
+            rsd AS (
+                SELECT s.query_id, s.neighbor_id,
+                       CAST(list_sum(list_transform(range(1, 65),
+                           i -> (qq.qv[CAST(i AS INT)] - nn.qv[CAST(i AS INT)])
+                              * (qq.qv[CAST(i AS INT)] - nn.qv[CAST(i AS INT)])))
+                           AS BIGINT) AS dist2
+                FROM shortl s
+                JOIN q nn ON nn.vec_id = s.neighbor_id
+                JOIN q qq ON qq.vec_id = s.query_id),
+            cd AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY dist2, neighbor_id) AS rn
+                FROM rsd) WHERE rn <= 3),
+            exq AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 5),
+            exd AS (
+                SELECT exq.query_id, p.vec_id AS neighbor_id,
+                       CAST(list_sum(list_transform(range(1, 65),
+                           i -> (exq.qv[CAST(i AS INT)] - p.qv[CAST(i AS INT)])
+                              * (exq.qv[CAST(i AS INT)] - p.qv[CAST(i AS INT)])))
+                           AS BIGINT) AS dist2
+                FROM exq, q p WHERE p.vec_id <> exq.query_id),
+            tr AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY dist2, neighbor_id) AS rn
+                FROM exd) WHERE rn <= 3),
+            joined AS (
+                SELECT CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END AS t,
+                       CASE WHEN cd.query_id IS NOT NULL THEN 1 ELSE 0 END AS c
+                FROM tr FULL OUTER JOIN cd
+                  ON tr.query_id = cd.query_id
+                 AND tr.neighbor_id = cd.neighbor_id),
+            agg AS (
+                SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+                       CAST(sum(c) AS BIGINT) AS n_cand,
+                       CAST(sum(t * c) AS BIGINT) AS n_hit
+                FROM joined)
+            SELECT n_truth, n_cand, n_hit,
+                   CASE WHEN n_truth > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+                   CASE WHEN n_cand > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_cand END AS precision
+            FROM agg
         """,
         "ivfpq_recall": _ivfpq_residual_sql() + """,
             exq AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id < 5),
