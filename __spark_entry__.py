@@ -2869,6 +2869,43 @@ def q_contaminated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_substr_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the Lee et al. GUARANTEE (r12, VERDICT #5): strip re-run on its
+    # own output until no duplicated span remains — cut edges can
+    # splice fresh length-60 repeats that a single pass leaves behind.
+    # max_iters=2 pins the pass count so the oracle can unroll both
+    # passes as CTEs (the pagerank/kcore unrolled-rounds discipline);
+    # n_passes is 2 iff pass 1 found any span, else 1 — replayed by the
+    # oracle as an EXISTS over pass 1's matched windows.
+    from sutro_spark.operators.exact_substr import strip_exact_substr_fixpoint
+
+    return strip_exact_substr_fixpoint(
+        _t(spark, sf_dir, "documents"), min_length=60, min_count=2,
+        max_iters=2,
+    )
+
+
+def q_contaminated_strip_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the ABSOLUTE decontamination guarantee (r12, VERDICT #6): cutting
+    # a contaminated span can splice the surrounding bytes into a NEW
+    # verbatim benchmark match; this fixpoint loop (machinery shared
+    # with exact_substr_fixpoint) re-scrubs until no length->=60 ref
+    # substring survives. Same every-7th-doc benchmark split as
+    # contaminated_spans; oracle unrolls both passes against the ONE
+    # constant ref gram set.
+    from sutro_spark.operators.exact_substr import (
+        strip_contaminated_spans_fixpoint,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return strip_contaminated_spans_fixpoint(
+        docs.where(F.col("doc_id") % 7 != 0),
+        docs.where(F.col("doc_id") % 7 == 0),
+        min_length=60,
+        max_iters=2,
+    )
+
+
 def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MOSS-style winnowing fingerprint overlap: local-min sampling of
     # rolling char-8-gram hashes (window 4), df-capped inverted-index
@@ -4073,6 +4110,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_spans": q_exact_substr_spans,
         "exact_substr_strip": q_exact_substr_strip,
         "contaminated_spans": q_contaminated_spans,
+        "exact_substr_fixpoint": q_exact_substr_fixpoint,
+        "contaminated_strip_fixpoint": q_contaminated_strip_fixpoint,
         "dup_size_histogram": q_dup_size_histogram,
         "winnow_overlap": q_winnow_overlap,
         "winnow_recall": q_winnow_recall,
@@ -4204,6 +4243,67 @@ _EXACT_SUBSTR_CTE = """t AS (SELECT doc_id, coalesce(text, '') AS text
                    FROM isl),
             spans AS (SELECT doc_id, min(p) AS s, max(p) + 60 AS e
                       FROM g2 GROUP BY doc_id, island)"""
+
+def _strip_pass_sql(src: str, out: str, p: str, match: str) -> str:
+    """One ExactSubstr strip pass as DuckDB CTE text: ``{src}``
+    (doc_id, text) -> ``{out}`` (doc_id, text), intermediates prefixed
+    ``{p}`` so two passes compose in one WITH. ``match`` is the CTE
+    fragment deriving ``{p}dpos`` (matched window starts) from
+    ``{p}grams`` — duplicate-count for the self-dedup fixpoint, ref
+    gram membership for the decontamination fixpoint. Mirrors the
+    single-pass exact_substr_strip oracle exactly (islands merge, gap
+    segments, ordered string_agg reassembly)."""
+    return f"""
+    {p}pos AS (SELECT doc_id, text,
+                      unnest(range(1, length(text) - 60 + 2)) AS wp
+               FROM {src} WHERE length(text) >= 60),
+    {p}grams AS (SELECT doc_id, wp,
+                        substring(text, CAST(wp AS INT), 60) AS g
+                 FROM {p}pos),
+    {match},
+    {p}isl AS (SELECT doc_id, wp,
+                      CASE WHEN wp - lag(wp) OVER (
+                          PARTITION BY doc_id ORDER BY wp) <= 60
+                      THEN 0 ELSE 1 END AS brk
+               FROM {p}dpos),
+    {p}g2 AS (SELECT doc_id, wp,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY wp
+                         ROWS UNBOUNDED PRECEDING) AS island
+              FROM {p}isl),
+    {p}spans AS (SELECT doc_id, min(wp) AS s, max(wp) + 60 AS e
+                 FROM {p}g2 GROUP BY doc_id, island),
+    {p}segs AS (
+        SELECT doc_id,
+               coalesce(lag(e) OVER (
+                   PARTITION BY doc_id ORDER BY s), 1) AS seg_s,
+               s AS seg_e
+        FROM {p}spans
+        UNION ALL
+        SELECT doc_id, max(e) AS seg_s, NULL AS seg_e
+        FROM {p}spans GROUP BY doc_id),
+    {p}clean AS (
+        SELECT g.doc_id,
+               string_agg(
+                   substring(t.text, CAST(g.seg_s AS INT),
+                       CAST(coalesce(g.seg_e, length(t.text) + 1)
+                            - g.seg_s AS INT)),
+                   '' ORDER BY g.seg_s) AS kept
+        FROM {p}segs g JOIN {src} t USING (doc_id) GROUP BY g.doc_id),
+    {out} AS (
+        SELECT t.doc_id, coalesce(c.kept, t.text) AS text
+        FROM {src} t LEFT JOIN {p}clean c USING (doc_id))"""
+
+
+def _dup_match_sql(p: str) -> str:
+    return f"""{p}dup AS (SELECT g FROM {p}grams
+                          GROUP BY g HAVING count(*) >= 2),
+    {p}dpos AS (SELECT doc_id, wp FROM {p}grams JOIN {p}dup USING (g))"""
+
+
+def _ref_match_sql(p: str) -> str:
+    return f"""{p}dpos AS (SELECT doc_id, wp FROM {p}grams
+                           JOIN rg USING (g))"""
+
 
 _ABTT_CTE = """q0 AS (
                 SELECT list_transform(embedding,
@@ -7323,6 +7423,40 @@ def oracle_sql() -> dict[str, str]:
             FROM t
             LEFT JOIN clean USING (doc_id)
             LEFT JOIN cut USING (doc_id)
+        """,
+        "exact_substr_fixpoint": f"""
+            WITH t0 AS (SELECT doc_id, coalesce(text, '') AS text
+                        FROM documents),
+            {_strip_pass_sql("t0", "t1", "f1_", _dup_match_sql("f1_"))},
+            {_strip_pass_sql("t1", "t2", "f2_", _dup_match_sql("f2_"))}
+            SELECT t0.doc_id,
+                   CAST(length(t0.text) AS BIGINT) AS n_chars,
+                   CAST(length(t0.text) - length(t2.text) AS BIGINT)
+                       AS n_removed,
+                   t2.text AS clean_text,
+                   CAST(CASE WHEN EXISTS (SELECT 1 FROM f1_dpos)
+                        THEN 2 ELSE 1 END AS BIGINT) AS n_passes
+            FROM t0 JOIN t2 USING (doc_id)
+        """,
+        "contaminated_strip_fixpoint": f"""
+            WITH t0 AS (SELECT doc_id, coalesce(text, '') AS text
+                        FROM documents WHERE doc_id % 7 <> 0),
+            r AS (SELECT coalesce(text, '') AS text
+                  FROM documents WHERE doc_id % 7 = 0),
+            rg AS (SELECT DISTINCT substring(text, CAST(p AS INT), 60) AS g
+                   FROM (SELECT text,
+                                unnest(range(1, length(text) - 60 + 2)) AS p
+                         FROM r WHERE length(text) >= 60)),
+            {_strip_pass_sql("t0", "t1", "c1_", _ref_match_sql("c1_"))},
+            {_strip_pass_sql("t1", "t2", "c2_", _ref_match_sql("c2_"))}
+            SELECT t0.doc_id,
+                   CAST(length(t0.text) AS BIGINT) AS n_chars,
+                   CAST(length(t0.text) - length(t2.text) AS BIGINT)
+                       AS n_removed,
+                   t2.text AS clean_text,
+                   CAST(CASE WHEN EXISTS (SELECT 1 FROM c1_dpos)
+                        THEN 2 ELSE 1 END AS BIGINT) AS n_passes
+            FROM t0 JOIN t2 USING (doc_id)
         """,
         "contaminated_spans": """
             WITH t AS (SELECT doc_id, coalesce(text, '') AS text

@@ -76,6 +76,7 @@ __all__ = [
     "exact_substr_positions",
     "exact_substr_spans",
     "strip_contaminated_spans",
+    "strip_contaminated_spans_fixpoint",
     "strip_exact_substr",
     "strip_exact_substr_fixpoint",
 ]
@@ -409,6 +410,89 @@ def strip_exact_substr_fixpoint(
     across every pass, n_passes the number of stripping passes run
     (0 rows changed in the last counted pass when it converged early).
     """
+    return _strip_fixpoint(
+        df,
+        lambda cur: exact_substr_spans(
+            cur,
+            text_column="__t",
+            id_column="doc_id",
+            min_length=min_length,
+            min_count=min_count,
+        ),
+        text_column=text_column,
+        id_column=id_column,
+        max_iters=max_iters,
+    )
+
+
+def strip_contaminated_spans_fixpoint(
+    df: DataFrame,
+    ref: DataFrame,
+    *,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    ref_text_column: str | None = None,
+    ref_id_column: str | None = None,
+    min_length: int = 50,
+    max_iters: int = 5,
+) -> DataFrame:
+    """:func:`strip_contaminated_spans` iterated to a FIXPOINT — the
+    guarantee the decontamination use case actually needs: cutting a
+    contaminated span can splice the bytes BEFORE it to the bytes
+    AFTER it into a new length->= ``min_length`` verbatim ref match
+    (when the benchmark contains that spliced string too), so a single
+    pass only removes the matches present in the ORIGINAL text. After
+    this loop the corpus provably contains NO substring of length >=
+    ``min_length`` present verbatim in ``ref`` (or ``max_iters`` was
+    hit — pick it so the count-zero pass is observed when the
+    guarantee must be absolute).
+
+    The loop machinery is shared with :func:`strip_exact_substr_
+    fixpoint` (:func:`_strip_fixpoint` — eager per-pass
+    localCheckpoint, superseded-round release, one count per pass on
+    the driver); only the span oracle differs. The ``ref`` side is
+    re-derived per pass by Catalyst — for a benchmark-sized ref this
+    is two cheap scans per pass; persist ``ref`` upstream if it is
+    large and the loop runs deep.
+
+    Output: (doc_id, n_chars, n_removed, clean_text, n_passes), as in
+    :func:`strip_exact_substr_fixpoint`.
+    """
+    return _strip_fixpoint(
+        df,
+        lambda cur: contaminated_spans(
+            cur,
+            ref,
+            text_column="__t",
+            id_column="doc_id",
+            ref_text_column=ref_text_column or text_column,
+            ref_id_column=ref_id_column or id_column,
+            min_length=min_length,
+        ),
+        text_column=text_column,
+        id_column=id_column,
+        max_iters=max_iters,
+    )
+
+
+def _strip_fixpoint(
+    df: DataFrame,
+    spans_of,
+    *,
+    text_column: str,
+    id_column: str,
+    max_iters: int,
+) -> DataFrame:
+    """Shared strip-until-no-spans loop: ``spans_of(cur)`` maps the
+    current (doc_id, __t, __n0) corpus to its (doc_id, span_start,
+    span_end, span_len) spans — the self-dedup and decontamination
+    fixpoints differ only in that oracle. Driver loop discipline (the
+    pagerank/BPE pattern): each pass's output is eagerly
+    ``localCheckpoint``-ed (the next pass reads it at least twice —
+    hash side + verify side — and without the cut the plan would
+    double per iteration) and the superseded round's blocks are
+    released once the new one materializes; the only driver-side data
+    is the per-pass changed-doc COUNT (one long)."""
     from sutro_spark.session import release_local_checkpoint
 
     if max_iters < 1:
@@ -418,13 +502,7 @@ def strip_exact_substr_fixpoint(
     ).localCheckpoint(eager=True)
     passes = 0
     for _ in range(max_iters):
-        spans = exact_substr_spans(
-            cur,
-            text_column="__t",
-            id_column="doc_id",
-            min_length=min_length,
-            min_count=min_count,
-        )
+        spans = spans_of(cur)
         stripped = _strip_with_spans(
             cur.select("doc_id", "__t"), spans
         ).join(cur.select("doc_id", "__n0"), "doc_id")

@@ -316,3 +316,90 @@ def test_fixpoint_strip_property_no_spans_remain(spark, texts, L):
     out = strip_exact_substr_fixpoint(df, min_length=L, max_iters=8)
     clean = out.select("doc_id", F.col("clean_text").alias("text"))
     assert exact_substr_spans(clean, min_length=L).count() == 0
+
+
+def test_contaminated_fixpoint_catches_cut_edge_recontamination(spark):
+    """r12 (VERDICT #6): cutting a contaminated span splices the bytes
+    around it — if the BENCHMARK also contains that spliced string, one
+    pass leaves live contamination. Engineered here: the doc carries a
+    ref payload between 'alpha' and 'omega!!', and the ref ALSO holds
+    'alphaomega', so pass 1's cut manufactures a fresh >=8-char match
+    that only pass 2 removes."""
+    from sutro_spark.operators.exact_substr import (
+        contaminated_spans,
+        strip_contaminated_spans,
+        strip_contaminated_spans_fixpoint,
+    )
+
+    L = 8
+    payload = "SECRET-BENCHMARK-PAYLOAD-0123456789"
+    docs = {1: f"alpha{payload}omega!!", 2: "wholly clean document text"}
+    ref = {1: f"xx {payload} xx", 2: "yy alphaomega yy"}
+    ddf, rdf = _df(spark, docs), _df(spark, ref)
+
+    # single pass leaves the spliced match behind...
+    once = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_contaminated_spans(ddf, rdf, min_length=L).collect()
+    }
+    assert once[1] == "alphaomega!!"
+    assert (
+        contaminated_spans(
+            _df(spark, {1: once[1]}), rdf, min_length=L
+        ).count() > 0
+    )
+
+    # ...the fixpoint does not
+    rows = {
+        r["doc_id"]: r
+        for r in strip_contaminated_spans_fixpoint(
+            ddf, rdf, min_length=L, max_iters=6
+        ).collect()
+    }
+    assert rows[1]["clean_text"] == "!!"
+    assert rows[1]["n_passes"] >= 2
+    assert rows[1]["n_chars"] == len(docs[1])
+    assert rows[1]["n_removed"] == len(docs[1]) - 2
+    assert rows[2]["clean_text"] == docs[2] and rows[2]["n_removed"] == 0
+    clean = spark.createDataFrame(
+        [(d, r["clean_text"]) for d, r in rows.items()],
+        "doc_id long, text string",
+    )
+    assert contaminated_spans(clean, rdf, min_length=L).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        strip_contaminated_spans_fixpoint(ddf, rdf, max_iters=0)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    dtexts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=25), min_size=1, max_size=3
+    ),
+    rtexts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=25), min_size=1, max_size=2
+    ),
+    L=st.integers(min_value=3, max_value=5),
+)
+def test_contaminated_fixpoint_property_no_matches_remain(
+    spark, dtexts, rtexts, L
+):
+    """Dense-repeat alphabet: the absolute decontamination contract —
+    NO length->=L verbatim ref substring survives the fixpoint — must
+    hold for every generated corpus/ref pair."""
+    from sutro_spark.operators.exact_substr import (
+        contaminated_spans,
+        strip_contaminated_spans_fixpoint,
+    )
+
+    ddf = spark.createDataFrame(
+        list(enumerate(dtexts)), "doc_id long, text string"
+    )
+    rdf = spark.createDataFrame(
+        list(enumerate(rtexts)), "doc_id long, text string"
+    )
+    out = strip_contaminated_spans_fixpoint(ddf, rdf, min_length=L, max_iters=8)
+    clean = out.select("doc_id", F.col("clean_text").alias("text"))
+    assert contaminated_spans(clean, rdf, min_length=L).count() == 0
