@@ -2322,6 +2322,64 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 flagship composition (VERDICT #7): the v2 pipeline with
+    the fixed-window passage APPROXIMATION swapped for the r11 exact
+    machinery — Gopher quality filter → exact ExactSubstr strip (Lee et
+    al. suffix-array semantics, every duplicated >=60-char span cut) →
+    span-level benchmark decontamination of the result (every-7th doc
+    held out as the benchmark) → per-source retention report in
+    CHARACTERS (the exact operators' native unit; v2 reports token
+    windows). ``corpus`` and the first strip persist because each is
+    read on two legs (strip input + report join; contamination input +
+    dup-cut column)."""
+    from sutro_spark.operators.exact_substr import (
+        strip_contaminated_spans,
+        strip_exact_substr,
+    )
+    from sutro_spark.operators.quality import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    keep_ids = gopher_quality(docs).where("keep = 1").select("doc_id")
+    ref = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = (
+        docs.join(keep_ids, "doc_id").where(F.col("doc_id") % 7 != 0).persist()
+    )
+    s1 = strip_exact_substr(corpus, min_length=60, min_count=2).persist()
+    s2 = strip_contaminated_spans(
+        s1.select("doc_id", F.col("clean_text").alias("text")),
+        ref,
+        min_length=60,
+    )
+    return (
+        s2.join(
+            s1.select(
+                "doc_id",
+                F.col("n_chars").alias("chars_orig"),
+                F.col("n_removed").alias("cut_dup"),
+            ),
+            "doc_id",
+        )
+        .join(corpus.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("chars_orig").cast("long").alias("chars_in"),
+            F.sum("cut_dup").cast("long").alias("chars_cut_dup"),
+            F.sum("n_removed").cast("long").alias("chars_cut_contam"),
+            F.sum(F.length("clean_text")).cast("long").alias("chars_kept"),
+            F.round(
+                F.when(
+                    F.sum("chars_orig") > 0,
+                    F.sum(F.length("clean_text")).cast("double")
+                    / F.sum("chars_orig"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("keep_ratio"),
+        )
+    )
+
+
 def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # temporal holdout: last 20% of events by timestamp become the
     # eval window (a random split would leak the future). Cutoff found
@@ -3901,38 +3959,38 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Round-9 driver window: the driver correctness gate checks the FIRST
+#: Round-12 driver window: the driver correctness gate checks the FIRST
 #: 50 entries of queries() in dict order; this list IS the rotation
 #: (queries() reorders the full literal dict by it — future rounds edit
 #: this list, not the dict). Invariant: EXACTLY 50 entries, new
-#: additions first, then the stalest cohort. After r10 no registry
-#: entry's last driver check is older than r6: this window carries
-#: the entire 28-entry r5 cohort plus the 22 oldest r6 entries
-#: (r10 retired dedup_agreement + dup_clusters — COVERAGE.md decision
-#: log — so the registry is 220). Everything is equally oracle-checked by
-#: tools/selfcheck.py --strict (ALL GREEN gate,
+#: additions first, then the stalest cohort. After r11 no registry
+#: entry's last driver check is older than r7 (histogram r7:30, r8:50,
+#: r9:49, r10:50, r11:50; rank_elo_large retired r8, dup_clusters
+#: retired r10 — COVERAGE.md decision log): this window carries the
+#: ENTIRE 30-entry r7 cohort (clearing the floor to r8, VERDICT r11
+#: task #2) plus the 15 oldest r8 entries (alphabetical; the remaining
+#: 35 r8 entries lead the r13 rotation). Everything is equally
+#: oracle-checked by tools/selfcheck.py --strict (ALL GREEN gate,
 #: completeness-enforced).
-_R11_WINDOW = [
-    # new in r11, never driver-checked
-    "exact_substr_spans", "exact_substr_strip", "contaminated_spans",
-    # the ENTIRE remaining r6-green cohort (28 live; rank_elo_large was
-    # retired r8) — clears the floor to r7
-    "labeled_concat_nulls", "merge_upsert", "nfc_check", "pack_contexts",
-    "pairwise_counts", "part_stats", "pivot_qty", "positional_zip",
-    "pq_codes", "pq_recall", "pq_topk", "promo_revenue", "prompt_concat",
-    "quality_train", "quality_train_eval", "rank_elo",
-    "rank_exploded", "rollup_counts", "score", "select_prompt_column",
-    "sentence_stats", "set_ops", "stratified_sample", "tpch_q1",
-    "tpch_q12ish", "weighted_sample", "winnow_dedup", "zorder_key",
-    # the 19 oldest r7-cohort entries (alphabetical; dup_clusters was
-    # retired in r10 and is skipped; the remaining 30 r7 entries lead
-    # the r12 rotation)
-    "ann_mrr", "asof_purchase", "audio_features", "bm25_topk",
-    "bucketed_dedup", "calibration", "chunk_docs",
-    "classify_calibration", "decontaminate", "dedup_keep_best",
-    "dedup_normalized", "dhash_pairs", "ece", "embedding_dedup",
-    "events_props_stats", "events_sessionize", "events_window",
-    "exact_dedup", "frame_sample",
+_R12_WINDOW = [
+    # new in r12, never driver-checked
+    "ivfpq_rescore", "ivfpq_rescore_recall", "exact_substr_fixpoint",
+    "contaminated_strip_fixpoint", "curation_pipeline_v3",
+    # the ENTIRE remaining r7-green cohort (30 live) — clears the
+    # floor to r8
+    "gap_fill", "gopher_quality", "image_dhash", "incremental_dedup",
+    "ivf_dedup", "ivfpq_prune", "ivfpq_recall", "ivfpq_residual",
+    "keyword_flags", "label_centroids", "minhash_lsh",
+    "multimodal_decode", "ngram_jaccard", "pagerank",
+    "range_join_events", "reassemble_chunks", "redact_pii",
+    "rh_lsh_dedup", "rollup_incr", "semdedup", "simhash",
+    "simhash_pairs", "similarity_topk", "source_mix", "term_topk",
+    "text_profile", "top_orders", "tpch_q3", "tpch_q5ish", "tpch_q6",
+    # the 15 oldest r8-cohort entries (alphabetical)
+    "asof_forward", "bloom_semi_revenue", "cdc_chunks", "cdc_dedup",
+    "containment", "cube_counts", "dedup_lines", "domain_split",
+    "eval_confusion", "eval_kappa", "eval_report", "event_transitions",
+    "events_rolling", "fleiss_kappa", "fuzzy_join_names",
 ]
 
 
@@ -4086,6 +4144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interface": q_sql_interface,
         "time_split": q_time_split,
         "curation_pipeline_v2": q_curation_pipeline_v2,
+        "curation_pipeline_v3": q_curation_pipeline_v3,
         "lang_confidence": q_lang_confidence,
         "ols_tokens_vs_chars": q_ols_tokens_vs_chars,
         "table_profile": q_table_profile,
@@ -4180,10 +4239,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
     }
-    missing = [q for q in _R11_WINDOW if q not in all_qs]
+    missing = [q for q in _R12_WINDOW if q not in all_qs]
     if missing:  # a typo in the rotation list must fail loudly, not 404
-        raise KeyError(f"_R11_WINDOW names not in registry: {missing}")
-    head = {k: all_qs[k] for k in _R11_WINDOW}
+        raise KeyError(f"_R12_WINDOW names not in registry: {missing}")
+    head = {k: all_qs[k] for k in _R12_WINDOW}
     head.update(all_qs)  # dict keeps first-insertion order: window leads
     return head
 
@@ -9212,6 +9271,34 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS keep_ratio
             FROM stripped s JOIN kd USING (doc_id)
             GROUP BY kd.source
+        """,
+        "curation_pipeline_v3": f"""
+            WITH kept AS (SELECT doc_id FROM ({_GOPHER_SQL}) gq WHERE keep = 1),
+            t0 AS (SELECT d.doc_id, coalesce(d.text, '') AS text
+                   FROM documents d JOIN kept USING (doc_id)
+                   WHERE d.doc_id % 7 <> 0),
+            r AS (SELECT coalesce(text, '') AS text
+                  FROM documents WHERE doc_id % 7 = 0),
+            rg AS (SELECT DISTINCT substring(text, CAST(p AS INT), 60) AS g
+                   FROM (SELECT text,
+                                unnest(range(1, length(text) - 60 + 2)) AS p
+                         FROM r WHERE length(text) >= 60)),
+            {_strip_pass_sql("t0", "t1", "v1_", _dup_match_sql("v1_"))},
+            {_strip_pass_sql("t1", "t2", "v2_", _ref_match_sql("v2_"))}
+            SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(t0.text)) AS BIGINT) AS chars_in,
+                   CAST(sum(length(t0.text) - length(t1.text)) AS BIGINT)
+                       AS chars_cut_dup,
+                   CAST(sum(length(t1.text) - length(t2.text)) AS BIGINT)
+                       AS chars_cut_contam,
+                   CAST(sum(length(t2.text)) AS BIGINT) AS chars_kept,
+                   round(CASE WHEN sum(length(t0.text)) > 0
+                              THEN CAST(sum(length(t2.text)) AS DOUBLE)
+                                   / sum(length(t0.text))
+                              ELSE 0.0 END, 6) AS keep_ratio
+            FROM t0 JOIN t1 USING (doc_id) JOIN t2 USING (doc_id)
+            JOIN documents d USING (doc_id)
+            GROUP BY d.source
         """,
         "time_split": """
             WITH nn AS (SELECT count(*) AS n FROM events WHERE ts IS NOT NULL),
