@@ -302,3 +302,30 @@ def test_contaminated_spans_semi_joins_and_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
     assert "PythonUDF" not in plan
+
+
+def test_ivfpq_rescore_is_broadcast_shortlist_no_cartesian(spark):
+    # r12: the exact rescore must join the raw corpus vectors to the
+    # ADC shortlist via a BROADCAST of the (|queries| x rescore_k)
+    # shortlist — pruning hash joins only, never an all-pairs product.
+    # BroadcastNestedLoopJoins exist in BOTH plans (the |queries| x
+    # coarse_k centroid probe, recomputed per referencing leg); the
+    # guard is that rescoring adds ZERO on top of the base chain.
+    plan = _plan(spark, "ivfpq_rescore")
+    base = _plan(spark, "ivfpq_residual")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= base.count(
+        "BroadcastNestedLoopJoin"
+    ), plan[:2000]
+
+
+def test_strip_fixpoint_result_reads_materialized_checkpoint(spark):
+    # the fixpoint loop localCheckpoints every pass: the RETURNED frame
+    # must read the final pass's materialized blocks, not replay the
+    # per-pass-doubling strip lineage — no parquet scan may survive in
+    # its executed plan.
+    for name in ("exact_substr_fixpoint", "contaminated_strip_fixpoint"):
+        plan = _plan(spark, name)
+        assert "Scan ExistingRDD" in plan, name
+        assert "Scan parquet" not in plan, name
