@@ -3959,6 +3959,101 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ffd_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Whole-document context packing: blocked first-fit-decreasing
+    # (Ding et al. 2024's no-truncation packing; FFD is the classic
+    # 11/9*OPT+6/9 heuristic). Global (n_tokens desc, id) rank via the
+    # scale-safe with_row_id (range exchange + parallel windows, never
+    # Exchange SinglePartition), then 64-doc blocks pack independently
+    # in one bounded applyInPandas. The oracle REPLAYS first-fit in a
+    # recursive CTE carrying the open-bin fill list as row state —
+    # assignment parity is bit-for-bit. Docs over budget flag (-1,-1).
+    from sutro_spark.operators.packing import ffd_pack
+
+    docs = _t(spark, sf_dir, "documents")
+    return ffd_pack(docs, budget=96, group_size=64).orderBy(
+        "grp", "bin", "doc_id"
+    )
+
+
+def q_ffd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the packing honesty number: bin count vs the ceil(total/budget)
+    # lower bound, zero-overflow and half-empty checks (first-fit
+    # guarantees at most ONE bin <= budget/2 per independent block —
+    # two half-empty bins would have merged), integer per-mille fill.
+    from sutro_spark.operators.packing import ffd_pack, ffd_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return ffd_stats(ffd_pack(docs, budget=96, group_size=64), budget=96)
+
+
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mergeable Misra-Gries heavy hitters (Agarwal et al., PODS 2012):
+    # 8 deterministic row-hash buckets, each MG-truncated to k=4
+    # counters (subtract the (k+1)-th largest — the closed-form MG
+    # summary of a known multiset), folded left-to-right in bucket
+    # order. The stream key is event_id's lowest set bit — an exact
+    # power-law (key 2^j has ~n/2^(j+1) occurrences) both engines
+    # derive arithmetically, so the sketch is exercised on genuine
+    # skew. Underestimates only, total error <= n/(k+1) over ANY
+    # merge tree; complements cms_heavy_hitters (overestimates only).
+    from sutro_spark.functions.sketches import mg_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "skew_key", F.expr("event_id & -event_id")
+    )
+    return (
+        mg_heavy_hitters(ev, "skew_key", "event_id", k=4, buckets=8)
+        .select("key", F.col("est").alias("est_count"))
+        .orderBy(F.desc("est_count"), "key")
+    )
+
+
+def q_mg_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the sketch's honesty row: join the folded summary to exact
+    # counts; every estimate must underestimate, and the worst
+    # underestimate (absent keys read 0) must stay within n/(k+1) —
+    # the Agarwal et al. 2012 mergeability bound, which holds for any
+    # merge tree; the fold order only fixes WHICH valid summary.
+    from sutro_spark.functions.sketches import mg_heavy_hitters
+
+    k = 4
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "skew_key", F.expr("event_id & -event_id")
+    )
+    summary = mg_heavy_hitters(ev, "skew_key", "event_id", k=k, buckets=8)
+    exact = (
+        ev.where(F.col("skew_key").isNotNull())
+        .select(F.col("skew_key").cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    )
+    joined = exact.join(F.broadcast(summary), "key", "left").select(
+        "n_true", F.coalesce(F.col("est"), F.lit(0)).alias("est")
+    )
+    return joined.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.sum("n_true").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("est") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_summary"),
+        F.max(F.col("n_true") - F.col("est")).cast("long").alias("max_underest"),
+        (F.max(F.col("est") - F.col("n_true")) <= 0).alias("no_overestimate"),
+    ).select(
+        "k",
+        "n_total",
+        "n_keys",
+        "n_summary",
+        F.expr(f"n_total div {k + 1}").alias("bound"),
+        "max_underest",
+        "no_overestimate",
+        (F.col("max_underest") <= F.expr(f"n_total div {k + 1}")).alias(
+            "within_bound"
+        ),
+    )
+
+
 #: Round-12 driver window: the driver correctness gate checks the FIRST
 #: 50 entries of queries() in dict order; this list IS the rotation
 #: (queries() reorders the full literal dict by it — future rounds edit
@@ -3976,6 +4071,7 @@ _R12_WINDOW = [
     # new in r12, never driver-checked
     "ivfpq_rescore", "ivfpq_rescore_recall", "exact_substr_fixpoint",
     "contaminated_strip_fixpoint", "curation_pipeline_v3",
+    "ffd_pack", "ffd_stats", "mg_heavy_hitters", "mg_guarantee",
     # the ENTIRE remaining r7-green cohort (30 live) — clears the
     # floor to r8
     "gap_fill", "gopher_quality", "image_dhash", "incremental_dedup",
@@ -3986,11 +4082,12 @@ _R12_WINDOW = [
     "rh_lsh_dedup", "rollup_incr", "semdedup", "simhash",
     "simhash_pairs", "similarity_topk", "source_mix", "term_topk",
     "text_profile", "top_orders", "tpch_q3", "tpch_q5ish", "tpch_q6",
-    # the 15 oldest r8-cohort entries (alphabetical)
+    # the 11 oldest r8-cohort entries (alphabetical; event_transitions,
+    # events_rolling, fleiss_kappa, fuzzy_join_names and the remaining
+    # r8 cohort lead the r13 rotation)
     "asof_forward", "bloom_semi_revenue", "cdc_chunks", "cdc_dedup",
     "containment", "cube_counts", "dedup_lines", "domain_split",
-    "eval_confusion", "eval_kappa", "eval_report", "event_transitions",
-    "events_rolling", "fleiss_kappa", "fuzzy_join_names",
+    "eval_confusion", "eval_kappa", "eval_report",
 ]
 
 
@@ -4145,6 +4242,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_split": q_time_split,
         "curation_pipeline_v2": q_curation_pipeline_v2,
         "curation_pipeline_v3": q_curation_pipeline_v3,
+        "ffd_pack": q_ffd_pack,
+        "ffd_stats": q_ffd_stats,
+        "mg_heavy_hitters": q_mg_heavy_hitters,
+        "mg_guarantee": q_mg_guarantee,
         "lang_confidence": q_lang_confidence,
         "ols_tokens_vs_chars": q_ols_tokens_vs_chars,
         "table_profile": q_table_profile,
@@ -5366,6 +5467,103 @@ def _pagerank_oracle(iterations: int = 6) -> str:
         f" FROM r{iterations} ORDER BY node"
     )
     return "\n".join(cte)
+
+
+def _mg_sql(k: int = 4, buckets: int = 8) -> str:
+    """WITH-chain replaying the mergeable Misra-Gries fold: per-bucket
+    MG truncation (subtract the (k+1)-th largest count, keep positive
+    top-k), then buckets folded left-to-right — each merge = add ests,
+    truncate again. Materialized CTEs keep DuckDB's inlining linear.
+    Ends with the final summary named m{buckets-1}(key, est)."""
+    kp1 = k + 1
+    sql = f"""
+    WITH s AS (
+        SELECT CAST(event_id & -event_id AS VARCHAR) AS key,
+               CAST(CAST(concat('0x', substr(sha256(
+                   concat('mg:', CAST(event_id AS VARCHAR))), 1, 8))
+                   AS UBIGINT) % {buckets} AS BIGINT) AS bucket
+        FROM events WHERE event_id IS NOT NULL),
+    c AS (SELECT bucket, key, CAST(count(*) AS BIGINT) AS est
+          FROM s GROUP BY bucket, key),
+    r AS (SELECT bucket, key, est,
+                 row_number() OVER (PARTITION BY bucket
+                     ORDER BY est DESC, key ASC) AS rn
+          FROM c),
+    t AS (SELECT bucket, est AS thr FROM r WHERE rn = {kp1}),
+    b AS MATERIALIZED (
+          SELECT r.bucket, r.key, r.est - coalesce(t.thr, 0) AS est
+          FROM r LEFT JOIN t USING (bucket)
+          WHERE r.rn <= {k} AND r.est > coalesce(t.thr, 0)),
+    m0 AS (SELECT key, est FROM b WHERE bucket = 0)"""
+    prev = "m0"
+    for i in range(1, buckets):
+        sql += f""",
+    r{i} AS MATERIALIZED (
+        SELECT key, est, row_number() OVER
+            (ORDER BY est DESC, key ASC) AS rn
+        FROM (SELECT key, CAST(sum(est) AS BIGINT) AS est FROM (
+              SELECT key, est FROM {prev}
+              UNION ALL SELECT key, est FROM b WHERE bucket = {i})
+              GROUP BY key)),
+    m{i} AS (SELECT key, est - coalesce(
+                 (SELECT est FROM r{i} WHERE rn = {kp1}), 0) AS est
+             FROM r{i}
+             WHERE rn <= {k} AND est > coalesce(
+                 (SELECT est FROM r{i} WHERE rn = {kp1}), 0))"""
+        prev = f"m{i}"
+    return sql
+
+
+def _ffd_sql(budget: int = 96, group_size: int = 64) -> str:
+    """Recursive-CTE replay of blocked first-fit-decreasing packing:
+    rank docs (n_tokens desc, doc_id), block into group_size runs,
+    then iterate each block item-by-item carrying the open-bin fill
+    LIST as recursion state — first fit = the first list position the
+    item still fits, else append a bin. Ends selecting (grp, bin,
+    doc_id, n_tokens) with overlong docs flagged (-1, -1)."""
+    return f"""
+    WITH RECURSIVE tok AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+    ranked AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1
+                   AS rid
+        FROM tok WHERE n_tokens <= {budget}),
+    items AS MATERIALIZED (
+        SELECT rid // {group_size} AS grp,
+               CAST(rid % {group_size} + 1 AS BIGINT) AS idx,
+               doc_id, n_tokens
+        FROM ranked),
+    gsz AS (SELECT grp FROM items GROUP BY grp),
+    ffd(grp, idx, fills, doc_id, n_tokens, bin) AS (
+        SELECT grp, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT)
+        FROM gsz
+        UNION ALL
+        SELECT f.grp, f.idx + 1,
+               CASE WHEN pos IS NULL THEN list_append(f.fills, i.n_tokens)
+                    ELSE list_transform(range(1, len(f.fills) + 1),
+                             j -> CASE WHEN j = pos
+                                  THEN f.fills[j] + i.n_tokens
+                                  ELSE f.fills[j] END)
+               END,
+               i.doc_id, i.n_tokens,
+               CASE WHEN pos IS NULL THEN CAST(len(f.fills) AS BIGINT)
+                    ELSE pos - 1 END
+        FROM ffd f
+        JOIN items i ON i.grp = f.grp AND i.idx = f.idx + 1,
+        LATERAL (SELECT list_filter(range(1, len(f.fills) + 1),
+                     j -> f.fills[j] + i.n_tokens <= {budget})[1] AS pos) p
+    ),
+    packed AS (
+        SELECT grp, bin, doc_id, n_tokens FROM ffd WHERE idx >= 1
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), doc_id, n_tokens
+        FROM tok WHERE n_tokens > {budget})"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9299,6 +9497,65 @@ def oracle_sql() -> dict[str, str]:
             FROM t0 JOIN t1 USING (doc_id) JOIN t2 USING (doc_id)
             JOIN documents d USING (doc_id)
             GROUP BY d.source
+        """,
+        "ffd_pack": _ffd_sql(budget=96, group_size=64)
+        + """
+            SELECT grp, bin, doc_id, n_tokens FROM packed
+            ORDER BY grp, bin, doc_id
+        """,
+        "ffd_stats": _ffd_sql(budget=96, group_size=64)
+        + """,
+            pk AS (SELECT * FROM packed WHERE bin >= 0),
+            bins AS (SELECT grp, bin, CAST(sum(n_tokens) AS BIGINT) AS fill
+                     FROM pk GROUP BY grp, bin),
+            pb AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+                          CAST(sum(CASE WHEN fill > 96 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_overflow_bins,
+                          CAST(sum(CASE WHEN fill * 2 <= 96 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_halfempty_bins,
+                          CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
+                   FROM bins),
+            dc AS (SELECT CAST(sum(CASE WHEN bin >= 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_docs,
+                          CAST(sum(CASE WHEN bin < 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_overlong,
+                          CAST(coalesce(sum(CASE WHEN bin >= 0
+                              THEN n_tokens END), 0) AS BIGINT)
+                              AS total_tokens
+                   FROM packed)
+            SELECT n_docs, n_overlong, total_tokens, n_bins,
+                   (total_tokens + 95) // 96 AS lb_bins,
+                   CASE WHEN n_bins > 0
+                        THEN total_tokens * 1000 // (n_bins * 96)
+                   END AS fill_per_mille,
+                   n_overflow_bins, n_halfempty_bins, n_groups,
+                   (n_overflow_bins = 0 AND n_halfempty_bins <= n_groups)
+                       AS bound_ok
+            FROM dc, pb
+        """,
+        "mg_heavy_hitters": _mg_sql(k=4, buckets=8)
+        + """
+            SELECT key, est AS est_count FROM m7
+            ORDER BY est_count DESC, key
+        """,
+        "mg_guarantee": _mg_sql(k=4, buckets=8)
+        + """,
+            exact AS (SELECT key, CAST(count(*) AS BIGINT) AS n_true
+                      FROM s GROUP BY key),
+            j AS (SELECT exact.n_true, coalesce(m7.est, 0) AS est
+                  FROM exact LEFT JOIN m7 USING (key)),
+            a AS (SELECT CAST(4 AS BIGINT) AS k,
+                         CAST(sum(n_true) AS BIGINT) AS n_total,
+                         CAST(count(*) AS BIGINT) AS n_keys,
+                         CAST(sum(CASE WHEN est > 0 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS n_summary,
+                         CAST(max(n_true - est) AS BIGINT) AS max_underest,
+                         max(est - n_true) <= 0 AS no_overestimate
+                  FROM j)
+            SELECT k, n_total, n_keys, n_summary, n_total // 5 AS bound,
+                   max_underest, no_overestimate,
+                   max_underest <= n_total // 5 AS within_bound
+            FROM a
         """,
         "time_split": """
             WITH nn AS (SELECT count(*) AS n FROM events WHERE ts IS NOT NULL),

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from sutro_spark.functions.sampling import hash_bucket
 
-__all__ = ["kmv_distinct", "kmv_join_estimate", "hll_distinct", "hll_registers", "hll_from_registers", "hll_corrected", "cms_cells", "cms_counts", "cms_estimate", "kmv_set_estimates", "hll_set_estimates"]
+__all__ = ["kmv_distinct", "kmv_join_estimate", "hll_distinct", "hll_registers", "hll_from_registers", "hll_corrected", "cms_cells", "cms_counts", "cms_estimate", "kmv_set_estimates", "hll_set_estimates", "mg_bucket_summaries", "mg_merge", "mg_heavy_hitters"]
 
 
 def kmv_distinct(
@@ -682,3 +682,154 @@ def hll_set_estimates(
             ).alias("est_right_only"),
         )
     )
+
+
+def _mg_truncate(counts: DataFrame, *, k: int) -> DataFrame:
+    """One Misra-Gries truncation: subtract the (k+1)-th largest count
+    from every key and keep the positive top-k survivors.
+
+    This is the closed-form MG summary of a KNOWN multiset (Agarwal,
+    Cormode, Huang, Phillips, Wei & Yi, "Mergeable Summaries", PODS
+    2012 §3): there are k+1 keys with count >= t (t = the (k+1)-th
+    largest, 0 when fewer than k+1 keys), so the subtraction removes
+    at least (k+1)*t total mass -- which is exactly the argument that
+    caps the summed thresholds of ANY merge tree at n/(k+1). Ties are
+    broken (count desc, key asc) so both engines pick the same t.
+
+    Input/output: (key, est) -- at most k rows out.
+
+    Plan discipline: the input is referenced ONCE -- rank and threshold
+    are two windows over the same (tiny, <= 2k-row) sort, not a
+    self-join -- so folding B summaries builds a LINEAR plan. A
+    self-join here doubles the plan per fold level (2^B subtree
+    expansions; Catalyst planning alone dominated the fold before this
+    was a window).
+    """
+    w = Window.orderBy(F.col("est").desc(), F.col("key").asc())
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = counts.withColumn("rn", F.row_number().over(w)).withColumn(
+        "__t",
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("est"))).over(wall),
+            F.lit(0),
+        ),
+    )
+    return (
+        ranked.where((F.col("rn") <= k) & (F.col("est") > F.col("__t")))
+        .select("key", (F.col("est") - F.col("__t")).alias("est"))
+    )
+
+
+def mg_bucket_summaries(
+    df: DataFrame,
+    key_column: str,
+    row_column: str,
+    *,
+    k: int = 8,
+    buckets: int = 8,
+    salt: str = "mg",
+) -> DataFrame:
+    """Per-bucket Misra-Gries heavy-hitter summaries (<= k rows each).
+
+    Rows are routed to ``buckets`` deterministic shards by the portable
+    sha hash of their ROW identity (not the key -- every shard sees an
+    unbiased slice of the stream), each shard's key counts are
+    MG-truncated to k counters, and the summaries merge losslessly-
+    bounded via :func:`mg_merge` / :func:`mg_heavy_hitters` with total
+    underestimate <= n/(k+1) regardless of merge order (Agarwal et al.
+    2012, Theorem 3.1). The 100 TB use is INCREMENTAL heavy hitters:
+    persist the <= buckets*k summary rows per day/shard, summarize only
+    the new data, and re-merge -- no re-scan of history and no stored
+    full count table.
+
+    Plan shape: ONE map-side-combinable groupBy(bucket, key) count,
+    then a per-bucket rank window over at most (k+1)-deep survivors
+    (WindowGroupLimit pushes the rank filter into the sort).
+
+    Output: (bucket, key string, est bigint).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    counts = (
+        df.where(F.col(key_column).isNotNull())
+        .select(
+            hash_bucket(F.col(row_column), salt=salt, buckets=buckets)
+            .alias("bucket"),
+            F.col(key_column).cast("string").alias("key"),
+        )
+        .groupBy("bucket", "key")
+        .agg(F.count(F.lit(1)).cast("long").alias("est"))
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("est").desc(), F.col("key").asc()
+    )
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # rank + threshold as two windows over ONE sort (single input
+    # reference -- see _mg_truncate): no self-join, no double scan of
+    # the counts shuffle
+    ranked = counts.withColumn("rn", F.row_number().over(w)).withColumn(
+        "__t",
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("est"))).over(wall),
+            F.lit(0),
+        ),
+    )
+    return ranked.where(
+        (F.col("rn") <= k) & (F.col("est") > F.col("__t"))
+    ).select("bucket", "key", (F.col("est") - F.col("__t")).alias("est"))
+
+
+def mg_merge(left: DataFrame, right: DataFrame, *, k: int = 8) -> DataFrame:
+    """Merge two Misra-Gries summaries: add per-key estimates, then one
+    MG truncation back to k counters. Associativity of the ERROR BOUND
+    (not the counters -- different merge trees give different counters,
+    all within n/(k+1)) is the Agarwal et al. 2012 result; this repo
+    fixes the fold order (bucket 0..B-1) so the result is also
+    bit-deterministic and oracle-checkable.
+
+    Input/output: (key, est).
+    """
+    summed = (
+        left.select("key", "est")
+        .unionByName(right.select("key", "est"))
+        .groupBy("key")
+        .agg(F.sum("est").cast("long").alias("est"))
+    )
+    return _mg_truncate(summed, k=k)
+
+
+def mg_heavy_hitters(
+    df: DataFrame,
+    key_column: str,
+    row_column: str,
+    *,
+    k: int = 8,
+    buckets: int = 8,
+    salt: str = "mg",
+) -> DataFrame:
+    """End-to-end mergeable heavy hitters: bucket summaries folded
+    left-to-right in bucket order. Every intermediate is <= 2k rows, so
+    the fold is B-1 tiny stages over broadcast-size data; the heavy
+    work is the single groupBy in :func:`mg_bucket_summaries`.
+
+    Guarantee (probe it with an exact join): 0 <= true(key) - est(key)
+    <= n/(k+1) for every key, where absent keys read est = 0; ests
+    never exceed true counts. Complements :func:`cms_counts`, which
+    only OVERestimates -- the two sketches bracket the true count.
+
+    Output: (key string, est bigint), at most k rows.
+    """
+    summaries = mg_bucket_summaries(
+        df, key_column, row_column, k=k, buckets=buckets, salt=salt
+    )
+    # the fold references the summary table `buckets` times; an eager
+    # localCheckpoint of the <= buckets*k rows runs the heavy
+    # groupBy(bucket, key) shuffle exactly ONCE (same per-pass
+    # discipline as the strip-fixpoint machinery)
+    summaries = summaries.localCheckpoint(eager=True)
+    acc: DataFrame | None = None
+    for b in range(buckets):
+        part = summaries.where(F.col("bucket") == b).select("key", "est")
+        acc = part if acc is None else mg_merge(acc, part, k=k)
+    assert acc is not None
+    return acc

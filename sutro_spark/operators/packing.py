@@ -318,3 +318,169 @@ def length_buckets(
         )
         .orderBy("bucket")
     )
+
+
+def ffd_pack(
+    df: DataFrame,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    budget: int = 128,
+    group_size: int = 64,
+) -> DataFrame:
+    """Whole-document context packing: first-fit-decreasing bin packing,
+    blocked for scale.
+
+    :func:`pack_contexts` is concat-and-chunk — every window is full but
+    documents straddle window boundaries. Training recipes that must
+    not truncate documents (Ding et al. 2024, "Fewer Truncations
+    Improve Language Modeling", use exactly this best-fit/first-fit
+    packing) instead assign each WHOLE document to a context bin of
+    capacity ``budget`` and pad the remainder. FFD (sort by size
+    descending, place each item in the first bin it fits) is the
+    classic 11/9·OPT + 6/9 heuristic.
+
+    Spark-first, 100 TB shape:
+    - global (n_tokens desc, id asc) rank via ``with_row_id`` — a
+      range exchange + parallel per-partition windows, never an
+      Exchange SinglePartition;
+    - contiguous blocks of ``group_size`` ranked docs pack
+      INDEPENDENTLY (``applyInPandas`` per block — bounded O(G²)
+      work and O(G) state per task, embarrassingly parallel);
+    - bins never cross blocks, so the only FFD-vs-blocked-FFD loss is
+      at block seams: within a block every bin except possibly one
+      ends > budget/2 full (two half-empty bins would have merged —
+      the classic first-fit argument), so waste is bounded by one
+      half-empty bin per ``group_size`` docs. Larger groups buy fill
+      at no memory risk (state is one fill integer per open bin).
+
+    Documents longer than ``budget`` can never pack: they are flagged
+    with ``grp = -1, bin = -1`` (the caller decides whether to split
+    them with :func:`pack_contexts` — the two operators compose).
+
+    Determinism: the rank order, the block split, and first-fit itself
+    are all exact integer rules — any engine (and the DuckDB oracle's
+    recursive CTE, which replays first-fit carrying the bin-fill list
+    as row state) reproduces the assignment bit-for-bit.
+
+    Output: (grp, bin, doc id, n_tokens) — ``(grp, bin)`` is the
+    global bin key.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if group_size <= 0:
+        raise ValueError(f"group_size must be positive, got {group_size}")
+    from sutro_spark.sources.ingest import ROW_ID, with_row_id
+
+    sized = df.select(
+        F.col(id_column).cast("long").alias("doc_id"),
+        token_count(F.col(text_column)).alias("n_tokens"),
+    )
+    overlong = sized.where(F.col("n_tokens") > budget).select(
+        F.lit(-1).cast("long").alias("grp"),
+        F.lit(-1).cast("long").alias("bin"),
+        "doc_id",
+        "n_tokens",
+    )
+    eligible = sized.where(F.col("n_tokens") <= budget).withColumn(
+        "__neg", -F.col("n_tokens")
+    )
+    ranked = with_row_id(eligible, order_by=["__neg", "doc_id"]).withColumn(
+        "grp", F.expr(f"{ROW_ID} div {group_size}")
+    )
+
+    def _ffd(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        bins: list[int] = []
+        for size in pdf["n_tokens"]:
+            size = int(size)
+            for j, fill in enumerate(fills):
+                if fill + size <= budget:
+                    fills[j] = fill + size
+                    bins.append(j)
+                    break
+            else:
+                bins.append(len(fills))
+                fills.append(size)
+        return pd.DataFrame(
+            {
+                "grp": pdf["grp"],
+                "bin": pd.Series(bins, dtype="int64"),
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"],
+            }
+        )
+
+    packed = ranked.select("grp", "doc_id", "n_tokens").groupBy("grp").applyInPandas(
+        _ffd, "grp long, bin long, doc_id long, n_tokens long"
+    )
+    return packed.unionByName(overlong)
+
+
+def ffd_stats(
+    packed: DataFrame,
+    *,
+    budget: int = 128,
+) -> DataFrame:
+    """Fill/waste report over :func:`ffd_pack` output — the honesty
+    number for the packing: one row with the bin count against the
+    ceil(total/budget) lower bound, overflow and half-empty-bin
+    checks (at most one bin <= budget/2 per group, see
+    :func:`ffd_pack`), and integer per-mille occupancy. Pure
+    aggregates — one map-side-combinable groupBy over the (already
+    tiny) per-doc assignment table.
+
+    Output: (n_docs, n_overlong, total_tokens, n_bins, lb_bins,
+    fill_per_mille, n_overflow_bins, n_halfempty_bins, n_groups,
+    bound_ok).
+    """
+    pk = packed.where(F.col("bin") >= 0)
+    bins = pk.groupBy("grp", "bin").agg(
+        F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n_docs")
+    )
+    per_bin = bins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(F.when(F.col("fill") > budget, 1).otherwise(0))
+        .cast("long")
+        .alias("n_overflow_bins"),
+        F.sum(F.when(F.col("fill") * 2 <= budget, 1).otherwise(0))
+        .cast("long")
+        .alias("n_halfempty_bins"),
+        F.count_distinct(F.col("grp")).cast("long").alias("n_groups"),
+    )
+    docs = packed.agg(
+        F.sum(F.when(F.col("bin") >= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs"),
+        F.sum(F.when(F.col("bin") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_overlong"),
+        F.coalesce(
+            F.sum(F.when(F.col("bin") >= 0, F.col("n_tokens"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("total_tokens"),
+    )
+    return docs.crossJoin(per_bin).select(
+        "n_docs",
+        "n_overlong",
+        "total_tokens",
+        "n_bins",
+        F.expr(f"(total_tokens + {budget - 1}) div {budget}").alias("lb_bins"),
+        F.when(
+            F.col("n_bins") > 0,
+            F.expr(f"total_tokens * 1000 div (n_bins * {budget})"),
+        ).alias("fill_per_mille"),
+        "n_overflow_bins",
+        "n_halfempty_bins",
+        "n_groups",
+        (
+            (F.col("n_overflow_bins") == 0)
+            & (F.col("n_halfempty_bins") <= F.col("n_groups"))
+        ).alias("bound_ok"),
+    )

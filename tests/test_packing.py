@@ -128,3 +128,87 @@ def test_length_buckets_validation(spark):
         length_buckets(None, batch_size=0)
     with pytest.raises(ValueError, match="boundaries"):
         length_buckets(None, boundaries=[0, 5])
+
+
+# --- whole-document FFD packing ------------------------------------------
+
+
+def _ffd_reference(sizes, budget):
+    """Driver-side first-fit-decreasing over (size, id) pairs."""
+    fills, assign = [], {}
+    for size, did in sorted(sizes, key=lambda t: (-t[0], t[1])):
+        for j, fill in enumerate(fills):
+            if fill + size <= budget:
+                fills[j] = fill + size
+                assign[did] = j
+                break
+        else:
+            assign[did] = len(fills)
+            fills.append(size)
+    return assign, fills
+
+
+def test_ffd_matches_reference_single_group(spark):
+    from sutro_spark.operators.packing import ffd_pack
+
+    texts = ["w " * n for n in [9, 7, 7, 5, 4, 3, 2, 2, 1]]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["grp"], r["bin"]) for r in ffd_pack(
+        df, budget=10, group_size=64).collect()}
+    sizes = [(len(t.split()), i) for i, t in enumerate(texts)]
+    ref, fills = _ffd_reference(sizes, 10)
+    assert out == {d: (0, b) for d, b in ref.items()}
+    assert max(fills) <= 10
+
+
+def test_ffd_invariants_blocked(documents):
+    from pyspark.sql import functions as F
+
+    from sutro_spark.operators.packing import ffd_pack
+
+    out = ffd_pack(documents, budget=64, group_size=16)
+    rows = out.collect()
+    n_in = documents.count()
+    assert len(rows) == n_in  # every doc assigned exactly once
+    fills = {}
+    for r in rows:
+        if r["bin"] >= 0:
+            assert r["n_tokens"] <= 64
+            fills.setdefault((r["grp"], r["bin"]), 0)
+            fills[(r["grp"], r["bin"])] += r["n_tokens"]
+        else:
+            assert r["n_tokens"] > 64
+    assert all(v <= 64 for v in fills.values())  # no overflow, ever
+    # first-fit: at most one bin <= half-empty per independent block
+    halfempty = {}
+    for (grp, _), fill in fills.items():
+        if 2 * fill <= 64:
+            halfempty[grp] = halfempty.get(grp, 0) + 1
+    assert all(v <= 1 for v in halfempty.values())
+
+
+def test_ffd_stats_verdict(documents):
+    from sutro_spark.operators.packing import ffd_pack, ffd_stats
+
+    st = ffd_stats(
+        ffd_pack(documents, budget=64, group_size=16), budget=64
+    ).collect()[0]
+    assert st["n_overflow_bins"] == 0
+    assert st["n_halfempty_bins"] <= st["n_groups"]
+    assert st["n_bins"] >= st["lb_bins"]
+    assert st["bound_ok"]
+    assert st["fill_per_mille"] is None or st["fill_per_mille"] <= 1000
+
+
+def test_ffd_validates_params(spark):
+    import pytest as _pytest
+
+    from sutro_spark.operators.packing import ffd_pack
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        ffd_pack(df, budget=0)
+    with _pytest.raises(ValueError):
+        ffd_pack(df, group_size=0)

@@ -329,3 +329,27 @@ def test_strip_fixpoint_result_reads_materialized_checkpoint(spark):
         plan = _plan(spark, name)
         assert "Scan ExistingRDD" in plan, name
         assert "Scan parquet" not in plan, name
+
+
+def test_ffd_pack_no_cartesian_bounded_python(spark):
+    # r12: blocked FFD must be one range exchange + parallel windows +
+    # ONE applyInPandas (FlatMapGroupsInPandas) per block — never an
+    # Exchange SinglePartition for the global rank, never a product.
+    plan = _plan(spark, "ffd_pack")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan[:2000]
+    # with_row_id's rank must stay range-partitioned: the only allowed
+    # SinglePartition is the final presentation orderBy's boundary
+    assert "Exchange SinglePartition" not in plan.split("FlatMapGroupsInPandas")[1]
+
+
+def test_mg_fold_no_python_no_cartesian(spark):
+    # r12: the Misra-Gries fold is pure DataFrame algebra over a
+    # localCheckpointed <= buckets*k-row summary — no Python stage, no
+    # product; the heavy groupBy ran once at checkpoint time.
+    plan = _plan(spark, "mg_heavy_hitters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan
+    assert "FlatMapGroupsInPandas" not in plan

@@ -327,3 +327,68 @@ def test_prefix_filter_exact_boundary_fixtures(spark):
         )
         n = prefix_filter_pairs(df, threshold_milli=t).count()
         assert n == (1 if expect else 0), (t, texts, n)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(0, 20), min_size=1, max_size=24),
+    st.sampled_from([4, 8, 24]),
+)
+def test_ffd_pack_matches_python_first_fit(spark, sizes, group_size):
+    # blocked FFD vs a plain Python replay: identical (grp, bin) for
+    # every doc, including ties (broken by doc_id) and the overlong flag
+    from sutro_spark.operators.packing import ffd_pack
+
+    budget = 12
+    df = spark.createDataFrame(
+        [(i, "w " * n) for i, n in enumerate(sizes)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["grp"], r["bin"])
+        for r in ffd_pack(df, budget=budget, group_size=group_size).collect()
+    }
+    eligible = sorted(
+        ((n, i) for i, n in enumerate(sizes) if n <= budget),
+        key=lambda t: (-t[0], t[1]),
+    )
+    expected = {i: (-1, -1) for i, n in enumerate(sizes) if n > budget}
+    for g in range(0, len(eligible), group_size):
+        fills: list = []
+        for n, i in eligible[g : g + group_size]:
+            for j, fill in enumerate(fills):
+                if fill + n <= budget:
+                    fills[j] = fill + n
+                    expected[i] = (g // group_size, j)
+                    break
+            else:
+                expected[i] = (g // group_size, len(fills))
+                fills.append(n)
+    assert out == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(0, 6), min_size=1, max_size=40),
+    st.integers(1, 4),
+)
+def test_mg_bound_holds_on_random_streams(spark, keys, k):
+    # exact MG mergeability properties on arbitrary multisets: never
+    # overestimates, worst underestimate <= n/(k+1), <= k survivors
+    from pyspark.sql import functions as F
+
+    from sutro_spark.functions.sketches import mg_heavy_hitters
+
+    df = spark.createDataFrame(
+        [(i, key) for i, key in enumerate(keys)], "rid long, key long"
+    )
+    out = {
+        r["key"]: r["est"]
+        for r in mg_heavy_hitters(df, "key", "rid", k=k, buckets=4).collect()
+    }
+    from collections import Counter
+
+    exact = Counter(str(key) for key in keys)
+    n = len(keys)
+    assert len(out) <= k
+    assert all(est <= exact[key] for key, est in out.items())
+    assert max(exact[key] - out.get(key, 0) for key in exact) <= n // (k + 1)

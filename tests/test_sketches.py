@@ -318,3 +318,69 @@ def test_kmv_set_estimates_plan_topk_is_distributed(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "Window" not in plan, plan[:2000]
+
+
+# --- mergeable Misra-Gries (Agarwal et al., PODS 2012) -------------------
+
+
+def _mg_df(spark):
+    # exact power-law stream: key = lowest set bit of the row id
+    rows = [(i, i & -i if i else 0) for i in range(1, 513)]
+    return spark.createDataFrame(rows, "rid long, key long")
+
+
+def test_mg_underestimates_within_bound(spark):
+    from pyspark.sql import functions as F
+
+    from sutro_spark.functions.sketches import mg_heavy_hitters
+
+    df = _mg_df(spark)
+    k = 3
+    out = {r["key"]: r["est"] for r in mg_heavy_hitters(
+        df, "key", "rid", k=k, buckets=4).collect()}
+    exact = {str(r["key"]): r["c"] for r in df.groupBy("key")
+             .agg(F.count(F.lit(1)).alias("c")).collect()}
+    n = sum(exact.values())
+    assert len(out) <= k
+    for key, est in out.items():
+        assert est <= exact[key]  # never overestimates
+    worst = max(exact[key] - out.get(key, 0) for key in exact)
+    assert worst <= n // (k + 1)  # mergeability bound, any fold order
+
+
+def test_mg_bucket_summaries_bounded_and_positive(spark):
+    from sutro_spark.functions.sketches import mg_bucket_summaries
+
+    s = mg_bucket_summaries(_mg_df(spark), "key", "rid", k=2, buckets=4)
+    rows = s.collect()
+    per_bucket = {}
+    for r in rows:
+        assert r["est"] > 0
+        per_bucket.setdefault(r["bucket"], 0)
+        per_bucket[r["bucket"]] += 1
+    assert all(v <= 2 for v in per_bucket.values())
+
+
+def test_mg_merge_matches_direct_truncation(spark):
+    # merging a summary with an EMPTY summary must be a pure
+    # re-truncation (idempotent at <= k keys: nothing changes)
+    from sutro_spark.functions.sketches import mg_merge
+
+    left = spark.createDataFrame(
+        [("a", 10), ("b", 5), ("c", 2)], "key string, est long"
+    )
+    empty = spark.createDataFrame([], "key string, est long")
+    out = {r["key"]: r["est"] for r in mg_merge(left, empty, k=3).collect()}
+    assert out == {"a": 10, "b": 5, "c": 2}
+    # at k=2 the 3rd-largest (2) becomes the threshold
+    out2 = {r["key"]: r["est"] for r in mg_merge(left, empty, k=2).collect()}
+    assert out2 == {"a": 8, "b": 3}
+
+
+def test_mg_validates_k(spark):
+    import pytest as _pytest
+
+    from sutro_spark.functions.sketches import mg_bucket_summaries
+
+    with _pytest.raises(ValueError):
+        mg_bucket_summaries(_mg_df(spark), "key", "rid", k=0, buckets=2)
