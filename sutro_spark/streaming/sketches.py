@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from sutro_spark.functions.sketches import cms_cells
 
-__all__ = ["anisotropy_from_state", "streaming_anisotropy", "streaming_cms", "streaming_hll"]
+__all__ = ["anisotropy_from_state", "streaming_anisotropy", "streaming_cms", "streaming_hll", "streaming_mg", "mg_state_update"]
 
 
 def streaming_cms(
@@ -156,4 +156,107 @@ def anisotropy_from_state(state: DataFrame) -> DataFrame:
             " CAST(s_norm2 - t_self AS DOUBLE)"
             " / CAST((n_vecs - 1) * t_self AS DOUBLE) END"
         ).alias("anisotropy"),
+    )
+
+
+def mg_state_update(k: int):
+    """State function for :func:`streaming_mg`: per shard, add the
+    micro-batch's exact key counts to the running MG counters, then one
+    closed-form truncation (subtract the (k+1)-th largest, keep the
+    positive top-k — count desc, key asc tie-break, identical to the
+    batch ``_mg_truncate``). Each truncation removes >= (k+1)*t mass,
+    so the summed thresholds — hence every key's underestimate — stay
+    within n_shard/(k+1) over the WHOLE stream, however it was
+    micro-batched (the streaming face of Agarwal et al. 2012
+    mergeability; the batch fold is the same algebra over bucket
+    summaries instead of trigger deltas)."""
+    import pandas as pd
+
+    def _update(key, batches, state):
+        (shard,) = key
+        if state.exists:
+            (keys, ests, n_seen) = state.get
+            counters = dict(zip(keys, (int(e) for e in ests)))
+            n_seen = int(n_seen)
+        else:
+            counters, n_seen = {}, 0
+        for pdf in batches:
+            n_seen += len(pdf)
+            for kk, c in pdf["key"].value_counts().items():
+                counters[kk] = counters.get(kk, 0) + int(c)
+        ranked = sorted(counters.items(), key=lambda t: (-t[1], t[0]))
+        thr = ranked[k][1] if len(ranked) > k else 0
+        counters = {
+            kk: c - thr for kk, c in ranked[:k] if c - thr > 0
+        }
+        state.update(
+            (list(counters.keys()), list(counters.values()), n_seen)
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(counters),
+                "key": list(counters.keys()),
+                "est": list(counters.values()),
+                "n_seen": [n_seen] * len(counters),
+            }
+        )
+
+    return _update
+
+
+def streaming_mg(
+    stream: DataFrame,
+    key_column: str,
+    *,
+    k: int = 8,
+    shards: int = 4,
+    salt: str = "mg",
+) -> DataFrame:
+    """Incrementally maintained Misra-Gries heavy hitters over a stream.
+
+    Keys are hash-sharded (portable sha bucket of the KEY, so a key
+    never crosses shards and the per-shard bound applies to it
+    directly); each shard's state is <= k (key, est) counters — total
+    state shards*k rows, constant in stream length and key cardinality,
+    which is the property that keeps an infinite stream runnable where
+    a streaming groupBy count table would grow without bound. Reading
+    the union of shard outputs gives per-key underestimates with
+    total error <= n/(k+1).
+
+    Output per trigger: (shard, key, est, n_seen) — the shard's full
+    current summary plus its cumulative row count (outputMode
+    ``update``; the max-n_seen rows per shard are the final state).
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from sutro_spark.functions.sampling import hash_bucket
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.LongType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("est", T.LongType()),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("keys", T.ArrayType(T.StringType())),
+            T.StructField("ests", T.ArrayType(T.LongType())),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    keyed = stream.select(
+        hash_bucket(F.col(key_column).cast("string"), salt=salt, buckets=shards)
+        .cast("long")
+        .alias("shard"),
+        F.col(key_column).cast("string").alias("key"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        mg_state_update(k),
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )

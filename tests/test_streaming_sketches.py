@@ -140,3 +140,113 @@ def test_streaming_anisotropy_equals_batch(spark, sf_dir, tmp_path):
     assert got["t_self"] == want["t_self"]
     assert got["s_norm2"] == want["s_norm2"]
     assert got["anisotropy"] == want["anisotropy"]
+
+
+def test_streaming_mg_matches_sequential_replay(spark, sf_dir, tmp_path):
+    """stream (per-trigger MG truncation) == sequential Python replay
+    over the same micro-batch sequence, and the final per-key
+    underestimates respect the n_shard/(k+1) mergeability bound."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from sutro_spark.functions.sampling import hash_bucket
+    from sutro_spark.streaming.sketches import streaming_mg
+
+    raw = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", F.expr("event_id & -event_id").alias("key"))
+        .orderBy("event_id")
+    )
+    src = str(tmp_path / "mg_src")
+    # three sequential micro-batches: one file each
+    batches = [
+        raw.where((F.col("event_id") % 3) == i).coalesce(1)
+        for i in range(3)
+    ]
+    for b in batches:
+        b.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    k, shards = 3, 2
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_mg(stream, "key", k=k, shards=shards)
+            .writeStream.format("memory")
+            .queryName("mg_stream")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "mg_ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.sql("select * from mg_stream").collect()
+    # final state = the max-n_seen rows per shard
+    last_seen = {}
+    for r in out:
+        last_seen[r["shard"]] = max(last_seen.get(r["shard"], 0), r["n_seen"])
+    got = {
+        (r["shard"], r["key"]): r["est"]
+        for r in out
+        if r["n_seen"] == last_seen[r["shard"]]
+    }
+
+    # sequential replay: the same per-file batch order Spark used
+    # (maxFilesPerTrigger=1 processes files in listing order; replay
+    # per-shard so order across shards is irrelevant)
+    import glob
+    import os
+
+    # FileStreamSource orders by modification time (ms), path breaking
+    # ties — mirror that exactly so the replay sees Spark's batch order
+    files = sorted(
+        glob.glob(f"{src}/part-*.parquet"),
+        key=lambda p: (int(os.path.getmtime(p) * 1000), p),
+    )
+    shard_of = {
+        r["key"]: r["shard"]
+        for r in raw.select(
+            F.col("key").cast("string").alias("key"),
+            hash_bucket(F.col("key").cast("string"), salt="mg", buckets=shards)
+            .cast("long")
+            .alias("shard"),
+        )
+        .distinct()
+        .collect()
+    }
+    state = {s: {} for s in range(shards)}
+    for f in files:
+        batch = Counter(
+            str(r["key"]) for r in spark.read.parquet(f).collect()
+        )
+        per_shard = {}
+        for key, c in batch.items():
+            per_shard.setdefault(shard_of[key], Counter())[key] += c
+        for s, cnts in per_shard.items():
+            merged = Counter(state[s])
+            merged.update(cnts)
+            ranked = sorted(merged.items(), key=lambda t: (-t[1], t[0]))
+            thr = ranked[k][1] if len(ranked) > k else 0
+            state[s] = {kk: c - thr for kk, c in ranked[:k] if c - thr > 0}
+    expected = {
+        (s, kk): est for s, cnts in state.items() for kk, est in cnts.items()
+    }
+    assert got == expected
+
+    # bound: per-key underestimate <= its shard's n/(k+1)
+    exact = Counter(str(r["key"]) for r in raw.collect())
+    n_shard = Counter()
+    for key, c in exact.items():
+        n_shard[shard_of[key]] += c
+    for key, c in exact.items():
+        est = expected.get((shard_of[key], key), 0)
+        assert 0 <= c - est <= n_shard[shard_of[key]] // (k + 1)
