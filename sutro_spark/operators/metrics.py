@@ -766,3 +766,145 @@ def average_precision(
             " / CAST(1000000 * n_queries AS DOUBLE) END"
         ).alias("mean_ap"),
     )
+
+
+def pass_at_k(
+    samples: DataFrame,
+    *,
+    problem_column: str = "problem_id",
+    correct_column: str = "correct",
+    k: int = 5,
+) -> DataFrame:
+    """pass@k, the unbiased estimator of Chen et al. 2021 (Codex,
+    arXiv:2107.03374 eq. 1): with n samples per problem of which c are
+    correct,
+
+        pass@k = 1 - C(n-c, k) / C(n, k)
+               = 1 - (n-c)_k / (n)_k      (falling factorials)
+
+    computed per problem then averaged. The eval staple for
+    sample-based LLM benchmarks (HumanEval, MBPP, MATH) — the naive
+    empirical fraction is biased; this is the exact hypergeometric
+    complement.
+
+    Exactness discipline: both falling factorials are exact
+    DECIMAL(38,0) products (one ``aggregate`` fold over
+    ``sequence(0, k-1)`` — no Python), so the per-problem ratio is ONE
+    IEEE division of two exactly-represented integers and the mean is
+    one more division — engine-reproducible bit-for-bit. Bound:
+    (n)_k < 10^38 needs k*log10(n) < 38 (k=10 at n <= ~6000, k=12 at
+    n <= ~1400); beyond that, subsample per problem first. When
+    n - c < k, C(n-c, k) = 0 and pass@k is exactly 1.
+
+    Output: one row per problem (problem, n, c, k, pass_at_k) plus the
+    corpus mean is left to the caller (it's one avg) — see
+    ``pass_at_k_summary`` for the aggregated verdict.
+    """
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in [1, 16], got {k}")
+    per = (
+        samples.groupBy(F.col(problem_column).alias("problem"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(correct_column).cast("int")).cast("long").alias("c"),
+        )
+        .where(F.col("n") >= k)
+    )
+    num = F.expr(
+        f"aggregate(sequence(0, {k - 1}),"
+        f" CAST(1 AS DECIMAL(38, 0)),"
+        f" (acc, i) -> CAST(acc * greatest(n - c - i, 0) AS DECIMAL(38, 0)))"
+    )
+    den = F.expr(
+        f"aggregate(sequence(0, {k - 1}),"
+        f" CAST(1 AS DECIMAL(38, 0)),"
+        f" (acc, i) -> CAST(acc * (n - i) AS DECIMAL(38, 0)))"
+    )
+    return per.select(
+        "problem",
+        "n",
+        "c",
+        F.lit(k).cast("long").alias("k"),
+        (
+            F.lit(1.0)
+            - num.cast("double") / den.cast("double")
+        ).alias("pass_at_k"),
+    )
+
+
+def pass_at_k_summary(
+    samples: DataFrame,
+    *,
+    problem_column: str = "problem_id",
+    correct_column: str = "correct",
+    k: int = 5,
+) -> DataFrame:
+    """Corpus verdict over :func:`pass_at_k`: problem count, mean
+    pass@k (sum of exact per-problem ratios, one final division), and
+    the count of saturated (pass@k = 1) problems. One row."""
+    per = pass_at_k(
+        samples, problem_column=problem_column, correct_column=correct_column, k=k
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_problems"),
+        F.lit(k).cast("long").alias("k"),
+        (F.sum("pass_at_k") / F.count(F.lit(1))).alias("mean_pass_at_k"),
+        F.sum((F.col("c") + F.lit(k) > F.col("n")).cast("int"))
+        .cast("long")
+        .alias("n_saturated"),
+    )
+
+
+def majority_vote_accuracy(
+    samples: DataFrame,
+    gold: DataFrame,
+    *,
+    problem_column: str = "problem_id",
+    answer_column: str = "answer",
+    gold_column: str = "gold",
+) -> DataFrame:
+    """Self-consistency accuracy (Wang et al. 2023, arXiv:2203.11171):
+    majority-vote each problem's sampled answers, score the vote
+    against gold. Ties break to the lexicographically smallest answer
+    — deterministic in any engine, stated rather than hidden.
+
+    Plan: one count groupBy, one per-problem rank window (count desc,
+    answer asc), broadcast join to gold. Output: one row (n_problems,
+    n_correct, accuracy_milli, accuracy) — accuracy is ONE division.
+    """
+    votes = (
+        samples.where(F.col(answer_column).isNotNull())
+        .groupBy(
+            F.col(problem_column).alias("problem"),
+            F.col(answer_column).cast("string").alias("answer"),
+        )
+        .agg(F.count(F.lit(1)).alias("__v"))
+    )
+    w = Window.partitionBy("problem").orderBy(
+        F.col("__v").desc(), F.col("answer").asc()
+    )
+    top = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("problem", "answer")
+    )
+    g = gold.select(
+        F.col(problem_column).alias("problem"),
+        F.col(gold_column).cast("string").alias("gold"),
+    )
+    scored = top.join(F.broadcast(g), "problem").select(
+        (F.col("answer") == F.col("gold")).cast("int").alias("__ok")
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_problems"),
+        F.sum("__ok").cast("long").alias("n_correct"),
+    ).select(
+        "n_problems",
+        "n_correct",
+        F.expr("CASE WHEN n_problems > 0 THEN"
+               " 1000 * n_correct div n_problems END").alias("accuracy_milli"),
+        F.expr(
+            "CASE WHEN n_problems > 0 THEN"
+            " CAST(n_correct AS DOUBLE) / CAST(n_problems AS DOUBLE) END"
+        ).alias("accuracy"),
+    )

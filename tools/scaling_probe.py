@@ -212,10 +212,17 @@ def main() -> None:
         # corpus is preserved while rows stay distinct; candidate and
         # span counts grow ~linearly with the corpus
         "exact_substr_spans",
+        # r12: blocked-FFD packing over replicated documents; MG fold
+        # over replicated events (event_id offset per copy keeps the
+        # lowest-set-bit key power-law shape — lowbit distribution over
+        # any length-n integer run is the same up to edge effects)
+        "ffd_pack", "mg_heavy_hitters",
     ]
     qs = entrymod.queries()
     obase = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
     o_base = obase.agg(F.max("o_orderkey")).first()[0] + 1
+    evbase = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    ev_base = evbase.agg(F.max("event_id")).first()[0] + 1
     lbase = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
     l_part = lbase.agg(F.max("l_partkey")).first()[0] + 1
     hresults: dict[str, dict[int, float]] = {name: {} for name in heavies}
@@ -238,6 +245,12 @@ def main() -> None:
         spark.read.parquet(os.path.join(tmp, f"emb_x{factor}")).write.mode(
             "overwrite"
         ).parquet(f"{sfdir}/embeddings.parquet")
+        evbase.crossJoin(
+            spark.range(factor).select(F.col("id").alias("__copy"))
+        ).select(
+            (F.col("event_id") + F.col("__copy") * ev_base).alias("event_id"),
+            *[c for c in evbase.columns if c != "event_id"],
+        ).write.mode("overwrite").parquet(f"{sfdir}/events.parquet")
         lbase.crossJoin(
             spark.range(factor).select(F.col("id").alias("__copy"))
         ).select(
