@@ -4054,6 +4054,57 @@ def q_mg_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pass@k (Chen et al. 2021 eq. 1), the unbiased hypergeometric
+    # estimator: 1 - (n-c)_k/(n)_k per problem. Both falling
+    # factorials are exact DECIMAL(38,0) folds — ONE trailing IEEE
+    # division (plus an exact integer micro for order-insensitive
+    # summing). Problems = users, "correct" = purchase events.
+    from sutro_spark.operators.metrics import pass_at_k
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("problem_id"),
+        (F.col("event_type") == "purchase").alias("correct"),
+    )
+    return pass_at_k(ev, k=5).orderBy("problem")
+
+
+def q_pass_at_k_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the corpus verdict: mean pass@5 as a sum of EXACT integer micros
+    # (float summation order is not engine-reproducible; integer sums
+    # are) divided once, plus the saturated-problem count.
+    from sutro_spark.operators.metrics import pass_at_k_summary
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("problem_id"),
+        (F.col("event_type") == "purchase").alias("correct"),
+    )
+    return pass_at_k_summary(ev, k=5)
+
+
+def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # self-consistency accuracy (Wang et al. 2023): majority-vote each
+    # problem's sampled answers (ties -> lexicographically smallest,
+    # stated not hidden), score against an arithmetic gold both
+    # engines rebuild verbatim. One count groupBy + one rank window +
+    # a broadcast gold join; accuracy is ONE division.
+    from sutro_spark.operators.metrics import majority_vote_accuracy
+
+    ev = _t(spark, sf_dir, "events")
+    samples = ev.select(
+        F.col("user_id").alias("problem_id"),
+        F.col("event_type").alias("answer"),
+    )
+    gold = ev.select(F.col("user_id").alias("problem_id")).distinct().select(
+        "problem_id",
+        F.expr(
+            "CASE problem_id % 3 WHEN 0 THEN 'click'"
+            " WHEN 1 THEN 'view' ELSE 'purchase' END"
+        ).alias("gold"),
+    )
+    return majority_vote_accuracy(samples, gold)
+
+
 #: Round-12 driver window: the driver correctness gate checks the FIRST
 #: 50 entries of queries() in dict order; this list IS the rotation
 #: (queries() reorders the full literal dict by it — future rounds edit
@@ -4072,6 +4123,7 @@ _R12_WINDOW = [
     "ivfpq_rescore", "ivfpq_rescore_recall", "exact_substr_fixpoint",
     "contaminated_strip_fixpoint", "curation_pipeline_v3",
     "ffd_pack", "ffd_stats", "mg_heavy_hitters", "mg_guarantee",
+    "pass_at_k", "pass_at_k_summary", "majority_vote",
     # the ENTIRE remaining r7-green cohort (30 live) — clears the
     # floor to r8
     "gap_fill", "gopher_quality", "image_dhash", "incremental_dedup",
@@ -4082,12 +4134,13 @@ _R12_WINDOW = [
     "rh_lsh_dedup", "rollup_incr", "semdedup", "simhash",
     "simhash_pairs", "similarity_topk", "source_mix", "term_topk",
     "text_profile", "top_orders", "tpch_q3", "tpch_q5ish", "tpch_q6",
-    # the 11 oldest r8-cohort entries (alphabetical; event_transitions,
-    # events_rolling, fleiss_kappa, fuzzy_join_names and the remaining
-    # r8 cohort lead the r13 rotation)
+    # the 8 oldest r8-cohort entries (alphabetical; eval_kappa,
+    # eval_report, event_transitions, events_rolling, fleiss_kappa,
+    # fuzzy_join_names and the remaining r8 cohort lead the r13
+    # rotation)
     "asof_forward", "bloom_semi_revenue", "cdc_chunks", "cdc_dedup",
     "containment", "cube_counts", "dedup_lines", "domain_split",
-    "eval_confusion", "eval_kappa", "eval_report",
+    "eval_confusion",
 ]
 
 
@@ -4246,6 +4299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ffd_stats": q_ffd_stats,
         "mg_heavy_hitters": q_mg_heavy_hitters,
         "mg_guarantee": q_mg_guarantee,
+        "pass_at_k": q_pass_at_k,
+        "pass_at_k_summary": q_pass_at_k_summary,
+        "majority_vote": q_majority_vote,
         "lang_confidence": q_lang_confidence,
         "ols_tokens_vs_chars": q_ols_tokens_vs_chars,
         "table_profile": q_table_profile,
@@ -9532,6 +9588,81 @@ def oracle_sql() -> dict[str, str]:
                    (n_overflow_bins = 0 AND n_halfempty_bins <= n_groups)
                        AS bound_ok
             FROM dc, pb
+        """,
+        "pass_at_k": """
+            WITH per AS (
+                SELECT user_id AS problem, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c
+                FROM events GROUP BY user_id),
+            f AS (SELECT problem, n, c FROM per WHERE n >= 5),
+            ff AS (SELECT problem, n, c,
+                   greatest(n - c, 0) * greatest(n - c - 1, 0)
+                       * greatest(n - c - 2, 0) * greatest(n - c - 3, 0)
+                       * greatest(n - c - 4, 0) AS num,
+                   n * (n - 1) * (n - 2) * (n - 3) * (n - 4) AS den
+                   FROM f)
+            SELECT problem, n, c, CAST(5 AS BIGINT) AS k,
+                   CAST(1000000 - (1000000 * num) // den AS BIGINT)
+                       AS pass_micro,
+                   CAST(1 AS DOUBLE)
+                       - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                       AS pass_at_k
+            FROM ff ORDER BY problem
+        """,
+        "pass_at_k_summary": """
+            WITH per AS (
+                SELECT user_id AS problem, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c
+                FROM events GROUP BY user_id),
+            f AS (SELECT problem, n, c FROM per WHERE n >= 5),
+            ff AS (SELECT problem, n, c,
+                   greatest(n - c, 0) * greatest(n - c - 1, 0)
+                       * greatest(n - c - 2, 0) * greatest(n - c - 3, 0)
+                       * greatest(n - c - 4, 0) AS num,
+                   n * (n - 1) * (n - 2) * (n - 3) * (n - 4) AS den
+                   FROM f),
+            m AS (SELECT problem, c, n,
+                   CAST(1000000 - (1000000 * num) // den AS BIGINT)
+                       AS pass_micro
+                  FROM ff)
+            SELECT CAST(count(*) AS BIGINT) AS n_problems,
+                   CAST(5 AS BIGINT) AS k,
+                   CAST(sum(pass_micro) // count(*) AS BIGINT)
+                       AS mean_pass_micro,
+                   CAST(sum(pass_micro) AS DOUBLE)
+                       / CAST(1000000 * count(*) AS DOUBLE)
+                       AS mean_pass_at_k,
+                   CAST(sum(CASE WHEN c + 5 > n THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_saturated
+            FROM m
+        """,
+        "majority_vote": """
+            WITH votes AS (
+                SELECT user_id AS problem, event_type AS answer,
+                       count(*) AS v
+                FROM events WHERE event_type IS NOT NULL
+                GROUP BY user_id, event_type),
+            top AS (SELECT problem, answer FROM (
+                    SELECT problem, answer,
+                           row_number() OVER (PARTITION BY problem
+                               ORDER BY v DESC, answer ASC) AS rn
+                    FROM votes) WHERE rn = 1),
+            g AS (SELECT DISTINCT user_id AS problem,
+                         CASE user_id % 3 WHEN 0 THEN 'click'
+                              WHEN 1 THEN 'view' ELSE 'purchase' END AS gold
+                  FROM events),
+            s AS (SELECT CASE WHEN top.answer = g.gold THEN 1 ELSE 0 END
+                      AS ok
+                  FROM top JOIN g USING (problem))
+            SELECT CAST(count(*) AS BIGINT) AS n_problems,
+                   CAST(sum(ok) AS BIGINT) AS n_correct,
+                   CAST(1000 * sum(ok) // count(*) AS BIGINT)
+                       AS accuracy_milli,
+                   CAST(sum(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS accuracy
+            FROM s
         """,
         "mg_heavy_hitters": _mg_sql(k=4, buckets=8)
         + """

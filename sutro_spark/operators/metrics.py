@@ -825,9 +825,21 @@ def pass_at_k(
         "n",
         "c",
         F.lit(k).cast("long").alias("k"),
+        num.alias("__num"),
+        den.alias("__den"),
+    ).select(
+        "problem",
+        "n",
+        "c",
+        "k",
+        # exact integer micro first (floor(1e6*num/den) — integral div
+        # on exact decimals, engine-reproducible and SUMMABLE without
+        # float-order sensitivity), then the one-division double
+        F.expr("CAST(1000000 - (1000000 * __num) div __den AS BIGINT)").alias(
+            "pass_micro"
+        ),
         (
-            F.lit(1.0)
-            - num.cast("double") / den.cast("double")
+            F.lit(1.0) - F.col("__num").cast("double") / F.col("__den").cast("double")
         ).alias("pass_at_k"),
     )
 
@@ -840,18 +852,33 @@ def pass_at_k_summary(
     k: int = 5,
 ) -> DataFrame:
     """Corpus verdict over :func:`pass_at_k`: problem count, mean
-    pass@k (sum of exact per-problem ratios, one final division), and
-    the count of saturated (pass@k = 1) problems. One row."""
+    pass@k, and the count of saturated (pass@k = 1) problems. The mean
+    sums the EXACT integer micros (float summation order is not
+    engine-reproducible; integer sums are) and divides once. One row.
+    """
     per = pass_at_k(
         samples, problem_column=problem_column, correct_column=correct_column, k=k
     )
     return per.agg(
         F.count(F.lit(1)).cast("long").alias("n_problems"),
         F.lit(k).cast("long").alias("k"),
-        (F.sum("pass_at_k") / F.count(F.lit(1))).alias("mean_pass_at_k"),
+        F.sum("pass_micro").cast("long").alias("__sum_micro"),
         F.sum((F.col("c") + F.lit(k) > F.col("n")).cast("int"))
         .cast("long")
         .alias("n_saturated"),
+    ).select(
+        "n_problems",
+        "k",
+        F.expr(
+            "CASE WHEN n_problems > 0 THEN"
+            " CAST(__sum_micro div n_problems AS BIGINT) END"
+        ).alias("mean_pass_micro"),
+        F.expr(
+            "CASE WHEN n_problems > 0 THEN"
+            " CAST(__sum_micro AS DOUBLE) / CAST(1000000 * n_problems AS DOUBLE)"
+            " END"
+        ).alias("mean_pass_at_k"),
+        "n_saturated",
     )
 
 

@@ -605,3 +605,75 @@ def test_average_precision_dedupes_repeated_items(spark):
     )
     c = average_precision(truth, best, k=5).collect()[0]
     assert c["mean_ap"] == 1.0
+
+
+# --- pass@k (Chen et al. 2021) and self-consistency -----------------------
+
+
+def test_pass_at_k_known_values(spark):
+    from math import comb
+
+    from sutro_spark.operators.metrics import pass_at_k
+
+    # problem 1: n=6, c=2; problem 2: n=6, c=0; problem 3: n=6, c=6
+    rows = []
+    for p, c in [(1, 2), (2, 0), (3, 6)]:
+        rows += [(p, i < c) for i in range(6)]
+    df = spark.createDataFrame(rows, "problem_id long, correct boolean")
+    out = {r["problem"]: r for r in pass_at_k(df, k=3).collect()}
+    for p, c in [(1, 2), (2, 0), (3, 6)]:
+        expected = 1.0 - comb(6 - c, 3) / comb(6, 3)
+        assert abs(out[p]["pass_at_k"] - expected) < 1e-12
+        assert out[p]["pass_micro"] == 10**6 - (10**6 * comb(6 - c, 3)) // comb(6, 3)
+    # fewer than k samples -> excluded
+    small = spark.createDataFrame([(9, True)], "problem_id long, correct boolean")
+    assert pass_at_k(small, k=3).count() == 0
+
+
+def test_pass_at_k_unbiased_vs_empirical_subsample(spark):
+    # the estimator equals the average over ALL C(n,k) subsets of
+    # whether the subset contains a correct sample — check by brute
+    # force on one problem
+    from itertools import combinations
+
+    from sutro_spark.operators.metrics import pass_at_k
+
+    n, c, k = 7, 3, 4
+    df = spark.createDataFrame(
+        [(1, i < c) for i in range(n)], "problem_id long, correct boolean"
+    )
+    got = pass_at_k(df, k=k).collect()[0]["pass_at_k"]
+    flags = [i < c for i in range(n)]
+    subsets = list(combinations(range(n), k))
+    brute = sum(any(flags[i] for i in s) for s in subsets) / len(subsets)
+    assert abs(got - brute) < 1e-12
+
+
+def test_pass_at_k_validates_k(spark):
+    import pytest as _pytest
+
+    from sutro_spark.operators.metrics import pass_at_k
+
+    df = spark.createDataFrame([(1, True)], "problem_id long, correct boolean")
+    with _pytest.raises(ValueError):
+        pass_at_k(df, k=0)
+    with _pytest.raises(ValueError):
+        pass_at_k(df, k=17)
+
+
+def test_majority_vote_ties_break_lexicographically(spark):
+    from sutro_spark.operators.metrics import majority_vote_accuracy
+
+    samples = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (1, "c"), (1, "a"), (1, "b"),  # tie a/b -> a
+         (2, "x"), (2, "x"), (2, "y")],
+        "problem_id long, answer string",
+    )
+    gold = spark.createDataFrame(
+        [(1, "a"), (2, "y")], "problem_id long, gold string"
+    )
+    row = majority_vote_accuracy(samples, gold).collect()[0]
+    assert row["n_problems"] == 2
+    assert row["n_correct"] == 1  # problem 1 tie -> 'a' correct; 2 -> 'x' wrong
+    assert row["accuracy_milli"] == 500
+    assert abs(row["accuracy"] - 0.5) < 1e-12
