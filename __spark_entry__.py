@@ -4105,6 +4105,21 @@ def q_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     return majority_vote_accuracy(samples, gold)
 
 
+def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multiset n-gram Jaccard: sum min(a_s,b_s) / sum max(a_s,b_s) over
+    # per-doc shingle COUNTS — the boilerplate/template-dedup signal
+    # set-Jaccard collapses (a doc repeating a passage 50x and a doc
+    # holding it once look identical as SETS). Same inverted-index +
+    # df-cap plan discipline as ngram_jaccard; exact BIGINT evidence,
+    # one raw division.
+    from sutro_spark.operators.dedup import weighted_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_jaccard_pairs(
+        docs, k=8, threshold=0.1, max_df=100
+    ).orderBy("id_a", "id_b")
+
+
 #: Round-12 driver window: the driver correctness gate checks the FIRST
 #: 50 entries of queries() in dict order; this list IS the rotation
 #: (queries() reorders the full literal dict by it — future rounds edit
@@ -4123,7 +4138,7 @@ _R12_WINDOW = [
     "ivfpq_rescore", "ivfpq_rescore_recall", "exact_substr_fixpoint",
     "contaminated_strip_fixpoint", "curation_pipeline_v3",
     "ffd_pack", "ffd_stats", "mg_heavy_hitters", "mg_guarantee",
-    "pass_at_k", "pass_at_k_summary", "majority_vote",
+    "pass_at_k", "pass_at_k_summary", "majority_vote", "weighted_jaccard",
     # the ENTIRE remaining r7-green cohort (30 live) — clears the
     # floor to r8
     "gap_fill", "gopher_quality", "image_dhash", "incremental_dedup",
@@ -4134,13 +4149,12 @@ _R12_WINDOW = [
     "rh_lsh_dedup", "rollup_incr", "semdedup", "simhash",
     "simhash_pairs", "similarity_topk", "source_mix", "term_topk",
     "text_profile", "top_orders", "tpch_q3", "tpch_q5ish", "tpch_q6",
-    # the 8 oldest r8-cohort entries (alphabetical; eval_kappa,
-    # eval_report, event_transitions, events_rolling, fleiss_kappa,
-    # fuzzy_join_names and the remaining r8 cohort lead the r13
-    # rotation)
+    # the 7 oldest r8-cohort entries (alphabetical; domain_split,
+    # eval_confusion, eval_kappa, eval_report, event_transitions,
+    # events_rolling, fleiss_kappa, fuzzy_join_names and the remaining
+    # r8 cohort lead the r13 rotation)
     "asof_forward", "bloom_semi_revenue", "cdc_chunks", "cdc_dedup",
-    "containment", "cube_counts", "dedup_lines", "domain_split",
-    "eval_confusion",
+    "containment", "cube_counts", "dedup_lines",
 ]
 
 
@@ -4302,6 +4316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pass_at_k": q_pass_at_k,
         "pass_at_k_summary": q_pass_at_k_summary,
         "majority_vote": q_majority_vote,
+        "weighted_jaccard": q_weighted_jaccard,
         "lang_confidence": q_lang_confidence,
         "ols_tokens_vs_chars": q_ols_tokens_vs_chars,
         "table_profile": q_table_profile,
@@ -9588,6 +9603,35 @@ def oracle_sql() -> dict[str, str]:
                    (n_overflow_bins = 0 AND n_halfempty_bins <= n_groups)
                        AS bound_ok
             FROM dc, pb
+        """,
+        "weighted_jaccard": """
+            WITH shw AS (
+                SELECT id, shingle, CAST(count(*) AS BIGINT) AS w FROM (
+                    SELECT doc_id AS id,
+                           unnest(list_transform(
+                               range(1, greatest(length(text) - 7, 1) + 1),
+                               g -> substring(text, g, 8))) AS shingle
+                    FROM documents)
+                WHERE length(shingle) = 8
+                GROUP BY id, shingle),
+            rare AS (SELECT shingle FROM shw
+                     GROUP BY shingle HAVING count(*) <= 100),
+            shf AS (SELECT shw.id, shw.shingle, shw.w
+                    FROM shw JOIN rare USING (shingle)),
+            totals AS (SELECT id, CAST(sum(w) AS BIGINT) AS t
+                       FROM shf GROUP BY id),
+            ix AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       CAST(sum(least(a.w, b.w)) AS BIGINT) AS inter
+                FROM shf a JOIN shf b USING (shingle)
+                WHERE a.id < b.id GROUP BY 1, 2)
+            SELECT id_a, id_b, inter, ta.t AS ta, tb.t AS tb,
+                   inter / (ta.t + tb.t - inter) AS wjaccard
+            FROM ix
+            JOIN totals ta ON ta.id = id_a
+            JOIN totals tb ON tb.id = id_b
+            WHERE inter / (ta.t + tb.t - inter) >= 0.1
+            ORDER BY id_a, id_b
         """,
         "pass_at_k": """
             WITH per AS (

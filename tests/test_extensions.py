@@ -759,3 +759,45 @@ def test_prefix_filter_ppjoin_filters_stay_lossless(spark):
             if union and 1000 * inter >= t_milli * union:
                 want[(a, b)] = (inter, 1000 * inter // union)
         assert got == want, f"threshold {t_milli}"
+
+
+def test_weighted_jaccard_sees_repetition_set_jaccard_collapses(spark):
+    from collections import Counter
+
+    from sutro_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        weighted_jaccard_pairs,
+    )
+
+    # A repeats the motif, B holds it once: identical as shingle SETS
+    # (set-J = 1.0) but far apart as multisets
+    a, b = "ababababab", "aba"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    set_j = ngram_jaccard_pairs(df, k=2, threshold=0.0, max_df=None).collect()
+    [wrow] = weighted_jaccard_pairs(
+        df, k=2, threshold=0.0, max_df=None
+    ).collect()
+    ca = Counter(a[i : i + 2] for i in range(len(a) - 1))
+    cb = Counter(b[i : i + 2] for i in range(len(b) - 1))
+    inter = sum(min(ca[s], cb[s]) for s in set(ca) | set(cb))
+    union = sum(max(ca[s], cb[s]) for s in set(ca) | set(cb))
+    assert set_j[0]["jaccard"] == 1.0
+    assert wrow["inter"] == inter
+    assert wrow["ta"] == sum(ca.values()) and wrow["tb"] == sum(cb.values())
+    assert abs(wrow["wjaccard"] - inter / union) < 1e-12
+    assert wrow["wjaccard"] < 0.5  # repetition visible
+
+
+def test_weighted_jaccard_df_cap_matches_universe_rule(spark):
+    # a shingle shared by ALL docs is dropped by the cap; totals must
+    # shrink accordingly (metric matches the joined universe)
+    from sutro_spark.operators.dedup import weighted_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, "xy" + chr(97 + i) * 3) for i in range(5)],
+        "doc_id long, text string",
+    )
+    rows = weighted_jaccard_pairs(df, k=2, threshold=0.0, max_df=4).collect()
+    # "xy" appears in all 5 docs -> capped away; remaining shingles are
+    # doc-unique so no pair shares anything
+    assert rows == []
