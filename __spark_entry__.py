@@ -4054,6 +4054,51 @@ def q_mg_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the weighted pairs plugged into the established dedup tail:
+    # transitive closure (large-star/small-star CC) + highest-quality
+    # survivor per cluster — same keep_best discipline as winnow_dedup
+    # and dedup_keep_best, now keyed on multiset evidence at the 0.3
+    # merge bar (the synthetic corpus's true near-dup pairs sit far
+    # above it; chance shingle overlap sits far below).
+    from sutro_spark.functions.text import quality_score
+    from sutro_spark.operators.cluster import keep_best
+    from sutro_spark.operators.dedup import weighted_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = weighted_jaccard_pairs(
+        docs, k=8, threshold=0.3, max_df=100
+    ).select("id_a", "id_b")
+    return keep_best(
+        docs, pairs, quality_score(F.coalesce(F.col("text"), F.lit("")))
+    )
+
+
+def q_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WordPiece greedy longest-match-first segmentation (Devlin et al.
+    # 2019; Schuster & Nakajima 2012) under a frequency-induced
+    # 64-piece vocab + char fallback — the OTHER production tokenizer
+    # family next to the learned BPE merges. Runs on the DISTINCT-WORD
+    # table (corpus size stops mattering after one tokenize+count
+    # shuffle); the walk is one Arrow-batched UDF with the vocab
+    # broadcast; the oracle replays it as a recursive CTE over a
+    # precomputed longest-match step table — bit-for-bit parity.
+    from sutro_spark.operators.wordpiece import wordpiece_segment
+
+    docs = _t(spark, sf_dir, "documents")
+    return wordpiece_segment(docs, top=64).orderBy("w")
+
+
+def q_wordpiece_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the bpe_vocab-shaped usage report: top-20 pieces by weighted
+    # occurrences in the SEGMENTED corpus — evidence the greedy walk
+    # actually reuses the induced pieces (ties -> smaller piece).
+    from sutro_spark.operators.wordpiece import wordpiece_subwords
+
+    docs = _t(spark, sf_dir, "documents")
+    return wordpiece_subwords(docs, top=64, report_top=20)
+
+
 def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass@k (Chen et al. 2021 eq. 1), the unbiased hypergeometric
     # estimator: 1 - (n-c)_k/(n)_k per problem. Both falling
@@ -4139,6 +4184,7 @@ _R12_WINDOW = [
     "contaminated_strip_fixpoint", "curation_pipeline_v3",
     "ffd_pack", "ffd_stats", "mg_heavy_hitters", "mg_guarantee",
     "pass_at_k", "pass_at_k_summary", "majority_vote", "weighted_jaccard",
+    "weighted_dedup", "wordpiece_segment", "wordpiece_subwords",
     # the ENTIRE remaining r7-green cohort (30 live) — clears the
     # floor to r8
     "gap_fill", "gopher_quality", "image_dhash", "incremental_dedup",
@@ -4149,12 +4195,12 @@ _R12_WINDOW = [
     "rh_lsh_dedup", "rollup_incr", "semdedup", "simhash",
     "simhash_pairs", "similarity_topk", "source_mix", "term_topk",
     "text_profile", "top_orders", "tpch_q3", "tpch_q5ish", "tpch_q6",
-    # the 7 oldest r8-cohort entries (alphabetical; domain_split,
-    # eval_confusion, eval_kappa, eval_report, event_transitions,
-    # events_rolling, fleiss_kappa, fuzzy_join_names and the remaining
-    # r8 cohort lead the r13 rotation)
+    # the 4 oldest r8-cohort entries (alphabetical; containment,
+    # cube_counts, dedup_lines, domain_split, eval_confusion,
+    # eval_kappa, eval_report, event_transitions, events_rolling,
+    # fleiss_kappa, fuzzy_join_names and the remaining r8 cohort lead
+    # the r13 rotation)
     "asof_forward", "bloom_semi_revenue", "cdc_chunks", "cdc_dedup",
-    "containment", "cube_counts", "dedup_lines",
 ]
 
 
@@ -4317,6 +4363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pass_at_k_summary": q_pass_at_k_summary,
         "majority_vote": q_majority_vote,
         "weighted_jaccard": q_weighted_jaccard,
+        "weighted_dedup": q_weighted_dedup,
+        "wordpiece_segment": q_wordpiece_segment,
+        "wordpiece_subwords": q_wordpiece_subwords,
         "lang_confidence": q_lang_confidence,
         "ols_tokens_vs_chars": q_ols_tokens_vs_chars,
         "table_profile": q_table_profile,
@@ -5538,6 +5587,99 @@ def _pagerank_oracle(iterations: int = 6) -> str:
         f" FROM r{iterations} ORDER BY node"
     )
     return "\n".join(cte)
+
+
+#: Weighted (multiset) n-gram Jaccard pair evidence — shared by the
+#: weighted_jaccard [Q] (raw pairs) and weighted_dedup (pairs ->
+#: transitive closure -> canonical survivor via _KEEP_BEST_TAIL).
+#: Ends with wjp(id_a, id_b, inter, ta, tb, wjaccard), unfiltered.
+_WJ_PAIRS_SQL = """
+            shw AS (
+                SELECT id, shingle, CAST(count(*) AS BIGINT) AS w FROM (
+                    SELECT doc_id AS id,
+                           unnest(list_transform(
+                               range(1, greatest(length(text) - 7, 1) + 1),
+                               g -> substring(text, g, 8))) AS shingle
+                    FROM documents)
+                WHERE length(shingle) = 8
+                GROUP BY id, shingle),
+            rare AS (SELECT shingle FROM shw
+                     GROUP BY shingle HAVING count(*) <= 100),
+            shf AS (SELECT shw.id, shw.shingle, shw.w
+                    FROM shw JOIN rare USING (shingle)),
+            totals AS (SELECT id, CAST(sum(w) AS BIGINT) AS t
+                       FROM shf GROUP BY id),
+            ix AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       CAST(sum(least(a.w, b.w)) AS BIGINT) AS inter
+                FROM shf a JOIN shf b USING (shingle)
+                WHERE a.id < b.id GROUP BY 1, 2),
+            wjp AS (
+                SELECT id_a, id_b, inter, ta.t AS ta, tb.t AS tb,
+                       inter / (ta.t + tb.t - inter) AS wjaccard
+                FROM ix
+                JOIN totals ta ON ta.id = id_a
+                JOIN totals tb ON tb.id = id_b)
+"""
+
+
+def _wordpiece_sql(top: int = 64, max_len: int = 4) -> str:
+    """WITH-RECURSIVE chain replaying WordPiece greedy longest-match
+    segmentation: frequency-induced vocab (top multi-char full cuts +
+    all single chars), a precomputed longest-match step table per
+    (word, position), then the walk as a recursive CTE following
+    pos -> pos + len(piece). Ends with wc(w, weight) and
+    segs(w, pieces, n_pieces)."""
+    return f"""
+    WITH RECURSIVE wc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS weight FROM (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+            FROM documents) t
+        GROUP BY w),
+    pc AS (
+        SELECT substring(w, CAST(p AS INT), CAST(l AS INT)) AS piece,
+               sum(weight) AS occ
+        FROM wc,
+             unnest(range(1, length(w) + 1)) AS tp(p),
+             unnest(range(2, {max_len + 1})) AS tl(l)
+        WHERE p + l - 1 <= length(w)
+        GROUP BY 1),
+    multi AS (SELECT piece FROM pc
+              ORDER BY occ DESC, piece ASC LIMIT {top}),
+    chars AS (SELECT DISTINCT substring(w, CAST(p AS INT), 1) AS piece
+              FROM wc, unnest(range(1, length(w) + 1)) AS tp(p)),
+    vocab AS MATERIALIZED (
+        SELECT piece FROM multi UNION SELECT piece FROM chars),
+    pos AS MATERIALIZED (
+        SELECT w, CAST(p AS BIGINT) AS pos
+        FROM wc, unnest(range(1, length(w) + 1)) AS tp(p)),
+    mtc AS MATERIALIZED (
+        SELECT w, pos, piece FROM (
+            SELECT p.w, p.pos, v.piece,
+                   row_number() OVER (PARTITION BY p.w, p.pos
+                       ORDER BY length(v.piece) DESC, v.piece) AS rn
+            FROM pos p JOIN vocab v
+              ON p.pos + length(v.piece) - 1 <= length(p.w)
+             AND substring(p.w, CAST(p.pos AS INT), length(v.piece))
+                 = v.piece)
+        WHERE rn = 1),
+    step AS MATERIALIZED (
+        SELECT p.w, p.pos,
+               coalesce(m.piece,
+                        substring(p.w, CAST(p.pos AS INT), 1)) AS piece
+        FROM pos p LEFT JOIN mtc m ON m.w = p.w AND m.pos = p.pos),
+    walk(w, pos, idx, piece) AS (
+        SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(NULL AS VARCHAR)
+        FROM wc
+        UNION ALL
+        SELECT s.w, wk.pos + length(s.piece), wk.idx + 1, s.piece
+        FROM walk wk JOIN step s ON s.w = wk.w AND s.pos = wk.pos),
+    segs AS (
+        SELECT w, string_agg(piece, '|' ORDER BY idx) AS pieces,
+               CAST(count(*) AS BIGINT) AS n_pieces
+        FROM walk WHERE idx >= 1 GROUP BY w)"""
 
 
 def _mg_sql(k: int = 4, buckets: int = 8) -> str:
@@ -9604,34 +9746,35 @@ def oracle_sql() -> dict[str, str]:
                        AS bound_ok
             FROM dc, pb
         """,
-        "weighted_jaccard": """
-            WITH shw AS (
-                SELECT id, shingle, CAST(count(*) AS BIGINT) AS w FROM (
-                    SELECT doc_id AS id,
-                           unnest(list_transform(
-                               range(1, greatest(length(text) - 7, 1) + 1),
-                               g -> substring(text, g, 8))) AS shingle
-                    FROM documents)
-                WHERE length(shingle) = 8
-                GROUP BY id, shingle),
-            rare AS (SELECT shingle FROM shw
-                     GROUP BY shingle HAVING count(*) <= 100),
-            shf AS (SELECT shw.id, shw.shingle, shw.w
-                    FROM shw JOIN rare USING (shingle)),
-            totals AS (SELECT id, CAST(sum(w) AS BIGINT) AS t
-                       FROM shf GROUP BY id),
-            ix AS (
-                SELECT a.id AS id_a, b.id AS id_b,
-                       CAST(sum(least(a.w, b.w)) AS BIGINT) AS inter
-                FROM shf a JOIN shf b USING (shingle)
-                WHERE a.id < b.id GROUP BY 1, 2)
-            SELECT id_a, id_b, inter, ta.t AS ta, tb.t AS tb,
-                   inter / (ta.t + tb.t - inter) AS wjaccard
-            FROM ix
-            JOIN totals ta ON ta.id = id_a
-            JOIN totals tb ON tb.id = id_b
-            WHERE inter / (ta.t + tb.t - inter) >= 0.1
+        "weighted_jaccard": "WITH "
+        + _WJ_PAIRS_SQL
+        + """
+            SELECT id_a, id_b, inter, ta, tb, wjaccard
+            FROM wjp WHERE wjaccard >= 0.1
             ORDER BY id_a, id_b
+        """,
+        "weighted_dedup": "WITH RECURSIVE "
+        + _WJ_PAIRS_SQL
+        + """,
+            wk AS (SELECT id_a, id_b FROM wjp WHERE wjaccard >= 0.3),
+            edges AS (SELECT id_a AS a, id_b AS b FROM wk
+                      UNION ALL SELECT id_b, id_a FROM wk),
+        """
+        + _KEEP_BEST_TAIL,
+        "wordpiece_segment": _wordpiece_sql(top=64, max_len=4)
+        + """
+            SELECT wc.w, wc.weight, segs.pieces, segs.n_pieces
+            FROM wc JOIN segs USING (w) ORDER BY w
+        """,
+        "wordpiece_subwords": _wordpiece_sql(top=64, max_len=4)
+        + """
+            SELECT subword, CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+                   CAST(sum(weight) AS BIGINT) AS occurrences
+            FROM (SELECT wc.w, wc.weight,
+                         unnest(string_split(segs.pieces, '|')) AS subword
+                  FROM wc JOIN segs USING (w))
+            GROUP BY subword
+            ORDER BY occurrences DESC, subword ASC LIMIT 20
         """,
         "pass_at_k": """
             WITH per AS (
