@@ -4099,6 +4099,36 @@ def q_wordpiece_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_subwords(docs, top=64, report_top=20)
 
 
+def q_encoding_damage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mojibake / encoding-damage detection (the ftfy problem class) on
+    # DETERMINISTICALLY corrupted input — every 7th doc gets its 'a's
+    # double-decoded (UTF-8-as-cp1252 e-acute marker), every 11th doc
+    # a trailing U+FFFD — so the detector is exercised non-vacuously
+    # and both engines rebuild the damage verbatim (the synthetic-graph
+    # precedent). Detector is substitution arithmetic: zero joins,
+    # zero shuffles, stream-safe.
+    from sutro_spark.functions.text import (
+        MOJIBAKE_MARKERS,
+        encoding_damage_profile,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    corrupted = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.replace(base, F.lit("a"), F.lit(MOJIBAKE_MARKERS[0])),
+            ).otherwise(base),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("�")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return encoding_damage_profile(corrupted).orderBy("id")
+
+
 def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass@k (Chen et al. 2021 eq. 1), the unbiased hypergeometric
     # estimator: 1 - (n-c)_k/(n)_k per problem. Both falling
@@ -4185,6 +4215,7 @@ _R12_WINDOW = [
     "ffd_pack", "ffd_stats", "mg_heavy_hitters", "mg_guarantee",
     "pass_at_k", "pass_at_k_summary", "majority_vote", "weighted_jaccard",
     "weighted_dedup", "wordpiece_segment", "wordpiece_subwords",
+    "encoding_damage",
     # the ENTIRE remaining r7-green cohort (30 live) — clears the
     # floor to r8
     "gap_fill", "gopher_quality", "image_dhash", "incremental_dedup",
@@ -4195,12 +4226,12 @@ _R12_WINDOW = [
     "rh_lsh_dedup", "rollup_incr", "semdedup", "simhash",
     "simhash_pairs", "similarity_topk", "source_mix", "term_topk",
     "text_profile", "top_orders", "tpch_q3", "tpch_q5ish", "tpch_q6",
-    # the 4 oldest r8-cohort entries (alphabetical; containment,
-    # cube_counts, dedup_lines, domain_split, eval_confusion,
-    # eval_kappa, eval_report, event_transitions, events_rolling,
-    # fleiss_kappa, fuzzy_join_names and the remaining r8 cohort lead
-    # the r13 rotation)
-    "asof_forward", "bloom_semi_revenue", "cdc_chunks", "cdc_dedup",
+    # the 3 oldest r8-cohort entries (alphabetical; cdc_dedup,
+    # containment, cube_counts, dedup_lines, domain_split,
+    # eval_confusion, eval_kappa, eval_report, event_transitions,
+    # events_rolling, fleiss_kappa, fuzzy_join_names and the remaining
+    # r8 cohort lead the r13 rotation)
+    "asof_forward", "bloom_semi_revenue", "cdc_chunks",
 ]
 
 
@@ -4366,6 +4397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_dedup": q_weighted_dedup,
         "wordpiece_segment": q_wordpiece_segment,
         "wordpiece_subwords": q_wordpiece_subwords,
+        "encoding_damage": q_encoding_damage,
         "lang_confidence": q_lang_confidence,
         "ols_tokens_vs_chars": q_ols_tokens_vs_chars,
         "table_profile": q_table_profile,
@@ -5680,6 +5712,38 @@ def _wordpiece_sql(top: int = 64, max_len: int = 4) -> str:
         SELECT w, string_agg(piece, '|' ORDER BY idx) AS pieces,
                CAST(count(*) AS BIGINT) AS n_pieces
         FROM walk WHERE idx >= 1 GROUP BY w)"""
+
+
+def _mojibake_sql() -> str:
+    """Replay of q_encoding_damage: deterministic corruption (every
+    7th doc's 'a's double-decoded, every 11th doc a trailing U+FFFD),
+    then the substitution-arithmetic counters over the SAME marker
+    list — one source of truth via MOJIBAKE_MARKERS."""
+    from sutro_spark.functions.text import MOJIBAKE_MARKERS
+
+    mark = MOJIBAKE_MARKERS[0]
+    counts = " + ".join(
+        f"(length(ct) - length(replace(ct, '{m}', ''))) // {len(m)}"
+        for m in MOJIBAKE_MARKERS
+    )
+    return f"""
+    WITH c AS (
+        SELECT doc_id AS id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN replace(coalesce(text, ''), 'a', '{mark}')
+                    ELSE coalesce(text, '') END
+               || CASE WHEN doc_id % 11 = 0 THEN '�' ELSE '' END
+                   AS ct
+        FROM documents),
+    p AS (
+        SELECT id,
+               CAST({counts} AS BIGINT) AS n_mojibake,
+               CAST((length(ct) - length(replace(ct, '�', '')))
+                   AS BIGINT) AS n_replacement
+        FROM c)
+    SELECT id, n_mojibake, n_replacement,
+           (n_mojibake + n_replacement) > 0 AS damaged
+    FROM p ORDER BY id"""
 
 
 def _mg_sql(k: int = 4, buckets: int = 8) -> str:
@@ -9761,6 +9825,7 @@ def oracle_sql() -> dict[str, str]:
                       UNION ALL SELECT id_b, id_a FROM wk),
         """
         + _KEEP_BEST_TAIL,
+        "encoding_damage": _mojibake_sql(),
         "wordpiece_segment": _wordpiece_sql(top=64, max_len=4)
         + """
             SELECT wc.w, wc.weight, segs.pieces, segs.n_pieces

@@ -1267,3 +1267,64 @@ def readability_profile(
             "- (84600 * n_syllables) div n_words AS BIGINT) END"
         ),
     )
+
+
+#: UTF-8-decoded-as-cp1252 marker sequences (the ftfy mojibake
+#: fingerprint): each is what a common non-ASCII character becomes
+#: after the double-decode (e.g. RIGHT SINGLE QUOTE U+2019 ->
+#: "\u00e2\u20ac\u2122", rendered a-circumflex + euro + trademark).
+#: A fixed literal list keeps the counter a pure string op (no
+#: regex-dialect drift) that any engine reproduces.
+MOJIBAKE_MARKERS = [
+    "\u00c3\u00a9",  # e-acute
+    "\u00c3\u00a1",  # a-acute
+    "\u00c3\u00b3",  # o-acute
+    "\u00c3\u00bc",  # u-umlaut
+    "\u00c3\u00b1",  # n-tilde
+    "\u00e2\u20ac\u2122",  # right single quote
+    "\u00e2\u20ac\u0153",  # left double quote
+    "\u00e2\u20ac\u201c",  # en dash
+    "\u00c2\u00a0",  # NBSP
+]
+
+
+def encoding_damage_profile(
+    df, text_column: str = "text", id_column: str = "doc_id"
+):
+    """Mojibake / encoding-damage detector (the ftfy problem class):
+    web corpora are full of UTF-8 text that was decoded as cp1252
+    somewhere upstream (a right single quote becomes the three-char
+    a-circumflex/euro/trademark sequence), plus U+FFFD replacement
+    chars from lossy transcodes. Per doc: marker-sequence occurrences
+    (fixed literal list -- see MOJIBAKE_MARKERS), replacement-char
+    count, and the damage flag.
+
+    Every counter is substitution arithmetic --
+    (len(text) - len(replace(text, marker, ''))) / len(marker) -- pure
+    codegen string ops, zero joins/shuffles, exact in any engine, and
+    stream-safe (a per-row projection survives readStream unchanged).
+
+    Output: (id, n_mojibake bigint, n_replacement bigint,
+    damaged boolean).
+    """
+    from pyspark.sql import functions as F
+
+    t = F.coalesce(F.col(text_column), F.lit(""))
+
+    def _count(marker):
+        return (
+            (F.length(t) - F.length(F.replace(t, F.lit(marker), F.lit(""))))
+            / F.lit(len(marker))
+        ).cast("long")
+
+    n_moji = None
+    for mk in MOJIBAKE_MARKERS:
+        c = _count(mk)
+        n_moji = c if n_moji is None else n_moji + c
+    n_repl = _count("\ufffd")
+    return df.select(
+        F.col(id_column).alias("id"),
+        n_moji.cast("long").alias("n_mojibake"),
+        n_repl.alias("n_replacement"),
+        ((n_moji + n_repl) > 0).alias("damaged"),
+    )

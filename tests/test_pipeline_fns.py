@@ -1039,3 +1039,28 @@ def test_hamilton_allocation_null_strata_excluded(spark):
     got = hamilton_allocation(df, "source", "doc_id", 15).collect()
     assert len(got) == 15
     assert all(r["source"] == "a" for r in got)
+
+
+
+def test_encoding_damage_counts_and_flags(spark):
+    from sutro_spark.functions.text import (
+        MOJIBAKE_MARKERS,
+        encoding_damage_profile,
+    )
+
+    moji = MOJIBAKE_MARKERS[0]  # the e-acute double-decode
+    quote = MOJIBAKE_MARKERS[5]  # the 3-char right-single-quote form
+    rows = [
+        (1, "clean ascii text"),
+        (2, f"don{quote}t stop"),
+        (3, f"caf{moji} {moji}clair"),
+        (4, "lossy \ufffd transcode \ufffd"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in encoding_damage_profile(df).collect()}
+    assert got[1]["n_mojibake"] == 0 and not got[1]["damaged"]
+    assert got[2]["n_mojibake"] == 1 and got[2]["damaged"]
+    assert got[3]["n_mojibake"] == 2 and got[3]["n_replacement"] == 0
+    assert got[4]["n_replacement"] == 2 and got[4]["damaged"]
+    assert got[5]["n_mojibake"] == 0 and not got[5]["damaged"]
