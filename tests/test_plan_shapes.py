@@ -353,3 +353,46 @@ def test_mg_fold_no_python_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "PythonUDF" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_weighted_jaccard_posting_lists_no_cartesian(spark):
+    # r12: the multiset variant must keep the set variant's inverted-
+    # index shape — df-capped posting lists, partial (map-side
+    # combinable) aggregation, no all-pairs product, no Python.
+    plan = _plan(spark, "weighted_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial" in plan.lower()
+    assert "PythonUDF" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_wordpiece_walk_single_arrow_stage(spark):
+    # r12: the greedy walk is exactly ONE Arrow-batched python stage
+    # over the distinct-word table; everything else (tokenize, count,
+    # vocab) stays JVM-side with combinable aggregation.
+    plan = _plan(spark, "wordpiece_segment")
+    assert plan.count("ArrowEvalPython") == 1, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_encoding_damage_is_shuffle_free_projection(spark):
+    # r12: substitution-arithmetic detection must stay a per-row
+    # projection — the ONLY exchange allowed is the presentation
+    # orderBy's range partitioning; no joins, no aggregation, no
+    # Python.
+    plan = _plan(spark, "encoding_damage")
+    assert "PythonUDF" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert plan.count("Exchange") <= 1, plan[:1500]
+
+
+def test_pass_at_k_single_combinable_aggregation(spark):
+    # r12: per-problem counts must be ONE map-side-combinable groupBy;
+    # the falling-factorial folds are pure projections on top.
+    plan = _plan(spark, "pass_at_k")
+    assert "partial" in plan.lower()
+    assert "PythonUDF" not in plan
+    assert "Join" not in plan

@@ -250,3 +250,52 @@ def test_streaming_mg_matches_sequential_replay(spark, sf_dir, tmp_path):
     for key, c in exact.items():
         est = expected.get((shard_of[key], key), 0)
         assert 0 <= c - est <= n_shard[shard_of[key]] // (k + 1)
+
+
+def test_encoding_damage_stream_equals_batch(spark, sf_dir, tmp_path):
+    """the detector is a per-row projection, so it must run UNCHANGED
+    on readStream and emit exactly the batch rows."""
+    from pyspark.sql import functions as F
+
+    from sutro_spark.functions.text import (
+        MOJIBAKE_MARKERS,
+        encoding_damage_profile,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    corrupted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(MOJIBAKE_MARKERS[0])),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    src = str(tmp_path / "enc_src")
+    corrupted.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        encoding_damage_profile(stream)
+        .writeStream.format("memory")
+        .queryName("enc_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "enc_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["id"]: (r["n_mojibake"], r["n_replacement"], r["damaged"])
+        for r in spark.sql("select * from enc_stream").collect()
+    }
+    expected = {
+        r["id"]: (r["n_mojibake"], r["n_replacement"], r["damaged"])
+        for r in encoding_damage_profile(
+            spark.read.parquet(src)
+        ).collect()
+    }
+    assert got == expected
+    assert any(v[2] for v in got.values())  # corruption actually seen
