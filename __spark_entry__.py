@@ -4129,6 +4129,32 @@ def q_encoding_damage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoding_damage_profile(corrupted).orderBy("id")
 
 
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unicode script composition (the FineWeb2/CC multilingual gate:
+    # script ratios BEFORE language ID) over deterministically mixed
+    # input — every 5th doc gains a Cyrillic phrase, every 9th a CJK
+    # one (both on id 45-multiples), rebuilt verbatim by the oracle.
+    # Pure regexp-strip arithmetic: zero joins/shuffles, stream-safe,
+    # exact integer counts + milli ratio, fixed dominant-tie order.
+    from sutro_spark.functions.text import script_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    base = F.coalesce(F.col("text"), F.lit(""))
+    mixed = docs.select(
+        "doc_id",
+        F.concat(
+            base,
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" привет мир")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 9 == 0, F.lit(" 你好世界")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return script_profile(mixed).orderBy("id")
+
+
 def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass@k (Chen et al. 2021 eq. 1), the unbiased hypergeometric
     # estimator: 1 - (n-c)_k/(n)_k per problem. Both falling
@@ -4215,7 +4241,7 @@ _R12_WINDOW = [
     "ffd_pack", "ffd_stats", "mg_heavy_hitters", "mg_guarantee",
     "pass_at_k", "pass_at_k_summary", "majority_vote", "weighted_jaccard",
     "weighted_dedup", "wordpiece_segment", "wordpiece_subwords",
-    "encoding_damage",
+    "encoding_damage", "script_profile",
     # the ENTIRE remaining r7-green cohort (30 live) — clears the
     # floor to r8
     "gap_fill", "gopher_quality", "image_dhash", "incremental_dedup",
@@ -4226,12 +4252,12 @@ _R12_WINDOW = [
     "rh_lsh_dedup", "rollup_incr", "semdedup", "simhash",
     "simhash_pairs", "similarity_topk", "source_mix", "term_topk",
     "text_profile", "top_orders", "tpch_q3", "tpch_q5ish", "tpch_q6",
-    # the 3 oldest r8-cohort entries (alphabetical; cdc_dedup,
-    # containment, cube_counts, dedup_lines, domain_split,
+    # the 2 oldest r8-cohort entries (alphabetical; cdc_chunks,
+    # cdc_dedup, containment, cube_counts, dedup_lines, domain_split,
     # eval_confusion, eval_kappa, eval_report, event_transitions,
     # events_rolling, fleiss_kappa, fuzzy_join_names and the remaining
     # r8 cohort lead the r13 rotation)
-    "asof_forward", "bloom_semi_revenue", "cdc_chunks",
+    "asof_forward", "bloom_semi_revenue",
 ]
 
 
@@ -4398,6 +4424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_segment": q_wordpiece_segment,
         "wordpiece_subwords": q_wordpiece_subwords,
         "encoding_damage": q_encoding_damage,
+        "script_profile": q_script_profile,
         "lang_confidence": q_lang_confidence,
         "ols_tokens_vs_chars": q_ols_tokens_vs_chars,
         "table_profile": q_table_profile,
@@ -9826,6 +9853,42 @@ def oracle_sql() -> dict[str, str]:
         """
         + _KEEP_BEST_TAIL,
         "encoding_damage": _mojibake_sql(),
+        "script_profile": """
+            WITH m AS (
+                SELECT doc_id AS id,
+                       coalesce(text, '')
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' привет мир' ELSE '' END
+                       || CASE WHEN doc_id % 9 = 0
+                               THEN ' 你好世界' ELSE '' END AS ct
+                FROM documents),
+            p AS (
+                SELECT id,
+                       CAST(length(ct) AS BIGINT) AS n_chars,
+                       CAST(length(ct) - length(regexp_replace(ct,
+                           '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+                       CAST(length(ct) - length(regexp_replace(ct,
+                           '[\\x{0400}-\\x{04FF}]', '', 'g')) AS BIGINT)
+                           AS n_cyrillic,
+                       CAST(length(ct) - length(regexp_replace(ct,
+                           '[\\x{4E00}-\\x{9FFF}]', '', 'g')) AS BIGINT)
+                           AS n_cjk,
+                       CAST(length(ct) - length(regexp_replace(ct,
+                           '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                       CAST(length(ct) - length(regexp_replace(ct,
+                           '\\s', '', 'g')) AS BIGINT) AS n_space
+                FROM m)
+            SELECT id, n_chars, n_latin, n_cyrillic, n_cjk, n_digit,
+                   n_space,
+                   CASE WHEN n_chars > 0
+                        THEN 1000 * n_latin // n_chars END AS latin_milli,
+                   CASE WHEN n_latin + n_cyrillic + n_cjk = 0 THEN 'none'
+                        WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+                             THEN 'latin'
+                        WHEN n_cyrillic >= n_cjk THEN 'cyrillic'
+                        ELSE 'cjk' END AS dominant
+            FROM p ORDER BY id
+        """,
         "wordpiece_segment": _wordpiece_sql(top=64, max_len=4)
         + """
             SELECT wc.w, wc.weight, segs.pieces, segs.n_pieces

@@ -1328,3 +1328,65 @@ def encoding_damage_profile(
         n_repl.alias("n_replacement"),
         ((n_moji + n_repl) > 0).alias("damaged"),
     )
+
+
+def script_profile(df, text_column: str = "text", id_column: str = "doc_id"):
+    """Unicode script composition per document -- the multilingual
+    corpus filter (FineWeb2/CC-style pipelines gate on script ratios
+    before language ID: a "French" doc that is 40% CJK is mislabeled
+    or mojibake). Counts per script class via regexp-strip arithmetic
+    (len - len(strip(class))) -- a pure projection, zero joins, zero
+    shuffles, stream-safe; every count is an exact integer so
+    cross-engine parity is trivial (all classes are BMP ranges, one
+    unit in both UTF-16 and codepoint length semantics).
+
+    ``dominant`` uses a FIXED priority order on ties
+    (latin > cyrillic > cjk, 'none' when no letters) and
+    ``latin_milli`` is exact integer division -- stated, not
+    locale- or float-dependent.
+
+    Output: (id, n_chars, n_latin, n_cyrillic, n_cjk, n_digit,
+    n_space, latin_milli bigint -- NULL on empty text, dominant
+    string).
+    """
+    from pyspark.sql import functions as F
+
+    t = F.coalesce(F.col(text_column), F.lit(""))
+
+    def _n(pattern):
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
+        ).cast("long")
+
+    n_chars = F.length(t).cast("long")
+    n_latin = _n("[A-Za-z]")
+    n_cyr = _n("[\u0400-\u04ff]")
+    n_cjk = _n("[\u4e00-\u9fff]")
+    dominant = (
+        F.when((n_latin + n_cyr + n_cjk) == F.lit(0), F.lit("none"))
+        .when((n_latin >= n_cyr) & (n_latin >= n_cjk), F.lit("latin"))
+        .when(n_cyr >= n_cjk, F.lit("cyrillic"))
+        .otherwise(F.lit("cjk"))
+    )
+    return df.select(
+        F.col(id_column).alias("id"),
+        n_chars.alias("n_chars"),
+        n_latin.alias("n_latin"),
+        n_cyr.alias("n_cyrillic"),
+        n_cjk.alias("n_cjk"),
+        _n("[0-9]").alias("n_digit"),
+        _n("\\s").alias("n_space"),
+        dominant.alias("dominant"),
+    ).select(
+        "id",
+        "n_chars",
+        "n_latin",
+        "n_cyrillic",
+        "n_cjk",
+        "n_digit",
+        "n_space",
+        F.expr(
+            "CASE WHEN n_chars > 0 THEN 1000 * n_latin div n_chars END"
+        ).alias("latin_milli"),
+        "dominant",
+    )

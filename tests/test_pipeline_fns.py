@@ -1064,3 +1064,26 @@ def test_encoding_damage_counts_and_flags(spark):
     assert got[3]["n_mojibake"] == 2 and got[3]["n_replacement"] == 0
     assert got[4]["n_replacement"] == 2 and got[4]["damaged"]
     assert got[5]["n_mojibake"] == 0 and not got[5]["damaged"]
+
+
+
+def test_script_profile_counts_and_dominant(spark):
+    from sutro_spark.functions.text import script_profile
+
+    rows = [
+        (1, "hello world 123"),
+        (2, "\u043f\u0440\u0438\u0432\u0435\u0442 ok"),
+        (3, "\u4f60\u597d\u5417"),
+        (4, ""),
+        (5, None),
+        (6, "ab\u0430\u0431"),  # latin 2, cyrillic 2 -> tie -> latin
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in script_profile(df).collect()}
+    assert got[1]["n_latin"] == 10 and got[1]["n_digit"] == 3
+    assert got[1]["latin_milli"] == 666 and got[1]["dominant"] == "latin"
+    assert got[2]["n_cyrillic"] == 6 and got[2]["dominant"] == "cyrillic"
+    assert got[3]["n_cjk"] == 3 and got[3]["dominant"] == "cjk"
+    assert got[4]["latin_milli"] is None and got[4]["dominant"] == "none"
+    assert got[5]["n_chars"] == 0 and got[5]["dominant"] == "none"
+    assert got[6]["dominant"] == "latin"  # fixed tie order, stated

@@ -396,3 +396,13 @@ def test_pass_at_k_single_combinable_aggregation(spark):
     assert "partial" in plan.lower()
     assert "PythonUDF" not in plan
     assert "Join" not in plan
+
+
+def test_script_profile_is_shuffle_free_projection(spark):
+    # r12: script composition must stay a per-row projection like
+    # encoding_damage — only the presentation sort may exchange.
+    plan = _plan(spark, "script_profile")
+    assert "PythonUDF" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert plan.count("Exchange") <= 1, plan[:1500]
