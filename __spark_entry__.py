@@ -9876,7 +9876,8 @@ def oracle_sql() -> dict[str, str]:
                        CAST(length(ct) - length(regexp_replace(ct,
                            '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
                        CAST(length(ct) - length(regexp_replace(ct,
-                           '\\s', '', 'g')) AS BIGINT) AS n_space
+                           '[ \\t\\n\\x0B\\f\\r]', '', 'g')) AS BIGINT)
+                           AS n_space
                 FROM m)
             SELECT id, n_chars, n_latin, n_cyrillic, n_cjk, n_digit,
                    n_space,
@@ -9911,11 +9912,16 @@ def oracle_sql() -> dict[str, str]:
                            THEN 1 ELSE 0 END) AS BIGINT) AS c
                 FROM events GROUP BY user_id),
             f AS (SELECT problem, n, c FROM per WHERE n >= 5),
+            -- HUGEINT products: matches the Spark side's DECIMAL(38,0)
+            -- envelope (BIGINT would overflow-ERROR at n-c > ~390 once
+            -- num*1e6 crosses 2^63 — a latent engine-parity break)
             ff AS (SELECT problem, n, c,
-                   greatest(n - c, 0) * greatest(n - c - 1, 0)
+                   CAST(greatest(n - c, 0) AS HUGEINT)
+                       * greatest(n - c - 1, 0)
                        * greatest(n - c - 2, 0) * greatest(n - c - 3, 0)
                        * greatest(n - c - 4, 0) AS num,
-                   n * (n - 1) * (n - 2) * (n - 3) * (n - 4) AS den
+                   CAST(n AS HUGEINT)
+                       * (n - 1) * (n - 2) * (n - 3) * (n - 4) AS den
                    FROM f)
             SELECT problem, n, c, CAST(5 AS BIGINT) AS k,
                    CAST(1000000 - (1000000 * num) // den AS BIGINT)
@@ -9931,26 +9937,37 @@ def oracle_sql() -> dict[str, str]:
                        CAST(sum(CASE WHEN event_type = 'purchase'
                            THEN 1 ELSE 0 END) AS BIGINT) AS c
                 FROM events GROUP BY user_id),
-            f AS (SELECT problem, n, c FROM per WHERE n >= 5),
+            -- UNFILTERED per-problem tallies: n < 5 problems ride the
+            -- same scan as the n_dropped conditional leg (no-silent-
+            -- caps rule); HUGEINT products match Spark's DECIMAL(38,0)
             ff AS (SELECT problem, n, c,
-                   greatest(n - c, 0) * greatest(n - c - 1, 0)
+                   CASE WHEN n >= 5 THEN
+                       CAST(greatest(n - c, 0) AS HUGEINT)
+                       * greatest(n - c - 1, 0)
                        * greatest(n - c - 2, 0) * greatest(n - c - 3, 0)
-                       * greatest(n - c - 4, 0) AS num,
-                   n * (n - 1) * (n - 2) * (n - 3) * (n - 4) AS den
-                   FROM f),
+                       * greatest(n - c - 4, 0) END AS num,
+                   CASE WHEN n >= 5 THEN
+                       CAST(n AS HUGEINT)
+                       * (n - 1) * (n - 2) * (n - 3) * (n - 4) END AS den
+                   FROM per),
             m AS (SELECT problem, c, n,
                    CAST(1000000 - (1000000 * num) // den AS BIGINT)
                        AS pass_micro
                   FROM ff)
-            SELECT CAST(count(*) AS BIGINT) AS n_problems,
+            SELECT CAST(coalesce(sum(CASE WHEN n >= 5 THEN 1 END), 0)
+                       AS BIGINT) AS n_problems,
                    CAST(5 AS BIGINT) AS k,
-                   CAST(sum(pass_micro) // count(*) AS BIGINT)
+                   CAST(sum(pass_micro)
+                       // sum(CASE WHEN n >= 5 THEN 1 END) AS BIGINT)
                        AS mean_pass_micro,
                    CAST(sum(pass_micro) AS DOUBLE)
-                       / CAST(1000000 * count(*) AS DOUBLE)
+                       / CAST(1000000 * sum(CASE WHEN n >= 5 THEN 1 END)
+                              AS DOUBLE)
                        AS mean_pass_at_k,
-                   CAST(sum(CASE WHEN c + 5 > n THEN 1 ELSE 0 END)
-                       AS BIGINT) AS n_saturated
+                   CAST(coalesce(sum(CASE WHEN n >= 5 AND c + 5 > n
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_saturated,
+                   CAST(coalesce(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END),
+                       0) AS BIGINT) AS n_dropped
             FROM m
         """,
         "majority_vote": """

@@ -1375,7 +1375,10 @@ def script_profile(df, text_column: str = "text", id_column: str = "doc_id"):
         n_cyr.alias("n_cyrillic"),
         n_cjk.alias("n_cjk"),
         _n("[0-9]").alias("n_digit"),
-        _n("\\s").alias("n_space"),
+        # explicit class, NOT \s: Java's \s is [ \t\n\x0B\f\r] while
+        # RE2's (the oracle's) is [\t\n\f\r ] — U+000B vertical tab
+        # would diverge; the pinned class is identical in both engines
+        _n("[ \\t\\n\\x0B\\f\\r]").alias("n_space"),
         dominant.alias("dominant"),
     ).select(
         "id",

@@ -768,6 +768,96 @@ def average_precision(
     )
 
 
+def _pass_envelope_max_n(k: int) -> int:
+    """Largest n with (n)_k * 10**6 < 10**38 — the exact DECIMAL(38,0)
+    envelope INCLUDING the pass_micro scaling (the micro column
+    multiplies the falling factorial by 10**6 before the integral
+    division, so its bound is 10**6 tighter than the bare (n)_k <
+    10**38 product bound; enforcing the tighter one means neither
+    column can silently null out)."""
+    limit = 10**32  # (n)_k < 10**32  <=>  10**6 * (n)_k < 10**38
+
+    def ff(n: int) -> int:
+        p = 1
+        for i in range(k):
+            p *= n - i
+        return p
+
+    lo, hi = k, 10**32
+    while lo < hi:  # largest n with ff(n) < limit
+        mid = (lo + hi + 1) // 2
+        if ff(mid) < limit:
+            lo = mid
+        else:
+            hi = mid - 1
+    return min(lo, 2**62)
+
+
+def _per_problem(
+    samples: DataFrame, problem_column: str, correct_column: str
+) -> DataFrame:
+    """Unfiltered per-problem tallies: (problem, n, c) — one
+    map-side-combinable groupBy over the samples."""
+    return samples.groupBy(F.col(problem_column).alias("problem")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(correct_column).cast("int")).cast("long").alias("c"),
+    )
+
+
+def _with_pass(per: DataFrame, k: int) -> DataFrame:
+    """Attach the exact pass columns to a (problem, n, c) frame:
+    (problem, n, c, k, pass_micro, pass_at_k) — NULL pass columns when
+    n < k (callers either pre-filter or aggregate conditionally).
+    Rows with n beyond the DECIMAL(38,0) envelope raise at runtime
+    (``raise_error`` inside the lazy CASE branch — non-ANSI Spark
+    would otherwise return NULL silently)."""
+    n_max = _pass_envelope_max_n(k)
+    guarded = per.withColumn(
+        "n",
+        F.when(F.col("n") <= F.lit(n_max), F.col("n")).otherwise(
+            F.expr(
+                "CAST(raise_error(concat('pass_at_k: n = ',"
+                " CAST(n AS STRING),"
+                f" ' exceeds the exact DECIMAL(38,0) envelope for k = {k}"
+                f" (max n {n_max}); subsample per problem first'))"
+                " AS BIGINT)"
+            )
+        ),
+    )
+    num = F.expr(
+        f"aggregate(sequence(0, {k - 1}),"
+        f" CAST(1 AS DECIMAL(38, 0)),"
+        f" (acc, i) -> CAST(acc * greatest(n - c - i, 0) AS DECIMAL(38, 0)))"
+    )
+    den = F.expr(
+        f"aggregate(sequence(0, {k - 1}),"
+        f" CAST(1 AS DECIMAL(38, 0)),"
+        f" (acc, i) -> CAST(acc * (n - i) AS DECIMAL(38, 0)))"
+    )
+    return guarded.select(
+        "problem",
+        "n",
+        "c",
+        F.lit(k).cast("long").alias("k"),
+        F.when(F.col("n") >= k, num).alias("__num"),
+        F.when(F.col("n") >= k, den).alias("__den"),
+    ).select(
+        "problem",
+        "n",
+        "c",
+        "k",
+        # exact integer micro first (floor(1e6*num/den) — integral div
+        # on exact decimals, engine-reproducible and SUMMABLE without
+        # float-order sensitivity), then the one-division double
+        F.expr("CAST(1000000 - (1000000 * __num) div __den AS BIGINT)").alias(
+            "pass_micro"
+        ),
+        (
+            F.lit(1.0) - F.col("__num").cast("double") / F.col("__den").cast("double")
+        ).alias("pass_at_k"),
+    )
+
+
 def pass_at_k(
     samples: DataFrame,
     *,
@@ -791,57 +881,26 @@ def pass_at_k(
     DECIMAL(38,0) products (one ``aggregate`` fold over
     ``sequence(0, k-1)`` — no Python), so the per-problem ratio is ONE
     IEEE division of two exactly-represented integers and the mean is
-    one more division — engine-reproducible bit-for-bit. Bound:
-    (n)_k < 10^38 needs k*log10(n) < 38 (k=10 at n <= ~6000, k=12 at
-    n <= ~1400); beyond that, subsample per problem first. When
-    n - c < k, C(n-c, k) = 0 and pass@k is exactly 1.
+    one more division — engine-reproducible bit-for-bit. Bound
+    (ENFORCED at runtime, not just documented): the micro column forms
+    10^6 * (n)_k, so the envelope is (n)_k < 10^32 — k=5 at
+    n <= ~2.5M, k=10 at n <= ~1580, k=16 at n <= ~104; a problem
+    whose n exceeds it raises loudly (``raise_error``) instead of the
+    silent NULL a non-ANSI decimal overflow would produce — subsample
+    per problem first. When n - c < k, C(n-c, k) = 0 and pass@k is
+    exactly 1.
 
     Output: one row per problem (problem, n, c, k, pass_at_k) plus the
     corpus mean is left to the caller (it's one avg) — see
-    ``pass_at_k_summary`` for the aggregated verdict.
+    ``pass_at_k_summary`` for the aggregated verdict (which also
+    surfaces how many problems were dropped for having n < k).
     """
     if not 1 <= k <= 16:
         raise ValueError(f"k must be in [1, 16], got {k}")
-    per = (
-        samples.groupBy(F.col(problem_column).alias("problem"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.col(correct_column).cast("int")).cast("long").alias("c"),
-        )
-        .where(F.col("n") >= k)
+    per = _per_problem(samples, problem_column, correct_column).where(
+        F.col("n") >= k
     )
-    num = F.expr(
-        f"aggregate(sequence(0, {k - 1}),"
-        f" CAST(1 AS DECIMAL(38, 0)),"
-        f" (acc, i) -> CAST(acc * greatest(n - c - i, 0) AS DECIMAL(38, 0)))"
-    )
-    den = F.expr(
-        f"aggregate(sequence(0, {k - 1}),"
-        f" CAST(1 AS DECIMAL(38, 0)),"
-        f" (acc, i) -> CAST(acc * (n - i) AS DECIMAL(38, 0)))"
-    )
-    return per.select(
-        "problem",
-        "n",
-        "c",
-        F.lit(k).cast("long").alias("k"),
-        num.alias("__num"),
-        den.alias("__den"),
-    ).select(
-        "problem",
-        "n",
-        "c",
-        "k",
-        # exact integer micro first (floor(1e6*num/den) — integral div
-        # on exact decimals, engine-reproducible and SUMMABLE without
-        # float-order sensitivity), then the one-division double
-        F.expr("CAST(1000000 - (1000000 * __num) div __den AS BIGINT)").alias(
-            "pass_micro"
-        ),
-        (
-            F.lit(1.0) - F.col("__num").cast("double") / F.col("__den").cast("double")
-        ).alias("pass_at_k"),
-    )
+    return _with_pass(per, k)
 
 
 def pass_at_k_summary(
@@ -852,20 +911,37 @@ def pass_at_k_summary(
     k: int = 5,
 ) -> DataFrame:
     """Corpus verdict over :func:`pass_at_k`: problem count, mean
-    pass@k, and the count of saturated (pass@k = 1) problems. The mean
-    sums the EXACT integer micros (float summation order is not
-    engine-reproducible; integer sums are) and divides once. One row.
+    pass@k, the count of saturated (pass@k = 1) problems, AND
+    ``n_dropped`` — how many problems were excluded for having fewer
+    than k samples (the estimator is undefined there; reporting the
+    mean without the exclusion count would silently narrow the
+    universe — the repo's no-silent-caps rule). The mean sums the
+    EXACT integer micros (float summation order is not
+    engine-reproducible; integer sums are) and divides once. One row,
+    ONE pass over the samples (the dropped problems ride the same
+    groupBy as conditional aggregation legs).
     """
-    per = pass_at_k(
-        samples, problem_column=problem_column, correct_column=correct_column, k=k
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in [1, 16], got {k}")
+    per = _with_pass(
+        _per_problem(samples, problem_column, correct_column), k
     )
+    kept = F.col("n") >= k
     return per.agg(
-        F.count(F.lit(1)).cast("long").alias("n_problems"),
+        F.coalesce(F.sum(kept.cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_problems"),
         F.lit(k).cast("long").alias("k"),
         F.sum("pass_micro").cast("long").alias("__sum_micro"),
-        F.sum((F.col("c") + F.lit(k) > F.col("n")).cast("int"))
+        F.coalesce(
+            F.sum((kept & (F.col("c") + F.lit(k) > F.col("n"))).cast("int")),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_saturated"),
+        F.coalesce(F.sum((~kept).cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_dropped"),
     ).select(
         "n_problems",
         "k",
@@ -879,6 +955,7 @@ def pass_at_k_summary(
             " END"
         ).alias("mean_pass_at_k"),
         "n_saturated",
+        "n_dropped",
     )
 
 

@@ -125,6 +125,30 @@ def wordpiece_segment(
 
     Output: (w, weight, pieces string — '|'-joined, n_pieces bigint).
     """
+    arr = _segment_arrays(
+        df, text_column, max_piece_len=max_piece_len, top=top
+    )
+    return arr.select(
+        "w",
+        "weight",
+        # the ARRAY is ground truth; the '|' join is display only —
+        # n_pieces comes from the array, never from re-splitting the
+        # joined string (a word containing '|' would inflate it)
+        F.array_join("__pieces", "|").alias("pieces"),
+        F.size("__pieces").cast("long").alias("n_pieces"),
+    )
+
+
+def _segment_arrays(
+    df: DataFrame,
+    text_column: str,
+    *,
+    max_piece_len: int,
+    top: int,
+) -> DataFrame:
+    """(w, weight, __pieces array<string>) — the greedy walk's true
+    piece sequence, shared by segment (joined display) and subwords
+    (explode); one Arrow UDF either way."""
     vocab = wordpiece_vocab(
         df, text_column, max_piece_len=max_piece_len, top=top
     )
@@ -132,11 +156,11 @@ def wordpiece_segment(
     wc = _word_counts(df, text_column)
 
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import StringType
+    from pyspark.sql.types import ArrayType, StringType
 
-    @pandas_udf(StringType())
+    @pandas_udf(ArrayType(StringType()))
     def seg(words: pd.Series) -> pd.Series:
-        def walk(w: str) -> str:
+        def walk(w: str) -> list:
             out, pos = [], 0
             while pos < len(w):
                 for l in range(min(max_piece_len, len(w) - pos), 0, -1):
@@ -148,16 +172,11 @@ def wordpiece_segment(
                 else:
                     out.append(w[pos])
                     pos += 1
-            return "|".join(out)
+            return out
 
         return words.map(walk)
 
-    return wc.select("w", "weight", seg(F.col("w")).alias("pieces")).select(
-        "w",
-        "weight",
-        "pieces",
-        F.size(F.split("pieces", r"\|")).cast("long").alias("n_pieces"),
-    )
+    return wc.select("w", "weight", seg(F.col("w")).alias("__pieces"))
 
 
 def wordpiece_subwords(
@@ -175,11 +194,11 @@ def wordpiece_subwords(
 
     Output: (subword, n_words bigint, occurrences bigint).
     """
-    seg = wordpiece_segment(
+    seg = _segment_arrays(
         df, text_column, max_piece_len=max_piece_len, top=top
     )
     return (
-        seg.select("w", "weight", F.explode(F.split("pieces", r"\|")).alias("subword"))
+        seg.select("w", "weight", F.explode("__pieces").alias("subword"))
         .groupBy("subword")
         .agg(
             F.count_distinct("w").alias("n_words"),

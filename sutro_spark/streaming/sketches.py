@@ -247,7 +247,12 @@ def streaming_mg(
             T.StructField("n_seen", T.LongType()),
         ]
     )
-    keyed = stream.select(
+    # NULL keys are dropped BEFORE the state op (mirroring the batch
+    # mg_bucket_summaries' key IS NOT NULL filter): pandas
+    # value_counts() silently drops NaN, so an unfiltered stream would
+    # inflate n_seen — and the error bound's n — with rows that never
+    # entered a counter, and NULL keys would hash to a NULL shard group
+    keyed = stream.where(F.col(key_column).isNotNull()).select(
         hash_bucket(F.col(key_column).cast("string"), salt=salt, buckets=shards)
         .cast("long")
         .alias("shard"),

@@ -661,6 +661,55 @@ def test_pass_at_k_validates_k(spark):
         pass_at_k(df, k=17)
 
 
+def test_pass_at_k_envelope_raises_not_nulls(spark):
+    """A problem whose n exceeds the DECIMAL(38,0) envelope (which for
+    pass_micro is the TIGHTER (n)_k < 10^32 bound — the micro scales
+    the factorial by 10^6) raises loudly instead of silently nulling
+    the row out of the summary mean (VERDICT r12 / ADVICE r12)."""
+    import pytest as _pytest
+
+    from sutro_spark.operators.metrics import (
+        _pass_envelope_max_n,
+        pass_at_k,
+    )
+
+    k = 16
+    n_max = _pass_envelope_max_n(k)
+    assert n_max == 107  # (107)_16 * 1e6 < 1e38 < (108)_16 * 1e6
+    # n = n_max is fine...
+    ok = spark.createDataFrame(
+        [(1, i == 0) for i in range(n_max)], "problem_id long, correct boolean"
+    )
+    row = pass_at_k(ok, k=k).collect()[0]
+    assert row["pass_micro"] is not None and 0 < row["pass_micro"] < 10**6
+    # ...n = n_max + 1 raises (would have been a silent NULL before)
+    over = spark.createDataFrame(
+        [(1, i == 0) for i in range(n_max + 1)],
+        "problem_id long, correct boolean",
+    )
+    with _pytest.raises(Exception, match="DECIMAL\\(38,0\\) envelope"):
+        pass_at_k(over, k=k).collect()
+
+
+def test_pass_at_k_summary_surfaces_dropped(spark):
+    """Problems with n < k are not silently narrowed out of the mean:
+    the summary carries n_dropped (VERDICT r12 'no silent caps')."""
+    from sutro_spark.operators.metrics import pass_at_k_summary
+
+    rows = [(1, i < 2) for i in range(6)]  # kept: n=6
+    rows += [(2, True), (2, False)]  # dropped: n=2 < k=3
+    rows += [(3, True)]  # dropped: n=1
+    df = spark.createDataFrame(rows, "problem_id long, correct boolean")
+    s = pass_at_k_summary(df, k=3).collect()[0]
+    assert (s["n_problems"], s["n_dropped"]) == (1, 2)
+    assert s["mean_pass_micro"] == 800000  # only problem 1's micro
+    # empty input: zeros, not nulls, for the counters
+    empty = spark.createDataFrame([], "problem_id long, correct boolean")
+    e = pass_at_k_summary(empty, k=3).collect()[0]
+    assert (e["n_problems"], e["n_saturated"], e["n_dropped"]) == (0, 0, 0)
+    assert e["mean_pass_micro"] is None
+
+
 def test_majority_vote_ties_break_lexicographically(spark):
     from sutro_spark.operators.metrics import majority_vote_accuracy
 

@@ -299,3 +299,40 @@ def test_encoding_damage_stream_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert any(v[2] for v in got.values())  # corruption actually seen
+
+
+def test_streaming_mg_drops_null_keys(spark, sf_dir, tmp_path):
+    """NULL keys never reach the MG state op (ADVICE r12): pandas
+    value_counts() drops NaN, so unfiltered nulls would inflate n_seen
+    — and the n/(k+1) error bound's n — without entering any counter
+    (and would hash to a NULL shard group). Mirror of the batch
+    mg_bucket_summaries' IS NOT NULL filter."""
+    from pyspark.sql import functions as F
+
+    from sutro_spark.streaming.sketches import streaming_mg
+
+    src = str(tmp_path / "mgnull_src")
+    spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,), (None,), (None,)],
+        "key string",
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_mg(stream, "key", k=4, shards=1)
+        .writeStream.format("memory")
+        .queryName("mgnull_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "mgnull_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("select * from mgnull_stream").collect()
+    assert {r["shard"] for r in out} == {0}
+    # n_seen counts only the 3 non-null rows; both keys kept exactly
+    assert {(r["key"], r["est"], r["n_seen"]) for r in out} == {
+        ("a", 2, 3),
+        ("b", 1, 3),
+    }

@@ -94,3 +94,27 @@ def test_vocab_validates_params(spark):
         wordpiece_vocab(df, max_piece_len=1)
     with _pytest.raises(ValueError):
         wordpiece_vocab(df, top=0)
+
+
+def test_pipe_in_word_true_piece_count(spark):
+    """A word CONTAINING the '|' display delimiter (whitespace
+    tokenization lets it through) must report the TRUE piece count:
+    n_pieces comes from the UDF's piece array, never from re-splitting
+    the '|'-joined display string (which would count phantom empties
+    around an emitted '|' piece) — ADVICE r12."""
+    df = spark.createDataFrame(
+        [(0, "x|y x|y qq qq qq")], "doc_id long, text string"
+    )
+    # top=1 -> only 'qq' makes the multi-piece vocab; 'x|y' walks to
+    # single chars x, |, y
+    rows = {r["w"]: r for r in wordpiece_segment(df, top=1).collect()}
+    assert rows["x|y"]["n_pieces"] == 3
+    assert rows["x|y"]["pieces"] == "x|||y"  # display join, ambiguous by design
+    assert rows["qq"]["n_pieces"] == 1
+    subs = {
+        r["subword"]: (r["n_words"], r["occurrences"])
+        for r in wordpiece_subwords(df, top=1).collect()
+    }
+    # the '|' piece is a real subword of x|y (weight 2), not a split artifact
+    assert subs["|"] == (1, 2)
+    assert subs["qq"] == (1, 3)
