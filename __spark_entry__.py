@@ -4099,6 +4099,35 @@ def q_wordpiece_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_subwords(docs, top=64, report_top=20)
 
 
+def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unigram-LM (SentencePiece, Kudo 2018) vocabulary induction —
+    # completes the production-tokenizer triad next to BPE (learned
+    # merges) and WordPiece (greedy longest match). Hard-EM: 48-piece
+    # frequency seed + all chars -> Viterbi-segment the distinct-word
+    # table -> usage recount -> prune to the 24 best multi pieces ->
+    # re-cost. Costs are EXACT integer milli-log2 (piecewise-linear,
+    # bit_length-based — no transcendentals), so the oracle's unrolled
+    # EM chain replays every DP comparison bit-for-bit. Corpus touched
+    # once; only the bounded vocab reaches the driver.
+    from sutro_spark.operators.unigram import unigram_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_vocab(docs, seed_top=48, target=24).orderBy("piece")
+
+
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Viterbi segmentation under the induced unigram vocabulary: the
+    # min-cost piece sequence per distinct word (longest-piece tie
+    # break), cost_milli = the word's negative milli-log2 likelihood.
+    # One Arrow UDF per EM round over distinct words; the oracle
+    # carries the DP's best-cost vector as recursive-CTE list state
+    # and re-derives each step's argmin — bit-for-bit parity.
+    from sutro_spark.operators.unigram import unigram_segment
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_segment(docs, seed_top=48, target=24).orderBy("w")
+
+
 def q_encoding_damage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mojibake / encoding-damage detection (the ftfy problem class) on
     # DETERMINISTICALLY corrupted input — every 7th doc gets its 'a's
@@ -4221,43 +4250,37 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-#: Round-12 driver window: the driver correctness gate checks the FIRST
+#: Round-13 driver window: the driver correctness gate checks the FIRST
 #: 50 entries of queries() in dict order; this list IS the rotation
 #: (queries() reorders the full literal dict by it — future rounds edit
 #: this list, not the dict). Invariant: EXACTLY 50 entries, new
-#: additions first, then the stalest cohort. After r11 no registry
-#: entry's last driver check is older than r7 (histogram r7:30, r8:50,
-#: r9:49, r10:50, r11:50; rank_elo_large retired r8, dup_clusters
-#: retired r10 — COVERAGE.md decision log): this window carries the
-#: ENTIRE 30-entry r7 cohort (clearing the floor to r8, VERDICT r11
-#: task #2) plus the 15 oldest r8 entries (alphabetical; the remaining
-#: 35 r8 entries lead the r13 rotation). Everything is equally
-#: oracle-checked by tools/selfcheck.py --strict (ALL GREEN gate,
-#: completeness-enforced).
-_R12_WINDOW = [
-    # new in r12, never driver-checked
-    "ivfpq_rescore", "ivfpq_rescore_recall", "exact_substr_fixpoint",
-    "contaminated_strip_fixpoint", "curation_pipeline_v3",
-    "ffd_pack", "ffd_stats", "mg_heavy_hitters", "mg_guarantee",
-    "pass_at_k", "pass_at_k_summary", "majority_vote", "weighted_jaccard",
-    "weighted_dedup", "wordpiece_segment", "wordpiece_subwords",
-    "encoding_damage", "script_profile",
-    # the ENTIRE remaining r7-green cohort (30 live) — clears the
-    # floor to r8
-    "gap_fill", "gopher_quality", "image_dhash", "incremental_dedup",
-    "ivf_dedup", "ivfpq_prune", "ivfpq_recall", "ivfpq_residual",
-    "keyword_flags", "label_centroids", "minhash_lsh",
-    "multimodal_decode", "ngram_jaccard", "pagerank",
-    "range_join_events", "reassemble_chunks", "redact_pii",
-    "rh_lsh_dedup", "rollup_incr", "semdedup", "simhash",
-    "simhash_pairs", "similarity_topk", "source_mix", "term_topk",
-    "text_profile", "top_orders", "tpch_q3", "tpch_q5ish", "tpch_q6",
-    # the 2 oldest r8-cohort entries (alphabetical; cdc_chunks,
-    # cdc_dedup, containment, cube_counts, dedup_lines, domain_split,
-    # eval_confusion, eval_kappa, eval_report, event_transitions,
-    # events_rolling, fleiss_kappa, fuzzy_join_names and the remaining
-    # r8 cohort lead the r13 rotation)
-    "asof_forward", "bloom_semi_revenue",
+#: additions first, then the stalest cohort. After r12 the stalest
+#: cohort is the 48 entries last driver-green in r8 (histogram r8:48,
+#: r9:50, r10:50, r11:50, r12:50; rank_elo_large retired r8,
+#: dup_clusters retired r10 — COVERAGE.md decision log). 2 new r13
+#: queries + that ENTIRE 48-entry cohort = exactly 50, clearing the
+#: floor to r9 (VERDICT r12 task #1: no entry older than r9). Queries
+#: that are new-or-modified in r13 but do not fit the window
+#: (script_gate; the extended script_profile semantics) lead the r14
+#: rotation and are strict-selfcheck-green at HEAD meanwhile.
+_R13_WINDOW = [
+    # new in r13, never driver-checked
+    "unigram_vocab", "unigram_segment",
+    # the ENTIRE r8-green cohort (48 live) — clears the floor to r9
+    "cdc_chunks", "cdc_dedup", "containment", "cube_counts",
+    "dedup_lines", "domain_split", "eval_confusion", "eval_kappa",
+    "eval_report", "event_transitions", "events_rolling",
+    "fleiss_kappa", "fuzzy_join_names", "hard_negatives",
+    "histogram_drift", "hybrid_retrieval", "image_whash", "jsonl_scan",
+    "kmv_distinct", "kmv_join_est", "kmv_merge", "label_propagate",
+    "length_buckets", "length_histogram", "mad_outliers", "mmr_rerank",
+    "ngram_novelty", "pagerank_redistribute", "pagerank_suppliers",
+    "precision_threshold", "repetition_profile", "retention",
+    "salted_join", "shard_manifest", "shuffled_shards", "snapshot_diff",
+    "sorted_neighborhood", "strip_boilerplate", "temperature_mix",
+    "tfidf_topk", "tpch_q21ish", "two_phase_agg", "url_profile",
+    "vocab_richness", "weighted_sample_group", "winsorize_prices",
+    "word_bigrams", "zscore_outliers",
 ]
 
 
@@ -4423,6 +4446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_dedup": q_weighted_dedup,
         "wordpiece_segment": q_wordpiece_segment,
         "wordpiece_subwords": q_wordpiece_subwords,
+        "unigram_vocab": q_unigram_vocab,
+        "unigram_segment": q_unigram_segment,
         "encoding_damage": q_encoding_damage,
         "script_profile": q_script_profile,
         "lang_confidence": q_lang_confidence,
@@ -4519,10 +4544,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
     }
-    missing = [q for q in _R12_WINDOW if q not in all_qs]
+    missing = [q for q in _R13_WINDOW if q not in all_qs]
     if missing:  # a typo in the rotation list must fail loudly, not 404
-        raise KeyError(f"_R12_WINDOW names not in registry: {missing}")
-    head = {k: all_qs[k] for k in _R12_WINDOW}
+        raise KeyError(f"_R13_WINDOW names not in registry: {missing}")
+    head = {k: all_qs[k] for k in _R13_WINDOW}
     head.update(all_qs)  # dict keeps first-insertion order: window leads
     return head
 
@@ -5739,6 +5764,139 @@ def _wordpiece_sql(top: int = 64, max_len: int = 4) -> str:
         SELECT w, string_agg(piece, '|' ORDER BY idx) AS pieces,
                CAST(count(*) AS BIGINT) AS n_pieces
         FROM walk WHERE idx >= 1 GROUP BY w)"""
+
+
+def _unigram_ml(x: str) -> str:
+    """SQL for the exact piecewise-linear milli-log2 of BIGINT ``x``:
+    e = bit_length - 1 via binary-string length (no float log), then
+    1000*e + (x - 2^e)*1000 div 2^e — identical integer arithmetic to
+    operators/unigram.py::_ml."""
+    e = f"(length(format('{{:b}}', {x})) - 1)"
+    return (
+        f"(1000 * {e} + (({x} - (1::BIGINT << {e})) * 1000)"
+        f" // (1::BIGINT << {e}))"
+    )
+
+
+def _unigram_pass(sfx: str, vocab_cte: str, max_len: int) -> str:
+    """One Viterbi DP pass as CTEs (appended inside a WITH RECURSIVE):
+    transition-cost arrays per (word, position), the backward DP as a
+    recursive CTE carrying the best-cost vector as LIST state
+    (bests[j] = best cost at position pos+j), then the forward walk
+    re-deriving each step's argmin with the longest-piece tie-break
+    (max index at the minimum — mirrors the UDF's descending-length
+    strict-< loop). Produces tca{sfx}, bfin{sfx}, fwd{sfx}."""
+    maxcases = ",\n                ".join(
+        f"max(CASE WHEN l = {i} THEN cost END)"
+        for i in range(1, max_len + 1)
+    )
+    lexpr = (
+        "list_max(list_filter(list_transform(t.tc, (c, i) ->"
+        " CASE WHEN c + bf.bests[CAST(f.pos + i AS INT)]"
+        " = bf.bests[CAST(f.pos AS INT)] THEN i END),"
+        " x -> x IS NOT NULL))"
+    )
+    return f"""
+    tc{sfx} AS (
+        SELECT p.w, p.pos, length(v.piece) AS l, v.cost
+        FROM pos p JOIN {vocab_cte} v
+          ON substring(p.w, CAST(p.pos AS INT), length(v.piece)) = v.piece
+         AND p.pos + length(v.piece) - 1 <= p.L),
+    tca{sfx} AS MATERIALIZED (
+        SELECT w, pos,
+               [{maxcases}] AS tc
+        FROM tc{sfx} GROUP BY w, pos),
+    back{sfx}(w, r, bests) AS (
+        SELECT w, CAST(0 AS BIGINT), [CAST(0 AS BIGINT)] FROM wc
+        UNION ALL
+        SELECT b.w, b.r + 1,
+               list_prepend(
+                 list_min(list_filter(
+                   list_transform(t.tc, (c, i) -> c + b.bests[i]),
+                   x -> x IS NOT NULL)),
+                 b.bests)
+        FROM back{sfx} b
+        JOIN wlen wl ON wl.w = b.w
+        JOIN tca{sfx} t ON t.w = b.w AND t.pos = wl.L - b.r
+        WHERE b.r < wl.L),
+    bfin{sfx} AS MATERIALIZED (
+        SELECT b.w, b.bests FROM back{sfx} b
+        JOIN wlen wl ON wl.w = b.w AND b.r = wl.L),
+    fwd{sfx}(w, pos, idx, piece) AS (
+        SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(NULL AS VARCHAR) FROM wc
+        UNION ALL
+        SELECT f.w, f.pos + {lexpr}, f.idx + 1,
+               substring(f.w, CAST(f.pos AS INT), CAST({lexpr} AS INT))
+        FROM fwd{sfx} f
+        JOIN wlen wl ON wl.w = f.w
+        JOIN bfin{sfx} bf ON bf.w = f.w
+        JOIN tca{sfx} t ON t.w = f.w AND t.pos = f.pos
+        WHERE f.pos <= wl.L)"""
+
+
+def _unigram_sql(seed_top: int = 48, target: int = 24, max_len: int = 4) -> str:
+    """Replay of operators/unigram.py's whole hard-EM chain: seed
+    vocab (frequency full cuts + all chars, Laplace milli-log2 costs),
+    Viterbi pass A, usage recount, prune to `target` multi pieces +
+    all chars, re-cost, Viterbi pass B — every cost an exact integer
+    (see _unigram_ml), every DP comparison replayed bit-for-bit by the
+    list-state recursion in _unigram_pass. Ends with wc, v1, vc1,
+    bfinB, fwdB for the two [Q] tails."""
+    ml_t = _unigram_ml("tp")
+    ml_f = _unigram_ml("(f + 1)")
+    return f"""
+    WITH RECURSIVE wc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS weight FROM (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+            FROM documents) t
+        GROUP BY w),
+    wlen AS MATERIALIZED (
+        SELECT w, CAST(length(w) AS BIGINT) AS L FROM wc),
+    pos AS MATERIALIZED (
+        SELECT wl.w, wl.L, CAST(p AS BIGINT) AS pos
+        FROM wlen wl, unnest(range(1, wl.L + 1)) AS tp(p)),
+    pc AS (
+        SELECT substring(w, CAST(p AS INT), CAST(l AS INT)) AS piece,
+               sum(weight) AS occ
+        FROM wc,
+             unnest(range(1, length(w) + 1)) AS tp(p),
+             unnest(range(2, {max_len + 1})) AS tl(l)
+        WHERE p + l - 1 <= length(w)
+        GROUP BY 1),
+    multi0 AS (SELECT piece, CAST(occ AS BIGINT) AS f FROM pc
+               ORDER BY occ DESC, piece ASC LIMIT {seed_top}),
+    chars0 AS (
+        SELECT substring(w, CAST(p AS INT), 1) AS piece,
+               CAST(sum(weight) AS BIGINT) AS f
+        FROM wc, unnest(range(1, length(w) + 1)) AS tp(p)
+        GROUP BY 1),
+    v0 AS (SELECT piece, f FROM multi0
+           UNION ALL SELECT piece, f FROM chars0),
+    t0 AS (SELECT CAST(sum(f + 1) AS BIGINT) AS tp FROM v0),
+    vc0 AS MATERIALIZED (
+        SELECT piece, CAST({ml_t} - {ml_f} AS BIGINT) AS cost
+        FROM v0, t0),
+    {_unigram_pass("A", "vc0", max_len)},
+    usageA AS (
+        SELECT f.piece, CAST(sum(wc.weight) AS BIGINT) AS usage
+        FROM fwdA f JOIN wc ON wc.w = f.w
+        WHERE f.idx >= 1 GROUP BY 1),
+    multi1 AS (SELECT piece, usage AS f FROM usageA
+               WHERE length(piece) > 1
+               ORDER BY usage DESC, piece ASC LIMIT {target}),
+    chars1 AS (
+        SELECT c.piece, CAST(coalesce(u.usage, 0) AS BIGINT) AS f
+        FROM (SELECT DISTINCT piece FROM chars0) c
+        LEFT JOIN usageA u USING (piece)),
+    v1 AS (SELECT piece, f FROM multi1
+           UNION ALL SELECT piece, f FROM chars1),
+    t1 AS (SELECT CAST(sum(f + 1) AS BIGINT) AS tp FROM v1),
+    vc1 AS MATERIALIZED (
+        SELECT piece, CAST({ml_t} - {ml_f} AS BIGINT) AS cost
+        FROM v1, t1),
+    {_unigram_pass("B", "vc1", max_len)}"""
 
 
 def _mojibake_sql() -> str:
@@ -9904,6 +10062,32 @@ def oracle_sql() -> dict[str, str]:
                   FROM wc JOIN segs USING (w))
             GROUP BY subword
             ORDER BY occurrences DESC, subword ASC LIMIT 20
+        """,
+        "unigram_vocab": _unigram_sql(seed_top=48, target=24, max_len=4)
+        + """
+            , usageB AS (
+                SELECT f.piece, CAST(sum(wc.weight) AS BIGINT) AS usage,
+                       CAST(count(DISTINCT f.w) AS BIGINT) AS n_words
+                FROM fwdB f JOIN wc ON wc.w = f.w
+                WHERE f.idx >= 1 GROUP BY 1)
+            SELECT v.piece, length(v.piece) = 1 AS is_char,
+                   c.cost AS cost_milli,
+                   CAST(coalesce(u.usage, 0) AS BIGINT) AS usage,
+                   CAST(coalesce(u.n_words, 0) AS BIGINT) AS n_words
+            FROM v1 v JOIN vc1 c USING (piece)
+            LEFT JOIN usageB u USING (piece)
+            ORDER BY piece
+        """,
+        "unigram_segment": _unigram_sql(seed_top=48, target=24, max_len=4)
+        + """
+            , segs AS (
+                SELECT w, string_agg(piece, '|' ORDER BY idx) AS pieces,
+                       CAST(count(*) AS BIGINT) AS n_pieces
+                FROM fwdB WHERE idx >= 1 GROUP BY w)
+            SELECT wc.w, wc.weight, segs.pieces, segs.n_pieces,
+                   bf.bests[1] AS cost_milli
+            FROM wc JOIN segs USING (w) JOIN bfinB bf ON bf.w = wc.w
+            ORDER BY w
         """,
         "pass_at_k": """
             WITH per AS (

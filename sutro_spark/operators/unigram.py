@@ -1,0 +1,269 @@
+"""Unigram-LM (SentencePiece-style) subword tokenizer.
+
+Completes the production-tokenizer triad next to ``operators/bpe.py``
+(learned merges) and ``operators/wordpiece.py`` (greedy longest
+match): Kudo 2018 (arXiv:1804.10959) segments a word into the piece
+sequence MAXIMIZING likelihood under independent piece probabilities
+— equivalently minimizing summed negative log-probs — found by
+Viterbi DP, with the vocabulary induced by pruning a large seed set.
+This is the tokenizer family today's open-data stacks default to
+(SentencePiece unigram; reference semantics mirror the client-side
+text plumbing a batch-LLM service's users run upstream of
+docs.sutro.sh-style inference jobs).
+
+Two deliberate divergences from the SentencePiece reference, both
+stated because they buy engine-reproducibility:
+
+- **Hard EM (Viterbi-EM) instead of soft EM.** Each round segments
+  the corpus under the current vocabulary, recounts piece usage from
+  the single best segmentation (not forward–backward expected
+  counts), keeps the ``target`` best multi-char pieces plus EVERY
+  single character (the closed completeness class that guarantees
+  segmentation never dead-ends), and re-derives costs.
+- **Exact integer milli-log2 costs instead of float ln.** cost(p) =
+  ml(T') − ml(f_p + 1), where f_p is the piece's weight, T' = Σ
+  (f + 1) over the vocabulary (Laplace +1 keeps zero-usage chars
+  finite), and ml is the piecewise-linear milli-log2: for f in
+  [2^e, 2^(e+1)), ml(f) = 1000·e + (f − 2^e)·1000 div 2^e, with
+  e = bit_length(f) − 1. Every quantity is an exact integer both
+  engines compute identically (e via binary-string length in SQL),
+  so each DP comparison is integer arithmetic — the
+  no-transcendentals discipline (cf. bm25's rational idf surrogate).
+  Bound: (f − 2^e)·1000 needs f < 2^53 — far above any corpus count
+  this sees before the weights themselves overflow.
+
+Viterbi ties break to the LONGEST piece (iterate lengths descending,
+replace on strictly-smaller cost); at a fixed (position, length)
+there is exactly one substring, so no further tie exists. The DuckDB
+oracle replays the DP bit-for-bit as recursive CTEs carrying the
+best-cost vector as list state (see ``_unigram_sql`` in
+``__spark_entry__.py``).
+
+Scale shape: the corpus is touched ONCE (the tokenize+count shuffle
+to the distinct-word table — the bpe.py/wordpiece.py discipline);
+each EM round is one Arrow-batched DP pass over distinct words
+(O(len · max_piece_len) per word) plus one explode+groupBy usage
+count; only the BOUNDED vocabulary (≤ seed_top + alphabet rows, the
+kmeans-centroid collect class) ever reaches the driver. Corpus size
+stops mattering after the first shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sutro_spark.operators.wordpiece import _word_counts, wordpiece_vocab
+
+__all__ = ["unigram_vocab", "unigram_segment"]
+
+
+def _ml(f: int) -> int:
+    """Exact piecewise-linear milli-log2 (f >= 1): 1000*e plus the
+    linear interpolation within the octave, e = bit_length - 1."""
+    e = f.bit_length() - 1
+    return 1000 * e + ((f - (1 << e)) * 1000) // (1 << e)
+
+
+def _costs(counts: dict) -> tuple:
+    """(piece -> integer milli cost, unknown-piece cost). Laplace +1
+    on every piece; the unknown cost is ml(T') - ml(1) = ml(T'), i.e.
+    an unseen piece priced as Laplace count 1 (fires only on
+    cross-corpus apply — induction-corpus chars are always in vocab).
+    """
+    tp = sum(c + 1 for c in counts.values())
+    return {p: _ml(tp) - _ml(c + 1) for p, c in counts.items()}, _ml(tp)
+
+
+def _viterbi_pass(
+    wc: DataFrame, costs: dict, unk: int, max_len: int
+) -> DataFrame:
+    """One Viterbi segmentation pass over the distinct-word table:
+    (w, weight, pieces array<string>, cost bigint). The bounded cost
+    dict broadcasts into ONE Arrow-batched pandas UDF; the DP is
+    integer-only, ties to the longest piece."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    costs = dict(costs)
+    schema = StructType(
+        [
+            StructField("pieces", ArrayType(StringType())),
+            StructField("cost", LongType()),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def seg(words: pd.Series) -> pd.DataFrame:
+        def walk(w: str):
+            big = len(w)
+            best = [0] * (big + 1)
+            choice = [1] * (big + 1)
+            for pos in range(big - 1, -1, -1):
+                b, cl = None, 1
+                # descending lengths + strict < keeps the LONGEST
+                # piece on cost ties — mirrored by the oracle's
+                # max-index-at-min rule
+                for l in range(min(max_len, big - pos), 0, -1):
+                    c = costs.get(w[pos : pos + l])
+                    if c is None:
+                        if l > 1:
+                            continue
+                        c = unk
+                    cand = c + best[pos + l]
+                    if b is None or cand < b:
+                        b, cl = cand, l
+                best[pos], choice[pos] = b, cl
+            out, pos = [], 0
+            while pos < big:
+                out.append(w[pos : pos + choice[pos]])
+                pos += choice[pos]
+            return out, best[0]
+
+        res = [walk(w) for w in words]
+        return pd.DataFrame(
+            {"pieces": [r[0] for r in res], "cost": [r[1] for r in res]}
+        )
+
+    return wc.select("w", "weight", seg(F.col("w")).alias("__s")).select(
+        "w",
+        "weight",
+        F.col("__s.pieces").alias("pieces"),
+        F.col("__s.cost").alias("cost"),
+    )
+
+
+def _induce(
+    df: DataFrame,
+    text_column: str,
+    *,
+    max_piece_len: int,
+    seed_top: int,
+    target: int,
+    rounds: int,
+):
+    """Seed + hard-EM prune. Returns (wc, costs, counts, chars, unk):
+    the distinct-word table (still distributed) and the final bounded
+    vocabulary state (driver-side dicts — ≤ seed_top + alphabet)."""
+    if target < 1:
+        raise ValueError(f"target must be >= 1, got {target}")
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    seed = wordpiece_vocab(
+        df, text_column, max_piece_len=max_piece_len, top=seed_top
+    )
+    rows = seed.collect()  # bounded: seed_top + alphabet
+    counts = {r["piece"]: int(r["occurrences"]) for r in rows}
+    chars = {r["piece"] for r in rows if r["is_char"]}
+    wc = _word_counts(df, text_column)
+    costs, unk = _costs(counts)
+    for _ in range(rounds):
+        segf = _viterbi_pass(wc, costs, unk, max_piece_len)
+        usage = (
+            segf.select("weight", F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("weight").cast("long").alias("usage"))
+        )
+        urows = {r["piece"]: int(r["usage"]) for r in usage.collect()}
+        # prune: the `target` best USED multi-char pieces (usage desc,
+        # piece asc — deterministic); every single char survives with
+        # its usage (0 if the DP never chose it — Laplace keeps it
+        # finite)
+        multi = sorted(
+            ((p, u) for p, u in urows.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )[:target]
+        counts = dict(multi)
+        counts.update({c: urows.get(c, 0) for c in chars})
+        costs, unk = _costs(counts)
+    return wc, costs, counts, chars, unk
+
+
+def unigram_vocab(
+    df: DataFrame,
+    text_column: str = "text",
+    *,
+    max_piece_len: int = 4,
+    seed_top: int = 48,
+    target: int = 24,
+    rounds: int = 1,
+) -> DataFrame:
+    """Induced unigram-LM vocabulary with final usage statistics: the
+    pruned pieces, their exact integer milli-log2 costs, and how the
+    final Viterbi pass actually used them (the bpe_vocab-shaped
+    evidence the EM prune kept pieces the DP wants).
+
+    Output: (piece, is_char boolean, cost_milli bigint, usage bigint
+    — summed word weights over every DP use, n_words bigint).
+    """
+    wc, costs, counts, chars, unk = _induce(
+        df,
+        text_column,
+        max_piece_len=max_piece_len,
+        seed_top=seed_top,
+        target=target,
+        rounds=rounds,
+    )
+    segf = _viterbi_pass(wc, costs, unk, max_piece_len)
+    stats = (
+        segf.select("w", "weight", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(
+            F.sum("weight").cast("long").alias("usage"),
+            F.count_distinct("w").alias("n_words"),
+        )
+    )
+    spark = df.sparkSession
+    vdf = spark.createDataFrame(
+        [(p, p in chars, costs[p]) for p in sorted(counts)],
+        "piece string, is_char boolean, cost_milli long",
+    )
+    return vdf.join(stats, "piece", "left").select(
+        "piece",
+        "is_char",
+        "cost_milli",
+        F.coalesce(F.col("usage"), F.lit(0)).cast("long").alias("usage"),
+        F.coalesce(F.col("n_words"), F.lit(0)).cast("long").alias("n_words"),
+    )
+
+
+def unigram_segment(
+    df: DataFrame,
+    text_column: str = "text",
+    *,
+    max_piece_len: int = 4,
+    seed_top: int = 48,
+    target: int = 24,
+    rounds: int = 1,
+) -> DataFrame:
+    """Viterbi segmentation of the distinct-word table under the
+    induced unigram vocabulary (the famous, deterministic part of the
+    unigram model: min-cost piece sequence, longest-piece tie-break).
+
+    Output: (w, weight, pieces string — '|'-joined display of the
+    true piece array, n_pieces bigint, cost_milli bigint — the DP's
+    total cost, i.e. the word's negative milli-log2 likelihood).
+    """
+    wc, costs, counts, chars, unk = _induce(
+        df,
+        text_column,
+        max_piece_len=max_piece_len,
+        seed_top=seed_top,
+        target=target,
+        rounds=rounds,
+    )
+    segf = _viterbi_pass(wc, costs, unk, max_piece_len)
+    return segf.select(
+        "w",
+        "weight",
+        F.array_join("pieces", "|").alias("pieces"),
+        F.size("pieces").cast("long").alias("n_pieces"),
+        F.col("cost").alias("cost_milli"),
+    )

@@ -406,3 +406,16 @@ def test_script_profile_is_shuffle_free_projection(spark):
     assert "Join" not in plan
     assert "HashAggregate" not in plan
     assert plan.count("Exchange") <= 1, plan[:1500]
+
+
+def test_unigram_segment_bounded_arrow_stages(spark):
+    # r13: each Viterbi pass is ONE Arrow stage over the distinct-word
+    # table; the EM round's pass ran EAGERLY during induction (its
+    # bounded usage collect), so the returned plan carries exactly the
+    # final pass's single Arrow stage; tokenize/count stays JVM-side
+    # map-side-combinable; no all-pairs product.
+    plan = _plan(spark, "unigram_segment")
+    assert plan.count("ArrowEvalPython") == 1, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial" in plan.lower()
