@@ -4099,6 +4099,57 @@ def q_wordpiece_subwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_subwords(docs, top=64, report_top=20)
 
 
+#: deterministic per-script injections for q_script_gate: (modulus,
+#: snippet). Single source of truth for Spark AND the oracle — every
+#: char is inside its SCRIPT_CLASSES BMP block, so both engines count
+#: identically. Base text is truncated to 60 chars so the minority
+#: scripts can push the dominant ratio under the gate threshold and
+#: the mixed flag fires non-vacuously.
+_SCRIPT_GATE_INJECT = [
+    (5, " привет мир"
+        " привет мир"),  # ru x2
+    (9, " 你好世界你好世界"),  # zh x2
+    (7, " مرحبا"
+        " بالعالم"),  # ar
+    (11, " नमस्ते"),  # hi
+    (13, " 안녕하세요"),  # ko
+    (17, " γεια σου"
+         " κόσμε"),  # el
+    (19, " שלום עולם"),  # he
+    (23, " สวัสดี"
+         "ชาวโลก"),  # th
+]
+
+
+def q_script_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full multilingual script gate (r13, VERDICT #4): all nine
+    # SCRIPT_CLASSES counted per doc by regexp-strip arithmetic (pure
+    # projection — zero joins/shuffles, stream-safe), dominant script
+    # with the FIXED class-order tie-break, exact integer dominant
+    # milli ratio, and the mixed anomaly flag (dominant < 800 per
+    # mille of letters -> route to language-ID review). Input rebuilt
+    # deterministically in both engines from _SCRIPT_GATE_INJECT.
+    from sutro_spark.functions.text import script_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    # every 25th doc keeps only 10 base chars so its injections DOMINATE
+    # — exercises the non-latin dominant branches, not just the flag
+    ct = F.expr(
+        "substring(coalesce(text, ''), 1,"
+        " CASE WHEN doc_id % 25 = 0 THEN 10 ELSE 60 END)"
+    )
+    for mod, snip in _SCRIPT_GATE_INJECT:
+        ct = F.concat(
+            ct,
+            F.when(F.col("doc_id") % mod == 0, F.lit(snip)).otherwise(
+                F.lit("")
+            ),
+        )
+    return script_gate(
+        docs.select("doc_id", ct.alias("text")), dominant_threshold_milli=800
+    ).orderBy("id")
+
+
 def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Unigram-LM (SentencePiece, Kudo 2018) vocabulary induction —
     # completes the production-tokenizer triad next to BPE (learned
@@ -4448,6 +4499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_subwords": q_wordpiece_subwords,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
+        "script_gate": q_script_gate,
         "encoding_damage": q_encoding_damage,
         "script_profile": q_script_profile,
         "lang_confidence": q_lang_confidence,
@@ -5897,6 +5949,58 @@ def _unigram_sql(seed_top: int = 48, target: int = 24, max_len: int = 4) -> str:
         SELECT piece, CAST({ml_t} - {ml_f} AS BIGINT) AS cost
         FROM v1, t1),
     {_unigram_pass("B", "vc1", max_len)}"""
+
+
+def _script_gate_sql(threshold: int = 800) -> str:
+    """Replay of q_script_gate: rebuild the deterministically injected
+    multilingual text from _SCRIPT_GATE_INJECT (one source of truth),
+    then the nine SCRIPT_CLASSES strip counts, class-order dominant
+    tie-break, exact milli ratio, and the mixed gate — generated FROM
+    the same class list the Spark operator uses."""
+    from sutro_spark.functions.text import SCRIPT_CLASSES
+
+    inj = "".join(
+        f"\n                   || CASE WHEN doc_id % {m} = 0"
+        f" THEN '{s}' ELSE '' END"
+        for m, s in _SCRIPT_GATE_INJECT
+    )
+    counts = ",\n                   ".join(
+        "CAST(length(ct) - length(regexp_replace(ct, '"
+        + ("[A-Za-z]" if rng is None
+           else f"[\\x{{{rng[0]:04X}}}-\\x{{{rng[1]:04X}}}]")
+        + f"', '', 'g')) AS BIGINT) AS n_{name}"
+        for name, rng in SCRIPT_CLASSES
+    )
+    names = [name for name, _ in SCRIPT_CLASSES]
+    total = " + ".join(f"n_{n}" for n in names)
+    maxc = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    dom = "".join(
+        f"\n                        WHEN n_{n} = maxc THEN '{n}'"
+        for n in names
+    )
+    sel = ", ".join(f"n_{n}" for n in names)
+    return f"""
+            WITH m AS (
+                SELECT doc_id AS id,
+                   substring(coalesce(text, ''), 1,
+                       CASE WHEN doc_id % 25 = 0 THEN 10
+                            ELSE 60 END){inj} AS ct
+                FROM documents),
+            p AS (
+                SELECT id, CAST(length(ct) AS BIGINT) AS n_chars,
+                   {counts}
+                FROM m),
+            q AS (SELECT *, CAST({total} AS BIGINT) AS n_letters,
+                         {maxc} AS maxc FROM p)
+            SELECT id, n_chars, {sel}, n_letters,
+                   CASE WHEN n_letters = 0 THEN 'none'{dom}
+                        END AS dominant,
+                   CASE WHEN n_letters > 0
+                        THEN (1000 * maxc) // n_letters
+                        END AS dominant_milli,
+                   (n_letters > 0 AND
+                    (1000 * maxc) // n_letters < {threshold}) AS mixed
+            FROM q ORDER BY id"""
 
 
 def _mojibake_sql() -> str:
@@ -10011,6 +10115,7 @@ def oracle_sql() -> dict[str, str]:
         """
         + _KEEP_BEST_TAIL,
         "encoding_damage": _mojibake_sql(),
+        "script_gate": _script_gate_sql(threshold=800),
         "script_profile": """
             WITH m AS (
                 SELECT doc_id AS id,

@@ -1393,3 +1393,97 @@ def script_profile(df, text_column: str = "text", id_column: str = "doc_id"):
         ).alias("latin_milli"),
         "dominant",
     )
+
+
+#: The full multilingual script-class set (FineWeb2/CC-style gates):
+#: name -> BMP codepoint range, priority = LIST ORDER on dominant
+#: ties (stated, deterministic). Latin is None -> ASCII letters
+#: [A-Za-z] (the profile convention script_profile set). Every range
+#: is a clean BMP block, one unit in both UTF-16 (Spark length) and
+#: codepoint (DuckDB length) semantics, so counts agree cross-engine.
+SCRIPT_CLASSES = [
+    ("latin", None),
+    ("cyrillic", (0x0400, 0x04FF)),
+    ("cjk", (0x4E00, 0x9FFF)),
+    ("arabic", (0x0600, 0x06FF)),
+    ("devanagari", (0x0900, 0x097F)),
+    ("hangul", (0xAC00, 0xD7A3)),
+    ("greek", (0x0370, 0x03FF)),
+    ("hebrew", (0x0590, 0x05FF)),
+    ("thai", (0x0E00, 0x0E7F)),
+]
+
+
+def script_gate(
+    df,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    dominant_threshold_milli: int = 800,
+):
+    """Full multilingual script gate (the FineWeb2/CC class set that
+    :func:`script_profile`'s 3-script starter grows into): per-doc
+    letter counts for all nine SCRIPT_CLASSES via the same
+    regexp-strip arithmetic (len - len(strip(class)) -- pure
+    projection, zero joins/shuffles, stream-safe, exact integers),
+    the dominant script (max count, ties -> SCRIPT_CLASSES order,
+    'none' when no letters), its exact integer milli ratio of all
+    script letters, and the ``mixed`` anomaly flag: letters present
+    but the dominant script holds less than ``dominant_threshold_milli``
+    per mille of them -- the route-to-language-ID-review signal (a
+    "French" doc that is 40% CJK is mislabeled or mojibake).
+
+    Output: (id, n_chars, n_latin, n_cyrillic, n_cjk, n_arabic,
+    n_devanagari, n_hangul, n_greek, n_hebrew, n_thai, n_letters,
+    dominant string, dominant_milli bigint -- NULL when no letters,
+    mixed boolean).
+    """
+    from pyspark.sql import functions as F
+
+    t = F.coalesce(F.col(text_column), F.lit(""))
+
+    def _n(pattern):
+        return (
+            F.length(t) - F.length(F.regexp_replace(t, pattern, ""))
+        ).cast("long")
+
+    counts = {}
+    for name, rng in SCRIPT_CLASSES:
+        pat = "[A-Za-z]" if rng is None else f"[\\u{rng[0]:04X}-\\u{rng[1]:04X}]"
+        counts[name] = _n(pat)
+    base = df.select(
+        F.col(id_column).alias("id"),
+        F.length(t).cast("long").alias("n_chars"),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+    )
+    cols = [F.col(f"n_{name}") for name, _ in SCRIPT_CLASSES]
+    n_letters = cols[0]
+    for c in cols[1:]:
+        n_letters = n_letters + c
+    maxc = F.greatest(*cols)
+    dom = F.when(n_letters == F.lit(0), F.lit("none"))
+    for name, _ in SCRIPT_CLASSES:  # first class at the max wins ties
+        dom = dom.when(F.col(f"n_{name}") == maxc, F.lit(name))
+    with_dom = base.select(
+        "*",
+        n_letters.cast("long").alias("n_letters"),
+        dom.alias("dominant"),
+        F.when(n_letters > F.lit(0), (F.lit(1000) * maxc))
+        .otherwise(F.lit(None))
+        .alias("__num"),
+    )
+    return with_dom.select(
+        "id",
+        "n_chars",
+        *[f"n_{name}" for name, _ in SCRIPT_CLASSES],
+        "n_letters",
+        "dominant",
+        F.expr("CAST(__num div n_letters AS BIGINT)").alias("dominant_milli"),
+        (
+            (F.col("n_letters") > 0)
+            & (
+                F.expr("__num div n_letters")
+                < F.lit(dominant_threshold_milli)
+            )
+        ).alias("mixed"),
+    )

@@ -1087,3 +1087,37 @@ def test_script_profile_counts_and_dominant(spark):
     assert got[4]["latin_milli"] is None and got[4]["dominant"] == "none"
     assert got[5]["n_chars"] == 0 and got[5]["dominant"] == "none"
     assert got[6]["dominant"] == "latin"  # fixed tie order, stated
+
+
+def test_script_gate_full_class_set(spark):
+    from sutro_spark.functions.text import SCRIPT_CLASSES, script_gate
+
+    rows = [
+        (1, "hello مرحبا"),  # latin 5, arabic 5 -> tie -> latin (class order)
+        (2, "नमस्ते"),  # devanagari 6
+        (3, "안녕 ok"),  # hangul 2, latin 2 -> tie -> latin first
+        (4, "γεια שלום สวัส"),  # el 4 he 4 th 4
+        (5, None),
+        (6, "aaaaaaa мир"),  # latin 7 of 10 -> 700 < 800 -> mixed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in script_gate(df).collect()}
+    assert got[1]["n_arabic"] == 5 and got[1]["dominant"] == "latin"
+    assert got[2]["n_devanagari"] == 6 and got[2]["dominant"] == "devanagari"
+    assert got[2]["dominant_milli"] == 1000 and got[2]["mixed"] is False
+    assert got[3]["n_hangul"] == 2 and got[3]["dominant"] == "latin"
+    # three-way tie -> first class in SCRIPT_CLASSES order among ties
+    assert got[4]["n_greek"] == 4 and got[4]["n_hebrew"] == 4
+    assert got[4]["n_thai"] == 4 and got[4]["dominant"] == "greek"
+    assert got[4]["mixed"] is True  # 333 < 800
+    assert got[5]["dominant"] == "none" and got[5]["dominant_milli"] is None
+    assert got[5]["mixed"] is False
+    assert got[6]["dominant_milli"] == 700 and got[6]["mixed"] is True
+    # threshold is a parameter
+    strict = {r["id"]: r for r in script_gate(df, dominant_threshold_milli=600).collect()}
+    assert strict[6]["mixed"] is False
+    # class list covers the nine documented scripts
+    assert [n for n, _ in SCRIPT_CLASSES] == [
+        "latin", "cyrillic", "cjk", "arabic", "devanagari",
+        "hangul", "greek", "hebrew", "thai",
+    ]

@@ -419,3 +419,13 @@ def test_unigram_segment_bounded_arrow_stages(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial" in plan.lower()
+
+
+def test_script_gate_is_shuffle_free_projection(spark):
+    # r13: the nine-class gate stays a per-row projection like
+    # script_profile — only the presentation sort may exchange.
+    plan = _plan(spark, "script_gate")
+    assert "PythonUDF" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert plan.count("Exchange") <= 1, plan[:1500]
