@@ -304,22 +304,28 @@ def main() -> None:
                 "sec": round(time.time() - t0, 3),
             }
             # r12: exact-rescore refinement — the lever the r11
-            # saturation note named. ADC shortlist (rescore_k=50) joins
+            # saturation note named. ADC shortlist (rescore_k) joins
             # back the raw vectors for JUST those ids and re-ranks by
-            # exact L2; recall here vs the nprobe_16 row above is the
+            # exact L2; recall vs the nprobe_16 row above is the
             # quantization loss the rescore buys back, at O(q*c) cost.
-            t0 = time.time()
-            approx = ivfpq_residual_topk(
-                emb, queries, k=10, n_codes=256, coarse_k=32,
-                coarse_iters=4, nprobe=16, rescore_k=50,
-            )
-            row = candidate_recall(
-                exact, approx, keys=("query_id", "neighbor_id")
-            ).first()
-            sweep["nprobe_16_rescore_50"] = {
-                "recall_at_10": round(row["recall"], 4) if row["recall"] is not None else None,
-                "sec": round(time.time() - t0, 3),
-            }
+            # r13 (VERDICT #3): the single r12 point becomes a
+            # rescore_k SWEEP so a user tuning recall/latency has a
+            # frontier, not one point to extrapolate from — where THIS
+            # curve flattens is the residual codebook/rotation loss
+            # (the next lever: OPQ-lite, see SCALING.md).
+            for rk in (25, 50, 100, 200):
+                t0 = time.time()
+                approx = ivfpq_residual_topk(
+                    emb, queries, k=10, n_codes=256, coarse_k=32,
+                    coarse_iters=4, nprobe=16, rescore_k=rk,
+                )
+                row = candidate_recall(
+                    exact, approx, keys=("query_id", "neighbor_id")
+                ).first()
+                sweep[f"nprobe_16_rescore_{rk}"] = {
+                    "recall_at_10": round(row["recall"], 4) if row["recall"] is not None else None,
+                    "sec": round(time.time() - t0, 3),
+                }
         finally:
             exact.unpersist()
         ann_probes["ivfpq_recall_prod"] = {
@@ -456,6 +462,33 @@ def main() -> None:
         }
     except Exception as exc:  # noqa: BLE001
         errors["bpe_encode_1k"] = f"{type(exc).__name__}: {exc}"[:400]
+
+    # r13 (VERDICT #6): FFD seam-waste honesty sweep — blocked packing
+    # bounds waste at <= 1 half-empty bin per group_size block; this
+    # MEASURES per-mille fill at group_size 64/256/1024 so a user
+    # sizing blocks sees what the bound costs in practice (larger
+    # blocks amortize block-seam waste -> higher fill, at O(G^2)
+    # per-task packing work; the [Q]'s bound_ok verdict rides along).
+    try:
+        from sutro_spark.operators.packing import ffd_pack, ffd_stats
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        fsw = {}
+        for gs in (64, 256, 1024):
+            t0 = time.time()
+            st = ffd_stats(
+                ffd_pack(docs, budget=96, group_size=gs), budget=96
+            ).first()
+            fsw[f"group_{gs}"] = {
+                "fill_per_mille": st["fill_per_mille"],
+                "n_bins": st["n_bins"],
+                "lb_bins": st["lb_bins"],
+                "bound_ok": st["bound_ok"],
+                "sec": round(time.time() - t0, 3),
+            }
+        ann_probes["ffd_fill_sweep"] = {"budget": 96, **fsw}
+    except Exception as exc:  # noqa: BLE001
+        errors["ffd_fill_sweep"] = f"{type(exc).__name__}: {exc}"[:400]
 
     # BASELINE.md-promised metric: prefix-sample cost-estimate accuracy.
     # Ratio of the C6 sampled-prefix input-token estimate to the exact
