@@ -4150,6 +4150,56 @@ def q_script_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def _ndcg_fixture(spark: SparkSession, sf_dir: str):
+    # deterministic graded qrels + an arithmetic ranking both engines
+    # rebuild: 20 queries, 37 items, grades 0..3 (max per pair), ranked
+    # list item = (5q + 7r) mod 37 (37 prime -> distinct per query)
+    ev = _t(spark, sf_dir, "events")
+    judged = ev.select(
+        (F.col("user_id") % 20).alias("query_id"),
+        (F.col("event_id") % 37).alias("item_id"),
+        (F.col("event_id") % 4).cast("long").alias("grade"),
+    )
+    ranked = (
+        judged.select("query_id")
+        .distinct()
+        .select(
+            "query_id",
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("rank"),
+        )
+        .select(
+            "query_id",
+            ((F.col("query_id") * 5 + F.col("rank") * 7) % 37).alias(
+                "item_id"
+            ),
+            "rank",
+        )
+    )
+    return judged, ranked
+
+
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NDCG@10 with graded relevance (Järvelin & Kekäläinen 2002) — the
+    # ranked-retrieval metric the binary MRR/hit/AP family cannot
+    # express. Exact discipline: 2^grade-1 gains via shiftleft, the
+    # FIXED micro-discount table embedded as literals in both engines
+    # (_ndcg_discounts — the log never runs engine-side), one trailing
+    # division; grade>18 raises rather than wrapping.
+    from sutro_spark.operators.metrics import ndcg
+
+    judged, ranked = _ndcg_fixture(spark, sf_dir)
+    return ndcg(judged, ranked, k=10).orderBy("query")
+
+
+def q_ndcg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus verdict: exact-micro mean + the zero-ideal count (queries
+    # whose judgments are all grade 0 — counted, never dropped).
+    from sutro_spark.operators.metrics import ndcg_summary
+
+    judged, ranked = _ndcg_fixture(spark, sf_dir)
+    return ndcg_summary(judged, ranked, k=10)
+
+
 def q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Unigram-LM (SentencePiece, Kudo 2018) vocabulary induction —
     # completes the production-tokenizer triad next to BPE (learned
@@ -4500,6 +4550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
         "script_gate": q_script_gate,
+        "ndcg": q_ndcg,
+        "ndcg_summary": q_ndcg_summary,
         "encoding_damage": q_encoding_damage,
         "script_profile": q_script_profile,
         "lang_confidence": q_lang_confidence,
@@ -5949,6 +6001,50 @@ def _unigram_sql(seed_top: int = 48, target: int = 24, max_len: int = 4) -> str:
         SELECT piece, CAST({ml_t} - {ml_f} AS BIGINT) AS cost
         FROM v1, t1),
     {_unigram_pass("B", "vc1", max_len)}"""
+
+
+def _ndcg_sql(k: int = 10) -> str:
+    """Replay of the q_ndcg fixture + metric: the SAME micro-discount
+    literals as the Spark side (generated by _ndcg_discounts — one
+    source of truth, the log never runs in either engine), shiftleft
+    gains, best-rank dedup, ideal ranking window. Ends with CTEs
+    q/d/i for the per-query and summary tails."""
+    from sutro_spark.operators.metrics import _ndcg_discounts
+
+    disc = "[" + ", ".join(str(d) for d in _ndcg_discounts(k)) + "]"
+    return f"""
+            WITH j AS (
+                SELECT user_id % 20 AS query, event_id % 37 AS item,
+                       CAST(max(event_id % 4) AS BIGINT) AS grade
+                FROM events GROUP BY 1, 2),
+            q AS (SELECT DISTINCT query FROM j),
+            r AS (SELECT query, (query * 5 + rank * 7) % 37 AS item,
+                         CAST(rank AS BIGINT) AS rank
+                  FROM q, unnest(range(1, {k + 1})) AS t(rank)),
+            r2 AS (SELECT query, item, min(rank) AS rank
+                   FROM r GROUP BY 1, 2),
+            d AS (SELECT j.query,
+                         CAST(sum(((1::BIGINT << grade) - 1)
+                             * ({disc})[CAST(r2.rank AS INT)])
+                             AS BIGINT) AS dcg_micro
+                  FROM r2 JOIN j ON j.query = r2.query
+                                AND j.item = r2.item
+                  GROUP BY 1),
+            i AS (SELECT query,
+                         CAST(sum(((1::BIGINT << grade) - 1)
+                             * ({disc})[CAST(rn AS INT)])
+                             AS BIGINT) AS idcg_micro
+                  FROM (SELECT query, grade,
+                               row_number() OVER (PARTITION BY query
+                                   ORDER BY grade DESC, item ASC) AS rn
+                        FROM j) s
+                  WHERE rn <= {k} GROUP BY 1),
+            per AS (
+                SELECT q.query,
+                       coalesce(d.dcg_micro, 0) AS dcg_micro,
+                       coalesce(i.idcg_micro, 0) AS idcg_micro
+                FROM q LEFT JOIN d USING (query)
+                       LEFT JOIN i USING (query))"""
 
 
 def _script_gate_sql(threshold: int = 800) -> str:
@@ -10115,6 +10211,34 @@ def oracle_sql() -> dict[str, str]:
         """
         + _KEEP_BEST_TAIL,
         "encoding_damage": _mojibake_sql(),
+        "ndcg": _ndcg_sql(k=10)
+        + """
+            SELECT query, dcg_micro, idcg_micro,
+                   CASE WHEN idcg_micro > 0 THEN
+                       CAST((1000000 * dcg_micro) // idcg_micro AS BIGINT)
+                       END AS ndcg_micro,
+                   CASE WHEN idcg_micro > 0 THEN
+                       CAST(dcg_micro AS DOUBLE)
+                       / CAST(idcg_micro AS DOUBLE) END AS ndcg
+            FROM per ORDER BY query
+        """,
+        "ndcg_summary": _ndcg_sql(k=10)
+        + """
+            SELECT CAST(coalesce(sum(CASE WHEN idcg_micro > 0
+                       THEN 1 END), 0) AS BIGINT) AS n_queries,
+                   CAST(coalesce(sum(CASE WHEN idcg_micro = 0
+                       THEN 1 END), 0) AS BIGINT) AS n_zero_ideal,
+                   CAST(sum(CASE WHEN idcg_micro > 0 THEN
+                       (1000000 * dcg_micro) // idcg_micro END)
+                       // sum(CASE WHEN idcg_micro > 0 THEN 1 END)
+                       AS BIGINT) AS mean_ndcg_micro,
+                   CAST(sum(CASE WHEN idcg_micro > 0 THEN
+                       (1000000 * dcg_micro) // idcg_micro END)
+                       AS DOUBLE)
+                       / CAST(1000000 * sum(CASE WHEN idcg_micro > 0
+                           THEN 1 END) AS DOUBLE) AS mean_ndcg
+            FROM per
+        """,
         "script_gate": _script_gate_sql(threshold=800),
         "script_profile": """
             WITH m AS (

@@ -959,6 +959,189 @@ def pass_at_k_summary(
     )
 
 
+def _ndcg_discounts(k: int) -> list:
+    """The fixed micro-scaled DCG discount table: disc[i] =
+    round(10^6 / log2(i + 1)) for rank i = 1..k. Universal constants
+    (positions, not data), computed ONCE driver-side and embedded as
+    literals in BOTH the Spark plan and the oracle SQL — the log never
+    runs inside either engine, so the no-transcendentals discipline
+    holds and every DCG term is an exact BIGINT product."""
+    import math
+
+    return [round(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def ndcg(
+    judged: DataFrame,
+    ranked: DataFrame,
+    *,
+    query_key: str = "query_id",
+    item_key: str = "item_id",
+    grade_column: str = "grade",
+    rank_column: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k with graded relevance (Järvelin & Kekäläinen 2002) — the
+    standard ranked-retrieval metric the binary-relevance pair
+    (``rank_metrics`` MRR/hit, ``average_precision``) cannot express:
+    a rank-1 grade-3 result must beat a rank-1 grade-1 result.
+
+    Exactness discipline: gains are (2^grade - 1) via ``shiftleft``
+    (exact integers, the standard exponential gain), discounts come
+    from the fixed micro-scaled table ``_ndcg_discounts`` (literals in
+    both engines — see its docstring), so DCG@k and the ideal IDCG@k
+    are exact BIGINT sums and both the integer ``ndcg_micro``
+    (floor(10^6 * dcg / idcg)) and the double ``ndcg`` are single
+    divisions of exactly-represented integers. Bounds (ENFORCED):
+    k <= 25 and grade <= 18 — beyond that 10^6 * dcg_micro leaves the
+    signed-BIGINT envelope; out-of-range or negative grades
+    ``raise_error`` per row instead of silently wrapping (the
+    pass_at_k guard discipline).
+
+    Semantics, stated: judged pairs dedup to MAX grade; an item ranked
+    at several positions <= k scores only its BEST rank; ranked items
+    without a judgment gain 0; judged items never retrieved lower NDCG
+    only through IDCG; queries come from the JUDGED side — a query
+    with no ranked overlap scores 0, and a query whose judgments are
+    all grade 0 has IDCG 0 and NULL ndcg (count them via
+    ``ndcg_summary``'s n_zero_ideal rather than dropping silently).
+
+    Output: one row per query (query, dcg_micro, idcg_micro,
+    ndcg_micro bigint, ndcg double).
+    """
+    if not 1 <= k <= 25:
+        raise ValueError(f"k must be in [1, 25], got {k}")
+    disc = _ndcg_discounts(k)
+    g = (
+        judged.groupBy(
+            F.col(query_key).alias("query"),
+            F.col(item_key).alias("item"),
+        )
+        .agg(F.max(grade_column).cast("long").alias("grade"))
+        .withColumn(
+            "grade",
+            F.when(
+                (F.col("grade") >= 0) & (F.col("grade") <= 18),
+                F.col("grade"),
+            ).otherwise(
+                F.expr(
+                    "CAST(raise_error(concat('ndcg: grade ',"
+                    " CAST(grade AS STRING),"
+                    " ' outside [0, 18] — 2^grade gains would leave the"
+                    " exact BIGINT envelope')) AS BIGINT)"
+                )
+            ),
+        )
+    )
+    gain = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(grade AS INT))") - 1
+    disc_arr = F.array(*[F.lit(d).cast("long") for d in disc])
+    r = (
+        ranked.select(
+            F.col(query_key).alias("query"),
+            F.col(item_key).alias("item"),
+            F.col(rank_column).cast("int").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+        .groupBy("query", "item")
+        .agg(F.min("rank").alias("rank"))
+    )
+    dcg = (
+        g.join(r, ["query", "item"])
+        .select(
+            "query",
+            (gain * F.element_at(disc_arr, F.col("rank"))).alias("__t"),
+        )
+        .groupBy("query")
+        .agg(F.sum("__t").cast("long").alias("dcg_micro"))
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("grade").desc(), F.col("item").asc()
+    )
+    idcg = (
+        g.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(
+            "query",
+            (gain * F.element_at(disc_arr, F.col("__rn"))).alias("__t"),
+        )
+        .groupBy("query")
+        .agg(F.sum("__t").cast("long").alias("idcg_micro"))
+    )
+    return (
+        g.select("query")
+        .distinct()
+        .join(dcg, "query", "left")
+        .join(idcg, "query", "left")
+        .select(
+            "query",
+            F.coalesce(F.col("dcg_micro"), F.lit(0)).alias("dcg_micro"),
+            F.coalesce(F.col("idcg_micro"), F.lit(0)).alias("idcg_micro"),
+        )
+        .select(
+            "query",
+            "dcg_micro",
+            "idcg_micro",
+            F.expr(
+                "CASE WHEN idcg_micro > 0 THEN"
+                " CAST((1000000 * dcg_micro) div idcg_micro AS BIGINT) END"
+            ).alias("ndcg_micro"),
+            F.expr(
+                "CASE WHEN idcg_micro > 0 THEN"
+                " CAST(dcg_micro AS DOUBLE) / CAST(idcg_micro AS DOUBLE)"
+                " END"
+            ).alias("ndcg"),
+        )
+    )
+
+
+def ndcg_summary(
+    judged: DataFrame,
+    ranked: DataFrame,
+    *,
+    query_key: str = "query_id",
+    item_key: str = "item_id",
+    grade_column: str = "grade",
+    rank_column: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Corpus verdict over :func:`ndcg`: scored-query count, the count
+    of zero-ideal queries (all judgments grade 0 — unscorable, counted
+    not dropped), and the mean NDCG summed from the EXACT per-query
+    micros (float summation order is not engine-reproducible) with ONE
+    trailing division. One row."""
+    per = ndcg(
+        judged,
+        ranked,
+        query_key=query_key,
+        item_key=item_key,
+        grade_column=grade_column,
+        rank_column=rank_column,
+        k=k,
+    )
+    scored = F.col("idcg_micro") > 0
+    return per.agg(
+        F.coalesce(F.sum(scored.cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_queries"),
+        F.coalesce(F.sum((~scored).cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_zero_ideal"),
+        F.sum("ndcg_micro").cast("long").alias("__sum_micro"),
+    ).select(
+        "n_queries",
+        "n_zero_ideal",
+        F.expr(
+            "CASE WHEN n_queries > 0 THEN"
+            " CAST(__sum_micro div n_queries AS BIGINT) END"
+        ).alias("mean_ndcg_micro"),
+        F.expr(
+            "CASE WHEN n_queries > 0 THEN"
+            " CAST(__sum_micro AS DOUBLE) / CAST(1000000 * n_queries"
+            " AS DOUBLE) END"
+        ).alias("mean_ndcg"),
+    )
+
+
 def majority_vote_accuracy(
     samples: DataFrame,
     gold: DataFrame,

@@ -726,3 +726,87 @@ def test_majority_vote_ties_break_lexicographically(spark):
     assert row["n_correct"] == 1  # problem 1 tie -> 'a' correct; 2 -> 'x' wrong
     assert row["accuracy_milli"] == 500
     assert abs(row["accuracy"] - 0.5) < 1e-12
+
+
+# --- NDCG (Järvelin & Kekäläinen 2002) -----------------------------------
+
+
+def test_ndcg_known_values(spark):
+    from math import log2
+
+    from sutro_spark.operators.metrics import _ndcg_discounts, ndcg
+
+    # query 1: judged items 10(g3), 11(g2), 12(g1); ranked 11@1, 10@2,
+    # 99@3 (unjudged). DCG = 3*d1 + 7*d2; IDCG = 7*d1 + 3*d2 + 1*d3.
+    judged = spark.createDataFrame(
+        [(1, 10, 3), (1, 11, 2), (1, 12, 1)],
+        "query_id long, item_id long, grade long",
+    )
+    ranked = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 2), (1, 99, 3)],
+        "query_id long, item_id long, rank long",
+    )
+    d = _ndcg_discounts(10)
+    row = ndcg(judged, ranked, k=10).collect()[0]
+    dcg = 3 * d[0] + 7 * d[1]
+    idcg = 7 * d[0] + 3 * d[1] + 1 * d[2]
+    assert (row["dcg_micro"], row["idcg_micro"]) == (dcg, idcg)
+    assert row["ndcg_micro"] == (1000000 * dcg) // idcg
+    assert abs(row["ndcg"] - dcg / idcg) < 1e-15
+    # discounts really are micro-scaled 1/log2(i+1)
+    for i, dm in enumerate(d, start=1):
+        assert abs(dm - 1_000_000 / log2(i + 1)) <= 0.5
+
+
+def test_ndcg_best_rank_and_max_grade_dedup(spark):
+    from sutro_spark.operators.metrics import _ndcg_discounts, ndcg
+
+    # duplicate judgments keep MAX grade; duplicate ranks keep BEST
+    judged = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 3)], "query_id long, item_id long, grade long"
+    )
+    ranked = spark.createDataFrame(
+        [(1, 10, 4), (1, 10, 2)], "query_id long, item_id long, rank long"
+    )
+    d = _ndcg_discounts(5)
+    row = ndcg(judged, ranked, k=5).collect()[0]
+    assert row["dcg_micro"] == 7 * d[1]  # grade 3 at rank 2
+    assert row["idcg_micro"] == 7 * d[0]
+
+
+def test_ndcg_zero_ideal_counted_not_dropped(spark):
+    from sutro_spark.operators.metrics import ndcg, ndcg_summary
+
+    judged = spark.createDataFrame(
+        [(1, 10, 2), (2, 20, 0)],  # query 2: all grade 0 -> IDCG 0
+        "query_id long, item_id long, grade long",
+    )
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "query_id long, item_id long, rank long"
+    )
+    per = {r["query"]: r for r in ndcg(judged, ranked, k=5).collect()}
+    assert per[1]["ndcg"] == 1.0
+    assert per[2]["idcg_micro"] == 0 and per[2]["ndcg"] is None
+    s = ndcg_summary(judged, ranked, k=5).collect()[0]
+    assert (s["n_queries"], s["n_zero_ideal"]) == (1, 1)
+    assert s["mean_ndcg_micro"] == 1000000
+
+
+def test_ndcg_validates_bounds(spark):
+    import pytest as _pytest
+
+    from sutro_spark.operators.metrics import ndcg
+
+    judged = spark.createDataFrame(
+        [(1, 10, 19)], "query_id long, item_id long, grade long"
+    )
+    ranked = spark.createDataFrame(
+        [(1, 10, 1)], "query_id long, item_id long, rank long"
+    )
+    with _pytest.raises(ValueError):
+        ndcg(judged, ranked, k=0)
+    with _pytest.raises(ValueError):
+        ndcg(judged, ranked, k=26)
+    # grade 19 raises at runtime (exact-envelope guard), never wraps
+    with _pytest.raises(Exception, match="outside \\[0, 18\\]"):
+        ndcg(judged, ranked, k=5).collect()
