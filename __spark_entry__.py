@@ -4150,6 +4150,67 @@ def q_script_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def _qdigest_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # order prices in 64-cent units: < 2^20, so bits=20 covers the
+    # universe (the build raises loudly on out-of-range, never folds)
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT) div 64").alias("v")
+    )
+
+
+def q_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # q-digest (Shrivastava et al. 2004): the QUANTILE member of the
+    # mergeable-sketch family next to KMV/HLL (distinct), CMS (over-
+    # counts), MG (under-counts) — deterministic bounded-space rank
+    # queries where the fixed-bin histogram needs a-priori widths.
+    # One corpus groupBy(value), then every table is <= min(distinct,
+    # 2^bits) rows; compression is 20 bounded set-algebra levels; the
+    # oracle unrolls them CTE-for-CTE (the _mg_sql fold discipline),
+    # so the digest — not just the answers — matches bit-for-bit.
+    from sutro_spark.functions.sketches import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    vals = _qdigest_values(spark, sf_dir)
+    dig = qdigest_build(vals, "v", bits=20, k=64)
+    return qdigest_quantiles(dig, bits=20).orderBy("q_milli")
+
+
+def q_qdigest_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the bound-honesty row (mg_guarantee discipline): every reported
+    # quantile's EXACT rank error vs the paper's bits*n/k guarantee.
+    from sutro_spark.functions.sketches import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    vals = _qdigest_values(spark, sf_dir)
+    dig = qdigest_build(vals, "v", bits=20, k=64)
+    q = qdigest_quantiles(dig, bits=20)
+    ranks = (
+        q.join(vals, F.col("v") <= F.col("value"), "left")
+        .groupBy("q_milli", "target_rank", "n")
+        .agg(F.count("v").cast("long").alias("true_rank"))
+    )
+    return ranks.agg(
+        F.max("n").cast("long").alias("n"),
+        F.lit(20).cast("long").alias("bits"),
+        F.lit(64).cast("long").alias("k"),
+        F.max(F.abs(F.col("true_rank") - F.col("target_rank")))
+        .cast("long")
+        .alias("max_abs_rank_err"),
+    ).select(
+        "n",
+        "bits",
+        "k",
+        "max_abs_rank_err",
+        F.expr("CAST(n * 20 div 64 AS BIGINT)").alias("rank_bound"),
+        F.expr("max_abs_rank_err <= n * 20 div 64").alias("bound_ok"),
+    )
+
+
 def _ndcg_fixture(spark: SparkSession, sf_dir: str):
     # deterministic graded qrels + an arithmetic ranking both engines
     # rebuild: 20 queries, 37 items, grades 0..3 (max per pair), ranked
@@ -4552,6 +4613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_gate": q_script_gate,
         "ndcg": q_ndcg,
         "ndcg_summary": q_ndcg_summary,
+        "qdigest_quantiles": q_qdigest_quantiles,
+        "qdigest_guarantee": q_qdigest_guarantee,
         "encoding_damage": q_encoding_damage,
         "script_profile": q_script_profile,
         "lang_confidence": q_lang_confidence,
@@ -6001,6 +6064,74 @@ def _unigram_sql(seed_top: int = 48, target: int = 24, max_len: int = 4) -> str:
         SELECT piece, CAST({ml_t} - {ml_f} AS BIGINT) AS cost
         FROM v1, t1),
     {_unigram_pass("B", "vc1", max_len)}"""
+
+
+def _qdigest_sql(bits: int = 20, k: int = 64) -> str:
+    """Replay of functions/sketches.py's q-digest build: the leaf
+    histogram (orders cents div 64), the floor(n/k) threshold, then
+    the bottom-up compression UNROLLED one CTE triple per level (the
+    _mg_sql fold discipline — MATERIALIZED to keep DuckDB's inlining
+    linear): children merge into the parent iff subtree sum + parent
+    count <= thr, else they stay. Ends with meta(n, thr) and l0 (the
+    final digest) for the quantile / guarantee tails."""
+    chain = f"""
+    WITH l{bits} AS MATERIALIZED (
+        SELECT v + {1 << bits} AS id, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 64 AS v
+              FROM orders) t
+        GROUP BY 1),
+    meta AS MATERIALIZED (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(cnt) // {k} AS BIGINT) AS thr
+        FROM l{bits})"""
+    for d in range(bits, 0, -1):
+        lo, hi, parlo = 1 << d, 2 << d, 1 << (d - 1)
+        chain += f""",
+    s{d} AS MATERIALIZED (
+        SELECT id // 2 AS pid, CAST(sum(cnt) AS BIGINT) AS csum
+        FROM l{d} WHERE id >= {lo} AND id < {hi} GROUP BY 1),
+    p{d} AS MATERIALIZED (
+        SELECT coalesce(s.pid, p.id) AS id,
+               coalesce(s.csum, 0) AS csum, coalesce(p.cnt, 0) AS pcnt
+        FROM s{d} s FULL JOIN
+             (SELECT id, cnt FROM l{d}
+              WHERE id >= {parlo} AND id < {lo}) p
+          ON p.id = s.pid),
+    l{d - 1} AS MATERIALIZED (
+        SELECT id, cnt FROM l{d} WHERE id >= {hi} OR id < {parlo}
+        UNION ALL
+        SELECT c.id, c.cnt FROM l{d} c JOIN p{d} pp ON c.id // 2 = pp.id
+        WHERE c.id >= {lo} AND c.id < {hi}
+          AND pp.csum + pp.pcnt > (SELECT thr FROM meta)
+        UNION ALL
+        SELECT id, CASE WHEN csum + pcnt <= (SELECT thr FROM meta)
+                        THEN csum + pcnt ELSE pcnt END AS cnt
+        FROM p{d}
+        WHERE (CASE WHEN csum + pcnt <= (SELECT thr FROM meta)
+                    THEN csum + pcnt ELSE pcnt END) > 0)"""
+    chain += f""",
+    nd AS (SELECT id, cnt,
+               (1::BIGINT << ({bits} - (length(format('{{:b}}', id)) - 1)))
+                   AS span
+           FROM l0),
+    nd2 AS (SELECT id, cnt, span,
+               (id - (1::BIGINT
+                   << (length(format('{{:b}}', id)) - 1))) * span
+                   + span - 1 AS e
+            FROM nd),
+    cum AS (SELECT e, CAST(sum(cnt) OVER (ORDER BY e ASC, span ASC,
+                id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum
+            FROM nd2),
+    tgt AS (SELECT n, CAST(q_milli AS BIGINT) AS q_milli,
+                   CAST((q_milli * n + 999) // 1000 AS BIGINT)
+                       AS target_rank
+            FROM meta, unnest([250, 500, 750, 900, 990]) AS t(q_milli)),
+    quant AS (SELECT t.q_milli, CAST(min(c.e) AS BIGINT) AS value,
+                     t.target_rank, t.n
+              FROM tgt t JOIN cum c ON c.cum >= t.target_rank
+              GROUP BY 1, 3, 4)"""
+    return chain
 
 
 def _ndcg_sql(k: int = 10) -> str:
@@ -10240,6 +10371,30 @@ def oracle_sql() -> dict[str, str]:
             FROM per
         """,
         "script_gate": _script_gate_sql(threshold=800),
+        "qdigest_quantiles": _qdigest_sql(bits=20, k=64)
+        + """
+            SELECT q_milli, value, target_rank, n
+            FROM quant ORDER BY q_milli
+        """,
+        "qdigest_guarantee": _qdigest_sql(bits=20, k=64)
+        + f"""
+            , e AS (
+                SELECT q.q_milli, q.target_rank, q.n,
+                       CAST(coalesce(sum(l.cnt), 0) AS BIGINT)
+                           AS true_rank
+                FROM quant q LEFT JOIN l20 l
+                  ON l.id - {1 << 20} <= q.value
+                GROUP BY 1, 2, 3)
+            SELECT CAST(max(n) AS BIGINT) AS n,
+                   CAST(20 AS BIGINT) AS bits,
+                   CAST(64 AS BIGINT) AS k,
+                   CAST(max(abs(true_rank - target_rank)) AS BIGINT)
+                       AS max_abs_rank_err,
+                   CAST(max(n) * 20 // 64 AS BIGINT) AS rank_bound,
+                   max(abs(true_rank - target_rank))
+                       <= max(n) * 20 // 64 AS bound_ok
+            FROM e
+        """,
         "script_profile": """
             WITH m AS (
                 SELECT doc_id AS id,

@@ -833,3 +833,210 @@ def mg_heavy_hitters(
         acc = part if acc is None else mg_merge(acc, part, k=k)
     assert acc is not None
     return acc
+
+
+# --- q-digest: deterministic mergeable quantile sketch --------------------
+# (Shrivastava, Buragohain, Agrawal & Suri 2004, "Medians and Beyond" —
+# the quantile member of the mergeable-sketch family next to KMV/HLL
+# (distinct), CMS (over-counts), and MG (under-counts): bounded-space
+# quantile summaries with a DETERMINISTIC rank-error guarantee
+# |reported_rank - target| <= bits * n / k, mergeable by count-sum +
+# recompress. KLL/t-digest beat it on constants but are randomized /
+# float-centroid — this one replays bit-for-bit in any engine.)
+
+
+def _qdigest_depth(col):
+    """Exact heap-node depth: bit_length(id) - 1 via binary-string
+    length (the unigram milli-log2 discipline — no float log)."""
+    return (F.length(F.conv(col.cast("string"), 10, 2)) - 1).cast("int")
+
+
+def _qdigest_compress(nodes: DataFrame, *, bits: int, thr: int) -> DataFrame:
+    """Bottom-up q-digest compression of a heap-id node multiset:
+    for each level d = bits..1, children whose subtree sum plus the
+    existing parent count fits under ``thr`` merge INTO the parent
+    (the paper's c(v)+c(sibling)+c(parent) <= floor(n/k) rule);
+    otherwise the children stay in the digest. Deterministic set
+    algebra level by level; every intermediate table is bounded by
+    min(distinct values, 2^bits) rows, and each level's outputs
+    eagerly localCheckpoint (the fixpoint discipline): the per-level
+    3-way fan-out (pass-through / kept children / parents) re-reads a
+    materialized table instead of re-evaluating a forked lazy chain —
+    without the cut the logical plan forks 3-ways PER LEVEL and
+    Catalyst analysis goes exponential (measured: a lazy/persist()
+    variant hung outright; persist substitution happens too late to
+    stop the analyzer walking the 3^levels tree)."""
+    kept = []
+    cur = nodes
+    for d in range(bits, 0, -1):
+        lo, hi, parlo = 1 << d, 2 << d, 1 << (d - 1)
+        at_d = cur.where((F.col("id") >= lo) & (F.col("id") < hi))
+        rest = cur.where(F.col("id") < parlo)
+        parents = cur.where((F.col("id") >= parlo) & (F.col("id") < lo))
+        sums = at_d.groupBy(F.expr("id div 2").alias("pid")).agg(
+            F.sum("cnt").cast("long").alias("csum")
+        )
+        dec = (
+            sums.join(
+                parents.select(
+                    F.col("id").alias("pid"), F.col("cnt").alias("pcnt")
+                ),
+                "pid",
+                "full",
+            )
+            .select(
+                "pid",
+                F.coalesce(F.col("csum"), F.lit(0)).alias("csum"),
+                F.coalesce(F.col("pcnt"), F.lit(0)).alias("pcnt"),
+            )
+            .withColumn("merge", (F.col("csum") + F.col("pcnt")) <= F.lit(thr))
+            .localCheckpoint(eager=True)
+        )
+        kept_children = at_d.join(
+            dec.where(~F.col("merge")).select("pid"),
+            F.expr("id div 2") == F.col("pid"),
+        ).select("id", "cnt")
+        kept.append(kept_children)
+        new_parents = dec.select(
+            F.col("pid").alias("id"),
+            F.when(F.col("merge"), F.col("csum") + F.col("pcnt"))
+            .otherwise(F.col("pcnt"))
+            .cast("long")
+            .alias("cnt"),
+        ).where(F.col("cnt") > 0)
+        cur = rest.unionByName(new_parents).localCheckpoint(eager=True)
+    out = cur
+    for kc in kept:
+        out = out.unionByName(kc)
+    return out
+
+
+def qdigest_build(
+    df: DataFrame,
+    value_column: str,
+    *,
+    bits: int = 20,
+    k: int = 64,
+) -> DataFrame:
+    """Build a q-digest over integer values in [0, 2^bits).
+
+    One corpus-sized groupBy(value) — after it every table is bounded
+    by min(distinct values, 2^bits) rows regardless of corpus size —
+    then the bottom-up compression. Out-of-range or negative values
+    ``raise_error`` per row (the pass_at_k guard discipline) instead
+    of silently folding into a wrong leaf. Only ONE scalar (the total
+    count, for the floor(n/k) threshold) reaches the driver.
+
+    Output: (id bigint — heap id, node at depth d spans
+    2^(bits-d) consecutive values, cnt bigint). Node count is bounded
+    by 3k by the q-digest size theorem.
+    """
+    if not 1 <= bits <= 30:
+        raise ValueError(f"bits must be in [1, 30], got {bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    top = 1 << bits
+    v = (
+        df.select(F.col(value_column).cast("long").alias("v"))
+        .where(F.col("v").isNotNull())
+        .withColumn(
+            "v",
+            F.when((F.col("v") >= 0) & (F.col("v") < top), F.col("v")).otherwise(
+                F.expr(
+                    "CAST(raise_error(concat('qdigest: value ',"
+                    " CAST(v AS STRING),"
+                    f" ' outside [0, 2^{bits}) — rescale or raise bits'))"
+                    " AS BIGINT)"
+                )
+            ),
+        )
+    )
+    leaves = v.groupBy((F.col("v") + F.lit(top)).alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    n = leaves.agg(F.sum("cnt")).first()[0] or 0  # one bounded scalar
+    thr = n // k
+    if thr == 0:  # fewer than k values: the digest IS the leaf histogram
+        return leaves
+    return _qdigest_compress(leaves, bits=bits, thr=thr)
+
+
+def qdigest_merge(
+    a: DataFrame, b: DataFrame, *, bits: int = 20, k: int = 64
+) -> DataFrame:
+    """Merge two q-digests over the same [0, 2^bits) universe:
+    count-sum by node id, then one recompression under the MERGED
+    total's floor(n/k) threshold — the paper's merge, each side's
+    error adds (total rank error stays <= bits * n_merged / k +
+    the inputs' carried error; probe it with qdigest_guarantee)."""
+    summed = (
+        a.select("id", "cnt")
+        .unionByName(b.select("id", "cnt"))
+        .groupBy("id")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    n = summed.agg(F.sum("cnt")).first()[0] or 0
+    thr = n // k
+    if thr == 0:
+        return summed
+    return _qdigest_compress(summed, bits=bits, thr=thr)
+
+
+def qdigest_quantiles(
+    digest: DataFrame,
+    *,
+    bits: int = 20,
+    q_milli: tuple = (250, 500, 750, 900, 990),
+) -> DataFrame:
+    """Quantile extraction from a q-digest: nodes walk in canonical
+    order (right endpoint asc, then span asc, then id — most-specific
+    first), and each target rank ceil(q*n) reports the right endpoint
+    of the first node where the running count crosses it. The cumsum
+    window runs over the BOUNDED digest (<= 3k nodes — the mg-fold
+    class of single-sort windows, never the corpus).
+
+    Output: one row per requested quantile (q_milli bigint, value
+    bigint, target_rank bigint, n bigint).
+    """
+    nodes = digest.select(
+        "id",
+        "cnt",
+        F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {bits} - "
+               "(length(conv(CAST(id AS STRING), 10, 2)) - 1)) AS BIGINT)")
+        .alias("span"),
+    ).select(
+        "id",
+        "cnt",
+        "span",
+        F.expr(
+            "(id - shiftleft(CAST(1 AS BIGINT),"
+            " length(conv(CAST(id AS STRING), 10, 2)) - 1)) * span"
+            " + span - 1"
+        ).alias("end"),
+    )
+    w = (
+        Window.orderBy(F.col("end").asc(), F.col("span").asc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = nodes.select(
+        "end", F.sum("cnt").over(w).cast("long").alias("cum")
+    )
+    total = digest.agg(F.sum("cnt").cast("long").alias("n"))
+    targets = total.select(
+        "n",
+        F.explode(
+            F.array(*[F.lit(int(q)).cast("long") for q in q_milli])
+        ).alias("q_milli"),
+    ).select(
+        "n",
+        "q_milli",
+        F.expr("CAST((q_milli * n + 999) div 1000 AS BIGINT)").alias(
+            "target_rank"
+        ),
+    )
+    return (
+        targets.join(cum, F.col("cum") >= F.col("target_rank"))
+        .groupBy("q_milli", "target_rank", "n")
+        .agg(F.min("end").cast("long").alias("value"))
+        .select("q_milli", "value", "target_rank", "n")
+    )

@@ -384,3 +384,97 @@ def test_mg_validates_k(spark):
 
     with _pytest.raises(ValueError):
         mg_bucket_summaries(_mg_df(spark), "key", "rid", k=0, buckets=2)
+
+
+# --- q-digest (Shrivastava et al. 2004) -----------------------------------
+
+
+def _qd_exact_err(vals, rows):
+    errs = []
+    for r in rows:
+        true_rank = sum(1 for v in vals if v <= r["value"])
+        errs.append(abs(true_rank - r["target_rank"]))
+    return max(errs)
+
+
+def test_qdigest_bound_and_count_preservation(spark):
+    import random
+
+    from sutro_spark.functions.sketches import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    rng = random.Random(11)
+    # skewed: heavy mass at low values plus a long tail
+    vals = [rng.randint(0, 60) for _ in range(3000)] + [
+        rng.randint(0, 1023) for _ in range(1000)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    bits, k = 10, 32
+    dig = qdigest_build(df, "x", bits=bits, k=k)
+    nodes = dig.collect()
+    assert sum(r["cnt"] for r in nodes) == len(vals)  # mass conserved
+    assert len(nodes) <= 3 * k  # the q-digest size theorem
+    rows = qdigest_quantiles(dig, bits=bits).collect()
+    assert _qd_exact_err(vals, rows) <= bits * len(vals) // k
+
+
+def test_qdigest_merge_mass_and_bound(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sutro_spark.functions.sketches import (
+        qdigest_build,
+        qdigest_merge,
+        qdigest_quantiles,
+    )
+
+    rng = random.Random(13)
+    vals = [rng.randint(0, 255) for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    bits, k = 8, 16
+    d1 = qdigest_build(df.where(F.col("x") % 2 == 0), "x", bits=bits, k=k)
+    d2 = qdigest_build(df.where(F.col("x") % 2 == 1), "x", bits=bits, k=k)
+    m = qdigest_merge(d1, d2, bits=bits, k=k)
+    assert sum(r["cnt"] for r in m.collect()) == len(vals)
+    # merged error: each input's bits*n_i/k plus the recompression's
+    # bits*n/k — bounded by 2 * bits * n / k
+    rows = qdigest_quantiles(m, bits=bits).collect()
+    assert _qd_exact_err(vals, rows) <= 2 * bits * len(vals) // k
+
+
+def test_qdigest_small_input_is_exact_histogram(spark):
+    from sutro_spark.functions.sketches import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    # n < k -> thr 0 -> no compression: the digest IS the exact
+    # histogram and every quantile is exact
+    df = spark.createDataFrame([(v,) for v in [1, 5, 9, 13]], "x long")
+    dig = qdigest_build(df, "x", bits=6, k=16)
+    assert {(r["id"] - 64, r["cnt"]) for r in dig.collect()} == {
+        (1, 1), (5, 1), (9, 1), (13, 1),
+    }
+    rows = {r["q_milli"]: r["value"] for r in qdigest_quantiles(dig, bits=6).collect()}
+    assert rows[500] == 5 and rows[990] == 13
+
+
+def test_qdigest_validates_and_guards(spark):
+    import pytest as _pytest
+
+    from sutro_spark.functions.sketches import qdigest_build
+
+    df = spark.createDataFrame([(1,)], "x long")
+    with _pytest.raises(ValueError):
+        qdigest_build(df, "x", bits=0)
+    with _pytest.raises(ValueError):
+        qdigest_build(df, "x", bits=31)
+    with _pytest.raises(ValueError):
+        qdigest_build(df, "x", k=0)
+    # out-of-range values raise loudly instead of folding into a leaf
+    bad = spark.createDataFrame([(70,), (1,)], "x long")
+    with _pytest.raises(Exception, match="outside \\[0, 2\\^6\\)"):
+        qdigest_build(bad, "x", bits=6).collect()
