@@ -22,7 +22,16 @@ from pyspark.sql import functions as F
 
 from sutro_spark.functions.sketches import cms_cells
 
-__all__ = ["anisotropy_from_state", "streaming_anisotropy", "streaming_cms", "streaming_hll", "streaming_mg", "mg_state_update"]
+__all__ = [
+    "anisotropy_from_state",
+    "streaming_anisotropy",
+    "streaming_cms",
+    "streaming_hll",
+    "streaming_mg",
+    "mg_state_update",
+    "streaming_qdigest",
+    "qdigest_state_update",
+]
 
 
 def streaming_cms(
@@ -260,6 +269,149 @@ def streaming_mg(
     )
     return keyed.groupBy("shard").applyInPandasWithState(
         mg_state_update(k),
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def _qdigest_py_compress(counts: dict, bits: int, thr: int) -> dict:
+    """Pure-Python bottom-up q-digest compression — the same
+    deterministic rule as the batch _qdigest_compress set algebra
+    (children merge into the parent iff subtree sum + parent count
+    <= thr), run in-memory because the state is BOUNDED (<= 3k nodes
+    by the size theorem) — the mg_state_update class of per-shard
+    Python truncation."""
+    for d in range(bits, 0, -1):
+        lo, hi = 1 << d, 2 << d
+        by_parent = {}
+        for nid in [i for i in counts if lo <= i < hi]:
+            by_parent.setdefault(nid // 2, []).append(nid)
+        for pid, kids in by_parent.items():
+            csum = sum(counts[i] for i in kids)
+            pcnt = counts.get(pid, 0)
+            if csum + pcnt <= thr:
+                for i in kids:
+                    del counts[i]
+                counts[pid] = csum + pcnt
+    return counts
+
+
+def qdigest_state_update(bits: int, k: int):
+    """State function for :func:`streaming_qdigest`: add the trigger's
+    values as leaves, then one compression under the UPDATED
+    floor(n_shard/k) threshold. Repeated trigger-compression keeps the
+    rank-error bound (q-digest is fully mergeable — Agarwal et al.
+    PODS 2012, the same theorem family as streaming_mg), so however
+    the stream was micro-batched the final shard digests merge into a
+    bits*n/k-accurate global summary."""
+    import pandas as pd
+
+    def _update(key, batches, state):
+        (shard,) = key
+        if state.exists:
+            ids, cnts, n_seen = state.get
+            counts = dict(zip((int(i) for i in ids), (int(c) for c in cnts)))
+            n_seen = int(n_seen)
+        else:
+            counts, n_seen = {}, 0
+        top = 1 << bits
+        for pdf in batches:
+            n_seen += len(pdf)
+            for v, c in pdf["v"].value_counts().items():
+                leaf = int(v) + top
+                counts[leaf] = counts.get(leaf, 0) + int(c)
+        thr = n_seen // k
+        if thr > 0:
+            counts = _qdigest_py_compress(counts, bits, thr)
+        state.update(
+            (list(counts.keys()), list(counts.values()), n_seen)
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [shard] * len(counts),
+                "id": list(counts.keys()),
+                "cnt": list(counts.values()),
+                "n_seen": [n_seen] * len(counts),
+            }
+        )
+
+    return _update
+
+
+def streaming_qdigest(
+    stream: DataFrame,
+    value_column: str,
+    *,
+    bits: int = 20,
+    k: int = 64,
+    shards: int = 4,
+    salt: str = "qd",
+) -> DataFrame:
+    """Incrementally maintained q-digest quantile summaries over a
+    stream — the streaming twin of functions/sketches.py's
+    qdigest_build, the way streaming_mg twins mg_heavy_hitters.
+
+    Values hash-shard (by value, so each shard's digest is a digest
+    of a fixed sub-population); each shard's state is <= 3k digest
+    nodes plus a row count — shards*3k rows TOTAL, constant in stream
+    length AND value cardinality, the property that keeps an infinite
+    stream runnable where a streaming groupBy(value) histogram grows
+    with the universe. Reading the union of shard outputs (max-n_seen
+    rows per shard) and count-summing by node id gives a global
+    digest whose rank error stays within bits*n/k (q-digest full
+    mergeability) — extract quantiles with the batch
+    qdigest_quantiles.
+
+    Divergences from batch, stated: NULL and out-of-range values are
+    DROPPED before the state op (the batch build raises; a per-row
+    raise inside a streaming state function would poison the
+    checkpoint on replay) — gate upstream if they must be fatal.
+
+    Output per trigger: (shard, id, cnt, n_seen).
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from sutro_spark.functions.sampling import hash_bucket
+
+    if not 1 <= bits <= 30:
+        raise ValueError(f"bits must be in [1, 30], got {bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.LongType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(T.LongType())),
+            T.StructField("cnts", T.ArrayType(T.LongType())),
+            T.StructField("n_seen", T.LongType()),
+        ]
+    )
+    top = 1 << bits
+    keyed = (
+        stream.select(F.col(value_column).cast("long").alias("v"))
+        .where(
+            F.col("v").isNotNull() & (F.col("v") >= 0) & (F.col("v") < top)
+        )
+        .select(
+            hash_bucket(
+                F.col("v").cast("string"), salt=salt, buckets=shards
+            )
+            .cast("long")
+            .alias("shard"),
+            "v",
+        )
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        qdigest_state_update(bits, k),
         out_schema,
         state_schema,
         "update",

@@ -336,3 +336,111 @@ def test_streaming_mg_drops_null_keys(spark, sf_dir, tmp_path):
         ("a", 2, 3),
         ("b", 1, 3),
     }
+
+
+def test_streaming_qdigest_replay_and_global_bound(spark, sf_dir, tmp_path):
+    """stream (per-trigger leaf-add + compress) == sequential Python
+    replay over the same micro-batch sequence, AND the merged shard
+    digests answer quantiles within the bits*n/k bound (q-digest full
+    mergeability, Agarwal et al. 2012)."""
+    import glob
+    import os
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from sutro_spark.functions.sampling import hash_bucket
+    from sutro_spark.functions.sketches import qdigest_quantiles
+    from sutro_spark.streaming.sketches import (
+        _qdigest_py_compress,
+        streaming_qdigest,
+    )
+
+    bits, k, shards = 8, 16, 2
+    raw = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", (F.col("event_id") % 251).alias("v"))
+        .orderBy("event_id")
+        .limit(3000)
+    )
+    src = str(tmp_path / "qd_src")
+    for i in range(3):
+        raw.where((F.col("event_id") % 3) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_qdigest(stream, "v", bits=bits, k=k, shards=shards)
+        .writeStream.format("memory")
+        .queryName("qd_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "qd_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("select * from qd_stream").collect()
+    last_seen = {}
+    for r in out:
+        last_seen[r["shard"]] = max(last_seen.get(r["shard"], 0), r["n_seen"])
+    got = {
+        (r["shard"], r["id"]): r["cnt"]
+        for r in out
+        if r["n_seen"] == last_seen[r["shard"]]
+    }
+
+    # sequential replay in Spark's (mtime, path) batch order
+    files = sorted(
+        glob.glob(f"{src}/part-*.parquet"),
+        key=lambda p: (int(os.path.getmtime(p) * 1000), p),
+    )
+    shard_of = {
+        int(r["v"]): r["shard"]
+        for r in raw.select(
+            "v",
+            hash_bucket(F.col("v").cast("string"), salt="qd", buckets=shards)
+            .cast("long")
+            .alias("shard"),
+        )
+        .distinct()
+        .collect()
+    }
+    state = {s: ({}, 0) for s in range(shards)}
+    for f in files:
+        batch = [int(r["v"]) for r in spark.read.parquet(f).collect()]
+        per_shard = {}
+        for v in batch:
+            per_shard.setdefault(shard_of[v], []).append(v)
+        for s, vs in per_shard.items():
+            counts, n_seen = state[s]
+            n_seen += len(vs)
+            for v, c in Counter(vs).items():
+                leaf = v + (1 << bits)
+                counts[leaf] = counts.get(leaf, 0) + c
+            thr = n_seen // k
+            if thr > 0:
+                counts = _qdigest_py_compress(counts, bits, thr)
+            state[s] = (counts, n_seen)
+    expected = {
+        (s, nid): c for s, (cnts, _) in state.items() for nid, c in cnts.items()
+    }
+    assert got == expected
+    # per-shard state bounded
+    for s, (cnts, _) in state.items():
+        assert len(cnts) <= 3 * k
+
+    # global quantiles from the MERGED shard digests stay in bound
+    final = spark.createDataFrame(
+        [(nid, c) for (_, nid), c in got.items()], "id long, cnt long"
+    ).groupBy("id").agg(F.sum("cnt").cast("long").alias("cnt"))
+    rows = qdigest_quantiles(final, bits=bits).collect()
+    vals = [int(r["v"]) for r in raw.collect()]
+    for r in rows:
+        true_rank = sum(1 for v in vals if v <= r["value"])
+        assert abs(true_rank - r["target_rank"]) <= bits * len(vals) // k
