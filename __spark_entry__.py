@@ -4150,6 +4150,45 @@ def q_script_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Luhn-validated payment-card PII (ISO/IEC 7812): the redact_pii
+    # family member where a bare regex is NOT enough — most 13-19
+    # digit runs are order ids, and scrubbing them destroys data; only
+    # checksum-valid runs redact. Candidates + checksum + redaction
+    # fold are all integer/string HOF arithmetic: zero joins, zero
+    # shuffles, zero Python — scan-speed. Deterministic injections
+    # (valid card / invalid card / short run) both engines rebuild.
+    from sutro_spark.functions.text import card_hits
+
+    docs = _t(spark, sf_dir, "documents")
+    ct = F.concat(
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40),
+        F.when(
+            F.col("doc_id") % 6 == 0, F.lit(" card 4539578763621486")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 8 == 0, F.lit(" ref 4539578763621487")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 9 == 0, F.lit(" pan 4111111111111111 x")
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 10 == 0, F.lit(" id 123456789012")).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        card_hits(docs.select("doc_id", ct.alias("text")))
+        .select(
+            F.col("doc_id").alias("id"),
+            "n_card_candidates",
+            "n_valid_cards",
+            "has_card",
+            "redacted",
+        )
+        .orderBy("id")
+    )
+
+
 def _qdigest_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order prices in 64-cent units: < 2^20, so bits=20 covers the
     # universe (the build raises loudly on out-of-range, never folds)
@@ -4615,6 +4654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_summary": q_ndcg_summary,
         "qdigest_quantiles": q_qdigest_quantiles,
         "qdigest_guarantee": q_qdigest_guarantee,
+        "luhn_cards": q_luhn_cards,
         "encoding_damage": q_encoding_damage,
         "script_profile": q_script_profile,
         "lang_confidence": q_lang_confidence,
@@ -10375,6 +10415,47 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT q_milli, value, target_rank, n
             FROM quant ORDER BY q_milli
+        """,
+        "luhn_cards": """
+            WITH m AS (
+                SELECT doc_id AS id,
+                       substring(coalesce(text, ''), 1, 40)
+                       || CASE WHEN doc_id % 6 = 0
+                               THEN ' card 4539578763621486' ELSE '' END
+                       || CASE WHEN doc_id % 8 = 0
+                               THEN ' ref 4539578763621487' ELSE '' END
+                       || CASE WHEN doc_id % 9 = 0
+                               THEN ' pan 4111111111111111 x' ELSE '' END
+                       || CASE WHEN doc_id % 10 = 0
+                               THEN ' id 123456789012' ELSE '' END AS ct
+                FROM documents),
+            c AS (
+                SELECT id, ct,
+                       regexp_extract_all(ct, '[0-9]{13,19}') AS cands
+                FROM m),
+            v AS (
+                SELECT id, ct, cands,
+                       list_filter(cands, c2 ->
+                           list_sum(list_transform(
+                               range(1, length(c2) + 1),
+                               i -> CASE WHEN (length(c2) - i) % 2 = 1
+                                    THEN CASE WHEN (ascii(substring(c2,
+                                            CAST(i AS INT), 1)) - 48) * 2 > 9
+                                        THEN (ascii(substring(c2,
+                                            CAST(i AS INT), 1)) - 48) * 2 - 9
+                                        ELSE (ascii(substring(c2,
+                                            CAST(i AS INT), 1)) - 48) * 2 END
+                                    ELSE ascii(substring(c2,
+                                        CAST(i AS INT), 1)) - 48 END))
+                           % 10 = 0) AS valid
+                FROM c)
+            SELECT id,
+                   CAST(len(cands) AS BIGINT) AS n_card_candidates,
+                   CAST(len(valid) AS BIGINT) AS n_valid_cards,
+                   len(valid) > 0 AS has_card,
+                   list_reduce(list_prepend(ct, valid),
+                       (acc, x) -> replace(acc, x, '[CARD]')) AS redacted
+            FROM v ORDER BY id
         """,
         "qdigest_guarantee": _qdigest_sql(bits=20, k=64)
         + f"""

@@ -1487,3 +1487,83 @@ def script_gate(
             )
         ).alias("mixed"),
     )
+
+
+#: Candidate payment-card pattern: contiguous 13-19 digit runs. No
+#: lookarounds (RE2/Java parity — the EMAIL_RE/PHONE_RE rule); a run
+#: longer than 19 digits greedily matches its first 19 in BOTH engines
+#: (stated: boundary-exact card isolation needs a tokenizer upstream).
+CARD_RE = r"[0-9]{13,19}"
+
+
+def _luhn_sum_expr(c: str) -> str:
+    """SQL fragment: the Luhn digit sum of digit-string expression
+    ``c`` — double every second digit from the RIGHT, fold > 9 by
+    subtracting 9, sum. Shared by luhn_valid and card_hits' filter."""
+    d = f"(ascii(substring({c}, i, 1)) - 48)"
+    return (
+        f"aggregate(transform(sequence(1, length({c})),"
+        f" i -> CASE WHEN (length({c}) - i) % 2 = 1"
+        f" THEN IF({d} * 2 > 9, {d} * 2 - 9, {d} * 2)"
+        f" ELSE {d} END),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def luhn_valid(column_name: str) -> Column:
+    """Luhn checksum (ISO/IEC 7812) of a digit-string column (by
+    name) — the check that separates real payment-card numbers from
+    arbitrary digit runs (cuts PII-scrub false positives ~10x). Pure
+    integer HOF arithmetic, identical in any engine, zero Python:
+    valid iff the Luhn sum mod 10 == 0."""
+    from pyspark.sql import functions as F
+
+    return F.expr(f"{_luhn_sum_expr(column_name)} % 10 = 0")
+
+
+def card_hits(
+    df,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    *,
+    output_column: str = "redacted",
+    token: str = "[CARD]",
+):
+    """Payment-card PII detection with Luhn validation (the
+    redact_pii family member where a bare regex is not enough: most
+    13-19 digit runs are order ids / timestamps, and scrubbing them
+    destroys data — only checksum-valid runs redact).
+
+    One projection: extract candidate runs (CARD_RE), Luhn-check each
+    via integer HOF arithmetic, count both, and fold the VALID ones
+    through replace() into ``output_column``. Zero joins, zero
+    shuffles, zero Python — scan-speed like redact_pii.
+
+    Output: df + (n_card_candidates, n_valid_cards, has_card,
+    ``output_column``).
+    """
+    from pyspark.sql import functions as F
+
+    cands = F.expr(
+        f"regexp_extract_all(coalesce({text_column}, ''), '{CARD_RE}', 0)"
+    )
+    valid_expr = (
+        f"filter(__cands, __c -> {_luhn_sum_expr('__c')} % 10 = 0)"
+    )
+    return (
+        df.withColumn("__cands", cands)
+        .withColumn("__valid", F.expr(valid_expr))
+        .withColumn(
+            "n_card_candidates", F.size("__cands").cast("long")
+        )
+        .withColumn("n_valid_cards", F.size("__valid").cast("long"))
+        .withColumn("has_card", F.col("n_valid_cards") > 0)
+        .withColumn(
+            output_column,
+            F.expr(
+                f"aggregate(__valid, coalesce({text_column}, ''),"
+                f" (acc, c) -> replace(acc, c, '{token}'))"
+            ),
+        )
+        .drop("__cands", "__valid")
+    )

@@ -1121,3 +1121,40 @@ def test_script_gate_full_class_set(spark):
         "latin", "cyrillic", "cjk", "arabic", "devanagari",
         "hangul", "greek", "hebrew", "thai",
     ]
+
+
+def test_luhn_card_detection_and_redaction(spark):
+    from sutro_spark.functions.text import card_hits, luhn_valid
+
+    df = spark.createDataFrame(
+        [
+            (1, "pay 4539578763621486 or 4539578763621487"),  # valid+invalid
+            (2, "order 1234567890123 ref 999"),  # 13-digit run, Luhn-bad
+            (3, None),
+            (4, "card 4111111111111111 twice 4111111111111111"),
+            (5, "mastercard 5500005555555559 ok"),
+            (6, "short 123456789012 run"),  # 12 digits: not a candidate
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_card_candidates"],
+            r["n_valid_cards"],
+            r["has_card"],
+            r["redacted"],
+        )
+        for r in card_hits(df).collect()
+    }
+    assert got[1] == (2, 1, True, "pay [CARD] or 4539578763621487")
+    assert got[2] == (1, 0, False, "order 1234567890123 ref 999")
+    assert got[3] == (0, 0, False, "")
+    assert got[4] == (2, 2, True, "card [CARD] twice [CARD]")
+    assert got[5] == (1, 1, True, "mastercard [CARD] ok")
+    assert got[6] == (0, 0, False, "short 123456789012 run")
+    # the bare checksum column form
+    digits = spark.createDataFrame(
+        [("4539578763621486",), ("4539578763621487",)], "c string"
+    )
+    ok = {r["c"]: r["ok"] for r in digits.select("c", luhn_valid("c").alias("ok")).collect()}
+    assert ok == {"4539578763621486": True, "4539578763621487": False}
