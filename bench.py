@@ -235,6 +235,14 @@ def main() -> None:
             "mmr_rerank", "hard_negatives", "kmv_join_est", "cdc_chunks", "cdc_dedup", "mad_outliers", "sorted_neighborhood", "histogram_drift", "label_propagate", "precision_threshold", "kmv_merge", "length_buckets", "ngram_novelty", "containment", "fleiss_kappa", "vocab_richness",
             "yule_k", "unigram_surprisal", "krippendorff_alpha", "scd2_history",
             "copurchase_triangles", "kmv_set_ops", "jl_project", "kcore", "prefix_filter", "hamilton_sample", "readability", "ann_map", "quantile_normalize", "attribution", "benford", "incremental_cc", "json_keys", "bpe_encode", "hll_set_ops",
+            # r12 wave (representatives; the fixpoints are scale-probed
+            # in SCALING.md and too heavy for a per-round extra pass)
+            "ffd_pack", "mg_heavy_hitters", "pass_at_k", "majority_vote",
+            "weighted_jaccard", "wordpiece_segment", "encoding_damage",
+            "script_profile", "ivfpq_rescore",
+            # r13 wave
+            "unigram_segment", "script_gate", "ndcg", "qdigest_quantiles",
+            "luhn_cards",
             ]
             if name in qs
         ]

@@ -429,3 +429,33 @@ def test_script_gate_is_shuffle_free_projection(spark):
     assert "Join" not in plan
     assert "HashAggregate" not in plan
     assert plan.count("Exchange") <= 1, plan[:1500]
+
+
+def test_luhn_cards_is_shuffle_free_projection(spark):
+    # r13: candidates + checksum + redaction fold are per-row HOF
+    # arithmetic — only the presentation sort may exchange; no Python.
+    plan = _plan(spark, "luhn_cards")
+    assert "PythonUDF" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert plan.count("Exchange") <= 1, plan[:1500]
+
+
+def test_ndcg_no_cartesian_combinable_aggs(spark):
+    # r13: DCG/IDCG are combinable groupBys over equi-joins; the
+    # discount table is a literal array — no Python, no cartesian.
+    plan = _plan(spark, "ndcg")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PythonUDF" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_qdigest_quantiles_bounded_no_python(spark):
+    # r13: the digest pipeline is pure set algebra on bounded tables —
+    # no Python stages anywhere; the only window (the cumsum) runs on
+    # the <= 3k-node digest, never the corpus.
+    plan = _plan(spark, "qdigest_quantiles")
+    assert "PythonUDF" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
