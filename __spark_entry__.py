@@ -4150,6 +4150,29 @@ def q_script_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_qdigest_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-group q-digests in ONE pass (per-priority price quantiles —
+    # the per-source/per-language shape a curation pipeline needs):
+    # group key threaded through the whole compression, per-group
+    # floor(n_g/k) thresholds carried as a COLUMN from a broadcast
+    # meta table (zero driver scalars), and the quantile cumsum
+    # windows PARTITION BY group — no single-partition sort anywhere.
+    from sutro_spark.functions.sketches import (
+        qdigest_build_grouped,
+        qdigest_quantiles_grouped,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT) div 64").alias(
+            "v"
+        ),
+    )
+    dig = qdigest_build_grouped(vals, "grp", "v", bits=20, k=32)
+    return qdigest_quantiles_grouped(dig, bits=20).orderBy("grp", "q_milli")
+
+
 def q_luhn_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Luhn-validated payment-card PII (ISO/IEC 7812): the redact_pii
     # family member where a bare regex is NOT enough — most 13-19
@@ -4654,6 +4677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_summary": q_ndcg_summary,
         "qdigest_quantiles": q_qdigest_quantiles,
         "qdigest_guarantee": q_qdigest_guarantee,
+        "qdigest_by_group": q_qdigest_by_group,
         "luhn_cards": q_luhn_cards,
         "encoding_damage": q_encoding_damage,
         "script_profile": q_script_profile,
@@ -6171,6 +6195,74 @@ def _qdigest_sql(bits: int = 20, k: int = 64) -> str:
                      t.target_rank, t.n
               FROM tgt t JOIN cum c ON c.cum >= t.target_rank
               GROUP BY 1, 3, 4)"""
+    return chain
+
+
+def _qdigest_grp_sql(bits: int = 20, k: int = 32) -> str:
+    """Grouped twin of _qdigest_sql: the group key threaded through
+    every CTE, the per-group floor(n_g/k) threshold joined from gmeta
+    instead of a scalar subquery. Ends with gmeta and lg0."""
+    chain = f"""
+    WITH lg{bits} AS MATERIALIZED (
+        SELECT grp, v + {1 << bits} AS id, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT o_orderpriority AS grp,
+                     CAST(round(o_totalprice * 100) AS BIGINT) // 64 AS v
+              FROM orders) t
+        GROUP BY 1, 2),
+    gmeta AS MATERIALIZED (
+        SELECT grp, CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(cnt) // {k} AS BIGINT) AS thr
+        FROM lg{bits} GROUP BY 1)"""
+    for d in range(bits, 0, -1):
+        lo, hi, parlo = 1 << d, 2 << d, 1 << (d - 1)
+        chain += f""",
+    sg{d} AS MATERIALIZED (
+        SELECT grp, id // 2 AS pid, CAST(sum(cnt) AS BIGINT) AS csum
+        FROM lg{d} WHERE id >= {lo} AND id < {hi} GROUP BY 1, 2),
+    pg{d} AS MATERIALIZED (
+        SELECT coalesce(s.grp, p.grp) AS grp,
+               coalesce(s.pid, p.id) AS id,
+               coalesce(s.csum, 0) AS csum, coalesce(p.cnt, 0) AS pcnt
+        FROM sg{d} s FULL JOIN
+             (SELECT grp, id, cnt FROM lg{d}
+              WHERE id >= {parlo} AND id < {lo}) p
+          ON p.grp = s.grp AND p.id = s.pid),
+    lg{d - 1} AS MATERIALIZED (
+        SELECT grp, id, cnt FROM lg{d} WHERE id >= {hi} OR id < {parlo}
+        UNION ALL
+        SELECT c.grp, c.id, c.cnt
+        FROM lg{d} c JOIN pg{d} pp
+          ON pp.grp = c.grp AND c.id // 2 = pp.id
+        JOIN gmeta m ON m.grp = c.grp
+        WHERE c.id >= {lo} AND c.id < {hi}
+          AND pp.csum + pp.pcnt > m.thr
+        UNION ALL
+        SELECT pp.grp, pp.id,
+               CASE WHEN pp.csum + pp.pcnt <= m.thr
+                    THEN pp.csum + pp.pcnt ELSE pp.pcnt END AS cnt
+        FROM pg{d} pp JOIN gmeta m ON m.grp = pp.grp
+        WHERE (CASE WHEN pp.csum + pp.pcnt <= m.thr
+                    THEN pp.csum + pp.pcnt ELSE pp.pcnt END) > 0)"""
+    chain += f""",
+    ndg AS (SELECT grp, id, cnt,
+               (1::BIGINT << ({bits} - (length(format('{{:b}}', id)) - 1)))
+                   AS span
+            FROM lg0),
+    ndg2 AS (SELECT grp, id, cnt, span,
+               (id - (1::BIGINT
+                   << (length(format('{{:b}}', id)) - 1))) * span
+                   + span - 1 AS e
+             FROM ndg),
+    cumg AS (SELECT grp, e, CAST(sum(cnt) OVER (PARTITION BY grp
+                 ORDER BY e ASC, span ASC, id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+             FROM ndg2),
+    tgtg AS (SELECT grp, n, CAST(q_milli AS BIGINT) AS q_milli,
+                    CAST((q_milli * n + 999) // 1000 AS BIGINT)
+                        AS target_rank
+             FROM gmeta,
+                  unnest([250, 500, 750, 900, 990]) AS t(q_milli))"""
     return chain
 
 
@@ -10415,6 +10507,15 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT q_milli, value, target_rank, n
             FROM quant ORDER BY q_milli
+        """,
+        "qdigest_by_group": _qdigest_grp_sql(bits=20, k=32)
+        + """
+            SELECT t.grp, t.q_milli, CAST(min(c.e) AS BIGINT) AS value,
+                   t.target_rank, t.n
+            FROM tgtg t JOIN cumg c
+              ON c.grp = t.grp AND c.cum >= t.target_rank
+            GROUP BY 1, 2, 4, 5
+            ORDER BY t.grp, t.q_milli
         """,
         "luhn_cards": """
             WITH m AS (

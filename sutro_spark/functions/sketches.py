@@ -23,7 +23,14 @@ from pyspark.sql import functions as F
 
 from sutro_spark.functions.sampling import hash_bucket
 
-__all__ = ["kmv_distinct", "kmv_join_estimate", "hll_distinct", "hll_registers", "hll_from_registers", "hll_corrected", "cms_cells", "cms_counts", "cms_estimate", "kmv_set_estimates", "hll_set_estimates", "mg_bucket_summaries", "mg_merge", "mg_heavy_hitters"]
+__all__ = [
+    "kmv_distinct", "kmv_join_estimate", "hll_distinct", "hll_registers",
+    "hll_from_registers", "hll_corrected", "cms_cells", "cms_counts",
+    "cms_estimate", "kmv_set_estimates", "hll_set_estimates",
+    "mg_bucket_summaries", "mg_merge", "mg_heavy_hitters",
+    "qdigest_build", "qdigest_merge", "qdigest_quantiles",
+    "qdigest_build_grouped", "qdigest_quantiles_grouped",
+]
 
 
 def kmv_distinct(
@@ -1039,4 +1046,178 @@ def qdigest_quantiles(
         .groupBy("q_milli", "target_rank", "n")
         .agg(F.min("end").cast("long").alias("value"))
         .select("q_milli", "value", "target_rank", "n")
+    )
+
+
+def qdigest_build_grouped(
+    df: DataFrame,
+    group_column: str,
+    value_column: str,
+    *,
+    bits: int = 20,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group q-digests in ONE pass — the grouped quantile summary
+    (per-source length quantiles, per-language score percentiles) that
+    a fixed-bin histogram or a per-group collect cannot give at scale.
+    Same bottom-up compression as :func:`qdigest_build` with the group
+    key threaded through every groupBy/join and the floor(n_g/k)
+    threshold carried as a COLUMN from a per-group meta table (no
+    driver scalar at all — strictly more distributed than the global
+    build). Groups with n_g < k get thr 0 and keep their exact leaf
+    histogram. State per group is bounded by 3k nodes, so the total
+    digest table is |groups| * 3k rows.
+
+    Output: (grp, id, cnt).
+    """
+    if not 1 <= bits <= 30:
+        raise ValueError(f"bits must be in [1, 30], got {bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    top = 1 << bits
+    v = (
+        df.select(
+            F.col(group_column).alias("grp"),
+            F.col(value_column).cast("long").alias("v"),
+        )
+        .where(F.col("v").isNotNull() & F.col("grp").isNotNull())
+        .withColumn(
+            "v",
+            F.when((F.col("v") >= 0) & (F.col("v") < top), F.col("v")).otherwise(
+                F.expr(
+                    "CAST(raise_error(concat('qdigest: value ',"
+                    " CAST(v AS STRING),"
+                    f" ' outside [0, 2^{bits}) — rescale or raise bits'))"
+                    " AS BIGINT)"
+                )
+            ),
+        )
+    )
+    leaves = v.groupBy("grp", (F.col("v") + F.lit(top)).alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    meta = (
+        leaves.groupBy("grp")
+        .agg(F.sum("cnt").cast("long").alias("__n"))
+        .select("grp", F.expr(f"CAST(__n div {k} AS BIGINT)").alias("thr"))
+        .localCheckpoint(eager=True)
+    )
+    kept = []
+    cur = leaves
+    for d in range(bits, 0, -1):
+        lo, hi, parlo = 1 << d, 2 << d, 1 << (d - 1)
+        at_d = cur.where((F.col("id") >= lo) & (F.col("id") < hi))
+        rest = cur.where(F.col("id") < parlo)
+        parents = cur.where((F.col("id") >= parlo) & (F.col("id") < lo))
+        sums = at_d.groupBy("grp", F.expr("id div 2").alias("pid")).agg(
+            F.sum("cnt").cast("long").alias("csum")
+        )
+        dec = (
+            sums.join(
+                parents.select(
+                    "grp", F.col("id").alias("pid"), F.col("cnt").alias("pcnt")
+                ),
+                ["grp", "pid"],
+                "full",
+            )
+            .select(
+                "grp",
+                "pid",
+                F.coalesce(F.col("csum"), F.lit(0)).alias("csum"),
+                F.coalesce(F.col("pcnt"), F.lit(0)).alias("pcnt"),
+            )
+            .join(F.broadcast(meta), "grp")
+            .withColumn(
+                "merge", (F.col("csum") + F.col("pcnt")) <= F.col("thr")
+            )
+            .localCheckpoint(eager=True)
+        )
+        kept_children = at_d.alias("c").join(
+            dec.where(~F.col("merge")).select("grp", "pid").alias("d"),
+            (F.col("c.grp") == F.col("d.grp"))
+            & (F.expr("c.id div 2") == F.col("d.pid")),
+        ).select("c.grp", "c.id", "c.cnt")
+        kept.append(kept_children)
+        new_parents = dec.select(
+            "grp",
+            F.col("pid").alias("id"),
+            F.when(F.col("merge"), F.col("csum") + F.col("pcnt"))
+            .otherwise(F.col("pcnt"))
+            .cast("long")
+            .alias("cnt"),
+        ).where(F.col("cnt") > 0)
+        cur = rest.unionByName(new_parents).localCheckpoint(eager=True)
+    out = cur
+    for kc in kept:
+        out = out.unionByName(kc)
+    return out
+
+
+def qdigest_quantiles_grouped(
+    digest: DataFrame,
+    *,
+    bits: int = 20,
+    q_milli: tuple = (250, 500, 750, 900, 990),
+) -> DataFrame:
+    """Per-group quantile extraction from :func:`qdigest_build_grouped`
+    output — the cumsum window PARTITIONS BY group (no single-partition
+    sort anywhere, unlike the global extractor's one bounded sort).
+
+    Output: one row per (grp, quantile): (grp, q_milli, value,
+    target_rank, n).
+    """
+    nodes = digest.select(
+        "grp",
+        "id",
+        "cnt",
+        F.expr(
+            f"CAST(shiftleft(CAST(1 AS BIGINT), {bits} - "
+            "(length(conv(CAST(id AS STRING), 10, 2)) - 1)) AS BIGINT)"
+        ).alias("span"),
+    ).select(
+        "grp",
+        "id",
+        "cnt",
+        "span",
+        F.expr(
+            "(id - shiftleft(CAST(1 AS BIGINT),"
+            " length(conv(CAST(id AS STRING), 10, 2)) - 1)) * span"
+            " + span - 1"
+        ).alias("end"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("end").asc(), F.col("span").asc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = nodes.select(
+        "grp", "end", F.sum("cnt").over(w).cast("long").alias("cum")
+    )
+    totals = digest.groupBy("grp").agg(F.sum("cnt").cast("long").alias("n"))
+    targets = totals.select(
+        "grp",
+        "n",
+        F.explode(
+            F.array(*[F.lit(int(q)).cast("long") for q in q_milli])
+        ).alias("q_milli"),
+    ).select(
+        "grp",
+        "n",
+        "q_milli",
+        F.expr("CAST((q_milli * n + 999) div 1000 AS BIGINT)").alias(
+            "target_rank"
+        ),
+    )
+    return (
+        targets.alias("t")
+        .join(
+            cum.alias("c"),
+            (F.col("t.grp") == F.col("c.grp"))
+            & (F.col("c.cum") >= F.col("t.target_rank")),
+        )
+        .groupBy("t.grp", "t.q_milli", "t.target_rank", "t.n")
+        .agg(F.min("c.end").cast("long").alias("value"))
+        .select(
+            F.col("grp"), "q_milli", "value", "target_rank", "n"
+        )
     )

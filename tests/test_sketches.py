@@ -478,3 +478,54 @@ def test_qdigest_validates_and_guards(spark):
     bad = spark.createDataFrame([(70,), (1,)], "x long")
     with _pytest.raises(Exception, match="outside \\[0, 2\\^6\\)"):
         qdigest_build(bad, "x", bits=6).collect()
+
+
+def test_qdigest_grouped_equals_per_group_global(spark):
+    # the grouped build with column thresholds must produce EXACTLY
+    # the digest the global build produces on each group's slice —
+    # same algebra, per-group floor(n_g/k)
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sutro_spark.functions.sketches import (
+        qdigest_build,
+        qdigest_build_grouped,
+        qdigest_quantiles,
+        qdigest_quantiles_grouped,
+    )
+
+    rng = random.Random(17)
+    rows = [("a", rng.randint(0, 255)) for _ in range(900)] + [
+        ("b", rng.randint(0, 31)) for _ in range(600)
+    ] + [("c", 7)]  # group c: n < k -> exact leaf histogram
+    df = spark.createDataFrame(rows, "grp string, x long")
+    bits, k = 8, 16
+    grouped = {
+        (r["grp"], r["id"]): r["cnt"]
+        for r in qdigest_build_grouped(df, "grp", "x", bits=bits, k=k).collect()
+    }
+    for g in ("a", "b", "c"):
+        solo = {
+            (g, r["id"]): r["cnt"]
+            for r in qdigest_build(
+                df.where(F.col("grp") == g), "x", bits=bits, k=k
+            ).collect()
+        }
+        assert solo == {kk: v for kk, v in grouped.items() if kk[0] == g}, g
+    # grouped quantiles agree with the global extractor per slice
+    gq = {
+        (r["grp"], r["q_milli"]): (r["value"], r["target_rank"], r["n"])
+        for r in qdigest_quantiles_grouped(
+            qdigest_build_grouped(df, "grp", "x", bits=bits, k=k), bits=bits
+        ).collect()
+    }
+    for g in ("a", "c"):
+        solo = {
+            (g, r["q_milli"]): (r["value"], r["target_rank"], r["n"])
+            for r in qdigest_quantiles(
+                qdigest_build(df.where(F.col("grp") == g), "x", bits=bits, k=k),
+                bits=bits,
+            ).collect()
+        }
+        assert solo == {kk: v for kk, v in gq.items() if kk[0] == g}, g

@@ -444,3 +444,92 @@ def test_streaming_qdigest_replay_and_global_bound(spark, sf_dir, tmp_path):
     for r in rows:
         true_rank = sum(1 for v in vals if v <= r["value"])
         assert abs(true_rank - r["target_rank"]) <= bits * len(vals) // k
+
+
+def test_script_gate_stream_equals_batch(spark, sf_dir, tmp_path):
+    """the nine-class gate is a per-row projection, so it must run
+    UNCHANGED on readStream and emit exactly the batch rows."""
+    from pyspark.sql import functions as F
+
+    from sutro_spark.functions.text import script_gate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    mixed = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" привет عالم 안녕")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    src = str(tmp_path / "sg_src")
+    mixed.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        script_gate(stream)
+        .writeStream.format("memory")
+        .queryName("sg_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sg_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["id"]: (r["n_letters"], r["dominant"], r["mixed"])
+        for r in spark.sql("select * from sg_stream").collect()
+    }
+    expected = {
+        r["id"]: (r["n_letters"], r["dominant"], r["mixed"])
+        for r in script_gate(spark.read.parquet(src)).collect()
+    }
+    assert got == expected and any(v[2] for v in got.values())
+
+
+def test_card_hits_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Luhn card detection/redaction is a per-row projection, so it
+    must run UNCHANGED on readStream and emit exactly the batch rows."""
+    from pyspark.sql import functions as F
+
+    from sutro_spark.functions.text import card_hits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" card 4539578763621486")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    src = str(tmp_path / "card_src")
+    seeded.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        card_hits(stream)
+        .select("doc_id", "n_valid_cards", "has_card", "redacted")
+        .writeStream.format("memory")
+        .queryName("card_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "card_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["doc_id"]: (r["n_valid_cards"], r["has_card"], r["redacted"])
+        for r in spark.sql("select * from card_stream").collect()
+    }
+    expected = {
+        r["doc_id"]: (r["n_valid_cards"], r["has_card"], r["redacted"])
+        for r in card_hits(spark.read.parquet(src))
+        .select("doc_id", "n_valid_cards", "has_card", "redacted")
+        .collect()
+    }
+    assert got == expected and any(v[1] for v in got.values())
