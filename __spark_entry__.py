@@ -4150,6 +4150,23 @@ def q_script_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-corpus tokenizer application (the production shape: train
+    # once, apply to every later shard) — and the [Q] proof of the UNK
+    # path: the apply corpus uppercases vowels, chars the induction
+    # never saw, so the Laplace-count-1 fallback (cost ml(T')) fires
+    # mid-word; n_unk per word is the drift signal. The oracle runs
+    # one more Viterbi pass whose l=1 slot coalesces to the unk cost.
+    from sutro_spark.operators.unigram import unigram_apply
+
+    docs = _t(spark, sf_dir, "documents")
+    shifted = docs.select(
+        "doc_id",
+        F.translate(F.col("text"), "aeiou", "AEIOU").alias("text"),
+    )
+    return unigram_apply(docs, shifted, seed_top=48, target=24).orderBy("w")
+
+
 def q_qdigest_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-group q-digests in ONE pass (per-priority price quantiles —
     # the per-source/per-language shape a curation pipeline needs):
@@ -4672,6 +4689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_subwords": q_wordpiece_subwords,
         "unigram_vocab": q_unigram_vocab,
         "unigram_segment": q_unigram_segment,
+        "unigram_apply": q_unigram_apply,
         "script_gate": q_script_gate,
         "ndcg": q_ndcg,
         "ndcg_summary": q_ndcg_summary,
@@ -6009,18 +6027,33 @@ def _unigram_ml(x: str) -> str:
     )
 
 
-def _unigram_pass(sfx: str, vocab_cte: str, max_len: int) -> str:
+def _unigram_pass(
+    sfx: str,
+    vocab_cte: str,
+    max_len: int,
+    *,
+    wc: str = "wc",
+    wlen: str = "wlen",
+    pos: str = "pos",
+    unk: str | None = None,
+) -> str:
     """One Viterbi DP pass as CTEs (appended inside a WITH RECURSIVE):
-    transition-cost arrays per (word, position), the backward DP as a
-    recursive CTE carrying the best-cost vector as LIST state
-    (bests[j] = best cost at position pos+j), then the forward walk
-    re-deriving each step's argmin with the longest-piece tie-break
-    (max index at the minimum — mirrors the UDF's descending-length
-    strict-< loop). Produces tca{sfx}, bfin{sfx}, fwd{sfx}."""
+    transition-cost arrays per (word, position) — built from the POS
+    table via LEFT JOIN so every position has a row, with the l=1 slot
+    coalesced to the ``unk`` scalar when given (the cross-corpus apply
+    pass: an unmatched char prices as Laplace count 1) — then the
+    backward DP as a recursive CTE carrying the best-cost vector as
+    LIST state (bests[j] = best cost at position pos+j), and the
+    forward walk re-deriving each step's argmin with the longest-piece
+    tie-break (max index at the minimum — mirrors the UDF's
+    descending-length strict-< loop). Produces tca{sfx}, bfin{sfx},
+    fwd{sfx} over the ``wc``/``wlen``/``pos`` corpus CTEs."""
     maxcases = ",\n                ".join(
-        f"max(CASE WHEN l = {i} THEN cost END)"
+        f"max(CASE WHEN l = {i} THEN cost END) AS c{i}"
         for i in range(1, max_len + 1)
     )
+    first = f"coalesce(g.c1, {unk})" if unk else "g.c1"
+    arr = ", ".join([first] + [f"g.c{i}" for i in range(2, max_len + 1)])
     lexpr = (
         "list_max(list_filter(list_transform(t.tc, (c, i) ->"
         " CASE WHEN c + bf.bests[CAST(f.pos + i AS INT)]"
@@ -6030,15 +6063,19 @@ def _unigram_pass(sfx: str, vocab_cte: str, max_len: int) -> str:
     return f"""
     tc{sfx} AS (
         SELECT p.w, p.pos, length(v.piece) AS l, v.cost
-        FROM pos p JOIN {vocab_cte} v
+        FROM {pos} p JOIN {vocab_cte} v
           ON substring(p.w, CAST(p.pos AS INT), length(v.piece)) = v.piece
          AND p.pos + length(v.piece) - 1 <= p.L),
-    tca{sfx} AS MATERIALIZED (
+    tcg{sfx} AS (
         SELECT w, pos,
-               [{maxcases}] AS tc
+               {maxcases}
         FROM tc{sfx} GROUP BY w, pos),
+    tca{sfx} AS MATERIALIZED (
+        SELECT p.w, p.pos, [{arr}] AS tc
+        FROM {pos} p LEFT JOIN tcg{sfx} g
+          ON g.w = p.w AND g.pos = p.pos),
     back{sfx}(w, r, bests) AS (
-        SELECT w, CAST(0 AS BIGINT), [CAST(0 AS BIGINT)] FROM wc
+        SELECT w, CAST(0 AS BIGINT), [CAST(0 AS BIGINT)] FROM {wc}
         UNION ALL
         SELECT b.w, b.r + 1,
                list_prepend(
@@ -6047,20 +6084,20 @@ def _unigram_pass(sfx: str, vocab_cte: str, max_len: int) -> str:
                    x -> x IS NOT NULL)),
                  b.bests)
         FROM back{sfx} b
-        JOIN wlen wl ON wl.w = b.w
+        JOIN {wlen} wl ON wl.w = b.w
         JOIN tca{sfx} t ON t.w = b.w AND t.pos = wl.L - b.r
         WHERE b.r < wl.L),
     bfin{sfx} AS MATERIALIZED (
         SELECT b.w, b.bests FROM back{sfx} b
-        JOIN wlen wl ON wl.w = b.w AND b.r = wl.L),
+        JOIN {wlen} wl ON wl.w = b.w AND b.r = wl.L),
     fwd{sfx}(w, pos, idx, piece) AS (
         SELECT w, CAST(1 AS BIGINT), CAST(0 AS BIGINT),
-               CAST(NULL AS VARCHAR) FROM wc
+               CAST(NULL AS VARCHAR) FROM {wc}
         UNION ALL
         SELECT f.w, f.pos + {lexpr}, f.idx + 1,
                substring(f.w, CAST(f.pos AS INT), CAST({lexpr} AS INT))
         FROM fwd{sfx} f
-        JOIN wlen wl ON wl.w = f.w
+        JOIN {wlen} wl ON wl.w = f.w
         JOIN bfin{sfx} bf ON bf.w = f.w
         JOIN tca{sfx} t ON t.w = f.w AND t.pos = f.pos
         WHERE f.pos <= wl.L)"""
@@ -6128,6 +6165,34 @@ def _unigram_sql(seed_top: int = 48, target: int = 24, max_len: int = 4) -> str:
         SELECT piece, CAST({ml_t} - {ml_f} AS BIGINT) AS cost
         FROM v1, t1),
     {_unigram_pass("B", "vc1", max_len)}"""
+
+
+def _unigram_apply_sql(
+    seed_top: int = 48, target: int = 24, max_len: int = 4
+) -> str:
+    """Cross-corpus apply replay: the full _unigram_sql induction
+    chain, then the APPLY corpus (vowels uppercased via translate —
+    chars the induction never saw) segmented by one more Viterbi pass
+    whose l=1 transition slot coalesces to the unk cost ml(T') (the
+    Laplace-count-1 price — operators/unigram.py::_costs)."""
+    ml_t = _unigram_ml("tp")
+    return _unigram_sql(seed_top, target, max_len) + f""",
+    wcapp AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS weight FROM (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(
+                    translate(text, 'aeiou', 'AEIOU'), '\\s+'),
+                x -> x <> '')) AS w
+            FROM documents) t
+        GROUP BY w),
+    wlenapp AS MATERIALIZED (
+        SELECT w, CAST(length(w) AS BIGINT) AS L FROM wcapp),
+    posapp AS MATERIALIZED (
+        SELECT wl.w, wl.L, CAST(p AS BIGINT) AS pos
+        FROM wlenapp wl, unnest(range(1, wl.L + 1)) AS tp(p)),
+    unkv AS (SELECT CAST({ml_t} AS BIGINT) AS u FROM t1),
+    {_unigram_pass("U", "vc1", max_len, wc="wcapp", wlen="wlenapp",
+                   pos="posapp", unk="(SELECT u FROM unkv)")}"""
 
 
 def _qdigest_sql(bits: int = 20, k: int = 64) -> str:
@@ -10501,6 +10566,22 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(1000000 * sum(CASE WHEN idcg_micro > 0
                            THEN 1 END) AS DOUBLE) AS mean_ndcg
             FROM per
+        """,
+        "unigram_apply": _unigram_apply_sql(seed_top=48, target=24, max_len=4)
+        + """
+            , appseg AS (
+                SELECT f.w, string_agg(f.piece, '|' ORDER BY f.idx)
+                           AS pieces,
+                       CAST(count(*) AS BIGINT) AS n_pieces,
+                       CAST(sum(CASE WHEN v.piece IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+                FROM fwdU f LEFT JOIN vc1 v ON v.piece = f.piece
+                WHERE f.idx >= 1 GROUP BY f.w)
+            SELECT wcapp.w, wcapp.weight, a.pieces, a.n_pieces,
+                   bf.bests[1] AS cost_milli, a.n_unk
+            FROM wcapp JOIN appseg a USING (w)
+            JOIN bfinU bf ON bf.w = wcapp.w
+            ORDER BY w
         """,
         "script_gate": _script_gate_sql(threshold=800),
         "qdigest_quantiles": _qdigest_sql(bits=20, k=64)

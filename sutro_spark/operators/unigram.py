@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 
 from sutro_spark.operators.wordpiece import _word_counts, wordpiece_vocab
 
-__all__ = ["unigram_vocab", "unigram_segment"]
+__all__ = ["unigram_vocab", "unigram_segment", "unigram_apply"]
 
 
 def _ml(f: int) -> int:
@@ -97,6 +97,7 @@ def _viterbi_pass(
         [
             StructField("pieces", ArrayType(StringType())),
             StructField("cost", LongType()),
+            StructField("n_unk", LongType()),
         ]
     )
 
@@ -121,15 +122,22 @@ def _viterbi_pass(
                     if b is None or cand < b:
                         b, cl = cand, l
                 best[pos], choice[pos] = b, cl
-            out, pos = [], 0
+            out, pos, n_unk = [], 0, 0
             while pos < big:
-                out.append(w[pos : pos + choice[pos]])
+                piece = w[pos : pos + choice[pos]]
+                out.append(piece)
+                if piece not in costs:  # the Laplace-1 fallback fired
+                    n_unk += 1
                 pos += choice[pos]
-            return out, best[0]
+            return out, best[0], n_unk
 
         res = [walk(w) for w in words]
         return pd.DataFrame(
-            {"pieces": [r[0] for r in res], "cost": [r[1] for r in res]}
+            {
+                "pieces": [r[0] for r in res],
+                "cost": [r[1] for r in res],
+                "n_unk": [r[2] for r in res],
+            }
         )
 
     return wc.select("w", "weight", seg(F.col("w")).alias("__s")).select(
@@ -137,6 +145,7 @@ def _viterbi_pass(
         "weight",
         F.col("__s.pieces").alias("pieces"),
         F.col("__s.cost").alias("cost"),
+        F.col("__s.n_unk").alias("n_unk"),
     )
 
 
@@ -266,4 +275,47 @@ def unigram_segment(
         F.array_join("pieces", "|").alias("pieces"),
         F.size("pieces").cast("long").alias("n_pieces"),
         F.col("cost").alias("cost_milli"),
+    )
+
+
+def unigram_apply(
+    train_df: DataFrame,
+    apply_df: DataFrame,
+    train_text_column: str = "text",
+    apply_text_column: str = "text",
+    *,
+    max_piece_len: int = 4,
+    seed_top: int = 48,
+    target: int = 24,
+    rounds: int = 1,
+) -> DataFrame:
+    """Cross-corpus tokenizer application: induce the vocabulary on
+    ``train_df``, Viterbi-segment ``apply_df``'s distinct words under
+    it — the production shape (a tokenizer is trained once and applied
+    to every later shard), and the path where the UNK fallback
+    actually fires: a character the induction never saw prices as
+    Laplace count 1 (cost ml(T')) and is emitted as itself, counted in
+    ``n_unk``. High n_unk per word is the drift signal that the
+    tokenizer needs re-induction.
+
+    Output: (w, weight — apply-corpus occurrences, pieces '|'-joined,
+    n_pieces bigint, cost_milli bigint, n_unk bigint).
+    """
+    wc_apply = _word_counts(apply_df, apply_text_column)
+    _, costs, counts, chars, unk = _induce(
+        train_df,
+        train_text_column,
+        max_piece_len=max_piece_len,
+        seed_top=seed_top,
+        target=target,
+        rounds=rounds,
+    )
+    segf = _viterbi_pass(wc_apply, costs, unk, max_piece_len)
+    return segf.select(
+        "w",
+        "weight",
+        F.array_join("pieces", "|").alias("pieces"),
+        F.size("pieces").cast("long").alias("n_pieces"),
+        F.col("cost").alias("cost_milli"),
+        "n_unk",
     )

@@ -170,3 +170,28 @@ def test_validates_params(spark):
         unigram_vocab(df, target=0)
     with pytest.raises(ValueError):
         unigram_segment(df, rounds=-1)
+
+
+def test_unigram_apply_cross_corpus_unk(spark):
+    from sutro_spark.operators.unigram import unigram_apply, unigram_segment
+
+    train = spark.createDataFrame(
+        [(0, "abc abc abde")], "doc_id long, text string"
+    )
+    apply_df = spark.createDataFrame(
+        [(0, "abc aZc abc")], "doc_id long, text string"
+    )
+    rows = {
+        r["w"]: r
+        for r in unigram_apply(
+            train, apply_df, seed_top=4, target=2
+        ).collect()
+    }
+    # 'abc' segments under the trained vocab with zero unk
+    assert rows["abc"]["n_unk"] == 0 and rows["abc"]["weight"] == 2
+    # 'aZc': Z never seen -> exactly one unk piece, emitted as itself
+    assert rows["aZc"]["n_unk"] == 1
+    assert "Z" in rows["aZc"]["pieces"].split("|")
+    # same-corpus segmentation never fires the unk path
+    seg = unigram_segment(train, seed_top=4, target=2)
+    assert "n_unk" not in seg.columns  # [Q] schema unchanged
