@@ -4167,6 +4167,21 @@ def q_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_apply(docs, shifted, seed_top=48, target=24).orderBy("w")
 
 
+def q_hadamard_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OPQ-lite structured rotation (Ge et al. 2013's goal, the
+    # Fast-JL/QuickADC Hadamard mechanism): h(i,j) = (-1)^popcount(i&j)
+    # is a ±1 integer matrix with H·Hᵀ = d·I, so exact-L2 top-k is
+    # preserved while PQ subspaces see balanced energy — the rotation
+    # SCALING.md names as the codebook lever for correlated
+    # embeddings. Every rotated component is an exact integer
+    # (bit_count + sum over the quantized centered vector), zero
+    # shuffles, O(d²) per row JVM-side.
+    from sutro_spark.operators.pq import hadamard_rotate_q
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 40)
+    return hadamard_rotate_q(emb, dim=64).orderBy("id")
+
+
 def q_qdigest_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-group q-digests in ONE pass (per-priority price quantiles —
     # the per-source/per-language shape a curation pipeline needs):
@@ -4698,6 +4713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qdigest_guarantee": q_qdigest_guarantee,
         "qdigest_by_group": q_qdigest_by_group,
         "luhn_cards": q_luhn_cards,
+        "hadamard_rotate": q_hadamard_rotate,
         "encoding_damage": q_encoding_damage,
         "script_profile": q_script_profile,
         "lang_confidence": q_lang_confidence,
@@ -10639,6 +10655,23 @@ def oracle_sql() -> dict[str, str]:
                    list_reduce(list_prepend(ct, valid),
                        (acc, x) -> replace(acc, x, '[CARD]')) AS redacted
             FROM v ORDER BY id
+        """,
+        "hadamard_rotate": """
+            SELECT vec_id AS id,
+                   list_transform(range(0, 64), i -> CAST(list_sum(
+                       list_transform(range(0, 64), j ->
+                           CASE WHEN bit_count(CAST(i AS BIGINT) & j)
+                                    % 2 = 0
+                                THEN (CAST(trunc(CAST(
+                                    embedding[CAST(j AS INT) + 1]
+                                    AS DOUBLE) * 1000) AS BIGINT)
+                                    + 1000) - 1000
+                                ELSE 1000 - (CAST(trunc(CAST(
+                                    embedding[CAST(j AS INT) + 1]
+                                    AS DOUBLE) * 1000) AS BIGINT)
+                                    + 1000) END))
+                   AS BIGINT)) AS rvec
+            FROM embeddings WHERE vec_id < 40 ORDER BY vec_id
         """,
         "qdigest_guarantee": _qdigest_sql(bits=20, k=64)
         + f"""

@@ -726,3 +726,106 @@ def ivfpq_prune_stats(
     )
     pruned = kept.agg(F.count(F.lit(1)).cast("long").alias("cand_pruned"))
     return full.crossJoin(F.broadcast(pruned))
+
+
+# --- OPQ-lite: structured (Walsh–Hadamard) rotation before PQ -------------
+# PQ's loss concentrates when energy is unevenly split across the m
+# subspaces (Ge et al. 2013 — OPQ learns a rotation to balance them;
+# the learned form needs eigendecompositions no engine replays
+# bit-for-bit). The structured alternative — rotate by a Hadamard
+# matrix, the Fast-JL / QuickADC trick — spreads energy across ALL
+# dimensions with a ±1 INTEGER matrix: h(i,j) = (-1)^popcount(i & j),
+# H·Hᵀ = d·I, so ||Hx||² = d·||x||² and exact-L2 top-k is PRESERVED
+# while every PQ subspace sees a balanced share of the variance.
+# Every rotated component is an exact integer both engines compute
+# identically (bit_count + sum), followed by ONE exact IEEE division
+# back to [-1, 1] floats for the unchanged PQ pipeline.
+
+
+def hadamard_rotate_q(
+    df: DataFrame,
+    vector_column: str = "embedding",
+    id_column: str = "vec_id",
+    *,
+    dim: int,
+    scale: int = 1000,
+    offset: int = 1000,
+) -> DataFrame:
+    """Exact integer WHT of the quantized, centered embedding:
+    r_i = sum_j (-1)^popcount(i & j) * (q_j - offset), components in
+    [-dim*offset, dim*offset]. ``dim`` must be a power of two and
+    every row's array length (enforced per row via raise_error — a
+    silent mismatch would rotate garbage). O(dim^2) integer ops per
+    row, JVM-side, zero shuffles.
+
+    Output: (id, rvec array<bigint>).
+    """
+    if dim < 2 or dim & (dim - 1):
+        raise ValueError(f"dim must be a power of two >= 2, got {dim}")
+    guard = (
+        f"CASE WHEN size({vector_column}) = {dim} THEN {vector_column}"
+        f" ELSE raise_error(concat('hadamard_rotate: vector length ',"
+        f" CAST(size({vector_column}) AS STRING),"
+        f" ' != dim {dim}')) END"
+    )
+    rot = (
+        f"transform(sequence(0, {dim - 1}), i -> aggregate("
+        f" zip_with(transform({guard},"
+        f" x -> CAST(x * {scale} AS BIGINT) + {offset}),"
+        f" sequence(0, {dim - 1}),"
+        f" (v, j) -> CASE WHEN bit_count(i & j) % 2 = 0"
+        f" THEN v - {offset} ELSE {offset} - v END),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+    )
+    return df.select(
+        F.col(id_column).alias("id"), F.expr(rot).alias("rvec")
+    )
+
+
+def hadamard_rotated(
+    df: DataFrame,
+    vector_column: str = "embedding",
+    id_column: str = "vec_id",
+    *,
+    dim: int,
+    scale: int = 1000,
+    offset: int = 1000,
+) -> DataFrame:
+    """The float face of :func:`hadamard_rotate_q` for composing with
+    the unchanged PQ stack: each exact integer component divides ONCE
+    by sqrt(dim)*scale — H/sqrt(d) is ORTHONORMAL, so norms (hence
+    magnitudes, hence the milli-quantization resolution the PQ stack
+    re-applies) are preserved, not shrunk by the extra sqrt(d) a
+    divide-by-d would cost. Range contract (ENFORCED per row via
+    raise_error): each rotated component is bounded by the vector's
+    L2 norm, so inputs must satisfy ||x||_2 <= 1 — the unit-normalized
+    embedding convention; larger vectors would leave quantize's
+    [-1, 1] domain and silently saturate downstream.
+
+    Feed the result anywhere `embedding` goes (exact_l2_topk,
+    ivfpq_residual_topk, ...); exact top-k is preserved, and the PQ
+    codebooks now quantize balanced subspaces.
+    """
+    import math
+
+    q = hadamard_rotate_q(
+        df,
+        vector_column,
+        id_column,
+        dim=dim,
+        scale=scale,
+        offset=offset,
+    )
+    den = math.sqrt(dim) * scale
+    bound = int(den)  # |r_int| > sqrt(d)*scale would leave [-1, 1]
+    return q.select(
+        F.col("id").alias(id_column),
+        F.expr(
+            f"transform(rvec, x -> CASE WHEN abs(x) <= {bound}"
+            f" THEN CAST(x AS DOUBLE) / {den!r}"
+            f" ELSE CAST(raise_error(concat('hadamard_rotated: component ',"
+            f" CAST(x AS STRING), ' exceeds the unit-norm envelope"
+            f" (input vectors must have L2 norm <= 1)')) AS DOUBLE)"
+            f" END)"
+        ).alias(vector_column),
+    )

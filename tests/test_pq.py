@@ -227,3 +227,84 @@ def test_ivfpq_rescore_validation(spark):
     for fn in (ivfpq_topk, ivfpq_residual_topk):
         with _pytest.raises(ValueError):
             fn(df, queries, k=3, rescore_k=2, m=4, n_codes=4, dim=16)
+
+
+# --- OPQ-lite Hadamard rotation -------------------------------------------
+
+
+def test_hadamard_matrix_identity_and_python_parity(spark):
+    from sutro_spark.operators.pq import hadamard_rotate_q
+
+    # H·Hᵀ = d·I for the bit_count sign matrix (the orthogonality that
+    # makes exact top-k invariant)
+    d = 8
+    H = [[1 if bin(i & j).count("1") % 2 == 0 else -1 for j in range(d)]
+         for i in range(d)]
+    for a in range(d):
+        for b in range(d):
+            dot = sum(H[a][x] * H[b][x] for x in range(d))
+            assert dot == (d if a == b else 0)
+    # Spark integer rotation == python replay of the same formula
+    vecs = [
+        (0, [0.5, -0.25, 0.125, 0.0, -0.5, 0.25, -0.125, 0.375]),
+        (1, [0.001 * j for j in range(d)]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    got = {r["id"]: r["rvec"] for r in hadamard_rotate_q(df, dim=d).collect()}
+    for vid, v in vecs:
+        q = [int(x * 1000) for x in v]  # truncating, all exact here
+        expect = [sum(H[i][j] * q[j] for j in range(d)) for i in range(d)]
+        assert got[vid] == expect, vid
+
+
+def test_hadamard_rotated_preserves_exact_topk(spark):
+    from pyspark.sql import functions as F
+
+    from sutro_spark.operators.pq import exact_l2_topk, hadamard_rotated
+
+    # well-separated unit-ball vectors: exact top-3 neighbor SETS must
+    # survive the orthonormal rotation (distances scale uniformly;
+    # re-quantization noise is far below the separation)
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        c = i % 4
+        rows.append(
+            (i, [0.6 if j == c * 4 else rng.randint(-40, 40) / 1000.0
+                 for j in range(16)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.where(F.col("vec_id") < 8)
+    raw = {
+        (r["query_id"], r["neighbor_id"])
+        for r in exact_l2_topk(df, qs, k=3).collect()
+    }
+    rot = hadamard_rotated(df, dim=16)
+    rotq = rot.where(F.col("vec_id") < 8)
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in exact_l2_topk(rot, rotq, k=3).collect()
+    }
+    assert got == raw
+
+
+def test_hadamard_guards(spark):
+    import pytest as _pytest
+
+    from sutro_spark.operators.pq import hadamard_rotate_q, hadamard_rotated
+
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.2, 0.3])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError):
+        hadamard_rotate_q(df, dim=3)  # not a power of two
+    with _pytest.raises(Exception, match="vector length"):
+        hadamard_rotate_q(df, dim=4).collect()  # wrong length raises
+    # unit-norm envelope enforced on the float face: ||x||_2 = 2 > 1
+    big = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="unit-norm envelope"):
+        hadamard_rotated(big, dim=4).collect()
