@@ -4515,10 +4515,11 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: r9:50, r10:50, r11:50, r12:50; rank_elo_large retired r8,
 #: dup_clusters retired r10 — COVERAGE.md decision log). 2 new r13
 #: queries + that ENTIRE 48-entry cohort = exactly 50, clearing the
-#: floor to r9 (VERDICT r12 task #1: no entry older than r9). The 8
+#: floor to r9 (VERDICT r12 task #1: no entry older than r9). The 10
 #: r13 queries that do not fit the window (unigram_apply, script_gate,
 #: ndcg, ndcg_summary, qdigest_quantiles, qdigest_guarantee,
-#: qdigest_by_group, luhn_cards) lead the r14 rotation and are
+#: qdigest_by_group, luhn_cards, hadamard_rotate — plus any added
+#: later in the round) lead the r14 rotation and are
 #: strict-selfcheck-green at HEAD meanwhile (SELFCHECK_r13.txt).
 _R13_WINDOW = [
     # new in r13, never driver-checked

@@ -529,3 +529,39 @@ def test_qdigest_grouped_equals_per_group_global(spark):
             ).collect()
         }
         assert solo == {kk: v for kk, v in gq.items() if kk[0] == g}, g
+
+
+def test_qdigest_vs_spark_percentile_approx(spark):
+    # cross-implementation honesty: q-digest's reported quantile and
+    # Spark's built-in percentile_approx (GK-based) must bracket each
+    # other within the digest's bits*n/k rank envelope on the same
+    # data — two independent approximators agreeing is the cheap
+    # sanity a user runs before trusting either at scale
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sutro_spark.functions.sketches import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    rng = random.Random(23)
+    vals = [rng.randint(0, 1023) for _ in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    bits, k = 10, 32
+    dig = qdigest_build(df, "x", bits=bits, k=k)
+    qd = {
+        r["q_milli"]: r["value"]
+        for r in qdigest_quantiles(dig, bits=bits).collect()
+    }
+    pa = df.agg(
+        F.percentile_approx("x", [0.25, 0.5, 0.75, 0.9, 0.99], 10000).alias("p")
+    ).first()["p"]
+    sv = sorted(vals)
+    bound = bits * len(vals) // k
+    for qm, ref in zip((250, 500, 750, 900, 990), pa):
+        # compare by RANK, not value (plateaus make value gaps meaningless)
+        r_qd = sum(1 for v in vals if v <= qd[qm])
+        r_pa = sum(1 for v in vals if v <= ref)
+        assert abs(r_qd - r_pa) <= bound + len(vals) // 100, (qm, r_qd, r_pa)
