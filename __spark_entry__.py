@@ -4167,6 +4167,40 @@ def q_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_apply(docs, shifted, seed_top=48, target=24).orderBy("w")
 
 
+#: the deterministic messy-URL fixture for q_url_canonical: four
+#: shapes per doc_id % 4 — tracking params + default port + fragment +
+#: uppercase host; clean; not-a-URL; double trailing slash + :443 +
+#: fbclid. One literal both engines rebuild.
+_URL_FIXTURE_CASE = (
+    "CASE CAST(doc_id % 4 AS INT)"
+    " WHEN 0 THEN concat('HTTP://WWW.', upper(source), '.COM:80/',"
+    " lang, '/page/', CAST(doc_id AS STRING), '/?utm_source=feed&b=',"
+    " CAST(doc_id % 5 AS STRING), '&a=1#frag')"
+    " WHEN 1 THEN concat('https://www.', source, '.com/', lang,"
+    " '/page/', CAST(doc_id AS STRING))"
+    " WHEN 2 THEN concat('not-a-url-', CAST(doc_id AS STRING))"
+    " ELSE concat('https://Www.', source, '.com:443/', lang, '//',"
+    " '?fbclid=x&z=9&a=2') END"
+)
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # URL canonicalization — the dedup-key normalizer every CC-style
+    # crawl pipeline runs before exact URL dedup: lowercase scheme/
+    # host, default ports + fragments stripped, trailing slashes
+    # folded, tracking params dropped and the surviving query SORTED.
+    # Pure regex/HOF projection, zero shuffles, stream-safe; rows
+    # without a scheme://host shape pass through with is_url=false,
+    # never silently rewritten.
+    from sutro_spark.functions.web import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.expr(_URL_FIXTURE_CASE)
+    return canonical_url(docs.select("doc_id", url.alias("url"))).orderBy(
+        "id"
+    )
+
+
 def q_hadamard_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # OPQ-lite structured rotation (Ge et al. 2013's goal, the
     # Fast-JL/QuickADC Hadamard mechanism): h(i,j) = (-1)^popcount(i&j)
@@ -4715,6 +4749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qdigest_by_group": q_qdigest_by_group,
         "luhn_cards": q_luhn_cards,
         "hadamard_rotate": q_hadamard_rotate,
+        "url_canonical": q_url_canonical,
         "encoding_damage": q_encoding_damage,
         "script_profile": q_script_profile,
         "lang_confidence": q_lang_confidence,
@@ -10656,6 +10691,52 @@ def oracle_sql() -> dict[str, str]:
                    list_reduce(list_prepend(ct, valid),
                        (acc, x) -> replace(acc, x, '[CARD]')) AS redacted
             FROM v ORDER BY id
+        """,
+        "url_canonical": f"""
+            WITH m AS (
+                SELECT doc_id AS id,
+                       {_URL_FIXTURE_CASE.replace(
+                           "CAST(doc_id AS STRING)",
+                           "CAST(doc_id AS VARCHAR)").replace(
+                           "CAST(doc_id % 5 AS STRING)",
+                           "CAST(doc_id % 5 AS VARCHAR)")} AS u
+                FROM documents),
+            p AS (
+                SELECT id, u,
+                    lower(regexp_extract(u,
+                        '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                    lower(regexp_extract(u,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))
+                        AS hostport,
+                    regexp_extract(u,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                        AS path0,
+                    regexp_extract(u, '\\?([^#]*)', 1) AS query
+                FROM m),
+            q AS (
+                SELECT id, u, scheme, hostport,
+                    CASE WHEN scheme = 'http'
+                         THEN regexp_replace(hostport, ':80$', '')
+                         WHEN scheme = 'https'
+                         THEN regexp_replace(hostport, ':443$', '')
+                         ELSE hostport END AS host,
+                    CASE WHEN regexp_replace(path0, '/+$', '') = ''
+                         THEN '/'
+                         ELSE regexp_replace(path0, '/+$', '') END AS path,
+                    list_sort(list_filter(string_split(query, '&'),
+                        p2 -> p2 <> '' AND NOT regexp_matches(p2,
+                        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref)=')))
+                        AS kept
+                FROM p)
+            SELECT id,
+                   CASE WHEN scheme <> '' AND hostport <> ''
+                        THEN scheme || '://' || host || path ||
+                             CASE WHEN len(kept) > 0
+                                  THEN '?' || array_to_string(kept, '&')
+                                  ELSE '' END
+                        ELSE u END AS canonical,
+                   (scheme <> '' AND hostport <> '') AS is_url
+            FROM q ORDER BY id
         """,
         "hadamard_rotate": """
             SELECT vec_id AS id,

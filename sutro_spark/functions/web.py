@@ -81,3 +81,74 @@ def url_profile(
         registered_domain(host).alias("domain"),
         path_depth(u).alias("depth"),
     )
+
+
+#: Tracking parameters stripped by canonical_url — the fixed, stated
+#: list (utm family + the big ad-click ids). A fixed list is the
+#: deterministic contract; extend per deployment.
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref)="
+
+
+def canonical_url(
+    df: DataFrame,
+    url_column: str = "url",
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """URL canonicalization — the dedup key normalizer every CC-style
+    crawl pipeline runs before exact URL dedup (the same page arrives
+    as http://Site.com/a/?utm_source=x#frag and https://site.com/a):
+
+    - scheme and host lowercase; default ports (:80 http, :443 https)
+      stripped; fragment dropped
+    - trailing path slashes stripped (empty path -> '/'); stated: no
+      percent-decoding or dot-segment resolution (both can change
+      semantics — leave them to a fetcher)
+    - query: tracking params dropped (TRACKING_PARAM_RE — fixed list),
+      empties dropped, the REST SORTED lexicographically and rejoined
+      ('?' disappears when nothing survives)
+
+    One projection — regex + HOF arithmetic, zero joins/shuffles,
+    stream-safe, identical semantics in Java regex and RE2. Rows
+    without a scheme://host shape pass through unchanged with
+    is_url = false (never silently rewritten).
+
+    Output: (id, canonical string, is_url boolean).
+    """
+    # NULL url -> is_url FALSE (not NULL), canonical '' — regexp over
+    # NULL would otherwise propagate NULL through every derived column
+    u = F.coalesce(F.col(url_column), F.lit(""))
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = (
+        F.when(
+            (scheme == "http"), F.regexp_replace(hostport, ":80$", "")
+        )
+        .when((scheme == "https"), F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(
+        u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qtail = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    is_url = (scheme != "") & (hostport != "")
+    canon = F.concat(scheme, F.lit("://"), host, path, qtail)
+    return df.select(
+        F.col(id_column).alias("id"),
+        F.when(is_url, canon)
+        .otherwise(F.coalesce(u, F.lit("")))
+        .alias("canonical"),
+        is_url.alias("is_url"),
+    )

@@ -1158,3 +1158,29 @@ def test_luhn_card_detection_and_redaction(spark):
     )
     ok = {r["c"]: r["ok"] for r in digits.select("c", luhn_valid("c").alias("ok")).collect()}
     assert ok == {"4539578763621486": True, "4539578763621487": False}
+
+
+def test_canonical_url_rules(spark):
+    from sutro_spark.functions.web import canonical_url
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://Site.com:80/a/b/?utm_source=x&b=2&a=1#frag"),
+            (2, "https://site.com/a/b?b=2&a=1"),
+            (3, "HTTPS://SITE.com:443"),
+            (4, "not a url"),
+            (5, None),
+            (6, "http://h.com/p?fbclid=abc&ref=tw"),
+            (7, "http://h.com:8080/p/"),  # non-default port kept
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["id"]: (r["canonical"], r["is_url"]) for r in canonical_url(df).collect()}
+    assert got[1] == ("http://site.com/a/b?a=1&b=2", True)
+    assert got[2] == ("https://site.com/a/b?a=1&b=2", True)
+    assert got[1][0].replace("http://", "x") == got[2][0].replace("https://", "x")
+    assert got[3] == ("https://site.com/", True)
+    assert got[4] == ("not a url", False)  # passed through, flagged
+    assert got[5] == ("", False)
+    assert got[6] == ("http://h.com/p", True)  # all-tracking query drops
+    assert got[7] == ("http://h.com:8080/p", True)
