@@ -180,6 +180,7 @@ def _induce(
             .groupBy("piece")
             .agg(F.sum("weight").cast("long").alias("usage"))
         )
+        # bounded: usage keys ⊆ current vocab (≤ seed_top + alphabet)
         urows = {r["piece"]: int(r["usage"]) for r in usage.collect()}
         # prune: the `target` best USED multi-char pieces (usage desc,
         # piece asc — deterministic); every single char survives with
