@@ -171,6 +171,14 @@ def _induce(
     rows = seed.collect()  # bounded: seed_top + alphabet
     counts = {r["piece"]: int(r["occurrences"]) for r in rows}
     chars = {r["piece"] for r in rows if r["is_char"]}
+    if not counts:
+        # an empty/all-null corpus would otherwise die inside _ml(0)
+        # (negative bit-shift) three calls deep — fail loudly at the
+        # boundary instead
+        raise ValueError(
+            "unigram induction needs a non-empty corpus: "
+            f"no words found in column {text_column!r}"
+        )
     wc = _word_counts(df, text_column)
     costs, unk = _costs(counts)
     for _ in range(rounds):

@@ -565,3 +565,17 @@ def test_qdigest_vs_spark_percentile_approx(spark):
         r_qd = sum(1 for v in vals if v <= qd[qm])
         r_pa = sum(1 for v in vals if v <= ref)
         assert abs(r_qd - r_pa) <= bound + len(vals) // 100, (qm, r_qd, r_pa)
+
+
+def test_qdigest_empty_input_yields_empty_results(spark):
+    # empty input: empty digest, empty quantile table — no NULL
+    # arithmetic crashes anywhere in the chain
+    from sutro_spark.functions.sketches import (
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    empty = spark.createDataFrame([], "x long")
+    dig = qdigest_build(empty, "x", bits=8, k=16)
+    assert dig.count() == 0
+    assert qdigest_quantiles(dig, bits=8).count() == 0

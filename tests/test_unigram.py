@@ -195,3 +195,15 @@ def test_unigram_apply_cross_corpus_unk(spark):
     # same-corpus segmentation never fires the unk path
     seg = unigram_segment(train, seed_top=4, target=2)
     assert "n_unk" not in seg.columns  # [Q] schema unchanged
+
+
+def test_empty_corpus_raises_loudly(spark):
+    # an empty/all-null corpus previously died inside _ml(0) with an
+    # obscure negative-shift error three calls deep; the boundary
+    # guard names the real problem
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty corpus"):
+        unigram_vocab(empty)
+    nulls = spark.createDataFrame([(1, None), (2, "   ")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty corpus"):
+        unigram_segment(nulls)
