@@ -1013,7 +1013,12 @@ def ndcg(
         raise ValueError(f"k must be in [1, 25], got {k}")
     disc = _ndcg_discounts(k)
     g = (
-        judged.groupBy(
+        # NULL grades are judgments that never happened — dropped
+        # (keeping them would route NULL through the envelope guard's
+        # raise_error message); a pair judged both NULL and graded
+        # keeps the grade via the MAX
+        judged.where(F.col(grade_column).isNotNull())
+        .groupBy(
             F.col(query_key).alias("query"),
             F.col(item_key).alias("item"),
         )

@@ -810,3 +810,18 @@ def test_ndcg_validates_bounds(spark):
     # grade 19 raises at runtime (exact-envelope guard), never wraps
     with _pytest.raises(Exception, match="outside \\[0, 18\\]"):
         ndcg(judged, ranked, k=5).collect()
+
+
+def test_ndcg_null_grades_dropped_not_raised(spark):
+    from sutro_spark.operators.metrics import ndcg
+
+    judged = spark.createDataFrame(
+        [(1, 10, 2), (1, 11, None), (2, 20, None)],
+        "query_id long, item_id long, grade long",
+    )
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "query_id long, item_id long, rank long"
+    )
+    per = {r["query"]: r for r in ndcg(judged, ranked, k=5).collect()}
+    assert per[1]["ndcg"] == 1.0  # the NULL judgment on item 11 is gone
+    assert 2 not in per  # query 2 had ONLY a null judgment -> no query row
