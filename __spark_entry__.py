@@ -4167,20 +4167,27 @@ def q_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_apply(docs, shifted, seed_top=48, target=24).orderBy("w")
 
 
-#: the deterministic messy-URL fixture for q_url_canonical: four
-#: shapes per doc_id % 4 — tracking params + default port + fragment +
+#: the deterministic messy-URL fixture for q_url_canonical: six
+#: shapes per doc_id % 6 — tracking params + default port + fragment +
 #: uppercase host; clean; not-a-URL; double trailing slash + :443 +
-#: fbclid. One literal both engines rebuild.
+#: fbclid; hash-routed SPA URL whose ONLY '?' lives inside the
+#: fragment (the r13-advice leak case — fragment content must NOT
+#: become a query); query + a fragment that itself contains '?'.
+#: One literal both engines rebuild.
 _URL_FIXTURE_CASE = (
-    "CASE CAST(doc_id % 4 AS INT)"
+    "CASE CAST(doc_id % 6 AS INT)"
     " WHEN 0 THEN concat('HTTP://WWW.', upper(source), '.COM:80/',"
     " lang, '/page/', CAST(doc_id AS STRING), '/?utm_source=feed&b=',"
     " CAST(doc_id % 5 AS STRING), '&a=1#frag')"
     " WHEN 1 THEN concat('https://www.', source, '.com/', lang,"
     " '/page/', CAST(doc_id AS STRING))"
     " WHEN 2 THEN concat('not-a-url-', CAST(doc_id AS STRING))"
-    " ELSE concat('https://Www.', source, '.com:443/', lang, '//',"
-    " '?fbclid=x&z=9&a=2') END"
+    " WHEN 3 THEN concat('https://Www.', source, '.com:443/', lang, '//',"
+    " '?fbclid=x&z=9&a=2')"
+    " WHEN 4 THEN concat('https://app.', source, '.com/#/route?id=',"
+    " CAST(doc_id % 7 AS STRING), '&utm_x=1')"
+    " ELSE concat('http://', source, '.com/p?b=2&utm_id=9#sec?x=',"
+    " CAST(doc_id % 3 AS STRING)) END"
 )
 
 
@@ -4199,6 +4206,59 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_url(docs.select("doc_id", url.alias("url"))).orderBy(
         "id"
     )
+
+
+#: the deterministic multi-label-suffix host fixture for q_psl_domain:
+#: eight shapes per doc_id % 8 — classic .co.uk; mixed-case .COM.AU;
+#: plain .com (the default rule); a deeper .ac.jp subdomain; a BARE
+#: public suffix (no registered domain exists — must yield '');
+#: the deepest 3-label snapshot suffix (pvt.k12.ma.us); a
+#: private-section suffix NOT in the ICANN snapshot (github.io —
+#: documents the stated snapshot boundary: resolves under the .io
+#: default rule); empty. One literal both engines rebuild.
+_PSL_FIXTURE_CASE = (
+    "CASE CAST(doc_id % 8 AS INT)"
+    " WHEN 0 THEN concat('www.', source, '.co.uk')"
+    " WHEN 1 THEN concat('News.', upper(source), '.COM.AU')"
+    " WHEN 2 THEN concat(source, CAST(doc_id % 7 AS STRING), '.com')"
+    " WHEN 3 THEN concat('a.b.', source, '.ac.jp')"
+    " WHEN 4 THEN 'co.uk'"
+    " WHEN 5 THEN concat(source, '.pvt.k12.ma.us')"
+    " WHEN 6 THEN concat('www.', source, '.github.io')"
+    " ELSE '' END"
+)
+
+
+def _psl_in(k: int) -> str:
+    """SQL IN-list of the k-label public-suffix snapshot — the SAME
+    Python tuples web.registered_domain probes, so both engines share
+    one source of truth for the suffix set."""
+    from sutro_spark.functions.web import _PSL_2, _PSL_3, _PSL_4
+
+    tup = {2: _PSL_2, 3: _PSL_3, 4: _PSL_4}[k]
+    if not tup:  # an empty IN () is a parse error, and IN ('') would
+        # falsely match the n<k sentinel '' — fail loudly instead
+        raise ValueError(f"PSL snapshot tier {k} is empty")
+    return ", ".join(f"'{s}'" for s in tup)
+
+
+def q_psl_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # public-suffix-aware eTLD+1 (the r13-verdict registered_domain
+    # fix): longest-suffix match against the bundled PSL snapshot so
+    # co.uk/com.au/ac.jp families do NOT collapse into one dedup key,
+    # bare public suffixes yield '' (no registered domain), and
+    # out-of-snapshot private suffixes (github.io) resolve under the
+    # default rule — the documented boundary. Pure Catalyst: label
+    # split + constant-folded literal IN-probes, zero joins/shuffles.
+    from sutro_spark.functions.web import registered_domain
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.expr(_PSL_FIXTURE_CASE)
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        host.alias("host"),
+        registered_domain(host).alias("domain"),
+    ).orderBy("id")
 
 
 def q_hadamard_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4750,6 +4810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "luhn_cards": q_luhn_cards,
         "hadamard_rotate": q_hadamard_rotate,
         "url_canonical": q_url_canonical,
+        "psl_domain": q_psl_domain,
         "encoding_damage": q_encoding_damage,
         "script_profile": q_script_profile,
         "lang_confidence": q_lang_confidence,
@@ -10711,7 +10772,7 @@ def oracle_sql() -> dict[str, str]:
                     regexp_extract(u,
                         '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
                         AS path0,
-                    regexp_extract(u, '\\?([^#]*)', 1) AS query
+                    regexp_extract(u, '^[^#]*?\\?([^#]*)', 1) AS query
                 FROM m),
             q AS (
                 SELECT id, u, scheme, hostport,
@@ -10737,6 +10798,42 @@ def oracle_sql() -> dict[str, str]:
                         ELSE u END AS canonical,
                    (scheme <> '' AND hostport <> '') AS is_url
             FROM q ORDER BY id
+        """,
+        "psl_domain": f"""
+            WITH m AS (
+                SELECT doc_id AS id,
+                       {_PSL_FIXTURE_CASE.replace(
+                           "CAST(doc_id % 7 AS STRING)",
+                           "CAST(doc_id % 7 AS VARCHAR)")} AS host
+                FROM documents),
+            s AS (
+                SELECT id, host,
+                       string_split(lower(host), '.') AS labels,
+                       len(string_split(lower(host), '.')) AS n
+                FROM m),
+            t AS (
+                SELECT id, host, labels, n,
+                    CASE WHEN n >= 2 THEN array_to_string(
+                        list_slice(labels, -2, -1), '.') ELSE '' END AS l2,
+                    CASE WHEN n >= 3 THEN array_to_string(
+                        list_slice(labels, -3, -1), '.') ELSE '' END AS l3,
+                    CASE WHEN n >= 4 THEN array_to_string(
+                        list_slice(labels, -4, -1), '.') ELSE '' END AS l4
+                FROM s),
+            u AS (
+                SELECT id, host, labels, n,
+                    CASE WHEN l4 IN ({_psl_in(4)}) THEN 4
+                         WHEN l3 IN ({_psl_in(3)}) THEN 3
+                         WHEN l2 IN ({_psl_in(2)}) THEN 2
+                         ELSE 1 END AS slen
+                FROM t)
+            SELECT id, host,
+                   CASE WHEN trim(host) = '' OR n < slen + 1
+                             OR list_contains(labels, '') THEN ''
+                        ELSE array_to_string(
+                            list_slice(labels, -(slen + 1), -1), '.')
+                   END AS domain
+            FROM u ORDER BY id
         """,
         "hadamard_rotate": """
             SELECT vec_id AS id,

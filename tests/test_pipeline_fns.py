@@ -1184,3 +1184,72 @@ def test_canonical_url_rules(spark):
     assert got[5] == ("", False)
     assert got[6] == ("http://h.com/p", True)  # all-tracking query drops
     assert got[7] == ("http://h.com:8080/p", True)
+
+
+def test_canonical_url_fragment_query_leak(spark):
+    # r13 advice: a '?' INSIDE the fragment must not leak fragment
+    # content into the canonical query (hash-routed SPA URLs)
+    from sutro_spark.functions.web import canonical_url
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.com/b#x?y=1"),
+            (2, "https://app.com/#/route?id=3"),
+            (3, "http://a.com/p?b=2#sec?x=1"),  # real query + '?' in frag
+            (4, "http://a.com/p?#f"),  # empty query before fragment
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["id"]: r["canonical"] for r in canonical_url(df).collect()}
+    assert got[1] == "http://a.com/b"
+    assert got[2] == "https://app.com/"
+    assert got[3] == "http://a.com/p?b=2"
+    assert got[4] == "http://a.com/p"
+
+
+def test_registered_domain_psl(spark):
+    from sutro_spark.functions.web import registered_domain
+
+    df = spark.createDataFrame(
+        [
+            (1, "www.example.co.uk"),
+            (2, "News.Example.COM.AU"),  # case-folded
+            (3, "www.example.com"),
+            (4, "a.b.example.ac.jp"),
+            (5, "co.uk"),  # bare public suffix: no registered domain
+            (6, "school.pvt.k12.ma.us"),  # 4-label suffix tier
+            (7, "dist.k12.ca.us"),  # 3-label suffix tier
+            (8, "example"),  # single label
+            (9, ""),
+            (10, "trailing.dot.com."),  # empty label guard
+            (11, "www.pages.github.io"),  # private-section suffix:
+            # out of the ICANN snapshot, resolves under the default
+            # rule (the stated boundary)
+        ],
+        "i long, host string",
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", registered_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert got[1] == "example.co.uk"
+    assert got[2] == "example.com.au"
+    assert got[3] == "example.com"
+    assert got[4] == "example.ac.jp"
+    assert got[5] == ""
+    assert got[6] == "school.pvt.k12.ma.us"
+    assert got[7] == "dist.k12.ca.us"
+    assert got[8] == ""
+    assert got[9] == ""
+    assert got[10] == ""
+    assert got[11] == "github.io"
+    # the documented no-list fallback keeps the old approximation
+    old = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", registered_domain(F.col("host"), use_psl=False).alias("d")
+        ).collect()
+    }
+    assert old[1] == "co.uk"  # the collapse the PSL path fixes
