@@ -858,7 +858,56 @@ def _qdigest_depth(col):
     return (F.length(F.conv(col.cast("string"), 10, 2)) - 1).cast("int")
 
 
-def _qdigest_compress(nodes: DataFrame, *, bits: int, thr: int) -> DataFrame:
+def _qdigest_py_compress(counts: dict, bits: int, thr: int) -> dict:
+    """Pure-Python bottom-up q-digest compression — the same
+    deterministic rule as the batch _qdigest_compress set algebra
+    (children merge into the parent iff subtree sum + parent count
+    <= thr), run in-memory because the state is BOUNDED (<= 3k nodes
+    by the size theorem) — the mg_state_update class of per-shard
+    Python truncation. Also the batch build's TAIL: once the
+    distributed loop's working set fits the bounded-collect class,
+    the remaining levels run here instead of paying 2 checkpoint
+    barriers per level to move a handful of rows (measured r14:
+    levels below ~2^12 working-set each cost ~0.5 s of pure barrier
+    for one-row tables)."""
+    for d in range(bits, 0, -1):
+        lo, hi = 1 << d, 2 << d
+        by_parent = {}
+        for nid in [i for i in counts if lo <= i < hi]:
+            by_parent.setdefault(nid // 2, []).append(nid)
+        for pid, kids in by_parent.items():
+            csum = sum(counts[i] for i in kids)
+            pcnt = counts.get(pid, 0)
+            if csum + pcnt <= thr:
+                for i in kids:
+                    del counts[i]
+                counts[pid] = csum + pcnt
+    return counts
+
+
+#: working-set size at which the distributed compression loop hands
+#: its remainder to the Python tail — bounded-collect class (the
+#: final digest is <= 3k nodes anyway; 4096 rows of (id, cnt) is two
+#: orders below any driver limit)
+_QDIGEST_PY_TAIL_ROWS = 4096
+
+
+def _qdigest_start_depth(nodes: DataFrame, *, bits: int) -> int:
+    """Deepest occupied level of a node multiset: bit_length(max id)
+    - 1, one bounded scalar agg. Compression levels above it are
+    no-ops — starting there (instead of a fixed ``bits``) cuts the
+    per-level eager-checkpoint barriers for already-compressed inputs
+    (merge) whose nodes sit well above the leaf level."""
+    row = nodes.agg(F.max("id").alias("m")).first()
+    m = row["m"] if row else None
+    if m is None:
+        return 0  # empty digest: no levels to compress
+    return min(bits, int(m).bit_length() - 1)
+
+
+def _qdigest_compress(
+    nodes: DataFrame, *, bits: int, thr: int, start_depth: int | None = None
+) -> DataFrame:
     """Bottom-up q-digest compression of a heap-id node multiset:
     for each level d = bits..1, children whose subtree sum plus the
     existing parent count fits under ``thr`` merge INTO the parent
@@ -872,10 +921,25 @@ def _qdigest_compress(nodes: DataFrame, *, bits: int, thr: int) -> DataFrame:
     without the cut the logical plan forks 3-ways PER LEVEL and
     Catalyst analysis goes exponential (measured: a lazy/persist()
     variant hung outright; persist substitution happens too late to
-    stop the analyzer walking the 3^levels tree)."""
+    stop the analyzer walking the 3^levels tree).
+
+    Barrier-count levers (r13 latency adjudication — the ~9 s fixed
+    build cost WAS 2 checkpoint barriers x ``bits`` levels, run even
+    when empty): (1) ``start_depth`` skips levels above the deepest
+    occupied node (build passes ``bits`` — leaves always sit there;
+    merge computes it from max id, one bounded scalar agg); (2) the
+    loop BREAKS once ``cur`` is empty — every remaining node is in
+    ``kept`` and all shallower levels are provably no-ops (new
+    parents land exactly one level up, so an empty ``cur`` can never
+    repopulate). Both skips only ever elide empty-input levels, so
+    the output digest is bit-identical — the [Q] oracles, which
+    unroll ALL ``bits`` levels CTE-for-CTE, prove it every
+    selfcheck."""
     kept = []
     cur = nodes
-    for d in range(bits, 0, -1):
+    if start_depth is None:
+        start_depth = _qdigest_start_depth(nodes, bits=bits)
+    for d in range(start_depth, 0, -1):
         lo, hi, parlo = 1 << d, 2 << d, 1 << (d - 1)
         at_d = cur.where((F.col("id") >= lo) & (F.col("id") < hi))
         rest = cur.where(F.col("id") < parlo)
@@ -912,6 +976,23 @@ def _qdigest_compress(nodes: DataFrame, *, bits: int, thr: int) -> DataFrame:
             .alias("cnt"),
         ).where(F.col("cnt") > 0)
         cur = rest.unionByName(new_parents).localCheckpoint(eager=True)
+        # checkpointed — reading a prefix is a local read, not a job
+        head = cur.take(_QDIGEST_PY_TAIL_ROWS + 1)
+        if not head:
+            break
+        if len(head) <= _QDIGEST_PY_TAIL_ROWS and d > 1:
+            # the working set fits the bounded-collect class: finish
+            # the remaining d-1..1 levels in Python (identical merge
+            # rule — see _qdigest_py_compress) instead of paying two
+            # checkpoint barriers per level to shuffle a few rows.
+            # head IS all of cur (take returned fewer than asked).
+            counts = _qdigest_py_compress(
+                {int(r["id"]): int(r["cnt"]) for r in head}, d - 1, thr
+            )
+            cur = nodes.sparkSession.createDataFrame(
+                sorted(counts.items()), "id long, cnt long"
+            )
+            break
     out = cur
     for kc in kept:
         out = out.unionByName(kc)
@@ -965,7 +1046,9 @@ def qdigest_build(
     thr = n // k
     if thr == 0:  # fewer than k values: the digest IS the leaf histogram
         return leaves
-    return _qdigest_compress(leaves, bits=bits, thr=thr)
+    # leaves sit at depth == bits by construction (id = v + 2^bits) —
+    # no scalar agg needed to find the occupied depth
+    return _qdigest_compress(leaves, bits=bits, thr=thr, start_depth=bits)
 
 
 def qdigest_merge(
@@ -989,6 +1072,21 @@ def qdigest_merge(
     return _qdigest_compress(summed, bits=bits, thr=thr)
 
 
+def _validate_q_milli(q_milli) -> None:
+    """Quantile targets must be in (0, 1000] — a q > 1000 produces a
+    target_rank beyond n so the crossing join never matches and the
+    row would just VANISH, and q <= 0 would degenerate to the minimum:
+    both violate the no-silent-caps rule, so fail loudly (r13
+    advice)."""
+    if not q_milli:
+        raise ValueError("q_milli must be non-empty")
+    bad = [q for q in q_milli if not 0 < int(q) <= 1000]
+    if bad:
+        raise ValueError(
+            f"q_milli entries must be in (0, 1000], got {bad}"
+        )
+
+
 def qdigest_quantiles(
     digest: DataFrame,
     *,
@@ -1005,6 +1103,7 @@ def qdigest_quantiles(
     Output: one row per requested quantile (q_milli bigint, value
     bigint, target_rank bigint, n bigint).
     """
+    _validate_q_milli(q_milli)
     nodes = digest.select(
         "id",
         "cnt",
@@ -1147,6 +1246,29 @@ def qdigest_build_grouped(
             .alias("cnt"),
         ).where(F.col("cnt") > 0)
         cur = rest.unionByName(new_parents).localCheckpoint(eager=True)
+        head = cur.take(_QDIGEST_PY_TAIL_ROWS + 1)
+        if not head:  # an empty cur can never repopulate a level up
+            break
+        if len(head) <= _QDIGEST_PY_TAIL_ROWS and d > 1:
+            # bounded Python tail, grouped: per-group thresholds for
+            # JUST the groups still in flight (a second bounded
+            # collect, <= len(head) rows) — same merge rule per group
+            grps = sorted({r["grp"] for r in head})
+            thr_by = {
+                r["grp"]: int(r["thr"])
+                for r in meta.where(F.col("grp").isin(grps)).collect()
+            }
+            by_grp: dict = {}
+            for r in head:
+                by_grp.setdefault(r["grp"], {})[int(r["id"])] = int(r["cnt"])
+            rows = []
+            for g, counts in by_grp.items():
+                done = _qdigest_py_compress(counts, d - 1, thr_by[g])
+                rows.extend((g, i, c) for i, c in sorted(done.items()))
+            cur = df.sparkSession.createDataFrame(
+                sorted(rows), schema=cur.schema  # grp keeps its type
+            )
+            break
     out = cur
     for kc in kept:
         out = out.unionByName(kc)
@@ -1166,6 +1288,7 @@ def qdigest_quantiles_grouped(
     Output: one row per (grp, quantile): (grp, q_milli, value,
     target_rank, n).
     """
+    _validate_q_milli(q_milli)
     nodes = digest.select(
         "grp",
         "id",

@@ -1046,6 +1046,26 @@ def ndcg(
             F.col(item_key).alias("item"),
             F.col(rank_column).cast("int").alias("rank"),
         )
+        .withColumn(
+            # ranks are 1-based; a rank < 1 would pass the <= k filter
+            # and element_at(disc_arr, rank) silently indexes the
+            # discount table from the END (Spark negative-index
+            # semantics) — a wrong-but-plausible DCG. raise_error per
+            # row instead (the grade-guard discipline); NULL ranks
+            # pass through and drop at the <= k filter like NULL
+            # grades drop on the judged side.
+            "rank",
+            F.when(
+                F.col("rank").isNull() | (F.col("rank") >= 1),
+                F.col("rank"),
+            ).otherwise(
+                F.expr(
+                    "CAST(raise_error(concat('ndcg: rank ',"
+                    " CAST(rank AS STRING),"
+                    " ' < 1 — ranks are 1-based')) AS INT)"
+                )
+            ),
+        )
         .where(F.col("rank") <= k)
         .groupBy("query", "item")
         .agg(F.min("rank").alias("rank"))

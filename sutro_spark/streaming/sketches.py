@@ -276,26 +276,10 @@ def streaming_mg(
     )
 
 
-def _qdigest_py_compress(counts: dict, bits: int, thr: int) -> dict:
-    """Pure-Python bottom-up q-digest compression — the same
-    deterministic rule as the batch _qdigest_compress set algebra
-    (children merge into the parent iff subtree sum + parent count
-    <= thr), run in-memory because the state is BOUNDED (<= 3k nodes
-    by the size theorem) — the mg_state_update class of per-shard
-    Python truncation."""
-    for d in range(bits, 0, -1):
-        lo, hi = 1 << d, 2 << d
-        by_parent = {}
-        for nid in [i for i in counts if lo <= i < hi]:
-            by_parent.setdefault(nid // 2, []).append(nid)
-        for pid, kids in by_parent.items():
-            csum = sum(counts[i] for i in kids)
-            pcnt = counts.get(pid, 0)
-            if csum + pcnt <= thr:
-                for i in kids:
-                    del counts[i]
-                counts[pid] = csum + pcnt
-    return counts
+# _qdigest_py_compress moved to functions/sketches.py (the batch
+# build's bounded Python tail reuses it); re-exported here for the
+# streaming state machinery and its tests
+from sutro_spark.functions.sketches import _qdigest_py_compress  # noqa: E402,F401
 
 
 def qdigest_state_update(bits: int, k: int):

@@ -812,6 +812,32 @@ def test_ndcg_validates_bounds(spark):
         ndcg(judged, ranked, k=5).collect()
 
 
+def test_ndcg_negative_rank_raises_null_rank_drops(spark):
+    # r13 advice: rank < 1 must raise_error (element_at would silently
+    # index the discount table from the END); NULL ranks drop like
+    # NULL grades do
+    import pytest as _pytest
+
+    from sutro_spark.operators.metrics import ndcg
+
+    judged = spark.createDataFrame(
+        [(1, 10, 2), (1, 11, 1)], "query_id long, item_id long, grade long"
+    )
+    bad = spark.createDataFrame(
+        [(1, 10, -1)], "query_id long, item_id long, rank long"
+    )
+    with _pytest.raises(Exception, match="ranks are 1-based"):
+        ndcg(judged, bad, k=5).collect()
+    with_null = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, None)],
+        "query_id long, item_id long, rank long",
+    )
+    per = {r["query"]: r for r in ndcg(judged, with_null, k=5).collect()}
+    # item 11's NULL rank dropped: dcg counts only item 10 (gain 3,
+    # rank-1 discount 1.0) while idcg has both judged items
+    assert per[1]["dcg_micro"] == 3 * 1_000_000
+
+
 def test_ndcg_null_grades_dropped_not_raised(spark):
     from sutro_spark.operators.metrics import ndcg
 

@@ -480,6 +480,72 @@ def test_qdigest_validates_and_guards(spark):
         qdigest_build(bad, "x", bits=6).collect()
 
 
+def test_qdigest_quantiles_validate_q_milli(spark):
+    # r13 advice: q > 1000 used to vanish silently (target_rank beyond
+    # n, crossing join never matches) and q <= 0 degenerated to the
+    # minimum — both now fail loudly, grouped extractor included
+    import pytest as _pytest
+
+    from sutro_spark.functions.sketches import (
+        qdigest_build,
+        qdigest_quantiles,
+        qdigest_quantiles_grouped,
+    )
+
+    df = spark.createDataFrame([(v,) for v in range(20)], "x long")
+    dig = qdigest_build(df, "x", bits=6, k=8)
+    for bad in ((1001,), (0,), (-5,), (500, 2000), ()):
+        with _pytest.raises(ValueError):
+            qdigest_quantiles(dig, bits=6, q_milli=bad)
+        with _pytest.raises(ValueError):
+            qdigest_quantiles_grouped(dig, bits=6, q_milli=bad)
+    # 1000 is a legal target (rank n -> the maximum)
+    rows = {
+        r["q_milli"]: r["value"]
+        for r in qdigest_quantiles(dig, bits=6, q_milli=(1000,)).collect()
+    }
+    assert rows[1000] == 19
+
+
+def test_qdigest_level_skip_bit_identical(spark):
+    # the start-depth skip elides only EMPTY levels: compressing an
+    # already-compressed digest (nodes at shallow depths) with the
+    # computed start depth must equal forcing the loop from the full
+    # leaf depth — the skipped deep levels are provably no-ops. (The
+    # [Q] oracles, which unroll ALL 20 levels, prove the build+break
+    # path the same way every selfcheck.)
+    from pyspark.sql import functions as F
+
+    from sutro_spark.functions.sketches import (
+        _qdigest_compress,
+        _qdigest_start_depth,
+        qdigest_build,
+        qdigest_merge,
+    )
+
+    # narrow range, per-leaf counts well under floor(n/k): every leaf
+    # pair merges at least one level up, so the compressed digest has
+    # NO depth-12 node and the computed start depth drops below bits
+    vals = [v % 37 for v in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    dig = qdigest_build(df, "x", bits=12, k=16).localCheckpoint()
+    sd = _qdigest_start_depth(dig, bits=12)
+    assert sd < 12  # compressed nodes sit above the leaf level
+    thr = len(vals) // 8
+    skipped = _qdigest_compress(dig, bits=12, thr=thr)  # computed sd
+    forced = _qdigest_compress(dig, bits=12, thr=thr, start_depth=12)
+    assert {(r["id"], r["cnt"]) for r in skipped.collect()} == {
+        (r["id"], r["cnt"]) for r in forced.collect()
+    }
+    # merge path exercises the scalar start-depth probe end-to-end
+    merged = qdigest_merge(dig, dig, bits=12, k=16)
+    assert merged.agg(F.sum("cnt")).first()[0] == 2 * len(vals)
+    # empty input: start depth 0, compress is the identity
+    empty = dig.where(F.lit(False)).localCheckpoint()
+    assert _qdigest_start_depth(empty, bits=12) == 0
+    assert _qdigest_compress(empty, bits=12, thr=5).count() == 0
+
+
 def test_qdigest_grouped_equals_per_group_global(spark):
     # the grouped build with column thresholds must produce EXACTLY
     # the digest the global build produces on each group's slice —
