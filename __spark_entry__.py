@@ -5105,7 +5105,7 @@ _ABTT_CTE = """q0 AS (
 _GOPHER_SQL = """
             WITH t AS (
                 SELECT doc_id, coalesce(text, '') AS text,
-                       regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks,
+                       regexp_split_to_array(trim(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+') AS toks,
                        length(coalesce(text, '')) AS n_chars
                 FROM documents),
             m AS (
@@ -5158,7 +5158,7 @@ _GOPHER_SQL = """
 # 63-bit simhash fingerprint per doc (mirrors dedup.simhash)
 _SIMHASH_CTE = """
     toks AS (
-        SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        SELECT doc_id AS id, unnest(regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
         FROM documents),
     hashed AS (SELECT id, sha256(tok) AS h FROM toks WHERE tok <> ''),
     bits AS (
@@ -5190,7 +5190,7 @@ _COSINE = (
 _BM25_CTE = """
             WITH base AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                    x -> x <> '') AS toks
                 FROM documents),
             b2 AS (
@@ -5242,7 +5242,7 @@ _RRF_L = _rrf_lcm(60, 10)
 _CDC_CTE = """
             WITH cb AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                    x -> x <> '') AS toks
                 FROM documents WHERE text IS NOT NULL),
             cw AS (SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
@@ -5316,7 +5316,7 @@ _BPE_CTES = (
             WITH words AS (
                 SELECT tok AS w, count(*) AS weight FROM (
                     SELECT unnest(list_filter(
-                        regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                        regexp_split_to_array(coalesce(text, ''), '[ \\t\\n\\x0B\\f\\r]+'),
                         t -> t <> '')) AS tok
                     FROM documents)
                 GROUP BY tok),
@@ -5352,7 +5352,7 @@ _BPE_ENCODE_SQL = (
             bdw AS (SELECT doc_id, tok AS w FROM (
                         SELECT doc_id,
                                unnest(list_filter(regexp_split_to_array(
-                                   coalesce(text, ''), '\\s+'),
+                                   coalesce(text, ''), '[ \\t\\n\\x0B\\f\\r]+'),
                                    t -> t <> '')) AS tok
                         FROM documents)),
             bper AS (SELECT doc_id,
@@ -5386,7 +5386,7 @@ _BPE_VOCAB_SQL = (
 _PASSAGE_CTE = """
             WITH b2 AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                       list_filter(regexp_split_to_array(coalesce(text, ''), '[ \\t\\n\\x0B\\f\\r]+'),
                                    t -> t <> '') AS toks
                 FROM documents),
             b3 AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM b2),
@@ -5404,7 +5404,7 @@ _PASSAGE_CTE = """
 _PACK_CTE = """
     WITH tok AS (
         SELECT source, doc_id,
-               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+               CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                                     x -> x <> '')) AS BIGINT) AS n_tokens
         FROM documents),
     off AS (
@@ -5718,13 +5718,13 @@ _EVAL_CTE = """
 _DECON_CTE = """
     WITH bench AS (
         SELECT array_to_string(
-                 (regexp_split_to_array(trim(text), '\\s+'))[4:13], ' ') AS text
+                 (regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))[4:13], ' ') AS text
         FROM documents WHERE doc_id % 10 = 0),
-    bt AS (SELECT regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks
+    bt AS (SELECT regexp_split_to_array(trim(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+') AS toks
            FROM bench),
     bi AS (SELECT toks, unnest(range(1, len(toks) - 6)) AS i FROM bt),
     bg AS (SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS gram FROM bi),
-    tt AS (SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks
+    tt AS (SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+') AS toks
            FROM documents),
     ti AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM tt),
     tg AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS gram FROM ti),
@@ -5805,7 +5805,7 @@ def _quality_train_cte(epochs: int = 2) -> str:
     tk AS (
         SELECT id, y, split,
                unnest(list_filter(regexp_split_to_array(
-                   trim(lower(coalesce(text, ''))), '\\s+'),
+                   trim(lower(coalesce(text, ''))), '[ \\t\\n\\x0B\\f\\r]+'),
                    t -> t <> '')) AS tok
         FROM lab),
     feats AS (
@@ -5906,7 +5906,7 @@ _KEEP_BEST_TAIL = """
         SELECT doc_id,
                round(0.4 * least(CAST(length(COALESCE(text, '')) AS DOUBLE) / 400, 1.0)
                    + 0.3 * (1.0 - CASE WHEN length(COALESCE(text, '')) = 0 THEN 0.0 ELSE
-                       CAST(length(regexp_replace(COALESCE(text, ''), '[A-Za-z0-9\\s]', '', 'g'))
+                       CAST(length(regexp_replace(COALESCE(text, ''), '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))
                             AS DOUBLE) / length(COALESCE(text, '')) END)
                    + 0.3 * CASE WHEN length(COALESCE(text, '')) = 0 THEN 0.0 ELSE
                        CAST(length(regexp_replace(COALESCE(text, ''), '[^A-Za-z]', '', 'g'))
@@ -6081,7 +6081,7 @@ def _wordpiece_sql(top: int = 64, max_len: int = 4) -> str:
     WITH RECURSIVE wc AS (
         SELECT w, CAST(count(*) AS BIGINT) AS weight FROM (
             SELECT unnest(list_filter(
-                regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+                regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS w
             FROM documents) t
         GROUP BY w),
     pc AS (
@@ -6231,7 +6231,7 @@ def _unigram_sql(seed_top: int = 48, target: int = 24, max_len: int = 4) -> str:
     WITH RECURSIVE wc AS (
         SELECT w, CAST(count(*) AS BIGINT) AS weight FROM (
             SELECT unnest(list_filter(
-                regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+                regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS w
             FROM documents) t
         GROUP BY w),
     wlen AS MATERIALIZED (
@@ -6295,7 +6295,7 @@ def _unigram_apply_sql(
         SELECT w, CAST(count(*) AS BIGINT) AS weight FROM (
             SELECT unnest(list_filter(
                 regexp_split_to_array(
-                    translate(text, 'aeiou', 'AEIOU'), '\\s+'),
+                    translate(text, 'aeiou', 'AEIOU'), '[ \\t\\n\\x0B\\f\\r]+'),
                 x -> x <> '')) AS w
             FROM documents) t
         GROUP BY w),
@@ -6628,7 +6628,7 @@ def _ffd_sql(budget: int = 96, group_size: int = 64) -> str:
     return f"""
     WITH RECURSIVE tok AS (
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
-               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+               CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                                     x -> x <> '')) AS BIGINT) AS n_tokens
         FROM documents),
     ranked AS (
@@ -6763,7 +6763,7 @@ def oracle_sql() -> dict[str, str]:
             WITH rdb AS (
                 SELECT doc_id AS id,
                        CAST(len(list_filter(regexp_split_to_array(
-                           coalesce(text, ''), '[.!?]+\\s+'),
+                           coalesce(text, ''), '[.!?]+[ \\t\\n\\x0B\\f\\r]+'),
                            s -> s <> '')) AS BIGINT) AS n_sentences,
                        CAST(len(list_filter(regexp_split_to_array(
                            lower(coalesce(text, '')), '[^a-z0-9]+'),
@@ -7058,7 +7058,7 @@ def oracle_sql() -> dict[str, str]:
             WITH nvt AS (
                 SELECT doc_id AS id,
                        list_filter(regexp_split_to_array(
-                           lower(coalesce(text, '')), '\\s+'),
+                           lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+'),
                            x -> x <> '') AS toks
                 FROM documents),
             nvg AS (SELECT id,
@@ -7094,7 +7094,7 @@ def oracle_sql() -> dict[str, str]:
             WITH lbl AS (
                 SELECT doc_id AS id,
                        CAST(len(list_filter(regexp_split_to_array(
-                           coalesce(text, ''), '\\s+'), x -> x <> ''))
+                           coalesce(text, ''), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))
                            AS BIGINT) AS l
                 FROM documents),
             lbb AS (SELECT id, l,
@@ -7137,7 +7137,7 @@ def oracle_sql() -> dict[str, str]:
         "precision_threshold": """
             WITH pts AS (
                 SELECT CAST(len(list_filter(regexp_split_to_array(
-                           coalesce(text, ''), '\\s+'), x -> x <> ''))
+                           coalesce(text, ''), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))
                            AS BIGINT) AS s,
                        CAST(CASE WHEN length(coalesce(text, '')) > 200
                             THEN 1 ELSE 0 END AS BIGINT) AS y
@@ -7515,7 +7515,7 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (
                 SELECT doc_id,
                        list_filter(regexp_split_to_array(
-                           coalesce(text, ''), '[.!?]+\\s+'),
+                           coalesce(text, ''), '[.!?]+[ \\t\\n\\x0B\\f\\r]+'),
                            x -> x <> '') AS sents
                 FROM documents)
             SELECT doc_id,
@@ -7764,7 +7764,7 @@ def oracle_sql() -> dict[str, str]:
                            AND lab.doc_id = lab.cluster_id),
             s AS (SELECT source, lang, count(*) AS n_docs,
                          CAST(sum(len(list_filter(
-                             regexp_split_to_array(text, '\\s+'),
+                             regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                              x -> x <> ''))) AS BIGINT) AS n_tokens
                   FROM fd GROUP BY source, lang),
             t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s)
@@ -7776,7 +7776,7 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (
                 SELECT source, lang, count(*) AS n_docs,
                        CAST(sum(len(list_filter(
-                           regexp_split_to_array(text, '\\s+'),
+                           regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                            x -> x <> ''))) AS BIGINT) AS n_tokens
                 FROM documents GROUP BY source, lang),
             t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s)
@@ -7798,7 +7798,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id,
                        unnest(list_filter(
-                           regexp_split_to_array(lower(text), '\\s+'),
+                           regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                            x -> x <> '')) AS term
                 FROM documents)
             SELECT term, count(*) AS occurrences,
@@ -7810,9 +7810,9 @@ def oracle_sql() -> dict[str, str]:
         "text_profile": """
             WITH base AS (
                 SELECT doc_id, text,
-                       list_filter(regexp_split_to_array(text, '\\s+'),
+                       list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                                    x -> x <> '') AS toks,
-                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                    x -> x <> '') AS ltoks,
                        length(text) AS n
                 FROM documents),
@@ -7823,7 +7823,7 @@ def oracle_sql() -> dict[str, str]:
                            w -> CAST(ceil(length(w) / 4) AS BIGINT))) AS BIGINT)
                            AS n_bpe_tokens,
                        CASE WHEN n = 0 THEN 0.0 ELSE
-                           CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                           CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))
                                 AS DOUBLE) / n END AS punct,
                        CASE WHEN n = 0 THEN 0.0 ELSE
                            CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
@@ -8028,7 +8028,7 @@ def oracle_sql() -> dict[str, str]:
             FROM labels LEFT JOIN raw_w USING (label) LEFT JOIN raw_l USING (label), nl
         """,
         "dedup_normalized": """
-            SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            SELECT sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
                        AS content_hash,
                    min(doc_id) AS keep_id,
                    count(*) AS dup_count
@@ -8057,7 +8057,7 @@ def oracle_sql() -> dict[str, str]:
             WITH tk AS (
                 SELECT doc_id,
                        unnest(regexp_split_to_array(
-                           trim(lower(coalesce(text, ''))), '\\s+')) AS tok
+                           trim(lower(coalesce(text, ''))), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
                 FROM documents),
             h AS (SELECT doc_id, sha256(tok) AS hx FROM tk WHERE tok <> ''),
             b AS (SELECT doc_id,
@@ -8140,7 +8140,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang,
                        round(0.4 * least(CAST(length(text) AS DOUBLE) / 400, 1.0)
                            + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
-                               CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                               CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))
                                     AS DOUBLE) / length(text) END)
                            + 0.3 * CASE WHEN length(text) = 0 THEN 0.0 ELSE
                                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
@@ -8194,7 +8194,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_profile": """
             WITH t AS (
                 SELECT doc_id, coalesce(text, '') AS text,
-                       regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks,
+                       regexp_split_to_array(trim(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+') AS toks,
                        length(coalesce(text, '')) AS n_chars,
                        string_split(coalesce(text, ''), chr(10) || chr(10)) AS paras,
                        string_split(coalesce(text, ''), chr(10)) AS lines
@@ -8544,7 +8544,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget": """
             WITH s AS (
                 SELECT source, CAST(sum(len(list_filter(
-                           regexp_split_to_array(text, '\\s+'),
+                           regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                            x -> x <> ''))) AS BIGINT) AS avail_tokens
                 FROM documents GROUP BY source),
             c AS (SELECT source, avail_tokens,
@@ -8978,7 +8978,7 @@ def oracle_sql() -> dict[str, str]:
             c AS (
                 SELECT count(*) AS cluster_size
                 FROM u
-                GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                GROUP BY trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
             )
             SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
                    count(*) AS n_clusters,
@@ -9524,7 +9524,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id,
                        unnest(list_filter(
-                           regexp_split_to_array(lower(text), '\\s+'),
+                           regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                            x -> x <> '')) AS term
                 FROM documents),
             tf AS (
@@ -9548,7 +9548,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "word_bigrams": """
             WITH t AS (
-                SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                SELECT list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                    x -> x <> '') AS toks
                 FROM documents),
             b AS (
@@ -9981,7 +9981,7 @@ def oracle_sql() -> dict[str, str]:
             WITH tokr AS (
                 SELECT doc_id AS id,
                        unnest(list_filter(regexp_split_to_array(
-                           lower(coalesce(text, '')), '\\s+'),
+                           lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+'),
                            t -> t <> '')) AS tok
                 FROM documents),
             tbr AS (
@@ -10024,7 +10024,7 @@ def oracle_sql() -> dict[str, str]:
             WITH norm AS (
                 SELECT doc_id AS id,
                        trim(regexp_replace(lower(coalesce(text, '')),
-                                           '\\s+', ' ', 'g')) AS t
+                                           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS t
                 FROM documents),
             grams AS (
                 SELECT id, substr(t, CAST(i AS INT), 2) AS bg
@@ -10206,7 +10206,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": """
             WITH b2 AS (
                 SELECT doc_id, source,
-                       list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                       list_filter(regexp_split_to_array(coalesce(text, ''), '[ \\t\\n\\x0B\\f\\r]+'),
                                    t -> t <> '') AS toks
                 FROM documents),
             b3 AS (SELECT doc_id, source, toks,
@@ -10336,7 +10336,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lift": """
             WITH t AS (
                 SELECT list_filter(regexp_split_to_array(
-                           lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS toks
+                           lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
                 FROM documents),
             uni AS (SELECT tok AS w, count(*) AS c
                     FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
@@ -10447,7 +10447,7 @@ def oracle_sql() -> dict[str, str]:
             WITH vals AS (
                 SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
                        CAST(len(list_filter(
-                           regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                           regexp_split_to_array(coalesce(text, ''), '[ \\t\\n\\x0B\\f\\r]+'),
                            t -> t <> '')) AS BIGINT) AS y
                 FROM documents
                 WHERE n_chars IS NOT NULL),
@@ -10501,7 +10501,7 @@ def oracle_sql() -> dict[str, str]:
             WITH vals AS (
                 SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
                        CAST(len(list_filter(
-                           regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                           regexp_split_to_array(coalesce(text, ''), '[ \\t\\n\\x0B\\f\\r]+'),
                            t -> t <> '')) AS BIGINT) AS y
                 FROM documents
                 WHERE n_chars IS NOT NULL),
@@ -10524,7 +10524,7 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
                 SELECT doc_id,
                        list_filter(regexp_split_to_array(lower(coalesce(text, '')),
-                                                         '\\s+'),
+                                                         '[ \\t\\n\\x0B\\f\\r]+'),
                                    x -> x <> '') AS ltoks
                 FROM documents),
             sc AS (

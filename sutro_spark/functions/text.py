@@ -26,8 +26,14 @@ def tokens(col) -> Column:
     NOTE: not ``split(trim(x))`` — SQL ``trim`` strips only spaces, so
     leading tabs/newlines would produce phantom empty tokens (found by
     a hypothesis property test). Filtering empties handles every
-    whitespace shape."""
-    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+    whitespace shape.
+
+    The split class is PINNED to Java's ``\\s`` = [ \\t\\n\\x0B\\f\\r]
+    written out explicitly: RE2 (the DuckDB oracle engine) excludes
+    \\x0B from ``\\s``, so a bare ``\\s+`` means two different things
+    in the two engines — the script_profile n_space divergence, r13.
+    Every oracle word-split mirrors this literal class."""
+    return F.filter(F.split(col, r"[ \t\n\x0B\f\r]+"), lambda x: x != "")
 
 
 def token_count(col) -> Column:
@@ -1538,6 +1544,16 @@ def card_hits(
     via integer HOF arithmetic, count both, and fold the VALID ones
     through replace() into ``output_column``. Zero joins, zero
     shuffles, zero Python — scan-speed like redact_pii.
+
+    Stated redaction boundary (r13 advice): the fold uses LITERAL
+    ``replace``, so every occurrence of a valid candidate's digit
+    string redacts — including where those digits appear as a
+    SUBSTRING of a longer non-candidate digit context elsewhere in
+    the text (over-redaction, the safe direction for PII). Anchoring
+    on digit boundaries would need lookbehind, which RE2 (the oracle
+    engine) lacks, so the literal fold is the deliberate
+    engine-portable contract, like CARD_RE's documented >19-digit
+    greedy prefix.
 
     Output: df + (n_card_candidates, n_valid_cards, has_card,
     ``output_column``).

@@ -1160,6 +1160,27 @@ def test_luhn_card_detection_and_redaction(spark):
     assert ok == {"4539578763621486": True, "4539578763621487": False}
 
 
+def test_card_hits_literal_fold_substring_edge(spark):
+    # pins the DOCUMENTED boundary: the literal replace() fold redacts
+    # every occurrence of a valid candidate's digits, including inside
+    # a longer non-candidate digit context elsewhere in the text
+    # (over-redaction — the safe direction for PII)
+    from sutro_spark.functions.text import card_hits
+
+    valid = "4539578763621486"  # Luhn-valid 16 digits
+    df = spark.createDataFrame(
+        [(1, f"card {valid} and ref 99{valid}99 end")],
+        "doc_id long, text string",
+    )
+    row = card_hits(df).collect()[0]
+    # the 20-digit run 99<valid>99 greedily yields a 19-digit
+    # candidate (99 + first 17) which is Luhn-invalid, so only the
+    # standalone card validates...
+    assert row["n_valid_cards"] == 1
+    # ...but the literal fold redacts its digits INSIDE the ref too
+    assert row["redacted"] == "card [CARD] and ref 99[CARD]99 end"
+
+
 def test_canonical_url_rules(spark):
     from sutro_spark.functions.web import canonical_url
 
