@@ -4167,6 +4167,20 @@ def q_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_apply(docs, shifted, seed_top=48, target=24).orderBy("w")
 
 
+def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-language tokenizer fertility (Rust et al. 2021): pieces per
+    # word (milli) + pieces per 1000 chars under ONE corpus-trained
+    # unigram vocab — the eval that decides vocab size / language
+    # mixture before a run. Exact integers; one extra map-side-
+    # combinable shuffle; the join stays on the distinct-word table.
+    from sutro_spark.operators.unigram import unigram_fertility
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_fertility(
+        docs, "text", "lang", seed_top=48, target=24
+    ).orderBy("grp")
+
+
 #: the deterministic messy-URL fixture for q_url_canonical: six
 #: shapes per doc_id % 6 — tracking params + default port + fragment +
 #: uppercase host; clean; not-a-URL; double trailing slash + :443 +
@@ -4600,39 +4614,42 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-#: Round-13 driver window: the driver correctness gate checks the FIRST
+#: Round-14 driver window: the driver correctness gate checks the FIRST
 #: 50 entries of queries() in dict order; this list IS the rotation
 #: (queries() reorders the full literal dict by it — future rounds edit
 #: this list, not the dict). Invariant: EXACTLY 50 entries, new
-#: additions first, then the stalest cohort. After r12 the stalest
-#: cohort is the 48 entries last driver-green in r8 (histogram r8:48,
-#: r9:50, r10:50, r11:50, r12:50; rank_elo_large retired r8,
-#: dup_clusters retired r10 — COVERAGE.md decision log). 2 new r13
-#: queries + that ENTIRE 48-entry cohort = exactly 50, clearing the
-#: floor to r9 (VERDICT r12 task #1: no entry older than r9). The 10
-#: r13 queries that do not fit the window (unigram_apply, script_gate,
-#: ndcg, ndcg_summary, qdigest_quantiles, qdigest_guarantee,
-#: qdigest_by_group, luhn_cards, hadamard_rotate — plus any added
-#: later in the round) lead the r14 rotation and are
-#: strict-selfcheck-green at HEAD meanwhile (SELFCHECK_r13.txt).
-_R13_WINDOW = [
-    # new in r13, never driver-checked
-    "unigram_vocab", "unigram_segment",
-    # the ENTIRE r8-green cohort (48 live) — clears the floor to r9
-    "cdc_chunks", "cdc_dedup", "containment", "cube_counts",
-    "dedup_lines", "domain_split", "eval_confusion", "eval_kappa",
-    "eval_report", "event_transitions", "events_rolling",
-    "fleiss_kappa", "fuzzy_join_names", "hard_negatives",
-    "histogram_drift", "hybrid_retrieval", "image_whash", "jsonl_scan",
-    "kmv_distinct", "kmv_join_est", "kmv_merge", "label_propagate",
-    "length_buckets", "length_histogram", "mad_outliers", "mmr_rerank",
-    "ngram_novelty", "pagerank_redistribute", "pagerank_suppliers",
-    "precision_threshold", "repetition_profile", "retention",
-    "salted_join", "shard_manifest", "shuffled_shards", "snapshot_diff",
-    "sorted_neighborhood", "strip_boilerplate", "temperature_mix",
-    "tfidf_topk", "tpch_q21ish", "two_phase_agg", "url_profile",
-    "vocab_richness", "weighted_sample_group", "winsorize_prices",
-    "word_bigrams", "zscore_outliers",
+#: additions first, then the stalest cohort that fits. r14 budget:
+#: 2 new queries (psl_domain, unigram_fertility) + the 10 r13
+#: queries that never saw a driver window (r13 correctly spent its
+#: slots clearing the 48-entry r8 floor) + 38 of the 49-entry r9
+#: cohort (the oldest evidence) =
+#: exactly 50. The 11 r9 entries that do NOT fit (prefix_filter,
+#: quality_percentile, quality_scorer, quantile_normalize,
+#: readability, scd2_history, tpch_q17ish, tpch_q2ish, tpch_q9ish,
+#: unigram_surprisal, yule_k — shape/cheap probes chosen as the
+#: leftovers) stay floor-r9 and MUST lead the r15 window with any
+#: new r15 queries; they remain strict-selfcheck-green at every
+#: close-out meanwhile (COVERAGE.md states the structural ~5-6 round
+#: revisit period this 50/260 ratio forces).
+_R14_WINDOW = [
+    # new in r14, never driver-checked
+    "psl_domain", "unigram_fertility",
+    # the 10 r13 queries that never fit r13's window
+    "unigram_apply", "script_gate", "ndcg", "ndcg_summary",
+    "qdigest_quantiles", "qdigest_guarantee", "qdigest_by_group",
+    "luhn_cards", "hadamard_rotate", "url_canonical",
+    # 38 of the 49-entry r9-green cohort (sorted; first 38)
+    "ann_map", "attribution", "benford", "bigram_lift", "bpe_encode",
+    "bpe_merges", "bpe_vocab", "charlm_quality", "cms_heavy_hitters",
+    "copurchase_triangles", "corr_tokens_chars", "curation_pipeline_v2",
+    "decontaminate_clean", "dedup_paragraphs", "dsir_select",
+    "dup_passages", "dup_size_histogram", "embedding_norms",
+    "epoch_plan", "fuzzy_decontaminate", "hamilton_sample",
+    "hll_distinct", "hll_set_ops", "incremental_cc", "ivf_recall",
+    "jaccard_histogram", "jl_project", "json_keys", "kcore",
+    "kmv_set_ops", "krippendorff_alpha", "lang_confidence",
+    "leakage_safe_split", "length_gini", "list_source_infer",
+    "lsh_recall", "mixture_drift", "pack_chunks",
 ]
 
 
@@ -4811,6 +4828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hadamard_rotate": q_hadamard_rotate,
         "url_canonical": q_url_canonical,
         "psl_domain": q_psl_domain,
+        "unigram_fertility": q_unigram_fertility,
         "encoding_damage": q_encoding_damage,
         "script_profile": q_script_profile,
         "lang_confidence": q_lang_confidence,
@@ -4907,10 +4925,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
     }
-    missing = [q for q in _R13_WINDOW if q not in all_qs]
+    missing = [q for q in _R14_WINDOW if q not in all_qs]
     if missing:  # a typo in the rotation list must fail loudly, not 404
-        raise KeyError(f"_R13_WINDOW names not in registry: {missing}")
-    head = {k: all_qs[k] for k in _R13_WINDOW}
+        raise KeyError(f"_R14_WINDOW names not in registry: {missing}")
+    head = {k: all_qs[k] for k in _R14_WINDOW}
     head.update(all_qs)  # dict keeps first-insertion order: window leads
     return head
 
@@ -10948,6 +10966,32 @@ def oracle_sql() -> dict[str, str]:
                    bf.bests[1] AS cost_milli
             FROM wc JOIN segs USING (w) JOIN bfinB bf ON bf.w = wc.w
             ORDER BY w
+        """,
+        "unigram_fertility": _unigram_sql(seed_top=48, target=24, max_len=4)
+        + """
+            , segn AS (
+                SELECT w, CAST(count(*) AS BIGINT) AS n_pieces
+                FROM fwdB WHERE idx >= 1 GROUP BY w),
+            lw AS (
+                SELECT grp, w, CAST(count(*) AS BIGINT) AS cnt FROM (
+                    SELECT lang AS grp, unnest(list_filter(
+                        regexp_split_to_array(
+                            text, '[ \\t\\n\\x0B\\f\\r]+'),
+                        x -> x <> '')) AS w
+                    FROM documents) t
+                WHERE grp IS NOT NULL GROUP BY 1, 2),
+            fert AS (
+                SELECT grp,
+                       CAST(sum(cnt) AS BIGINT) AS words,
+                       CAST(sum(cnt * n_pieces) AS BIGINT) AS pieces,
+                       CAST(sum(cnt * length(w)) AS BIGINT) AS chars
+                FROM lw JOIN segn USING (w) GROUP BY 1)
+            SELECT grp, words, pieces, chars,
+                   CAST(pieces * 1000 // words AS BIGINT)
+                       AS fertility_milli,
+                   CAST(pieces * 1000 // chars AS BIGINT)
+                       AS pieces_per_kchar
+            FROM fert ORDER BY grp
         """,
         "pass_at_k": """
             WITH per AS (

@@ -56,7 +56,12 @@ from pyspark.sql import functions as F
 
 from sutro_spark.operators.wordpiece import _word_counts, wordpiece_vocab
 
-__all__ = ["unigram_vocab", "unigram_segment", "unigram_apply"]
+__all__ = [
+    "unigram_vocab",
+    "unigram_segment",
+    "unigram_apply",
+    "unigram_fertility",
+]
 
 
 def _ml(f: int) -> int:
@@ -284,6 +289,89 @@ def unigram_segment(
         F.array_join("pieces", "|").alias("pieces"),
         F.size("pieces").cast("long").alias("n_pieces"),
         F.col("cost").alias("cost_milli"),
+    )
+
+
+def unigram_fertility(
+    df: DataFrame,
+    text_column: str = "text",
+    group_column: str = "lang",
+    *,
+    max_piece_len: int = 4,
+    seed_top: int = 48,
+    target: int = 24,
+    rounds: int = 1,
+) -> DataFrame:
+    """Per-group tokenizer FERTILITY — the standard multilingual
+    tokenizer-quality eval (pieces per word; HF tokenizers' "fertility",
+    cf. Rust et al. 2021, arXiv:2012.15613): a tokenizer trained ONCE
+    on the whole corpus serves some languages with near-1 fertility
+    and fragments others into characters — the signal that decides
+    vocabulary size and language mixture before a training run.
+
+    Train on all of ``df`` (the production shape: one multilingual
+    vocab), Viterbi-segment the distinct-word table once, then join
+    per-(group, word) occurrence counts back and aggregate — exact
+    integers end to end (milli fertility = pieces·1000 div words; the
+    per-1000-chars rate covers the "agglutinative languages have
+    longer words" confound). Rows with a NULL group are excluded
+    (stated, the qdigest_build_grouped rule).
+
+    Scale shape: ONE extra corpus-sized shuffle (the groupBy(group,
+    word) count — map-side combinable, the _word_counts class); the
+    join runs on the distinct-word table, never the corpus.
+
+    Output: (grp, words, pieces, chars, fertility_milli bigint,
+    pieces_per_kchar bigint).
+    """
+    from sutro_spark.functions.text import tokens
+
+    wc, costs, counts, chars, unk = _induce(
+        df,
+        text_column,
+        max_piece_len=max_piece_len,
+        seed_top=seed_top,
+        target=target,
+        rounds=rounds,
+    )
+    segf = _viterbi_pass(wc, costs, unk, max_piece_len)
+    per_word = segf.select(
+        "w", F.size("pieces").cast("long").alias("n_pieces")
+    )
+    lw = (
+        df.select(
+            F.col(group_column).alias("grp"),
+            F.explode(tokens(F.col(text_column))).alias("w"),
+        )
+        .where(F.col("grp").isNotNull())
+        .groupBy("grp", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    # inner join is total: every (grp, w) word came from the same
+    # corpus the tokenizer was induced on, so it IS in the segmented
+    # distinct-word table
+    agg = (
+        lw.join(per_word, "w")
+        .groupBy("grp")
+        .agg(
+            F.sum("cnt").cast("long").alias("words"),
+            F.sum(F.col("cnt") * F.col("n_pieces"))
+            .cast("long")
+            .alias("pieces"),
+            F.sum(F.col("cnt") * F.length("w")).cast("long").alias("chars"),
+        )
+    )
+    return agg.select(
+        "grp",
+        "words",
+        "pieces",
+        "chars",
+        F.expr("CAST(pieces * 1000 div words AS BIGINT)").alias(
+            "fertility_milli"
+        ),
+        F.expr("CAST(pieces * 1000 div chars AS BIGINT)").alias(
+            "pieces_per_kchar"
+        ),
     )
 
 

@@ -126,6 +126,42 @@ def test_vocab_matches_python_model(spark):
         assert got[p] == (len(p) == 1, costs[p], usage.get(p, 0), n_words.get(p, 0))
 
 
+def test_fertility_matches_python_model(spark):
+    from sutro_spark.operators.unigram import unigram_fertility
+
+    rows = [
+        (0, "en", "the hash the hash table"),
+        (1, "en", "hashing the table scan"),
+        (2, "de", "the theatre hash"),
+        (3, None, "dropped rowwords here"),  # NULL group excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    texts = [t for _, _, t in rows]
+    words, _, _, segs = _python_model(texts, seed_top=8, target=4)
+    # per-group expectations from the python model's segmentations
+    import collections
+
+    exp = collections.defaultdict(lambda: [0, 0, 0])  # words,pieces,chars
+    for _, g, t in rows:
+        if g is None:
+            continue
+        for w in t.split():
+            exp[g][0] += 1
+            exp[g][1] += len(segs[w][0])
+            exp[g][2] += len(w)
+    got = {
+        r["grp"]: r
+        for r in unigram_fertility(df, "text", "lang", seed_top=8, target=4)
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for g, (nw, np_, nc) in exp.items():
+        r = got[g]
+        assert (r["words"], r["pieces"], r["chars"]) == (nw, np_, nc)
+        assert r["fertility_milli"] == np_ * 1000 // nw
+        assert r["pieces_per_kchar"] == np_ * 1000 // nc
+
+
 def test_viterbi_prefers_cheaper_total_not_greedy(spark):
     # 'abab' with a frequent 'ab' piece must segment ab|ab, NOT the
     # greedy longest 'abab' if 'abab' never made the pruned vocab —
