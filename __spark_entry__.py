@@ -4167,6 +4167,36 @@ def q_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_apply(docs, shifted, seed_top=48, target=24).orderBy("w")
 
 
+def q_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binary quantization + Hamming scan + exact rescore: the cheapest
+    # rung of the SQ(int8)/PQ/IVF ladder (32x compression; candidate
+    # generation is xor+popcount inside whole-stage codegen, zero
+    # Python). Mean-centered sign bits (exact integer thresholds, the
+    # floored-div spelled out — Spark div truncates, DuckDB // floors)
+    # keep all-positive spaces from collapsing to all-ones codes.
+    from sutro_spark.operators.similarity import bq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return bq_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=3, rescore_multiple=4
+    ).orderBy("query_id", "rank")
+
+
+def q_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # honesty metric for the binary-quantized path (recall trilogy
+    # member): BQ top-3 after exact rescore vs brute-force cosine
+    # top-3 — measures what the Hamming proxy's candidate generation
+    # loses at rescore_multiple=4 (the lever bq_topk documents).
+    from sutro_spark.operators.metrics import candidate_recall
+    from sutro_spark.operators.similarity import bq_topk, brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=3)
+    approx = bq_topk(emb, queries, k=3, rescore_multiple=4)
+    return candidate_recall(exact, approx, keys=("query_id", "neighbor_id"))
+
+
 def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-language tokenizer fertility (Rust et al. 2021): pieces per
     # word (milli) + pieces per 1000 chars under ONE corpus-trained
@@ -4627,10 +4657,11 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: quality_percentile, quality_scorer, quantile_normalize,
 #: readability, scd2_history, tpch_q17ish, tpch_q2ish, tpch_q9ish,
 #: unigram_surprisal, yule_k — shape/cheap probes chosen as the
-#: leftovers) stay floor-r9 and MUST lead the r15 window with any
-#: new r15 queries; they remain strict-selfcheck-green at every
-#: close-out meanwhile (COVERAGE.md states the structural ~5-6 round
-#: revisit period this 50/260 ratio forces).
+#: leftovers) stay floor-r9 and MUST lead the r15 window together
+#: with the 2 r14 queries added after the window froze (bq_topk,
+#: bq_recall — strict-selfcheck-green at close-out, the same queue
+#: discipline r13 used for its 10); COVERAGE.md states the structural
+#: ~5-6 round revisit period this 50/260 ratio forces.
 _R14_WINDOW = [
     # new in r14, never driver-checked
     "psl_domain", "unigram_fertility",
@@ -4829,6 +4860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "psl_domain": q_psl_domain,
         "unigram_fertility": q_unigram_fertility,
+        "bq_topk": q_bq_topk,
+        "bq_recall": q_bq_recall,
         "encoding_damage": q_encoding_damage,
         "script_profile": q_script_profile,
         "lang_confidence": q_lang_confidence,
@@ -5200,6 +5233,62 @@ _COSINE = (
     "round(list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
+
+#: binary-quantization chain shared by the bq_topk / bq_recall
+#: oracles — replays operators/similarity.py bq_thresholds/bq_encode/
+#: bq_topk verbatim: floor(v·2^20) integer quantization, per-dim
+#: FLOORED-mean thresholds (DuckDB // floors, matching the Spark
+#: side's spelled-out floored div), sign bits packed into two 32-bit
+#: bigint halves, xor+popcount Hamming ranking to k·m candidates,
+#: exact-cosine rescore to k. Ends at CTE `bqr` =
+#: (query_id, neighbor_id, sim, rank <= {k}).
+_BQ_CTE = f"""
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings),
+            qz AS (
+                SELECT vec_id, list_transform(e,
+                    x -> CAST(floor(x * {1 << 20}) AS BIGINT)) AS q
+                FROM base),
+            dims AS (SELECT CAST(i AS INT) AS i
+                     FROM unnest(range(0, 64)) AS t(i)),
+            thr AS (
+                SELECT i, CAST(sum(q[i + 1]) // count(*) AS BIGINT) AS t
+                FROM qz, dims GROUP BY i),
+            codes AS (
+                SELECT vec_id,
+                    CAST(sum(CASE WHEN i < 32 AND q[i + 1] > t
+                             THEN (1::BIGINT << i) ELSE 0 END)
+                         AS BIGINT) AS lo,
+                    CAST(sum(CASE WHEN i >= 32 AND q[i + 1] > t
+                             THEN (1::BIGINT << (i - 32)) ELSE 0 END)
+                         AS BIGINT) AS hi
+                FROM qz, thr GROUP BY vec_id),
+            bqpairs AS (
+                SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
+                       CAST(bit_count(xor(cc.lo, qq.lo))
+                            + bit_count(xor(cc.hi, qq.hi)) AS BIGINT)
+                           AS ham
+                FROM codes cc, (SELECT * FROM codes WHERE vec_id < 5) qq
+                WHERE cc.vec_id <> qq.vec_id),
+            bqcand AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY ham ASC, neighbor_id ASC) AS rnk
+                    FROM bqpairs)
+                WHERE rnk <= 12),
+            bqex AS (
+                SELECT cd.query_id, cd.neighbor_id,
+                       {_COSINE.format(a='qb.e', b='cb.e')} AS sim
+                FROM bqcand cd
+                JOIN base cb ON cb.vec_id = cd.neighbor_id
+                JOIN base qb ON qb.vec_id = cd.query_id),
+            bqr AS (
+                SELECT query_id, neighbor_id, sim, rank FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+                    FROM bqex)
+                WHERE rank <= 3)"""
 
 # Okapi-BM25 scoring chain (integer rationals — mirrors functions/
 # text.py bm25_topk's documented arithmetic verbatim), ending at CTE
@@ -10992,6 +11081,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pieces * 1000 // chars AS BIGINT)
                        AS pieces_per_kchar
             FROM fert ORDER BY grp
+        """,
+        "bq_topk": _BQ_CTE + """
+            SELECT query_id, neighbor_id, sim, rank FROM bqr
+            ORDER BY query_id, rank
+        """,
+        "bq_recall": _BQ_CTE + f"""
+            , qv2 AS (SELECT vec_id AS query_id, e AS qv
+                      FROM base WHERE vec_id < 5),
+            s2 AS (
+                SELECT query_id, cb.vec_id AS neighbor_id,
+                       {_COSINE.format(a='qv', b='cb.e')} AS sim
+                FROM qv2, base cb WHERE cb.vec_id <> query_id),
+            truth AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+                    FROM s2)
+                WHERE rank <= 3),
+            joined AS (
+                SELECT CASE WHEN t.query_id IS NOT NULL
+                            THEN 1 ELSE 0 END AS t,
+                       CASE WHEN c.query_id IS NOT NULL
+                            THEN 1 ELSE 0 END AS c
+                FROM truth t FULL OUTER JOIN
+                     (SELECT query_id, neighbor_id FROM bqr) c
+                  ON t.query_id = c.query_id
+                 AND t.neighbor_id = c.neighbor_id),
+            agg AS (
+                SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+                       CAST(sum(c) AS BIGINT) AS n_cand,
+                       CAST(sum(t * c) AS BIGINT) AS n_hit
+                FROM joined)
+            SELECT n_truth, n_cand, n_hit,
+                   CASE WHEN n_truth > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+                   CASE WHEN n_cand > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_cand END
+                       AS precision
+            FROM agg
         """,
         "pass_at_k": """
             WITH per AS (

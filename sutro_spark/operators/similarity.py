@@ -341,6 +341,200 @@ def sq_topk(
     )
 
 
+#: shared integer quantization scale for sign/plane sketches —
+#: floor(v * 2^20) is exact in IEEE double, so every engine
+#: reproduces the quantized integers bit-for-bit
+RH_SCALE = 1 << 20
+
+
+def bq_thresholds(
+    corpus: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int = 64,
+    scale: int = RH_SCALE,
+) -> list[int]:
+    """Per-dimension integer thresholds for binary (sign-bit)
+    quantization: the exact FLOORED integer mean of floor(v_d·scale)
+    over the corpus. Centering at the per-dim mean instead of raw
+    sign(v_d) keeps all-positive embedding spaces from collapsing to
+    all-ones codes. int64 sums are exact and associative (no float
+    summation-order hazard — the rh_band_keys discipline), and the
+    floored division is spelled out (``div`` truncates toward zero in
+    Spark while DuckDB ``//`` floors — they disagree on negative sums,
+    the script_profile class of engine divergence). Returns ``dim``
+    integers — the kmeans-centroid bounded-collect class.
+    """
+    v = to_double_array(F.col(vector_column))
+    q = F.transform(v, lambda x: F.floor(x * scale).cast("long"))
+    rows = (
+        corpus.select(F.posexplode(q).alias("d", "qd"))
+        .groupBy("d")
+        .agg(
+            F.sum("qd").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        # exact floored div: truncate, then subtract 1 when a nonzero
+        # remainder has a negative dividend (n is always positive)
+        .select(
+            "d",
+            F.expr(
+                "CAST(s div n - (CASE WHEN s % n <> 0 AND s < 0"
+                " THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("thr"),
+        )
+        .collect()
+    )
+    by_d = {int(r["d"]): int(r["thr"]) for r in rows}
+    if len(by_d) != dim:
+        raise ValueError(
+            f"bq_thresholds: corpus vectors have {len(by_d)} dims, "
+            f"expected {dim}"
+        )
+    return [by_d[d] for d in range(dim)]
+
+
+def bq_encode(
+    df: DataFrame,
+    thresholds: list[int],
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    scale: int = RH_SCALE,
+) -> DataFrame:
+    """Binary-quantize vectors against per-dimension thresholds
+    (:func:`bq_thresholds`): bit d = floor(v_d·scale) > thr_d, packed
+    into TWO bigints (bits 0–31 → ``code_lo``, 32–63 → ``code_hi``) so
+    every shift stays ≤ 31 — no signed-overflow edge in either engine
+    (a single 64-bit code would need 1<<63, which wraps in Java and
+    ERRORS in DuckDB). 32× smaller than float32: the corpus state an
+    exhaustive Hamming scan reads is 16 bytes/vector. Vectors whose
+    length differs from len(thresholds) raise_error per row (the
+    hadamard guard discipline).
+
+    Output: (id, code_lo bigint, code_hi bigint).
+    """
+    dim = len(thresholds)
+    if not 1 <= dim <= 64:
+        raise ValueError(f"bq_encode supports 1..64 dims, got {dim}")
+    v = to_double_array(F.col(vector_column))
+    checked = F.when(F.size(v) == dim, v).otherwise(
+        F.expr(
+            f"CAST(raise_error(concat('bq_encode: vector length ',"
+            f" CAST(size({vector_column}) AS STRING),"
+            f" ' != {dim} thresholds')) AS ARRAY<DOUBLE>)"
+        )
+    )
+    q = F.transform(checked, lambda x: F.floor(x * scale).cast("long"))
+    thr = F.array(*[F.lit(int(t)).cast("long") for t in thresholds])
+    bits = F.zip_with(q, thr, lambda x, t: (x > t).cast("long"))
+    def _pack(bitarr, n):  # Σ bit_i · 2^i as literal-weight products
+        return F.aggregate(
+            F.zip_with(
+                bitarr,
+                F.array(*[F.lit(1 << i).cast("long") for i in range(n)]),
+                lambda b, wgt: b * wgt,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    lo = _pack(F.slice(bits, 1, 32), min(dim, 32))
+    hi = (
+        _pack(F.slice(bits, 33, 32), dim - 32)
+        if dim > 32
+        else F.lit(0).cast("long")
+    )
+    return df.select(
+        F.col(id_column).alias("id"),
+        lo.alias("code_lo"),
+        hi.alias("code_hi"),
+    )
+
+
+def bq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    exclude_self: bool = True,
+    rescore_multiple: int | None = 4,
+) -> DataFrame:
+    """Top-k neighbors via BINARY quantization + Hamming scan + exact
+    rescore — the cheapest point on the SQ(int8)/PQ/IVF ladder (32×
+    compression; candidate generation is xor+popcount integer
+    arithmetic, whole-stage-codegen friendly, zero Python). The
+    standard shape (e.g. faiss IndexBinaryFlat + refine): Hamming
+    distance over mean-centered sign bits is a proxy for angular
+    distance; the exact-cosine rescore over ``rescore_multiple·k``
+    candidates restores precision — bq_recall is the honesty probe
+    that measures what the proxy loses.
+
+    With ``rescore_multiple=None`` the raw Hamming ranking returns
+    (query_id, neighbor_id, hamming, rank) — the candidate-generation
+    view the recall probe diagnoses against.
+
+    Output: (query_id, neighbor_id, sim, rank) — exact cosine, ties
+    to the smaller neighbor id.
+    """
+    thr = bq_thresholds(
+        corpus,
+        id_column=id_column,
+        vector_column=vector_column,
+        dim=dim,
+    )
+    cc = bq_encode(
+        corpus, thr, id_column=id_column, vector_column=vector_column
+    ).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("code_lo").alias("c_lo"),
+        F.col("code_hi").alias("c_hi"),
+    )
+    qq = bq_encode(
+        queries, thr, id_column=id_column, vector_column=vector_column
+    ).select(
+        F.col("id").alias("query_id"),
+        F.col("code_lo").alias("q_lo"),
+        F.col("code_hi").alias("q_hi"),
+    )
+    pairs = cc.crossJoin(F.broadcast(qq))
+    if exclude_self:
+        pairs = pairs.where(F.col("neighbor_id") != F.col("query_id"))
+    ham = F.expr(
+        "CAST(bit_count(c_lo ^ q_lo) + bit_count(c_hi ^ q_hi) AS BIGINT)"
+    )
+    scored = pairs.select("query_id", "neighbor_id", ham.alias("hamming"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    cut = k if rescore_multiple is None else k * rescore_multiple
+    top = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= cut
+    )
+    if rescore_multiple is None:
+        return top.select("query_id", "neighbor_id", "hamming", "rank")
+    c = _prepared(corpus, id_column, vector_column, "c_")
+    q = _prepared(queries, id_column, vector_column, "q_")
+    exact = (
+        top.select("query_id", "neighbor_id")
+        .join(c.withColumnRenamed("c_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(q.withColumnRenamed("q_id", "query_id")), "query_id")
+        .select("query_id", "neighbor_id", _sim("q_", "c_").alias("sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def rh_signs(planes: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 random-hyperplane sign matrix: sign(p, d) comes
     from the first byte of sha256("rh{p}:{d}"). No RNG state — any
@@ -355,9 +549,6 @@ def rh_signs(planes: int, dim: int) -> list[list[int]]:
         ]
         for p in range(planes)
     ]
-
-
-RH_SCALE = 1 << 20
 
 
 def rh_band_keys_udf(signs: list[list[int]], bands: int, *, scale: int = RH_SCALE):

@@ -801,3 +801,76 @@ def test_weighted_jaccard_df_cap_matches_universe_rule(spark):
     # "xy" appears in all 5 docs -> capped away; remaining shingles are
     # doc-unique so no pair shares anything
     assert rows == []
+
+
+def test_bq_encode_packs_bits_exactly(spark):
+    from sutro_spark.operators.similarity import bq_encode
+
+    # thresholds 0 for 4 dims: bit d = floor(v_d * 2^20) > 0
+    df = spark.createDataFrame(
+        [(1, [1.0, -1.0, 0.5, 2.0]), (2, [-1.0, -1.0, -1.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["id"]: (r["code_lo"], r["code_hi"])
+        for r in bq_encode(df, [0, 0, 0, 0]).collect()
+    }
+    # vec 1: bits 0,2,3 set -> 1 + 4 + 8 = 13; vec 2: none
+    assert got[1] == (13, 0)
+    assert got[2] == (0, 0)
+
+
+def test_bq_thresholds_floored_division_on_negative_sums(spark):
+    from sutro_spark.operators.similarity import bq_thresholds
+
+    # dim-0 sums to a negative non-multiple: floored div must round
+    # toward -inf (DuckDB // semantics), NOT toward zero (Spark div)
+    df = spark.createDataFrame(
+        [(1, [-1.5, 1.0]), (2, [0.5, 1.0]), (3, [0.25, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    s = 1 << 20
+    thr = bq_thresholds(df, dim=2, scale=s)
+    total0 = sum(int(__import__("math").floor(x * s)) for x in (-1.5, 0.5, 0.25))
+    assert thr[0] == total0 // 3  # python // floors — the contract
+    assert thr[1] == s // 1  # constant dim: mean == value
+
+
+def test_bq_topk_rescore_lever_and_guards(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sutro_spark.operators.metrics import candidate_recall
+    from sutro_spark.operators.similarity import (
+        bq_encode,
+        bq_topk,
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, q, k=3)
+
+    def rec(m):
+        r = candidate_recall(
+            exact,
+            bq_topk(emb, q, k=3, rescore_multiple=m),
+            keys=("query_id", "neighbor_id"),
+        ).collect()[0]
+        return r["recall"]
+
+    # widening the rescore shortlist can only add candidates, so
+    # recall is monotone in the multiple — the documented lever
+    assert rec(8) >= rec(2)
+    # raw Hamming view: k rows per query, hamming column present
+    raw = bq_topk(emb, q, k=3, rescore_multiple=None)
+    assert raw.columns == ["query_id", "neighbor_id", "hamming", "rank"]
+    assert raw.count() == 3 * 3
+    # wrong-dimension vectors fail loudly per row
+    with _pytest.raises(ValueError):
+        bq_encode(emb, [0] * 65)
+    short = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="vector length"):
+        bq_encode(short, [0, 0, 0]).collect()
