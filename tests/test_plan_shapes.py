@@ -459,3 +459,37 @@ def test_qdigest_quantiles_bounded_no_python(spark):
     assert "PythonUDF" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_psl_domain_is_shuffle_free_projection(spark):
+    # r14: the PSL longest-match ladder is label-split + literal
+    # IN-probes (constant-folded) — a per-row projection; only the
+    # presentation sort may exchange. No joins: the snapshot lives as
+    # literal arrays, not a lookup table.
+    plan = _plan(spark, "psl_domain")
+    assert "PythonUDF" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert plan.count("Exchange") <= 1, plan[:1500]
+
+
+def test_bq_topk_integer_hamming_no_cartesian(spark):
+    # r14: candidate generation must be the broadcast-scalar cross
+    # pattern (bounded query codes against the corpus — the
+    # similarity_topk adjudication), never CartesianProduct, and the
+    # Hamming scan stays JVM-side (xor+popcount) with zero Python.
+    plan = _plan(spark, "bq_topk")
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan  # query side broadcasts
+
+
+def test_unigram_fertility_bounded_arrow_one_extra_shuffle(spark):
+    # r14: exactly the unigram_segment Arrow budget (the DP over the
+    # distinct-word table) — the per-group count adds map-side-
+    # combinable shuffles, no new Python stages.
+    plan = _plan(spark, "unigram_fertility")
+    assert plan.count("ArrowEvalPython") <= 2
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()  # map-side combine on the counts

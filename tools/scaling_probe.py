@@ -217,6 +217,9 @@ def main() -> None:
         # lowest-set-bit key power-law shape — lowbit distribution over
         # any length-n integer run is the same up to edge effects)
         "ffd_pack", "mg_heavy_hitters",
+        # r14: PSL projection, fertility (unigram DP + per-lang
+        # counts), binary-quantized ANN with exact rescore
+        "psl_domain", "unigram_fertility", "bq_topk",
     ]
     qs = entrymod.queries()
     obase = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
