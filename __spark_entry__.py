@@ -4167,6 +4167,71 @@ def q_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_apply(docs, shifted, seed_top=48, target=24).orderBy("w")
 
 
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the QA gate AFTER a split is chosen: duplicate pairs counted by
+    # (canonical) split pair — cross-split pairs ARE eval leakage, the
+    # hole a per-doc hash split leaves open and leakage_safe_split
+    # closes by construction. Pairs here = exact normalized-dup pairs
+    # (each non-representative doc to its group min); the split drops
+    # doc_id % 97 == 0 so the __unassigned__ no-silent-caps leg is
+    # exercised, never dropped.
+    from sutro_spark.functions.sampling import hash_split
+    from sutro_spark.operators.cluster import split_leakage_audit
+    from sutro_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.sha2(normalize_text(F.col("text")), 256).alias("h")
+    )
+    rep = hashed.withColumn(
+        "rep", F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    pairs = rep.where(F.col("doc_id") != F.col("rep")).select(
+        F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    assignments = hash_split(
+        docs.where(F.col("doc_id") % 97 != 0).select("doc_id"), "doc_id"
+    )
+    return split_leakage_audit(pairs, assignments).orderBy(
+        "split_a", "split_b"
+    )
+
+
+def q_adaptive_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MG-sketch-driven skew salting: one bounded Misra–Gries pass
+    # picks the heavy join keys (guaranteed to include every key with
+    # share > 1/(k+1)); ONLY those rows salt and ONLY their dim rows
+    # replicate — B·|heavy| extra rows instead of plain salting's
+    # B·|small|. The result is invariant (each row meets exactly one
+    # replica), so the oracle is the PLAIN join — correctness of the
+    # adaptive machinery is exactly result-equality.
+    from sutro_spark.functions.skew import adaptive_salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.expr(
+            "CASE WHEN l_linenumber >= 3 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(l_partkey % 50 AS BIGINT) END"
+        ).alias("k"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 5).cast("string")).alias(
+            "label"
+        ),
+    )
+    joined = adaptive_salted_join(fact, dim, "k", buckets=8, k=8)
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("qty").cast("long").alias("total_qty"),
+        )
+        .orderBy("label")
+    )
+
+
 def q_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # binary quantization + Hamming scan + exact rescore: the cheapest
     # rung of the SQ(int8)/PQ/IVF ladder (32x compression; candidate
@@ -4658,10 +4723,11 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: readability, scd2_history, tpch_q17ish, tpch_q2ish, tpch_q9ish,
 #: unigram_surprisal, yule_k — shape/cheap probes chosen as the
 #: leftovers) stay floor-r9 and MUST lead the r15 window together
-#: with the 2 r14 queries added after the window froze (bq_topk,
-#: bq_recall — strict-selfcheck-green at close-out, the same queue
-#: discipline r13 used for its 10); COVERAGE.md states the structural
-#: ~5-6 round revisit period this 50/260 ratio forces.
+#: with the 4 r14 queries added after the window froze (bq_topk,
+#: bq_recall, split_leakage_audit, adaptive_salted_join —
+#: strict-selfcheck-green at close-out, the same queue discipline r13
+#: used for its 10); COVERAGE.md states the structural ~5-6 round
+#: revisit period this 50/265 ratio forces.
 _R14_WINDOW = [
     # new in r14, never driver-checked
     "psl_domain", "unigram_fertility",
@@ -4862,6 +4928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_fertility": q_unigram_fertility,
         "bq_topk": q_bq_topk,
         "bq_recall": q_bq_recall,
+        "split_leakage_audit": q_split_leakage_audit,
+        "adaptive_salted_join": q_adaptive_salted_join,
         "encoding_damage": q_encoding_damage,
         "script_profile": q_script_profile,
         "lang_confidence": q_lang_confidence,
@@ -11081,6 +11149,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pieces * 1000 // chars AS BIGINT)
                        AS pieces_per_kchar
             FROM fert ORDER BY grp
+        """,
+        "split_leakage_audit": """
+            WITH hsh AS (
+                SELECT doc_id,
+                       sha256(trim(regexp_replace(lower(text),
+                           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS h
+                FROM documents),
+            rep AS (
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS rep
+                FROM hsh),
+            pairs AS (
+                SELECT rep AS id_a, doc_id AS id_b
+                FROM rep WHERE doc_id <> rep),
+            asg AS (
+                SELECT doc_id,
+                       CASE WHEN kb < 98 THEN 'train'
+                            WHEN kb < 99 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (
+                    SELECT doc_id,
+                           CAST(concat('0x', substr(sha256(concat(
+                               'split:', CAST(doc_id AS VARCHAR))), 1, 8))
+                               AS UBIGINT) % 100 AS kb
+                    FROM documents WHERE doc_id % 97 <> 0) t),
+            j AS (
+                SELECT coalesce(a.split, '__unassigned__') AS sa,
+                       coalesce(b.split, '__unassigned__') AS sb
+                FROM pairs p
+                LEFT JOIN asg a ON a.doc_id = p.id_a
+                LEFT JOIN asg b ON b.doc_id = p.id_b)
+            SELECT least(sa, sb) AS split_a,
+                   greatest(sa, sb) AS split_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   least(sa, sb) <> greatest(sa, sb) AS leaked
+            FROM j GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "adaptive_salted_join": """
+            WITH fact AS (
+                SELECT CASE WHEN l_linenumber >= 3 THEN 0
+                            ELSE l_partkey % 50 END AS k,
+                       CAST(l_quantity AS BIGINT) AS qty
+                FROM lineitem),
+            dim AS (
+                SELECT CAST(i AS BIGINT) AS k,
+                       concat('g', CAST(i % 5 AS VARCHAR)) AS label
+                FROM (SELECT unnest(range(0, 50)) AS i) t)
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(qty) AS BIGINT) AS total_qty
+            FROM fact JOIN dim USING (k)
+            GROUP BY label ORDER BY label
         """,
         "bq_topk": _BQ_CTE + """
             SELECT query_id, neighbor_id, sim, rank FROM bqr

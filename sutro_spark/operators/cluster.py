@@ -329,6 +329,59 @@ def leakage_safe_split(
     )
 
 
+def split_leakage_audit(
+    pairs: DataFrame,
+    assignments: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_column: str = "doc_id",
+    split_column: str = "split",
+) -> DataFrame:
+    """The QA gate AFTER a split is chosen: count duplicate/near-dup
+    pairs by (canonically ordered) split pair — a pair straddling two
+    splits IS eval leakage (a test doc whose near-copy sits in train
+    is a leaked answer; Lee et al. 2022 §6). :func:`leakage_safe_split`
+    PREVENTS this by construction; this operator MEASURES it for any
+    split produced elsewhere (a per-doc hash split, a time split, a
+    split inherited from upstream) and for any pair generator (exact
+    sha-group pairs, MinHash/SimHash/winnow candidates, embedding
+    near-dups).
+
+    Plan: two joins of the pairs table against the tiny (id, split)
+    projection, one map-side-combinable groupBy — cost scales with
+    |pairs|, never corpus². Pair ids missing from ``assignments``
+    surface under the split name ``__unassigned__`` (the
+    no-silent-caps rule), never dropped.
+
+    Output: (split_a, split_b, n_pairs bigint, leaked boolean) with
+    split_a <= split_b; ``leaked`` marks cross-split rows.
+    """
+    a = assignments.select(
+        F.col(id_column).alias(id_a),
+        F.col(split_column).alias("__sa"),
+    )
+    b = assignments.select(
+        F.col(id_column).alias(id_b),
+        F.col(split_column).alias("__sb"),
+    )
+    j = (
+        pairs.select(id_a, id_b)
+        .join(a, id_a, "left")
+        .join(b, id_b, "left")
+    )
+    sa = F.coalesce(F.col("__sa"), F.lit("__unassigned__"))
+    sb = F.coalesce(F.col("__sb"), F.lit("__unassigned__"))
+    return (
+        j.groupBy(
+            F.least(sa, sb).alias("split_a"),
+            F.greatest(sa, sb).alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn("leaked", F.col("split_a") != F.col("split_b"))
+    )
+
+
 def propagate_cluster_labels(
     assignments: DataFrame,
     labels: DataFrame,

@@ -1274,3 +1274,81 @@ def test_registered_domain_psl(spark):
         ).collect()
     }
     assert old[1] == "co.uk"  # the collapse the PSL path fixes
+
+
+def test_adaptive_salted_join_equals_plain_join(spark):
+    # r14: MG-driven salting must be result-invariant — inner AND left,
+    # with a heavy key, light keys, and a dim-missing key
+    from sutro_spark.functions.skew import adaptive_salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(40)]  # heavy key 1
+        + [(2, 100), (3, 101), (9, 102)],  # light; 9 missing from dim
+        "k long, v long",
+    )
+    dim = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, label string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            (r["k"], r["v"], r["label"])
+            for r in adaptive_salted_join(fact, dim, "k", buckets=4, k=2, how=how).collect()
+        )
+        want = sorted(
+            (r["k"], r["v"], r["label"])
+            for r in fact.join(dim, "k", how).collect()
+        )
+        assert got == want, how
+
+
+def test_adaptive_salting_replicates_only_heavy_dim_rows(spark):
+    # the point of the operator: plain salting ships B*|small| dim
+    # rows; adaptive ships |small| + (B-1)*|heavy ∩ small|
+    from pyspark.sql import functions as F
+
+    from sutro_spark.functions.skew import _SALT
+    from sutro_spark.functions.sketches import mg_heavy_hitters
+
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(40)] + [(2, 0), (3, 0)], "k long, v long"
+    )
+    dim = spark.createDataFrame(
+        [(k, str(k)) for k in range(1, 21)], "k long, label string"
+    )
+    heavy = {
+        r["key"]
+        for r in mg_heavy_hitters(fact.select("k"), "k", "k", k=2).collect()
+    }
+    assert "1" in heavy  # share > 1/(k+1) is guaranteed in
+    buckets = 4
+    is_heavy = F.col("k").cast("string").isin(sorted(heavy))
+    replicas = dim.withColumn(
+        _SALT,
+        F.explode(
+            F.when(is_heavy, F.sequence(F.lit(0), F.lit(buckets - 1)))
+            .otherwise(F.array(F.lit(0)))
+        ),
+    )
+    n = replicas.count()
+    assert n == 20 + (buckets - 1) * len(heavy & {str(k) for k in range(1, 21)})
+    assert n < buckets * 20  # strictly cheaper than plain salting
+
+
+def test_split_leakage_audit_flags_and_unassigned(spark):
+    from sutro_spark.operators.cluster import split_leakage_audit
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5), (6, 7)], "id_a long, id_b long"
+    )
+    asg = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "test"), (4, "val"), (5, "train")],
+        "doc_id long, split string",
+    )  # 6 and 7 unassigned
+    got = {
+        (r["split_a"], r["split_b"]): (r["n_pairs"], r["leaked"])
+        for r in split_leakage_audit(pairs, asg).collect()
+    }
+    assert got[("train", "train")] == (1, False)
+    assert got[("test", "train")] == (1, True)  # canonical order
+    assert got[("train", "val")] == (1, True)
+    assert got[("__unassigned__", "__unassigned__")] == (1, False)
