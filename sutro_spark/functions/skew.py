@@ -41,6 +41,38 @@ def salted_join(
     return left.join(replicas, on=[on, _SALT], how=how).drop(_SALT)
 
 
+def _mg_fold_py(summary_rows, *, k: int) -> dict:
+    """Driver-side replay of the Misra–Gries bucket fold (merge =
+    per-key est sum, then ONE truncation; buckets folded in ascending
+    order) over collected (bucket, key, est) summary rows — the SAME
+    deterministic rule as sketches.mg_merge/_mg_truncate: subtract the
+    (k+1)-th largest est (ties est desc, key asc) and keep the
+    positive top-k. Input is bounded (<= buckets·k rows), so this is
+    the bounded-collect class, and the n/(k+1) under-estimate
+    guarantee is the merge-tree-independent Agarwal et al. 2012 bound.
+    Returns {key: est}."""
+    by_bucket: dict = {}
+    for r in summary_rows:
+        by_bucket.setdefault(int(r["bucket"]), {})[r["key"]] = int(r["est"])
+
+    def trunc(d: dict) -> dict:
+        items = sorted(d.items(), key=lambda t: (-t[1], t[0]))
+        thr = items[k][1] if len(items) > k else 0
+        return {key: est - thr for key, est in items[:k] if est > thr}
+
+    acc: dict | None = None
+    for b in sorted(by_bucket):
+        part = by_bucket[b]
+        if acc is None:
+            acc = dict(part)  # first summary is already <= k keys
+            continue
+        summed = dict(acc)
+        for key, est in part.items():
+            summed[key] = summed.get(key, 0) + est
+        acc = trunc(summed)
+    return acc or {}
+
+
 def adaptive_salted_join(
     skewed: DataFrame,
     small: DataFrame,
@@ -72,16 +104,29 @@ def adaptive_salted_join(
     Result equals ``skewed.join(small, on, how)`` for inner/left
     equi-joins: heavy rows meet exactly the replica with their salt;
     light rows (salt 0) meet the always-present salt-0 replica.
+
+    Measured decision, not a default (SCALING.md r14 probe): the MG
+    trigger is one extra keyed scan — at 16x-lineitem toy scale it
+    TRIPLED a broadcast-joinable query (7.75 s vs 1.27 s plain,
+    identical results). Use AQE skew-join first; reach for this on
+    skew_report evidence when the dim cannot broadcast AND a hot key
+    overflows a reducer — and amortize the trigger via
+    mg_bucket_summaries' incremental persist-and-merge shape.
     """
-    from sutro_spark.functions.sketches import mg_heavy_hitters
+    from sutro_spark.functions.sketches import mg_bucket_summaries
 
     # row identity for MG's unbiased shard routing = the key column
     # itself (any deterministic expression works; sharding by key only
-    # concentrates a key in one shard, which MG's merge bound absorbs)
-    heavy_rows = mg_heavy_hitters(
+    # concentrates a key in one shard, which MG's merge bound absorbs).
+    # The heavy lifting is mg_bucket_summaries' ONE groupBy; the B-1
+    # merge/truncate fold then runs DRIVER-SIDE over the collected
+    # <= buckets*k summary rows (the qdigest-Python-tail discipline:
+    # the distributed fold pays a stage barrier per bucket to move a
+    # few dozen rows — measured seconds of pure scheduling).
+    summary_rows = mg_bucket_summaries(
         skewed.select(F.col(on)), on, on, k=k
-    ).collect()  # bounded: <= k survivors
-    heavy = sorted(str(r["key"]) for r in heavy_rows if r["key"] is not None)
+    ).collect()  # bounded: <= buckets * k rows
+    heavy = sorted(_mg_fold_py(summary_rows, k=k))
     if heavy:
         is_heavy = F.col(on).cast("string").isin(heavy)
     else:  # empty input: nothing is heavy, degrade to a plain join
