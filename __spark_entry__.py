@@ -4167,6 +4167,21 @@ def q_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_apply(docs, shifted, seed_top=48, target=24).orderBy("w")
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Population Stability Index — the industry drift score
+    # histogram_drift's docstring used to declare ln()-bound; closed
+    # with the unigram milli-log2 surrogate so the whole score is
+    # BIGINT in both engines (Laplace +1 per observed bin, base-2
+    # thresholds as integer nano literals). Same fixture as
+    # histogram_drift: all orders vs the truncated-tail slice.
+    from sutro_spark.functions.stats import psi_drift
+
+    o = _t(spark, sf_dir, "orders")
+    return psi_drift(
+        o, o.where(F.col("o_totalprice") < 100000), "o_totalprice", bins=20
+    )
+
+
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the QA gate AFTER a split is chosen: duplicate pairs counted by
     # (canonical) split pair — cross-split pairs ARE eval leakage, the
@@ -4723,11 +4738,11 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: readability, scd2_history, tpch_q17ish, tpch_q2ish, tpch_q9ish,
 #: unigram_surprisal, yule_k — shape/cheap probes chosen as the
 #: leftovers) stay floor-r9 and MUST lead the r15 window together
-#: with the 4 r14 queries added after the window froze (bq_topk,
-#: bq_recall, split_leakage_audit, adaptive_salted_join —
+#: with the 5 r14 queries added after the window froze (bq_topk,
+#: bq_recall, split_leakage_audit, adaptive_salted_join, psi_drift —
 #: strict-selfcheck-green at close-out, the same queue discipline r13
 #: used for its 10); COVERAGE.md states the structural ~5-6 round
-#: revisit period this 50/265 ratio forces.
+#: revisit period this 50/266 ratio forces.
 _R14_WINDOW = [
     # new in r14, never driver-checked
     "psl_domain", "unigram_fertility",
@@ -4930,6 +4945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_recall": q_bq_recall,
         "split_leakage_audit": q_split_leakage_audit,
         "adaptive_salted_join": q_adaptive_salted_join,
+        "psi_drift": q_psi_drift,
         "encoding_damage": q_encoding_damage,
         "script_profile": q_script_profile,
         "lang_confidence": q_lang_confidence,
@@ -11149,6 +11165,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pieces * 1000 // chars AS BIGINT)
                        AS pieces_per_kchar
             FROM fert ORDER BY grp
+        """,
+        "psi_drift": """
+            WITH hoc AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                                    AS c
+                         FROM orders WHERE o_totalprice IS NOT NULL),
+            hnc AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders
+                    WHERE o_totalprice IS NOT NULL
+                      AND o_totalprice < 100000),
+            hrg AS (SELECT min(c) AS lo,
+                           CAST((max(c) - min(c) + 20) // 20 AS BIGINT) AS w
+                    FROM (SELECT c FROM hoc UNION ALL SELECT c FROM hnc)),
+            hbo AS (SELECT CAST((c - lo) // w AS BIGINT) AS bin,
+                           CAST(count(*) AS BIGINT) AS c_old
+                    FROM hoc, hrg GROUP BY 1),
+            hbn AS (SELECT CAST((c - lo) // w AS BIGINT) AS bin,
+                           CAST(count(*) AS BIGINT) AS c_new
+                    FROM hnc, hrg GROUP BY 1),
+            hcn AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM hoc)
+                               AS n_old,
+                           (SELECT CAST(count(*) AS BIGINT) FROM hnc)
+                               AS n_new),
+            hpb AS (SELECT coalesce(c_old, 0) AS c_old,
+                           coalesce(c_new, 0) AS c_new
+                    FROM hbo FULL OUTER JOIN hbn USING (bin)),
+            hno AS (SELECT CAST(count(*) AS BIGINT) AS n_bins_observed
+                    FROM hpb),
+            terms AS (
+                SELECT CAST(((1000000 * (c_old + 1))
+                                // (n_old + n_bins_observed)
+                             - (1000000 * (c_new + 1))
+                                // (n_new + n_bins_observed))
+                        * ((1000 * (length(format('{:b}', (c_old + 1))) - 1) + (((c_old + 1) - (1::BIGINT << (length(format('{:b}', (c_old + 1))) - 1))) * 1000) // (1::BIGINT << (length(format('{:b}', (c_old + 1))) - 1))) - (1000 * (length(format('{:b}', (c_new + 1))) - 1) + (((c_new + 1) - (1::BIGINT << (length(format('{:b}', (c_new + 1))) - 1))) * 1000) // (1::BIGINT << (length(format('{:b}', (c_new + 1))) - 1))) - (1000 * (length(format('{:b}', (n_old + n_bins_observed))) - 1) + (((n_old + n_bins_observed) - (1::BIGINT << (length(format('{:b}', (n_old + n_bins_observed))) - 1))) * 1000) // (1::BIGINT << (length(format('{:b}', (n_old + n_bins_observed))) - 1))) + (1000 * (length(format('{:b}', (n_new + n_bins_observed))) - 1) + (((n_new + n_bins_observed) - (1::BIGINT << (length(format('{:b}', (n_new + n_bins_observed))) - 1))) * 1000) // (1::BIGINT << (length(format('{:b}', (n_new + n_bins_observed))) - 1))))
+                        AS BIGINT) AS term
+                FROM hpb, hcn, hno),
+            agg AS (SELECT CAST(sum(term) AS BIGINT) AS psi_nano
+                    FROM terms)
+            SELECT n_old, n_new, n_bins_observed,
+                   CASE WHEN n_bins_observed = 0 THEN NULL
+                        ELSE coalesce(psi_nano, 0) END AS psi_nano,
+                   CASE WHEN n_bins_observed = 0 THEN NULL
+                        ELSE CAST(coalesce(psi_nano, 0) AS DOUBLE) / 1e9
+                   END AS psi_log2,
+                   CASE WHEN n_bins_observed = 0 THEN NULL
+                        WHEN coalesce(psi_nano, 0) < 144269504
+                            THEN 'stable'
+                        WHEN coalesce(psi_nano, 0) < 360673760
+                            THEN 'moderate'
+                        ELSE 'major' END AS band
+            FROM hcn, hno, agg
         """,
         "split_leakage_audit": """
             WITH hsh AS (

@@ -468,50 +468,20 @@ def mad_outliers(
     )
 
 
-def histogram_drift(
+def _snapshot_bin_counts(
     old: DataFrame,
     new: DataFrame,
     value_column: str,
     *,
-    bins: int = 20,
-    range_on: str = "union",
-) -> DataFrame:
-    """Distribution drift between two snapshots of a numeric column:
-    total-variation distance between their equi-width histograms —
-    the train/serve (or batch-over-batch) skew check a pipeline runs
-    before concluding "same data, safe to reuse the mixture / the
-    thresholds". The PSI variant needs ln() (cross-libm flake); L1 on
-    proportions carries the same signal and stays exact.
-
-    Integer-exact: values are binned in cents over the COMBINED
-    [min, max] range (bin width ceil(range/bins), so every value maps
-    in-range); per-bin proportions are compared over the common
-    denominator n_old * n_new:
-
-        l1_scaled   = sum_b | c_old_b * n_new - c_new_b * n_old |
-        drift_milli = (1000 * l1_scaled) div (n_old * n_new)
-
-    drift_milli is 1000 * the L1 distance in [0, 2000]: 0 = identical
-    binned distributions, 2000 = disjoint. Total variation distance =
-    half that. Overflow: c * n <= n_old * n_new must stay < 2^63 —
-    fine below ~3e9 rows per side; sketch/sample first beyond that.
-
-    Plan: two single-pass bin-count aggregates (map-side combinable)
-    + a 1-row min/max broadcast; the bin join is |bins| rows. NULLs
-    are excluded (they are a missing-RATE question, not a shape one).
-
-    ``range_on``: "union" (default) bins over the combined range —
-    right for a symmetric two-snapshot compare; "old" freezes bins on
-    the reference alone — the streaming-monitor convention
-    (streaming/drift.py), where the reference is fixed before the new
-    data exists. New values outside a frozen range land in their own
-    out-of-range bins (floor-division semantics: above-range extends
-    past bins-1, each below-range width gets its own negative bin,
-    never merged with bin 0) and count toward L1 like any other mass
-    difference.
-
-    Output: one row (n_old, n_new, n_bins, l1_scaled, drift_milli).
-    """
+    bins: int,
+    range_on: str,
+):
+    """Shared equi-width cent binning for the two-snapshot drift pair
+    (:func:`histogram_drift` L1 / :func:`psi_drift` PSI). Returns
+    ``(per_bin, counts)``: per_bin = one row per OBSERVED bin with
+    zero-coalesced (c_old, c_new); counts = one row (n_old, n_new).
+    Binning semantics (cents, ceil width, floor division, frozen-range
+    negative bins) are documented on :func:`histogram_drift`."""
     if bins < 1:
         raise ValueError("bins must be >= 1")
     if range_on not in ("union", "old"):
@@ -554,13 +524,63 @@ def histogram_drift(
     counts = o.agg(F.count(F.lit(1)).cast("long").alias("n_old")).crossJoin(
         n.agg(F.count(F.lit(1)).cast("long").alias("n_new"))
     )
-    per_bin = (
-        bo.join(bn, "bin", "full_outer")
-        .select(
-            F.coalesce(F.col("c_old"), F.lit(0)).alias("c_old"),
-            F.coalesce(F.col("c_new"), F.lit(0)).alias("c_new"),
-        )
-        .crossJoin(F.broadcast(counts))
+    per_bin = bo.join(bn, "bin", "full_outer").select(
+        F.coalesce(F.col("c_old"), F.lit(0)).alias("c_old"),
+        F.coalesce(F.col("c_new"), F.lit(0)).alias("c_new"),
+    )
+    return per_bin, counts
+
+
+def histogram_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_column: str,
+    *,
+    bins: int = 20,
+    range_on: str = "union",
+) -> DataFrame:
+    """Distribution drift between two snapshots of a numeric column:
+    total-variation distance between their equi-width histograms —
+    the train/serve (or batch-over-batch) skew check a pipeline runs
+    before concluding "same data, safe to reuse the mixture / the
+    thresholds". L1 on proportions stays exact with no logarithm at
+    all; the industry PSI score is :func:`psi_drift` (same bins, same
+    exactness via the milli-log2 surrogate).
+
+    Integer-exact: values are binned in cents over the COMBINED
+    [min, max] range (bin width ceil(range/bins), so every value maps
+    in-range); per-bin proportions are compared over the common
+    denominator n_old * n_new:
+
+        l1_scaled   = sum_b | c_old_b * n_new - c_new_b * n_old |
+        drift_milli = (1000 * l1_scaled) div (n_old * n_new)
+
+    drift_milli is 1000 * the L1 distance in [0, 2000]: 0 = identical
+    binned distributions, 2000 = disjoint. Total variation distance =
+    half that. Overflow: c * n <= n_old * n_new must stay < 2^63 —
+    fine below ~3e9 rows per side; sketch/sample first beyond that.
+
+    Plan: two single-pass bin-count aggregates (map-side combinable)
+    + a 1-row min/max broadcast; the bin join is |bins| rows. NULLs
+    are excluded (they are a missing-RATE question, not a shape one).
+
+    ``range_on``: "union" (default) bins over the combined range —
+    right for a symmetric two-snapshot compare; "old" freezes bins on
+    the reference alone — the streaming-monitor convention
+    (streaming/drift.py), where the reference is fixed before the new
+    data exists. New values outside a frozen range land in their own
+    out-of-range bins (floor-division semantics: above-range extends
+    past bins-1, each below-range width gets its own negative bin,
+    never merged with bin 0) and count toward L1 like any other mass
+    difference.
+
+    Output: one row (n_old, n_new, n_bins, l1_scaled, drift_milli).
+    """
+    per_bin, counts = _snapshot_bin_counts(
+        old, new, value_column, bins=bins, range_on=range_on
+    )
+    l1 = (
+        per_bin.crossJoin(F.broadcast(counts))
         .select(
             F.abs(
                 F.col("c_old") * F.col("n_new") - F.col("c_new") * F.col("n_old")
@@ -569,7 +589,7 @@ def histogram_drift(
         .agg(F.sum("term").cast("long").alias("l1_scaled"))
     )
     return (
-        counts.crossJoin(per_bin)
+        counts.crossJoin(l1)
         .select(
             "n_old",
             "n_new",
@@ -579,6 +599,124 @@ def histogram_drift(
                 "CAST(CASE WHEN n_old = 0 OR n_new = 0 THEN NULL "
                 "ELSE (1000 * l1_scaled) div (n_old * n_new) END AS BIGINT)"
             ).alias("drift_milli"),
+        )
+    )
+
+
+def _ml_sql(x: str) -> str:
+    """Spark-SQL exact piecewise-linear milli-log2 of a positive
+    BIGINT expression — operators/unigram.py::_ml verbatim
+    (e = bit_length − 1 via binary-string length, linear interpolation
+    within the octave), the no-transcendentals discipline. The DuckDB
+    oracle twin is __spark_entry__._unigram_ml."""
+    e = f"(length(conv(CAST(({x}) AS STRING), 10, 2)) - 1)"
+    p = f"shiftleft(CAST(1 AS BIGINT), {e})"
+    return f"(1000 * {e} + ((({x}) - {p}) * 1000) div {p})"
+
+
+#: psi_log2 action thresholds: the industry 0.10 / 0.25 (natural-log
+#: PSI) rescaled to log2 nano units — round(0.10/ln2 * 1e9) and
+#: round(0.25/ln2 * 1e9). LITERALS so both engines compare the same
+#: integers; no libm at query time.
+PSI_STABLE_NANO = 144_269_504
+PSI_MODERATE_NANO = 360_673_760
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_column: str,
+    *,
+    bins: int = 20,
+    range_on: str = "union",
+) -> DataFrame:
+    """Population Stability Index between two snapshots — the industry
+    drift score (credit-model monitoring: Σ (p_b − q_b)·log(p_b/q_b)),
+    which :func:`histogram_drift` historically declared out of reach
+    ("the PSI variant needs ln() — cross-libm flake"). Closed here
+    with the unigram milli-log2 discipline: log2 via the exact
+    piecewise-linear integer surrogate (:func:`_ml_sql`), so the whole
+    score is BIGINT arithmetic both engines replay bit-for-bit.
+
+    Conventions, all stated:
+
+    - **base 2**: psi_log2 = PSI/ln 2. The familiar 0.10 / 0.25
+      action thresholds become the integer nano literals
+      PSI_STABLE_NANO / PSI_MODERATE_NANO; ``band`` reports
+      stable / moderate / major from them.
+    - **Laplace +1 per observed bin on BOTH sides** (a_b = c_b + 1
+      over N + B_obs): PSI is undefined on empty bins; +1 is the
+      deterministic unigram ``_costs`` rule. The bin universe is the
+      bins observed in EITHER snapshot (the full-outer join) — bins
+      observed by neither carry no evidence and are not invented.
+    - **surrogate, not approximation hazard**: ml deviates from true
+      1000·log2 by < 0.09% relative (within-octave linear
+      interpolation), and shares are floored micro integers — tiny
+      per-term signed error is possible, but BOTH engines compute the
+      identical integers, so oracle parity is exact even where the
+      surrogate is not (the bm25 rational-idf precedent).
+
+    Arithmetic: p_micro = 10^6·a_b div Na, dlog_milli = ml(a_b) −
+    ml(b_b) − ml(Na) + ml(Nb), psi_nano = Σ (p_micro − q_micro) ·
+    dlog_milli. Envelope: |Δp| ≤ 10^6, |dlog| < 1.3e5, so even 10^6
+    observed bins stay under 2^63.
+
+    Same binning, plan shape, and NULL semantics as
+    :func:`histogram_drift` (shared :func:`_snapshot_bin_counts`).
+
+    Output: one row (n_old, n_new, n_bins_observed, psi_nano bigint,
+    psi_log2 double — one IEEE division, band string).
+    """
+    per_bin, counts = _snapshot_bin_counts(
+        old, new, value_column, bins=bins, range_on=range_on
+    )
+    nb = per_bin.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins_observed")
+    )
+    a, b = "(c_old + 1)", "(c_new + 1)"
+    na, nbb = "(n_old + n_bins_observed)", "(n_new + n_bins_observed)"
+    terms = (
+        per_bin.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.expr(
+                f"CAST(((1000000 * {a}) div {na}"
+                f" - (1000000 * {b}) div {nbb})"
+                f" * ({_ml_sql(a)} - {_ml_sql(b)}"
+                f" - {_ml_sql(na)} + {_ml_sql(nbb)}) AS BIGINT)"
+            ).alias("term")
+        )
+        .agg(F.sum("term").cast("long").alias("psi_nano"))
+    )
+    return (
+        counts.crossJoin(nb)
+        .crossJoin(terms)
+        .select(
+            "n_old",
+            "n_new",
+            "n_bins_observed",
+            F.coalesce(F.col("psi_nano"), F.lit(0))
+            .cast("long")
+            .alias("psi_nano"),
+        )
+        .select(
+            "n_old",
+            "n_new",
+            "n_bins_observed",
+            F.expr(
+                "CASE WHEN n_bins_observed = 0 THEN NULL"
+                " ELSE psi_nano END"
+            ).alias("psi_nano"),
+            F.expr(
+                "CASE WHEN n_bins_observed = 0 THEN NULL"
+                " ELSE CAST(psi_nano AS DOUBLE) / 1e9 END"
+            ).alias("psi_log2"),
+            F.expr(
+                "CASE WHEN n_bins_observed = 0 THEN NULL"
+                f" WHEN psi_nano < {PSI_STABLE_NANO} THEN 'stable'"
+                f" WHEN psi_nano < {PSI_MODERATE_NANO} THEN 'moderate'"
+                " ELSE 'major' END"
+            ).alias("band"),
         )
     )
 

@@ -1352,3 +1352,47 @@ def test_split_leakage_audit_flags_and_unassigned(spark):
     assert got[("test", "train")] == (1, True)  # canonical order
     assert got[("train", "val")] == (1, True)
     assert got[("__unassigned__", "__unassigned__")] == (1, False)
+
+
+def test_psi_drift_matches_python_surrogate_model(spark):
+    # replicate the EXACT integer arithmetic (floored micro shares,
+    # milli-log2 surrogate, Laplace +1 over observed bins) in python
+    # and require equality — plus the distribution-free sanity points
+    from sutro_spark.functions.stats import psi_drift
+
+    old_vals = [float(v) for v in range(100)]
+    new_vals = [float(v) for v in range(50)] * 2  # mass shifts low
+    old = spark.createDataFrame([(v,) for v in old_vals], "x double")
+    new = spark.createDataFrame([(v,) for v in new_vals], "x double")
+    row = psi_drift(old, new, "x", bins=10).collect()[0]
+
+    def ml(f):
+        e = f.bit_length() - 1
+        return 1000 * e + ((f - (1 << e)) * 1000) // (1 << e)
+
+    # python replay of the same binning (union range, cents, ceil w)
+    oc = [round(v * 100) for v in old_vals]
+    nc = [round(v * 100) for v in new_vals]
+    lo, hi = min(oc + nc), max(oc + nc)
+    w = (hi - lo + 10) // 10
+    from collections import Counter
+
+    bo, bn = Counter((c - lo) // w for c in oc), Counter(
+        (c - lo) // w for c in nc
+    )
+    univ = sorted(set(bo) | set(bn))
+    B = len(univ)
+    na, nb = len(oc) + B, len(nc) + B
+    psi = 0
+    for b in univ:
+        a_, b_ = bo.get(b, 0) + 1, bn.get(b, 0) + 1
+        dp = (1_000_000 * a_) // na - (1_000_000 * b_) // nb
+        psi += dp * (ml(a_) - ml(b_) - ml(na) + ml(nb))
+    assert row["psi_nano"] == psi
+    assert row["n_bins_observed"] == B
+    assert row["band"] == "major"  # half the range emptied
+    # identical snapshots: Laplace keeps every term's dp == 0
+    same = psi_drift(old, old, "x", bins=10).collect()[0]
+    assert same["psi_nano"] == 0 and same["band"] == "stable"
+    # the log2 rescaled thresholds: psi_log2 is nano/1e9
+    assert abs(row["psi_log2"] - psi / 1e9) < 1e-12

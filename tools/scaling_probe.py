@@ -220,7 +220,7 @@ def main() -> None:
         # r14: PSL projection, fertility (unigram DP + per-lang
         # counts), binary-quantized ANN with exact rescore
         "psl_domain", "unigram_fertility", "bq_topk",
-        "adaptive_salted_join", "split_leakage_audit",
+        "adaptive_salted_join", "split_leakage_audit", "psi_drift",
     ]
     qs = entrymod.queries()
     obase = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
