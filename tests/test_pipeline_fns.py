@@ -1396,3 +1396,61 @@ def test_psi_drift_matches_python_surrogate_model(spark):
     assert same["psi_nano"] == 0 and same["band"] == "stable"
     # the log2 rescaled thresholds: psi_log2 is nano/1e9
     assert abs(row["psi_log2"] - psi / 1e9) < 1e-12
+
+
+def test_canonical_url_is_idempotent(spark):
+    # a canonicalizer must be a fixpoint: canonical(canonical(u)) ==
+    # canonical(u) for every fixture shape (ports, tracking params,
+    # fragments with '?', non-URLs, NULLs)
+    from sutro_spark.functions.web import canonical_url
+
+    urls = [
+        "http://Site.com:80/a/b/?utm_source=x&b=2&a=1#frag",
+        "https://site.com/a/b?b=2&a=1",
+        "HTTPS://SITE.com:443",
+        "not a url",
+        None,
+        "http://h.com/p?fbclid=abc&ref=tw",
+        "http://h.com:8080/p/",
+        "http://a.com/b#x?y=1",
+        "https://app.com/#/route?id=3",
+        "http://a.com/p?b=2#sec?x=1",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    once = {r["id"]: r["canonical"] for r in canonical_url(df).collect()}
+    again_df = spark.createDataFrame(
+        [(i, c) for i, c in once.items()], "doc_id long, url string"
+    )
+    twice = {r["id"]: r["canonical"] for r in canonical_url(again_df).collect()}
+    assert once == twice
+
+
+def test_registered_domain_output_invariants(spark):
+    # structural properties over a host zoo: the result is always ''
+    # or a lowercase dot-suffix of the lowercased host with at least
+    # two labels, and never a bare public suffix from the snapshot
+    from sutro_spark.functions.web import PSL_SNAPSHOT, registered_domain
+
+    hosts = [
+        "www.example.co.uk", "EXAMPLE.COM", "a.b.c.d.e.ac.jp",
+        "x.k12.ca.us", "k12.ca.us", "pvt.k12.ma.us", "one",
+        "", "a..b.com", "sub.example.github.io", "www.co.uk",
+        "example.com.au", "deep.sub.example.gov.uk",
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "i long, host string"
+    )
+    rows = df.select(
+        "i", "host", registered_domain(F.col("host")).alias("d")
+    ).collect()
+    psl = set(PSL_SNAPSHOT)
+    for r in rows:
+        d, h = r["d"], (r["host"] or "").lower()
+        if d == "":
+            continue
+        assert h == d or h.endswith("." + d), (h, d)
+        assert "." in d
+        assert d == d.lower()
+        assert d not in psl  # a registered domain is suffix + 1 label
