@@ -4186,16 +4186,31 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the QA gate AFTER a split is chosen: duplicate pairs counted by
     # (canonical) split pair — cross-split pairs ARE eval leakage, the
     # hole a per-doc hash split leaves open and leakage_safe_split
-    # closes by construction. Pairs here = exact normalized-dup pairs
-    # (each non-representative doc to its group min); the split drops
-    # doc_id % 97 == 0 so the __unassigned__ no-silent-caps leg is
-    # exercised, never dropped.
+    # closes by construction. The sf tables carry no exact-duplicate
+    # texts (r14's [Q] returned 0 rows — a trivially-matching oracle),
+    # so the fixture SEEDS duplicates: every doc_id % 7 == 0 doc's text
+    # collapses to one of 13 shared seeds, giving ~duplicate groups of
+    # 5+ members that a per-doc 2/1/1 hash split provably scatters
+    # across splits — leaked=true rows exist at every sf. The split
+    # drops doc_id % 97 == 0 (doc 0 is a seeded rep) so the
+    # __unassigned__ no-silent-caps leg is exercised, never dropped.
     from sutro_spark.functions.sampling import hash_split
     from sutro_spark.operators.cluster import split_leakage_audit
     from sutro_spark.operators.dedup import normalize_text
 
     docs = _t(spark, sf_dir, "documents")
-    hashed = docs.select(
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit("dup seed "), (F.col("doc_id") % 13).cast("string")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    hashed = seeded.select(
         "doc_id", F.sha2(normalize_text(F.col("text")), 256).alias("h")
     )
     rep = hashed.withColumn(
@@ -4205,7 +4220,9 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rep").alias("id_a"), F.col("doc_id").alias("id_b")
     )
     assignments = hash_split(
-        docs.where(F.col("doc_id") % 97 != 0).select("doc_id"), "doc_id"
+        docs.where(F.col("doc_id") % 97 != 0).select("doc_id"),
+        "doc_id",
+        {"train": 2, "val": 1, "test": 1},
     )
     return split_leakage_audit(pairs, assignments).orderBy(
         "split_a", "split_b"
@@ -4393,11 +4410,17 @@ def q_hadamard_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SCALING.md names as the codebook lever for correlated
     # embeddings. Every rotated component is an exact integer
     # (bit_count + sum over the quantized centered vector), zero
-    # shuffles, O(d²) per row JVM-side.
+    # shuffles, O(d²) per row JVM-side. The driver contract requires
+    # scalar top-level columns (its canonicalizer can't sort an
+    # array<bigint>), so the [Q] posexplodes rvec into one
+    # (id, pos, component) row per component — values unchanged.
     from sutro_spark.operators.pq import hadamard_rotate_q
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 40)
-    return hadamard_rotate_q(emb, dim=64).orderBy("id")
+    rot = hadamard_rotate_q(emb, dim=64)
+    return rot.select(
+        "id", F.posexplode("rvec").alias("pos", "component")
+    ).withColumn("pos", F.col("pos").cast("long")).orderBy("id", "pos")
 
 
 def q_qdigest_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11027,10 +11050,10 @@ def oracle_sql() -> dict[str, str]:
             FROM u ORDER BY id
         """,
         "hadamard_rotate": """
-            SELECT vec_id AS id,
-                   list_transform(range(0, 64), i -> CAST(list_sum(
+            SELECT vec_id AS id, CAST(t.i AS BIGINT) AS pos,
+                   CAST(list_sum(
                        list_transform(range(0, 64), j ->
-                           CASE WHEN bit_count(CAST(i AS BIGINT) & j)
+                           CASE WHEN bit_count(CAST(t.i AS BIGINT) & j)
                                     % 2 = 0
                                 THEN (CAST(trunc(CAST(
                                     embedding[CAST(j AS INT) + 1]
@@ -11040,8 +11063,9 @@ def oracle_sql() -> dict[str, str]:
                                     embedding[CAST(j AS INT) + 1]
                                     AS DOUBLE) * 1000) AS BIGINT)
                                     + 1000) END))
-                   AS BIGINT)) AS rvec
-            FROM embeddings WHERE vec_id < 40 ORDER BY vec_id
+                   AS BIGINT) AS component
+            FROM embeddings CROSS JOIN range(0, 64) AS t(i)
+            WHERE vec_id < 40 ORDER BY vec_id, pos
         """,
         "qdigest_guarantee": _qdigest_sql(bits=20, k=64)
         + f"""
@@ -11217,11 +11241,18 @@ def oracle_sql() -> dict[str, str]:
             FROM hcn, hno, agg
         """,
         "split_leakage_audit": """
-            WITH hsh AS (
+            WITH seeded AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN concat('dup seed ',
+                                        CAST(doc_id % 13 AS VARCHAR))
+                            ELSE text END AS text
+                FROM documents),
+            hsh AS (
                 SELECT doc_id,
                        sha256(trim(regexp_replace(lower(text),
                            '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS h
-                FROM documents),
+                FROM seeded),
             rep AS (
                 SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS rep
                 FROM hsh),
@@ -11230,14 +11261,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM rep WHERE doc_id <> rep),
             asg AS (
                 SELECT doc_id,
-                       CASE WHEN kb < 98 THEN 'train'
-                            WHEN kb < 99 THEN 'val'
+                       CASE WHEN kb < 2 THEN 'train'
+                            WHEN kb < 3 THEN 'val'
                             ELSE 'test' END AS split
                 FROM (
                     SELECT doc_id,
                            CAST(concat('0x', substr(sha256(concat(
                                'split:', CAST(doc_id AS VARCHAR))), 1, 8))
-                               AS UBIGINT) % 100 AS kb
+                               AS UBIGINT) % 4 AS kb
                     FROM documents WHERE doc_id % 97 <> 0) t),
             j AS (
                 SELECT coalesce(a.split, '__unassigned__') AS sa,

@@ -115,6 +115,18 @@ def adaptive_salted_join(
     """
     from sutro_spark.functions.sketches import mg_bucket_summaries
 
+    if how not in ("inner", "left"):
+        # result-equality is only proven for inner/left equi-joins;
+        # right/outer would emit one row PER REPLICA for unmatched dim
+        # rows (up to `buckets` copies per heavy key) — refuse loudly
+        # instead of silently duplicating (the q_milli-validator
+        # discipline).
+        raise ValueError(
+            f"adaptive_salted_join supports how in ('inner', 'left'); "
+            f"got {how!r} — unmatched dim rows would duplicate once per "
+            f"salt replica under right/outer semantics"
+        )
+
     # row identity for MG's unbiased shard routing = the key column
     # itself (any deterministic expression works; sharding by key only
     # concentrates a key in one shard, which MG's merge bound absorbs).

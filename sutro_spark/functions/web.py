@@ -52,14 +52,19 @@ def url_host(url: Column) -> Column:
     return F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
 
 
-#: Public-suffix-list snapshot (publicsuffix.org, ICANN section,
-#: 2025 snapshot SUBSET): the multi-label public suffixes under which
-#: registrations actually happen, so eTLD+1 grouping does not collapse
-#: entire ccTLD families (every *.co.uk site is NOT one "domain").
-#: Deliberately bounded to the high-traffic 2- and 3-label suffixes a
-#: web corpus actually hits; single-label TLDs need no entry (the
-#: default rule). Wildcard PSL rules (*.ck) and the private section
-#: are out of snapshot — stated limitation; extend per deployment.
+#: Public-suffix snapshot — a CURATED list in the spirit of
+#: publicsuffix.org's ICANN section, NOT a strict subset of it (a few
+#: entries, e.g. co.it and the com.ru/msk.ru/spb.ru family, are
+#: historical/private-section suffixes kept because real corpora still
+#: register under them; grouping there is finer than the live PSL, and
+#: both engines share this tuple so there is no parity risk): the
+#: multi-label public suffixes under which registrations actually
+#: happen, so eTLD+1 grouping does not collapse entire ccTLD families
+#: (every *.co.uk site is NOT one "domain"). Deliberately bounded to
+#: the high-traffic 2- and 3-label suffixes a web corpus actually
+#: hits; single-label TLDs need no entry (the default rule). Wildcard
+#: PSL rules (*.ck) and most of the private section are out of
+#: snapshot — stated limitation; extend per deployment.
 #: Small enough to live as a literal IN-list (constant-folded by
 #: Catalyst — zero joins, zero shuffles, stream-safe); a full 9k-entry
 #: list would instead broadcast-join on the candidate suffix.

@@ -354,16 +354,38 @@ def split_leakage_audit(
     surface under the split name ``__unassigned__`` (the
     no-silent-caps rule), never dropped.
 
+    Precondition (ENFORCED in-plan): ``assignments`` holds at most ONE
+    row per id — a duplicated id would silently multiply its pairs'
+    n_pairs through the joins, counter to the no-silent-caps rule, so
+    the id projection aggregates per id and raise_errors on any
+    duplicate (one extra map-side-combinable groupBy over the tiny
+    assignments table; result unchanged when the precondition holds).
+
     Output: (split_a, split_b, n_pairs bigint, leaked boolean) with
     split_a <= split_b; ``leaked`` marks cross-split rows.
     """
-    a = assignments.select(
-        F.col(id_column).alias(id_a),
-        F.col(split_column).alias("__sa"),
+    uniq = assignments.groupBy(F.col(id_column).alias("__id")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.col(split_column)).alias("__s"),
     )
-    b = assignments.select(
-        F.col(id_column).alias(id_b),
-        F.col(split_column).alias("__sb"),
+    guarded = F.when(
+        F.col("__n") > 1,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "split_leakage_audit: duplicate assignment rows for"
+                    " id "
+                ),
+                F.col("__id").cast("string"),
+                F.lit(" — one (id, split) row per id required"),
+            )
+        ),
+    ).otherwise(F.col("__s"))
+    a = uniq.select(
+        F.col("__id").alias(id_a), guarded.alias("__sa")
+    )
+    b = uniq.select(
+        F.col("__id").alias(id_b), guarded.alias("__sb")
     )
     j = (
         pairs.select(id_a, id_b)

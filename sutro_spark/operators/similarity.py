@@ -350,7 +350,6 @@ RH_SCALE = 1 << 20
 def bq_thresholds(
     corpus: DataFrame,
     *,
-    id_column: str = "vec_id",
     vector_column: str = "embedding",
     dim: int = 64,
     scale: int = RH_SCALE,
@@ -481,12 +480,7 @@ def bq_topk(
     Output: (query_id, neighbor_id, sim, rank) — exact cosine, ties
     to the smaller neighbor id.
     """
-    thr = bq_thresholds(
-        corpus,
-        id_column=id_column,
-        vector_column=vector_column,
-        dim=dim,
-    )
+    thr = bq_thresholds(corpus, vector_column=vector_column, dim=dim)
     cc = bq_encode(
         corpus, thr, id_column=id_column, vector_column=vector_column
     ).select(
