@@ -670,6 +670,16 @@ def psi_drift(
     per_bin, counts = _snapshot_bin_counts(
         old, new, value_column, bins=bins, range_on=range_on
     )
+    return _psi_finish(per_bin, counts)
+
+
+def _psi_finish(per_bin: DataFrame, counts: DataFrame) -> DataFrame:
+    """Finish the PSI score from zero-coalesced per-bin counts — the
+    mergeable-state boundary shared by :func:`psi_drift` (two-snapshot
+    batch) and streaming/drift.py's ``psi_from_counts`` (frozen-bin
+    running counts): ``per_bin`` = one row per OBSERVED bin with
+    (c_old, c_new); ``counts`` = one row (n_old, n_new). All
+    arithmetic documented on :func:`psi_drift`."""
     nb = per_bin.agg(
         F.count(F.lit(1)).cast("long").alias("n_bins_observed")
     )

@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["reference_histogram", "streaming_bin_counts", "drift_from_counts"]
+__all__ = [
+    "reference_histogram",
+    "streaming_bin_counts",
+    "drift_from_counts",
+    "psi_from_counts",
+]
 
 # Floor-division binning. Spark's `div` truncates toward zero, so a
 # below-range value in (lo - w, lo) would collapse into bin 0 (the
@@ -125,3 +130,37 @@ def drift_from_counts(
             "ELSE (1000 * l1_scaled) div (n_old * n_new) END AS BIGINT)"
         ).alias("drift_milli"),
     )
+
+
+def psi_from_counts(
+    new_counts: DataFrame, ref_counts: DataFrame
+) -> DataFrame:
+    """PSI finisher over the SAME frozen-bin running state
+    :func:`drift_from_counts` consumes — the streaming monitor now
+    reports the industry Population Stability Index in the identical
+    exact-integer band (stable/moderate/major) as the batch
+    ``psi_drift`` [Q]: the per-bin counts are the mergeable state, and
+    this finisher equals ``psi_drift(reference, ingested,
+    range_on="old")`` over everything the stream has seen (asserted,
+    including the out-of-range-mass rule, in
+    tests/test_streaming_drift.py). All arithmetic (milli-log2
+    surrogate, Laplace +1 over observed bins, nano thresholds) is
+    documented on ``psi_drift``; this function only reshapes
+    (bin, c_ref)/(bin, c_new) into that shared finisher.
+
+    Output: one row (n_old, n_new, n_bins_observed, psi_nano,
+    psi_log2, band)."""
+    from sutro_spark.functions.stats import _psi_finish
+
+    totals = ref_counts.agg(
+        F.coalesce(F.sum("c_ref"), F.lit(0)).cast("long").alias("n_old")
+    ).crossJoin(
+        new_counts.agg(
+            F.coalesce(F.sum("c_new"), F.lit(0)).cast("long").alias("n_new")
+        )
+    )
+    per_bin = ref_counts.join(new_counts, "bin", "full_outer").select(
+        F.coalesce(F.col("c_ref"), F.lit(0)).alias("c_old"),
+        F.coalesce(F.col("c_new"), F.lit(0)).alias("c_new"),
+    )
+    return _psi_finish(per_bin, totals)

@@ -111,6 +111,66 @@ def test_below_range_mass_floor_bins(spark):
     assert got["l1_scaled"] == want["l1_scaled"]
 
 
+def test_streaming_psi_equals_batch(spark, tmp_path):
+    """psi_from_counts over the stream's final frozen-bin state ==
+    psi_drift(reference, everything_ingested, range_on='old'),
+    including the out-of-range mass rule (batch 3 extends past the
+    reference range, so above-range bins carry PSI mass)."""
+    from sutro_spark.functions.stats import psi_drift
+    from sutro_spark.streaming.drift import (
+        psi_from_counts,
+        reference_histogram,
+        streaming_bin_counts,
+    )
+
+    reference = spark.createDataFrame(
+        [(float(v),) for v in range(0, 1000, 7)], ["v"]
+    )
+    batches = [
+        [(float(v),) for v in range(0, 300, 5)],
+        [(float(v),) for v in range(300, 600, 3)],
+        [(float(v),) for v in range(600, 1400, 11)],  # mass past the range
+    ]
+    schema = "v double"
+    src = _write_batches(spark, tmp_path, batches, schema)
+
+    rng, ref_counts = reference_histogram(reference, "v", bins=10)
+    rng = rng.localCheckpoint(eager=True)
+    ref_counts = ref_counts.localCheckpoint(eager=True)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_bin_counts(stream, rng, "v")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("psi_state")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = psi_from_counts(spark.table("psi_state"), ref_counts).first()
+    all_new = spark.createDataFrame([r for b in batches for r in b], schema)
+    want = psi_drift(reference, all_new, "v", bins=10, range_on="old").first()
+    for c in ("n_old", "n_new", "n_bins_observed", "psi_nano", "band"):
+        assert got[c] == want[c], c
+    assert got["psi_log2"] == want["psi_log2"]
+    assert got["psi_nano"] > 0  # the shifted stream is visibly off
+
+
+def test_psi_from_counts_identical_shape_near_zero(spark):
+    """Same shape at the same volume -> psi_nano 0, band stable."""
+    from sutro_spark.streaming.drift import psi_from_counts
+
+    ref = spark.createDataFrame([(0, 10), (1, 20)], ["bin", "c_ref"])
+    new = spark.createDataFrame([(0, 10), (1, 20)], ["bin", "c_new"])
+    row = psi_from_counts(new, ref).first()
+    assert row["psi_nano"] == 0
+    assert row["band"] == "stable"
+
+
 def test_drift_from_counts_identical_histograms(spark):
     from sutro_spark.streaming.drift import drift_from_counts
 
