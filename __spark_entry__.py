@@ -4294,6 +4294,49 @@ def q_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_recall(exact, approx, keys=("query_id", "neighbor_id"))
 
 
+def q_ivf_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # binary-quantized codes INSIDE IVF buckets — the memory-bound
+    # 100-TB serving composition (faiss IndexBinaryIVF + refine): IVF
+    # kmeans routing prunes the corpus to nprobe=2 of 8 buckets, the
+    # within-bucket scan is xor+popcount Hamming over two-BIGINT codes
+    # (32x compression, zero Python, no codebook join), exact-cosine
+    # rescore of the 4k shortlist restores precision. The oracle
+    # splices the kmeans routing + BQ codes + Hamming + rescore chains.
+    from sutro_spark.operators.similarity import ivf_bq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_bq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        k=3,
+        coarse_k=8,
+        coarse_iters=2,
+        nprobe=2,
+        rescore_multiple=4,
+    ).orderBy("query_id", "rank")
+
+
+def q_ivf_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # honesty probe for the IVF+BQ composition: what the bucket prune
+    # AND the Hamming proxy together lose vs brute-force cosine top-3
+    # — comparable at matched candidate budget against bq_recall (no
+    # prune) and ivf_recall/ivfpq recall rows (same routing, ADC scan).
+    from sutro_spark.operators.metrics import candidate_recall
+    from sutro_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_bq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, k=3)
+    approx = ivf_bq_topk(
+        emb, queries, k=3, coarse_k=8, coarse_iters=2, nprobe=2,
+        rescore_multiple=4,
+    )
+    return candidate_recall(exact, approx, keys=("query_id", "neighbor_id"))
+
+
 def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-language tokenizer fertility (Rust et al. 2021): pieces per
     # word (milli) + pieces per 1000 chars under ONE corpus-trained
@@ -4747,44 +4790,46 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-#: Round-14 driver window: the driver correctness gate checks the FIRST
+#: Round-15 driver window: the driver correctness gate checks the FIRST
 #: 50 entries of queries() in dict order; this list IS the rotation
 #: (queries() reorders the full literal dict by it — future rounds edit
 #: this list, not the dict). Invariant: EXACTLY 50 entries, new
-#: additions first, then the stalest cohort that fits. r14 budget:
-#: 2 new queries (psl_domain, unigram_fertility) + the 10 r13
-#: queries that never saw a driver window (r13 correctly spent its
-#: slots clearing the 48-entry r8 floor) + 38 of the 49-entry r9
-#: cohort (the oldest evidence) =
-#: exactly 50. The 11 r9 entries that do NOT fit (prefix_filter,
-#: quality_percentile, quality_scorer, quantile_normalize,
-#: readability, scd2_history, tpch_q17ish, tpch_q2ish, tpch_q9ish,
-#: unigram_surprisal, yule_k — shape/cheap probes chosen as the
-#: leftovers) stay floor-r9 and MUST lead the r15 window together
-#: with the 5 r14 queries added after the window froze (bq_topk,
-#: bq_recall, split_leakage_audit, adaptive_salted_join, psi_drift —
-#: strict-selfcheck-green at close-out, the same queue discipline r13
-#: used for its 10); COVERAGE.md states the structural ~5-6 round
-#: revisit period this 50/266 ratio forces.
-_R14_WINDOW = [
-    # new in r14, never driver-checked
-    "psl_domain", "unigram_fertility",
-    # the 10 r13 queries that never fit r13's window
-    "unigram_apply", "script_gate", "ndcg", "ndcg_summary",
-    "qdigest_quantiles", "qdigest_guarantee", "qdigest_by_group",
-    "luhn_cards", "hadamard_rotate", "url_canonical",
-    # 38 of the 49-entry r9-green cohort (sorted; first 38)
-    "ann_map", "attribution", "benford", "bigram_lift", "bpe_encode",
-    "bpe_merges", "bpe_vocab", "charlm_quality", "cms_heavy_hitters",
-    "copurchase_triangles", "corr_tokens_chars", "curation_pipeline_v2",
-    "decontaminate_clean", "dedup_paragraphs", "dsir_select",
-    "dup_passages", "dup_size_histogram", "embedding_norms",
-    "epoch_plan", "fuzzy_decontaminate", "hamilton_sample",
-    "hll_distinct", "hll_set_ops", "incremental_cc", "ivf_recall",
-    "jaccard_histogram", "jl_project", "json_keys", "kcore",
-    "kmv_set_ops", "krippendorff_alpha", "lang_confidence",
-    "leakage_safe_split", "length_gini", "list_source_infer",
-    "lsh_recall", "mixture_drift", "pack_chunks",
+#: additions first, then the stalest cohort that fits. r15 budget:
+#: 2 new queries (ivf_bq_topk, ivf_bq_recall) + the 6 entries with NO
+#: driver-green row ever (the 5 r14 queries added after r14's window
+#: froze, plus hadamard_rotate — r14's one red, value-correct but
+#: array-shaped; reshaped to scalar rows this round) + the 11-entry
+#: r9 floor (5-round-old evidence, the oldest in the registry) + 31
+#: of the 50-entry r10 cohort (sorted; first 31) = exactly 50. The 19
+#: r10 entries that do not fit (table_profile, time_split,
+#: token_budget, tpch_q10/11/13/15/16/18/19/20/22/4/7/8ish,
+#: validate_orders, video_frames, winnow_overlap, winnow_recall) stay
+#: floor-r10 and MUST lead the r16 window together with anything new;
+#: COVERAGE.md states the rotation policy (composed-pipeline
+#: consolidation + the ~5-6 round structural revisit period this
+#: 50/268 ratio forces).
+_R15_WINDOW = [
+    # new in r15, never driver-checked
+    "ivf_bq_topk", "ivf_bq_recall",
+    # never driver-green: 5 post-window r14 additions + the r14 red
+    "bq_topk", "bq_recall", "split_leakage_audit",
+    "adaptive_salted_join", "psi_drift", "hadamard_rotate",
+    # the 11-entry r9 floor (oldest driver evidence, 5 rounds old)
+    "prefix_filter", "quality_percentile", "quality_scorer",
+    "quantile_normalize", "readability", "scd2_history",
+    "tpch_q17ish", "tpch_q2ish", "tpch_q9ish", "unigram_surprisal",
+    "yule_k",
+    # 31 of the 50-entry r10-green cohort (sorted; first 31)
+    "batch_function", "bloom_decontaminate", "cap_per_source",
+    "center_embeddings", "classify", "communities", "csv_scan",
+    "curation_pipeline", "customer_regions", "embed",
+    "embedding_anisotropy", "events_top_per_user", "flagship_extract",
+    "funnel", "hash_sample_split", "hits", "hll_merge",
+    "infer_per_model", "ivfpq_topk", "kmeans_clusters",
+    "ols_tokens_vs_chars", "pca_direction",
+    "price_histogram_quantiles", "price_quantiles",
+    "remove_direction", "skew_report", "source_overlap", "sq_recall",
+    "sq_topk", "sql_interface", "strip_passages",
 ]
 
 
@@ -4966,6 +5011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_fertility": q_unigram_fertility,
         "bq_topk": q_bq_topk,
         "bq_recall": q_bq_recall,
+        "ivf_bq_topk": q_ivf_bq_topk,
+        "ivf_bq_recall": q_ivf_bq_recall,
         "split_leakage_audit": q_split_leakage_audit,
         "adaptive_salted_join": q_adaptive_salted_join,
         "psi_drift": q_psi_drift,
@@ -5065,10 +5112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
     }
-    missing = [q for q in _R14_WINDOW if q not in all_qs]
+    missing = [q for q in _R15_WINDOW if q not in all_qs]
     if missing:  # a typo in the rotation list must fail loudly, not 404
-        raise KeyError(f"_R14_WINDOW names not in registry: {missing}")
-    head = {k: all_qs[k] for k in _R14_WINDOW}
+        raise KeyError(f"_R15_WINDOW names not in registry: {missing}")
+    head = {k: all_qs[k] for k in _R15_WINDOW}
     head.update(all_qs)  # dict keeps first-insertion order: window leads
     return head
 
@@ -5341,16 +5388,16 @@ _COSINE = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
 
-#: binary-quantization chain shared by the bq_topk / bq_recall
-#: oracles — replays operators/similarity.py bq_thresholds/bq_encode/
-#: bq_topk verbatim: floor(v·2^20) integer quantization, per-dim
-#: FLOORED-mean thresholds (DuckDB // floors, matching the Spark
-#: side's spelled-out floored div), sign bits packed into two 32-bit
-#: bigint halves, xor+popcount Hamming ranking to k·m candidates,
-#: exact-cosine rescore to k. Ends at CTE `bqr` =
-#: (query_id, neighbor_id, sim, rank <= {k}).
-_BQ_CTE = f"""
-            WITH base AS (
+#: binary-quantization CODES fragment (no WITH) — replays operators/
+#: similarity.py bq_thresholds/bq_encode verbatim: floor(v·2^20)
+#: integer quantization, per-dim FLOORED-mean thresholds (DuckDB //
+#: floors, matching the Spark side's spelled-out floored div), sign
+#: bits packed into two 32-bit bigint halves. Ends at CTE `codes` =
+#: (vec_id, lo, hi); `base` = (vec_id, e DOUBLE[]). Shared by the
+#: exhaustive _BQ_CTE below and the ivf_bq_topk/ivf_bq_recall oracles
+#: (which splice it after the kmeans routing chain).
+_BQ_CODES_CTE = f"""
+            base AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                 FROM embeddings),
             qz AS (
@@ -5370,7 +5417,13 @@ _BQ_CTE = f"""
                     CAST(sum(CASE WHEN i >= 32 AND q[i + 1] > t
                              THEN (1::BIGINT << (i - 32)) ELSE 0 END)
                          AS BIGINT) AS hi
-                FROM qz, thr GROUP BY vec_id),
+                FROM qz, thr GROUP BY vec_id)"""
+
+#: exhaustive binary-quantization chain shared by the bq_topk /
+#: bq_recall oracles — the codes fragment + xor+popcount Hamming
+#: ranking to k·m candidates + exact-cosine rescore to k. Ends at CTE
+#: `bqr` = (query_id, neighbor_id, sim, rank <= {k}).
+_BQ_CTE = "WITH " + _BQ_CODES_CTE + f""",
             bqpairs AS (
                 SELECT qq.vec_id AS query_id, cc.vec_id AS neighbor_id,
                        CAST(bit_count(xor(cc.lo, qq.lo))
@@ -5396,6 +5449,46 @@ _BQ_CTE = f"""
                         ORDER BY sim DESC, neighbor_id ASC) AS rank
                     FROM bqex)
                 WHERE rank <= 3)"""
+
+#: recall-probe tail shared by the bq_recall / ivf_bq_recall oracles:
+#: appended after any chain that defines `base` (vec_id, e DOUBLE[])
+#: and `bqr` (query_id, neighbor_id, ...) — brute-force cosine top-3
+#: truth, full-outer candidate join, recall/precision aggregate.
+_BQ_RECALL_TAIL = f"""
+            , qv2 AS (SELECT vec_id AS query_id, e AS qv
+                      FROM base WHERE vec_id < 5),
+            s2 AS (
+                SELECT query_id, cb.vec_id AS neighbor_id,
+                       {_COSINE.format(a='qv', b='cb.e')} AS sim
+                FROM qv2, base cb WHERE cb.vec_id <> query_id),
+            truth AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+                    FROM s2)
+                WHERE rank <= 3),
+            joined AS (
+                SELECT CASE WHEN t.query_id IS NOT NULL
+                            THEN 1 ELSE 0 END AS t,
+                       CASE WHEN c.query_id IS NOT NULL
+                            THEN 1 ELSE 0 END AS c
+                FROM truth t FULL OUTER JOIN
+                     (SELECT query_id, neighbor_id FROM bqr) c
+                  ON t.query_id = c.query_id
+                 AND t.neighbor_id = c.neighbor_id),
+            agg AS (
+                SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+                       CAST(sum(c) AS BIGINT) AS n_cand,
+                       CAST(sum(t * c) AS BIGINT) AS n_hit
+                FROM joined)
+            SELECT n_truth, n_cand, n_hit,
+                   CASE WHEN n_truth > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
+                   CASE WHEN n_cand > 0
+                        THEN CAST(n_hit AS DOUBLE) / n_cand END
+                       AS precision
+            FROM agg
+        """
 
 # Okapi-BM25 scoring chain (integer rationals — mirrors functions/
 # text.py bm25_topk's documented arithmetic verbatim), ending at CTE
@@ -5686,6 +5779,64 @@ def _kmeans_sql() -> str:
         FROM c1p GROUP BY cluster),
     {assign("2", "c1")}
     """
+
+
+def _ivf_bq_sql() -> str:
+    """IVF-routed binary-quantization chain mirroring operators/
+    similarity.py ivf_bq_topk: the kmeans coarse routing
+    (:func:`_kmeans_sql` — c1 final centroids, m2 final assignments),
+    the shared BQ codes fragment, query probes to the nprobe=2 nearest
+    centroids, xor+popcount Hamming ONLY over probed-bucket members,
+    top-12 shortlist, exact-cosine rescore to 3. Ends at CTE `bqr` =
+    (query_id, neighbor_id, sim, rank <= 3) with `base` in scope for
+    the recall tail."""
+    return (
+        _kmeans_sql()
+        + ","
+        + _BQ_CODES_CTE
+        + f""",
+            qp0 AS (
+                SELECT p.vec_id AS query_id, c1.cluster,
+                       CAST(list_sum(list_transform(range(1, 65),
+                           i -> (p.qv[CAST(i AS INT)] - c1.cv[CAST(i AS INT)])
+                              * (p.qv[CAST(i AS INT)] - c1.cv[CAST(i AS INT)])))
+                           AS BIGINT) AS d2
+                FROM q p, c1 WHERE p.vec_id < 5),
+            qp AS (SELECT query_id, cluster FROM (
+                    SELECT query_id, cluster,
+                           row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2, cluster) AS rn
+                    FROM qp0) WHERE rn <= 2),
+            candv AS (SELECT qp.query_id, m2.vec_id AS neighbor_id
+                      FROM qp JOIN m2 USING (cluster)
+                      WHERE m2.vec_id <> qp.query_id),
+            bqpairs AS (
+                SELECT cv2.query_id, cv2.neighbor_id,
+                       CAST(bit_count(xor(cc.lo, qq2.lo))
+                            + bit_count(xor(cc.hi, qq2.hi)) AS BIGINT)
+                           AS ham
+                FROM candv cv2
+                JOIN codes cc ON cc.vec_id = cv2.neighbor_id
+                JOIN codes qq2 ON qq2.vec_id = cv2.query_id),
+            bqcand AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY ham ASC, neighbor_id ASC) AS rnk
+                    FROM bqpairs)
+                WHERE rnk <= 12),
+            bqex AS (
+                SELECT cd.query_id, cd.neighbor_id,
+                       {_COSINE.format(a='qb.e', b='cb.e')} AS sim
+                FROM bqcand cd
+                JOIN base cb ON cb.vec_id = cd.neighbor_id
+                JOIN base qb ON qb.vec_id = cd.query_id),
+            bqr AS (
+                SELECT query_id, neighbor_id, sim, rank FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+                    FROM bqex)
+                WHERE rank <= 3)"""
+    )
 
 
 def _pq_sql(src: str | None = None) -> str:
@@ -11302,41 +11453,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, sim, rank FROM bqr
             ORDER BY query_id, rank
         """,
-        "bq_recall": _BQ_CTE + f"""
-            , qv2 AS (SELECT vec_id AS query_id, e AS qv
-                      FROM base WHERE vec_id < 5),
-            s2 AS (
-                SELECT query_id, cb.vec_id AS neighbor_id,
-                       {_COSINE.format(a='qv', b='cb.e')} AS sim
-                FROM qv2, base cb WHERE cb.vec_id <> query_id),
-            truth AS (
-                SELECT query_id, neighbor_id FROM (
-                    SELECT *, row_number() OVER (PARTITION BY query_id
-                        ORDER BY sim DESC, neighbor_id ASC) AS rank
-                    FROM s2)
-                WHERE rank <= 3),
-            joined AS (
-                SELECT CASE WHEN t.query_id IS NOT NULL
-                            THEN 1 ELSE 0 END AS t,
-                       CASE WHEN c.query_id IS NOT NULL
-                            THEN 1 ELSE 0 END AS c
-                FROM truth t FULL OUTER JOIN
-                     (SELECT query_id, neighbor_id FROM bqr) c
-                  ON t.query_id = c.query_id
-                 AND t.neighbor_id = c.neighbor_id),
-            agg AS (
-                SELECT CAST(sum(t) AS BIGINT) AS n_truth,
-                       CAST(sum(c) AS BIGINT) AS n_cand,
-                       CAST(sum(t * c) AS BIGINT) AS n_hit
-                FROM joined)
-            SELECT n_truth, n_cand, n_hit,
-                   CASE WHEN n_truth > 0
-                        THEN CAST(n_hit AS DOUBLE) / n_truth END AS recall,
-                   CASE WHEN n_cand > 0
-                        THEN CAST(n_hit AS DOUBLE) / n_cand END
-                       AS precision
-            FROM agg
+        "bq_recall": _BQ_CTE + _BQ_RECALL_TAIL,
+        "ivf_bq_topk": _ivf_bq_sql() + """
+            SELECT query_id, neighbor_id, sim, rank FROM bqr
+            ORDER BY query_id, rank
         """,
+        "ivf_bq_recall": _ivf_bq_sql() + _BQ_RECALL_TAIL,
         "pass_at_k": """
             WITH per AS (
                 SELECT user_id AS problem, CAST(count(*) AS BIGINT) AS n,

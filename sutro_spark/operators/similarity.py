@@ -529,6 +529,146 @@ def bq_topk(
     )
 
 
+def ivf_bq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int = 64,
+    k: int = 5,
+    coarse_k: int = 8,
+    coarse_iters: int = 2,
+    nprobe: int = 2,
+    exclude_self: bool = True,
+    rescore_multiple: int | None = 4,
+) -> DataFrame:
+    """Binary-quantized codes INSIDE IVF buckets — the memory-bound
+    100-TB serving shape: IVF coarse routing prunes the corpus to the
+    ``nprobe`` probed buckets (operators/pq.py ivfpq_topk's kmeans
+    routing, reused verbatim), the WITHIN-bucket scan is xor+popcount
+    Hamming over :func:`bq_encode`'s two-bigint codes (32× compression,
+    whole-stage codegen, zero Python — replacing IVF-PQ's per-vector
+    m-row ADC table lookups with 2 integer ops), and the exact-cosine
+    rescore of the ``rescore_multiple·k`` shortlist restores precision
+    (the faiss IndexBinaryIVF + refine composition).
+
+    Scale shape: corpus-side state is (id, bucket, code_lo, code_hi) —
+    24 bytes per vector; a query touches |probed buckets| of it, and
+    the only per-candidate work before the tiny rescore join is two
+    XOR+popcounts. Partition the code table by bucket on disk and the
+    probe prunes at the scan. Versus :func:`bq_topk` (exhaustive
+    Hamming), the candidate pool shrinks by ~coarse_k/nprobe; versus
+    ``ivfpq_topk``, the code state shrinks m·log2(n_codes)/128-fold
+    and the scan drops the codebook join. Recall honesty: measure with
+    ``candidate_recall`` against :func:`brute_force_topk` at matched
+    candidate budgets (the bq_recall/ivf_recall probe family).
+
+    Shortlist-crowding caveat (measured, tests/test_extensions.py): at
+    a FIXED ``rescore_multiple`` budget, recall is NOT monotone in
+    ``nprobe`` — extra bucket members can crowd the Hamming top-k·m
+    and evict true neighbors the proxy ranks poorly. Candidate-set
+    growth IS monotone, so with an uncut shortlist (or when raising
+    ``rescore_multiple`` together with ``nprobe``) more probes never
+    hurt; budget the two knobs jointly, not independently.
+
+    With ``rescore_multiple=None`` returns the raw Hamming ranking
+    (query_id, neighbor_id, hamming, rank) — the candidate-generation
+    view. Otherwise output is (query_id, neighbor_id, sim, rank) —
+    exact cosine, ties to the smaller neighbor id.
+    """
+    from sutro_spark.operators.kmeans import (
+        QVEC,
+        kmeans,
+        quantize_embeddings,
+    )
+
+    spark = corpus.sparkSession
+    assigned, cents = kmeans(
+        corpus,
+        k=coarse_k,
+        iters=coarse_iters,
+        id_column=id_column,
+        vector_column=vector_column,
+    )
+    thr = bq_thresholds(corpus, vector_column=vector_column, dim=dim)
+    cc = (
+        bq_encode(
+            corpus, thr, id_column=id_column, vector_column=vector_column
+        )
+        .join(
+            assigned.select(F.col(id_column).alias("id"), "cluster"), "id"
+        )
+        .select(
+            F.col("id").alias("neighbor_id"),
+            "cluster",
+            F.col("code_lo").alias("c_lo"),
+            F.col("code_hi").alias("c_hi"),
+        )
+    )
+    qq = quantize_embeddings(queries, vector_column).select(
+        F.col(id_column).alias("query_id"), QVEC
+    )
+    cdf = spark.createDataFrame(
+        [(int(c), [int(x) for x in v]) for c, v in cents],
+        "cluster bigint, cvec array<bigint>",
+    )
+    cd2 = F.aggregate(
+        F.zip_with(QVEC, "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "cluster")
+    probes = (
+        qq.crossJoin(F.broadcast(cdf))
+        .select("query_id", "cluster", cd2.alias("d2"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= nprobe)
+        .select("query_id", "cluster")
+    )
+    qcodes = bq_encode(
+        queries, thr, id_column=id_column, vector_column=vector_column
+    ).select(
+        F.col("id").alias("query_id"),
+        F.col("code_lo").alias("q_lo"),
+        F.col("code_hi").alias("q_hi"),
+    )
+    cand = probes.join(cc, "cluster").join(F.broadcast(qcodes), "query_id")
+    if exclude_self:
+        cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
+    ham = F.expr(
+        "CAST(bit_count(c_lo ^ q_lo) + bit_count(c_hi ^ q_hi) AS BIGINT)"
+    )
+    scored = cand.select("query_id", "neighbor_id", ham.alias("hamming"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    cut = k if rescore_multiple is None else k * rescore_multiple
+    top = scored.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= cut
+    )
+    if rescore_multiple is None:
+        return top.select("query_id", "neighbor_id", "hamming", "rank")
+    c = _prepared(corpus, id_column, vector_column, "c_")
+    q = _prepared(queries, id_column, vector_column, "q_")
+    exact = (
+        top.select("query_id", "neighbor_id")
+        .join(c.withColumnRenamed("c_id", "neighbor_id"), "neighbor_id")
+        .join(
+            F.broadcast(q.withColumnRenamed("q_id", "query_id")), "query_id"
+        )
+        .select("query_id", "neighbor_id", _sim("q_", "c_").alias("sim"))
+    )
+    w3 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w3))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def rh_signs(planes: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 random-hyperplane sign matrix: sign(p, d) comes
     from the first byte of sha256("rh{p}:{d}"). No RNG state — any

@@ -874,3 +874,68 @@ def test_bq_topk_rescore_lever_and_guards(spark):
     )
     with _pytest.raises(Exception, match="vector length"):
         bq_encode(short, [0, 0, 0]).collect()
+
+
+def test_ivf_bq_full_probe_equals_exhaustive_bq(spark):
+    """With nprobe == coarse_k every bucket is probed, so the IVF-BQ
+    composition must return EXACTLY the exhaustive bq_topk result —
+    the routing prunes candidates, never rescores them differently."""
+    from pyspark.sql import functions as F
+
+    from sutro_spark.operators.similarity import bq_topk, ivf_bq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    full = ivf_bq_topk(
+        emb, q, k=3, coarse_k=4, coarse_iters=2, nprobe=4,
+        rescore_multiple=4,
+    )
+    exhaustive = bq_topk(emb, q, k=3, rescore_multiple=4)
+    rows = lambda df: sorted(
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in df.collect()
+    )
+    assert rows(full) == rows(exhaustive)
+
+
+def test_ivf_bq_prune_monotone_and_raw_view(spark):
+    """More probed buckets -> superset of CANDIDATES, so with an
+    UNCUT shortlist (rescore_multiple covering every candidate) recall
+    vs brute force is monotone in nprobe. At a FIXED shortlist budget
+    it is NOT — extra bucket members can crowd the Hamming top-k·m and
+    evict true neighbors the proxy ranks poorly (measured here:
+    nprobe=4 at budget 12 scored BELOW nprobe=1 on this corpus) — the
+    shortlist-crowding effect the operator docstring documents."""
+    from pyspark.sql import functions as F
+
+    from sutro_spark.operators.metrics import candidate_recall
+    from sutro_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_bq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, q, k=3)
+
+    def rec(nprobe):
+        r = candidate_recall(
+            exact,
+            ivf_bq_topk(
+                emb, q, k=3, coarse_k=4, coarse_iters=2, nprobe=nprobe,
+                # uncut: shortlist >= |corpus|, so the Hamming cut
+                # never bites and candidate-set inclusion is the only
+                # effect in play
+                rescore_multiple=1000,
+            ),
+            keys=("query_id", "neighbor_id"),
+        ).collect()[0]
+        return r["recall"]
+
+    assert rec(4) >= rec(1)
+    assert rec(4) == 1.0  # full probe + uncut rescore == brute force
+    raw = ivf_bq_topk(
+        emb, q, k=3, coarse_k=4, nprobe=4, rescore_multiple=None
+    )
+    assert raw.columns == ["query_id", "neighbor_id", "hamming", "rank"]
+    assert raw.count() == 3 * 3
