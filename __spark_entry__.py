@@ -311,28 +311,6 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(_t(spark, sf_dir, "embeddings"))
 
 
-def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full curation flow as one lazy DataFrame expression:
-    Gopher quality filter → simhash near-dup clusters over survivors →
-    keep one representative per cluster → per-(source, lang) doc/token
-    mixture report. Every stage is an operator proven green on its own
-    [Q]; this query proves they compose. At 100 TB the stages pipeline
-    inside one Spark job graph — no intermediate materialization."""
-    from sutro_spark.operators.cluster import dedup_clusters
-    from sutro_spark.operators.dedup import simhash_pairs
-    from sutro_spark.operators.mixture import source_mix
-    from sutro_spark.operators.quality import gopher_quality
-
-    docs = _t(spark, sf_dir, "documents")
-    keep_ids = gopher_quality(docs).where("keep = 1").select("doc_id")
-    # three consumers (pair generation, cluster labeling, final report)
-    # read the filtered set; persist so the gopher window runs once
-    kept = docs.join(keep_ids, "doc_id").persist()
-    pairs = simhash_pairs(kept, max_hamming=8).select("id_a", "id_b")
-    reps = dedup_clusters(kept, pairs).where("is_representative = 1").select("doc_id")
-    return source_mix(kept.join(reps, "doc_id"))
-
-
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sutro_spark.operators.mixture import source_mix
 
@@ -4800,14 +4778,14 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: froze, plus hadamard_rotate — r14's one red, value-correct but
 #: array-shaped; reshaped to scalar rows this round) + the 11-entry
 #: r9 floor (5-round-old evidence, the oldest in the registry) + 31
-#: of the 50-entry r10 cohort (sorted; first 31) = exactly 50. The 19
-#: r10 entries that do not fit (table_profile, time_split,
-#: token_budget, tpch_q10/11/13/15/16/18/19/20/22/4/7/8ish,
-#: validate_orders, video_frames, winnow_overlap, winnow_recall) stay
-#: floor-r10 and MUST lead the r16 window together with anything new;
-#: COVERAGE.md states the rotation policy (composed-pipeline
-#: consolidation + the ~5-6 round structural revisit period this
-#: 50/268 ratio forces).
+#: of the 49-entry r10 cohort (sorted; first 31 after the r15
+#: curation_pipeline retirement) = exactly 50. The 18 r10 entries
+#: that do not fit (time_split, token_budget,
+#: tpch_q10/11/13/15/16/18/19/20/22/4/7/8ish, validate_orders,
+#: video_frames, winnow_overlap, winnow_recall) stay floor-r10 and
+#: MUST lead the r16 window together with anything new; COVERAGE.md
+#: states the rotation policy (composed-pipeline consolidation + the
+#: ~5-6 round structural revisit period this 50/267 ratio forces).
 _R15_WINDOW = [
     # new in r15, never driver-checked
     "ivf_bq_topk", "ivf_bq_recall",
@@ -4822,14 +4800,14 @@ _R15_WINDOW = [
     # 31 of the 50-entry r10-green cohort (sorted; first 31)
     "batch_function", "bloom_decontaminate", "cap_per_source",
     "center_embeddings", "classify", "communities", "csv_scan",
-    "curation_pipeline", "customer_regions", "embed",
+    "customer_regions", "embed",
     "embedding_anisotropy", "events_top_per_user", "flagship_extract",
     "funnel", "hash_sample_split", "hits", "hll_merge",
     "infer_per_model", "ivfpq_topk", "kmeans_clusters",
     "ols_tokens_vs_chars", "pca_direction",
     "price_histogram_quantiles", "price_quantiles",
     "remove_direction", "skew_report", "source_overlap", "sq_recall",
-    "sq_topk", "sql_interface", "strip_passages",
+    "sq_topk", "sql_interface", "strip_passages", "table_profile",
 ]
 
 
@@ -4910,7 +4888,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_regions": q_customer_regions,
         "events_top_per_user": q_events_top_per_user,
         "tpch_q12ish": q_tpch_q12ish,
-        "curation_pipeline": q_curation_pipeline,
         "hash_sample_split": q_hash_sample_split,
         "stratified_sample": q_stratified_sample,
         "cap_per_source": q_cap_per_source,
@@ -8101,42 +8078,6 @@ def oracle_sql() -> dict[str, str]:
         # survivors (same fragments as the standalone oracles, with the
         # simhash CTE re-anchored on the kept set) → representatives →
         # mixture report
-        "curation_pipeline": f"""
-            WITH RECURSIVE
-            kept AS (SELECT doc_id FROM ({_GOPHER_SQL}) gq WHERE keep = 1),
-            kd AS (SELECT d.* FROM documents d JOIN kept USING (doc_id)),
-            {_SIMHASH_CTE.replace("FROM documents", "FROM kd")},
-            chunks AS (
-                SELECT id, simhash, cid, (simhash >> (cid * 16)) & 65535 AS chunk
-                FROM fp, (SELECT unnest(range(0, 4)) AS cid) c),
-            p AS (
-                SELECT DISTINCT x.id AS id_a, y.id AS id_b
-                FROM chunks x
-                JOIN chunks y ON x.cid = y.cid AND x.chunk = y.chunk
-                WHERE x.id < y.id
-                  AND bit_count(xor(x.simhash, y.simhash)) <= 8),
-            edges AS (SELECT id_a AS a, id_b AS b FROM p
-                      UNION ALL SELECT id_b, id_a FROM p),
-            reach AS (
-                SELECT doc_id AS node, doc_id AS r FROM kd
-                UNION
-                SELECT reach.node, e.b
-                FROM reach JOIN edges e ON e.a = reach.r),
-            lab AS (SELECT node AS doc_id, min(r) AS cluster_id
-                    FROM reach GROUP BY node),
-            fd AS (SELECT kd.* FROM kd
-                   JOIN lab ON kd.doc_id = lab.doc_id
-                           AND lab.doc_id = lab.cluster_id),
-            s AS (SELECT source, lang, count(*) AS n_docs,
-                         CAST(sum(len(list_filter(
-                             regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
-                             x -> x <> ''))) AS BIGINT) AS n_tokens
-                  FROM fd GROUP BY source, lang),
-            t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s)
-            SELECT source, lang, n_docs, n_tokens,
-                   round(n_tokens / t.total, 6) AS token_share
-            FROM s, t
-        """,
         "source_mix": """
             WITH s AS (
                 SELECT source, lang, count(*) AS n_docs,
