@@ -4160,6 +4160,25 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-group PSI in ONE pass (per-priority price stability — the
+    # per-source/per-language drift monitor a curation pipeline
+    # wants): the qdigest_by_group discipline applied to psi_drift —
+    # per-group bin ranges from one broadcast meta aggregate, every
+    # count keyed on (group, bin), same milli-log2 integer surrogate,
+    # zero collects. Same fixture as psi_drift, split by priority.
+    from sutro_spark.functions.stats import psi_drift_grouped
+
+    o = _t(spark, sf_dir, "orders")
+    return psi_drift_grouped(
+        o,
+        o.where(F.col("o_totalprice") < 100000),
+        "o_orderpriority",
+        "o_totalprice",
+        bins=20,
+    ).orderBy("o_orderpriority")
+
+
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the QA gate AFTER a split is chosen: duplicate pairs counted by
     # (canonical) split pair — cross-split pairs ARE eval leakage, the
@@ -4777,18 +4796,18 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: driver-green row ever (the 5 r14 queries added after r14's window
 #: froze, plus hadamard_rotate — r14's one red, value-correct but
 #: array-shaped; reshaped to scalar rows this round) + the 11-entry
-#: r9 floor (5-round-old evidence, the oldest in the registry) + 31
-#: of the 49-entry r10 cohort (sorted; first 31 after the r15
-#: curation_pipeline retirement) = exactly 50. The 18 r10 entries
-#: that do not fit (time_split, token_budget,
+#: r9 floor (5-round-old evidence, the oldest in the registry) + 30
+#: of the 49-entry r10 cohort (sorted; first 30 after the r15
+#: curation_pipeline retirement) = exactly 50. The 19 r10 entries
+#: that do not fit (table_profile, time_split, token_budget,
 #: tpch_q10/11/13/15/16/18/19/20/22/4/7/8ish, validate_orders,
 #: video_frames, winnow_overlap, winnow_recall) stay floor-r10 and
 #: MUST lead the r16 window together with anything new; COVERAGE.md
 #: states the rotation policy (composed-pipeline consolidation + the
-#: ~5-6 round structural revisit period this 50/267 ratio forces).
+#: ~5-6 round structural revisit period this 50/268 ratio forces).
 _R15_WINDOW = [
     # new in r15, never driver-checked
-    "ivf_bq_topk", "ivf_bq_recall",
+    "ivf_bq_topk", "ivf_bq_recall", "psi_drift_grouped",
     # never driver-green: 5 post-window r14 additions + the r14 red
     "bq_topk", "bq_recall", "split_leakage_audit",
     "adaptive_salted_join", "psi_drift", "hadamard_rotate",
@@ -4807,7 +4826,7 @@ _R15_WINDOW = [
     "ols_tokens_vs_chars", "pca_direction",
     "price_histogram_quantiles", "price_quantiles",
     "remove_direction", "skew_report", "source_overlap", "sq_recall",
-    "sq_topk", "sql_interface", "strip_passages", "table_profile",
+    "sq_topk", "sql_interface", "strip_passages",
 ]
 
 
@@ -4993,6 +5012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_audit": q_split_leakage_audit,
         "adaptive_salted_join": q_adaptive_salted_join,
         "psi_drift": q_psi_drift,
+        "psi_drift_grouped": q_psi_drift_grouped,
         "encoding_damage": q_encoding_damage,
         "script_profile": q_script_profile,
         "lang_confidence": q_lang_confidence,
@@ -11331,6 +11351,84 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'moderate'
                         ELSE 'major' END AS band
             FROM hcn, hno, agg
+        """,
+        "psi_drift_grouped": f"""
+            WITH hoc AS (SELECT o_orderpriority AS grp,
+                                CAST(round(o_totalprice * 100) AS BIGINT)
+                                    AS c
+                         FROM orders
+                         WHERE o_totalprice IS NOT NULL
+                           AND o_orderpriority IS NOT NULL),
+            hnc AS (SELECT o_orderpriority AS grp,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders
+                    WHERE o_totalprice IS NOT NULL
+                      AND o_orderpriority IS NOT NULL
+                      AND o_totalprice < 100000),
+            hrg AS (SELECT grp, min(c) AS lo,
+                           CAST((max(c) - min(c) + 20) // 20 AS BIGINT)
+                               AS w
+                    FROM (SELECT grp, c FROM hoc
+                          UNION ALL SELECT grp, c FROM hnc)
+                    GROUP BY grp),
+            hbo AS (SELECT h.grp,
+                           CAST((c - lo) // w AS BIGINT) AS bin,
+                           CAST(count(*) AS BIGINT) AS c_old
+                    FROM hoc h JOIN hrg USING (grp) GROUP BY 1, 2),
+            hbn AS (SELECT h.grp,
+                           CAST((c - lo) // w AS BIGINT) AS bin,
+                           CAST(count(*) AS BIGINT) AS c_new
+                    FROM hnc h JOIN hrg USING (grp) GROUP BY 1, 2),
+            hco AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_old
+                    FROM hoc GROUP BY grp),
+            hcg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_new
+                    FROM hnc GROUP BY grp),
+            hcounts AS (SELECT coalesce(o.grp, n.grp) AS grp,
+                               coalesce(n_old, 0) AS n_old,
+                               coalesce(n_new, 0) AS n_new
+                        FROM hco o FULL OUTER JOIN hcg n
+                          ON o.grp = n.grp),
+            hpb AS (SELECT coalesce(o.grp, n.grp) AS grp,
+                           coalesce(c_old, 0) AS c_old,
+                           coalesce(c_new, 0) AS c_new
+                    FROM hbo o FULL OUTER JOIN hbn n
+                      ON o.grp = n.grp AND o.bin = n.bin),
+            hno AS (SELECT grp,
+                           CAST(count(*) AS BIGINT) AS n_bins_observed
+                    FROM hpb GROUP BY grp),
+            hmeta AS (SELECT c.grp, c.n_old, c.n_new,
+                             coalesce(n_bins_observed, 0)
+                                 AS n_bins_observed
+                      FROM hcounts c LEFT JOIN hno USING (grp)),
+            terms AS (
+                SELECT p.grp,
+                       CAST(((1000000 * (c_old + 1))
+                                // (n_old + n_bins_observed)
+                             - (1000000 * (c_new + 1))
+                                // (n_new + n_bins_observed))
+                        * ({_unigram_ml('(c_old + 1)')}
+                           - {_unigram_ml('(c_new + 1)')}
+                           - {_unigram_ml('(n_old + n_bins_observed)')}
+                           + {_unigram_ml('(n_new + n_bins_observed)')})
+                        AS BIGINT) AS term
+                FROM hpb p JOIN hmeta USING (grp)),
+            tagg AS (SELECT grp, CAST(sum(term) AS BIGINT) AS psi_nano
+                     FROM terms GROUP BY grp)
+            SELECT m.grp AS o_orderpriority, n_old, n_new,
+                   n_bins_observed,
+                   CASE WHEN n_bins_observed = 0 THEN NULL
+                        ELSE coalesce(psi_nano, 0) END AS psi_nano,
+                   CASE WHEN n_bins_observed = 0 THEN NULL
+                        ELSE CAST(coalesce(psi_nano, 0) AS DOUBLE) / 1e9
+                   END AS psi_log2,
+                   CASE WHEN n_bins_observed = 0 THEN NULL
+                        WHEN coalesce(psi_nano, 0) < 144269504
+                            THEN 'stable'
+                        WHEN coalesce(psi_nano, 0) < 360673760
+                            THEN 'moderate'
+                        ELSE 'major' END AS band
+            FROM hmeta m LEFT JOIN tagg USING (grp)
+            ORDER BY 1
         """,
         "split_leakage_audit": """
             WITH seeded AS (

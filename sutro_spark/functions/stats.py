@@ -731,6 +731,152 @@ def _psi_finish(per_bin: DataFrame, counts: DataFrame) -> DataFrame:
     )
 
 
+def psi_drift_grouped(
+    old: DataFrame,
+    new: DataFrame,
+    group_column: str,
+    value_column: str,
+    *,
+    bins: int = 20,
+    range_on: str = "union",
+) -> DataFrame:
+    """Per-group :func:`psi_drift` in ONE pass — the per-source /
+    per-language drift monitor a curation pipeline actually wants
+    ("which source's price/length/score distribution moved?") without
+    G separate jobs. Same exact-integer arithmetic (milli-log2
+    surrogate, Laplace +1 over observed bins, nano band thresholds)
+    as the global operator; the only structural change is the
+    qdigest_by_group discipline: bin ranges live in a broadcast
+    (group, lo, w) meta table computed by one aggregate, every
+    count/join keys on (group, bin), and nothing collects.
+
+    Binning is per group (each group gets its own [min, max] and
+    width — cross-group comparability of the SCORE is exactly PSI's
+    job, not shared bins). Under ``range_on='old'`` a group present
+    only in ``new`` has no reference bins: it surfaces with
+    n_bins_observed = 0 and NULL psi/band (the global operator's
+    empty-input convention), never dropped. Rows with a NULL group
+    key are EXCLUDED like NULL values (a missing-source row is a
+    missing-RATE question, not a shape one — the histogram_drift NULL
+    rule applied to the key); map NULLs to a sentinel upstream to
+    monitor them as a group.
+
+    Plan: two map-side-combinable (group, bin) aggregates + the tiny
+    meta broadcast + one full-outer bin join + one (group) aggregate —
+    shuffle keys are (group, bin), so skew follows the data's group
+    sizes, not the group count.
+
+    Output: (group, n_old, n_new, n_bins_observed, psi_nano,
+    psi_log2, band) — one row per group observed in either snapshot.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if range_on not in ("union", "old"):
+        raise ValueError("range_on must be 'union' or 'old'")
+
+    def cents(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(group_column).alias("grp"),
+            F.round(F.col(value_column) * 100).cast("long").alias("c"),
+        ).where(F.col("c").isNotNull() & F.col("grp").isNotNull())
+
+    o, n = cents(old), cents(new)
+    u = o.unionByName(n) if range_on == "union" else o
+    rng = u.groupBy("grp").agg(
+        F.min("c").alias("lo"),
+        F.expr(f"CAST((max(c) - min(c) + {bins}) div {bins} AS BIGINT)")
+        .alias("w"),
+    )
+
+    def binned(df: DataFrame, tag: str) -> DataFrame:
+        # floor-division binning — identical rationale to
+        # _snapshot_bin_counts (negative own-bins below a frozen
+        # range; DuckDB's // floors, Spark's div truncates)
+        return (
+            df.join(F.broadcast(rng), ["grp"])
+            .select(
+                "grp",
+                F.expr(
+                    "CAST(CASE WHEN c >= lo THEN (c - lo) div w "
+                    "ELSE -(((lo - c) + w - 1) div w) END AS BIGINT)"
+                ).alias("bin"),
+            )
+            .groupBy("grp", "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"c_{tag}"))
+        )
+
+    bo, bn = binned(o, "old"), binned(n, "new")
+    per_bin = bo.join(bn, ["grp", "bin"], "full_outer").select(
+        "grp",
+        F.coalesce("c_old", F.lit(0)).alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+    )
+    co = o.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_old")
+    )
+    cn = n.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    counts = co.join(cn, ["grp"], "full_outer").select(
+        "grp",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    nb = per_bin.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins_observed")
+    )
+    meta = counts.join(nb, ["grp"], "left").select(
+        "grp",
+        "n_old",
+        "n_new",
+        F.coalesce("n_bins_observed", F.lit(0))
+        .cast("long")
+        .alias("n_bins_observed"),
+    )
+    a, b = "(c_old + 1)", "(c_new + 1)"
+    na, nbb = "(n_old + n_bins_observed)", "(n_new + n_bins_observed)"
+    terms = (
+        per_bin.join(F.broadcast(meta), ["grp"])
+        .select(
+            "grp",
+            F.expr(
+                f"CAST(((1000000 * {a}) div {na}"
+                f" - (1000000 * {b}) div {nbb})"
+                f" * ({_ml_sql(a)} - {_ml_sql(b)}"
+                f" - {_ml_sql(na)} + {_ml_sql(nbb)}) AS BIGINT)"
+            ).alias("term"),
+        )
+        .groupBy("grp")
+        .agg(F.sum("term").cast("long").alias("psi_nano"))
+    )
+    return (
+        meta.join(terms, ["grp"], "left")
+        .select(
+            F.col("grp").alias(group_column),
+            "n_old",
+            "n_new",
+            "n_bins_observed",
+            F.expr(
+                "CASE WHEN n_bins_observed = 0 THEN NULL"
+                " ELSE coalesce(psi_nano, CAST(0 AS BIGINT)) END"
+            ).alias("psi_nano"),
+            F.expr(
+                "CASE WHEN n_bins_observed = 0 THEN NULL"
+                " ELSE CAST(coalesce(psi_nano, CAST(0 AS BIGINT))"
+                " AS DOUBLE) / 1e9 END"
+            ).alias("psi_log2"),
+            F.expr(
+                "CASE WHEN n_bins_observed = 0 THEN NULL"
+                " WHEN coalesce(psi_nano, CAST(0 AS BIGINT))"
+                f" < {PSI_STABLE_NANO} THEN 'stable'"
+                " WHEN coalesce(psi_nano, CAST(0 AS BIGINT))"
+                f" < {PSI_MODERATE_NANO} THEN 'moderate'"
+                " ELSE 'major' END"
+            ).alias("band"),
+        )
+    )
+
+
 def quantile_normalize(
     df: DataFrame,
     group_column: str,

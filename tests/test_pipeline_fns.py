@@ -1398,6 +1398,53 @@ def test_psi_drift_matches_python_surrogate_model(spark):
     assert abs(row["psi_log2"] - psi / 1e9) < 1e-12
 
 
+def test_psi_drift_grouped_equals_global_per_group(spark):
+    """One grouped pass == psi_drift run per group-filter; a group
+    present only in `new` under range_on='old' surfaces with
+    n_bins_observed 0 and NULL psi/band, never dropped; NULL group
+    keys are excluded like NULL values."""
+    from pyspark.sql import functions as F
+
+    from sutro_spark.functions.stats import psi_drift, psi_drift_grouped
+
+    rows = (
+        [("a", float(v)) for v in range(100)]
+        + [("b", float(v) * 3) for v in range(80)]
+        + [(None, 1.0)]
+    )
+    old = spark.createDataFrame(rows, "g string, x double")
+    new_rows = (
+        [("a", float(v)) for v in range(50)] * 2  # a shifts low
+        + [("b", float(v) * 3) for v in range(80)]  # b identical
+        + [("c", float(v)) for v in range(10)]  # no reference
+        + [(None, 2.0)]
+    )
+    new = spark.createDataFrame(new_rows, "g string, x double")
+
+    got = {
+        r["g"]: r
+        for r in psi_drift_grouped(
+            old, new, "g", "x", bins=10, range_on="old"
+        ).collect()
+    }
+    assert set(got) == {"a", "b", "c"}  # NULL key excluded, c kept
+    for g in ("a", "b"):
+        want = psi_drift(
+            old.where(F.col("g") == g),
+            new.where(F.col("g") == g),
+            "x",
+            bins=10,
+            range_on="old",
+        ).first()
+        for c in ("n_old", "n_new", "n_bins_observed", "psi_nano", "band"):
+            assert got[g][c] == want[c], (g, c)
+    assert got["a"]["band"] == "major" and got["b"]["band"] == "stable"
+    c_row = got["c"]
+    assert c_row["n_old"] == 0 and c_row["n_new"] == 10
+    assert c_row["n_bins_observed"] == 0
+    assert c_row["psi_nano"] is None and c_row["band"] is None
+
+
 def test_canonical_url_is_idempotent(spark):
     # a canonicalizer must be a fixpoint: canonical(canonical(u)) ==
     # canonical(u) for every fixture shape (ports, tracking params,
