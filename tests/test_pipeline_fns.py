@@ -1299,6 +1299,14 @@ def test_adaptive_salted_join_equals_plain_join(spark):
             for r in fact.join(dim, "k", how).collect()
         )
         assert got == want, how
+    # r15 advice fix: result-equality is only proven for inner/left —
+    # right/outer would duplicate unmatched dim rows once per replica,
+    # so the operator refuses loudly
+    import pytest as _pytest
+
+    for how in ("right", "full", "left_anti"):
+        with _pytest.raises(ValueError, match="inner.*left"):
+            adaptive_salted_join(fact, dim, "k", buckets=4, k=2, how=how)
 
 
 def test_adaptive_salting_replicates_only_heavy_dim_rows(spark):
