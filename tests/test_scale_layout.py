@@ -129,3 +129,35 @@ def test_zorder_write_makes_both_columns_selective(spark, tmp_path):
     # every file covers a bounded region in BOTH dims — far below the
     # full 0..63 span (a linear x-sort would give y-span 63 everywhere)
     assert all(sx <= 32 and sy <= 32 for sx, sy in spans), spans
+
+
+def test_ivf_bq_code_table_partition_prunes(spark, sf_dir, tmp_path):
+    """The ivf_bq_topk serving layout claim (SCALING.md r15): persist
+    the (cluster, id, code_lo, code_hi) table partitioned by cluster
+    and a probe of nprobe buckets prunes at the SCAN — PartitionFilters
+    in the plan, bytes read bounded by the probed buckets, results
+    identical to scanning everything."""
+    from sutro_spark.operators.kmeans import kmeans
+    from sutro_spark.operators.similarity import bq_encode, bq_thresholds
+    from sutro_spark.sources.sinks import write_partitioned
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, _ = kmeans(emb, k=4, iters=2)
+    thr = bq_thresholds(emb, dim=64)
+    codes = bq_encode(emb, thr).join(
+        assigned.select(F.col("vec_id").alias("id"), "cluster"), "id"
+    )
+    path = str(tmp_path / "bq_codes_by_bucket")
+    write_partitioned(codes, path, ["cluster"])
+
+    probed = spark.read.parquet(path).where(F.col("cluster").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # the probe reaches the scan as a PARTITION filter (directory
+    # pruning), not a post-scan Filter — the claim that matters at
+    # 100 TB, where unprobed buckets are never opened
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and "cluster" in pf[1].split("]")[0], plan
+    want = codes.where(F.col("cluster").isin([0, 1]))
+    got_ids = {r["id"] for r in probed.collect()}
+    assert got_ids == {r["id"] for r in want.collect()}
+    assert len(got_ids) > 0
