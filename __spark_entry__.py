@@ -4792,13 +4792,13 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (queries() reorders the full literal dict by it — future rounds edit
 #: this list, not the dict). Invariant: EXACTLY 50 entries, new
 #: additions first, then the stalest cohort that fits. r15 budget:
-#: 2 new queries (ivf_bq_topk, ivf_bq_recall) + the 6 entries with NO
-#: driver-green row ever (the 5 r14 queries added after r14's window
-#: froze, plus hadamard_rotate — r14's one red, value-correct but
-#: array-shaped; reshaped to scalar rows this round) + the 11-entry
-#: r9 floor (5-round-old evidence, the oldest in the registry) + 30
-#: of the 49-entry r10 cohort (sorted; first 30 after the r15
-#: curation_pipeline retirement) = exactly 50. The 19 r10 entries
+#: 3 new queries (ivf_bq_topk, ivf_bq_recall, psi_drift_grouped) +
+#: the 6 entries with NO driver-green row ever (the 5 r14 queries
+#: added after r14's window froze, plus hadamard_rotate — r14's one
+#: red, value-correct but array-shaped; reshaped to scalar rows this
+#: round) + the 11-entry r9 floor (5-round-old evidence, the oldest
+#: in the registry) + 30 of the 50-entry r10-green cohort (sorted;
+#: first 30) = 3+6+11+30 = exactly 50. The 19 r10 entries
 #: that do not fit (table_profile, time_split, token_budget,
 #: tpch_q10/11/13/15/16/18/19/20/22/4/7/8ish, validate_orders,
 #: video_frames, winnow_overlap, winnow_recall) stay floor-r10 and
@@ -4816,7 +4816,7 @@ _R15_WINDOW = [
     "quantile_normalize", "readability", "scd2_history",
     "tpch_q17ish", "tpch_q2ish", "tpch_q9ish", "unigram_surprisal",
     "yule_k",
-    # 31 of the 50-entry r10-green cohort (sorted; first 31)
+    # 30 of the 50-entry r10-green cohort (sorted; first 30)
     "batch_function", "bloom_decontaminate", "cap_per_source",
     "center_embeddings", "classify", "communities", "csv_scan",
     "customer_regions", "embed",

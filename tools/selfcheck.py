@@ -103,26 +103,28 @@ def main() -> int:
         t0 = time.time()
         try:
             sparkdf = fn(spark, sf_dir)
-            sdf = sparkdf.toPandas()
         except Exception:
             print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
             failures += 1
             continue
-        if strict:
-            # Driver contract: its canonicalizer (pandas sort_values →
-            # factorize) dies on unhashable cells, so ANY complex-typed
-            # top-level column (array/map/struct) is a driver red even
-            # when values match — exactly how hadamard_rotate failed in
-            # r14 while the list→tuple leniency below kept it green
-            # locally. Fail it HERE, before first driver contact.
-            from pyspark.sql.types import ArrayType, MapType, StructType
+        # Driver contract: its canonicalizer (pandas sort_values →
+        # factorize) dies on unhashable cells, so ANY complex-typed
+        # top-level column (array/map/struct) is a driver red even
+        # when values match — exactly how hadamard_rotate failed in
+        # r14 while the list→tuple leniency below kept it green
+        # locally. Inspect the SCHEMA (pre-materialization — no point
+        # collecting a large array-typed result just to reject it);
+        # strict mode fails, non-strict warns so the divergence is
+        # never silent.
+        from pyspark.sql.types import ArrayType, MapType, StructType
 
-            complex_cols = [
-                f.name
-                for f in sparkdf.schema.fields
-                if isinstance(f.dataType, (ArrayType, MapType, StructType))
-            ]
-            if complex_cols:
+        complex_cols = [
+            f.name
+            for f in sparkdf.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            if strict:
                 print(
                     f"FAIL {name}: complex-typed top-level columns "
                     f"{complex_cols} violate the driver contract "
@@ -130,6 +132,17 @@ def main() -> int:
                 )
                 failures += 1
                 continue
+            print(
+                f"WARN {name}: complex-typed top-level columns "
+                f"{complex_cols} — would FAIL the driver contract "
+                f"(strict mode rejects these; posexplode to scalars)"
+            )
+        try:
+            sdf = sparkdf.toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            failures += 1
+            continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows={len(sdf)}) [{time.time()-t0:.1f}s]")
             continue
