@@ -4334,6 +4334,48 @@ def q_ivf_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_recall(exact, approx, keys=("query_id", "neighbor_id"))
 
 
+def q_ivf_bq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental ANN index maintenance (operators/similarity.py
+    # ivf_bq_index/ivf_bq_route/ivf_bq_append): build the bucketed
+    # code table on the base slice (vec_id % 4 != 0), then route the
+    # held-out quarter into the FROZEN centroids/thresholds — the
+    # 100-TB index you can afford to update (append reads only the
+    # new batch + one id-guard scan; a rebuild re-reads the corpus).
+    # The proof is cross-engine: Spark APPENDS incrementally, the
+    # oracle REBUILDS from scratch at the same frozen parameters
+    # (kmeans + thresholds trained on base, every vector assigned/
+    # encoded against them) — driver hash-equality IS append==rebuild.
+    from sutro_spark.operators.similarity import ivf_bq_append, ivf_bq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 4 != 0)
+    new = emb.where(F.col("vec_id") % 4 == 0)
+    index, cents, thr = ivf_bq_index(base, coarse_k=8, coarse_iters=2)
+    return ivf_bq_append(index, new, cents, thr).orderBy("id")
+
+
+def q_ivf_routing_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the staleness monitor for a frozen IVF quantizer: bucket
+    # occupancy of the appended batch vs the build snapshot as
+    # categorical PSI (cluster id AS the bin — psi_drift's Laplace +
+    # milli-log2 integer surrogate verbatim), plus raw micro shares
+    # per bucket. 'major' band = new mass crowds few buckets = the
+    # rebuild trigger ivf_bq_append's docstring states. Same fixture
+    # as ivf_bq_append; the same-distribution quarter lands 'stable'.
+    from sutro_spark.operators.similarity import (
+        ivf_bq_index,
+        ivf_bq_route,
+        ivf_routing_balance,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 4 != 0)
+    new = emb.where(F.col("vec_id") % 4 == 0)
+    index, cents, thr = ivf_bq_index(base, coarse_k=8, coarse_iters=2)
+    routed = ivf_bq_route(new, cents, thr)
+    return ivf_routing_balance(index, routed).orderBy("cluster")
+
+
 def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-language tokenizer fertility (Rust et al. 2021): pieces per
     # word (milli) + pieces per 1000 chars under ONE corpus-trained
@@ -5009,6 +5051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bq_recall": q_bq_recall,
         "ivf_bq_topk": q_ivf_bq_topk,
         "ivf_bq_recall": q_ivf_bq_recall,
+        "ivf_bq_append": q_ivf_bq_append,
+        "ivf_routing_balance": q_ivf_routing_balance,
         "split_leakage_audit": q_split_leakage_audit,
         "adaptive_salted_join": q_adaptive_salted_join,
         "psi_drift": q_psi_drift,
@@ -5834,6 +5878,82 @@ def _ivf_bq_sql() -> str:
                     FROM bqex)
                 WHERE rank <= 3)"""
     )
+
+
+def _ivf_bq_append_sql() -> str:
+    """REBUILD-at-frozen-parameters chain for the ivf_bq_append /
+    ivf_routing_balance oracles: kmeans trained on the BASE slice
+    (vec_id % 4 <> 0) exactly as operators/kmeans.py runs inside
+    ivf_bq_index (init = 8 lowest base ids, 2 Lloyd rounds, integer
+    milli-quantization, (dist2, cluster) argmin tie-break,
+    floor-division means), then ONE nearest-centroid assignment of the
+    FULL corpus against the frozen final centroids, BQ thresholds from
+    the base slice only, sign-bit codes for every vector. The Spark
+    side appends the held-out quarter incrementally — hash-equality
+    against this from-scratch rebuild is the append==rebuild proof.
+    Ends with `m2all` = (vec_id, cluster) over the full corpus and
+    `codes` = (vec_id, lo, hi) under base thresholds."""
+
+    def assign(tag: str, src: str, ctab: str) -> str:
+        return f"""
+    a{tag} AS (
+        SELECT vec_id, cluster,
+               CAST(list_sum(list_transform(range(1, 65),
+                   i -> (qv[CAST(i AS INT)] - cv[CAST(i AS INT)])
+                      * (qv[CAST(i AS INT)] - cv[CAST(i AS INT)]))) AS BIGINT)
+                   AS dist2
+        FROM {src}, {ctab}),
+    m{tag} AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY dist2, cluster) AS rn
+            FROM a{tag})
+        WHERE rn = 1)"""
+
+    return f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(trunc(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)
+                   AS qv
+        FROM embeddings),
+    qb AS (SELECT * FROM q WHERE vec_id % 4 <> 0),
+    c0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
+        FROM qb ORDER BY vec_id LIMIT 8),
+    {assign("1", "qb", "c0")},
+    e1 AS (
+        SELECT m1.cluster, i AS pos, qv[CAST(i AS INT)] AS v
+        FROM m1 JOIN qb USING (vec_id), unnest(range(1, 65)) AS t(i)),
+    c1p AS (
+        SELECT cluster, pos, CAST(sum(v) AS BIGINT) // count(*) AS comp
+        FROM e1 GROUP BY cluster, pos),
+    c1 AS (
+        SELECT cluster, list(comp ORDER BY pos) AS cv
+        FROM c1p GROUP BY cluster),
+    {assign("2all", "q", "c1")},
+    base AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings),
+    qz AS (
+        SELECT vec_id, list_transform(e,
+            x -> CAST(floor(x * {1 << 20}) AS BIGINT)) AS q
+        FROM base),
+    dims AS (SELECT CAST(i AS INT) AS i
+             FROM unnest(range(0, 64)) AS t(i)),
+    thr AS (
+        SELECT i, CAST(sum(q[i + 1]) // count(*) AS BIGINT) AS t
+        FROM (SELECT * FROM qz WHERE vec_id % 4 <> 0), dims GROUP BY i),
+    codes AS (
+        SELECT vec_id,
+            CAST(sum(CASE WHEN i < 32 AND q[i + 1] > t
+                     THEN (1::BIGINT << i) ELSE 0 END)
+                 AS BIGINT) AS lo,
+            CAST(sum(CASE WHEN i >= 32 AND q[i + 1] > t
+                     THEN (1::BIGINT << (i - 32)) ELSE 0 END)
+                 AS BIGINT) AS hi
+        FROM qz, thr GROUP BY vec_id)"""
 
 
 def _pq_sql(src: str | None = None) -> str:
@@ -11498,6 +11618,58 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY query_id, rank
         """,
         "ivf_bq_recall": _ivf_bq_sql() + _BQ_RECALL_TAIL,
+        "ivf_bq_append": _ivf_bq_append_sql() + """
+            SELECT m.vec_id AS id, m.cluster,
+                   c.lo AS code_lo, c.hi AS code_hi
+            FROM m2all m JOIN codes c USING (vec_id)
+            ORDER BY id
+        """,
+        "ivf_routing_balance": _ivf_bq_append_sql() + f"""
+            , nb_ AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_build
+                      FROM m2all WHERE vec_id % 4 <> 0 GROUP BY cluster),
+            nn_ AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_new
+                    FROM m2all WHERE vec_id % 4 = 0 GROUP BY cluster),
+            per AS (SELECT coalesce(b.cluster, n.cluster) AS cluster,
+                           coalesce(n_build, 0) AS n_build,
+                           coalesce(n_new, 0) AS n_new
+                    FROM nb_ b FULL OUTER JOIN nn_ n
+                      ON b.cluster = n.cluster),
+            tot AS (SELECT CAST(sum(n_build) AS BIGINT) AS t_build,
+                           CAST(sum(n_new) AS BIGINT) AS t_new,
+                           CAST(count(*) AS BIGINT) AS n_buckets
+                    FROM per),
+            rows_ AS (
+                SELECT cluster, n_build, n_new,
+                       CAST(CASE WHEN t_build = 0 THEN NULL
+                            ELSE (1000000 * n_build) // t_build END
+                            AS BIGINT) AS share_build_micro,
+                       CAST(CASE WHEN t_new = 0 THEN NULL
+                            ELSE (1000000 * n_new) // t_new END
+                            AS BIGINT) AS share_new_micro,
+                       CAST(((1000000 * (n_build + 1))
+                                // (t_build + n_buckets)
+                             - (1000000 * (n_new + 1))
+                                // (t_new + n_buckets))
+                            * ({_unigram_ml('(n_build + 1)')}
+                               - {_unigram_ml('(n_new + 1)')}
+                               - {_unigram_ml('(t_build + n_buckets)')}
+                               + {_unigram_ml('(t_new + n_buckets)')})
+                            AS BIGINT) AS psi_term_nano
+                FROM per, tot),
+            tpsi AS (SELECT CAST(sum(psi_term_nano) AS BIGINT) AS psi_nano
+                     FROM rows_)
+            SELECT cluster, n_build, n_new,
+                   share_build_micro, share_new_micro,
+                   CAST(coalesce(share_new_micro, 0)
+                        - coalesce(share_build_micro, 0) AS BIGINT)
+                       AS delta_share_micro,
+                   psi_term_nano, psi_nano,
+                   CAST(psi_nano AS DOUBLE) / 1e9 AS psi_log2,
+                   CASE WHEN psi_nano < 144269504 THEN 'stable'
+                        WHEN psi_nano < 360673760 THEN 'moderate'
+                        ELSE 'major' END AS band
+            FROM rows_, tpsi ORDER BY cluster
+        """,
         "pass_at_k": """
             WITH per AS (
                 SELECT user_id AS problem, CAST(count(*) AS BIGINT) AS n,

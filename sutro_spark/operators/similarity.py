@@ -669,6 +669,252 @@ def ivf_bq_topk(
     )
 
 
+def ivf_bq_index(
+    corpus: DataFrame,
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    dim: int = 64,
+    coarse_k: int = 8,
+    coarse_iters: int = 2,
+) -> tuple[DataFrame, list[tuple[int, list[int]]], list[int]]:
+    """Materialize the IVF-BQ SERVING state :func:`ivf_bq_topk`
+    recomputes per call: the bucketed code table plus the frozen
+    routing parameters. Returns ``(codes, centroids, thresholds)``
+    where ``codes`` = (id, cluster, code_lo, code_hi) — 24 bytes per
+    vector, the table a 100-TB deployment writes partitioned by
+    ``cluster`` so probes prune at the scan (the
+    test_scale_layout.py PartitionFilters claim) — ``centroids`` is
+    the kmeans coarse quantizer (k·dim integers, driver-side — the
+    bounded-collect class) and ``thresholds`` the per-dimension BQ
+    sign cutoffs (dim integers).
+
+    The point of materializing: the parameters are FROZEN artifacts,
+    so later batches route through :func:`ivf_bq_append` without
+    touching the existing codes — the index you can afford to keep
+    current at 100 TB (a rebuild re-reads the whole corpus; an append
+    reads only the new batch plus one id-guard scan of the table).
+    """
+    from sutro_spark.operators.kmeans import kmeans
+
+    assigned, cents = kmeans(
+        corpus,
+        k=coarse_k,
+        iters=coarse_iters,
+        id_column=id_column,
+        vector_column=vector_column,
+    )
+    thr = bq_thresholds(corpus, vector_column=vector_column, dim=dim)
+    codes = bq_encode(
+        corpus, thr, id_column=id_column, vector_column=vector_column
+    ).join(
+        assigned.select(F.col(id_column).alias("id"), "cluster"), "id"
+    )
+    return (
+        codes.select("id", "cluster", "code_lo", "code_hi"),
+        cents,
+        thr,
+    )
+
+
+def ivf_bq_route(
+    new_batch: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    thresholds: list[int],
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+) -> DataFrame:
+    """Route a NEW vector batch into a frozen IVF-BQ index layout:
+    nearest-centroid assignment against the frozen coarse quantizer
+    (broadcast k-row cross join + packed-long argmin — the
+    assign_clusters shape) and BQ encoding against the frozen
+    thresholds. Cost is O(|new|·coarse_k) integer ops + |new| encode
+    rows; the existing code table is NOT read. Because assignment and
+    encoding are per-row functions of (vector, frozen params),
+    append == rebuild at frozen parameters EXACTLY — the invariant
+    [Q] ivf_bq_append proves cross-engine (the Spark side appends,
+    the DuckDB oracle rebuilds from scratch at the same frozen
+    parameters, and the driver hash-compares).
+
+    Output: (id, cluster, code_lo, code_hi) — same schema as
+    :func:`ivf_bq_index`'s code table.
+    """
+    from sutro_spark.operators.kmeans import (
+        QVEC,
+        assign_clusters,
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(new_batch, vector_column).select(
+        id_column, QVEC
+    )
+    routed = assign_clusters(q, centroids, id_column).select(
+        F.col(id_column).alias("id"), "cluster"
+    )
+    codes = bq_encode(
+        new_batch, thresholds, id_column=id_column,
+        vector_column=vector_column,
+    )
+    return codes.join(routed, "id").select(
+        "id", "cluster", "code_lo", "code_hi"
+    )
+
+
+def ivf_bq_append(
+    index: DataFrame,
+    new_batch: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    thresholds: list[int],
+    *,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    assert_new_ids: bool = True,
+) -> DataFrame:
+    """Incremental IVF-BQ index maintenance: :func:`ivf_bq_route` the
+    new batch at the FROZEN centroids/thresholds and union it onto the
+    existing code table. The streaming twin (streaming/ann.py
+    ``streaming_ivf_append``) folds per-micro-batch routes into the
+    same table; batch-order independence is exactly the per-row
+    property the route docstring states.
+
+    ``assert_new_ids=True`` ENFORCES id uniqueness in-plan (the
+    cluster.py split-assignment raise_error discipline): collisions
+    are detected by ONE scan of the index against a broadcast of the
+    new batch's ids (left-semi, broadcast build side = the new ids —
+    no shuffle of the index), and any appended row whose id already
+    exists raises. Silent double-insert would corrupt every
+    downstream Hamming scan's candidate counts.
+
+    What appending does NOT do — stated, not hidden: centroids and
+    thresholds stay frozen, so a drifting corpus degrades routing
+    balance over time (new mass crowds few buckets → probed-bucket
+    scans grow). :func:`ivf_routing_balance` is the monitor; a
+    'major' band is the rebuild trigger.
+    """
+    routed = ivf_bq_route(
+        new_batch,
+        centroids,
+        thresholds,
+        id_column=id_column,
+        vector_column=vector_column,
+    )
+    if assert_new_ids:
+        dup_ids = index.join(
+            F.broadcast(routed.select("id")), "id", "left_semi"
+        ).select("id", F.lit(1).alias("__dup"))
+        routed = (
+            routed.join(F.broadcast(dup_ids), "id", "left")
+            .withColumn(
+                "cluster",
+                F.when(F.col("__dup").isNull(), F.col("cluster")).otherwise(
+                    F.expr(
+                        "CAST(raise_error(concat('ivf_bq_append: id ',"
+                        " CAST(id AS STRING),"
+                        " ' already in index')) AS BIGINT)"
+                    )
+                ),
+            )
+            .drop("__dup")
+        )
+    return index.select(
+        "id", "cluster", "code_lo", "code_hi"
+    ).unionByName(routed)
+
+
+def ivf_routing_balance(
+    build_index: DataFrame,
+    routed: DataFrame,
+) -> DataFrame:
+    """Bucket-occupancy drift of an appended batch vs the build
+    snapshot — the monitor that tells you when a frozen IVF quantizer
+    has gone stale (new corpus mass concentrating in few buckets means
+    probed-bucket scans grow and recall-per-probe drops; 'major' band
+    = rebuild the quantizer). Categorical PSI over bucket shares —
+    psi_drift's exact-integer discipline applied with the cluster id
+    AS the bin: Laplace +1 per observed bucket on both sides, shares
+    as floored micro integers, the milli-log2 surrogate (`_ml_sql`),
+    nano band thresholds. Everything after the two per-cluster counts
+    is arithmetic over ≤ coarse_k rows; zero collects, zero windows.
+
+    Inputs need only a ``cluster`` column (the build code table and
+    the routed batch). Output: one row per bucket observed in either,
+    (cluster, n_build, n_new, share_build_micro, share_new_micro,
+    delta_share_micro — RAW shares, no Laplace, 10^6-scaled floored;
+    psi_term_nano — this bucket's Laplace-smoothed PSI contribution)
+    plus the batch-level verdict repeated on every row (psi_nano,
+    psi_log2 — the one IEEE division, band) so the report is a single
+    scalar-column table (the driver-contract shape).
+    """
+    from sutro_spark.functions.stats import (
+        PSI_MODERATE_NANO,
+        PSI_STABLE_NANO,
+        _ml_sql,
+    )
+
+    bo = build_index.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_build")
+    )
+    bn = routed.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    per = bo.join(bn, ["cluster"], "full_outer").select(
+        "cluster",
+        F.coalesce("n_build", F.lit(0)).cast("long").alias("n_build"),
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+    )
+    totals = per.agg(
+        F.sum("n_build").cast("long").alias("t_build"),
+        F.sum("n_new").cast("long").alias("t_new"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    a, b = "(n_build + 1)", "(n_new + 1)"
+    na, nb = "(t_build + n_buckets)", "(t_new + n_buckets)"
+    rows = per.crossJoin(F.broadcast(totals)).select(
+        "cluster",
+        "n_build",
+        "n_new",
+        F.expr(
+            "CAST(CASE WHEN t_build = 0 THEN NULL"
+            " ELSE (1000000 * n_build) div t_build END AS BIGINT)"
+        ).alias("share_build_micro"),
+        F.expr(
+            "CAST(CASE WHEN t_new = 0 THEN NULL"
+            " ELSE (1000000 * n_new) div t_new END AS BIGINT)"
+        ).alias("share_new_micro"),
+        F.expr(
+            f"CAST(((1000000 * {a}) div {na}"
+            f" - (1000000 * {b}) div {nb})"
+            f" * ({_ml_sql(a)} - {_ml_sql(b)}"
+            f" - {_ml_sql(na)} + {_ml_sql(nb)}) AS BIGINT)"
+        ).alias("psi_term_nano"),
+    )
+    rows = rows.withColumn(
+        "delta_share_micro",
+        F.expr(
+            "CAST(coalesce(share_new_micro, 0)"
+            " - coalesce(share_build_micro, 0) AS BIGINT)"
+        ),
+    )
+    total = rows.agg(F.sum("psi_term_nano").cast("long").alias("psi_nano"))
+    return rows.crossJoin(F.broadcast(total)).select(
+        "cluster",
+        "n_build",
+        "n_new",
+        "share_build_micro",
+        "share_new_micro",
+        "delta_share_micro",
+        "psi_term_nano",
+        "psi_nano",
+        F.expr("CAST(psi_nano AS DOUBLE) / 1e9").alias("psi_log2"),
+        F.expr(
+            f"CASE WHEN psi_nano < {PSI_STABLE_NANO} THEN 'stable'"
+            f" WHEN psi_nano < {PSI_MODERATE_NANO} THEN 'moderate'"
+            " ELSE 'major' END"
+        ).alias("band"),
+    )
+
+
 def rh_signs(planes: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 random-hyperplane sign matrix: sign(p, d) comes
     from the first byte of sha256("rh{p}:{d}"). No RNG state — any
