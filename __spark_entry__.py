@@ -4179,6 +4179,28 @@ def q_psi_drift_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def q_psi_drift_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PSI under equal-mass REFERENCE bins (binning='quantile') — the
+    # industry convention equi-width binning fails on heavy tails
+    # (one outlier stretches the range until the body sits in one bin
+    # and real shifts score ~zero; pytest pins the divergence). Edges
+    # are EXACT ceil(j*n/20) order statistics of the reference cents
+    # from the distinct-value cumsum (span-free, unlike a fine
+    # histogram), searchsorted in-plan; the Laplace/milli-log2 finish
+    # is byte-shared with psi_drift. Same fixture as psi_drift so the
+    # two [Q]s adjudicate the binning rules against each other.
+    from sutro_spark.functions.stats import psi_drift
+
+    o = _t(spark, sf_dir, "orders")
+    return psi_drift(
+        o,
+        o.where(F.col("o_totalprice") < 100000),
+        "o_totalprice",
+        bins=20,
+        binning="quantile",
+    )
+
+
 def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the QA gate AFTER a split is chosen: duplicate pairs counted by
     # (canonical) split pair — cross-split pairs ARE eval leakage, the
@@ -5057,6 +5079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_salted_join": q_adaptive_salted_join,
         "psi_drift": q_psi_drift,
         "psi_drift_grouped": q_psi_drift_grouped,
+        "psi_drift_quantile": q_psi_drift_quantile,
         "encoding_damage": q_encoding_damage,
         "script_profile": q_script_profile,
         "lang_confidence": q_lang_confidence,
@@ -11549,6 +11572,71 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'major' END AS band
             FROM hmeta m LEFT JOIN tagg USING (grp)
             ORDER BY 1
+        """,
+        "psi_drift_quantile": f"""
+            WITH hoc AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                                    AS c
+                         FROM orders WHERE o_totalprice IS NOT NULL),
+            hnc AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                    FROM orders
+                    WHERE o_totalprice IS NOT NULL
+                      AND o_totalprice < 100000),
+            vc AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt
+                   FROM hoc GROUP BY c),
+            vcum AS (SELECT c, CAST(sum(cnt) OVER (ORDER BY c) AS BIGINT)
+                            AS cum
+                     FROM vc),
+            nref AS (SELECT CAST(count(*) AS BIGINT) AS n_ref FROM hoc),
+            js AS (SELECT CAST(j AS BIGINT) AS j
+                   FROM unnest(range(1, 20)) AS t(j)),
+            hits AS (SELECT j, min(c) AS edge
+                     FROM vcum, nref, js
+                     WHERE cum >= (j * n_ref + 19) // 20
+                     GROUP BY j),
+            earr AS (SELECT list(edge ORDER BY edge) AS edges FROM hits),
+            hbo AS (SELECT CAST(len(list_filter(edges, e -> c >= e))
+                            AS BIGINT) AS bin,
+                           CAST(count(*) AS BIGINT) AS c_old
+                    FROM hoc, earr GROUP BY 1),
+            hbn AS (SELECT CAST(len(list_filter(edges, e -> c >= e))
+                            AS BIGINT) AS bin,
+                           CAST(count(*) AS BIGINT) AS c_new
+                    FROM hnc, earr GROUP BY 1),
+            hcn AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM hoc)
+                               AS n_old,
+                           (SELECT CAST(count(*) AS BIGINT) FROM hnc)
+                               AS n_new),
+            hpb AS (SELECT coalesce(c_old, 0) AS c_old,
+                           coalesce(c_new, 0) AS c_new
+                    FROM hbo FULL OUTER JOIN hbn USING (bin)),
+            hno AS (SELECT CAST(count(*) AS BIGINT) AS n_bins_observed
+                    FROM hpb),
+            terms AS (
+                SELECT CAST(((1000000 * (c_old + 1))
+                                // (n_old + n_bins_observed)
+                             - (1000000 * (c_new + 1))
+                                // (n_new + n_bins_observed))
+                        * ({_unigram_ml('(c_old + 1)')}
+                           - {_unigram_ml('(c_new + 1)')}
+                           - {_unigram_ml('(n_old + n_bins_observed)')}
+                           + {_unigram_ml('(n_new + n_bins_observed)')})
+                        AS BIGINT) AS term
+                FROM hpb, hcn, hno),
+            agg AS (SELECT CAST(sum(term) AS BIGINT) AS psi_nano
+                    FROM terms)
+            SELECT n_old, n_new, n_bins_observed,
+                   CASE WHEN n_bins_observed = 0 THEN NULL
+                        ELSE coalesce(psi_nano, 0) END AS psi_nano,
+                   CASE WHEN n_bins_observed = 0 THEN NULL
+                        ELSE CAST(coalesce(psi_nano, 0) AS DOUBLE) / 1e9
+                   END AS psi_log2,
+                   CASE WHEN n_bins_observed = 0 THEN NULL
+                        WHEN coalesce(psi_nano, 0) < 144269504
+                            THEN 'stable'
+                        WHEN coalesce(psi_nano, 0) < 360673760
+                            THEN 'moderate'
+                        ELSE 'major' END AS band
+            FROM hcn, hno, agg
         """,
         "split_leakage_audit": """
             WITH seeded AS (

@@ -622,6 +622,89 @@ PSI_STABLE_NANO = 144_269_504
 PSI_MODERATE_NANO = 360_673_760
 
 
+def _quantile_bin_counts(
+    old: DataFrame,
+    new: DataFrame,
+    value_column: str,
+    *,
+    bins: int,
+):
+    """Equal-mass REFERENCE bins for PSI (``binning='quantile'``):
+    edge_j is the EXACT ceil(j·n/bins)-th order statistic of the OLD
+    snapshot's cents, j = 1..bins-1 (smallest cent whose cumulative
+    count reaches the threshold) — industry-standard PSI bins
+    equalize REFERENCE mass, which equi-width bins do badly on heavy
+    tails (one outlier stretches the range until the whole body sits
+    in bin 0 and a real body shift scores ~zero; the divergence test
+    pins it). Exactness matters for the same reason: a fine-HISTOGRAM
+    edge rule inherits the heavy-tail collapse once the span outruns
+    its resolution, while order statistics are span-free.
+
+    The order statistics come from the DISTINCT-cent table (groupBy
+    cent → count → cumulative sum), not a per-row global sort: the
+    cumsum spine is |distinct reference cents| rows — the
+    mad_outliers/heavy-hitter distinct-value spine class. Monitored
+    metrics are cent-quantized already; if a 100-TB reference somehow
+    carries ~n distinct cents, pre-round upstream — stated, not
+    hidden. End bins are unbounded, so out-of-range new mass lands in
+    bin 0 / bins-1 — no frozen-range negative bins, no dropped mass.
+    Assignment is searchsorted against the ≤(bins−1)-element edge
+    array, built IN-PLAN (collect_list to a 1-row broadcast — zero
+    driver collects); ties at an edge go to the upper bin (c >= edge
+    counts). Duplicate edges (heavy ties) skip bin indices; the
+    observed-bin universe + Laplace handle the resulting empties.
+
+    Returns (per_bin, counts) in :func:`_psi_finish`'s shape.
+    """
+
+    def cents(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.round(F.col(value_column) * 100).cast("long").alias("c")
+        ).where(F.col("c").isNotNull())
+
+    o, n = cents(old), cents(new)
+    vc = o.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy(F.asc("c")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vc.withColumn("cum", F.sum("cnt").over(w))
+    nref = o.agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
+    js = F.explode(
+        F.array(*[F.lit(int(j)).cast("long") for j in range(1, bins)])
+    ).alias("j")
+    hit = cum.crossJoin(F.broadcast(nref)).select("c", "cum", js).where(
+        F.col("cum")
+        >= F.expr(f"CAST((j * n_ref + {bins} - 1) div {bins} AS BIGINT)")
+    )
+    edges = hit.groupBy("j").agg(F.min("c").alias("edge"))
+    earr = edges.agg(F.sort_array(F.collect_list("edge")).alias("edges"))
+
+    def binned(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(earr))
+            .select(
+                F.aggregate(
+                    "edges",
+                    F.lit(0).cast("long"),
+                    lambda acc, e: acc
+                    + (F.col("c") >= e).cast("long"),
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(f"c_{tag}"))
+        )
+
+    bo, bn = binned(o, "old"), binned(n, "new")
+    counts = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_old")
+    ).crossJoin(n.agg(F.count(F.lit(1)).cast("long").alias("n_new")))
+    per_bin = bo.join(bn, "bin", "full_outer").select(
+        F.coalesce(F.col("c_old"), F.lit(0)).alias("c_old"),
+        F.coalesce(F.col("c_new"), F.lit(0)).alias("c_new"),
+    )
+    return per_bin, counts
+
+
 def psi_drift(
     old: DataFrame,
     new: DataFrame,
@@ -629,6 +712,7 @@ def psi_drift(
     *,
     bins: int = 20,
     range_on: str = "union",
+    binning: str = "width",
 ) -> DataFrame:
     """Population Stability Index between two snapshots — the industry
     drift score (credit-model monitoring: Σ (p_b − q_b)·log(p_b/q_b)),
@@ -664,12 +748,36 @@ def psi_drift(
     Same binning, plan shape, and NULL semantics as
     :func:`histogram_drift` (shared :func:`_snapshot_bin_counts`).
 
+    ``binning='quantile'`` switches the bin RULE (everything after the
+    per-bin counts — Laplace, surrogate, thresholds — is byte-shared):
+    equal-mass bins of the REFERENCE (old) snapshot instead of
+    equi-width bins, the convention industry PSI actually uses because
+    equi-width starves all but one bin on heavy-tailed values (see
+    :func:`_quantile_bin_counts` for the exact edge rule). Under
+    quantile binning the reference defines the edges, so ``range_on``
+    does not apply (ValueError if set to anything but its default) and
+    out-of-range new mass lands in the unbounded end bins.
+
     Output: one row (n_old, n_new, n_bins_observed, psi_nano bigint,
     psi_log2 double — one IEEE division, band string).
     """
-    per_bin, counts = _snapshot_bin_counts(
-        old, new, value_column, bins=bins, range_on=range_on
-    )
+    if binning == "width":
+        per_bin, counts = _snapshot_bin_counts(
+            old, new, value_column, bins=bins, range_on=range_on
+        )
+    elif binning == "quantile":
+        if range_on != "union":
+            raise ValueError(
+                "range_on does not apply under binning='quantile' "
+                "(edges always come from the reference snapshot)"
+            )
+        if bins < 2:
+            raise ValueError("binning='quantile' needs bins >= 2")
+        per_bin, counts = _quantile_bin_counts(
+            old, new, value_column, bins=bins
+        )
+    else:
+        raise ValueError("binning must be 'width' or 'quantile'")
     return _psi_finish(per_bin, counts)
 
 
@@ -739,6 +847,7 @@ def psi_drift_grouped(
     *,
     bins: int = 20,
     range_on: str = "union",
+    binning: str = "width",
 ) -> DataFrame:
     """Per-group :func:`psi_drift` in ONE pass — the per-source /
     per-language drift monitor a curation pipeline actually wants
@@ -766,13 +875,33 @@ def psi_drift_grouped(
     shuffle keys are (group, bin), so skew follows the data's group
     sizes, not the group count.
 
+    ``binning='quantile'`` applies :func:`_quantile_bin_counts`'s
+    equal-mass-reference rule PER GROUP (each group's edges are the
+    quantiles of ITS old values — same fine-histogram integer edge
+    rule, windows PARTITION BY group so the cumsum spine stays ≤ F
+    rows per group). ``range_on`` does not apply (ValueError if
+    non-default); a group present only in ``new`` has no reference
+    edges and surfaces with n_bins_observed = 0 and NULL psi/band —
+    the same convention range_on='old' states, never dropped.
+
     Output: (group, n_old, n_new, n_bins_observed, psi_nano,
     psi_log2, band) — one row per group observed in either snapshot.
     """
-    if bins < 1:
-        raise ValueError("bins must be >= 1")
-    if range_on not in ("union", "old"):
-        raise ValueError("range_on must be 'union' or 'old'")
+    if binning not in ("width", "quantile"):
+        raise ValueError("binning must be 'width' or 'quantile'")
+    if binning == "quantile":
+        if range_on != "union":
+            raise ValueError(
+                "range_on does not apply under binning='quantile' "
+                "(edges always come from the reference snapshot)"
+            )
+        if bins < 2:
+            raise ValueError("binning='quantile' needs bins >= 2")
+    else:
+        if bins < 1:
+            raise ValueError("bins must be >= 1")
+        if range_on not in ("union", "old"):
+            raise ValueError("range_on must be 'union' or 'old'")
 
     def cents(df: DataFrame) -> DataFrame:
         return df.select(
@@ -781,29 +910,83 @@ def psi_drift_grouped(
         ).where(F.col("c").isNotNull() & F.col("grp").isNotNull())
 
     o, n = cents(old), cents(new)
-    u = o.unionByName(n) if range_on == "union" else o
-    rng = u.groupBy("grp").agg(
-        F.min("c").alias("lo"),
-        F.expr(f"CAST((max(c) - min(c) + {bins}) div {bins} AS BIGINT)")
-        .alias("w"),
-    )
-
-    def binned(df: DataFrame, tag: str) -> DataFrame:
-        # floor-division binning — identical rationale to
-        # _snapshot_bin_counts (negative own-bins below a frozen
-        # range; DuckDB's // floors, Spark's div truncates)
-        return (
-            df.join(F.broadcast(rng), ["grp"])
-            .select(
-                "grp",
-                F.expr(
-                    "CAST(CASE WHEN c >= lo THEN (c - lo) div w "
-                    "ELSE -(((lo - c) + w - 1) div w) END AS BIGINT)"
-                ).alias("bin"),
-            )
-            .groupBy("grp", "bin")
-            .agg(F.count(F.lit(1)).cast("long").alias(f"c_{tag}"))
+    if binning == "width":
+        u = o.unionByName(n) if range_on == "union" else o
+        rng = u.groupBy("grp").agg(
+            F.min("c").alias("lo"),
+            F.expr(
+                f"CAST((max(c) - min(c) + {bins}) div {bins} AS BIGINT)"
+            ).alias("w"),
         )
+
+        def binned(df: DataFrame, tag: str) -> DataFrame:
+            # floor-division binning — identical rationale to
+            # _snapshot_bin_counts (negative own-bins below a frozen
+            # range; DuckDB's // floors, Spark's div truncates)
+            return (
+                df.join(F.broadcast(rng), ["grp"])
+                .select(
+                    "grp",
+                    F.expr(
+                        "CAST(CASE WHEN c >= lo THEN (c - lo) div w "
+                        "ELSE -(((lo - c) + w - 1) div w) END AS BIGINT)"
+                    ).alias("bin"),
+                )
+                .groupBy("grp", "bin")
+                .agg(F.count(F.lit(1)).cast("long").alias(f"c_{tag}"))
+            )
+
+    else:
+        # per-group exact order-statistic edges over each group's
+        # distinct-cent table (see _quantile_bin_counts; the cumsum
+        # window partitions by group, so the spine is per-group
+        # distinct cents)
+        vc = o.groupBy("grp", "c").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        wq = (
+            Window.partitionBy("grp")
+            .orderBy(F.asc("c"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = vc.withColumn("cum", F.sum("cnt").over(wq))
+        nref = o.groupBy("grp").agg(
+            F.count(F.lit(1)).cast("long").alias("n_ref")
+        )
+        js = F.explode(
+            F.array(*[F.lit(int(j)).cast("long") for j in range(1, bins)])
+        ).alias("j")
+        hit = cum.join(F.broadcast(nref), ["grp"]).select(
+            "grp", "c", "cum", js
+        ).where(
+            F.col("cum")
+            >= F.expr(
+                f"CAST((j * n_ref + {bins} - 1) div {bins} AS BIGINT)"
+            )
+        )
+        edges = hit.groupBy("grp", "j").agg(F.min("c").alias("edge"))
+        earr = edges.groupBy("grp").agg(
+            F.sort_array(F.collect_list("edge")).alias("edges")
+        )
+
+        def binned(df: DataFrame, tag: str) -> DataFrame:
+            # inner join: groups with no reference edges (new-only)
+            # drop HERE and surface through the counts full-outer
+            # with n_bins_observed = 0 — the stated NULL convention
+            return (
+                df.join(F.broadcast(earr), ["grp"])
+                .select(
+                    "grp",
+                    F.aggregate(
+                        "edges",
+                        F.lit(0).cast("long"),
+                        lambda acc, e: acc
+                        + (F.col("c") >= e).cast("long"),
+                    ).alias("bin"),
+                )
+                .groupBy("grp", "bin")
+                .agg(F.count(F.lit(1)).cast("long").alias(f"c_{tag}"))
+            )
 
     bo, bn = binned(o, "old"), binned(n, "new")
     per_bin = bo.join(bn, ["grp", "bin"], "full_outer").select(

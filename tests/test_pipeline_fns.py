@@ -1453,6 +1453,160 @@ def test_psi_drift_grouped_equals_global_per_group(spark):
     assert c_row["psi_nano"] is None and c_row["band"] is None
 
 
+def _psi_python(oc, nc, edges):
+    """Python replay of the shared PSI finish (Laplace +1 over the
+    observed-bin universe, floored micro shares, milli-log2 surrogate)
+    given precomputed quantile edges."""
+    from collections import Counter
+
+    def ml(f):
+        e = f.bit_length() - 1
+        return 1000 * e + ((f - (1 << e)) * 1000) // (1 << e)
+
+    def b(c):
+        return sum(1 for e in edges if c >= e)
+
+    bo, bn = Counter(b(c) for c in oc), Counter(b(c) for c in nc)
+    univ = sorted(set(bo) | set(bn))
+    B = len(univ)
+    na, nb = len(oc) + B, len(nc) + B
+    psi = 0
+    for bin_ in univ:
+        a_, b_ = bo.get(bin_, 0) + 1, bn.get(bin_, 0) + 1
+        dp = (1_000_000 * a_) // na - (1_000_000 * b_) // nb
+        psi += dp * (ml(a_) - ml(b_) - ml(na) + ml(nb))
+    return psi, B
+
+
+def _quantile_edges_python(oc, bins):
+    """Python replay of _quantile_bin_counts' edge rule: edge_j is the
+    exact ceil(j*n/bins)-th order statistic of the reference cents."""
+    n = len(oc)
+    s = sorted(oc)
+    edges = []
+    for j in range(1, bins):
+        t = (j * n + bins - 1) // bins
+        edges.append(s[t - 1])
+    return sorted(edges)
+
+
+def test_psi_quantile_matches_python_surrogate(spark):
+    # bit-exact replay of the equal-mass-reference rule: edges from
+    # the old snapshot's fine-histogram quantiles, searchsorted
+    # binning (ties to the upper bin), then the byte-shared finish
+    from sutro_spark.functions.stats import psi_drift
+
+    old_vals = [float(v) for v in range(100)]
+    new_vals = [float(v) for v in range(50)] * 2
+    old = spark.createDataFrame([(v,) for v in old_vals], "x double")
+    new = spark.createDataFrame([(v,) for v in new_vals], "x double")
+    row = psi_drift(old, new, "x", bins=10, binning="quantile").collect()[0]
+
+    oc = [round(v * 100) for v in old_vals]
+    nc = [round(v * 100) for v in new_vals]
+    edges = _quantile_edges_python(oc, 10)
+    psi, B = _psi_python(oc, nc, edges)
+    assert row["psi_nano"] == psi
+    assert row["n_bins_observed"] == B
+    assert row["band"] == "major"
+    same = psi_drift(old, old, "x", bins=10, binning="quantile").collect()[0]
+    assert same["psi_nano"] == 0 and same["band"] == "stable"
+
+
+def test_psi_quantile_catches_what_width_misses_on_heavy_tail(spark):
+    """The reason quantile bins are the industry convention: one
+    outlier stretches the equi-width range so the entire body lands in
+    bin 0 and a REAL body shift scores ~zero; equal-mass reference
+    bins keep resolution where the mass is and flag it."""
+    from sutro_spark.functions.stats import psi_drift
+
+    outlier = [1_000_000.0]
+    old_vals = [v / 100.0 for v in range(100)] + outlier
+    new_vals = [0.5 + v / 200.0 for v in range(100)] + outlier  # body up
+    old = spark.createDataFrame([(v,) for v in old_vals], "x double")
+    new = spark.createDataFrame([(v,) for v in new_vals], "x double")
+
+    width = psi_drift(old, new, "x", bins=10).collect()[0]
+    quant = psi_drift(old, new, "x", bins=10, binning="quantile").collect()[0]
+    assert width["band"] == "stable"  # the miss: body hidden in bin 0
+    assert quant["band"] == "major"
+    assert quant["psi_nano"] > 10 * max(width["psi_nano"], 1)
+    # and the resolution story: width sees ~2 occupied bins, quantile
+    # keeps ~bins of them on the body
+    assert width["n_bins_observed"] <= 3
+    assert quant["n_bins_observed"] >= 8
+
+
+def test_psi_quantile_out_of_range_new_mass_in_end_bins(spark):
+    # new values beyond the reference range land in the unbounded end
+    # bins (no frozen-range drop, no negative bins)
+    from sutro_spark.functions.stats import psi_drift
+
+    old = spark.createDataFrame([(float(v),) for v in range(100)], "x double")
+    new = spark.createDataFrame(
+        [(-50.0,)] * 5 + [(500.0,)] * 5 + [(float(v),) for v in range(100)],
+        "x double",
+    )
+    row = psi_drift(old, new, "x", bins=10, binning="quantile").collect()[0]
+    assert row["n_old"] == 100 and row["n_new"] == 110
+    # every new row is binned: universe stays within the 10 quantile
+    # bins (end bins absorb the out-of-range mass)
+    assert row["n_bins_observed"] == 10
+
+
+def test_psi_quantile_grouped_equals_global_per_group(spark):
+    from pyspark.sql import functions as F
+
+    from sutro_spark.functions.stats import psi_drift, psi_drift_grouped
+
+    rows = [("a", float(v)) for v in range(100)] + [
+        ("b", float(v) * 3) for v in range(80)
+    ]
+    old = spark.createDataFrame(rows, "g string, x double")
+    new_rows = (
+        [("a", float(v)) for v in range(50)] * 2
+        + [("b", float(v) * 3) for v in range(80)]
+        + [("c", float(v)) for v in range(10)]  # no reference edges
+    )
+    new = spark.createDataFrame(new_rows, "g string, x double")
+    got = {
+        r["g"]: r
+        for r in psi_drift_grouped(
+            old, new, "g", "x", bins=10, binning="quantile"
+        ).collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    for g in ("a", "b"):
+        want = psi_drift(
+            old.where(F.col("g") == g),
+            new.where(F.col("g") == g),
+            "x",
+            bins=10,
+            binning="quantile",
+        ).first()
+        for c in ("n_old", "n_new", "n_bins_observed", "psi_nano", "band"):
+            assert got[g][c] == want[c], (g, c)
+    assert got["c"]["n_bins_observed"] == 0
+    assert got["c"]["psi_nano"] is None and got["c"]["band"] is None
+
+
+def test_psi_quantile_validations(spark):
+    import pytest
+
+    from sutro_spark.functions.stats import psi_drift, psi_drift_grouped
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    gdf = spark.createDataFrame([("a", 1.0)], "g string, x double")
+    with pytest.raises(ValueError, match="range_on does not apply"):
+        psi_drift(df, df, "x", binning="quantile", range_on="old")
+    with pytest.raises(ValueError, match="bins >= 2"):
+        psi_drift(df, df, "x", bins=1, binning="quantile")
+    with pytest.raises(ValueError, match="width.*quantile|quantile.*width"):
+        psi_drift(df, df, "x", binning="bogus")
+    with pytest.raises(ValueError, match="range_on does not apply"):
+        psi_drift_grouped(gdf, gdf, "g", "x", binning="quantile", range_on="old")
+
+
 def test_canonical_url_is_idempotent(spark):
     # a canonicalizer must be a fixpoint: canonical(canonical(u)) ==
     # canonical(u) for every fixture shape (ports, tracking params,
