@@ -1824,30 +1824,6 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_events_secs(spark, sf_dir), period_seconds=86400)
 
 
-def q_bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # semi-join pruning: lineitem rows kept only when their order is
-    # URGENT, revenue per ship mode. Spark's runtime bloom filter
-    # (injected under AQE) pushes a membership pre-filter into the
-    # lineitem scan side before the shuffle — the Spark-first answer to
-    # hand-built bloom pruning; the join itself stays exact. The conf
-    # enabling runtime bloom filters lives in session.py (set once per
-    # session) — a query builder must never mutate shared session state.
-    li = _t(spark, sf_dir, "lineitem")
-    urgent = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderpriority") == "1-URGENT"
-    ).select("o_orderkey")
-    return (
-        li.join(urgent, li.l_orderkey == urgent.o_orderkey, "left_semi")
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
-        )
-    )
-
-
 def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate string join: supplier names vs a corrupted copy (last
     # char dropped, every 3rd name also loses its first digit) matched
@@ -4851,46 +4827,45 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-#: Round-15 driver window: the driver correctness gate checks the FIRST
+#: Round-16 driver window: the driver correctness gate checks the FIRST
 #: 50 entries of queries() in dict order; this list IS the rotation
 #: (queries() reorders the full literal dict by it — future rounds edit
 #: this list, not the dict). Invariant: EXACTLY 50 entries, new
-#: additions first, then the stalest cohort that fits. r15 budget:
-#: 3 new queries (ivf_bq_topk, ivf_bq_recall, psi_drift_grouped) +
-#: the 6 entries with NO driver-green row ever (the 5 r14 queries
-#: added after r14's window froze, plus hadamard_rotate — r14's one
-#: red, value-correct but array-shaped; reshaped to scalar rows this
-#: round) + the 11-entry r9 floor (5-round-old evidence, the oldest
-#: in the registry) + 30 of the 50-entry r10-green cohort (sorted;
-#: first 30) = 3+6+11+30 = exactly 50. The 19 r10 entries
-#: that do not fit (table_profile, time_split, token_budget,
-#: tpch_q10/11/13/15/16/18/19/20/22/4/7/8ish, validate_orders,
-#: video_frames, winnow_overlap, winnow_recall) stay floor-r10 and
-#: MUST lead the r16 window together with anything new; COVERAGE.md
-#: states the rotation policy (composed-pipeline consolidation + the
-#: ~5-6 round structural revisit period this 50/268 ratio forces).
-_R15_WINDOW = [
-    # new in r15, never driver-checked
-    "ivf_bq_topk", "ivf_bq_recall", "psi_drift_grouped",
-    # never driver-green: 5 post-window r14 additions + the r14 red
-    "bq_topk", "bq_recall", "split_leakage_audit",
-    "adaptive_salted_join", "psi_drift", "hadamard_rotate",
-    # the 11-entry r9 floor (oldest driver evidence, 5 rounds old)
-    "prefix_filter", "quality_percentile", "quality_scorer",
-    "quantile_normalize", "readability", "scd2_history",
-    "tpch_q17ish", "tpch_q2ish", "tpch_q9ish", "unigram_surprisal",
-    "yule_k",
-    # 30 of the 50-entry r10-green cohort (sorted; first 30)
-    "batch_function", "bloom_decontaminate", "cap_per_source",
-    "center_embeddings", "classify", "communities", "csv_scan",
-    "customer_regions", "embed",
-    "embedding_anisotropy", "events_top_per_user", "flagship_extract",
-    "funnel", "hash_sample_split", "hits", "hll_merge",
-    "infer_per_model", "ivfpq_topk", "kmeans_clusters",
-    "ols_tokens_vs_chars", "pca_direction",
-    "price_histogram_quantiles", "price_quantiles",
-    "remove_direction", "skew_report", "source_overlap", "sq_recall",
-    "sq_topk", "sql_interface", "strip_passages",
+#: additions first, then the ENTIRE stalest cohort, then the
+#: next-stalest in sorted order to fill. r16 budget: 3 new queries
+#: (ivf_bq_append, ivf_routing_balance, psi_drift_quantile) + ALL 19
+#: entries of the r10 floor (the registry's oldest driver evidence,
+#: 6 rounds old — clearing it raises the floor to r11) + 28 of the
+#: 50-entry r11-green cohort (sorted; first 28) = 3+19+28 = exactly
+#: 50. After r16 the floor is the 22-entry r11 remainder (pivot_qty,
+#: positional_zip, pq_codes, pq_recall, pq_topk, promo_revenue,
+#: prompt_concat, quality_train, quality_train_eval, rank_elo,
+#: rank_exploded, rollup_counts, score, select_prompt_column,
+#: sentence_stats, set_ops, stratified_sample, tpch_q1, tpch_q12ish,
+#: weighted_sample, winnow_dedup, zorder_key) — they MUST lead the
+#: r17 window together with anything new; COVERAGE.md states the
+#: rotation policy (net-growth cap + the ~5-6 round structural
+#: revisit period this 50/270 ratio forces).
+_R16_WINDOW = [
+    # new in r16, never driver-checked
+    "ivf_bq_append", "ivf_routing_balance", "psi_drift_quantile",
+    # the ENTIRE 19-entry r10 floor (oldest driver evidence, sorted)
+    "table_profile", "time_split", "token_budget",
+    "tpch_q10ish", "tpch_q11ish", "tpch_q13ish", "tpch_q15ish",
+    "tpch_q16ish", "tpch_q18ish", "tpch_q19ish", "tpch_q20ish",
+    "tpch_q22ish", "tpch_q4ish", "tpch_q7ish", "tpch_q8ish",
+    "validate_orders", "video_frames", "winnow_overlap",
+    "winnow_recall",
+    # 28 of the 50-entry r11-green cohort (sorted; first 28)
+    "ann_mrr", "asof_purchase", "audio_features", "bm25_topk",
+    "bucketed_dedup", "calibration", "chunk_docs",
+    "classify_calibration", "contaminated_spans", "decontaminate",
+    "dedup_keep_best", "dedup_normalized", "dhash_pairs", "ece",
+    "embedding_dedup", "events_props_stats", "events_sessionize",
+    "events_window", "exact_dedup", "exact_substr_spans",
+    "exact_substr_strip", "frame_sample", "labeled_concat_nulls",
+    "merge_upsert", "nfc_check", "pack_contexts", "pairwise_counts",
+    "part_stats",
 ]
 
 
@@ -5147,7 +5122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "url_profile": q_url_profile,
         "retention": q_retention,
-        "bloom_semi_revenue": q_bloom_semi_revenue,
         "fuzzy_join_names": q_fuzzy_join_names,
         "winsorize_prices": q_winsorize_prices,
         "zscore_outliers": q_zscore_outliers,
@@ -5176,10 +5150,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
     }
-    missing = [q for q in _R15_WINDOW if q not in all_qs]
+    missing = [q for q in _R16_WINDOW if q not in all_qs]
     if missing:  # a typo in the rotation list must fail loudly, not 404
-        raise KeyError(f"_R15_WINDOW names not in registry: {missing}")
-    head = {k: all_qs[k] for k in _R15_WINDOW}
+        raise KeyError(f"_R16_WINDOW names not in registry: {missing}")
+    head = {k: all_qs[k] for k in _R16_WINDOW}
     head.update(all_qs)  # dict keeps first-insertion order: window leads
     return head
 
@@ -10171,15 +10145,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT cp * 86400 AS cohort, p - cp AS "offset",
                    count(DISTINCT user_id) AS n_users
             FROM m GROUP BY 1, 2
-        """,
-        "bloom_semi_revenue": """
-            SELECT l_returnflag, count(*) AS n_items,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-            FROM lineitem
-            WHERE l_orderkey IN (
-                SELECT o_orderkey FROM orders
-                WHERE o_orderpriority = '1-URGENT')
-            GROUP BY 1
         """,
         "fuzzy_join_names": """
             WITH s AS (SELECT s_suppkey, s_name FROM supplier

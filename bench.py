@@ -213,7 +213,7 @@ def main() -> None:
             "pagerank_suppliers", "tfidf_topk", "word_bigrams",
             "domain_split", "dedup_keep_best", "eval_kappa",
             "merge_upsert", "gap_fill", "funnel", "retention",
-            "bloom_semi_revenue", "fuzzy_join_names", "weighted_sample",
+            "fuzzy_join_names", "weighted_sample",
             "winsorize_prices", "zscore_outliers", "cube_counts",
             "kmv_distinct", "weighted_sample_group", "shuffled_shards",
             "asof_forward", "event_transitions", "jsonl_scan", "temperature_mix",
@@ -382,6 +382,80 @@ def main() -> None:
         }
     except Exception as exc:  # noqa: BLE001
         errors["ivfpq_prune_clustered"] = f"{type(exc).__name__}: {exc}"[:400]
+
+    # r16 (VERDICT r15 #3): the two newest ANN rungs — exhaustive BQ
+    # and IVF-routed BQ — get per-round recall/latency rows so a
+    # Hamming-path regression shows up in the BENCH trend, not only in
+    # a one-time SCALING adjudication. Same corpus and k as
+    # ivfpq_recall_prod, same coarse routing shape (coarse_k=32,
+    # 4 Lloyd rounds), truth = brute-force COSINE (the metric BQ
+    # rescores by — the bq_recall [Q] family's baseline). The
+    # nprobe×rescore grid budgets the two knobs JOINTLY (the
+    # shortlist-crowding caveat on ivf_bq_topk: at fixed rescore,
+    # recall is non-monotone in nprobe); nprobe=32 scans every bucket
+    # — the Hamming-proxy ceiling of this index.
+    try:
+        from sutro_spark.operators.metrics import candidate_recall
+        from sutro_spark.operators.similarity import (
+            bq_topk,
+            brute_force_topk,
+            ivf_bq_index,
+            ivf_bq_topk,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        nq = 50
+        queries = emb.where(F.col("vec_id") < nq)
+        exactc = brute_force_topk(emb, queries, k=10).persist()
+        exactc.count()
+        # build the serving index ONCE (the ivf_bq_index call shape) so
+        # grid points time QUERY cost, not a per-point quantizer
+        # retrain; build_sec is reported on its own
+        t0 = time.time()
+        codes, cents, thr = ivf_bq_index(
+            emb, coarse_k=32, coarse_iters=4
+        )
+        codes = codes.persist()
+        codes.count()
+        build_sec = round(time.time() - t0, 3)
+        try:
+            sweep = {}
+            for rm in (4, 8):
+                t0 = time.time()
+                approx = bq_topk(emb, queries, k=10, rescore_multiple=rm)
+                row = candidate_recall(
+                    exactc, approx, keys=("query_id", "neighbor_id")
+                ).first()
+                sweep[f"bq_rescore_{rm}"] = {
+                    "recall_at_10": round(row["recall"], 4)
+                    if row["recall"] is not None
+                    else None,
+                    "sec": round(time.time() - t0, 3),
+                }
+            for nprobe, rm in ((2, 4), (4, 8), (8, 8), (32, 8)):
+                t0 = time.time()
+                approx = ivf_bq_topk(
+                    emb, queries, k=10, nprobe=nprobe,
+                    rescore_multiple=rm, index=(codes, cents, thr),
+                )
+                row = candidate_recall(
+                    exactc, approx, keys=("query_id", "neighbor_id")
+                ).first()
+                sweep[f"ivf_bq_nprobe_{nprobe}_rescore_{rm}"] = {
+                    "recall_at_10": round(row["recall"], 4)
+                    if row["recall"] is not None
+                    else None,
+                    "sec": round(time.time() - t0, 3),
+                }
+        finally:
+            exactc.unpersist()
+            codes.unpersist()
+        ann_probes["bq_recall_prod"] = {
+            "dim": 64, "coarse_k": 32, "coarse_iters": 4,
+            "n_queries": nq, "build_sec": build_sec, **sweep,
+        }
+    except Exception as exc:  # noqa: BLE001
+        errors["bq_recall_prod"] = f"{type(exc).__name__}: {exc}"[:400]
 
     # Production-scale BPE probe (VERDICT r9 #5): encode the full sf
     # documents table under a >= 1k-merge FROZEN table via the Arrow

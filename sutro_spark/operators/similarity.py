@@ -542,6 +542,8 @@ def ivf_bq_topk(
     nprobe: int = 2,
     exclude_self: bool = True,
     rescore_multiple: int | None = 4,
+    index: tuple[DataFrame, list[tuple[int, list[int]]], list[int]]
+    | None = None,
 ) -> DataFrame:
     """Binary-quantized codes INSIDE IVF buckets — the memory-bound
     100-TB serving shape: IVF coarse routing prunes the corpus to the
@@ -576,6 +578,13 @@ def ivf_bq_topk(
     (query_id, neighbor_id, hamming, rank) — the candidate-generation
     view. Otherwise output is (query_id, neighbor_id, sim, rank) —
     exact cosine, ties to the smaller neighbor id.
+
+    ``index`` — a prebuilt ``(codes, centroids, thresholds)`` from
+    :func:`ivf_bq_index` — is the SERVING call shape: build once,
+    query many (without it every call retrains the coarse quantizer
+    and re-encodes the corpus; coarse_k/coarse_iters are then
+    ignored). ``corpus`` is still read for the exact-cosine rescore
+    vectors.
     """
     from sutro_spark.operators.kmeans import (
         QVEC,
@@ -584,28 +593,39 @@ def ivf_bq_topk(
     )
 
     spark = corpus.sparkSession
-    assigned, cents = kmeans(
-        corpus,
-        k=coarse_k,
-        iters=coarse_iters,
-        id_column=id_column,
-        vector_column=vector_column,
-    )
-    thr = bq_thresholds(corpus, vector_column=vector_column, dim=dim)
-    cc = (
-        bq_encode(
-            corpus, thr, id_column=id_column, vector_column=vector_column
-        )
-        .join(
-            assigned.select(F.col(id_column).alias("id"), "cluster"), "id"
-        )
-        .select(
+    if index is not None:
+        codes, cents, thr = index
+        cc = codes.select(
             F.col("id").alias("neighbor_id"),
             "cluster",
             F.col("code_lo").alias("c_lo"),
             F.col("code_hi").alias("c_hi"),
         )
-    )
+    else:
+        assigned, cents = kmeans(
+            corpus,
+            k=coarse_k,
+            iters=coarse_iters,
+            id_column=id_column,
+            vector_column=vector_column,
+        )
+        thr = bq_thresholds(corpus, vector_column=vector_column, dim=dim)
+        cc = (
+            bq_encode(
+                corpus, thr, id_column=id_column,
+                vector_column=vector_column,
+            )
+            .join(
+                assigned.select(F.col(id_column).alias("id"), "cluster"),
+                "id",
+            )
+            .select(
+                F.col("id").alias("neighbor_id"),
+                "cluster",
+                F.col("code_lo").alias("c_lo"),
+                F.col("code_hi").alias("c_hi"),
+            )
+        )
     qq = quantize_embeddings(queries, vector_column).select(
         F.col(id_column).alias("query_id"), QVEC
     )

@@ -86,6 +86,24 @@ def test_append_collision_unguarded_passes_through(emb, built):
     assert out.where(F.col("id") == 1).count() == 2
 
 
+def test_ivf_bq_topk_prebuilt_index_equals_inline(emb):
+    # the serving call shape (build once via ivf_bq_index, query many)
+    # must return exactly what the self-training call returns at the
+    # same parameters
+    from sutro_spark.operators.similarity import ivf_bq_topk
+
+    queries = emb.where(F.col("vec_id") < 5)
+    inline = ivf_bq_topk(
+        emb, queries, k=3, coarse_k=8, coarse_iters=2, nprobe=2,
+        rescore_multiple=4,
+    )
+    idx = ivf_bq_index(emb, coarse_k=8, coarse_iters=2)
+    served = ivf_bq_topk(
+        emb, queries, k=3, nprobe=2, rescore_multiple=4, index=idx
+    )
+    assert _rows(inline) == _rows(served)
+
+
 def test_routing_balance_hand_check(spark):
     build = spark.createDataFrame(
         [(0,)] * 3 + [(1,)] * 1, "cluster bigint"
