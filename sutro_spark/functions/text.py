@@ -205,7 +205,17 @@ def redact_pii(
 
 
 def text_profile(df: DataFrame, text_column: str = "text") -> DataFrame:
-    """All text metrics as one projection (single scan, no shuffle)."""
+    """All text metrics as one projection (single scan).
+
+    The projection is expression-heavy (regex passes, stopword
+    intersections, sha2 fingerprint), so the input is spread across the
+    cluster first: a small single-file scan otherwise arrives as ONE
+    partition and the whole profile runs on one core (measured 1.19 s →
+    0.63 s at sf0.1 on local[32]). No-op when the scan is already
+    parallel — the 100 TB case pays nothing."""
+    from sutro_spark.operators.dedup import spread
+
+    df = spread(df)
     c = F.col(text_column)
     return df.withColumns(
         {

@@ -51,6 +51,24 @@ def get_spark(app_name: str = "sutro_spark", cpus: int | None = None) -> SparkSe
         # once here, never inside a query builder, so plan shapes don't
         # depend on which query ran first in the session
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # r16 optimization round: the compiled-generated-class cache
+        # defaults to 100 entries; a session running this engine's full
+        # operator surface (20+ distinct multi-stage queries per bench
+        # pass) cycles it, so every pass re-pays Janino compilation for
+        # every stage (measured ~0.9 s per 20-query pass at sf0.1).
+        # Purely a driver-memory knob — identical plans, identical
+        # results, and scale-independent (the cache keys on generated
+        # source, not data).
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # r16 optimization round: PySpark 4's DataFrame-debugging hook
+        # wraps EVERY DataFrame/Column API call with getActiveSession +
+        # a JVM conf read + a stack capture + a JVM origin push — 3+
+        # py4j round-trips per expression node. Wide builders (simhash's
+        # packed-lane projection, text_profile) measured ~1 s of pure
+        # plan-CONSTRUCTION time from this alone. The flag only enriches
+        # error messages with user call sites; plans and results are
+        # identical. Driver-side, data-size-independent.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

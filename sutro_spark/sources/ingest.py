@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Iterable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 ROW_ID = "__row_id"
@@ -35,13 +35,14 @@ def with_row_id(df: DataFrame, order_by: Sequence[str] | None = None) -> DataFra
     """Mint the engine's order column (see module docstring).
 
     With ``order_by``: contiguous 0-based ids in key order, computed
-    scale-safely — range-partition on the keys, per-partition
-    ``row_number`` (parallel windows), then add per-partition offsets
-    from a tiny count aggregate. A naive global ``row_number() over
-    (order by ...)`` collapses to an Exchange SinglePartition: every
-    row through one task — unusable at 100 TB. Ids equal the global
-    row_number when the keys are unique (ties may order arbitrarily
-    across partition boundaries).
+    scale-safely — range-partition on the keys, sort within partitions,
+    per-partition local indexes decoded from
+    ``monotonically_increasing_id`` (zero extra shuffle — see inline
+    note), then add per-partition offsets from a tiny count aggregate.
+    A naive global ``row_number() over (order by ...)`` collapses to an
+    Exchange SinglePartition: every row through one task — unusable at
+    100 TB. Ids equal the global row_number when the keys are unique
+    (ties may order arbitrarily across partition boundaries).
 
     Without: ``monotonically_increasing_id`` — non-contiguous but
     monotone with file/partition order and computed with zero shuffle;
@@ -53,11 +54,25 @@ def with_row_id(df: DataFrame, order_by: Sequence[str] | None = None) -> DataFra
         return df.withColumn(ROW_ID, F.monotonically_increasing_id())
     spark = df.sparkSession
     n_parts = max(2, spark.sparkContext.defaultParallelism)
-    ranged = df.repartitionByRange(n_parts, *order_by)
-    w = Window.partitionBy("__pid").orderBy(*order_by)
-    local = ranged.withColumn("__pid", F.spark_partition_id()).withColumn(
-        "__local", F.row_number().over(w).cast("long")
-    )
+    # r16 optimization round: the per-partition index used to come from
+    # a row_number() window partitioned by spark_partition_id(), whose
+    # required distribution forced a SECOND full-width hash exchange on
+    # __pid right after the range exchange (visible in the flagship
+    # plan: Exchange rangepartitioning → Exchange hashpartitioning).
+    # sortWithinPartitions + monotonically_increasing_id computes the
+    # same (partition, local index) pair with ZERO extra shuffle: the
+    # id packs the partition ordinal in the upper 31 bits and a 0-based
+    # per-partition counter in the lower 33 (a partition would need
+    # 2^33 rows to overflow — not reachable, the range exchange spreads
+    # rows over n_parts). monotonically_increasing_id is flagged
+    # non-deterministic, so Catalyst will not reorder it below the sort.
+    ranged = df.repartitionByRange(n_parts, *order_by).sortWithinPartitions(*order_by)
+    mid = F.monotonically_increasing_id()
+    local = ranged.withColumn("__mid", mid).select(
+        "*",
+        F.shiftright(F.col("__mid"), 33).cast("int").alias("__pid"),
+        (F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1).alias("__local"),
+    ).drop("__mid")
     # persist: the count job and the final plan must observe the SAME
     # range boundaries (repartitionByRange SAMPLES on each recompute),
     # and this also avoids computing the upstream twice. A cached block
