@@ -618,8 +618,12 @@ def q_ivf_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pruned scale path for embedding dedup, fully oracle-mirrored
     # (assignment uses the rounded cosine so both engines agree).
     from sutro_spark.functions.vectors import raw_dot, to_double_array
+    from sutro_spark.operators.dedup import spread
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # spread: the single-file embeddings scan otherwise feeds the
+    # centroid cross join as ONE partition — every assignment dot
+    # product on one core (r16 measured −0.4 s; no-op at scan widths)
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     v = emb.select(
         "vec_id",
         to_double_array(F.col("embedding")).alias("e"),

@@ -249,6 +249,10 @@ def term_topk(
     break deterministically on the term string so two engines select
     the same set.
     """
+
+    from sutro_spark.operators.dedup import spread
+
+    df = spread(df)  # parallelize the expression-heavy scan stage (r16)
     toks = df.select(
         F.col(id_column).alias("__id"),
         F.explode(tokens(F.lower(F.col(text_column)))).alias("term"),
@@ -287,6 +291,10 @@ def tfidf_topk(
     rank window bounded to k with a deterministic (weight desc, term)
     tie-break.
     """
+
+    from sutro_spark.operators.dedup import spread
+
+    df = spread(df)  # parallelize the expression-heavy scan stage (r16)
     from pyspark.sql import Window
 
     toks = df.select(
@@ -523,6 +531,10 @@ def sentence_stats(
     Pure Catalyst: split + filter + aggregate inside the scan stage;
     no explode survives, no shuffle beyond the caller's.
     """
+
+    from sutro_spark.operators.dedup import spread
+
+    df = spread(df)  # parallelize the expression-heavy scan stage (r16)
     sents = F.filter(
         F.split(F.coalesce(F.col(text_column), F.lit("")), r"[.!?]+\s+"),
         lambda s: s != "",
@@ -1041,6 +1053,10 @@ def vocab_richness(
     server side; this is the in-engine equivalent (cf. reference
     README data-quality tooling).
     """
+
+    from sutro_spark.operators.dedup import spread
+
+    df = spread(df)  # parallelize the expression-heavy scan stage (r16)
     toks = df.select(
         F.explode(
             F.filter(
@@ -1113,6 +1129,10 @@ def yule_k(
     Plan: scan -> explode -> ONE map-side-combinable token groupBy
     (the only shuffle, vocabulary-sized) -> 1-row agg.
     """
+
+    from sutro_spark.operators.dedup import spread
+
+    df = spread(df)  # parallelize the expression-heavy scan stage (r16)
     toks = df.select(
         F.explode(
             F.filter(
@@ -1259,6 +1279,10 @@ def readability_profile(
 
     Output: (id, n_sentences, n_words, n_syllables, flesch_milli).
     """
+
+    from sutro_spark.operators.dedup import spread
+
+    df = spread(df)  # parallelize the expression-heavy scan stage (r16)
     low = F.lower(F.coalesce(F.col(text_column), F.lit("")))
     n_sent = F.size(
         F.filter(
@@ -1323,6 +1347,10 @@ def encoding_damage_profile(
     Output: (id, n_mojibake bigint, n_replacement bigint,
     damaged boolean).
     """
+
+    from sutro_spark.operators.dedup import spread
+
+    df = spread(df)  # parallelize the expression-heavy scan stage (r16)
     from pyspark.sql import functions as F
 
     t = F.coalesce(F.col(text_column), F.lit(""))
@@ -1365,6 +1393,9 @@ def script_profile(df, text_column: str = "text", id_column: str = "doc_id"):
     n_space, latin_milli bigint -- NULL on empty text, dominant
     string).
     """
+    from sutro_spark.operators.dedup import spread
+
+    df = spread(df)  # parallelize the expression-heavy scan stage (r16)
     from pyspark.sql import functions as F
 
     t = F.coalesce(F.col(text_column), F.lit(""))

@@ -32,6 +32,10 @@ def strip_boilerplate(
     One array pipeline per row: split on newline → filter (length +
     regex) → rejoin. Output: (id, n_lines, n_kept, cleaned).
     """
+
+    from sutro_spark.operators.dedup import spread
+
+    df = spread(df)  # parallelize the expression-heavy scan stage (r16)
     text = F.coalesce(F.col(text_column), F.lit(""))
     lines = F.split(text, "\n")
     kept = F.filter(
@@ -233,6 +237,10 @@ def url_profile(
     """Per-URL anatomy row: (id, host, domain, depth). A single
     projection; per-domain caps/stats compose with
     operators/mixture.py cap_per_source on the ``domain`` column."""
+
+    from sutro_spark.operators.dedup import spread
+
+    df = spread(df)  # parallelize the expression-heavy scan stage (r16)
     u = F.col(url_column)
     host = url_host(u)
     return df.select(

@@ -57,6 +57,10 @@ def word_shingles(
     ``array_distinct``-before-explode trick as ``char_shingles``:
     per-document distinctness is per-row array work, no shuffle.
     """
+
+    from sutro_spark.operators.dedup import spread
+
+    df = spread(df)  # parallelize the expression-heavy scan stage (r16)
     toks = F.split(F.trim(F.coalesce(F.col(text_column), F.lit(""))), r"\s+")
     m = F.size(toks)
     grams = F.when(
@@ -223,6 +227,10 @@ def bloom_contamination_flags(
     DataFrame and on 100 TB (the corpus is only ever scanned). False
     positives exist by construction; compose with the exact broadcast
     join on the flagged subset (:func:`bloom_decontaminate`)."""
+
+    from sutro_spark.operators.dedup import spread
+
+    train = spread(train)  # parallelize the expression-heavy scan stage (r16)
     size = 1 << bits_log2
     # gram construction MUST byte-match word_shingles (same trim, NO
     # lowercasing, short docs -> empty array) or bloom false NEGATIVES

@@ -62,7 +62,13 @@ def spread(df: DataFrame) -> DataFrame:
 
     The check reads ``inputFiles()`` — pure scan metadata — instead of
     ``df.rdd.getNumPartitions()``, which would force a full RDD
-    conversion/analysis per call."""
+    conversion/analysis per call.
+
+    Streaming frames pass through untouched: micro-batch sources size
+    their own partitions, and a per-batch round-robin shuffle would be
+    pure overhead on the always-on path."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
@@ -751,9 +757,22 @@ def winnow_fingerprints(
     if k < 1 or window < 1:
         raise ValueError(f"k and window must be >= 1, got k={k} window={window}")
     # null/short texts survive via the length(gram) == k filter: their
-    # sequence degenerates and every candidate gram comes up short
-    grams = df.select(
-        F.col(id_column).alias("id"),
+    # sequence degenerates and every candidate gram comes up short.
+    # r16 optimization round: (a) spread the scan — the gram explode +
+    # per-gram sha2 otherwise runs on ONE core for a single-file input;
+    # (b) carry the per-doc gram count through the explode (array size
+    # at projection time) instead of a second count(*) window over the
+    # full gram stream — one less Window operator on the hot path. The
+    # gram count equals the count(*) the window computed because every
+    # gram of a text with length >= k has exactly length k (substr
+    # shortfall only happens when the whole text is shorter than k, and
+    # then NO gram survives the filter while n_grams - window is
+    # already < 0 for any pos — identical row survivorship).
+    grams = spread(
+        df.select(F.col(id_column).alias("id"), F.col(text_column))
+    ).select(
+        "id",
+        F.expr(f"greatest(length({text_column}) - {k - 1}, 0)").alias("n_grams"),
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, greatest(length({text_column}) - {k - 1}, 0)),"
@@ -764,6 +783,7 @@ def winnow_fingerprints(
     hashed = grams.select(
         "id",
         "pos",
+        "n_grams",
         F.conv(
             F.substring(F.sha2(F.concat(F.lit(f"{salt}:"), F.col("gram")), 256), 1, 8),
             16,
@@ -772,11 +792,9 @@ def winnow_fingerprints(
         .cast("long")
         .alias("h"),
     )
-    part = Window.partitionBy("id")
-    fwd = part.orderBy(F.col("pos").asc()).rowsBetween(0, window - 1)
+    fwd = Window.partitionBy("id").orderBy(F.col("pos").asc()).rowsBetween(0, window - 1)
     return (
-        hashed.withColumn("n_grams", F.count(F.lit(1)).over(part))
-        .withColumn("fp", F.min("h").over(fwd))
+        hashed.withColumn("fp", F.min("h").over(fwd))
         # full windows only: pos is 0-based, last full window starts
         # at n_grams - window
         .where(F.col("pos") <= F.col("n_grams") - window)

@@ -83,7 +83,11 @@ __all__ = [
 
 
 def _prepare(df: DataFrame, text_column: str, id_column: str) -> DataFrame:
-    return df.select(
+    from sutro_spark.operators.dedup import spread
+
+    # spread: the per-position xxhash64 HOF in _window_hashes otherwise
+    # runs on ONE core for a single-file scan (r16 optimization round)
+    return spread(df).select(
         F.col(id_column).alias("doc_id"),
         F.coalesce(F.col(text_column), F.lit("")).alias("__t"),
     )

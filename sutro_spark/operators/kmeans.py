@@ -122,8 +122,14 @@ def kmeans(
     groupBy(cluster, pos) mean over k·dim cells; only the centroid
     table is collected.
     """
+    from sutro_spark.operators.dedup import spread
+
+    # spread: a single-file corpus scan otherwise runs every
+    # broadcast-assignment distance loop (k × dim per row, interpreted
+    # HOFs) and every Lloyd-mean explode on ONE core; no-op at real
+    # scan widths (r16 optimization round)
     q = quantize_embeddings(
-        df, vector_column, scale=scale, offset=offset
+        spread(df), vector_column, scale=scale, offset=offset
     ).select(id_column, QVEC)
     init = q.orderBy(id_column).limit(k).collect()
     centroids = [(i, list(r[QVEC])) for i, r in enumerate(init)]

@@ -108,6 +108,10 @@ def gopher_quality(
     symbol_word_ratio, stop_hits, dup_line_frac, top_2gram_frac, keep)
     with keep as 0/1 bigint (all rules pass).
     """
+
+    from sutro_spark.operators.dedup import spread
+
+    df = spread(df)  # parallelize the expression-heavy scan stage (r16)
     rules = {**GOPHER_RULES, **(rules or {})}
     text = F.coalesce(F.col(text_column), F.lit(""))
     toks = F.split(F.trim(text), r"\s+")
@@ -224,6 +228,10 @@ def repetition_profile(
     shuffle, no join. Every fraction: one division of exact integers,
     rounded to 6.
     """
+
+    from sutro_spark.operators.dedup import spread
+
+    df = spread(df)  # parallelize the expression-heavy scan stage (r16)
     text = F.coalesce(F.col(text_column), F.lit(""))
     paras = F.split(text, "\n\n")
     n_paras = F.size(paras)

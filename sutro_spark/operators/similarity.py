@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sutro_spark.functions.vectors import raw_dot, to_double_array
+from sutro_spark.operators.dedup import spread
 
 
 def _prepared(df: DataFrame, id_column: str, vector_column: str, prefix: str) -> DataFrame:
@@ -60,7 +61,10 @@ def brute_force_topk(
     engines).
     """
     q = _prepared(queries, query_id_column or id_column, vector_column, "q_")
-    c = _prepared(corpus, id_column, vector_column, "c_")
+    # spread the STREAM side: a single-file corpus scan otherwise feeds
+    # the broadcast cross join as ONE partition, serializing every
+    # per-pair dot product on one core (no-op at real scan widths)
+    c = _prepared(spread(corpus), id_column, vector_column, "c_")
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.where(F.col("c_id") != F.col("q_id"))
@@ -93,7 +97,7 @@ def assign_centroids(
         F.col(centroid_id_column).alias("__cid"),
         to_double_array(F.col(vector_column)).alias("__centv"),
     )
-    scored = corpus.withColumn("__dv", to_double_array(F.col(vector_column))).crossJoin(
+    scored = spread(corpus).withColumn("__dv", to_double_array(F.col(vector_column))).crossJoin(
         F.broadcast(c)
     ).withColumn("__d", raw_dot(F.col("__dv"), F.col("__centv")))
     w = Window.partitionBy(id_column).orderBy(F.desc("__d"), F.asc("__cid"))
@@ -287,7 +291,9 @@ def sq_topk(
     Output: (query_id, neighbor_id, sim_q, rank) — plus ``sim`` (exact)
     instead of ``sim_q`` when rescoring.
     """
-    qc = quantize_embeddings(corpus, id_column=id_column, vector_column=vector_column)
+    # spread the stream side (same single-partition-scan rationale as
+    # brute_force_topk)
+    qc = quantize_embeddings(spread(corpus), id_column=id_column, vector_column=vector_column)
     qq = quantize_embeddings(queries, id_column=id_column, vector_column=vector_column)
     pairs = qc.select(
         F.col("id").alias("neighbor_id"), F.col("qv").alias("cv"), F.col("qn2").alias("cn2")
