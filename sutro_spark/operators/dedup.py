@@ -66,15 +66,19 @@ def spread(df: DataFrame) -> DataFrame:
 
     Streaming frames pass through untouched: micro-batch sources size
     their own partitions, and a per-batch round-robin shuffle would be
-    pure overhead on the always-on path."""
+    pure overhead on the always-on path. Non-file sources (in-memory
+    frames from ``createDataFrame``) also pass through: they are
+    already sliced across ``defaultParallelism`` at creation, so the
+    repartition would add an Exchange to plans whose operators promise
+    a projection-only fast path."""
     if df.isStreaming:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
-    except Exception:  # non-file source; cheap to spread
-        n_files = 0
-    if n_files < target:
+    except Exception:  # non-file source — already parallelized
+        return df
+    if 1 <= n_files < target:
         return df.repartition(target)
     return df
 
