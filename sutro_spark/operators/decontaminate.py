@@ -174,6 +174,49 @@ def fuzzy_contamination(
     )
 
 
+def _bloom_positions(h: int, gram_expr: str, size: int) -> str:
+    """SQL for the ``h``-th Bloom position of a gram: xxhash64 with the
+    probe index as a leading INT column, reduced mod ``size``. One
+    native 64-bit hash per probe — the r16 replacement for the original
+    sha256-hex-conv probe (three string SHA-256s per gram dominated the
+    corpus scan; the Bloom family is output-invisible because the exact
+    verify removes every false positive, so the swap is free)."""
+    return f"pmod(xxhash64(CAST({h} AS INT), {gram_expr}), {size})"
+
+
+def _bitset_from_grams(
+    grams: DataFrame, *, bits_log2: int, hashes: int
+) -> list[int]:
+    """Pack the Bloom positions of a (gram) relation into 64-bit words.
+    Positions are computed IN SPARK with the same xxhash64 family the
+    probe uses (build and probe share one function — the no-false-
+    negative invariant by construction); only the distinct position
+    integers (<= 2^bits_log2) reach the driver."""
+    size = 1 << bits_log2
+    pos_rows = (
+        grams.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(_bloom_positions(h, "gram", size))
+                        for h in range(hashes)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (size >> 6)
+    for r in pos_rows:
+        p = int(r["p"])
+        words[p >> 6] |= 1 << (p & 63)
+    # bit 63 makes a word >= 2^63: reinterpret as SIGNED int64 so the
+    # literal array fits Spark's long (the arithmetic-shift bit test
+    # downstream is sign-safe)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
 def bloom_bitset(
     benchmark: DataFrame,
     *,
@@ -183,31 +226,23 @@ def bloom_bitset(
     bits_log2: int = 17,
     hashes: int = 3,
 ) -> list[int]:
-    """Driver-built Bloom bitset over the benchmark's distinct word
-    n-gram set, packed into 64-bit words. Collecting benchmark grams to
-    the driver is the decontamination premise — eval sets are tiny
+    """Driver-held Bloom bitset over the benchmark's distinct word
+    n-gram set, packed into 64-bit words. Holding the benchmark filter
+    on the driver is the decontamination premise — eval sets are tiny
     relative to the corpus (MMLU-scale: ~10^5 grams → a 16 KiB filter
     at bits_log2=17); the CORPUS side never collects, joins, or
-    shuffles. Probe positions use the repo's portable sha256 bucket
-    (salts ``bloom0..bloom{k-1}``) so any engine reproduces the filter.
+    shuffles. Positions come from the same xxhash64 probe family the
+    flags projection evaluates, computed in Spark so build and probe
+    can never diverge; only the distinct position integers are
+    collected.
     """
-    size = 1 << bits_log2
-    words = [0] * (size >> 6)
-    grams = (
-        word_shingles(benchmark, text_column, id_column, n)
-        .select("gram").distinct().collect()
+    return _bitset_from_grams(
+        word_shingles(benchmark, text_column, id_column, n).select(
+            "gram"
+        ).distinct(),
+        bits_log2=bits_log2,
+        hashes=hashes,
     )
-    import hashlib
-
-    for r in grams:
-        for h in range(hashes):
-            digest = hashlib.sha256(f"bloom{h}:{r['gram']}".encode()).hexdigest()
-            pos = int(digest[:8], 16) % size
-            words[pos >> 6] |= 1 << (pos & 63)
-    # bit 63 makes a word >= 2^63: reinterpret as SIGNED int64 so the
-    # literal array fits Spark's long (the arithmetic-shift bit test
-    # downstream is sign-safe)
-    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
 def bloom_contamination_flags(
@@ -243,10 +278,7 @@ def bloom_contamination_flags(
     )
 
     def probe(h: int) -> str:
-        pos = (
-            f"(conv(substring(sha2(concat('bloom{h}:', g), 256), 1, 8), 16, 10)"
-            f" % {size})"
-        )
+        pos = _bloom_positions(h, "g", size)
         return (
             f"((shiftright(element_at(__bloom_words, CAST(shiftright({pos}, 6) AS INT) + 1),"
             f" CAST({pos} % 64 AS INT)) & 1) = 1)"
@@ -278,23 +310,36 @@ def bloom_decontaminate(
     false positives are removed by the exact verify), but the clean
     fast path is join-free: only the flagged sliver of the corpus pays
     the exact broadcast-join check. Candidates-then-verify, again.
-    """
-    words = bloom_bitset(
-        benchmark, text_column=text_column, id_column=id_column,
-        n=n, bits_log2=bits_log2, hashes=hashes,
-    )
+
+    r16 plan shape: the benchmark's distinct grams are computed ONCE
+    (eagerly localCheckpoint-ed when the benchmark is a batch frame)
+    and feed both the bitset build and the exact verify join, and the
+    output is a single left-anti join of the flagged corpus against
+    the verified-bad ids — the probe projection runs exactly twice
+    (once to find suspects, once in the output leg) instead of three
+    times for the old clean ∪ (suspects − bad) union, which is
+    row-identical: verified-bad ids are a subset of the suspect ids,
+    so anti-joining them out of the WHOLE flagged corpus removes
+    exactly the rows the union dropped."""
+    bgrams = word_shingles(
+        benchmark, text_column, id_column, n
+    ).select("gram").distinct()
+    if not benchmark.isStreaming:
+        bgrams = bgrams.localCheckpoint(eager=True)
+    words = _bitset_from_grams(bgrams, bits_log2=bits_log2, hashes=hashes)
     flagged = bloom_contamination_flags(
         train, words, text_column=text_column, id_column=id_column,
         n=n, bits_log2=bits_log2, hashes=hashes,
     )
-    clean_fast = flagged.where(F.col("__maybe_contaminated") == 0).drop(
-        "__maybe_contaminated"
-    )
     suspects = flagged.where(F.col("__maybe_contaminated") == 1).drop(
         "__maybe_contaminated"
     )
-    bad = contamination_report(
-        suspects, benchmark, text_column=text_column,
-        id_column=id_column, n=n,
-    ).select(id_column)
-    return clean_fast.unionByName(suspects.join(bad, id_column, "left_anti"))
+    bad = (
+        word_shingles(suspects, text_column, id_column, n)
+        .join(F.broadcast(bgrams), "gram")
+        .select(F.col("id").alias(id_column))
+        .distinct()
+    )
+    return flagged.join(bad, id_column, "left_anti").drop(
+        "__maybe_contaminated"
+    )
