@@ -2254,12 +2254,25 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-4 composition proof: Gopher quality filter → ExactSubstr
     passage stripping over the survivors → per-source retention
     report. One lazy DAG; `kept` persists because the strip path reads
-    it on several legs (token spine, window digests, doc roster)."""
+    it on several legs (token spine, window digests, doc roster).
+
+    r16 optimization: the keep list materializes through an eager
+    localCheckpoint of the slim (doc_id, keep) projection BEFORE the
+    filter. Filtering directly on `keep` pushed the ENTIRE
+    interpreted-HOF metric expression tree below gopher's projection
+    (PushDownPredicate inlines the whole keep condition — the
+    top-2gram run-length scan three times over), measured 10.4 s vs
+    2.7 s for this query at sf0.1 with identical output. 16 bytes/row
+    to materialize, once, at any scale."""
     from sutro_spark.operators.passages import strip_dup_passages
     from sutro_spark.operators.quality import gopher_quality
 
     docs = _t(spark, sf_dir, "documents")
-    keep_ids = gopher_quality(docs).where("keep = 1").select("doc_id")
+    keep_ids = (
+        gopher_quality(docs).select("doc_id", "keep")
+        .localCheckpoint(eager=True)
+        .where(F.col("keep") == 1).select("doc_id")
+    )
     kept = docs.join(keep_ids, "doc_id").persist()
     stripped = strip_dup_passages(kept, k=6)
     return (
@@ -2298,7 +2311,14 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sutro_spark.operators.quality import gopher_quality
 
     docs = _t(spark, sf_dir, "documents")
-    keep_ids = gopher_quality(docs).where("keep = 1").select("doc_id")
+    # same keep-list barrier as v2 (r16): checkpoint (doc_id, keep)
+    # before filtering so PushDownPredicate cannot inline the
+    # interpreted gopher metric tree into a filter evaluated per leg
+    keep_ids = (
+        gopher_quality(docs).select("doc_id", "keep")
+        .localCheckpoint(eager=True)
+        .where(F.col("keep") == 1).select("doc_id")
+    )
     ref = docs.where(F.col("doc_id") % 7 == 0)
     corpus = (
         docs.join(keep_ids, "doc_id").where(F.col("doc_id") % 7 != 0).persist()
