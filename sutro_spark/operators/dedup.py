@@ -772,17 +772,32 @@ def winnow_fingerprints(
     # shortfall only happens when the whole text is shorter than k, and
     # then NO gram survives the filter while n_grams - window is
     # already < 0 for any pos — identical row survivorship).
+    # r16: explode the 1-based position sequence and extract the gram
+    # in the projection ABOVE the explode — the old transform() lambda
+    # was CodegenFallback (interpreted per gram) while explode +
+    # substring whole-stage-codegens; identical (pos, gram) rows (the
+    # length filter keeps the same survivors: any in-range position of
+    # a text with length >= k yields exactly k chars)
     grams = spread(
         df.select(F.col(id_column).alias("id"), F.col(text_column))
     ).select(
         "id",
         F.expr(f"greatest(length({text_column}) - {k - 1}, 0)").alias("n_grams"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(length({text_column}) - {k - 1}, 0)),"
-                f" g -> substring({text_column}, g, {k}))"
-            )
-        ).alias("pos", "gram"),
+        F.col(text_column).alias("__t"),
+    ).select(
+        "id",
+        "n_grams",
+        F.explode(
+            F.when(
+                F.col("n_grams") >= 1, F.expr("sequence(1, n_grams)")
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__g"),
+        F.col("__t"),
+    ).select(
+        "id",
+        "n_grams",
+        (F.col("__g") - 1).alias("pos"),
+        F.expr(f"substring(__t, __g, {k})").alias("gram"),
     ).where(F.length("gram") == k)
     hashed = grams.select(
         "id",

@@ -96,24 +96,33 @@ def _prepare(df: DataFrame, text_column: str, id_column: str) -> DataFrame:
 def _window_hashes(base: DataFrame, L: int) -> DataFrame:
     """(doc_id, pos, h): the xxhash64 of every length-``L`` window,
     1-based ``pos`` (``substring`` convention in both Spark and
-    DuckDB). Hashes are computed inside the HOF so only 8 bytes per
-    position reach the exploded rows; sequence(1, 0) DESCENDS, hence
-    the explicit short-doc guard."""
+    DuckDB); sequence(1, 0) DESCENDS, hence the explicit short-doc
+    guard.
+
+    r16 optimization round: explode the POSITION sequence first and
+    hash in the projection above it, instead of hashing inside a
+    ``transform`` lambda — higher-order-function lambdas are
+    CodegenFallback (interpreted per element), while the explode +
+    substring + xxhash64 projection whole-stage-codegens. Same rows,
+    same hash values (identical expression per position); measured
+    1.79 s → 0.25 s for this stage alone at sf0.1. Still in-scan:
+    only (doc_id, pos, h) ≈ 20 bytes/position reaches any exchange."""
     return (
         base.select(
             "doc_id",
-            F.when(
-                F.length("__t") >= L,
-                F.expr(
-                    f"transform(sequence(1, length(__t) - {L} + 1),"
-                    f" i -> xxhash64(substring(__t, i, {L})))"
-                ),
-            )
-            .otherwise(F.array().cast("array<bigint>"))
-            .alias("__hs"),
+            "__t",
+            F.explode(
+                F.when(
+                    F.length("__t") >= L,
+                    F.expr(f"sequence(1, length(__t) - {L} + 1)"),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
         )
-        .select("doc_id", F.posexplode("__hs").alias("__p0", "h"))
-        .select("doc_id", (F.col("__p0") + 1).alias("pos"), "h")
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64(F.expr(f"substring(__t, pos, {L})")).alias("h"),
+        )
     )
 
 
