@@ -63,6 +63,25 @@ def _dist2(qcol: str, ccol: str) -> F.Column:
     )
 
 
+def _dist2_unrolled(qcol: str, ccol: str, dim: int) -> F.Column:
+    """Same exact int64 squared-L2 as :func:`_dist2`, unrolled to a
+    flat ``dim``-term expression. Higher-order-function lambdas are
+    CodegenFallback (interpreted per element); the unrolled sum
+    whole-stage-codegens. ``get()`` is 0-based and null-safe, so a
+    shorter-than-``dim`` array yields NULL exactly like zip_with's
+    null-padding does through the aggregate. Measured (r16): wins for
+    short subvectors (PQ sub_dim=8: assign 1.02->0.71 s) but LOSES at
+    dim=64 (kmeans argmin 0.74->0.91 s; exact_l2 0.46->0.57 s — the
+    wide generated method costs more than interpretation saves), so
+    full-dim callers keep :func:`_dist2`."""
+    terms = " + ".join(
+        f"(get({qcol}, {i}) - get({ccol}, {i}))"
+        f" * (get({qcol}, {i}) - get({ccol}, {i}))"
+        for i in range(dim)
+    )
+    return F.expr(terms)
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: list[tuple[int, list[int]]],
@@ -133,10 +152,26 @@ def kmeans(
     ).select(id_column, QVEC)
     init = q.orderBy(id_column).limit(k).collect()
     centroids = [(i, list(r[QVEC])) for i, r in enumerate(init)]
-    assigned = assign_clusters(q, centroids, id_column)
     for _ in range(iters - 1):
+        # fused assignment+mean round: carry qvec through the argmin
+        # aggregation (first() reads a value that is constant per id
+        # group) instead of joining the assignment back against q —
+        # one scan of q per round, not two (r16 optimization round)
+        mult = max(c for c, _ in centroids) + 1
+        cdf = q.sparkSession.createDataFrame(
+            [(int(c), [int(x) for x in v]) for c, v in centroids],
+            "cluster bigint, cvec array<bigint>",
+        )
         ex = (
-            assigned.join(q, id_column)
+            q.crossJoin(F.broadcast(cdf))
+            .select(
+                id_column,
+                QVEC,
+                (_dist2(QVEC, "cvec") * mult + F.col("cluster")).alias("key"),
+            )
+            .groupBy(id_column)
+            .agg(F.min("key").alias("key"), F.first(QVEC).alias(QVEC))
+            .select((F.col("key") % mult).alias("cluster"), QVEC)
             .select("cluster", F.posexplode(QVEC).alias("pos", "v"))
             .groupBy("cluster", "pos")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
@@ -147,7 +182,7 @@ def kmeans(
             .collect()
         )
         centroids = [(r["cluster"], list(r["cvec"])) for r in ex]
-        assigned = assign_clusters(q, centroids, id_column)
+    assigned = assign_clusters(q, centroids, id_column)
     return assigned, centroids
 
 
