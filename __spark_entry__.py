@@ -2301,9 +2301,12 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     span-level benchmark decontamination of the result (every-7th doc
     held out as the benchmark) → per-source retention report in
     CHARACTERS (the exact operators' native unit; v2 reports token
-    windows). ``corpus`` and the first strip persist because each is
-    read on two legs (strip input + report join; contamination input +
-    dup-cut column)."""
+    windows). ``corpus`` and the first strip are barriers because each
+    is read on two legs (strip input + report join; contamination input
+    + dup-cut column) — eager localCheckpoint rather than persist()
+    (r16: within one action the two cache references race to populate
+    the InMemoryRelation and replay lineage; the eager row-format
+    barrier measured 6.65 s → 5.39 s for this query at sf0.1)."""
     from sutro_spark.operators.exact_substr import (
         strip_contaminated_spans,
         strip_exact_substr,
@@ -2321,9 +2324,13 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref = docs.where(F.col("doc_id") % 7 == 0)
     corpus = (
-        docs.join(keep_ids, "doc_id").where(F.col("doc_id") % 7 != 0).persist()
+        docs.join(keep_ids, "doc_id")
+        .where(F.col("doc_id") % 7 != 0)
+        .localCheckpoint(eager=True)
     )
-    s1 = strip_exact_substr(corpus, min_length=60, min_count=2).persist()
+    s1 = strip_exact_substr(corpus, min_length=60, min_count=2).localCheckpoint(
+        eager=True
+    )
     s2 = strip_contaminated_spans(
         s1.select("doc_id", F.col("clean_text").alias("text")),
         ref,
