@@ -176,12 +176,21 @@ def kmeans(
             .groupBy("cluster", "pos")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
             .withColumn("comp", F.expr("s div n"))  # all values >= 0
-            .groupBy("cluster")
-            .agg(F.sort_array(F.collect_list(F.struct("pos", "comp"))).alias("pc"))
-            .select("cluster", F.col("pc.comp").alias("cvec"))
+            .select("cluster", "pos", "comp")
             .collect()
         )
-        centroids = [(r["cluster"], list(r["cvec"])) for r in ex]
+        # r16: assemble the k×dim component rows into centroid arrays
+        # on the driver instead of a second groupBy(cluster) +
+        # sort_array(collect_list) exchange — one less shuffle per
+        # Lloyd round; the collect is the same bounded k×dim table the
+        # round already returned, identical values in identical order
+        by_c: dict = {}
+        for r in ex:
+            by_c.setdefault(r["cluster"], {})[r["pos"]] = r["comp"]
+        centroids = [
+            (c, [comps[p] for p in sorted(comps)])
+            for c, comps in sorted(by_c.items())
+        ]
     assigned = assign_clusters(q, centroids, id_column)
     return assigned, centroids
 

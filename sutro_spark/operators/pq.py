@@ -133,13 +133,21 @@ def _pq_train_q(
             .groupBy("sub", "code", "pos")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
             .withColumn("comp", F.expr("s div n"))  # all values >= 0
-            .groupBy("sub", "code")
-            .agg(F.sort_array(F.collect_list(F.struct("pos", "comp"))).alias("pc"))
-            .select("sub", "code", F.col("pc.comp").alias("cv"))
+            .select("sub", "code", "pos", "comp")
             .collect()
         )
+        # r16: assemble the m·k·sub_dim component rows into codeword
+        # arrays on the driver instead of a second groupBy(sub, code)
+        # + sort_array(collect_list) exchange — one less shuffle per
+        # Lloyd round; same bounded collect, identical values/order
+        by_sc: dict = {}
+        for r in ex:
+            by_sc.setdefault((r["sub"], r["code"]), {})[r["pos"]] = r["comp"]
         cb = spark.createDataFrame(
-            [(r["sub"], r["code"], list(r["cv"])) for r in ex],
+            [
+                (s, c, [comps[p] for p in sorted(comps)])
+                for (s, c), comps in sorted(by_sc.items())
+            ],
             "sub int, code bigint, cv array<bigint>",
         )
     return cb
@@ -562,15 +570,21 @@ def _ivfpq_residual_parts(
     rq = (
         q.join(assigned.select(id_column, "cluster"), id_column)
         .join(F.broadcast(cdf), "cluster")
-        .select(id_column, F.zip_with(QVEC, "cvec", shift).alias(QVEC))
+        .select(
+            id_column, "cluster", F.zip_with(QVEC, "cvec", shift).alias(QVEC)
+        )
     )
     # The residual corpus is read by every train round, the encode pass
-    # and (via assigned) the candidate routing — each replay re-runs
-    # the full coarse-assignment crossJoin+argmin. Materialize it ONCE
+    # and the candidate routing — each replay re-runs the full
+    # coarse-assignment crossJoin+argmin. Materialize it ONCE
     # (standard iterative-training discipline; localCheckpoint keeps
     # row-format storage — persist()'s columnar array cache measured
     # slower here). Per-QUERY-RUN state, never reused across runs.
     # Measured 6.11 s -> 4.86 s for ivfpq_residual at sf0.1 (r16).
+    # r16 follow-up: the checkpoint carries ``cluster`` (8 bytes/row)
+    # so candidate routing below reads the materialized table instead
+    # of re-running the kmeans assignment subtree inside the final
+    # action — one fewer corpus-assignment recompute per query.
     rq = rq.localCheckpoint(eager=True)
     cb = _pq_train_q(
         rq, m=m, k=n_codes, iters=2, id_column=id_column, sub_dim=sub_dim
@@ -611,7 +625,7 @@ def _ivfpq_residual_parts(
     cand = (
         probes.select("query_id", "cluster")
         .join(
-            assigned.select(F.col(id_column).alias("neighbor_id"), "cluster"),
+            rq.select(F.col(id_column).alias("neighbor_id"), "cluster"),
             "cluster",
         )
         .where(F.col("neighbor_id") != F.col("query_id"))
