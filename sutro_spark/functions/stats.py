@@ -49,9 +49,23 @@ def winsorize(
     its partitioning.
     """
     if exact:
-        bounds = df.groupBy(group_column).agg(
-            F.percentile(value_column, F.lit(lo)).alias("__lo"),
-            F.percentile(value_column, F.lit(hi)).alias("__hi"),
+        # r16: ONE percentile aggregate with both targets — two separate
+        # percentile() calls each buffer and sort the full group in
+        # aggregation state; the array form buffers/sorts once and
+        # interpolates both bounds from the same order statistics
+        # (identical values by construction)
+        bounds = (
+            df.groupBy(group_column)
+            .agg(
+                F.percentile(
+                    value_column, F.array(F.lit(lo), F.lit(hi))
+                ).alias("__b")
+            )
+            .select(
+                group_column,
+                F.col("__b")[0].alias("__lo"),
+                F.col("__b")[1].alias("__hi"),
+            )
         )
     else:
         bounds = df.groupBy(group_column).agg(
