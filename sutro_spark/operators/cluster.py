@@ -824,6 +824,11 @@ def kcore(
         cur = cur.localCheckpoint(eager=True)
     prev_ckpt = cur if checkpoint else None
     converged = False
+    # r16: count cur ONCE before the loop and carry each round's
+    # count forward — `before` was recomputed per round even though it
+    # equals the previous round's `after` (one bounded-scalar job per
+    # round saved; identical convergence decisions)
+    before = cur.count()
     for _ in range(rounds):
         deg = (
             cur.select(F.col("a").alias("n"))
@@ -838,13 +843,14 @@ def kcore(
         if checkpoint:
             nxt = nxt.localCheckpoint(eager=True)
         # bounded scalar: did this round delete anything?
-        before, after = cur.count(), nxt.count()
+        after = nxt.count()
         if checkpoint and prev_ckpt is not None and nxt is not prev_ckpt:
             release_local_checkpoint(prev_ckpt)
         cur, prev_ckpt = nxt, (nxt if checkpoint else None)
         if after == before:
             converged = True
             break
+        before = after
     deg = (
         cur.select(F.col("a").alias("n"))
         .unionAll(cur.select(F.col("b").alias("n")))

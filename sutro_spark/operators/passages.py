@@ -74,7 +74,11 @@ def passage_occurrences(
     pos/dig so downstream aggregates still see every document."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    base = df.select(
+    from sutro_spark.operators.dedup import spread
+
+    # spread: the per-window sha2 digest otherwise runs on ONE core for
+    # a single-file scan (no-op at real scan widths) — r16
+    base = spread(df).select(
         F.col(id_column).alias("doc_id"),
         # coalesce: split(NULL) is NULL and size(NULL) is -1, which would
         # silently drop null-text docs from the stats
@@ -82,17 +86,29 @@ def passage_occurrences(
     ).select("doc_id", "toks", F.size("toks").alias("n_tokens"))
     # sequence(0, n) is inclusive and runs DESCENDING when n < 0, so the
     # short-doc case must be guarded with an explicit empty array.
-    grams = F.when(
-        F.col("n_tokens") >= k,
-        F.expr(
-            f"transform(sequence(0, size(toks) - {k}),"
-            f" i -> substring(sha2(concat_ws(' ', slice(toks, i + 1, {k})), 256), 1, 16))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # r16: explode the POSITION sequence and digest in the projection
+    # above it instead of a transform() lambda — HOF lambdas are
+    # CodegenFallback (interpreted per window) while explode + slice +
+    # sha2 whole-stage-codegens; identical (pos, dig) rows, and the
+    # explode_outer NULL guard keeps the short-doc NULL row (the dig
+    # expression must stay inside the when(): concat_ws treats a NULL
+    # array as empty and would hash '' instead of staying NULL).
+    seq = F.when(
+        F.col("n_tokens") >= k, F.expr(f"sequence(0, size(toks) - {k})")
+    ).otherwise(F.array().cast("array<int>"))
     return base.select(
+        "doc_id", "n_tokens", "toks", F.explode_outer(seq).alias("pos")
+    ).select(
         "doc_id",
         "n_tokens",
-        F.posexplode_outer(grams).alias("pos", "dig"),
+        "pos",
+        F.when(
+            F.col("pos").isNotNull(),
+            F.expr(
+                "substring(sha2(concat_ws(' ',"
+                f" slice(toks, pos + 1, {k})), 256), 1, 16)"
+            ),
+        ).alias("dig"),
     )
 
 
