@@ -54,7 +54,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sutro_spark.operators.wordpiece import _word_counts, wordpiece_vocab
+from sutro_spark.operators.wordpiece import _vocab_from_wc, _word_counts
 
 __all__ = [
     "unigram_vocab",
@@ -170,9 +170,16 @@ def _induce(
         raise ValueError(f"target must be >= 1, got {target}")
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
-    seed = wordpiece_vocab(
-        df, text_column, max_piece_len=max_piece_len, top=seed_top
-    )
+    # r16 optimization round: ONE corpus tokenize+count shuffle. The
+    # distinct-word table feeds the seed vocabulary, every EM round's
+    # Viterbi pass AND the caller's final segmentation pass — each
+    # reference previously replayed the corpus scan (3 scans for
+    # rounds=1; seed + rounds + 1 in general). localCheckpoint
+    # materializes it once; identical values by construction.
+    wc = _word_counts(df, text_column)
+    if not wc.isStreaming:
+        wc = wc.localCheckpoint(eager=True)
+    seed = _vocab_from_wc(wc, max_piece_len=max_piece_len, top=seed_top)
     rows = seed.collect()  # bounded: seed_top + alphabet
     counts = {r["piece"]: int(r["occurrences"]) for r in rows}
     chars = {r["piece"] for r in rows if r["is_char"]}
@@ -184,7 +191,6 @@ def _induce(
             "unigram induction needs a non-empty corpus: "
             f"no words found in column {text_column!r}"
         )
-    wc = _word_counts(df, text_column)
     costs, unk = _costs(counts)
     for _ in range(rounds):
         segf = _viterbi_pass(wc, costs, unk, max_piece_len)

@@ -66,11 +66,26 @@ def wordpiece_vocab(
 
     Output: (piece, occurrences bigint, is_char boolean).
     """
+    return _vocab_from_wc(
+        _word_counts(df, text_column), max_piece_len=max_piece_len, top=top
+    )
+
+
+def _vocab_from_wc(
+    wc: DataFrame, *, max_piece_len: int, top: int
+) -> DataFrame:
+    """:func:`wordpiece_vocab` over an ALREADY-BUILT (w, weight) table.
+
+    r16 optimization round: callers that also segment (wordpiece
+    `_segment_arrays`, unigram `_induce`) build the distinct-word table
+    once, localCheckpoint it, and derive BOTH the vocabulary and the
+    segmentation from the materialized table — previously each
+    reference replayed the corpus tokenize+count shuffle (3 full
+    corpus scans per unigram query, 2 per wordpiece query)."""
     if max_piece_len < 2:
         raise ValueError(f"max_piece_len must be >= 2, got {max_piece_len}")
     if top < 1:
         raise ValueError(f"top must be >= 1, got {top}")
-    wc = _word_counts(df, text_column)
     # full-length cuts only: substring() silently truncates at the word
     # end, and a truncated (p, l) cut equals the shorter cut at the
     # same p — counting it would double-count every word-final piece
@@ -149,11 +164,13 @@ def _segment_arrays(
     """(w, weight, __pieces array<string>) — the greedy walk's true
     piece sequence, shared by segment (joined display) and subwords
     (explode); one Arrow UDF either way."""
-    vocab = wordpiece_vocab(
-        df, text_column, max_piece_len=max_piece_len, top=top
-    )
-    piece_set = {r["piece"] for r in vocab.select("piece").collect()}
+    # one corpus scan: materialize the distinct-word table, derive the
+    # vocabulary AND the segmentation from it (see _vocab_from_wc)
     wc = _word_counts(df, text_column)
+    if not wc.isStreaming:
+        wc = wc.localCheckpoint(eager=True)
+    vocab = _vocab_from_wc(wc, max_piece_len=max_piece_len, top=top)
+    piece_set = {r["piece"] for r in vocab.select("piece").collect()}
 
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, StringType

@@ -374,12 +374,15 @@ def test_weighted_jaccard_posting_lists_no_cartesian(spark):
 
 def test_wordpiece_walk_single_arrow_stage(spark):
     # r12: the greedy walk is exactly ONE Arrow-batched python stage
-    # over the distinct-word table; everything else (tokenize, count,
-    # vocab) stays JVM-side with combinable aggregation.
+    # over the distinct-word table. r16: the tokenize+count shuffle
+    # runs ONCE, eagerly, at the distinct-word localCheckpoint (shared
+    # by vocab induction and the walk), so the returned plan reads the
+    # materialized word table (Scan ExistingRDD) instead of carrying a
+    # second copy of the corpus aggregation.
     plan = _plan(spark, "wordpiece_segment")
     assert plan.count("ArrowEvalPython") == 1, plan[:2000]
     assert "CartesianProduct" not in plan
-    assert "partial" in plan.lower()
+    assert "Scan ExistingRDD" in plan, plan[:2000]
 
 
 def test_encoding_damage_is_shuffle_free_projection(spark):
@@ -424,13 +427,15 @@ def test_unigram_segment_bounded_arrow_stages(spark):
     # r13: each Viterbi pass is ONE Arrow stage over the distinct-word
     # table; the EM round's pass ran EAGERLY during induction (its
     # bounded usage collect), so the returned plan carries exactly the
-    # final pass's single Arrow stage; tokenize/count stays JVM-side
-    # map-side-combinable; no all-pairs product.
+    # final pass's single Arrow stage; no all-pairs product. r16: the
+    # tokenize+count shuffle runs ONCE, eagerly, at the distinct-word
+    # localCheckpoint (shared by seed vocab, EM rounds and the final
+    # pass), so the returned plan reads the materialized word table.
     plan = _plan(spark, "unigram_segment")
     assert plan.count("ArrowEvalPython") == 1, plan[:2000]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "partial" in plan.lower()
+    assert "Scan ExistingRDD" in plan, plan[:2000]
 
 
 def test_script_gate_is_shuffle_free_projection(spark):
