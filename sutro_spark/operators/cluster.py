@@ -38,17 +38,23 @@ from sutro_spark.session import release_local_checkpoint
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Emit (v, m) for every neighbor v > u, where m = min(N(u) ∪ {u})."""
+    """Emit (v, m) for every neighbor v > u, where m = min(N(u) ∪ {u}).
+
+    r16 optimization round: m comes from ``min(v) over (partition by
+    u)`` — ONE exchange on u — instead of a groupBy(u) + join back,
+    which shuffled the edge set twice (the aggregate's exchange and
+    the probe side's; their payloads differ so Catalyst cannot reuse
+    one for the other). Identical output rows: the window min over the
+    whole u-group is exactly the joined ``mins`` value. A mega-degree
+    hub key buffers its group in WindowExec's spillable row array
+    (disk-backed, not an OOM) — the trade accepted for halving every
+    CC round's exchange count."""
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    mins = (
-        sym.groupBy("u")
-        .agg(F.min("v").alias("mn"))
-        .select("u", F.least("mn", F.col("u")).alias("m"))
-    )
+    w = Window.partitionBy("u")
     return (
-        sym.join(mins, "u")
+        sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
@@ -56,21 +62,37 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient edges high→low, then attach every low neighbor and u
-    itself to m = min(N(u) ∪ {u})."""
+    itself to m = min(N(u) ∪ {u}).
+
+    Same one-exchange window shape as :func:`_large_star`. Both output
+    legs — (neighbor, m) and (u, m) — come from ONE explode above the
+    window (a union of two selects would evaluate the window subtree
+    twice; exchange reuse does not extend to Window nodes). The selves
+    leg is thereby emitted once PER EDGE (not per node) — the caller's
+    ``.distinct()`` collapses the duplicates, and the round's row SET
+    is exactly the groupBy+join formulation's (the only consumer is
+    connected_components, which distincts every round; u != m always
+    holds because m < u by orientation)."""
     o = (
         edges.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .where(F.col("u") != F.col("v"))
     )
-    mins = o.groupBy("u").agg(F.min("v").alias("m"))  # m < u by orientation
-    neighbors = (
-        o.join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    w = Window.partitionBy("u")
+    om = o.withColumn("m", F.min("v").over(w))  # m < u by orientation
+    return (
+        om.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                    F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .where(F.col("u") != F.col("v"))
     )
-    selves = mins.select(F.col("u"), F.col("m").alias("v"))
-    return neighbors.union(selves)
 
 
 def connected_components(
