@@ -197,6 +197,11 @@ def pagerank(
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # r16: the roster is referenced per iteration (the zero-fill join)
+    # plus the init and the count below — materialize the narrow
+    # column once; the count then reads the materialized blocks
+    if not nodes.isStreaming:
+        nodes = nodes.localCheckpoint(eager=True)
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0).cast("bigint"))
@@ -661,6 +666,12 @@ def hits_scores(
         .union(e.select(F.col("d").alias("node")))
         .distinct()
     )
+    # r16: the roster is referenced ~2·rounds+2 times (each
+    # _normalize's zero-fill join, the init, the final outer joins) —
+    # materialize the single narrow column once instead of re-running
+    # the distinct-union per reference
+    if not nodes.isStreaming:
+        nodes = nodes.localCheckpoint(eager=True)
     h = nodes.withColumn("h", F.lit(scale).cast("long"))
     a = None
     prev = []
@@ -777,13 +788,14 @@ def label_propagation(
                 "__b"
             )
         ).select("node", (-F.col("__b.nl")).alias("__new"))
-        lab = (
-            nodes.join(lab, "node")
-            .join(best, "node", "left")
-            .select(
-                "node",
-                F.coalesce(F.col("__new"), F.col("community")).alias("community"),
-            )
+        # r16: lab ALWAYS carries exactly the node roster (it starts as
+        # `nodes` and every update left-joins onto it), so the former
+        # `nodes.join(lab, "node")` was an inner join between identical
+        # key sets — row-identical to lab, but it re-derived the roster
+        # (a distinct-union over the edge list) every round
+        lab = lab.join(best, "node", "left").select(
+            "node",
+            F.coalesce(F.col("__new"), F.col("community")).alias("community"),
         )
         if checkpoint:
             lab = lab.localCheckpoint(eager=True)
