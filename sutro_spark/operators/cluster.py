@@ -547,6 +547,12 @@ def triangle_count(
         )
         .distinct()
     )
+    # r16: canon is read 3× (degree build, orientation join, edge
+    # count) and each reference otherwise replays the caller's
+    # edge-building lineage (the co-purchase self-join + distinct) —
+    # the same barrier the other graph operators carry
+    if not canon.isStreaming:
+        canon = canon.localCheckpoint(eager=True)
     deg = (
         canon.select(F.col("a").alias("n"))
         .unionAll(canon.select(F.col("b").alias("n")))
@@ -574,6 +580,11 @@ def triangle_count(
             F.greatest("ra", "rb").alias("rv"),
         )
     )
+    # r16: oriented feeds three legs (both wedge sides + the closing
+    # edge probe); materialize the narrow (u, v, rv) table once instead
+    # of re-running the canon⋈rank joins per leg
+    if not oriented.isStreaming:
+        oriented = oriented.localCheckpoint(eager=True)
     e1 = oriented.select("u", F.col("v").alias("x"), F.col("rv").alias("rx"))
     e2 = oriented.select("u", F.col("v").alias("y"), F.col("rv").alias("ry"))
     wedges = e1.join(e2, "u").where(F.col("rx") < F.col("ry"))

@@ -264,6 +264,12 @@ def sorted_neighborhood_pairs(
     ranked = with_row_id(slim, order_by=["key", "id"]).withColumnRenamed(
         ROW_ID, "rank"
     )
+    # r16: both bucket-join legs read `ranked` — each reference
+    # otherwise replays the global-rank lineage (range exchange +
+    # per-partition windows). One narrow (id, key, rank)
+    # materialization, read twice.
+    if not ranked.isStreaming:
+        ranked = ranked.localCheckpoint(eager=True)
     a = ranked.select(
         F.col("id").alias("id_a"),
         F.col("key").alias("key_a"),

@@ -182,6 +182,11 @@ def mmr_rerank(
 
     v = _prepared(vectors, vector_id_column, vector_column, "v_")
     cv = cand.join(v, cand["__id"] == v["v_id"]).select("__q", "__id", "__rel", "v_v", "v_n")
+    # r16: cv feeds both sim-table legs AND the pool — each reference
+    # otherwise replays the candidates⋈vectors join (and the upstream
+    # retriever lineage). Bounded: <= queries*rank_cap rows.
+    if not cv.isStreaming:
+        cv = cv.localCheckpoint(eager=True)
     a = cv.select(
         F.col("__q"), F.col("__id").alias("__a"),
         F.col("v_v").alias("a_v"), F.col("v_n").alias("a_n"),
@@ -209,6 +214,8 @@ def mmr_rerank(
     # join artifact: MMR cannot score redundancy for a vectorless
     # candidate, so it never occupies a pick slot.
     pool = cv.select("__q", "__id", "__rel").localCheckpoint(eager=True)
+    # pool was cv's last reader (simt materialized above) — free it
+    release_local_checkpoint(cv)
     w_pick = Window.partitionBy("__q").orderBy(
         F.desc("__score"), F.asc("__id")
     )
