@@ -421,12 +421,17 @@ def bigram_lift(
     TakeOrderedAndProject.
     """
     # three consumers (unigram counts, bigram counts, bigram total) —
-    # persist the tokenized pass or Catalyst re-scans and re-tokenizes
-    # the corpus three times (selection.py measured that fan-out at 3x
-    # the whole query). Released before returning: the result is at
-    # most k rows, so it is materialized eagerly below and the cache
-    # unpersisted — repeated calls in a long-lived session leak nothing.
-    t = df.select(tokens(F.lower(F.col(text_column))).alias("toks")).persist()
+    # materialize the tokenized pass or Catalyst re-scans and
+    # re-tokenizes the corpus three times (selection.py measured that
+    # fan-out at 3x the whole query). r16: eager localCheckpoint
+    # instead of persist() — the one collect below reads all three
+    # consumers in ONE action, where persist's concurrent cache
+    # references race to populate and replay lineage (the curation-v3
+    # lesson). Released before returning, so repeated calls in a
+    # long-lived session leak nothing.
+    t = df.select(tokens(F.lower(F.col(text_column))).alias("toks")).localCheckpoint(
+        eager=True
+    )
     uni = (
         t.select(F.explode("toks").alias("w"))
         .groupBy("w")
@@ -475,7 +480,9 @@ def bigram_lift(
     )
     result = scored.orderBy(F.desc("lift"), F.asc("bigram")).limit(k)
     rows = result.collect()  # bounded: ≤ k report rows
-    t.unpersist()
+    from sutro_spark.session import release_local_checkpoint
+
+    release_local_checkpoint(t)
     return df.sparkSession.createDataFrame(rows, result.schema)
 
 

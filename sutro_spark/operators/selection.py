@@ -96,14 +96,17 @@ def dsir_weights(
     # At 100 TB this is the intermediate you'd checkpoint anyway: it is
     # |docs|·|distinct buckets per doc| rows of three integers — orders
     # of magnitude smaller than the text it summarizes.
+    # r16: eager localCheckpoint instead of persist() — within ONE
+    # action the multiple cache references race to populate the
+    # InMemoryRelation and replay lineage (the curation-v3 lesson);
+    # the eager row-format barrier materializes exactly once
     pdb_raw = (
-        # persisted for the multi-consumer plan below; caches live until
-        # the caller's unpersist/clearCache (bench clears per query) —
-        # long-lived sessions calling this repeatedly should clear
-        raw_tok.groupBy("id", "b").agg(F.count(F.lit(1)).alias("cnt")).persist()
+        raw_tok.groupBy("id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     pdb_tgt = (
-        tgt_tok.groupBy("id", "b").agg(F.count(F.lit(1)).alias("cnt")).persist()
+        tgt_tok.groupBy("id", "b").agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
 
     rc = pdb_raw.groupBy("b").agg(F.sum("cnt").alias("rc"))
@@ -188,8 +191,11 @@ def charlm_score(
     # n(xy), n(x·) and the alphabet are rollups of this small table,
     # never re-scans of the corpus.
     per_doc = (
-        # persisted shared pass — same caller-release note as dsir_weights
-        grams.groupBy("id", "shingle").agg(F.count(F.lit(1)).alias("cnt")).persist()
+        # r16: eager localCheckpoint, not persist() — model counts,
+        # vocab and scoring all reference this table inside one action
+        # (the curation-v3 persist-race lesson)
+        grams.groupBy("id", "shingle").agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     n_xy = per_doc.groupBy("shingle").agg(F.sum("cnt").alias("nxy"))
     n_x = n_xy.groupBy(F.substring("shingle", 1, 1).alias("x")).agg(
