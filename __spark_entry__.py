@@ -4858,45 +4858,38 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-#: Round-16 driver window: the driver correctness gate checks the FIRST
+#: Round-17 driver window: the driver correctness gate checks the FIRST
 #: 50 entries of queries() in dict order; this list IS the rotation
 #: (queries() reorders the full literal dict by it — future rounds edit
 #: this list, not the dict). Invariant: EXACTLY 50 entries, new
 #: additions first, then the ENTIRE stalest cohort, then the
-#: next-stalest in sorted order to fill. r16 budget: 3 new queries
-#: (ivf_bq_append, ivf_routing_balance, psi_drift_quantile) + ALL 19
-#: entries of the r10 floor (the registry's oldest driver evidence,
-#: 6 rounds old — clearing it raises the floor to r11) + 28 of the
-#: 50-entry r11-green cohort (sorted; first 28) = 3+19+28 = exactly
-#: 50. After r16 the floor is the 22-entry r11 remainder (pivot_qty,
-#: positional_zip, pq_codes, pq_recall, pq_topk, promo_revenue,
-#: prompt_concat, quality_train, quality_train_eval, rank_elo,
-#: rank_exploded, rollup_counts, score, select_prompt_column,
-#: sentence_stats, set_ops, stratified_sample, tpch_q1, tpch_q12ish,
-#: weighted_sample, winnow_dedup, zorder_key) — they MUST lead the
-#: r17 window together with anything new; COVERAGE.md states the
-#: rotation policy (net-growth cap + the ~5-6 round structural
-#: revisit period this 50/270 ratio forces).
-_R16_WINDOW = [
-    # new in r16, never driver-checked
-    "ivf_bq_append", "ivf_routing_balance", "psi_drift_quantile",
-    # the ENTIRE 19-entry r10 floor (oldest driver evidence, sorted)
-    "table_profile", "time_split", "token_budget",
-    "tpch_q10ish", "tpch_q11ish", "tpch_q13ish", "tpch_q15ish",
-    "tpch_q16ish", "tpch_q18ish", "tpch_q19ish", "tpch_q20ish",
-    "tpch_q22ish", "tpch_q4ish", "tpch_q7ish", "tpch_q8ish",
-    "validate_orders", "video_frames", "winnow_overlap",
-    "winnow_recall",
-    # 28 of the 50-entry r11-green cohort (sorted; first 28)
-    "ann_mrr", "asof_purchase", "audio_features", "bm25_topk",
-    "bucketed_dedup", "calibration", "chunk_docs",
-    "classify_calibration", "contaminated_spans", "decontaminate",
-    "dedup_keep_best", "dedup_normalized", "dhash_pairs", "ece",
-    "embedding_dedup", "events_props_stats", "events_sessionize",
-    "events_window", "exact_dedup", "exact_substr_spans",
-    "exact_substr_strip", "frame_sample", "labeled_concat_nulls",
-    "merge_upsert", "nfc_check", "pack_contexts", "pairwise_counts",
-    "part_stats",
+#: next-stalest in sorted order to fill. r17 budget: 0 new queries
+#: (optimization round — no features) + ALL 22 entries of the r11
+#: remainder (the registry's oldest driver evidence, 6 rounds old —
+#: clearing it raises the floor to r12) + 28 of the 49-entry
+#: r12-green cohort (sorted; first 28) = 22+28 = exactly 50. After
+#: r17 the floor is the 21-entry r12 remainder (range_join_events …
+#: wordpiece_subwords, i.e. the sorted r12 cohort minus its first
+#: 28) — it MUST lead the r18 window together with anything new;
+#: COVERAGE.md states the rotation policy (net-growth cap + the
+#: ~5-6 round structural revisit period this 50/270 ratio forces).
+_R17_WINDOW = [
+    # the ENTIRE 22-entry r11 remainder (oldest driver evidence, sorted)
+    "pivot_qty", "positional_zip", "pq_codes", "pq_recall", "pq_topk",
+    "promo_revenue", "prompt_concat", "quality_train",
+    "quality_train_eval", "rank_elo", "rank_exploded", "rollup_counts",
+    "score", "select_prompt_column", "sentence_stats", "set_ops",
+    "stratified_sample", "tpch_q1", "tpch_q12ish", "weighted_sample",
+    "winnow_dedup", "zorder_key",
+    # 28 of the 49-entry r12-green cohort (sorted; first 28)
+    "asof_forward", "contaminated_strip_fixpoint", "curation_pipeline_v3",
+    "encoding_damage", "exact_substr_fixpoint", "ffd_pack", "ffd_stats",
+    "gap_fill", "gopher_quality", "image_dhash", "incremental_dedup",
+    "ivf_dedup", "ivfpq_prune", "ivfpq_recall", "ivfpq_rescore",
+    "ivfpq_rescore_recall", "ivfpq_residual", "keyword_flags",
+    "label_centroids", "majority_vote", "mg_guarantee",
+    "mg_heavy_hitters", "minhash_lsh", "multimodal_decode",
+    "ngram_jaccard", "pagerank", "pass_at_k", "pass_at_k_summary",
 ]
 
 
@@ -5181,10 +5174,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
     }
-    missing = [q for q in _R16_WINDOW if q not in all_qs]
+    missing = [q for q in _R17_WINDOW if q not in all_qs]
     if missing:  # a typo in the rotation list must fail loudly, not 404
-        raise KeyError(f"_R16_WINDOW names not in registry: {missing}")
-    head = {k: all_qs[k] for k in _R16_WINDOW}
+        raise KeyError(f"_R17_WINDOW names not in registry: {missing}")
+    head = {k: all_qs[k] for k in _R17_WINDOW}
     head.update(all_qs)  # dict keeps first-insertion order: window leads
     return head
 
