@@ -408,17 +408,26 @@ def mad_outliers(
     rule — filter on mad_med2 > 0 downstream if that is too eager.
     Groups need n >= 2 (a singleton is its own median; never flagged).
 
-    Scale note: exact medians sort within each group (two bounded
-    window ranks) — same cost class as `winsorize(exact=True)`; at
-    100 TB swap to percentile_approx like winsorize's documented
-    approx path if group sizes are extreme.
+    Scale note (r17 optimization round, guide §1.2): both doubled
+    medians come from ONE ``percentile(col, 0.5)`` aggregate per pass
+    — ``2·percentile`` is EXACTLY the doubled median for every n (odd:
+    interpolation lands on the middle value; even: (lo+hi)/2, doubled
+    back to the integer lo+hi; the interpolation arithmetic is exact
+    in IEEE doubles for cent values < 2^51, and cents are
+    round(value·100) of prices). This replaces the previous TWO
+    window row_number sorts + rank-probe aggregates with two plain
+    hash-partitioned aggregations — same cost class as
+    `winsorize(exact=True)` (percentile buffers/sorts each group in
+    aggregation state); at 100 TB swap to percentile_approx like
+    winsorize's documented approx path if group sizes are extreme.
+    Value-identity is pinned by tests/test_pipeline_fns.py's
+    median-math and brute-force-parity tests.
 
     Output: (id, grp, cents, dev2, med2, mad_med2) for flagged rows.
     """
     k_num, k_den = k
     if k_num < 1 or k_den < 1:
         raise ValueError("k must be a positive rational (num, den)")
-    from pyspark.sql import Window
 
     cents = F.round(F.col(value_column) * 100).cast("long")
     scoped = df.select(
@@ -426,52 +435,17 @@ def mad_outliers(
         F.col(group_column).alias("grp"),
         cents.alias("cents"),
     )
-    wv = Window.partitionBy("grp").orderBy(F.asc("cents"), F.asc("id"))
-    ranked = scoped.withColumn("rn", F.row_number().over(wv))
-    counts = scoped.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    med2 = (
-        ranked.join(F.broadcast(counts), "grp")
-        .groupBy("grp")
-        .agg(
-            (
-                F.sum(
-                    F.when(
-                        F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents")
-                    ).otherwise(F.lit(0))
-                )
-                + F.sum(
-                    F.when(
-                        F.col("rn") == F.expr("(n + 2) div 2"), F.col("cents")
-                    ).otherwise(F.lit(0))
-                )
-            )
-            .cast("long")
-            .alias("med2")
-        )
+    stats = scoped.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.expr("percentile(cents, 0.5D)") * 2).cast("long").alias("med2"),
     )
     dev = (
-        scoped.join(F.broadcast(counts), "grp")
+        scoped.join(F.broadcast(stats), "grp")
         .where(F.col("n") >= 2)
-        .join(F.broadcast(med2), "grp")
         .withColumn("dev2", F.abs(F.lit(2) * F.col("cents") - F.col("med2")))
     )
-    wd = Window.partitionBy("grp").orderBy(F.asc("dev2"), F.asc("id"))
-    dranked = dev.withColumn("dn", F.row_number().over(wd))
-    mad2 = dranked.groupBy("grp").agg(
-        (
-            F.sum(
-                F.when(
-                    F.col("dn") == F.expr("(n + 1) div 2"), F.col("dev2")
-                ).otherwise(F.lit(0))
-            )
-            + F.sum(
-                F.when(
-                    F.col("dn") == F.expr("(n + 2) div 2"), F.col("dev2")
-                ).otherwise(F.lit(0))
-            )
-        )
-        .cast("long")
-        .alias("mad_med2")
+    mad2 = dev.groupBy("grp").agg(
+        (F.expr("percentile(dev2, 0.5D)") * 2).cast("long").alias("mad_med2")
     )
     return (
         dev.join(F.broadcast(mad2), "grp")

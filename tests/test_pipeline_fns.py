@@ -846,6 +846,49 @@ def test_mad_outliers_singleton_never_flagged(spark):
     assert mad_outliers(df, "v", "grp", "id").count() == 0
 
 
+def test_mad_outliers_matches_bruteforce_medians(spark):
+    # r17: med2/mad_med2 now come from 2*percentile(col, 0.5) instead
+    # of two window row_number sorts; this pins the doubled-median
+    # identity (odd AND even group sizes, ties included) against a
+    # pure-Python replay of the documented rule.
+    from sutro_spark.functions.stats import mad_outliers
+
+    rows = []
+    vals = {
+        "odd": [3.17, 1.02, 44.5, 3.17, 9.99],          # n=5, with a tie
+        "even": [10.0, 10.02, 250.75, 0.5, 10.0, 10.01],  # n=6, ties
+        "pair": [5.0, 5.0],                              # degenerate MAD=0
+    }
+    i = 0
+    for g, vs in vals.items():
+        for v in vs:
+            rows.append((i, g, v))
+            i += 1
+    df = spark.createDataFrame(rows, ["id", "grp", "v"])
+    out = {r["id"]: r for r in mad_outliers(df, "v", "grp", "id", k=(7, 2)).collect()}
+
+    expected = {}
+    for g, vs in vals.items():
+        cents = sorted(round(v * 100) for v in vs)
+        n = len(cents)
+        med2 = cents[(n + 1) // 2 - 1] + cents[(n + 2) // 2 - 1]
+        devs = sorted(abs(2 * c - med2) for c in cents)
+        mad2 = devs[(n + 1) // 2 - 1] + devs[(n + 2) // 2 - 1]
+        for v in vs:
+            c = round(v * 100)
+            if 2 * 2 * abs(2 * c - med2) > 7 * mad2:
+                expected.setdefault(g, set()).add(c)
+    got = {}
+    for r in out.values():
+        got.setdefault(r["grp"], set()).add(r["cents"])
+        # the reported doubled medians must equal the brute-force ones
+        cents_sorted = sorted(round(v * 100) for v in vals[r["grp"]])
+        n = len(cents_sorted)
+        med2 = cents_sorted[(n + 1) // 2 - 1] + cents_sorted[(n + 2) // 2 - 1]
+        assert r["med2"] == med2
+    assert got == expected
+
+
 def test_histogram_drift_zero_on_identical(spark):
     from sutro_spark.functions.stats import histogram_drift
 
