@@ -62,6 +62,16 @@ _R = "\x02"
 # corpus)
 _CHECKPOINT_EVERY = 20
 
+#: r17 (guide §5 driver discipline — the qdigest r16 precedent): when
+#: the materialized weighted vocabulary has at most this many rows, the
+#: merge rounds run in Python over the collected table instead of one
+#: TakeOrdered job per round. The vocabulary is BOUNDED TRAINER STATE
+#: (distinct words), not corpus data, and the gate reads the ACTUAL row
+#: count of the already-checkpointed table — a web-scale vocabulary
+#: keeps the distributed per-round jobs. 2^16 (w, weight, ws) rows is
+#: a few MB, two orders under the driver-result limit.
+_DRIVER_VOCAB_ROWS = 1 << 16
+
 
 def _wrapped_chars(col) -> F.Column:
     """word → '\\x01c1\\x02\\x01c2\\x02...' (one wrapped symbol per char)."""
@@ -103,7 +113,41 @@ def _train(df: DataFrame, text_column: str, rounds: int):
     cur = words.select(
         "w", "weight", _wrapped_chars(F.col("w")).alias("ws")
     ).localCheckpoint(eager=True)
-    merges: list[tuple[int, str, str, int]] = []
+    # r17: a bounded vocabulary routes every merge round to Python over
+    # the collected table — the rule is EXACTLY the distributed one
+    # (per-position pair counts weighted by word frequency; winner =
+    # max count, ties to the lexicographically smallest (l, r); merge
+    # applied as left-to-right non-overlapping replace, which is what
+    # str.replace does), so the learned merges are bit-identical — the
+    # bpe [Q] oracles replay training and stay strict-green. Measured
+    # at sf0.1 (31-word vocab, rounds=4): one TakeOrdered job per
+    # round -> zero; bpe_encode train 2.9 s -> see OPTIMIZATION_r17.md.
+    if cur.count() <= _DRIVER_VOCAB_ROWS:
+        vocab = [(r["w"], int(r["weight"]), r["ws"]) for r in cur.collect()]
+        from sutro_spark.session import release_local_checkpoint
+
+        release_local_checkpoint(cur)  # Python owns the state now
+        merges = []
+        for r in range(1, rounds + 1):
+            pc: dict[tuple[str, str], int] = {}
+            for _w, wt, ws in vocab:
+                syms = ws[1:-1].split(f"{_R}{_L}") if len(ws) >= 2 else [ws]
+                for pair in zip(syms, syms[1:]):
+                    pc[pair] = pc.get(pair, 0) + wt
+            if not pc:
+                break
+            (ml, mr), mcnt = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((r, ml, mr, int(mcnt)))
+            pat = f"{_L}{ml}{_R}{_L}{mr}{_R}"
+            rep = f"{_L}{ml}{mr}{_R}"
+            vocab = [(w, wt, ws.replace(pat, rep)) for w, wt, ws in vocab]
+        cur_df = df.sparkSession.createDataFrame(
+            vocab, "w string, weight long, ws string"
+        )
+        return merges, cur_df
+    merges = []
     prev_ckpt = cur
     for r in range(1, rounds + 1):
         top = (
@@ -162,7 +206,15 @@ def bpe_merges(
     return fewer than ``rounds`` rows when the vocabulary is fully
     merged early (zero rows for an empty/whitespace corpus).
     """
-    merges, _ = _train(df, text_column, rounds)
+    merges, cur = _train(df, text_column, rounds)
+    # r17 lifecycle: the merge table is the only output here — when the
+    # training tail left ``cur`` as a checkpointed frame (distributed
+    # path at a rotation boundary), its blocks can never be read again;
+    # best-effort no-op otherwise (the Python path already released the
+    # word-table checkpoint inside _train).
+    from sutro_spark.session import release_local_checkpoint
+
+    release_local_checkpoint(cur)
     return df.sparkSession.createDataFrame(
         merges, "round long, lhs string, rhs string, weight long"
     )

@@ -240,3 +240,35 @@ def test_bpe_apply_expr_bound_and_engine_validation(spark):
         bpe_apply(df, too_many, engine="expr")
     with pytest.raises(ValueError, match="engine must be"):
         bpe_apply(df, [], engine="nope")
+
+
+def test_python_trainer_route_matches_distributed(spark, monkeypatch):
+    # r17: bounded vocabularies train their merge rounds in Python over
+    # the collected word table; this pins bit-identical merges AND the
+    # segmented vocabulary against the distributed per-round TakeOrdered
+    # route, on a corpus engineered with count ties (lexicographic
+    # tie-break) and overlapping runs (greedy left-to-right replace).
+    from sutro_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa abab abab baba"),
+            (2, "ccc ccc dd dd aaa"),
+            (3, "abab cdcd cdcd x"),
+            (4, "dd baba cdcd aaa aaa"),
+        ],
+        ["doc_id", "text"],
+    )
+    fast_m = [tuple(r) for r in bpe.bpe_merges(docs, rounds=8).orderBy("round").collect()]
+    fast_seg = {
+        r["w"]: (r["weight"], list(r["subwords"]))
+        for r in bpe.bpe_segment(docs, rounds=8).collect()
+    }
+    monkeypatch.setattr(bpe, "_DRIVER_VOCAB_ROWS", -1)  # force distributed
+    slow_m = [tuple(r) for r in bpe.bpe_merges(docs, rounds=8).orderBy("round").collect()]
+    slow_seg = {
+        r["w"]: (r["weight"], list(r["subwords"]))
+        for r in bpe.bpe_segment(docs, rounds=8).collect()
+    }
+    assert fast_m == slow_m
+    assert fast_seg == slow_seg
