@@ -15,6 +15,7 @@ import os
 import sys
 from collections.abc import Callable
 
+from sutro_spark.session import barrier as _barrier
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2270,7 +2271,7 @@ def q_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     keep_ids = (
         gopher_quality(docs).select("doc_id", "keep")
-        .localCheckpoint(eager=True)
+        .transform(_barrier)
         .where(F.col("keep") == 1).select("doc_id")
     )
     kept = docs.join(keep_ids, "doc_id").persist()
@@ -2319,17 +2320,17 @@ def q_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted gopher metric tree into a filter evaluated per leg
     keep_ids = (
         gopher_quality(docs).select("doc_id", "keep")
-        .localCheckpoint(eager=True)
+        .transform(_barrier)
         .where(F.col("keep") == 1).select("doc_id")
     )
     ref = docs.where(F.col("doc_id") % 7 == 0)
     corpus = (
         docs.join(keep_ids, "doc_id")
         .where(F.col("doc_id") % 7 != 0)
-        .localCheckpoint(eager=True)
+        .transform(_barrier)
     )
-    s1 = strip_exact_substr(corpus, min_length=60, min_count=2).localCheckpoint(
-        eager=True
+    s1 = strip_exact_substr(corpus, min_length=60, min_count=2).transform(
+        _barrier
     )
     s2 = strip_contaminated_spans(
         s1.select("doc_id", F.col("clean_text").alias("text")),

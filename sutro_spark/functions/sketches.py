@@ -18,6 +18,7 @@ one double division of exact integers → identical across engines.
 
 from __future__ import annotations
 
+from sutro_spark.session import barrier as _barrier
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -833,7 +834,7 @@ def mg_heavy_hitters(
     # localCheckpoint of the <= buckets*k rows runs the heavy
     # groupBy(bucket, key) shuffle exactly ONCE (same per-pass
     # discipline as the strip-fixpoint machinery)
-    summaries = summaries.localCheckpoint(eager=True)
+    summaries = summaries.transform(_barrier)
     acc: DataFrame | None = None
     for b in range(buckets):
         part = summaries.where(F.col("bucket") == b).select("key", "est")
@@ -970,7 +971,7 @@ def _qdigest_compress(
                 F.coalesce(F.col("pcnt"), F.lit(0)).alias("pcnt"),
             )
             .withColumn("merge", (F.col("csum") + F.col("pcnt")) <= F.lit(thr))
-            .localCheckpoint(eager=True)
+            .transform(_barrier)
         )
         kept_children = at_d.join(
             dec.where(~F.col("merge")).select("pid"),
@@ -984,7 +985,7 @@ def _qdigest_compress(
             .cast("long")
             .alias("cnt"),
         ).where(F.col("cnt") > 0)
-        cur = rest.unionByName(new_parents).localCheckpoint(eager=True)
+        cur = rest.unionByName(new_parents).transform(_barrier)
         # checkpointed — reading a prefix is a local read, not a job
         head = cur.take(_QDIGEST_PY_TAIL_ROWS + 1)
         if not head:
@@ -1060,7 +1061,7 @@ def qdigest_build(
     # CTE-for-CTE). Before: one scalar-agg job for n plus two eager-
     # checkpoint barriers PER LEVEL until the in-loop tail kicked in
     # (~10 jobs at sf0.1). After: one job + one local createDataFrame.
-    leaves = leaves.localCheckpoint(eager=True)
+    leaves = leaves.transform(_barrier)
     head = leaves.take(_QDIGEST_PY_TAIL_ROWS + 1)
     if len(head) <= _QDIGEST_PY_TAIL_ROWS:
         counts = {int(r["id"]): int(r["cnt"]) for r in head}
@@ -1233,7 +1234,7 @@ def qdigest_build_grouped(
     # per-group merge rule — bit-identical digests, oracle-proven).
     # Before: the meta scalar job plus two checkpoint barriers per
     # level. After: one job + one local createDataFrame.
-    leaves = leaves.localCheckpoint(eager=True)
+    leaves = leaves.transform(_barrier)
     head0 = leaves.take(_QDIGEST_PY_TAIL_ROWS + 1)
     if len(head0) <= _QDIGEST_PY_TAIL_ROWS:
         by_grp: dict = {}
@@ -1253,7 +1254,7 @@ def qdigest_build_grouped(
         leaves.groupBy("grp")
         .agg(F.sum("cnt").cast("long").alias("__n"))
         .select("grp", F.expr(f"CAST(__n div {k} AS BIGINT)").alias("thr"))
-        .localCheckpoint(eager=True)
+        .transform(_barrier)
     )
     kept = []
     cur = leaves
@@ -1283,7 +1284,7 @@ def qdigest_build_grouped(
             .withColumn(
                 "merge", (F.col("csum") + F.col("pcnt")) <= F.col("thr")
             )
-            .localCheckpoint(eager=True)
+            .transform(_barrier)
         )
         kept_children = at_d.alias("c").join(
             dec.where(~F.col("merge")).select("grp", "pid").alias("d"),
@@ -1299,7 +1300,7 @@ def qdigest_build_grouped(
             .cast("long")
             .alias("cnt"),
         ).where(F.col("cnt") > 0)
-        cur = rest.unionByName(new_parents).localCheckpoint(eager=True)
+        cur = rest.unionByName(new_parents).transform(_barrier)
         head = cur.take(_QDIGEST_PY_TAIL_ROWS + 1)
         if not head:  # an empty cur can never repopulate a level up
             break

@@ -5,6 +5,7 @@ JVM-side, codegen'd, no Python in the hot path.
 
 from __future__ import annotations
 
+from sutro_spark.session import barrier as _barrier
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -429,8 +430,8 @@ def bigram_lift(
     # references race to populate and replay lineage (the curation-v3
     # lesson). Released before returning, so repeated calls in a
     # long-lived session leak nothing.
-    t = df.select(tokens(F.lower(F.col(text_column))).alias("toks")).localCheckpoint(
-        eager=True
+    t = df.select(tokens(F.lower(F.col(text_column))).alias("toks")).transform(
+        _barrier
     )
     uni = (
         t.select(F.explode("toks").alias("w"))
@@ -753,7 +754,7 @@ def bm25_topk(
             F.filter("toks", lambda t: F.array_contains(lit_terms, t)).alias(
                 "hits"
             ),
-        ).localCheckpoint(eager=True)
+        ).transform(_barrier)
         stats = base.agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("dl").cast("long").alias("total_tokens"),

@@ -45,6 +45,7 @@ merged) by breaking when a round finds no pairs.
 from __future__ import annotations
 
 import pandas as pd
+from sutro_spark.session import barrier as _barrier
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -112,7 +113,7 @@ def _train(df: DataFrame, text_column: str, rounds: int):
     # — and at 100 TB the difference between 1 and `rounds` scans)
     cur = words.select(
         "w", "weight", _wrapped_chars(F.col("w")).alias("ws")
-    ).localCheckpoint(eager=True)
+    ).transform(_barrier)
     # r17: a bounded vocabulary routes every merge round to Python over
     # the collected table — the rule is EXACTLY the distributed one
     # (per-position pair counts weighted by word frequency; winner =
@@ -185,7 +186,7 @@ def _train(df: DataFrame, text_column: str, rounds: int):
             # bound replay depth: without this, round r's TakeOrdered
             # job replays r literal replaces over the vocabulary; with
             # it, at most _CHECKPOINT_EVERY
-            cur = cur.localCheckpoint(eager=True)
+            cur = cur.transform(_barrier)
             # the superseded checkpoint's blocks are unreachable now
             release_local_checkpoint(prev_ckpt)
             prev_ckpt = cur

@@ -31,6 +31,7 @@ training-data pipeline needs at 100 TB.
 
 from __future__ import annotations
 
+from sutro_spark.session import barrier as _barrier
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -119,11 +120,11 @@ def connected_components(
     # or simhash candidate join) would otherwise replay 4× in the
     # first round
     if not e.isStreaming:
-        e = e.localCheckpoint(eager=True)
+        e = e.transform(_barrier)
     prev_sig = None
     prev_ckpt = e
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).distinct().localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).distinct().transform(_barrier)
         # the new eager checkpoint is materialized; the superseded
         # round's blocks can never be read again — free them so a
         # long-lived session doesn't pin O(iterations) partitions
@@ -190,7 +191,7 @@ def pagerank(
     # iteration all re-read ``edges``; checkpointing once stops each
     # reference replaying the caller's edge-building lineage
     if not edges.isStreaming:
-        edges = edges.localCheckpoint(eager=True)
+        edges = edges.transform(_barrier)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -201,7 +202,7 @@ def pagerank(
     # plus the init and the count below — materialize the narrow
     # column once; the count then reads the materialized blocks
     if not nodes.isStreaming:
-        nodes = nodes.localCheckpoint(eager=True)
+        nodes = nodes.transform(_barrier)
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0).cast("bigint"))
@@ -237,7 +238,7 @@ def pagerank(
             )
         )
         if checkpoint:
-            p = p.localCheckpoint(eager=True)
+            p = p.transform(_barrier)
             if prev_ckpt is not None:
                 release_local_checkpoint(prev_ckpt)
             prev_ckpt = p
@@ -552,7 +553,7 @@ def triangle_count(
     # edge-building lineage (the co-purchase self-join + distinct) —
     # the same barrier the other graph operators carry
     if not canon.isStreaming:
-        canon = canon.localCheckpoint(eager=True)
+        canon = canon.transform(_barrier)
     deg = (
         canon.select(F.col("a").alias("n"))
         .unionAll(canon.select(F.col("b").alias("n")))
@@ -584,7 +585,7 @@ def triangle_count(
     # edge probe); materialize the narrow (u, v, rv) table once instead
     # of re-running the canon⋈rank joins per leg
     if not oriented.isStreaming:
-        oriented = oriented.localCheckpoint(eager=True)
+        oriented = oriented.transform(_barrier)
     e1 = oriented.select("u", F.col("v").alias("x"), F.col("rv").alias("rx"))
     e2 = oriented.select("u", F.col("v").alias("y"), F.col("rv").alias("ry"))
     wedges = e1.join(e2, "u").where(F.col("rx") < F.col("ry"))
@@ -671,7 +672,7 @@ def hits_scores(
     # self-join + distinct). One narrow (s, d) materialization at any
     # scale. Measured 5.7 s → 3.4 s for the hits [Q] at sf0.1.
     if not e.isStreaming:
-        e = e.localCheckpoint(eager=True)
+        e = e.transform(_barrier)
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
@@ -682,7 +683,7 @@ def hits_scores(
     # materialize the single narrow column once instead of re-running
     # the distinct-union per reference
     if not nodes.isStreaming:
-        nodes = nodes.localCheckpoint(eager=True)
+        nodes = nodes.transform(_barrier)
     h = nodes.withColumn("h", F.lit(scale).cast("long"))
     a = None
     prev = []
@@ -715,8 +716,8 @@ def hits_scores(
         )
         h = _normalize(h_raw, "h")
         if checkpoint:
-            a = a.localCheckpoint(eager=True)
-            h = h.localCheckpoint(eager=True)
+            a = a.transform(_barrier)
+            h = h.transform(_barrier)
             for f in prev:
                 release_local_checkpoint(f)
             prev = [a, h]
@@ -777,7 +778,7 @@ def label_propagation(
     # plus the node roster otherwise replay the caller's edge-building
     # lineage per reference
     if not e.isStreaming:
-        e = e.localCheckpoint(eager=True)
+        e = e.transform(_barrier)
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
@@ -809,7 +810,7 @@ def label_propagation(
             F.coalesce(F.col("__new"), F.col("community")).alias("community"),
         )
         if checkpoint:
-            lab = lab.localCheckpoint(eager=True)
+            lab = lab.transform(_barrier)
             if prev is not None:
                 release_local_checkpoint(prev)
             prev = lab
@@ -866,7 +867,7 @@ def kcore(
         .distinct()
     )
     if checkpoint:
-        cur = cur.localCheckpoint(eager=True)
+        cur = cur.transform(_barrier)
     prev_ckpt = cur if checkpoint else None
     converged = False
     # r16: count cur ONCE before the loop and carry each round's
@@ -886,7 +887,7 @@ def kcore(
             keep.withColumnRenamed("n", "a"), "a", "left_semi"
         ).join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
         if checkpoint:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = nxt.transform(_barrier)
         # bounded scalar: did this round delete anything?
         after = nxt.count()
         if checkpoint and prev_ckpt is not None and nxt is not prev_ckpt:

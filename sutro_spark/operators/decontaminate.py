@@ -37,6 +37,7 @@ sutro_spark/operators/dedup.py.
 
 from __future__ import annotations
 
+from sutro_spark.session import barrier as _barrier
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -325,7 +326,7 @@ def bloom_decontaminate(
         benchmark, text_column, id_column, n
     ).select("gram").distinct()
     if not benchmark.isStreaming:
-        bgrams = bgrams.localCheckpoint(eager=True)
+        bgrams = bgrams.transform(_barrier)
     words = _bitset_from_grams(bgrams, bits_log2=bits_log2, hashes=hashes)
     flagged = bloom_contamination_flags(
         train, words, text_column=text_column, id_column=id_column,

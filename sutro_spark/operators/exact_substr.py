@@ -68,6 +68,7 @@ stragglers — at 100 TB the former wins.
 
 from __future__ import annotations
 
+from sutro_spark.session import barrier as _barrier
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -512,7 +513,7 @@ def _strip_fixpoint(
         raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     cur = _prepare(df, text_column, id_column).select(
         "doc_id", "__t", F.length("__t").cast("long").alias("__n0")
-    ).localCheckpoint(eager=True)
+    ).transform(_barrier)
     passes = 0
     for _ in range(max_iters):
         spans = spans_of(cur)
@@ -521,7 +522,7 @@ def _strip_fixpoint(
         ).join(cur.select("doc_id", "__n0"), "doc_id")
         nxt = stripped.select(
             "doc_id", F.col("clean_text").alias("__t"), "__n0"
-        ).localCheckpoint(eager=True)
+        ).transform(_barrier)
         changed = (
             nxt.join(
                 cur.select("doc_id", F.col("__t").alias("__prev")), "doc_id"

@@ -17,6 +17,7 @@ counterpart; standard public techniques).
 
 from __future__ import annotations
 
+from sutro_spark.session import barrier as _barrier
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -269,7 +270,7 @@ def sorted_neighborhood_pairs(
     # per-partition windows). One narrow (id, key, rank)
     # materialization, read twice.
     if not ranked.isStreaming:
-        ranked = ranked.localCheckpoint(eager=True)
+        ranked = ranked.transform(_barrier)
     a = ranked.select(
         F.col("id").alias("id_a"),
         F.col("key").alias("key_a"),

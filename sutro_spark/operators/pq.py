@@ -30,6 +30,7 @@ corpus side prunes before ADC.
 
 from __future__ import annotations
 
+from sutro_spark.session import barrier as _barrier
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -585,7 +586,7 @@ def _ivfpq_residual_parts(
     # so candidate routing below reads the materialized table instead
     # of re-running the kmeans assignment subtree inside the final
     # action — one fewer corpus-assignment recompute per query.
-    rq = rq.localCheckpoint(eager=True)
+    rq = rq.transform(_barrier)
     cb = _pq_train_q(
         rq, m=m, k=n_codes, iters=2, id_column=id_column, sub_dim=sub_dim
     )

@@ -27,6 +27,7 @@ composite score; these are the individual gated metrics).
 
 from __future__ import annotations
 
+from sutro_spark.session import barrier as _barrier
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -570,7 +571,7 @@ def train_linear_scorer(
         w = (
             fy.groupBy("bucket")
             .agg(F.sum(F.col("y") * F.col("cnt")).alias("w"))
-            .localCheckpoint(eager=True)
+            .transform(_barrier)
         )
         prev_ckpt = w
         for _ in range(epochs):
@@ -605,7 +606,7 @@ def train_linear_scorer(
                         "w"
                     ),
                 )
-                .localCheckpoint(eager=True)
+                .transform(_barrier)
             )
             # superseded epoch's weight blocks are unreachable — free
             release_local_checkpoint(prev_ckpt)

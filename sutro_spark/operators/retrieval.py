@@ -22,6 +22,7 @@ from __future__ import annotations
 from math import gcd
 from typing import Sequence
 
+from sutro_spark.session import barrier as _barrier
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -186,7 +187,7 @@ def mmr_rerank(
     # otherwise replays the candidates⋈vectors join (and the upstream
     # retriever lineage). Bounded: <= queries*rank_cap rows.
     if not cv.isStreaming:
-        cv = cv.localCheckpoint(eager=True)
+        cv = cv.transform(_barrier)
     a = cv.select(
         F.col("__q"), F.col("__id").alias("__a"),
         F.col("v_v").alias("a_v"), F.col("v_n").alias("a_n"),
@@ -204,7 +205,7 @@ def mmr_rerank(
             "__b",
             F.round(_sim("a_", "b_") * 1_000_000, 0).cast("long").alias("__sim"),
         )
-        .localCheckpoint(eager=True)
+        .transform(_barrier)
     )
     # pool from cv, NOT cand: a candidate with no vector row has no
     # simt rows, so the per-step redundancy inner join would silently
@@ -213,7 +214,7 @@ def mmr_rerank(
     # and makes the exclusion a documented contract instead of a
     # join artifact: MMR cannot score redundancy for a vectorless
     # candidate, so it never occupies a pick slot.
-    pool = cv.select("__q", "__id", "__rel").localCheckpoint(eager=True)
+    pool = cv.select("__q", "__id", "__rel").transform(_barrier)
     # pool was cv's last reader (simt materialized above) — free it
     release_local_checkpoint(cv)
     w_pick = Window.partitionBy("__q").orderBy(
@@ -224,7 +225,7 @@ def mmr_rerank(
         .withColumn("__rn", F.row_number().over(w_pick))
         .where(F.col("__rn") == 1)
         .select("__q", "__id", F.lit(1).alias("mmr_rank"), "__rel", "__score")
-        .localCheckpoint(eager=True)
+        .transform(_barrier)
     )
     # remaining is checkpointed per step too: its lineage otherwise
     # chains every prior pick (which references every prior selected
@@ -232,7 +233,7 @@ def mmr_rerank(
     # selected blocks could never be freed safely.
     remaining = pool.join(
         selected.select("__q", "__id"), ["__q", "__id"], "left_anti"
-    ).localCheckpoint(eager=True)
+    ).transform(_barrier)
     prev_sel, prev_rem = selected, remaining
     for step in range(2, k + 1):
         red = (
@@ -258,10 +259,10 @@ def mmr_rerank(
             .where(F.col("__rn") == 1)
             .select("__q", "__id", F.lit(step).alias("mmr_rank"), "__rel", "__score")
         )
-        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+        selected = selected.unionByName(pick).transform(_barrier)
         remaining = remaining.join(
             pick.select("__q", "__id"), ["__q", "__id"], "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(_barrier)
         # both step-`step` checkpoints are materialized; the previous
         # step's frames are unreachable — free their blocks
         release_local_checkpoint(prev_sel)

@@ -37,6 +37,7 @@ but a flip requires the milli-scaled value to land within an ulp of a
 
 from __future__ import annotations
 
+from sutro_spark.session import barrier as _barrier
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -102,11 +103,11 @@ def dsir_weights(
     # the eager row-format barrier materializes exactly once
     pdb_raw = (
         raw_tok.groupBy("id", "b").agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .transform(_barrier)
     )
     pdb_tgt = (
         tgt_tok.groupBy("id", "b").agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .transform(_barrier)
     )
 
     rc = pdb_raw.groupBy("b").agg(F.sum("cnt").alias("rc"))
@@ -195,7 +196,7 @@ def charlm_score(
         # vocab and scoring all reference this table inside one action
         # (the curation-v3 persist-race lesson)
         grams.groupBy("id", "shingle").agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .transform(_barrier)
     )
     n_xy = per_doc.groupBy("shingle").agg(F.sum("cnt").alias("nxy"))
     n_x = n_xy.groupBy(F.substring("shingle", 1, 1).alias("x")).agg(

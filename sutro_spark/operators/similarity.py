@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from sutro_spark.session import barrier as _barrier
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1574,7 +1575,7 @@ def pca_top_direction(
             F.expr(f"transform(sequence(1, dim), i -> CAST({scale} AS BIGINT))").alias(
                 "v"
             )
-        ).localCheckpoint(eager=True)
+        ).transform(_barrier)
         prev = v
         norm_row = None
         for r in range(rounds):
@@ -1606,7 +1607,7 @@ def pca_top_direction(
                     " (acc, t) -> acc + t))"
                 ).alias("nrm"),
                 F.expr("transform(__ys, e -> e.y)").alias("yarr"),
-            ).localCheckpoint(eager=True)
+            ).transform(_barrier)
             if prev_norm is not None:
                 release_local_checkpoint(prev_norm)
             v = norm_row.select(
@@ -1616,7 +1617,7 @@ def pca_top_direction(
                     f" AS BIGINT)) ELSE transform(yarr,"
                     f" t -> CAST(0 AS BIGINT)) END"
                 ).alias("v")
-            ).localCheckpoint(eager=True)
+            ).transform(_barrier)
             release_local_checkpoint(prev)
             prev = v
         out = v.select(F.posexplode("v").alias("d", "v_milli"))

@@ -51,6 +51,7 @@ stops mattering after the first shuffle.
 from __future__ import annotations
 
 import pandas as pd
+from sutro_spark.session import barrier as _barrier
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -178,7 +179,7 @@ def _induce(
     # materializes it once; identical values by construction.
     wc = _word_counts(df, text_column)
     if not wc.isStreaming:
-        wc = wc.localCheckpoint(eager=True)
+        wc = wc.transform(_barrier)
     seed = _vocab_from_wc(wc, max_piece_len=max_piece_len, top=seed_top)
     rows = seed.collect()  # bounded: seed_top + alphabet
     counts = {r["piece"]: int(r["occurrences"]) for r in rows}

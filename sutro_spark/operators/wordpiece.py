@@ -32,6 +32,7 @@ longest-match step table, so segmentation parity is bit-for-bit.
 from __future__ import annotations
 
 import pandas as pd
+from sutro_spark.session import barrier as _barrier
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -168,7 +169,7 @@ def _segment_arrays(
     # vocabulary AND the segmentation from it (see _vocab_from_wc)
     wc = _word_counts(df, text_column)
     if not wc.isStreaming:
-        wc = wc.localCheckpoint(eager=True)
+        wc = wc.transform(_barrier)
     vocab = _vocab_from_wc(wc, max_piece_len=max_piece_len, top=top)
     piece_set = {r["piece"] for r in vocab.select("piece").collect()}
 

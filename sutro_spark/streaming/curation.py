@@ -52,6 +52,7 @@ Outputs under ``out_dir`` (each ``__batch_id``-partitioned):
 
 from __future__ import annotations
 
+from sutro_spark.session import barrier as _barrier
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -203,9 +204,9 @@ def curate_batch(
         )
         # materialize BEFORE the index append so every output reflects
         # the pre-batch index (foreachBatch runs these sequentially)
-        docs_out = docs_out.localCheckpoint(eager=True)
-        pairs = pairs.localCheckpoint(eager=True)
-        mixture_delta = mixture_delta.localCheckpoint(eager=True)
+        docs_out = docs_out.transform(_barrier)
+        pairs = pairs.transform(_barrier)
+        mixture_delta = mixture_delta.transform(_barrier)
         if append_index:
             if index_buckets is not None:
                 _append_bucketed(
