@@ -343,6 +343,40 @@ def test_compression_signals_orders_by_redundancy(spark):
     assert again == {k: v.compressed_len for k, v in out.items()}
 
 
+def test_nfc_report_parity_and_single_scan_shape(spark):
+    import unicodedata
+
+    from sutro_spark.operators.quality import nfc_report
+
+    rows = [
+        (1, "plain ascii only"),
+        (2, "cafe\u0301 papers"),  # decomposed -> NOT NFC
+        (3, "caf\u00e9 papers"),  # composed non-ASCII, already NFC
+        (4, None),  # contract: (1, 0, 0)
+        (5, ""),
+        (6, "A\u030angstro\u0308m units"),  # decomposed
+        (7, "na\u00efve ascii+latin1 mix"),  # composed, already NFC
+        (8, "\U0001f600 non-BMP emoji"),  # 4-byte UTF-8, already NFC
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in nfc_report(df).collect()}
+    assert set(out) == {i for i, _ in rows}
+    for i, t in rows:
+        if t is None:
+            assert (out[i].is_nfc, out[i].raw_len, out[i].nfc_len) == (1, 0, 0)
+        else:
+            n = unicodedata.normalize("NFC", t)
+            assert out[i].is_nfc == int(t == n), i
+            assert out[i].raw_len == len(t), i
+            assert out[i].nfc_len == len(n), i
+    # routing shape: one scan, one Python stage. Two rewrites measured
+    # SLOWER at sf0.1 and were left out (r17): a filter+union ASCII
+    # split (0.99 s, second scan) and a mapInArrow vectorized gate
+    # (0.81 s) vs this mapInPandas at 0.66 s — pin the single-scan shape
+    plan = nfc_report(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+
+
 # ---------------------------------------------------------------------------
 # video_frames: real Y4M container parse + deterministic stub fallback
 # ---------------------------------------------------------------------------

@@ -1,0 +1,160 @@
+"""Headline scaling evidence (VERDICT r16 #5): replicate the whole
+sf0.1 table set Nx into a temp sf-dir (distinct keys, perturbed text /
+vectors so dup structure is preserved rather than multiplied) and run
+the 20 bench-headline queries through their REAL `queries()` builders
+against it, min over PASSES interleaved passes.
+
+Run once per core count (the session honors $SPARK_GRAFT_CPUS):
+
+    SPARK_GRAFT_CPUS=32 python tools/headline_scaling_probe.py
+    SPARK_GRAFT_CPUS=8  python tools/headline_scaling_probe.py
+
+and compare per-query times: compute-bound queries should approach the
+core ratio; sub-second ones stay overhead-bound (plan construction +
+job scheduling), which is the honest explanation SCALING.md records.
+
+Timing-only harness: outputs are NOT oracle-checked here (replicated
+keys change every result); correctness stays pinned by the sf0.01
+strict selfcheck.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+FACTOR = int(os.environ.get("SCALE_FACTOR", "10"))
+PASSES = int(os.environ.get("SCALE_PASSES", "2"))
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "flagship_extract", "classify", "score", "embed", "batch_function",
+    "exact_dedup", "ngram_jaccard", "minhash_lsh", "simhash", "text_profile",
+    "similarity_topk", "embedding_dedup", "ivf_dedup", "multimodal_decode",
+    "tpch_q1", "tpch_q3", "tpch_q6", "top_orders", "events_window",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from sutro_spark.session import get_spark
+
+    spark = get_spark("headline_scaling")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    out_dir = os.environ.get(
+        "SCALE_DIR", os.path.join(tempfile.gettempdir(), f"sfx{FACTOR}")
+    )
+    copies = spark.range(FACTOR).select(F.col("id").alias("__copy"))
+
+    def replicate(name: str, keyed: dict[str, str], perturb=None) -> None:
+        """Write table ``name`` FACTOR-replicated: each column in
+        ``keyed`` is offset per copy by ``__copy * (max+1)`` of that
+        column; ``perturb`` optionally rewrites non-key columns."""
+        path = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return
+        df = spark.read.parquet(f"{BASE}/{name}.parquet")
+        if not keyed:
+            df.write.mode("overwrite").parquet(path)
+            return
+        maxes = df.agg(
+            *[F.max(c).alias(c) for c in keyed]
+        ).first()
+        rep = df.crossJoin(copies)
+        for c in keyed:
+            rep = rep.withColumn(c, F.col(c) + F.col("__copy") * (maxes[c] + 1))
+        if perturb is not None:
+            rep = perturb(rep)
+        rep.drop("__copy").write.mode("overwrite").parquet(path)
+
+    # facts replicated with per-copy key offsets; fact-fact join keys
+    # (orderkey) share one offset domain so joins stay consistent;
+    # dims copied verbatim (each dim row simply serves FACTOR x facts)
+    replicate(
+        "documents", {"doc_id": "doc_id"},
+        perturb=lambda df: df.withColumn(
+            "text",
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v"),
+                     F.col("__copy").cast("string")),
+        ),
+    )
+    replicate(
+        "embeddings", {"vec_id": "vec_id"},
+        perturb=lambda df: df.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + F.when(i == 0, F.col("__copy").cast("double") / 10000.0)
+                .otherwise(0.0),
+            ),
+        ),
+    )
+    replicate("orders", {"o_orderkey": "o_orderkey"})
+    replicate("lineitem", {"l_orderkey": "l_orderkey"})
+    replicate("events", {"user_id": "user_id"})
+    for dim in ("customer", "part", "supplier", "nation", "region"):
+        replicate(dim, {})
+
+    qs = entrymod.queries()
+    # same JVM/Python warm-up as bench.py
+    r = spark.read.parquet(f"{out_dir}/region.parquet")
+    n = spark.read.parquet(f"{out_dir}/nation.parquet")
+    (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)), F.min(F.sha2(F.col("n_name"), 256)))
+        .write.format("noop").mode("overwrite").save()
+    )
+    import pandas as _pd
+
+    def _warm(batches):
+        for b in batches:
+            yield _pd.DataFrame({"x": b["r_regionkey"].astype("int64")})
+
+    r.mapInPandas(_warm, "x long").write.format("noop").mode("overwrite").save()
+
+    def _cpu_jiffies():
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            vals = [int(x) for x in parts[1:]]
+            return vals[7] if len(vals) > 7 else 0, sum(vals)
+        except (OSError, ValueError, IndexError):
+            return None
+
+    best: dict[str, float] = {}
+    pass_steal: list[float] = []
+    for _ in range(PASSES):
+        j0 = _cpu_jiffies()
+        for name in HEADLINE:
+            spark.sparkContext.setJobDescription(f"scaling:{name}")
+            t0 = time.time()
+            qs[name](spark, out_dir).write.format("noop").mode("overwrite").save()
+            best[name] = min(best.get(name, float("inf")), time.time() - t0)
+            spark.sparkContext.setJobDescription(None)
+            spark.catalog.clearCache()
+        j1 = _cpu_jiffies()
+        if j0 and j1 and j1[1] > j0[1]:
+            pass_steal.append(
+                round(100.0 * (j1[0] - j0[0]) / (j1[1] - j0[1]), 2)
+            )
+    print(json.dumps({
+        "factor": FACTOR, "cpus": cpus, "passes": PASSES,
+        "queries": {k: round(v, 3) for k, v in best.items()},
+        "total": round(sum(best.values()), 3),
+        "pass_steal_pct": pass_steal,
+        "loadavg": list(os.getloadavg()),
+    }))
+
+
+if __name__ == "__main__":
+    main()
