@@ -141,6 +141,8 @@ def kmeans(
     groupBy(cluster, pos) mean over k·dim cells; only the centroid
     table is collected.
     """
+    from pyspark.sql import Window
+
     from sutro_spark.operators.dedup import spread
 
     # spread: a single-file corpus scan otherwise runs every
@@ -150,18 +152,41 @@ def kmeans(
     q = quantize_embeddings(
         spread(df), vector_column, scale=scale, offset=offset
     ).select(id_column, QVEC)
-    init = q.orderBy(id_column).limit(k).collect()
-    centroids = [(i, list(r[QVEC])) for i, r in enumerate(init)]
+    # r17 (guide §5 driver discipline): the deterministic init — the k
+    # lowest-id vectors, cluster = ascending-id rank — is a BROADCAST
+    # SUBPLAN of round 1 instead of a separate collect() job: one fewer
+    # driver-synchronized job per kmeans call (every driver round-trip
+    # is a barrier at any scale; the TakeOrdered scan it embeds replaces
+    # the identical scan the init job used to pay). iters == 1 keeps the
+    # collect — the centroid LIST is the return value there.
+    centroids: list[tuple[int, list[int]]] | None = None
     for _ in range(iters - 1):
         # fused assignment+mean round: carry qvec through the argmin
         # aggregation (first() reads a value that is constant per id
         # group) instead of joining the assignment back against q —
         # one scan of q per round, not two (r16 optimization round)
-        mult = max(c for c, _ in centroids) + 1
-        cdf = q.sparkSession.createDataFrame(
-            [(int(c), [int(x) for x in v]) for c, v in centroids],
-            "cluster bigint, cvec array<bigint>",
-        )
+        if centroids is None:
+            # packed-key multiplier: init codes are 0..n-1 with n <= k,
+            # so any mult > n-1 keeps key = dist2*mult + code ordered
+            # lexicographically by (dist2, code); k is that bound
+            # without knowing n driver-side
+            mult = k
+            cdf = (
+                q.orderBy(id_column)
+                .limit(k)
+                .select(
+                    (F.row_number().over(Window.orderBy(id_column)) - 1)
+                    .cast("bigint")
+                    .alias("cluster"),
+                    F.col(QVEC).alias("cvec"),
+                )
+            )
+        else:
+            mult = max(c for c, _ in centroids) + 1
+            cdf = q.sparkSession.createDataFrame(
+                [(int(c), [int(x) for x in v]) for c, v in centroids],
+                "cluster bigint, cvec array<bigint>",
+            )
         ex = (
             q.crossJoin(F.broadcast(cdf))
             .select(
@@ -191,6 +216,9 @@ def kmeans(
             (c, [comps[p] for p in sorted(comps)])
             for c, comps in sorted(by_c.items())
         ]
+    if centroids is None:  # iters == 1: the init IS the result
+        init = q.orderBy(id_column).limit(k).collect()
+        centroids = [(i, list(r[QVEC])) for i, r in enumerate(init)]
     assigned = assign_clusters(q, centroids, id_column)
     return assigned, centroids
 

@@ -105,13 +105,28 @@ def _pq_train_q(
     :func:`ivfpq_residual_topk` (bucket residuals)."""
     spark = q.sparkSession
     sv = _subvectors(q, m, sub_dim, id_column)
-    init = q.orderBy(id_column).limit(k).collect()
-    rows = []
-    for code, r in enumerate(init):
-        vec = list(r[QVEC])
-        for sub in range(m):
-            rows.append((sub, code, vec[sub * sub_dim : (sub + 1) * sub_dim]))
-    cb = spark.createDataFrame(rows, "sub int, code bigint, cv array<bigint>")
+    # r17 (guide §5 driver discipline): the deterministic init codebook
+    # — the k lowest-id vectors' m subvector slices, code = ascending-id
+    # rank — is a broadcast subplan of the first Lloyd round instead of
+    # a separate collect() job: one fewer driver-synchronized job per
+    # training call. Same relation content as the old driver-assembled
+    # createDataFrame (sub int, code bigint, cv array<bigint>); when
+    # iters == 1 it is returned directly (the init IS the codebook).
+    slices = F.array(
+        *[F.slice(F.col(QVEC), s * sub_dim + 1, sub_dim) for s in range(m)]
+    )
+    cb = (
+        q.orderBy(id_column)
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy(id_column)) - 1)
+            .cast("bigint")
+            .alias("code"),
+            slices.alias("__sl"),
+        )
+        .select(F.posexplode("__sl").alias("sub", "cv"), "code")
+        .select("sub", "code", "cv")
+    )
     for _ in range(iters - 1):
         # fused assignment+mean round (r16 optimization round): carry
         # sqv through the argmin aggregation (first() reads a value

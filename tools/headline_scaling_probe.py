@@ -77,27 +77,46 @@ def main() -> None:
 
     # facts replicated with per-copy key offsets; fact-fact join keys
     # (orderkey) share one offset domain so joins stay consistent;
-    # dims copied verbatim (each dim row simply serves FACTOR x facts)
-    replicate(
-        "documents", {"doc_id": "doc_id"},
-        perturb=lambda df: df.withColumn(
-            "text",
-            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v"),
-                     F.col("__copy").cast("string")),
-        ),
-    )
-    replicate(
-        "embeddings", {"vec_id": "vec_id"},
-        perturb=lambda df: df.withColumn(
-            "embedding",
-            F.transform(
-                "embedding",
-                lambda x, i: x
-                + F.when(i == 0, F.col("__copy").cast("double") / 10000.0)
-                .otherwise(0.0),
-            ),
-        ),
-    )
+    # dims copied verbatim (each dim row simply serves FACTOR x facts).
+    #
+    # Perturbations must DECORRELATE the copies: a first cut that only
+    # nudged one vector component by copy/1e4 (and appended " v<copy>"
+    # to text) left every copy a near-duplicate of its original, so
+    # cross-copy dup pairs grew QUADRATICALLY with FACTOR — measured
+    # embedding_dedup 0.57 s -> 18.7 s at 10x (126x, not ~10x). A real
+    # 10x corpus has ~10x docs at the SAME dup rate, so the honest
+    # replication keeps within-copy dup structure identical and makes
+    # cross-copy pairs dissimilar:
+    # - text: per-copy character translation (bijective, length- and
+    #   shingle-count-preserving — identical per-doc work, but copies
+    #   share almost no char-8-grams);
+    # - vectors: rotate the array by `copy` positions (norm-preserving,
+    #   identical within-copy distances; random embeddings rotate to
+    #   near-orthogonal positions).
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def _translate_text(df):
+        col = F.coalesce(F.col("text"), F.lit(""))
+        out = col
+        for c in range(1, FACTOR):
+            s = (c - 1) % 25 + 1  # 25 distinct shifts; reused past copy 25
+            rot = alpha[s:] + alpha[:s]
+            out = F.when(F.col("__copy") == c, F.translate(col, alpha, rot)).otherwise(out)
+        return df.withColumn("text", out)
+
+    def _rotate_vec(df):
+        dim = 64
+        sh = (F.col("__copy") % dim).cast("int")
+        rot = F.concat(
+            F.slice(F.col("embedding"), sh + 1, dim),
+            F.slice(F.col("embedding"), 1, sh),
+        )
+        return df.withColumn(
+            "embedding", F.when(F.col("__copy") == 0, F.col("embedding")).otherwise(rot)
+        )
+
+    replicate("documents", {"doc_id": "doc_id"}, perturb=_translate_text)
+    replicate("embeddings", {"vec_id": "vec_id"}, perturb=_rotate_vec)
     replicate("orders", {"o_orderkey": "o_orderkey"})
     replicate("lineitem", {"l_orderkey": "l_orderkey"})
     replicate("events", {"user_id": "user_id"})
