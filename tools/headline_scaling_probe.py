@@ -150,15 +150,39 @@ def main() -> None:
         except (OSError, ValueError, IndexError):
             return None
 
+    def _proc_cpu_secs():
+        """Busy (non-idle, non-iowait, non-steal) CPU seconds machine-wide
+        — the box is otherwise idle during a probe run, so the per-query
+        delta is that query's total compute across all cores. util =
+        cpu_secs / (wall * cpus) is the adjudication metric: ~1.0 means
+        compute-bound (wall should halve when cores double), <<1 means
+        the query is latency/overhead-bound at this data size."""
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            v = [int(x) for x in parts[1:]]
+            hz = os.sysconf("SC_CLK_TCK")
+            busy = sum(v) - v[3] - v[4] - (v[7] if len(v) > 7 else 0)
+            return busy / hz
+        except (OSError, ValueError, IndexError):
+            return None
+
     best: dict[str, float] = {}
+    cpu_at_best: dict[str, float] = {}
     pass_steal: list[float] = []
     for _ in range(PASSES):
         j0 = _cpu_jiffies()
         for name in HEADLINE:
             spark.sparkContext.setJobDescription(f"scaling:{name}")
+            c0 = _proc_cpu_secs()
             t0 = time.time()
             qs[name](spark, out_dir).write.format("noop").mode("overwrite").save()
-            best[name] = min(best.get(name, float("inf")), time.time() - t0)
+            dt = time.time() - t0
+            c1 = _proc_cpu_secs()
+            if dt < best.get(name, float("inf")):
+                best[name] = dt
+                if c0 is not None and c1 is not None:
+                    cpu_at_best[name] = c1 - c0
             spark.sparkContext.setJobDescription(None)
             spark.catalog.clearCache()
         j1 = _cpu_jiffies()
@@ -169,6 +193,11 @@ def main() -> None:
     print(json.dumps({
         "factor": FACTOR, "cpus": cpus, "passes": PASSES,
         "queries": {k: round(v, 3) for k, v in best.items()},
+        "cpu_secs": {k: round(v, 2) for k, v in cpu_at_best.items()},
+        "util_pct": {
+            k: round(100.0 * cpu_at_best[k] / (best[k] * cpus), 1)
+            for k in cpu_at_best
+        },
         "total": round(sum(best.values()), 3),
         "pass_steal_pct": pass_steal,
         "loadavg": list(os.getloadavg()),
