@@ -750,6 +750,16 @@ def ivfpq_pruned_topk(
         nprobe=nprobe, m=m, n_codes=n_codes, id_column=id_column,
         vector_column=vector_column, dim=dim, scale=scale, offset=offset,
     )
+    # r17 (guide §3.3/§5): the pruning plan reads qdt and codes from
+    # FOUR subtrees (per-bucket bound, tau probe, survivor filter,
+    # final ADC) — without a barrier the executed plan re-derived the
+    # residual-encode aggregation per reference (32 scans of the
+    # residual checkpoint, 80 Exchanges, 0 ReusedExchange). Both are
+    # bounded state (codes: m rows/vector of 3 ints — the compressed
+    # corpus representation itself; qdt: |queries|*nprobe*m*n_codes
+    # rows). Interleaved A/B at sf0.1: 4.2-4.7 s vs 5.2-5.4 s without.
+    qdt = qdt.transform(_barrier)
+    codes = codes.transform(_barrier)
     surv = _prune_surviving_buckets(qdt, cand, codes, k)
     kept = cand.join(surv, ["query_id", "cluster"])
     w2 = Window.partitionBy("query_id").orderBy("adist2", "neighbor_id")
@@ -786,6 +796,16 @@ def ivfpq_prune_stats(
         nprobe=nprobe, m=m, n_codes=n_codes, id_column=id_column,
         vector_column=vector_column, dim=dim, scale=scale, offset=offset,
     )
+    # r17 (guide §3.3/§5): the pruning plan reads qdt and codes from
+    # FOUR subtrees (per-bucket bound, tau probe, survivor filter,
+    # final ADC) — without a barrier the executed plan re-derived the
+    # residual-encode aggregation per reference (32 scans of the
+    # residual checkpoint, 80 Exchanges, 0 ReusedExchange). Both are
+    # bounded state (codes: m rows/vector of 3 ints — the compressed
+    # corpus representation itself; qdt: |queries|*nprobe*m*n_codes
+    # rows). Interleaved A/B at sf0.1: 4.2-4.7 s vs 5.2-5.4 s without.
+    qdt = qdt.transform(_barrier)
+    codes = codes.transform(_barrier)
     surv = _prune_surviving_buckets(qdt, cand, codes, k)
     kept = cand.join(surv, ["query_id", "cluster"])
     full = cand.agg(
