@@ -32,7 +32,7 @@ training-data pipeline needs at 100 TB.
 from __future__ import annotations
 
 from sutro_spark.session import barrier as _barrier
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from sutro_spark.session import release_local_checkpoint
@@ -124,19 +124,33 @@ def connected_components(
     prev_sig = None
     prev_ckpt = e
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).distinct().transform(_barrier)
+        # r17 (guide §5 driver discipline): the convergence signature
+        # rides the checkpoint's own materialization job via
+        # observe() — metrics fire on eager localCheckpoint AND on the
+        # reliable checkpoint() path (verified both) — instead of a
+        # second full scan-and-aggregate job per round: one
+        # driver-synchronized job per CC round, not two. Same rows,
+        # same (n, h) values, identical convergence decisions.
+        obs = Observation()
+        e = (
+            _small_star(_large_star(e))
+            .distinct()
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                # decimal accumulator: a long sum of 2^63-range hashes
+                # overflows under ANSI mode
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            )
+            .transform(_barrier)
+        )
         # the new eager checkpoint is materialized; the superseded
         # round's blocks can never be read again — free them so a
         # long-lived session doesn't pin O(iterations) partitions
         if prev_ckpt is not None:
             release_local_checkpoint(prev_ckpt)
         prev_ckpt = e
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal accumulator: a long sum of 2^63-range hashes
-            # overflows under ANSI mode
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
-        ).first()
+        row = obs.get
         sig = (row["n"], row["h"])
         if sig == prev_sig:
             break
@@ -887,9 +901,17 @@ def kcore(
             keep.withColumnRenamed("n", "a"), "a", "left_semi"
         ).join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
         if checkpoint:
-            nxt = nxt.transform(_barrier)
-        # bounded scalar: did this round delete anything?
-        after = nxt.count()
+            # r17: the bounded change-count rides the checkpoint's own
+            # materialization job via observe() (the CC-loop pattern)
+            # — one driver-synchronized job per peel round, not two
+            obs = Observation()
+            nxt = nxt.observe(obs, F.count(F.lit(1)).alias("n")).transform(
+                _barrier
+            )
+            after = obs.get["n"]
+        else:
+            # bounded scalar: did this round delete anything?
+            after = nxt.count()
         if checkpoint and prev_ckpt is not None and nxt is not prev_ckpt:
             release_local_checkpoint(prev_ckpt)
         cur, prev_ckpt = nxt, (nxt if checkpoint else None)
