@@ -69,7 +69,7 @@ stragglers — at 100 TB the former wins.
 from __future__ import annotations
 
 from sutro_spark.session import barrier as _barrier
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -520,16 +520,25 @@ def _strip_fixpoint(
         stripped = _strip_with_spans(
             cur.select("doc_id", "__t"), spans
         ).join(cur.select("doc_id", "__n0"), "doc_id")
-        nxt = stripped.select(
-            "doc_id", F.col("clean_text").alias("__t"), "__n0"
-        ).transform(_barrier)
-        changed = (
-            nxt.join(
-                cur.select("doc_id", F.col("__t").alias("__prev")), "doc_id"
+        # r17 (guide §5; the CC-loop observe() pattern): a doc changed
+        # this pass iff the strip cut something (``n_removed`` is
+        # exactly the length delta — every span has span_len >= 1), so
+        # the changed-doc count rides the checkpoint's materialization
+        # job as an observe() metric instead of a separate
+        # join-previous-round-and-count job per pass. Same count,
+        # identical convergence decisions, one driver round-trip per
+        # pass instead of two — and the join against the superseded
+        # round is gone entirely.
+        obs = Observation()
+        nxt = (
+            stripped.observe(
+                obs,
+                F.sum((F.col("n_removed") > 0).cast("long")).alias("chg"),
             )
-            .where(F.length("__t") != F.length("__prev"))
-            .count()
+            .select("doc_id", F.col("clean_text").alias("__t"), "__n0")
+            .transform(_barrier)
         )
+        changed = int(obs.get["chg"] or 0)
         release_local_checkpoint(cur)
         cur = nxt
         passes += 1
